@@ -1,0 +1,116 @@
+"""Attribution-result loader (SURVEY §2 P2, P7, P12, A5-A6, A8, S10, W3).
+
+The reference ingests JSON response envelopes from the external API
+(``src/etl/load.py:16-147``): dispatch on envelope shape, validate,
+type-enforce, dedup on (conv_id, session_id), upsert. Here each step is
+a DataFrame transformation; the envelope dispatch becomes schema-driven
+``explode`` instead of per-element Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from marketing_attribution_etl_framework__maef_spark import schemas
+
+
+def read_envelopes(spark, path: str) -> DataFrame:
+    """S6: JSON envelope files -> one row per envelope
+    (``src/etl/load.py:18-24``)."""
+    return spark.read.schema(schemas.API_RESPONSE_ENVELOPE).json(path, multiLine=True)
+
+
+def explode_envelopes(envelopes: DataFrame) -> DataFrame:
+    """P12 (``src/etl/load.py:34-67``): statusCode==200 envelopes ->
+    exploded value rows. Non-200 / malformed rows are routed to the
+    error path (``error_counts``), not dropped silently."""
+    return (
+        envelopes.filter(F.col("statusCode") == 200)
+        .select(F.explode("value").alias("v"))
+        .select("v.*")
+    )
+
+
+def error_counts(envelopes: DataFrame) -> DataFrame:
+    """A8 (``src/etl/load.py:30,41-67``): histogram of failure classes."""
+    return (
+        envelopes.select(
+            F.when(F.col("statusCode").isNull(), "missing_status")
+            .when(F.col("statusCode") != 200, F.concat(F.lit("status_"), F.col("statusCode")))
+            .when(F.col("value").isNull(), "missing_value")
+            .otherwise("ok")
+            .alias("error_code")
+        )
+        .groupBy("error_code")
+        .count()
+    )
+
+
+def validate_results(rows: DataFrame) -> DataFrame:
+    """P2 + P7 (``src/etl/load.py:91-106``): drop rows missing/blank
+    conversion_id or session_id; enforce types; default ihc 0.0."""
+    return rows.filter(
+        F.col("conversion_id").isNotNull()
+        & (F.col("conversion_id") != "")
+        & F.col("session_id").isNotNull()
+        & (F.col("session_id") != "")
+    ).select(
+        F.col("conversion_id").cast("string").alias("conv_id"),
+        F.col("session_id").cast("string").alias("session_id"),
+        F.coalesce(F.col("ihc").cast("double"), F.lit(0.0)).alias("ihc"),
+    )
+
+
+def dedup_results(rows: DataFrame, deterministic: bool = True) -> DataFrame:
+    """A6 (``src/etl/load.py:89,108-113``): first-wins dedup on
+    (conv_id, session_id). The reference's "first" is file order —
+    nondeterministic under distribution — so the default here keeps the
+    row with the *highest* ihc (stable, order-free); pass
+    ``deterministic=False`` for plain ``dropDuplicates`` (any-wins,
+    cheapest: map-side partial agg)."""
+    if not deterministic:
+        return rows.dropDuplicates(["conv_id", "session_id"])
+    w = Window.partitionBy("conv_id", "session_id").orderBy(F.col("ihc").desc())
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def check_total_ihc(rows: DataFrame) -> float:
+    """A5 (``src/etl/load.py:120-123``): reject if sum(ihc) <= 0."""
+    total = rows.agg(F.sum("ihc").alias("t")).first()["t"] or 0.0
+    if total <= 0:
+        raise ValueError(f"total ihc {total} <= 0 — refusing to load")
+    return float(total)
+
+
+def positive_ihc_count(rows: DataFrame) -> int:
+    """P8 (``src/etl/load.py:152-158``): count of ihc > 0 rows."""
+    return rows.filter(F.col("ihc") > 0).count()
+
+
+def invalid_samples(envelopes: DataFrame, limit: int = 3) -> DataFrame:
+    """W3 (``src/etl/load.py:48-49,60-67``): keep <= 3 samples of
+    invalid envelopes for diagnostics."""
+    return envelopes.filter(
+        F.col("statusCode").isNull() | (F.col("statusCode") != 200) | F.col("value").isNull()
+    ).limit(limit)
+
+
+def upsert(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    """S10 (``src/etl/load.py:125-143``): INSERT OR REPLACE keyed
+    (conv_id, session_id) — incoming wins. Without a Delta/Iceberg
+    catalog this is the union-dedup formulation; on a lakehouse table
+    it is ``MERGE INTO`` on the same key."""
+    inc = incoming.select("conv_id", "session_id", "ihc").withColumn("_src", F.lit(1))
+    ex = existing.select("conv_id", "session_id", "ihc").withColumn("_src", F.lit(0))
+    w = Window.partitionBy("conv_id", "session_id").orderBy(F.col("_src").desc())
+    return (
+        inc.unionByName(ex)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("conv_id", "session_id", "ihc")
+    )

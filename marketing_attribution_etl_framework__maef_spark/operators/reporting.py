@@ -1,0 +1,210 @@
+"""Channel reporting (SURVEY §2 J2-J6, A1-A4, P9-P11, W1).
+
+Reproduces the one declarative query in the reference — the CTE
+aggregation in ``src/etl/reporting.py:57-98`` — and its export with
+derived metrics (``:150-167``).
+
+Two grain modes (SURVEY §2.8.2):
+
+- ``corrected`` (default): cost and attributed revenue are each
+  pre-aggregated to (channel_name, date) grain *before* the join, which
+  is the evident intent. The shipped SQL joins per-attribution rows to
+  per-session cost rows on (channel_name, date) — a many-to-many
+  fan-out that inflates every SUM (the shipped CSV shows
+  ihc=683210.63 for one channel-day, impossible under sum(ihc)=1 per
+  conversion).
+- ``replicate``: reproduces the fan-out arithmetic exactly, for
+  golden-diff testing against ``data/output/channel_report.csv``.
+
+Scale notes: both sides aggregate (map-side partial agg) down to
+channel x day grain — tiny — before the join, so the join is
+broadcastable no matter the input size. The HAVING-stage min(conv_date)
+scalar subquery (``reporting.py:97``) is a 1-row aggregate crossJoin,
+which Spark broadcasts automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from marketing_attribution_etl_framework__maef_spark.functions.cleaning import normalize_channel, normalize_date
+
+
+def channel_costs(session_sources: DataFrame, session_costs: DataFrame) -> DataFrame:
+    """J4 + pre-agg: per (channel_name, date) total cost.
+
+    session_sources LEFT JOIN session_costs on session_id
+    (``src/etl/reporting.py:74-83``), COALESCE(cost,0), channel/date
+    normalized (P10), then summed to channel-day grain.
+    """
+    ss = session_sources.filter(
+        F.col("event_ts").isNotNull()
+    ).select(
+        "session_id",
+        normalize_channel(F.col("channel_name")).alias("channel_name"),
+        F.date_format("event_ts", "yyyy-MM-dd").alias("date"),
+    )
+    joined = ss.join(session_costs, on="session_id", how="left")
+    return joined.groupBy("channel_name", "date").agg(
+        F.coalesce(F.sum("cost"), F.lit(0.0)).alias("cost")
+    )
+
+
+def attributed_revenue(
+    attribution: DataFrame, session_sources: DataFrame, conversions: DataFrame
+) -> DataFrame:
+    """J2 + J3 + pre-agg: per (channel_name, date) sum(ihc) and
+    sum(revenue * ihc) (``src/etl/reporting.py:57-72``).
+
+    attribution INNER JOIN session_sources on session_id (1:1) INNER
+    JOIN conversions on conv_id (N:1); channel filtered non-null/non-
+    empty (P6); date = session's event date with conv_date fallback.
+    """
+    ss = session_sources.select(
+        "session_id",
+        F.col("channel_name"),
+        F.date_format("event_ts", "yyyy-MM-dd").alias("event_date"),
+    ).filter(F.col("channel_name").isNotNull() & (F.col("channel_name") != ""))
+    conv = conversions.select(
+        "conv_id",
+        F.col("revenue"),
+        F.date_format("conv_ts", "yyyy-MM-dd").alias("conv_date"),
+    )
+    j = (
+        attribution.join(ss, on="session_id", how="inner")
+        .join(conv, on="conv_id", how="inner")
+        .select(
+            F.col("channel_name"),
+            normalize_date(F.col("event_date"), F.col("conv_date")).alias("date"),
+            F.col("ihc"),
+            (F.col("revenue") * F.col("ihc")).alias("attributed_revenue"),
+        )
+    )
+    return j.groupBy("channel_name", "date").agg(
+        F.coalesce(F.sum("ihc"), F.lit(0.0)).alias("ihc"),
+        F.coalesce(F.sum("attributed_revenue"), F.lit(0.0)).alias("ihc_revenue"),
+    )
+
+
+def channel_report(
+    attribution: DataFrame,
+    session_sources: DataFrame,
+    session_costs: DataFrame,
+    conversions: DataFrame,
+    mode: str = "corrected",
+) -> DataFrame:
+    """The full channel_reporting table: (channel_name, date, cost, ihc,
+    ihc_revenue), HAVING channel != 'unknown' AND date >= min(conv_date)
+    (``src/etl/reporting.py:85-98``), ordered by channel, date (W1).
+    """
+    if mode == "corrected":
+        ar = attributed_revenue(attribution, session_sources, conversions)
+        cc = channel_costs(session_sources, session_costs)
+        # attribution side drives (left join, missing costs -> 0), as in
+        # the reference's FROM attributed_revenue LEFT JOIN channel_costs.
+        rep = ar.join(cc, on=["channel_name", "date"], how="left").select(
+            "channel_name",
+            "date",
+            F.coalesce(F.col("cost"), F.lit(0.0)).alias("cost"),
+            "ihc",
+            "ihc_revenue",
+        )
+    elif mode == "replicate":
+        rep = _channel_report_replicate(
+            attribution, session_sources, session_costs, conversions
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    # P9/J6: HAVING channel_name != 'unknown' AND date >= scalar
+    # subquery MIN(conv_date) — uncorrelated, a 1-row broadcast.
+    min_date = conversions.agg(
+        F.min(F.date_format("conv_ts", "yyyy-MM-dd")).alias("_min_conv_date")
+    )
+    return (
+        rep.crossJoin(F.broadcast(min_date))
+        .filter((F.col("channel_name") != "unknown") & (F.col("date") >= F.col("_min_conv_date")))
+        .drop("_min_conv_date")
+        .orderBy("channel_name", "date")
+    )
+
+
+def _channel_report_replicate(
+    attribution: DataFrame,
+    session_sources: DataFrame,
+    session_costs: DataFrame,
+    conversions: DataFrame,
+) -> DataFrame:
+    """Exact replication of the shipped fan-out arithmetic
+    (``src/etl/reporting.py:57-98``): per-row CTEs joined many-to-many
+    on (channel_name, date), then SUM — inflated by design."""
+    ar_rows = (
+        attribution.join(
+            session_sources.select(
+                "session_id",
+                "channel_name",
+                F.date_format("event_ts", "yyyy-MM-dd").alias("event_date"),
+            ).filter(F.col("channel_name").isNotNull() & (F.col("channel_name") != "")),
+            "session_id",
+        )
+        .join(
+            conversions.select(
+                "conv_id",
+                "revenue",
+                F.date_format("conv_ts", "yyyy-MM-dd").alias("conv_date"),
+            ),
+            "conv_id",
+        )
+        .select(
+            F.col("channel_name"),
+            normalize_date(F.col("event_date"), F.col("conv_date")).alias("date"),
+            "ihc",
+            (F.col("revenue") * F.col("ihc")).alias("attributed_revenue"),
+        )
+    )
+    cc_rows = (
+        session_sources.select(
+            "session_id",
+            normalize_channel(F.col("channel_name")).alias("channel_name"),
+            F.date_format("event_ts", "yyyy-MM-dd").alias("date"),
+        )
+        .join(session_costs, "session_id", "left")
+        .select("channel_name", "date", F.coalesce("cost", F.lit(0.0)).alias("cost"))
+    )
+    return (
+        ar_rows.join(cc_rows, on=["channel_name", "date"], how="left")
+        .groupBy("channel_name", "date")
+        .agg(
+            F.coalesce(F.sum("cost"), F.lit(0.0)).alias("cost"),
+            F.coalesce(F.sum("ihc"), F.lit(0.0)).alias("ihc"),
+            F.coalesce(F.sum("attributed_revenue"), F.lit(0.0)).alias("ihc_revenue"),
+        )
+    )
+
+
+def export_report(report: DataFrame) -> DataFrame:
+    """P11 (``src/etl/reporting.py:150-167``): derived metrics with
+    div-by-zero guards —
+    cpo  = cost / ihc          if ihc  > 0 else 0  (valid because
+           sum(ihc)=1 per conversion => sum(ihc) ~ attributed orders)
+    roas = ihc_revenue / cost  if cost > 0 else 0.
+    """
+    return report.select(
+        "channel_name",
+        "date",
+        "cost",
+        "ihc",
+        "ihc_revenue",
+        F.when(F.col("ihc") > 0, F.col("cost") / F.col("ihc")).otherwise(F.lit(0.0)).alias("cpo"),
+        F.when(F.col("cost") > 0, F.col("ihc_revenue") / F.col("cost")).otherwise(F.lit(0.0)).alias("roas"),
+    )
+
+
+def report_summary(report: DataFrame) -> DataFrame:
+    """A3 (``src/etl/reporting.py:124-130``): cardinality summary."""
+    return report.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("channel_name").alias("n_channels"),
+        F.countDistinct("date").alias("n_dates"),
+    )

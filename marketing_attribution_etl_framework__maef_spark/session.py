@@ -1,0 +1,41 @@
+"""SparkSession factory tuned for the test/bench harness.
+
+Local mode is a single JVM; on a real cluster the same code runs
+unchanged — the configs below (AQE, skew-join handling, shuffle
+partition sizing) are exactly the knobs that matter at 100 TB, they are
+just sized here for local[32].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "maef_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``spark.sql.shuffle.partitions`` defaults to the local core count —
+    at cluster scale this would be ~2-3x total cores or driven by AQE
+    advisory sizes; AQE coalescing makes the static number mostly
+    irrelevant as long as it is not absurdly small.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,102 @@
+"""Sources and sinks (SURVEY §2.1 S1-S11).
+
+Parquet is the canonical storage (replacing SQLite); JSON and CSV
+sinks reproduce the reference's interchange contracts. Single-file
+"contract parity" outputs use coalesce(1) + rename — fine for
+report-sized data, never used on the big paths.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from marketing_attribution_etl_framework__maef_spark import schemas
+
+
+class Warehouse:
+    """Parquet-backed replacement for the reference ``DataWarehouse``
+    (``src/database/db_utils.py``): named tables under a root dir,
+    registered as temp views for free SQL access (SURVEY §3.4)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def create_initial_schema(self) -> None:
+        """S2 (``db_utils.py:42-65``): declare the five tables. With
+        parquet + explicit StructType there is no DDL to execute — we
+        materialize empty tables so downstream full-scans always
+        resolve."""
+        for name, schema in schemas.TABLE_SCHEMAS.items():
+            if not os.path.exists(self.path(name)):
+                self.spark.createDataFrame([], schema).write.mode("ignore").parquet(self.path(name))
+
+    def write(self, table: str, df: DataFrame, mode: str = "overwrite") -> None:
+        """S3/S9/S11 sink: overwrite == the reference's
+        DELETE-then-reload (``reporting.py:52-54``) and
+        ``if_exists='replace'`` (``db_utils.py:79``)."""
+        df.write.mode(mode).parquet(self.path(table))
+
+    def read(self, table: str) -> DataFrame:
+        """S1: full-table scan (``db_utils.py:75``)."""
+        return self.spark.read.parquet(self.path(table))
+
+    def register_views(self) -> None:
+        for name in schemas.TABLE_SCHEMAS:
+            if os.path.exists(self.path(name)):
+                self.read(name).createOrReplaceTempView(name)
+
+    def copy_from(self, source: "Warehouse", tables: list[str] | None = None) -> None:
+        """S3 (``db_utils.py:67-84``): copy source -> target per table."""
+        for name in tables or list(schemas.TABLE_SCHEMAS):
+            if os.path.exists(source.path(name)):
+                self.write(name, source.read(name))
+
+    def verify_copy(self, source: "Warehouse", tables: list[str] | None = None) -> dict[str, int]:
+        """S4/A2 (``db_utils.py:86-102``): row-count equality."""
+        counts = {}
+        for name in tables or list(schemas.TABLE_SCHEMAS):
+            if not os.path.exists(source.path(name)):
+                continue
+            src_n = source.read(name).count()
+            dst_n = self.read(name).count()
+            if src_n != dst_n:
+                raise ValueError(f"copy verification failed for {name}: {src_n} != {dst_n}")
+            counts[name] = src_n
+        return counts
+
+
+def _single_file(out_dir: str, final_path: str, ext: str) -> None:
+    part = glob.glob(os.path.join(out_dir, f"part-*{ext}"))
+    if not part:
+        raise FileNotFoundError(f"no part file in {out_dir}")
+    shutil.move(part[0], final_path)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def write_json_single(df: DataFrame, path: str) -> None:
+    """S5 (``transform.py:276-288``): journey entries to one JSON file
+    (JSON-lines; the reference writes an indented array — compare
+    parsed, not textually, per SURVEY §7)."""
+    tmp = path + ".spark-tmp"
+    df.coalesce(1).write.mode("overwrite").json(tmp)
+    _single_file(tmp, path, ".json")
+
+
+def write_csv_single(df: DataFrame, path: str) -> None:
+    """S7 (``reporting.py:169-170``): header CSV, one file."""
+    tmp = path + ".spark-tmp"
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+    _single_file(tmp, path, ".csv")
+
+
+def read_journey_entries(spark: SparkSession, path: str) -> DataFrame:
+    """Journey-entry JSON source with the declared contract schema."""
+    return spark.read.schema(schemas.JOURNEY_ENTRY).json(path, multiLine=True)

@@ -1,0 +1,102 @@
+"""Scalar helpers (P3, P10), date validation, chunking (A9), warehouse
+copy/verify (S2-S4), single-file sinks (S5, S7), pipeline checks."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketing_attribution_etl_framework__maef_spark.functions.cleaning import clean_float, normalize_channel, normalize_date
+from marketing_attribution_etl_framework__maef_spark.functions.dates import validate_date_range
+from marketing_attribution_etl_framework__maef_spark.operators.chunking import assign_chunks
+from marketing_attribution_etl_framework__maef_spark.plans.pipeline import AttributionPipeline, PipelineConfig
+from marketing_attribution_etl_framework__maef_spark.sources.io import Warehouse, write_csv_single, write_json_single
+
+
+def test_clean_float(spark):
+    df = spark.createDataFrame(
+        [(1.5,), (float("nan"),), (float("inf"),), (float("-inf"),), (None,)], "x double"
+    )
+    got = [r.y for r in df.select(clean_float(F.col("x")).alias("y")).collect()]
+    assert got == [1.5, 0.0, 0.0, 0.0, None]
+
+
+def test_normalizers(spark):
+    df = spark.createDataFrame([("", ""), (None, None), ("A", "2023-01-01")], "c string, d string")
+    out = df.select(
+        normalize_channel(F.col("c")).alias("c"),
+        normalize_date(F.col("d"), F.lit("1970-01-01")).alias("d"),
+    ).collect()
+    assert [r.c for r in out] == ["unknown", "unknown", "A"]
+    assert [r.d for r in out] == ["1970-01-01", "1970-01-01", "2023-01-01"]
+
+
+def test_date_validation():
+    validate_date_range("2023-01-01", "2023-06-30")
+    with pytest.raises(ValueError):
+        validate_date_range("2023-06-30", "2023-01-01")
+    with pytest.raises(ValueError):
+        validate_date_range("2023-01-01", "2024-06-01")  # > 365d
+    with pytest.raises(ValueError):
+        validate_date_range("2023/01/01", "2023-06-30")
+    with pytest.raises(ValueError):
+        validate_date_range("2023-01-01", "2023-06-30", today=dt.date(2023, 3, 1))
+
+
+def test_chunking_caps(spark):
+    rows = [(f"c{i:04d}", 40) for i in range(200)]  # 200 journeys x 40 sessions
+    df = spark.createDataFrame(rows, "conversion_id string, n_sessions int")
+    out = assign_chunks(df).groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_j"), F.sum("n_sessions").alias("n_s")
+    )
+    for r in out.collect():
+        assert r.n_j <= 85
+        # session cap respected up to one journey of overflow (greedy parity)
+        assert r.n_s <= 2750 + 40
+
+
+def test_warehouse_roundtrip(spark, tmp_path):
+    src = Warehouse(spark, str(tmp_path / "src"))
+    dst = Warehouse(spark, str(tmp_path / "dst"))
+    src.create_initial_schema()
+    df = spark.createDataFrame([("c1", "s1", 0.5)], "conv_id string, session_id string, ihc double")
+    src.write("attribution_customer_journey", df)
+    dst.copy_from(src)
+    counts = dst.verify_copy(src)
+    assert counts["attribution_customer_journey"] == 1
+    dst.register_views()
+    assert spark.sql("SELECT count(*) n FROM attribution_customer_journey").first().n == 1
+
+
+def test_single_file_sinks(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    jpath = str(tmp_path / "out.json")
+    cpath = str(tmp_path / "out.csv")
+    write_json_single(df, jpath)
+    write_csv_single(df.orderBy("k"), cpath)
+    lines = [json.loads(l) for l in open(jpath)]
+    assert {l["k"] for l in lines} == {"a", "b"}
+    body = open(cpath).read().strip().splitlines()
+    assert body[0] == "k,v" and len(body) == 3
+
+
+def test_pipeline_end_to_end_with_checks(spark, sf_dir):
+    out = AttributionPipeline(spark, sf_dir, PipelineConfig(model="ihc")).run_with_checks()
+    rows = out.collect()
+    assert len(rows) > 0
+    assert out.columns == ["channel_name", "date", "cost", "ihc", "ihc_revenue", "cpo", "roas"]
+    # report grain is PK(channel_name, date)
+    assert len(rows) == len({(r.channel_name, r.date) for r in rows})
+
+
+def test_pipeline_date_range(spark, sf_dir):
+    pipe = AttributionPipeline(
+        spark, sf_dir, PipelineConfig(model="linear", start="2024-01-02", end="2024-01-05")
+    )
+    convs = pipe.conversions().select(F.date_format("conv_ts", "yyyy-MM-dd").alias("d")).distinct()
+    ds = sorted(r.d for r in convs.collect())
+    assert ds and ds[0] >= "2024-01-02" and ds[-1] <= "2024-01-05"
