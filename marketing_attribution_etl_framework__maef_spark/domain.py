@@ -40,6 +40,15 @@ TABLES = [
     "embeddings",
 ]
 
+# per-(session, sf_dir) cache of the events DataFrame so one pipeline
+# run scans events.parquet once instead of once per derived table
+# (conversions + session_sources + session_costs used to mean ~6 scans
+# per report query). local/bench scale: .cache() is trivial memory; at
+# 100 TB the equivalent move is materializing the three derived MAEF
+# tables once per run via sources.io.Warehouse — same call sites, just
+# swap events() for Warehouse.read.
+_EVENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one harness table.
@@ -49,6 +58,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``spark.sql.legacy.parquet.nanosAsLong``) and truncated to a
     microsecond timestamp, exactly what DuckDB does when it coerces
     TIMESTAMP_NS -> TIMESTAMP.
+
+    ``nanosAsLong`` is an intentional session-wide invariant (also set
+    in ``session.get_spark``): every parquet read in this engine treats
+    TIMESTAMP(NANOS) as long + explicit truncation, which is the only
+    deterministic cross-engine reading. It is re-asserted here for
+    sessions not built by ``get_spark`` (e.g. the driver's own).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -58,9 +73,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared, cached events scan all MAEF tables derive from."""
+    key = (id(spark), sf_dir)
+    if key not in _EVENTS_CACHE:
+        _EVENTS_CACHE[key] = load_table(spark, sf_dir, "events").cache()
+    return _EVENTS_CACHE[key]
+
+
+def clear_events_cache() -> None:
+    for df in _EVENTS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _EVENTS_CACHE.clear()
+
+
 def conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAEF ``conversions`` (challenge_db_create.sql:6-13) from events."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = events(spark, sf_dir)
     return ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").cast("string").alias("conv_id"),
         F.col("user_id").cast("string").alias("user_id"),
@@ -75,7 +107,7 @@ def session_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engagement flags (holder/closer/impression) are 0/1 ints per the
     JSON contract (``src/etl/transform.py:252-255``).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = events(spark, sf_dir)
     return ev.filter(F.col("event_type") != "purchase").select(
         F.col("event_id").cast("string").alias("session_id"),
         F.col("user_id").cast("string").alias("user_id"),

@@ -70,14 +70,24 @@ def attribute_linear(journeys: DataFrame) -> DataFrame:
 
 
 def attribute_last_touch(journeys: DataFrame) -> DataFrame:
+    # exact by construction (exactly one 1.0 per conversion) — no
+    # normalize pass, one window instead of two
     rn = F.row_number().over(_w())
     n = F.count(F.lit(1)).over(_wall())
-    return _finish(journeys, F.when(rn == n, F.lit(1.0)).otherwise(F.lit(0.0)))
+    return journeys.select(
+        F.col("conversion_id").alias("conv_id"),
+        "session_id",
+        F.when(rn == n, F.lit(1.0)).otherwise(F.lit(0.0)).alias("ihc"),
+    )
 
 
 def attribute_first_touch(journeys: DataFrame) -> DataFrame:
     rn = F.row_number().over(_w())
-    return _finish(journeys, F.when(rn == 1, F.lit(1.0)).otherwise(F.lit(0.0)))
+    return journeys.select(
+        F.col("conversion_id").alias("conv_id"),
+        "session_id",
+        F.when(rn == 1, F.lit(1.0)).otherwise(F.lit(0.0)).alias("ihc"),
+    )
 
 
 def attribute_u_shaped(journeys: DataFrame) -> DataFrame:

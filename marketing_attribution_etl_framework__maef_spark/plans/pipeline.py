@@ -14,6 +14,7 @@ non-empty transform (``transform.py:264-265``), sum(ihc) > 0
 
 from __future__ import annotations
 
+import datetime as dt
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,7 +49,9 @@ class AttributionPipeline:
     def conversions(self) -> DataFrame:
         conv = domain.conversions(self.spark, self.sf_dir)
         if self.cfg.start and self.cfg.end:
-            validate_date_range(self.cfg.start, self.cfg.end)
+            # today= arms the 'end not in the future' guard
+            # (dates.py, mirroring dags/ihc_api_dag.py:56-63)
+            validate_date_range(self.cfg.start, self.cfg.end, today=dt.date.today())
             conv = conv.filter(
                 date_range_predicate(F.col("conv_ts"), self.cfg.start, self.cfg.end)
             )

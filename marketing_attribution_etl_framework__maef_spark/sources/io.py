@@ -97,6 +97,13 @@ def write_csv_single(df: DataFrame, path: str) -> None:
     _single_file(tmp, path, ".csv")
 
 
-def read_journey_entries(spark: SparkSession, path: str) -> DataFrame:
-    """Journey-entry JSON source with the declared contract schema."""
-    return spark.read.schema(schemas.JOURNEY_ENTRY).json(path, multiLine=True)
+def read_journey_entries(spark: SparkSession, path: str, multiline: bool = False) -> DataFrame:
+    """Journey-entry JSON source with the declared contract schema.
+
+    Default is JSON-lines (what ``write_json_single`` emits, so the
+    package's own sink round-trips). Pass ``multiline=True`` only for
+    the reference's indented-array files
+    (``data/output/required_format.json`` style), where one JSON value
+    spans the whole file.
+    """
+    return spark.read.schema(schemas.JOURNEY_ENTRY).json(path, multiLine=multiline)

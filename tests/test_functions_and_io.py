@@ -59,6 +59,32 @@ def test_chunking_caps(spark):
         assert r.n_s <= 2750 + 40
 
 
+def test_chunking_caps_skewed(spark):
+    # ADVICE r1: one huge journey used to pull all followers into its
+    # chunk. 1 x 10000-session journey then 300 x 1-session journeys.
+    rows = [("c0000", 10000)] + [(f"c{i:04d}", 1) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "conversion_id string, n_sessions int")
+    out = assign_chunks(df).groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_j"), F.max("n_sessions").alias("mx")
+    )
+    for r in out.collect():
+        assert r.n_j <= 85, f"journey cap violated: {r.n_j}"
+
+
+def test_chunking_bucketed(spark):
+    rows = [(f"c{i:04d}", i % 7, 40) for i in range(400)]
+    df = spark.createDataFrame(rows, "conversion_id string, bucket int, n_sessions int")
+    out = assign_chunks(df, bucket_col="bucket")
+    # ids distinct across buckets; caps hold within each chunk
+    agg = out.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_j"),
+        F.countDistinct("bucket").alias("n_b"),
+        F.sum("n_sessions").alias("n_s"),
+    )
+    for r in agg.collect():
+        assert r.n_b == 1 and r.n_j <= 85 and r.n_s <= 2750 + 40
+
+
 def test_warehouse_roundtrip(spark, tmp_path):
     src = Warehouse(spark, str(tmp_path / "src"))
     dst = Warehouse(spark, str(tmp_path / "dst"))
