@@ -32,6 +32,47 @@ def explode_envelopes(envelopes: DataFrame) -> DataFrame:
     )
 
 
+def pack_envelopes(
+    rows: DataFrame, chunk: F.Column | None = None, n_chunks: int = 20
+) -> DataFrame:
+    """Inverse of ``explode_envelopes`` — the request-building half of
+    the reference's external-API mode (``src/api/ihc_api.py:120-132``
+    packs journey chunks into request bodies; responses come back in
+    the same chunk shape, ``data/output/api_response.json``).
+
+    Packs (conversion_id, session_id, ihc) rows into statusCode-200
+    envelopes, one per chunk key (default: a hash of conversion_id —
+    co-chunking all sessions of one conversion, as the reference's
+    chunker guarantees). collect_list per chunk is bounded by the chunk
+    size, never the table size."""
+    key = (
+        chunk
+        if chunk is not None
+        else F.pmod(F.crc32(F.col("conversion_id").cast("string")), F.lit(n_chunks))
+    )
+    return (
+        rows.withColumn("_chunk", key)
+        .groupBy("_chunk")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("conversion_id"),
+                    F.col("session_id"),
+                    F.lit(None).cast("double").alias("initializer"),
+                    F.lit(None).cast("double").alias("holder"),
+                    F.lit(None).cast("double").alias("closer"),
+                    F.col("ihc"),
+                )
+            ).alias("value")
+        )
+        .select(
+            F.lit(200).alias("statusCode"),
+            "value",
+            F.lit(None).cast("array<string>").alias("partialFailureErrors"),
+        )
+    )
+
+
 def error_counts(envelopes: DataFrame) -> DataFrame:
     """A8 (``src/etl/load.py:30,41-67``): histogram of failure classes."""
     return (

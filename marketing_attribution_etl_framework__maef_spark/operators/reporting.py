@@ -137,9 +137,21 @@ def _channel_report_replicate(
     conversions: DataFrame,
 ) -> DataFrame:
     """Exact replication of the shipped fan-out arithmetic
-    (``src/etl/reporting.py:57-98``): per-row CTEs joined many-to-many
-    on (channel_name, date), then SUM — inflated by design."""
-    ar_rows = (
+    (``src/etl/reporting.py:57-98``): the reference joins per-
+    attribution rows to per-session cost rows many-to-many on
+    (channel_name, date) and SUMs the inflated pairs. Summing over the
+    cartesian pairs factorizes exactly —
+
+        SUM_pairs(ihc)  = SUM_ar(ihc)  * max(n_cc, 1)
+        SUM_pairs(cost) = SUM_cc(cost) * n_ar
+        SUM_pairs(rev)  = SUM_ar(rev)  * max(n_cc, 1)
+
+    (LEFT join: an ar key with no cc match keeps its rows once with
+    NULL cost) — so this computes the same numbers from two channel-day
+    pre-aggregates and a tiny dimension join, instead of materializing
+    the M x N pair blow-up. Same inflated semantics, none of the
+    quadratic shuffle."""
+    ar_agg = (
         attribution.join(
             session_sources.select(
                 "session_id",
@@ -162,24 +174,32 @@ def _channel_report_replicate(
             "ihc",
             (F.col("revenue") * F.col("ihc")).alias("attributed_revenue"),
         )
+        .groupBy("channel_name", "date")
+        .agg(
+            F.sum("ihc").alias("_s_ihc"),
+            F.sum("attributed_revenue").alias("_s_rev"),
+            F.count(F.lit(1)).alias("_n_ar"),
+        )
     )
-    cc_rows = (
+    cc_agg = (
         session_sources.select(
             "session_id",
             normalize_channel(F.col("channel_name")).alias("channel_name"),
             F.date_format("event_ts", "yyyy-MM-dd").alias("date"),
         )
         .join(session_costs, "session_id", "left")
-        .select("channel_name", "date", F.coalesce("cost", F.lit(0.0)).alias("cost"))
-    )
-    return (
-        ar_rows.join(cc_rows, on=["channel_name", "date"], how="left")
         .groupBy("channel_name", "date")
         .agg(
-            F.coalesce(F.sum("cost"), F.lit(0.0)).alias("cost"),
-            F.coalesce(F.sum("ihc"), F.lit(0.0)).alias("ihc"),
-            F.coalesce(F.sum("attributed_revenue"), F.lit(0.0)).alias("ihc_revenue"),
+            F.sum(F.coalesce("cost", F.lit(0.0))).alias("_s_cost"),
+            F.count(F.lit(1)).alias("_n_cc"),
         )
+    )
+    return ar_agg.join(cc_agg, on=["channel_name", "date"], how="left").select(
+        "channel_name",
+        "date",
+        (F.coalesce(F.col("_s_cost"), F.lit(0.0)) * F.col("_n_ar")).alias("cost"),
+        (F.col("_s_ihc") * F.coalesce(F.col("_n_cc"), F.lit(1))).alias("ihc"),
+        (F.col("_s_rev") * F.coalesce(F.col("_n_cc"), F.lit(1))).alias("ihc_revenue"),
     )
 
 
