@@ -24,6 +24,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from marketing_attribution_etl_framework__maef_spark import domain, schemas
+from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd
+from marketing_attribution_etl_framework__maef_spark.llm import similarity as sim
+from marketing_attribution_etl_framework__maef_spark.llm import text as txt
 from marketing_attribution_etl_framework__maef_spark.operators import attribution as attr
 from marketing_attribution_etl_framework__maef_spark.operators import chunking
 from marketing_attribution_etl_framework__maef_spark.operators import journeys as jny
@@ -300,6 +303,113 @@ def q_loader_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 + W3 path: histogram of envelope failure classes
     (src/etl/load.py:30,41-67)."""
     return ldr.error_counts(_loader_envelopes(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline queries (llm/ package over documents + embeddings)
+# ---------------------------------------------------------------------------
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus deterministic perturbed copies, so the dedup
+    operators have true positives to find: doc_id%10==0 gets a
+    near-duplicate (4 appended words), doc_id%10==5 an exact duplicate
+    after normalization (upper-cased + trailing whitespace). Mirrored
+    verbatim in the oracle's ``aug`` CTE."""
+    d = domain.load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    near = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" zq near dup tail")).alias("text"),
+        "lang",
+    )
+    exact = d.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+        "lang",
+    )
+    return d.unionByName(near).unionByName(exact)
+
+
+def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings plus scaled copies (vec_id%25==0, x1.02 — cosine 1
+    with the original) so near-dup search has exact positives."""
+    e = domain.load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", sim.as_double(F.col("embedding")).alias("embedding"), "label")
+    scaled = base.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.02)).alias("embedding"),
+        "label",
+    )
+    return base.unionByName(scaled)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-integer statistics + quality gate."""
+    return txt.text_stats(domain.load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language-ID heuristic."""
+    return txt.language_id(domain.load_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (char 8-grams, window 4)."""
+    return txt.fingerprints(domain.load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on normalized-content hash."""
+    return dd.exact_dedup_groups(_aug_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 salted md5 mins) -> 8x2 banded LSH -> candidate
+    pairs -> exact-Jaccard verify at J >= 1/2. Candidates only within
+    LSH buckets — never all-pairs."""
+    return dd.minhash_dedup_pairs(_aug_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash, byte-banded candidate pairs, hamming <= 6."""
+    return dd.simhash_pairs(dd.simhash(_aug_docs(spark, sf_dir)))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked (per-language) exact 3-shingle Jaccard at J >= 3/10 —
+    the quadratic-within-block baseline for MinHash-LSH."""
+    return dd.ngram_jaccard_pairs(_aug_docs(spark, sf_dir))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for the query subset
+    (vec_id % 50 == 7)."""
+    e = domain.load_table(spark, sf_dir, "embeddings")
+    out = sim.brute_topk(e, e.filter(F.col("vec_id") % 50 == 7), k=10)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rnk"), "vec_id", "cos_q20"
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-5, 8 deterministic centroids
+    (vec_id < 8), probe=2 — scans ~1/4 of the corpus per query."""
+    e = domain.load_table(spark, sf_dir, "embeddings")
+    out = sim.ivf_topk(
+        e,
+        e.filter(F.col("vec_id") % 50 == 7),
+        e.filter(F.col("vec_id") < 8),
+        k=5,
+        probe=2,
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rnk"), "vec_id", "cos_q20"
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked cosine near-duplicate pairs at >= 0.9."""
+    return sim.embedding_neardup_pairs(_aug_embeddings(spark, sf_dir), threshold=0.9)
 
 
 # ---------------------------------------------------------------------------
@@ -581,6 +691,291 @@ FROM report
 
 
 # ---------------------------------------------------------------------------
+# LLM-layer oracle SQL — mirrors llm/text.py, llm/dedup.py,
+# llm/similarity.py expression by expression (md5-based hashing makes
+# both engines bit-identical)
+# ---------------------------------------------------------------------------
+
+_AUG = """
+aug AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zq near dup tail', lang
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000, upper(text) || '  ', lang
+  FROM documents WHERE doc_id % 10 = 5
+)"""
+
+_NORM_RAW = """
+nd AS (
+  SELECT doc_id, lang, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+         text
+  FROM documents
+)"""
+
+_NORM_AUG = """
+nd AS (
+  SELECT doc_id, lang, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+         text
+  FROM aug
+)"""
+
+# word 3-shingles (matches llm/text.py word_shingles k=3)
+_SHINGLED = """
+shingled AS (
+  SELECT doc_id, lang,
+         list_transform(range(1, greatest(len(ws) - 1, 2)),
+                        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) AS shingles
+  FROM (SELECT doc_id, lang, string_split(norm, ' ') AS ws FROM nd)
+)"""
+
+_ORACLE_TEXT_STATS = f"""
+WITH {_NORM_RAW}
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(norm) AS BIGINT) AS n_chars_norm,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+       CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
+       CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_word_len,
+       CAST(list_max(list_transform(ws, w -> length(w))) AS BIGINT) AS max_word_len,
+       (len(ws) >= 5 AND len(list_distinct(ws)) * 10 >= len(ws) * 3) AS is_quality
+FROM (SELECT doc_id, text, norm, string_split(norm, ' ') AS ws FROM nd)
+"""
+
+_LANG_LISTS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "you"],
+    "es": ["el", "los", "las", "y", "es", "una", "para", "con"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans"],
+    "zh": ["的", "是", "在", "了", "我"],
+}
+_lang_score_cols = ",\n       ".join(
+    "CAST(len(list_intersect(dws, ["
+    + ", ".join(f"'{w}'" for w in wl)
+    + f"])) AS BIGINT) AS s_{lang}"
+    for lang, wl in sorted(_LANG_LISTS.items())
+)
+_lang_case = " ".join(
+    f"WHEN s_{lang} = mx THEN '{lang}'" for lang in sorted(_LANG_LISTS)[:-1]
+)
+
+_ORACLE_LANG_ID = f"""
+WITH {_NORM_RAW},
+scores AS (
+  SELECT doc_id,
+       {_lang_score_cols}
+  FROM (SELECT doc_id, list_distinct(string_split(norm, ' ')) AS dws FROM nd)
+),
+best AS (
+  SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM scores
+)
+SELECT doc_id,
+       CASE {_lang_case} ELSE 'zh' END AS lang_guess,
+       mx AS lang_score
+FROM best
+"""
+
+_ORACLE_FINGERPRINT = f"""
+WITH {_NORM_RAW},
+ex AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(length(norm) - 6, 2))) AS pos,
+         norm
+  FROM nd
+),
+hashed AS (
+  SELECT doc_id, pos, md5(substr(norm, CAST(pos AS INTEGER), 8)) AS h FROM ex
+),
+wmin AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         MAX(pos) OVER (PARTITION BY doc_id) AS m
+  FROM hashed
+)
+SELECT doc_id, COUNT(DISTINCT fp) AS n_fingerprints, MIN(fp) AS min_fp
+FROM wmin
+WHERE pos <= GREATEST(m - 3, 1)
+GROUP BY doc_id
+"""
+
+_ORACLE_DEDUP_EXACT = f"""
+WITH {_AUG}, {_NORM_AUG}
+SELECT md5(norm) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM nd
+GROUP BY 1
+"""
+
+_mh_cols = ",\n         ".join(
+    f"MIN(md5('{s}|' || shingle)) AS h{s}" for s in range(dd.NUM_HASHES)
+)
+_mh_bands = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(h{2*b} || h{2*b+1}) AS key FROM sig"
+    for b in range(dd.BANDS)
+)
+
+_ORACLE_DEDUP_MINHASH = f"""
+WITH {_AUG}, {_NORM_AUG}, {_SHINGLED},
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+sig AS (
+  SELECT doc_id,
+         {_mh_cols}
+  FROM ex GROUP BY doc_id
+),
+bands AS (
+  {_mh_bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles,
+           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS ds
+  FROM shingled
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(sa.ds, sb.ds)) AS BIGINT) AS inter_size,
+         CAST(len(sa.ds) + len(sb.ds) - len(list_intersect(sa.ds, sb.ds)) AS BIGINT) AS union_size
+  FROM cand c
+  JOIN sets sa ON c.doc_a = sa.doc_id
+  JOIN sets sb ON c.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, inter_size, union_size
+FROM scored WHERE inter_size * 2 >= union_size * 1
+"""
+
+_sh_votes = ",\n         ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(dd.SIMHASH_BITS)
+)
+_sh_value = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(dd.SIMHASH_BITS)
+)
+_sh_bands = "\n  UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8*b}) & 255 AS key FROM sim"
+    for b in range(4)
+)
+
+_ORACLE_DEDUP_SIMHASH = f"""
+WITH {_AUG}, {_NORM_AUG},
+exw AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM nd),
+hh AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM exw),
+votes AS (
+  SELECT doc_id,
+         {_sh_votes}
+  FROM hh GROUP BY doc_id
+),
+sim AS (SELECT doc_id, CAST({_sh_value} AS BIGINT) AS simhash FROM votes),
+bands AS (
+  {_sh_bands}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+"""
+
+_ORACLE_DEDUP_NGRAM = f"""
+WITH {_AUG}, {_NORM_AUG}, {_SHINGLED},
+sets AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(shingles,
+           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS ds
+  FROM shingled
+),
+scored AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.ds, b.ds)) AS BIGINT) AS inter_size,
+         CAST(len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds)) AS BIGINT) AS union_size
+  FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, inter_size, union_size
+FROM scored WHERE inter_size * 10 >= union_size * 3
+"""
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+_ORACLE_ANN_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 7),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         {_COS.format(a='q.qv', b='e.v')} AS cos
+  FROM e, q
+)
+SELECT query_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+       vec_id,
+       CAST(FLOOR(cos * 1048576.0 + 0.5) AS BIGINT) AS cos_q20
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id)
+QUALIFY ROW_NUMBER() OVER w <= 10
+"""
+
+_ORACLE_ANN_IVF = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 7),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+ascored AS (
+  SELECT e.vec_id, e.v, c.centroid_id,
+         {_COS.format(a='e.v', b='c.cv')} AS cs
+  FROM e, cents c
+),
+assign AS (
+  SELECT vec_id, v, centroid_id AS cluster FROM ascored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) = 1
+),
+qscored AS (
+  SELECT q.query_id, q.qv, c.centroid_id,
+         {_COS.format(a='q.qv', b='c.cv')} AS cs
+  FROM q, cents c
+),
+probes AS (
+  SELECT query_id, qv, centroid_id AS cluster FROM qscored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, centroid_id) <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id,
+         {_COS.format(a='p.qv', b='a.v')} AS cos
+  FROM probes p JOIN assign a ON p.cluster = a.cluster
+)
+SELECT query_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+       vec_id,
+       CAST(FLOOR(cos * 1048576.0 + 0.5) AS BIGINT) AS cos_q20
+FROM cand
+WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id)
+QUALIFY ROW_NUMBER() OVER w <= 5
+"""
+
+_ORACLE_EMB_NEARDUP = f"""
+WITH eaug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 1.02), label
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_COS.format(a='a.v', b='b.v')} AS cos
+  FROM eaug a JOIN eaug b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, CAST(FLOOR(cos * 1048576.0 + 0.5) AS BIGINT) AS cos_q20
+FROM pairs WHERE cos >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -612,6 +1007,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_report_summary": q_report_summary,
         "maef_loader_roundtrip": q_loader_roundtrip,
         "maef_loader_errors": q_loader_errors,
+        "llm_text_stats": q_text_stats,
+        "llm_lang_id": q_lang_id,
+        "llm_fingerprint": q_fingerprint,
+        "llm_dedup_exact": q_dedup_exact,
+        "llm_dedup_minhash": q_dedup_minhash,
+        "llm_dedup_simhash": q_dedup_simhash,
+        "llm_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "llm_ann_topk": q_ann_topk,
+        "llm_ann_ivf": q_ann_ivf,
+        "llm_embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -633,4 +1038,14 @@ def oracle_sql() -> dict[str, str]:
         "maef_report_summary": _ORACLE_REPORT_SUMMARY,
         "maef_loader_roundtrip": _ORACLE_LOADER_ROUNDTRIP,
         "maef_loader_errors": _ORACLE_LOADER_ERRORS,
+        "llm_text_stats": _ORACLE_TEXT_STATS,
+        "llm_lang_id": _ORACLE_LANG_ID,
+        "llm_fingerprint": _ORACLE_FINGERPRINT,
+        "llm_dedup_exact": _ORACLE_DEDUP_EXACT,
+        "llm_dedup_minhash": _ORACLE_DEDUP_MINHASH,
+        "llm_dedup_simhash": _ORACLE_DEDUP_SIMHASH,
+        "llm_dedup_ngram_jaccard": _ORACLE_DEDUP_NGRAM,
+        "llm_ann_topk": _ORACLE_ANN_TOPK,
+        "llm_ann_ivf": _ORACLE_ANN_IVF,
+        "llm_embedding_neardup": _ORACLE_EMB_NEARDUP,
     }

@@ -1,0 +1,306 @@
+"""Document deduplication: exact, MinHash-LSH, SimHash, and blocked
+exact n-gram Jaccard.
+
+Design rules, all aimed at 100 TB:
+
+- **Never all-pairs.** Candidate pairs come only from hash-bucket
+  self-joins (LSH bands / SimHash byte-bands / block keys). The only
+  quadratic operator, ``ngram_jaccard_pairs``, is quadratic strictly
+  *within a block* and documented as the small-block exact baseline.
+- **No UDFs.** Signatures are md5-based column expressions, so the
+  layer is whole-stage-codegen on Spark and bit-reproducible in ANSI
+  SQL (the DuckDB oracle replicates every hash exactly).
+- **Exact integers at the interface.** Jaccard is emitted as
+  (intersection, union) sizes and thresholds are compared with integer
+  cross-multiplication — no float rounding cliffs between engines.
+
+MinHash here uses the lexicographic minimum of ``md5(seed || '|' ||
+shingle)`` per seed: each salted md5 is an independent pseudo-random
+permutation of the shingle space, so the string-min is a valid
+min-hash and needs no integer conversion.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from marketing_attribution_etl_framework__maef_spark.llm.text import normalize_text, word_shingles, words
+
+NUM_HASHES = 16
+BANDS = 8
+ROWS_PER_BAND = 2
+
+
+def content_hash(c: Column) -> Column:
+    """md5 of the normalized text — the exact-dedup key."""
+    return F.md5(normalize_text(c))
+
+
+def exact_dedup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by normalized-content hash: one row per content
+    group with the deterministic survivor (min id) and the copy count.
+    One hash-aggregate — combines map-side, linear at any scale."""
+    return (
+        docs.select(content_hash(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Survivors only: the min-id document of every content group."""
+    groups = exact_dedup_groups(docs, text_col, id_col)
+    return docs.join(
+        groups.select(F.col("keep_id").alias(id_col)), on=id_col, how="inner"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def shingle_hash(c: Column) -> Column:
+    """60-bit engine-portable shingle hash: first 15 hex chars of md5
+    as an integer. Set operations over longs are ~an order of magnitude
+    cheaper than over shingle strings, and 60-bit collisions are
+    negligible (and deterministic — both engines hash identically, so
+    a collision cannot cause an oracle mismatch)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def shingle_sets(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(doc_id, distinct hashed-shingle set) per document."""
+    norm = normalize_text(F.col(text_col))
+    sh = word_shingles(words(norm), k)
+    return docs.select(
+        F.col(id_col),
+        F.array_distinct(F.transform(sh, shingle_hash)).alias("shingle_set"),
+    )
+
+
+def minhash_signatures(
+    shingles_exploded: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingle",
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """One row per doc with num_hashes min-hash columns h0..h{n-1}.
+    A single hash-aggregate (min combines map-side); duplicates in the
+    input don't affect MIN, so no pre-distinct is needed."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col(shingle_col)))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return shingles_exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """(doc_id, band, key) — key = md5 of the band's signature slice.
+    Docs sharing (band, key) are LSH candidates."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(*[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)])
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Self-join on (band, key): candidates exist only inside a bucket,
+    never across the whole corpus. At scale this is one shuffle keyed
+    by the band hash; skewed buckets (boilerplate shingles) are split
+    by AQE skew-join handling."""
+    a = bands_df.select(F.col("band"), F.col("key"), F.col(id_col).alias("doc_a"))
+    b = bands_df.select(F.col("band"), F.col("key"), F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, on=["band", "key"], how="inner")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame, sets: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Join candidate pairs back to their distinct-shingle sets and
+    emit exact (intersection, union) sizes. |A ∪ B| is computed as
+    |A| + |B| - |A ∩ B| so both sizes are exact integers."""
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("shingle_set").alias("_sa"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("shingle_set").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter_size"),
+            (F.size("_sa").cast("long") + F.size("_sb").cast("long") - inter).alias("union_size"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    jaccard_num: int = 1,
+    jaccard_den: int = 2,
+) -> DataFrame:
+    """End-to-end near-dup pairs: shingle -> minhash -> banded LSH ->
+    candidate pairs -> exact-Jaccard verify, keeping pairs with
+    J >= jaccard_num/jaccard_den (integer cross-multiplied)."""
+    norm = normalize_text(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col), F.explode(word_shingles(words(norm), k)).alias("shingle")
+    )
+    sigs = minhash_signatures(exploded, id_col, "shingle", num_hashes)
+    cands = candidate_pairs(lsh_bands(sigs, id_col, bands, rows_per_band), id_col)
+    sets = shingle_sets(docs, text_col, id_col, k)
+    scored = verify_jaccard(cands, sets, id_col)
+    return scored.filter(
+        F.col("inter_size") * F.lit(jaccard_den) >= F.col("union_size") * F.lit(jaccard_num)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Per-document SimHash over the word multiset: every word votes
+    +-1 on each of ``bits`` bit positions of its 32-bit hash (the
+    first 8 hex chars of md5, so the hash is engine-portable); the
+    fingerprint sets bit j iff the vote sum is positive.
+
+    One explode + one grouped aggregate with ``bits`` SUM columns —
+    map-side combinable, single shuffle on doc_id."""
+    norm = normalize_text(F.col(text_col))
+    ex = docs.select(F.col(id_col), F.explode(words(norm)).alias("w"))
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    ex = ex.select(F.col(id_col), h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = ex.groupBy(id_col).agg(*votes)
+    value = reduce(
+        add,
+        [F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(bits)],
+    )
+    return agg.select(F.col(id_col), value.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    sim: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by byte-banded SimHash blocking: fingerprints are
+    split into ``bands`` bytes; docs sharing any byte value in the same
+    position are candidates (a Hamming-distance pigeonhole: distance
+    <= bands-1 guarantees at least one matching band); candidates are
+    verified with bit_count(xor). Never all-pairs."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sim.select(F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("bk")).select(
+        F.col(id_col), F.col("simhash"), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = banded.select("band", "key", F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha"))
+    b = banded.select("band", "key", F.col(id_col).alias("doc_b"), F.col("simhash").alias("_hb"))
+    return (
+        a.join(b, on=["band", "key"], how="inner")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocked exact n-gram Jaccard (small-block baseline)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    jaccard_num: int = 3,
+    jaccard_den: int = 10,
+) -> DataFrame:
+    """Exact all-pairs Jaccard *within a block* (default: language).
+    Quadratic in block size by construction — this is the correctness
+    baseline for MinHash-LSH, usable when blocks are bounded (e.g.
+    per-source batches); at open-corpus scale use minhash_dedup_pairs."""
+    norm = normalize_text(F.col(text_col))
+    sets = docs.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col),
+        F.array_distinct(F.transform(word_shingles(words(norm), k), shingle_hash)).alias("_set"),
+    )
+    a = sets.select("_blk", F.col(id_col).alias("doc_a"), F.col("_set").alias("_sa"))
+    b = sets.select("_blk", F.col(id_col).alias("doc_b"), F.col("_set").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
+    return (
+        a.join(b, on="_blk", how="inner")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter_size"),
+            (F.size("_sa").cast("long") + F.size("_sb").cast("long") - inter).alias("union_size"),
+        )
+        .filter(F.col("inter_size") * F.lit(jaccard_den) >= F.col("union_size") * F.lit(jaccard_num))
+    )

@@ -1,0 +1,163 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, same interface:
+
+- ``brute_topk``: exact cosine top-k — one pass over the corpus per
+  query batch. The query side is broadcast, the corpus side streams:
+  O(N * Q) dot products inside whole-stage codegen, no shuffle at all
+  until the per-query top-k window. This is the correctness baseline
+  and is perfectly fine when Q is small.
+- ``ivf_topk``: IVF-flat pruning — vectors are assigned to their
+  nearest centroid once (broadcast centroid table), queries probe only
+  the ``probe`` nearest clusters, so the scanned fraction is
+  ~probe/n_centroids of the corpus. Centroid choice is pluggable; the
+  default (first ``n_centroids`` vectors) is deterministic so results
+  are exactly reproducible in the SQL oracle. At 100 TB you'd feed
+  k-means centroids and partition the corpus by cluster id so probes
+  prune at the parquet-partition level (dynamic partition pruning).
+
+Dot products use ``zip_with`` + left-fold ``aggregate`` over
+double-cast arrays — deterministic evaluation order, no UDF, no
+driver-side math. Cosines are emitted in 2^20 binary fixed point
+(``cos_q20``) — see __spark_entry__._q20 for why decimal rounding is
+not engine-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product — element order fixed, so the float
+    result is identical wherever the expression is evaluated."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def q20(c: Column) -> Column:
+    """Binary fixed-point quantization (1/2^20 units) — cross-engine
+    stable for comparison hashing."""
+    return F.floor(c * F.lit(1048576.0) + F.lit(0.5)).cast("long")
+
+
+def _norm_vec(df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str) -> DataFrame:
+    return df.select(F.col(id_col).alias(out_id), as_double(F.col(vec_col)).alias(out_vec))
+
+
+def brute_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, rank, vec_id, cos_q20).
+    Ties broken by vec_id so ranking is total and deterministic."""
+    c = _norm_vec(corpus, id_col, vec_col, "vec_id", "_v")
+    q = _norm_vec(queries, query_id_col, vec_col, "query_id", "_q")
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", cosine(F.col("_q"), F.col("_v")).alias("_cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", q20(F.col("_cos")).alias("cos_q20"))
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment (max cosine, centroid-id tie-break).
+    Centroids are broadcast; one window per vector over n_centroids
+    candidate rows."""
+    c = _norm_vec(corpus, id_col, vec_col, "vec_id", "_v")
+    cents = _norm_vec(centroids, id_col, vec_col, "centroid_id", "_c")
+    scored = c.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "_v", "centroid_id", cosine(F.col("_v"), F.col("_c")).alias("_cs")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "_v", F.col("centroid_id").alias("cluster"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat approximate top-k: assign corpus to clusters, probe the
+    ``probe`` nearest clusters per query, brute-force only inside them.
+    Output (query_id, rank, vec_id, cos_q20) like brute_topk — recall
+    is traded for scanning ~probe/n_centroids of the corpus."""
+    assign = ivf_assign(corpus, centroids, id_col, vec_col)
+    q = _norm_vec(queries, query_id_col, vec_col, "query_id", "_q")
+    cents = _norm_vec(centroids, id_col, vec_col, "centroid_id", "_c")
+    qp = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "_q", "centroid_id", cosine(F.col("_q"), F.col("_c")).alias("_cs")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_cs"), F.asc("centroid_id"))
+    probes = (
+        qp.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= probe)
+        .select("query_id", "_q", F.col("centroid_id").alias("cluster"))
+    )
+    cand = probes.join(assign, on="cluster", how="inner").select(
+        "query_id", "vec_id", cosine(F.col("_q"), F.col("_v")).alias("_cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", q20(F.col("_cos")).alias("cos_q20"))
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs with cosine >= threshold, blocked by
+    ``block_col`` (cluster id / shard key): the join is quadratic only
+    within a block. For open-corpus near-dup at scale, block by IVF
+    cluster from ``ivf_assign`` instead of a label column — same shape,
+    bounded blocks."""
+    a = corpus.select(
+        F.col(block_col).alias("_blk"), F.col(id_col).alias("vec_a"), as_double(F.col(vec_col)).alias("_va")
+    )
+    b = corpus.select(
+        F.col(block_col).alias("_blk"), F.col(id_col).alias("vec_b"), as_double(F.col(vec_col)).alias("_vb")
+    )
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        a.join(b, on="_blk", how="inner")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("_cos"))
+        .filter(F.col("_cos") >= F.lit(float(threshold)))
+        .select("vec_a", "vec_b", q20(F.col("_cos")).alias("cos_q20"))
+    )

@@ -1,0 +1,150 @@
+"""Text analysis for training-data pipelines: normalization,
+tokenization, shingling, statistics, quality scoring, language ID,
+and winnowing document fingerprints.
+
+All operators are native column expressions (whole-stage codegen, no
+UDFs). Counters are emitted as exact integers wherever the quantity is
+rational, so results are bit-stable across engines and scales.
+
+Scale: every operator here is per-document (embarrassingly parallel —
+no shuffle except the final aggregations, which are keyed by doc_id
+and combine map-side). At 100 TB the only knob that matters is input
+partition sizing; nothing below has cross-document state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# tiny per-language stopword anchors for the n-gram/stopword heuristic.
+# Deliberately short: the heuristic scores distinct-word overlap and
+# breaks ties alphabetically, which keeps it exactly reproducible in
+# ANSI SQL for the oracle.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "you"],
+    "es": ["el", "los", "las", "y", "es", "una", "para", "con"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans"],
+    "zh": ["的", "是", "在", "了", "我"],
+}
+
+# BPE-ish token regex: letter runs, digit runs, single other symbols
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def normalize_text(c: Column) -> Column:
+    """lower + trim + whitespace collapse — the canonical form every
+    dedup/fingerprint operator keys on."""
+    return F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")
+
+
+def words(c: Column) -> Column:
+    """Whitespace tokens of an already-normalized string."""
+    return F.split(c, " ")
+
+
+def word_shingles(words_col: Column, k: int = 3) -> Column:
+    """Word k-shingles as an array<string>; documents shorter than k
+    words yield one shingle (the whole text), so no document is
+    silently dropped from dedup."""
+    n = F.size(words_col)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(
+        idx,
+        # try_element_at: out-of-range -> NULL, concat_ws skips it
+        lambda i: F.concat_ws(" ", *[F.try_element_at(words_col, i + j) for j in range(k)]),
+    )
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document statistics + quality flag, all exact-integer:
+
+    - n_chars_raw / n_chars_norm: lengths before/after normalization
+    - n_words / n_distinct_words: whitespace tokens
+    - n_tokens: BPE-ish regex token count (TOKEN_REGEX)
+    - sum_word_len / max_word_len: for mean-word-length style filters
+    - is_quality: the usual cheap pre-training gate — enough words and
+      enough lexical diversity (>= 30% distinct), integer arithmetic
+      only so the flag is deterministic.
+    """
+    norm = normalize_text(F.col(text_col))
+    d = docs.select(F.col(id_col), F.col(text_col), norm.alias("_norm"))
+    ws = words(F.col("_norm"))
+    n_words = F.size(ws).cast("long")
+    n_distinct = F.size(F.array_distinct(ws)).cast("long")
+    return d.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_raw"),
+        F.length("_norm").cast("long").alias("n_chars_norm"),
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        F.size(F.regexp_extract_all("_norm", F.lit(TOKEN_REGEX), 0)).cast("long").alias("n_tokens"),
+        F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)).cast("long").alias("sum_word_len"),
+        F.array_max(F.transform(ws, F.length)).cast("long").alias("max_word_len"),
+        ((n_words >= 5) & (n_distinct * 10 >= n_words * 3)).alias("is_quality"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-overlap language heuristic: score(lang) = |distinct
+    words ∩ stopwords(lang)|, argmax with alphabetical tie-break.
+    Pure set-intersection sizes — no floats, no model."""
+    norm = normalize_text(F.col(text_col))
+    ws = F.array_distinct(words(norm))
+    d = docs.select(F.col(id_col), ws.alias("_ws"))
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(F.array_intersect("_ws", F.array(*[F.lit(w) for w in wl]))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, wl in sorted(LANG_STOPWORDS.items())
+        ]
+    )
+    # argmax: sort by (-score, lang) == array_sort on (negated score, lang)
+    best = F.array_sort(
+        F.transform(scores, lambda s: F.struct((-s["score"]).alias("neg"), s["lang"].alias("lang")))
+    )[0]
+    return d.select(
+        F.col(id_col),
+        best["lang"].alias("lang_guess"),
+        (-best["neg"]).cast("long").alias("lang_score"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    hash every char k-gram of the normalized text, take the minimum of
+    each sliding window of ``window`` consecutive hashes, and keep the
+    distinct minima. Emits (doc_id, n_fingerprints, min_fp).
+
+    Implemented as posexplode + a bounded window MIN partitioned by
+    doc_id — per-document local, so it parallelizes with the data."""
+    norm = normalize_text(F.col(text_col))
+    d = docs.select(F.col(id_col), norm.alias("_norm"))
+    m = F.greatest(F.length("_norm") - (k - 1), F.lit(1))  # k-gram count
+    ex = d.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), m)).alias("pos"),
+        F.md5(F.expr(f"substr(_norm, pos, {k})")).alias("h"),
+        m.alias("_m"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    fp = ex.withColumn("fp", F.min("h").over(w)).filter(
+        F.col("pos") <= F.greatest(F.col("_m") - (window - 1), F.lit(1))
+    )
+    return fp.groupBy(id_col).agg(
+        F.countDistinct("fp").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+    )

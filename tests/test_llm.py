@@ -1,0 +1,135 @@
+"""LLM-data-pipeline layer: text analysis, dedup (exact / MinHash-LSH /
+SimHash / blocked Jaccard), similarity search. Small handmade fixtures
+with known-exact answers; the DuckDB oracle covers the sf0.01 scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd
+from marketing_attribution_etl_framework__maef_spark.llm import similarity as sim
+from marketing_attribution_etl_framework__maef_spark.llm import text as txt
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog", "en"),
+        (2, "the  QUICK   brown fox jumps over the lazy dog ", "en"),  # exact dup of 1 after norm
+        (3, "The quick brown fox jumps over the lazy dog today", "en"),  # near dup of 1
+        (4, "der hund ist nicht der fuchs und das ist gut", "de"),
+        (5, "completely different words entirely here now", "en"),
+        (6, "short", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_normalize_and_shingles(spark):
+    df = spark.createDataFrame([("  A  b\tC ",), ("one two",)], "t string")
+    out = df.select(
+        txt.normalize_text(F.col("t")).alias("n"),
+        txt.word_shingles(txt.words(txt.normalize_text(F.col("t"))), 3).alias("sh"),
+    ).collect()
+    assert out[0].n == "a b c"
+    assert out[0].sh == ["a b c"]
+    assert out[1].sh == ["one two"]  # shorter than k -> whole text
+
+
+def test_text_stats_exact(docs):
+    s = {r.doc_id: r for r in txt.text_stats(docs).collect()}
+    assert s[1].n_words == 9
+    assert s[1].n_distinct_words == 8  # 'the' twice
+    assert s[6].n_words == 1 and not s[6].is_quality
+    assert s[1].n_chars_norm == len("the quick brown fox jumps over the lazy dog")
+    assert s[1].max_word_len == 5
+    assert s[1].is_quality
+
+
+def test_lang_id(docs):
+    got = {r.doc_id: (r.lang_guess, r.lang_score) for r in txt.language_id(docs).collect()}
+    assert got[1] == ("en", 1)  # 'the' is the only stopword hit (distinct)
+    assert got[4][0] == "de"
+    assert got[5][0] == "de"  # zero everywhere -> alphabetical tie-break
+
+
+def test_fingerprints_deterministic(docs, spark):
+    a = txt.fingerprints(docs).collect()
+    b = txt.fingerprints(docs).collect()
+    assert sorted((r.doc_id, r.n_fingerprints, r.min_fp) for r in a) == sorted(
+        (r.doc_id, r.n_fingerprints, r.min_fp) for r in b
+    )
+    by_id = {r.doc_id: r for r in a}
+    assert by_id[6].n_fingerprints == 1  # shorter than k -> single gram
+
+
+def test_exact_dedup(docs):
+    groups = {r.keep_id: r.n_copies for r in dd.exact_dedup_groups(docs).collect()}
+    assert groups[1] == 2  # docs 1+2 merge
+    survivors = {r.doc_id for r in dd.exact_dedup(docs).collect()}
+    assert 2 not in survivors and 1 in survivors
+    assert survivors == {1, 3, 4, 5, 6}
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = {(r.doc_a, r.doc_b): (r.inter_size, r.union_size) for r in dd.minhash_dedup_pairs(docs).collect()}
+    assert (1, 2) in pairs  # exact dup: J = 1
+    i, u = pairs[(1, 2)]
+    assert i == u
+    assert (1, 3) in pairs  # near dup above 1/2
+    assert (1, 5) not in pairs and (1, 4) not in pairs
+
+
+def test_simhash_properties(docs):
+    s = {r.doc_id: r.simhash for r in dd.simhash(docs).collect()}
+    assert s[1] == s[2]  # identical after normalization
+    assert 0 <= s[1] < (1 << 32)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dd.simhash_pairs(dd.simhash(docs), max_hamming=32).collect()}
+    assert pairs.get((1, 2)) == 0
+    # near dup has small distance; unrelated doc is farther
+    if (1, 3) in pairs and (4, 5) in pairs:
+        assert pairs[(1, 3)] <= pairs[(4, 5)]
+
+
+def test_ngram_jaccard_blocked(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in dd.ngram_jaccard_pairs(docs).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert (1, 4) not in pairs  # different block (lang)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0, 0.0], 0),
+        (3, [0.0, 0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.0, 0.9, 0.1], 1),
+        (5, [2.0, 0.0, 0.0, 0.0], 1),  # parallel to 0 -> cosine 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_topk_exact(vectors):
+    out = sim.brute_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.vec_id for r in rows] == [0, 5, 2]  # self (cos 1), parallel (cos 1, id tiebreak), close
+    assert rows[0].cos_q20 == 1048576
+    assert rows[1].cos_q20 == 1048576
+
+
+def test_ivf_topk_prunes_but_finds_neighbors(vectors):
+    cents = vectors.filter(F.col("vec_id").isin(0, 3))
+    out = sim.ivf_topk(vectors, vectors.filter(F.col("vec_id") == 4), cents, k=2, probe=1)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    # probe=1 -> only cluster of centroid 3 (vectors 3, 4) is scanned
+    assert [r.vec_id for r in rows] == [4, 3]
+
+
+def test_embedding_neardup_pairs(vectors):
+    pairs = {(r.vec_a, r.vec_b): r.cos_q20 for r in sim.embedding_neardup_pairs(vectors, threshold=0.95).collect()}
+    assert (0, 5) not in pairs  # different labels block them apart
+    got = sim.embedding_neardup_pairs(vectors.withColumn("label", F.lit(0)), threshold=0.95)
+    pairs2 = {(r.vec_a, r.vec_b): r.cos_q20 for r in got.collect()}
+    assert pairs2[(0, 5)] == 1048576  # parallel vectors, cosine exactly 1
+    assert (0, 1) not in pairs2  # orthogonal
