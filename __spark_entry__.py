@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from marketing_attribution_etl_framework__maef_spark import domain, schemas
 from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd
+from marketing_attribution_etl_framework__maef_spark.llm import multimodal as mm
 from marketing_attribution_etl_framework__maef_spark.llm import similarity as sim
 from marketing_attribution_etl_framework__maef_spark.llm import text as txt
 from marketing_attribution_etl_framework__maef_spark.operators import attribution as attr
@@ -410,6 +411,28 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-blocked cosine near-duplicate pairs at >= 0.9."""
     return sim.embedding_neardup_pairs(_aug_embeddings(spark, sf_dir), threshold=0.9)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payload byte length + content digest
+    (llm/multimodal.py attach_binary), oracle-checkable end to end."""
+    media = mm.attach_binary(domain.load_table(spark, sf_dir, "documents"))
+    return media.select("doc_id", "media_type", "n_bytes", "sha256")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction (deterministic fake
+    decoder — codecs aren't in this container). Not ANSI-SQL
+    expressible (Python batch transform), so no oracle entry: the
+    driver records the weaker rows-only check."""
+    media = mm.attach_binary(domain.load_table(spark, sf_dir, "documents"))
+    out = mm.extract_features(media, fake=True)
+    return out.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -974,6 +997,16 @@ SELECT vec_a, vec_b, CAST(FLOOR(cos * 1048576.0 + 0.5) AS BIGINT) AS cos_q20
 FROM pairs WHERE cos >= 0.9
 """
 
+_ORACLE_MM_META = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
 
 # ---------------------------------------------------------------------------
 # driver contract
@@ -1017,6 +1050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
         "llm_embedding_neardup": q_embedding_neardup,
+        "llm_multimodal_meta": q_multimodal_meta,
+        "llm_multimodal_features": q_multimodal_features,
     }
 
 
@@ -1048,4 +1083,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_ann_topk": _ORACLE_ANN_TOPK,
         "llm_ann_ivf": _ORACLE_ANN_IVF,
         "llm_embedding_neardup": _ORACLE_EMB_NEARDUP,
+        "llm_multimodal_meta": _ORACLE_MM_META,
+        # llm_multimodal_features: intentionally no oracle — Python
+        # (mapInPandas) feature extraction is not ANSI-SQL expressible;
+        # the driver records a rows-only check for it.
     }

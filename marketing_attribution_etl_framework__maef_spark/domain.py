@@ -90,9 +90,9 @@ def clear_events_cache() -> None:
     _EVENTS_CACHE.clear()
 
 
-def conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MAEF ``conversions`` (challenge_db_create.sql:6-13) from events."""
-    ev = events(spark, sf_dir)
+def conversions_from_events(ev: DataFrame) -> DataFrame:
+    """MAEF ``conversions`` (challenge_db_create.sql:6-13) from an
+    events-shaped DataFrame (batch table or streaming micro-batch)."""
     return ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").cast("string").alias("conv_id"),
         F.col("user_id").cast("string").alias("user_id"),
@@ -101,13 +101,10 @@ def conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def session_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MAEF ``session_sources`` (challenge_db_create.sql:22-32) from events.
-
-    Engagement flags (holder/closer/impression) are 0/1 ints per the
-    JSON contract (``src/etl/transform.py:252-255``).
-    """
-    ev = events(spark, sf_dir)
+def sessions_from_events(ev: DataFrame) -> DataFrame:
+    """MAEF ``session_sources`` (challenge_db_create.sql:22-32) from an
+    events-shaped DataFrame. Engagement flags are 0/1 ints per the JSON
+    contract (``src/etl/transform.py:252-255``)."""
     return ev.filter(F.col("event_type") != "purchase").select(
         F.col("event_id").cast("string").alias("session_id"),
         F.col("user_id").cast("string").alias("user_id"),
@@ -118,6 +115,14 @@ def session_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "view").cast("int").alias("impression_interaction"),
         F.col("value"),
     )
+
+
+def conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conversions_from_events(events(spark, sf_dir))
+
+
+def session_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions_from_events(events(spark, sf_dir))
 
 
 def session_costs(spark: SparkSession, sf_dir: str) -> DataFrame:

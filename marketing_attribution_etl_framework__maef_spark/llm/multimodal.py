@@ -1,0 +1,135 @@
+"""Multimodal-column plumbing: opaque ``binary`` payloads with typed
+metadata, and Arrow-batched feature extraction via ``mapInPandas``.
+
+The Spark-side contract is fully real — explicit schemas, binary
+columns, partition-preserving batch iteration, bounded batch sizes via
+``spark.sql.execution.arrow.maxRecordsPerBatch`` — while the actual
+codec step is stubbed: image/audio decoding libraries are not
+available in this container, so ``decode_payload`` raises
+``NotImplementedError`` unless the deterministic fake decoder is
+selected. Swapping in a real decoder (PIL / torchaudio / pyav) changes
+one function, none of the Spark plumbing.
+
+Scale notes: feature extraction is the one place Python touches rows,
+so it is Arrow-batched (``mapInPandas``), embarrassingly parallel, and
+emits fixed-width vectors — at 100 TB the binary column stays in
+parquet (never shuffled), and only the extracted features (tiny) flow
+into downstream joins/dedup/ANN.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def attach_binary(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stand-in media table: the document text UTF-8-encoded as the
+    opaque payload (the harness ships no real image bytes), plus the
+    typed metadata a real pipeline carries — media type, byte length,
+    content digest. Everything here is native column algebra."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.col(id_col) % 3 == 0, "image/png")
+        .when(F.col(id_col) % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(F.col(text_col), 256).alias("sha256"),
+    )
+
+
+def decode_payload(payload: bytes, media_type: str, fake: bool = False) -> list[float]:
+    """Decode one payload into a FEATURE_DIM feature vector.
+
+    STUB: real decoding needs codec libraries (PIL / soundfile / pyav)
+    that are not installed here. ``fake=True`` selects a deterministic
+    stand-in — mean/spread statistics over fixed byte stripes — so the
+    batching plumbing is testable end to end."""
+    if not fake:
+        raise NotImplementedError(
+            f"no codec available for {media_type}; install a decoder or use fake=True"
+        )
+    if not payload:
+        return [0.0] * FEATURE_DIM
+    stripe = max(len(payload) // FEATURE_DIM, 1)
+    feats = []
+    for i in range(FEATURE_DIM):
+        chunk = payload[i * stripe : (i + 1) * stripe] or payload[-stripe:]
+        feats.append(sum(chunk) / (255.0 * len(chunk)))
+    return feats
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    ``mapInPandas``: each Arrow batch arrives as a pandas DataFrame,
+    features are computed per row, and only (id, metadata, features)
+    leaves Python — the payload never round-trips back to the JVM."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [
+                decode_payload(p, m, fake=fake)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, frame_bytes: int = 16
+) -> DataFrame:
+    """Deterministic frame sampling for video-typed payloads: slice
+    ``n_frames`` evenly spaced byte windows (a real pipeline would seek
+    keyframes; offsets and output shape are identical). Pure column
+    algebra — no Python."""
+    vids = media.filter(F.col("media_type") == "video/mp4")
+    idx = F.sequence(F.lit(0), F.lit(n_frames - 1))
+    offsets = F.transform(
+        idx, lambda i: (i * F.greatest((F.col("n_bytes") - frame_bytes) / n_frames, F.lit(0))).cast("long") + 1
+    )
+    ex = vids.select(
+        "doc_id", "payload", "n_bytes", F.posexplode(offsets).alias("frame_no", "off")
+    )
+    return ex.select(
+        "doc_id",
+        "frame_no",
+        F.expr(f"substr(payload, CAST(off AS INT), {frame_bytes})").alias("frame"),
+    )

@@ -1,0 +1,151 @@
+"""Streaming ingestion + incremental attribution (SURVEY §2.9(a)).
+
+The reference has no streaming — its closest analogue is the Airflow
+re-run-per-date-range pattern (``dags/ihc_api_dag.py:40-54``), where
+every run re-transforms the window and upserts attribution results.
+This module re-expresses that contract on Structured Streaming:
+
+- ``stream_events``: file-source intake of events-shaped records with
+  an event-time watermark bounding lateness.
+- ``windowed_channel_volume``: watermark + event-time window
+  aggregation (per-channel volume), the canonical late-data-safe
+  streaming agg.
+- ``IncrementalAttribution``: ``foreachBatch`` micro-batch driver —
+  each batch's sessions are appended to a parquet session store, each
+  batch's conversions are attributed against the store (every session
+  seen so far, bounded by the journey lookback), and results are
+  idempotently upserted into the attribution table, exactly like the
+  reference's INSERT OR REPLACE loader (``src/etl/load.py:125-143``).
+
+Semantics: a conversion is attributed in the micro-batch where it
+arrives, against sessions ingested up to and including that batch.
+Sessions later than their conversion's batch do not retro-attribute
+(same as the reference: a DAG run never revisits loaded conversions);
+bound intake lateness with the watermark if upstream is out of order.
+
+Scale notes: state lives in parquet tables keyed the same way as the
+batch pipeline (no driver-side state); each micro-batch runs the
+identical journey join + window attribution that the batch path uses,
+so plan properties (broadcast of batch-sized conversions, AQE skew
+handling) carry over unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from marketing_attribution_etl_framework__maef_spark import domain, schemas
+from marketing_attribution_etl_framework__maef_spark.operators import attribution as attr
+from marketing_attribution_etl_framework__maef_spark.operators import journeys as jny
+from marketing_attribution_etl_framework__maef_spark.operators import loader as ldr
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming read of events-shaped parquet files with an event-time
+    watermark (bounds how late a record may arrive and still join a
+    windowed aggregate)."""
+    reader = spark.readStream.schema(schemas.EVENTS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path).withWatermark("ts", watermark)
+
+
+def windowed_channel_volume(events: DataFrame, window: str = "1 day") -> DataFrame:
+    """Watermarked event-time window aggregation: per-channel session
+    count and value per window. Append-mode safe: a window closes once
+    the watermark passes its end."""
+    return (
+        events.filter(F.col("event_type") != "purchase")
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type").alias("channel_name"))
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "channel_name",
+            "n_sessions",
+            "total_value",
+        )
+    )
+
+
+class IncrementalAttribution:
+    """foreachBatch driver: micro-batch -> session store append ->
+    attribute new conversions -> upsert attribution table."""
+
+    SESSIONS = "session_sources"
+    ATTRIBUTION = "attribution_customer_journey"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        model: str = "linear",
+        lookback_days: int | None = 30,
+        strict_before: bool = False,
+    ):
+        self.spark = spark
+        self.root = root
+        self.model = model
+        self.lookback_days = lookback_days
+        self.strict_before = strict_before
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _read_or_empty(self, name: str, schema) -> DataFrame:
+        p = self._path(name)
+        if os.path.exists(p):
+            return self.spark.read.parquet(p)
+        return self.spark.createDataFrame([], schema)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """One micro-batch: split events, grow the session store,
+        attribute the batch's conversions against all sessions seen,
+        upsert results (idempotent on (conv_id, session_id) — a batch
+        replay after failure converges to the same table)."""
+        sess = domain.sessions_from_events(batch_df)
+        sess.write.mode("append").parquet(self._path(self.SESSIONS))
+
+        conv = domain.conversions_from_events(batch_df)
+        all_sessions = self.spark.read.parquet(self._path(self.SESSIONS))
+        journeys = jny.build_journeys(
+            conv,
+            all_sessions,
+            strict_before=self.strict_before,
+            lookback_days=self.lookback_days,
+        )
+        result = attr.attribute(journeys, self.model)
+
+        existing = self._read_or_empty(
+            self.ATTRIBUTION, "conv_id string, session_id string, ihc double"
+        )
+        merged = ldr.upsert(existing, result)
+        # write via temp + rename: the upsert reads the table it replaces
+        tmp = self._path(self.ATTRIBUTION + ".tmp")
+        merged.write.mode("overwrite").parquet(tmp)
+        final = self._path(self.ATTRIBUTION)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(final)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def start(self, events: DataFrame, checkpoint: str | None = None):
+        """Attach to a streaming events DataFrame. Use
+        ``trigger(availableNow=True)`` semantics for backfill runs."""
+        writer = (
+            events.writeStream.foreachBatch(self.process_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint or self._path("_checkpoint"))
+        )
+        return writer.start()
+
+    def attribution(self) -> DataFrame:
+        return self.spark.read.parquet(self._path(self.ATTRIBUTION))

@@ -1,0 +1,136 @@
+"""Streaming ingestion + incremental attribution (SURVEY §2.9(a)) and
+multimodal binary-column plumbing."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketing_attribution_etl_framework__maef_spark import domain
+from marketing_attribution_etl_framework__maef_spark.llm import multimodal as mm
+from marketing_attribution_etl_framework__maef_spark.operators import attribution as attr
+from marketing_attribution_etl_framework__maef_spark.operators import journeys as jny
+from marketing_attribution_etl_framework__maef_spark.streaming import (
+    IncrementalAttribution,
+    stream_events,
+    windowed_channel_volume,
+)
+
+
+def _stage_stream_files(spark, sf_dir, out_dir, n_files=2):
+    """Split the events table into n time-ordered parquet files so
+    availableNow + maxFilesPerTrigger produces multiple micro-batches."""
+    ev = domain.load_table(spark, sf_dir, "events")
+    bounds = ev.select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    mid = bounds.lo + (bounds.hi - bounds.lo) / n_files
+    ev.filter(F.col("ts") <= F.lit(mid)).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "f0")
+    )
+    ev.filter(F.col("ts") > F.lit(mid)).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "f1")
+    )
+    # flatten the part files into one source dir
+    src = os.path.join(out_dir, "stream")
+    os.makedirs(src, exist_ok=True)
+    for i in range(n_files):
+        d = os.path.join(out_dir, f"f{i}")
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(d, f), os.path.join(src, f"batch{i}.parquet"))
+    return src
+
+
+def test_incremental_attribution_matches_batch(spark, sf_dir, tmp_path):
+    src = _stage_stream_files(spark, sf_dir, str(tmp_path))
+    inc = IncrementalAttribution(spark, str(tmp_path / "wh"), model="linear")
+    events = stream_events(spark, src, max_files_per_trigger=1)
+    q = inc.start(events)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = {
+        (r.conv_id, r.session_id): round(r.ihc, 9)
+        for r in inc.attribution().collect()
+    }
+    # batch reference: same journeys, same model
+    journeys = jny.build_journeys(
+        domain.conversions(spark, sf_dir),
+        domain.session_sources(spark, sf_dir),
+        strict_before=False,
+        lookback_days=30,
+    )
+    want = {
+        (r.conv_id, r.session_id): round(r.ihc, 9)
+        for r in attr.attribute_linear(journeys).collect()
+    }
+    # streaming sees sessions only up to the conversion's batch; with
+    # time-ordered files every session precedes its conversion's batch,
+    # so the tables must match exactly
+    assert got == want
+
+
+def test_windowed_channel_volume(spark, sf_dir, tmp_path):
+    src = _stage_stream_files(spark, sf_dir, str(tmp_path))
+    events = stream_events(spark, src, watermark="1 hour")
+    agg = windowed_channel_volume(events, window="1 day")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("chanvol")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.channel_name): r.n_sessions
+        for r in spark.sql("SELECT * FROM chanvol").collect()
+    }
+    ev = domain.load_table(spark, sf_dir, "events")
+    want = {
+        (r.w, r.channel_name): r.n
+        for r in ev.filter(F.col("event_type") != "purchase")
+        .groupBy(
+            F.window("ts", "1 day").getField("start").alias("w"),
+            F.col("event_type").alias("channel_name"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    docs = domain.load_table(spark, sf_dir, "documents")
+    media = mm.attach_binary(docs)
+    rows = media.limit(5).collect()
+    assert all(isinstance(r.payload, (bytes, bytearray)) for r in rows)
+    assert all(r.n_bytes == len(r.payload) for r in rows)
+
+    feats = mm.extract_features(media, fake=True)
+    out = feats.limit(5).collect()
+    assert all(len(r.features) == mm.FEATURE_DIM for r in out)
+    assert all(0.0 <= v <= 1.0 for r in out for v in r.features)
+    # deterministic: same input -> same features
+    a = sorted((r.doc_id, tuple(r.features)) for r in feats.collect())
+    b = sorted((r.doc_id, tuple(r.features)) for r in mm.extract_features(media, fake=True).collect())
+    assert a == b
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        mm.decode_payload(b"abc", "image/png", fake=False)
+
+
+def test_frame_sampling(spark, sf_dir):
+    media = mm.attach_binary(domain.load_table(spark, sf_dir, "documents"))
+    frames = mm.sample_frames(media, n_frames=4, frame_bytes=16)
+    got = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert got and all(r.n == 4 for r in got)
+    one = frames.filter(F.col("frame_no") == 0).limit(1).first()
+    assert len(one.frame) <= 16
