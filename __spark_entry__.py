@@ -276,8 +276,10 @@ def _loader_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     env = ldr.pack_envelopes(
         payload,
-        # try_cast: blank-id rows land in a NULL chunk (ANSI mode)
-        chunk=F.pmod(F.col("conversion_id").try_cast("bigint"), F.lit(20)),
+        # try_cast: blank-id rows land in a NULL chunk (ANSI mode).
+        # 500 chunks keeps per-envelope collect_list arrays bounded as
+        # SF grows (20 chunks meant ~260k-struct arrays at sf0.1).
+        chunk=F.pmod(F.col("conversion_id").try_cast("bigint"), F.lit(500)),
     )
     bad = spark.createDataFrame(
         [(500, None, None), (500, None, None), (None, None, None)],
@@ -311,13 +313,26 @@ def q_loader_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, re-spread across the local cores: the harness ships
+    one small parquet file (1-3 input splits), which would serialize
+    the explode-heavy text operators onto 3 of 32 cores. At real scale
+    the input already has thousands of splits and this repartition
+    would be dropped (or replaced by maxPartitionBytes tuning)."""
+    return domain.load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return domain.load_table(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+
+
 def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents plus deterministic perturbed copies, so the dedup
     operators have true positives to find: doc_id%10==0 gets a
     near-duplicate (4 appended words), doc_id%10==5 an exact duplicate
     after normalization (upper-cased + trailing whitespace). Mirrored
     verbatim in the oracle's ``aug`` CTE."""
-    d = domain.load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
     near = d.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat("text", F.lit(" zq near dup tail")).alias("text"),
@@ -334,7 +349,7 @@ def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings plus scaled copies (vec_id%25==0, x1.02 — cosine 1
     with the original) so near-dup search has exact positives."""
-    e = domain.load_table(spark, sf_dir, "embeddings")
+    e = _embs(spark, sf_dir)
     base = e.select("vec_id", sim.as_double(F.col("embedding")).alias("embedding"), "label")
     scaled = base.filter(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
@@ -346,17 +361,17 @@ def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document exact-integer statistics + quality gate."""
-    return txt.text_stats(domain.load_table(spark, sf_dir, "documents"))
+    return txt.text_stats(_docs(spark, sf_dir))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-overlap language-ID heuristic."""
-    return txt.language_id(domain.load_table(spark, sf_dir, "documents"))
+    return txt.language_id(_docs(spark, sf_dir))
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (char 8-grams, window 4)."""
-    return txt.fingerprints(domain.load_table(spark, sf_dir, "documents"))
+    return txt.fingerprints(_docs(spark, sf_dir))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,7 +400,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 for the query subset
     (vec_id % 50 == 7)."""
-    e = domain.load_table(spark, sf_dir, "embeddings")
+    e = _embs(spark, sf_dir)
     out = sim.brute_topk(e, e.filter(F.col("vec_id") % 50 == 7), k=10)
     return out.select(
         "query_id", F.col("rank").cast("long").alias("rnk"), "vec_id", "cos_q20"
@@ -395,7 +410,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-5, 8 deterministic centroids
     (vec_id < 8), probe=2 — scans ~1/4 of the corpus per query."""
-    e = domain.load_table(spark, sf_dir, "embeddings")
+    e = _embs(spark, sf_dir)
     out = sim.ivf_topk(
         e,
         e.filter(F.col("vec_id") % 50 == 7),
@@ -416,7 +431,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: payload byte length + content digest
     (llm/multimodal.py attach_binary), oracle-checkable end to end."""
-    media = mm.attach_binary(domain.load_table(spark, sf_dir, "documents"))
+    media = mm.attach_binary(_docs(spark, sf_dir))
     return media.select("doc_id", "media_type", "n_bytes", "sha256")
 
 
@@ -425,7 +440,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder — codecs aren't in this container). Not ANSI-SQL
     expressible (Python batch transform), so no oracle entry: the
     driver records the weaker rows-only check."""
-    media = mm.attach_binary(domain.load_table(spark, sf_dir, "documents"))
+    media = mm.attach_binary(_docs(spark, sf_dir))
     out = mm.extract_features(media, fake=True)
     return out.select(
         "doc_id",
@@ -636,7 +651,7 @@ _ORACLE_LOADER_ERRORS = f"""
 WITH {_CONV}, {_SESS}, {_JOURNEYS},
 att AS (SELECT DISTINCT conversion_id, session_id FROM journeys),
 chunks AS (
-  SELECT DISTINCT (CAST(conversion_id AS BIGINT) % 20) AS c FROM att
+  SELECT DISTINCT (CAST(conversion_id AS BIGINT) % 500) AS c FROM att
 )
 SELECT 'ok' AS error_code,
        (SELECT COUNT(*) FROM chunks)
@@ -835,7 +850,12 @@ _mh_cols = ",\n         ".join(
     f"MIN(md5('{s}|' || shingle)) AS h{s}" for s in range(dd.NUM_HASHES)
 )
 _mh_bands = "\n  UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, md5(h{2*b} || h{2*b+1}) AS key FROM sig"
+    "SELECT doc_id, {b} AS band, md5({parts}) AS key FROM sig".format(
+        b=b,
+        parts=" || ".join(
+            f"h{b * dd.ROWS_PER_BAND + j}" for j in range(dd.ROWS_PER_BAND)
+        ),
+    )
     for b in range(dd.BANDS)
 )
 
@@ -913,27 +933,34 @@ sets AS (
            s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS ds
   FROM shingled
 ),
-scored AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(len(list_intersect(a.ds, b.ds)) AS BIGINT) AS inter_size,
-         CAST(len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds)) AS BIGINT) AS union_size
-  FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+ex AS (
+  SELECT lang, doc_id, CAST(len(ds) AS BIGINT) AS sz, unnest(ds) AS h FROM sets
+),
+hits AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sza, b.sz AS szb,
+         COUNT(*) AS inter_size
+  FROM ex a JOIN ex b ON a.lang = b.lang AND a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
 )
-SELECT doc_a, doc_b, inter_size, union_size
-FROM scored WHERE inter_size * 10 >= union_size * 3
+SELECT doc_a, doc_b, CAST(inter_size AS BIGINT) AS inter_size,
+       sza + szb - inter_size AS union_size
+FROM hits WHERE inter_size * 10 >= (sza + szb - inter_size) * 3
 """
 
-_COS = (
-    "list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
-)
+# pair cosine with per-vector precomputed norms (mirrors
+# llm/similarity.py _norm_vec + _pair_cos: one dot per pair)
+_E_NORMED = """
+e AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+)"""
 
 _ORACLE_ANN_TOPK = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 7),
+WITH {_E_NORMED},
+q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM e WHERE vec_id % 50 = 7),
 scored AS (
   SELECT q.query_id, e.vec_id,
-         {_COS.format(a='q.qv', b='e.v')} AS cos
+         list_dot_product(q.qv, e.v) / (q.qn * e.vn) AS cos
   FROM e, q
 )
 SELECT query_id,
@@ -946,30 +973,30 @@ QUALIFY ROW_NUMBER() OVER w <= 10
 """
 
 _ORACLE_ANN_IVF = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 7),
-cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+WITH {_E_NORMED},
+q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM e WHERE vec_id % 50 = 7),
+cents AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cn FROM e WHERE vec_id < 8),
 ascored AS (
-  SELECT e.vec_id, e.v, c.centroid_id,
-         {_COS.format(a='e.v', b='c.cv')} AS cs
+  SELECT e.vec_id, e.v, e.vn, c.centroid_id,
+         list_dot_product(e.v, c.cv) / (e.vn * c.cn) AS cs
   FROM e, cents c
 ),
 assign AS (
-  SELECT vec_id, v, centroid_id AS cluster FROM ascored
+  SELECT vec_id, v, vn, centroid_id AS cluster FROM ascored
   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) = 1
 ),
 qscored AS (
-  SELECT q.query_id, q.qv, c.centroid_id,
-         {_COS.format(a='q.qv', b='c.cv')} AS cs
+  SELECT q.query_id, q.qv, q.qn, c.centroid_id,
+         list_dot_product(q.qv, c.cv) / (q.qn * c.cn) AS cs
   FROM q, cents c
 ),
 probes AS (
-  SELECT query_id, qv, centroid_id AS cluster FROM qscored
+  SELECT query_id, qv, qn, centroid_id AS cluster FROM qscored
   QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, centroid_id) <= 2
 ),
 cand AS (
   SELECT p.query_id, a.vec_id,
-         {_COS.format(a='p.qv', b='a.v')} AS cos
+         list_dot_product(p.qv, a.v) / (p.qn * a.vn) AS cos
   FROM probes p JOIN assign a ON p.cluster = a.cluster
 )
 SELECT query_id,
@@ -982,15 +1009,18 @@ QUALIFY ROW_NUMBER() OVER w <= 5
 """
 
 _ORACLE_EMB_NEARDUP = f"""
-WITH eaug AS (
+WITH eaug0 AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
   UNION ALL
   SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 1.02), label
   FROM embeddings WHERE vec_id % 25 = 0
 ),
+eaug AS (
+  SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS vn FROM eaug0
+),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         {_COS.format(a='a.v', b='b.v')} AS cos
+         list_dot_product(a.v, b.v) / (a.vn * b.vn) AS cos
   FROM eaug a JOIN eaug b ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, CAST(FLOOR(cos * 1048576.0 + 0.5) AS BIGINT) AS cos_q20

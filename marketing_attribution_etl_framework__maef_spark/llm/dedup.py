@@ -27,12 +27,29 @@ from operator import add
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _shared(df: DataFrame) -> DataFrame:
+    """Persist an intermediate referenced by multiple plan branches.
+    Without this, every branch of a self-join re-derives the input from
+    the source scan — shingling + hashing the whole corpus several
+    times over (at 100 TB: several full passes instead of one).
+    MEMORY_AND_DISK because signatures/sets are orders of magnitude
+    smaller than the corpus; a production pipeline would checkpoint
+    them to a table instead."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 from marketing_attribution_etl_framework__maef_spark.llm.text import normalize_text, word_shingles, words
 
-NUM_HASHES = 16
-BANDS = 8
-ROWS_PER_BAND = 2
+# 4 bands x 3 rows: P(candidate) = 1-(1-J^3)^4 — steep enough that the
+# ambient Jaccard of a shared-vocabulary corpus (J ~ 0.1-0.2) produces
+# almost no false candidates, while exact dups (J=1) always collide.
+# (8x2 banding drowned the verify stage in J^2-level false candidates
+# on the word-soup test corpus.)
+NUM_HASHES = 12
+BANDS = 4
+ROWS_PER_BAND = 3
 
 
 def content_hash(c: Column) -> Column:
@@ -184,9 +201,9 @@ def minhash_dedup_pairs(
     exploded = docs.select(
         F.col(id_col), F.explode(word_shingles(words(norm), k)).alias("shingle")
     )
-    sigs = minhash_signatures(exploded, id_col, "shingle", num_hashes)
+    sigs = _shared(minhash_signatures(exploded, id_col, "shingle", num_hashes))
     cands = candidate_pairs(lsh_bands(sigs, id_col, bands, rows_per_band), id_col)
-    sets = shingle_sets(docs, text_col, id_col, k)
+    sets = _shared(shingle_sets(docs, text_col, id_col, k))
     scored = verify_jaccard(cands, sets, id_col)
     return scored.filter(
         F.col("inter_size") * F.lit(jaccard_den) >= F.col("union_size") * F.lit(jaccard_num)
@@ -248,8 +265,10 @@ def simhash_pairs(
             for b in range(bands)
         ]
     )
-    banded = sim.select(F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("bk")).select(
-        F.col(id_col), F.col("simhash"), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    banded = _shared(
+        sim.select(F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("bk")).select(
+            F.col(id_col), F.col("simhash"), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
     )
     a = banded.select("band", "key", F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha"))
     b = banded.select("band", "key", F.col(id_col).alias("doc_b"), F.col("simhash").alias("_hb"))
@@ -284,23 +303,37 @@ def ngram_jaccard_pairs(
     Quadratic in block size by construction — this is the correctness
     baseline for MinHash-LSH, usable when blocks are bounded (e.g.
     per-source batches); at open-corpus scale use minhash_dedup_pairs."""
+    if jaccard_num <= 0:
+        raise ValueError("threshold must be positive: zero-overlap pairs are never emitted")
     norm = normalize_text(F.col(text_col))
     sets = docs.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col),
         F.array_distinct(F.transform(word_shingles(words(norm), k), shingle_hash)).alias("_set"),
     )
-    a = sets.select("_blk", F.col(id_col).alias("doc_a"), F.col("_set").alias("_sa"))
-    b = sets.select("_blk", F.col(id_col).alias("doc_b"), F.col("_set").alias("_sb"))
-    inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
-    return (
-        a.join(b, on="_blk", how="inner")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            inter.alias("inter_size"),
-            (F.size("_sa").cast("long") + F.size("_sb").cast("long") - inter).alias("union_size"),
+    # inverted-index formulation: explode distinct shingle hashes and
+    # count co-occurrences per pair — cost is sum over shingles of
+    # df(shingle)^2 within a block, not |block|^2 array intersections,
+    # and pairs sharing no shingle are never materialized at all.
+    ex = _shared(
+        sets.select(
+            "_blk",
+            F.col(id_col).alias("_id"),
+            F.size("_set").cast("long").alias("_sz"),
+            F.explode("_set").alias("_h"),
         )
-        .filter(F.col("inter_size") * F.lit(jaccard_den) >= F.col("union_size") * F.lit(jaccard_num))
     )
+    a = ex.select("_blk", "_h", F.col("_id").alias("doc_a"), F.col("_sz").alias("_sza"))
+    b = ex.select("_blk", "_h", F.col("_id").alias("doc_b"), F.col("_sz").alias("_szb"))
+    inter = (
+        a.join(b, on=["_blk", "_h"], how="inner")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "_sza", "_szb")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    return inter.select(
+        "doc_a",
+        "doc_b",
+        "inter_size",
+        (F.col("_sza") + F.col("_szb") - F.col("inter_size")).alias("union_size"),
+    ).filter(F.col("inter_size") * F.lit(jaccard_den) >= F.col("union_size") * F.lit(jaccard_num))

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def as_double(v: Column) -> Column:
@@ -50,7 +51,19 @@ def q20(c: Column) -> Column:
 
 
 def _norm_vec(df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str) -> DataFrame:
-    return df.select(F.col(id_col).alias(out_id), as_double(F.col(vec_col)).alias(out_vec))
+    """Project (id, double vector, precomputed L2 norm): norms are
+    computed once per vector, so each candidate pair later costs ONE
+    dot product instead of three (dot + both self-dots)."""
+    v = as_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias(out_id),
+        v.alias(out_vec),
+        F.sqrt(dot(v, v)).alias(out_vec + "n"),
+    )
+
+
+def _pair_cos(va: str, vb: str) -> Column:
+    return dot(F.col(va), F.col(vb)) / (F.col(va + "n") * F.col(vb + "n"))
 
 
 def brute_topk(
@@ -66,7 +79,7 @@ def brute_topk(
     c = _norm_vec(corpus, id_col, vec_col, "vec_id", "_v")
     q = _norm_vec(queries, query_id_col, vec_col, "query_id", "_q")
     scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id", "vec_id", cosine(F.col("_q"), F.col("_v")).alias("_cos")
+        "query_id", "vec_id", _pair_cos("_q", "_v").alias("_cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
     return (
@@ -88,13 +101,13 @@ def ivf_assign(
     c = _norm_vec(corpus, id_col, vec_col, "vec_id", "_v")
     cents = _norm_vec(centroids, id_col, vec_col, "centroid_id", "_c")
     scored = c.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "_v", "centroid_id", cosine(F.col("_v"), F.col("_c")).alias("_cs")
+        "vec_id", "_v", "_vn", "centroid_id", _pair_cos("_v", "_c").alias("_cs")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("centroid_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("vec_id", "_v", F.col("centroid_id").alias("cluster"))
+        .select("vec_id", "_v", "_vn", F.col("centroid_id").alias("cluster"))
     )
 
 
@@ -116,16 +129,16 @@ def ivf_topk(
     q = _norm_vec(queries, query_id_col, vec_col, "query_id", "_q")
     cents = _norm_vec(centroids, id_col, vec_col, "centroid_id", "_c")
     qp = q.crossJoin(F.broadcast(cents)).select(
-        "query_id", "_q", "centroid_id", cosine(F.col("_q"), F.col("_c")).alias("_cs")
+        "query_id", "_q", "_qn", "centroid_id", _pair_cos("_q", "_c").alias("_cs")
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("_cs"), F.asc("centroid_id"))
     probes = (
         qp.withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= probe)
-        .select("query_id", "_q", F.col("centroid_id").alias("cluster"))
+        .select("query_id", "_q", "_qn", F.col("centroid_id").alias("cluster"))
     )
     cand = probes.join(assign, on="cluster", how="inner").select(
-        "query_id", "vec_id", cosine(F.col("_q"), F.col("_v")).alias("_cos")
+        "query_id", "vec_id", _pair_cos("_q", "_v").alias("_cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
     return (
@@ -147,13 +160,20 @@ def embedding_neardup_pairs(
     within a block. For open-corpus near-dup at scale, block by IVF
     cluster from ``ivf_assign`` instead of a label column — same shape,
     bounded blocks."""
-    a = corpus.select(
-        F.col(block_col).alias("_blk"), F.col(id_col).alias("vec_a"), as_double(F.col(vec_col)).alias("_va")
+    v = as_double(F.col(vec_col))
+    n = F.sqrt(dot(v, v))
+    # persist the normed projection: both join branches read it, so the
+    # norm is computed once per vector, not once per side
+    normed = corpus.select(
+        F.col(block_col).alias("_blk"), F.col(id_col).alias("_id"), v.alias("_v"), n.alias("_n")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = normed.select(
+        "_blk", F.col("_id").alias("vec_a"), F.col("_v").alias("_va"), F.col("_n").alias("_van")
     )
-    b = corpus.select(
-        F.col(block_col).alias("_blk"), F.col(id_col).alias("vec_b"), as_double(F.col(vec_col)).alias("_vb")
+    b = normed.select(
+        "_blk", F.col("_id").alias("vec_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_vbn")
     )
-    cos = cosine(F.col("_va"), F.col("_vb"))
+    cos = _pair_cos("_va", "_vb")
     return (
         a.join(b, on="_blk", how="inner")
         .filter(F.col("vec_a") < F.col("vec_b"))

