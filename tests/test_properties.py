@@ -1,0 +1,147 @@
+"""Property-based tests (SURVEY §5.4): random journey generators and
+dedup/upsert algebraic laws, via hypothesis. Example counts are kept
+small — every example is a Spark job."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from marketing_attribution_etl_framework__maef_spark.functions.cleaning import clean_float
+from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd
+from marketing_attribution_etl_framework__maef_spark.operators import attribution as attr
+from marketing_attribution_etl_framework__maef_spark.operators.chunking import assign_chunks
+from marketing_attribution_etl_framework__maef_spark.operators.loader import upsert
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+BASE_TS = dt.datetime(2024, 1, 1)
+
+
+@st.composite
+def journeys_strategy(draw):
+    """1-8 journeys of 1-12 sessions each, with random engagement
+    flags, channels, and minute offsets (ties allowed across
+    journeys, unique session ids within)."""
+    rows = []
+    n_conv = draw(st.integers(1, 8))
+    sid = 0
+    for c in range(n_conv):
+        n_sess = draw(st.integers(1, 12))
+        for s in range(n_sess):
+            sid += 1
+            rows.append(
+                (
+                    f"c{c}",
+                    f"s{sid:04d}",
+                    BASE_TS + dt.timedelta(minutes=draw(st.integers(0, 500))),
+                    BASE_TS + dt.timedelta(minutes=600),
+                    draw(st.sampled_from(["Direct", "Search", "Email", "Social"])),
+                    draw(st.integers(0, 1)),
+                    draw(st.integers(0, 1)),
+                    draw(st.integers(0, 1)),
+                )
+            )
+    return rows
+
+
+@given(journeys_strategy())
+@settings(**_SETTINGS)
+def test_attribution_contract_all_models(spark, rows):
+    """Hard contract for every model (SURVEY §2.6): weights >= 0 and
+    sum(ihc) per conversion == 1, for arbitrary journeys."""
+    df = spark.createDataFrame(
+        rows,
+        "conversion_id string, session_id string, event_ts timestamp, conv_ts timestamp, "
+        "channel_label string, holder_engagement int, closer_engagement int, "
+        "impression_interaction int",
+    )
+    for model in attr.MODELS:
+        out = attr.attribute(df, model)
+        rowsc = out.collect()
+        assert all(r.ihc >= 0 for r in rowsc), model
+        sums = {}
+        for r in rowsc:
+            sums[r.conv_id] = sums.get(r.conv_id, 0.0) + r.ihc
+        assert all(abs(s - 1.0) < 1e-9 for s in sums.values()), (model, sums)
+
+
+@given(st.lists(st.integers(1, 400), min_size=1, max_size=60))
+@settings(**_SETTINGS)
+def test_chunking_caps_property(spark, sizes):
+    """Both caps hold for arbitrary journey-size sequences: <= 85
+    journeys per chunk always; session cap exceeded by at most the
+    last journey's sessions."""
+    rows = [(f"c{i:04d}", n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "conversion_id string, n_sessions int")
+    agg = (
+        assign_chunks(df, journey_cap=5, session_cap=50)
+        .groupBy("chunk_id")
+        .agg(F.count(F.lit(1)).alias("n_j"), F.sum("n_sessions").alias("n_s"), F.max("n_sessions").alias("mx"))
+        .collect()
+    )
+    for r in agg:
+        assert r.n_j <= 5
+        assert r.n_s <= 50 + r.mx
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5), st.floats(0, 1, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_upsert_laws(spark, pairs):
+    """Upsert: keys = union of keys; incoming wins on collisions;
+    idempotent (applying the same incoming twice is a no-op)."""
+    existing = spark.createDataFrame(
+        [(f"c{a}", f"s{b}", -1.0) for a, b, _ in pairs],
+        "conv_id string, session_id string, ihc double",
+    ).dropDuplicates(["conv_id", "session_id"])
+    incoming = spark.createDataFrame(
+        [(f"c{a}", f"s{b}", float(v)) for a, b, v in pairs],
+        "conv_id string, session_id string, ihc double",
+    ).dropDuplicates(["conv_id", "session_id"])
+    once = upsert(existing, incoming)
+    twice = upsert(once, incoming)
+    got_once = {(r.conv_id, r.session_id): r.ihc for r in once.collect()}
+    got_twice = {(r.conv_id, r.session_id): r.ihc for r in twice.collect()}
+    want = {(r.conv_id, r.session_id): r.ihc for r in incoming.collect()}
+    assert got_once == want  # every existing key collides; incoming wins
+    assert got_twice == got_once
+
+
+@given(st.lists(st.text(alphabet="ab X", min_size=0, max_size=12), min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_exact_dedup_idempotent(spark, texts):
+    """exact_dedup is idempotent and survivor-stable: deduping the
+    survivors changes nothing."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = dd.exact_dedup(docs)
+    twice = dd.exact_dedup(once)
+    a = sorted((r.doc_id, r.text) for r in once.collect())
+    b = sorted((r.doc_id, r.text) for r in twice.collect())
+    assert a == b
+    # survivor count == number of distinct normalized contents
+    norms = {" ".join(t.lower().strip().split()) for t in texts}
+    assert len(a) == len(norms)
+
+
+def test_clean_float_never_emits_nonfinite(spark):
+    import math
+
+    vals = [0.0, -0.0, 1.5, -2.5, float("nan"), float("inf"), float("-inf"), 1e308, None]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = [r.y for r in df.select(clean_float(F.col("x")).alias("y")).collect()]
+    assert all(v is None or math.isfinite(v) for v in out)
