@@ -423,6 +423,21 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate top-5: 6 md5-derived hyperplanes bucket the
+    corpus into <=64 cells; brute force only inside the query's cell."""
+    e = _embs(spark, sf_dir)
+    out = sim.lsh_topk(
+        e,
+        e.filter(F.col("vec_id") % 50 == 7),
+        sim.random_hyperplanes(spark, n_planes=6, dim=64),
+        k=5,
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rnk"), "vec_id", "cos_q20"
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-blocked cosine near-duplicate pairs at >= 0.9."""
     return sim.embedding_neardup_pairs(_aug_embeddings(spark, sf_dir), threshold=0.9)
@@ -1008,6 +1023,41 @@ WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id)
 QUALIFY ROW_NUMBER() OVER w <= 5
 """
 
+_ORACLE_ANN_LSH = f"""
+WITH {_E_NORMED},
+hp AS (
+  SELECT CAST(j AS INTEGER) AS plane,
+         list_transform(range(1, 65),
+           d -> CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT)
+                / CAST(576460752303423488 AS DOUBLE) - 1.0) AS h
+  FROM range(0, 6) t(j)
+),
+sk AS (
+  SELECT e.vec_id,
+         SUM(CASE WHEN list_dot_product(e.v, hp.h) >= 0
+                  THEN CAST(power(2.0, hp.plane) AS BIGINT) ELSE 0 END) AS bucket
+  FROM e, hp
+  GROUP BY e.vec_id
+),
+esk AS (SELECT e.vec_id, e.v, e.vn, sk.bucket FROM e JOIN sk ON e.vec_id = sk.vec_id),
+qsk AS (
+  SELECT vec_id AS query_id, v AS qv, vn AS qn, bucket
+  FROM esk WHERE vec_id % 50 = 7
+),
+cand AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(q.qv, c.v) / (q.qn * c.vn) AS cos
+  FROM qsk q JOIN esk c ON q.bucket = c.bucket
+)
+SELECT query_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+       vec_id,
+       CAST(FLOOR(cos * 1048576.0 + 0.5) AS BIGINT) AS cos_q20
+FROM cand
+WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id)
+QUALIFY ROW_NUMBER() OVER w <= 5
+"""
+
 _ORACLE_EMB_NEARDUP = f"""
 WITH eaug0 AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
@@ -1079,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
+        "llm_ann_lsh": q_ann_lsh,
         "llm_embedding_neardup": q_embedding_neardup,
         "llm_multimodal_meta": q_multimodal_meta,
         "llm_multimodal_features": q_multimodal_features,
@@ -1112,6 +1163,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_ngram_jaccard": _ORACLE_DEDUP_NGRAM,
         "llm_ann_topk": _ORACLE_ANN_TOPK,
         "llm_ann_ivf": _ORACLE_ANN_IVF,
+        "llm_ann_lsh": _ORACLE_ANN_LSH,
         "llm_embedding_neardup": _ORACLE_EMB_NEARDUP,
         "llm_multimodal_meta": _ORACLE_MM_META,
         # llm_multimodal_features: intentionally no oracle — Python

@@ -148,6 +148,86 @@ def ivf_topk(
     )
 
 
+def random_hyperplanes(spark, n_planes: int = 6, dim: int = 64) -> DataFrame:
+    """Deterministic pseudo-random hyperplanes for sign-LSH: component
+    (j, d) is the 60-bit md5 integer of "j_d" scaled into [-1, 1).
+    md5-derived, so the oracle can rebuild the exact same planes in
+    SQL — no RNG state anywhere."""
+    d_idx = F.sequence(F.lit(1), F.lit(dim))
+    comp = lambda d: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("id").cast("string"), F.lit("_"), d.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(1 << 59))
+        - F.lit(1.0)
+    )
+    return spark.range(n_planes).select(
+        F.col("id").cast("int").alias("plane"),
+        F.transform(d_idx, comp).alias("h"),
+    )
+
+
+def lsh_sketch(
+    corpus: DataFrame,
+    planes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH bucket per vector: bit j = sign(v . h_j); bucket =
+    sum of set bits. One broadcast of the (tiny) plane table and one
+    grouped SUM — n_planes dot products per vector, no shuffle of the
+    vectors themselves beyond the final groupBy."""
+    c = _norm_vec(corpus, id_col, vec_col, "vec_id", "_v")
+    scored = c.crossJoin(F.broadcast(planes)).select(
+        "vec_id",
+        "_v",
+        "_vn",
+        F.when(
+            dot(F.col("_v"), F.col("h")) >= 0,
+            F.pow(F.lit(2.0), F.col("plane")).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("_bit"),
+    )
+    return scored.groupBy("vec_id", "_v", "_vn").agg(F.sum("_bit").alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Sign-LSH approximate top-k: brute-force only within the query's
+    bucket. The bucket join is an equi-join on the sketch — at scale,
+    partition (or bucket-write) the corpus by sketch value and probes
+    prune at the storage layer. More planes = smaller buckets = faster
+    and lower recall; complements ivf_topk's centroid pruning."""
+    c_sk = lsh_sketch(corpus, planes, id_col, vec_col)
+    q_sk = lsh_sketch(queries, planes, query_id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_v").alias("_q"),
+        F.col("_vn").alias("_qn"),
+        "bucket",
+    )
+    cand = q_sk.join(c_sk, on="bucket", how="inner").select(
+        "query_id", "vec_id", _pair_cos("_q", "_v").alias("_cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", q20(F.col("_cos")).alias("cos_q20"))
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,

@@ -126,6 +126,25 @@ def test_ivf_topk_prunes_but_finds_neighbors(vectors):
     assert [r.vec_id for r in rows] == [4, 3]
 
 
+def test_lsh_topk_bucketed(spark, vectors):
+    planes = sim.random_hyperplanes(spark, n_planes=2, dim=4)
+    assert planes.count() == 2
+    comps = [v for r in planes.collect() for v in r.h]
+    assert all(-1.0 <= v < 1.0 for v in comps)
+    out = sim.lsh_topk(vectors, vectors.filter(F.col("vec_id") == 0), planes, k=6)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    # self is always in its own bucket and ranks first
+    assert rows[0].vec_id == 0 and rows[0].cos_q20 == 1048576
+    # parallel vector 5 shares every sign bit with vector 0
+    assert 5 in {r.vec_id for r in rows}
+    # candidates only from the query's bucket: ranking is a (possibly
+    # shorter) prefix-consistent subset of the brute ranking
+    brute = sim.brute_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=6)
+    brute_order = [r.vec_id for r in sorted(brute.collect(), key=lambda r: r.rank)]
+    got_order = [r.vec_id for r in rows]
+    assert got_order == [v for v in brute_order if v in set(got_order)]
+
+
 def test_embedding_neardup_pairs(vectors):
     pairs = {(r.vec_a, r.vec_b): r.cos_q20 for r in sim.embedding_neardup_pairs(vectors, threshold=0.95).collect()}
     assert (0, 5) not in pairs  # different labels block them apart
