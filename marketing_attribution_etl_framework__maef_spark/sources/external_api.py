@@ -1,0 +1,184 @@
+"""S8 — the external-attribution-API mode (``src/api/ihc_api.py:86-172``).
+
+The reference POSTs journey chunks to the Haensel AMS IHC endpoint
+(<= 85 journeys / <= 2750 sessions per request, ``ihc_api.py:14-15``),
+with 3 retries and exponential backoff per chunk (``:101-160``), and
+loads the response envelopes. The native window-function models
+(operators/attribution.py) supersede this path; it is kept behind the
+same interface for pluggability, exactly as SURVEY §2.1 S8 allows.
+
+Spark-first shape: journeys are grouped per conversion (A7), bin-packed
+into chunks (A9), and each chunk becomes ONE row carrying its request
+payload; ``mapInPandas`` posts chunk rows from the executors — the
+driver never sees payloads, chunks post in parallel, and a failed task
+retries per Spark's task policy on top of the in-call retry loop.
+
+Networking is injected: ``transport`` is any callable
+``dict -> dict`` returning a response envelope. The default raises
+``NotImplementedError`` (no HTTP client in this container — a real
+deployment passes ``requests_transport(url)``); tests inject a
+deterministic fake. Everything downstream of the transport is the
+ordinary loader chain (explode -> validate -> dedup)."""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from marketing_attribution_etl_framework__maef_spark.operators import chunking
+from marketing_attribution_etl_framework__maef_spark.operators import journeys as jny
+from marketing_attribution_etl_framework__maef_spark.operators import loader as ldr
+
+Transport = Callable[[dict], dict]
+
+MAX_RETRIES = 3          # ihc_api.py:101
+BACKOFF_BASE_S = 1.0     # ihc_api.py:141-160 (exponential, 1s pacing)
+
+_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("conversion_id", T.StringType(), True),
+        T.StructField("session_id", T.StringType(), True),
+        T.StructField("ihc", T.DoubleType(), True),
+    ]
+)
+
+
+def default_transport(body: dict) -> dict:
+    raise NotImplementedError(
+        "no HTTP client available in this environment; inject a transport "
+        "(e.g. requests_transport(url)) to enable external attribution"
+    )
+
+
+def requests_transport(url: str, conv_type_id: str = "") -> Transport:
+    """Real-network transport, constructed lazily so the module imports
+    without the ``requests`` package installed."""
+    try:
+        import requests  # noqa: F401  (not installed in this container)
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("the 'requests' package is not installed") from exc
+
+    def send(body: dict) -> dict:  # pragma: no cover — needs network
+        resp = requests.post(f"{url}?conv_type_id={conv_type_id}", json=body, timeout=60)
+        return {"statusCode": resp.status_code, **resp.json()}
+
+    return send
+
+
+def linear_stub_transport(body: dict) -> dict:
+    """Deterministic in-process stand-in for the attribution service
+    (linear credit per journey) — used by tests and local dry-runs to
+    exercise the full chunk/POST/load plumbing without a network.
+    Lives in the package so Spark executors can unpickle it."""
+    value = []
+    for j in body["customer_journeys"]:
+        n = len(j["sessions"])
+        for s in j["sessions"]:
+            value.append(
+                {
+                    "conversion_id": j["conversion_id"],
+                    "session_id": s["session_id"],
+                    "ihc": 1.0 / n,
+                }
+            )
+    return {"statusCode": 200, "value": value, "partialFailureErrors": []}
+
+
+def call_with_retry(
+    transport: Transport,
+    body: dict,
+    max_retries: int = MAX_RETRIES,
+    backoff_base_s: float = BACKOFF_BASE_S,
+    sleeper: Callable[[float], None] = time.sleep,
+) -> dict:
+    """Per-chunk retry loop (``ihc_api.py:101-160``): up to
+    ``max_retries`` attempts with exponential backoff. A stubbed
+    transport (NotImplementedError) is never retried."""
+    last: Exception | None = None
+    for attempt in range(max_retries):
+        try:
+            return transport(body)
+        except NotImplementedError:
+            raise
+        except Exception as exc:
+            last = exc
+            if attempt < max_retries - 1:
+                sleeper(backoff_base_s * (2**attempt))
+    raise last  # type: ignore[misc]
+
+
+def build_chunked_requests(journeys: DataFrame, bucket_col: str | None = None) -> DataFrame:
+    """Journeys -> one row per chunk with the request payload: A7
+    grouping + A9 bin-packing, then a second grouped collect so each
+    chunk row carries its journeys as an array of (conversion_id,
+    sessions) structs. Array sizes are bounded by the chunk caps."""
+    grouped = jny.group_journeys(journeys)
+    chunked = chunking.assign_chunks(
+        grouped.select("conversion_id", "n_sessions", "sessions"), bucket_col=bucket_col
+    )
+    return chunked.groupBy("chunk_id").agg(
+        F.collect_list(F.struct("conversion_id", "sessions")).alias("journeys"),
+        F.sum("n_sessions").alias("n_sessions"),
+    )
+
+
+def attribute_external(
+    journeys: DataFrame,
+    transport: Transport = default_transport,
+    max_retries: int = MAX_RETRIES,
+    backoff_base_s: float = BACKOFF_BASE_S,
+    sleeper: Callable[[float], None] = time.sleep,
+) -> DataFrame:
+    """Full S8 path: chunk -> POST (with per-chunk retry x3 and
+    exponential backoff) -> explode envelopes -> validate -> dedup.
+    Output schema matches the native models: (conv_id, session_id, ihc).
+    """
+    requests_df = build_chunked_requests(journeys)
+
+    def post_chunks(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: list[tuple] = []
+            for _, row in pdf.iterrows():
+                body = {
+                    "customer_journeys": [
+                        {
+                            "conversion_id": j["conversion_id"],
+                            # the JSON journey contract (P1): string
+                            # timestamp, int flags
+                            "sessions": [
+                                {
+                                    "session_id": s["session_id"],
+                                    "timestamp": str(s["event_ts"]),
+                                    "channel_label": s["channel_label"],
+                                    "holder_engagement": int(s["holder_engagement"]),
+                                    "closer_engagement": int(s["closer_engagement"]),
+                                    "impression_interaction": int(s["impression_interaction"]),
+                                }
+                                for s in j["sessions"]
+                            ],
+                        }
+                        for j in row["journeys"]
+                    ]
+                }
+                envelope = call_with_retry(
+                    transport, body, max_retries, backoff_base_s, sleeper
+                )
+                if envelope and envelope.get("statusCode") == 200:
+                    for v in envelope.get("value") or []:
+                        out.append(
+                            (
+                                str(v.get("conversion_id", "")),
+                                str(v.get("session_id", "")),
+                                float(v["ihc"]) if v.get("ihc") is not None else None,
+                            )
+                        )
+            yield pd.DataFrame(out, columns=["conversion_id", "session_id", "ihc"])
+
+    raw = requests_df.mapInPandas(post_chunks, schema=_RESULT_SCHEMA)
+    return ldr.dedup_results(ldr.validate_results(raw))

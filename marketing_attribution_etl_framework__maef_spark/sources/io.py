@@ -38,11 +38,25 @@ class Warehouse:
             if not os.path.exists(self.path(name)):
                 self.spark.createDataFrame([], schema).write.mode("ignore").parquet(self.path(name))
 
-    def write(self, table: str, df: DataFrame, mode: str = "overwrite") -> None:
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
         """S3/S9/S11 sink: overwrite == the reference's
         DELETE-then-reload (``reporting.py:52-54``) and
-        ``if_exists='replace'`` (``db_utils.py:79``)."""
-        df.write.mode(mode).parquet(self.path(table))
+        ``if_exists='replace'`` (``db_utils.py:79``).
+
+        ``partition_by``: hive-style partition columns (the scale
+        replacement for the reference's date-suffixed target DBs,
+        ``dags/ihc_api_dag.py:87``) — date predicates then prune whole
+        partitions at the scan (SURVEY §4 'partition pruning')."""
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
 
     def read(self, table: str) -> DataFrame:
         """S1: full-table scan (``db_utils.py:75``)."""

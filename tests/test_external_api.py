@@ -1,0 +1,79 @@
+"""S8 external-attribution-API mode: chunked request building, retry/
+backoff semantics, and loader-chain post-processing — with an injected
+deterministic transport (no network in this container)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketing_attribution_etl_framework__maef_spark import domain
+from marketing_attribution_etl_framework__maef_spark.operators import attribution as attr
+from marketing_attribution_etl_framework__maef_spark.operators import journeys as jny
+from marketing_attribution_etl_framework__maef_spark.sources import external_api as xapi
+
+
+def _journeys(spark, sf_dir):
+    return jny.build_journeys(
+        domain.conversions(spark, sf_dir),
+        domain.session_sources(spark, sf_dir),
+        strict_before=False,
+        lookback_days=30,
+    )
+
+
+fake_linear_transport = xapi.linear_stub_transport
+
+
+def test_request_chunks_respect_caps(spark, sf_dir):
+    reqs = xapi.build_chunked_requests(_journeys(spark, sf_dir)).collect()
+    assert reqs
+    for r in reqs:
+        assert len(r.journeys) <= 85
+        assert r.n_sessions <= 2750 + max(len(j.sessions) for j in r.journeys)
+
+
+def test_external_mode_matches_native_linear(spark, sf_dir):
+    """The external path through a linear fake must equal the native
+    linear model — proving the chunk/POST/load plumbing is lossless."""
+    journeys = _journeys(spark, sf_dir)
+    got = {
+        (r.conv_id, r.session_id): round(r.ihc, 9)
+        for r in xapi.attribute_external(journeys, fake_linear_transport).collect()
+    }
+    want = {
+        (r.conv_id, r.session_id): round(r.ihc, 9)
+        for r in attr.attribute_linear(journeys).collect()
+    }
+    assert got == want
+
+
+def test_retry_with_backoff():
+    calls = {"n": 0}
+    delays: list[float] = []
+
+    def flaky(body: dict) -> dict:
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("transient")
+        return {"statusCode": 200, "value": []}
+
+    env = xapi.call_with_retry(flaky, {}, sleeper=delays.append)
+    assert env["statusCode"] == 200
+    assert calls["n"] == 3
+    assert delays == [1.0, 2.0]  # exponential backoff, ihc_api.py:141-160
+
+    def always_down(body: dict) -> dict:
+        raise ConnectionError("down")
+
+    with pytest.raises(ConnectionError):
+        xapi.call_with_retry(always_down, {}, sleeper=delays.append)
+
+    with pytest.raises(NotImplementedError):  # stubs are never retried
+        xapi.call_with_retry(xapi.default_transport, {}, sleeper=delays.append)
+
+
+def test_default_transport_is_a_stub(spark, sf_dir):
+    with pytest.raises(Exception) as ei:
+        xapi.attribute_external(_journeys(spark, sf_dir)).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)

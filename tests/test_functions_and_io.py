@@ -98,6 +98,31 @@ def test_warehouse_roundtrip(spark, tmp_path):
     assert spark.sql("SELECT count(*) n FROM attribution_customer_journey").first().n == 1
 
 
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Date-partitioned warehouse writes: a date predicate must reach
+    the scan as a partition filter (no full-table read)."""
+    from marketing_attribution_etl_framework__maef_spark import domain
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sess = domain.session_sources(spark, "/root/testdata/sf0.001").withColumn(
+        "event_date", F.date_format("event_ts", "yyyy-MM-dd")
+    )
+    wh.write("session_sources", sess, partition_by=["event_date"])
+    one_day = wh.read("session_sources").filter(F.col("event_date") == "2024-01-05")
+
+    import io as _io
+    import contextlib
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_day.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "event_date" in plan
+    # partition values are type-inferred on read (string -> date)
+    got_days = {str(r.event_date) for r in one_day.select("event_date").distinct().collect()}
+    assert got_days <= {"2024-01-05"}
+
+
 def test_single_file_sinks(spark, tmp_path):
     df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
     jpath = str(tmp_path / "out.json")
