@@ -37,6 +37,12 @@ def get_spark(app_name: str = "maef_spark", shuffle_partitions: int | None = Non
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # managed-table location for bucketed tables (sources.io
+        # save_bucketed_table) — outside the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/maef_spark_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -87,6 +87,29 @@ class Warehouse:
         return counts
 
 
+def save_bucketed_table(
+    df: DataFrame,
+    name: str,
+    buckets: int,
+    key_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table for co-located joins: two tables bucketed
+    (and sorted) on the same key with the same bucket count join with
+    ZERO exchanges — the sort-merge join reads co-bucketed files
+    directly. This is the storage-level answer to the J1 journey join
+    at 100 TB: bucket conversions AND session_sources by user_id once
+    at ingest, and every subsequent journey build skips both shuffles.
+    """
+    (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(buckets, *key_cols)
+        .sortBy(*(sort_cols or key_cols))
+        .saveAsTable(name)
+    )
+
+
 def _single_file(out_dir: str, final_path: str, ext: str) -> None:
     part = glob.glob(os.path.join(out_dir, f"part-*{ext}"))
     if not part:

@@ -6,5 +6,6 @@ from marketing_attribution_etl_framework__maef_spark.streaming.incremental impor
     stream_events,
     windowed_channel_volume,
 )
+from marketing_attribution_etl_framework__maef_spark.streaming.sessionize import sessionize
 
-__all__ = ["IncrementalAttribution", "stream_events", "windowed_channel_volume"]
+__all__ = ["IncrementalAttribution", "sessionize", "stream_events", "windowed_channel_volume"]
