@@ -308,6 +308,54 @@ def q_loader_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ldr.error_counts(_loader_envelopes(spark, sf_dir))
 
 
+def q_date_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 + pipeline date-range contract: conversions bounded to
+    [start, end], sessions to [start - lookback, end] (the DAG's
+    plumbed-but-unused parameters, honored per SURVEY §2.8.6).
+    Output: per-conversion-day journey-row and conversion counts."""
+    pipe = AttributionPipeline(
+        spark,
+        sf_dir,
+        PipelineConfig(model="linear", start="2024-01-10", end="2024-02-10"),
+    )
+    return (
+        pipe.journeys()
+        .groupBy(F.date_format("conv_ts", "yyyy-MM-dd").alias("conv_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("conversion_id").alias("n_convs"),
+        )
+    )
+
+
+def q_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 + P10 on deterministically-dirtied events: NaN/+-Inf values
+    scrubbed to 0, blank channels normalized to 'unknown'. Output:
+    per-channel row count and scrubbed-value sum."""
+    from marketing_attribution_etl_framework__maef_spark.functions.cleaning import clean_float, normalize_channel
+
+    ev = domain.events(spark, sf_dir)
+    m5 = F.col("event_id") % 5
+    dirty_val = (
+        F.when(m5 == 0, F.lit(float("nan")))
+        .when(m5 == 1, F.lit(float("inf")))
+        .when(m5 == 2, F.lit(float("-inf")))
+        .otherwise(F.col("value"))
+    )
+    dirty_ch = F.when(F.col("event_id") % 7 == 0, F.lit("")).otherwise(F.col("event_type"))
+    return (
+        ev.select(
+            normalize_channel(dirty_ch).alias("channel_name"),
+            clean_float(dirty_val).alias("v"),
+        )
+        .groupBy("channel_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("v"), 4).alias("total_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline queries (llm/ package over documents + embeddings)
 # ---------------------------------------------------------------------------
@@ -661,6 +709,44 @@ FROM rep
 """
 
 _ORACLE_LOADER_ROUNDTRIP = _ORACLE_ATTR_LINEAR  # loader must reproduce it exactly
+
+_ORACLE_DATE_WINDOW = f"""
+WITH {_CONV}, {_SESS},
+journeys AS (
+  SELECT c.conv_id AS conversion_id, c.conv_ts
+  FROM conv c JOIN sess s ON c.user_id = s.user_id
+  WHERE s.event_ts <= c.conv_ts
+    AND s.event_ts >= c.conv_ts - INTERVAL {LOOKBACK_DAYS} DAY
+    AND CAST(c.conv_ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-02-10'
+    AND CAST(s.event_ts AS DATE) BETWEEN DATE '2024-01-10' - 30 AND DATE '2024-02-10'
+)
+SELECT strftime(conv_ts, '%Y-%m-%d') AS conv_date,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT conversion_id) AS n_convs
+FROM journeys
+GROUP BY 1
+"""
+
+_ORACLE_CLEANING = """
+WITH dirty AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN '' ELSE event_type END AS ch,
+         CASE WHEN event_id % 5 = 0 THEN CAST('NaN' AS DOUBLE)
+              WHEN event_id % 5 = 1 THEN CAST('Infinity' AS DOUBLE)
+              WHEN event_id % 5 = 2 THEN CAST('-Infinity' AS DOUBLE)
+              ELSE value END AS v
+  FROM events
+),
+cleaned AS (
+  SELECT COALESCE(NULLIF(ch, ''), 'unknown') AS channel_name,
+         CASE WHEN isnan(v) OR v = CAST('Infinity' AS DOUBLE)
+                   OR v = CAST('-Infinity' AS DOUBLE)
+              THEN 0.0 ELSE v END AS v
+  FROM dirty
+)
+SELECT channel_name, COUNT(*) AS n_rows, ROUND(SUM(v), 4) AS total_value
+FROM cleaned
+GROUP BY 1
+"""
 
 _ORACLE_LOADER_ERRORS = f"""
 WITH {_CONV}, {_SESS}, {_JOURNEYS},
@@ -1120,6 +1206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_report_summary": q_report_summary,
         "maef_loader_roundtrip": q_loader_roundtrip,
         "maef_loader_errors": q_loader_errors,
+        "maef_date_window": q_date_window,
+        "maef_cleaning": q_cleaning,
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
         "llm_fingerprint": q_fingerprint,
@@ -1154,6 +1242,8 @@ def oracle_sql() -> dict[str, str]:
         "maef_report_summary": _ORACLE_REPORT_SUMMARY,
         "maef_loader_roundtrip": _ORACLE_LOADER_ROUNDTRIP,
         "maef_loader_errors": _ORACLE_LOADER_ERRORS,
+        "maef_date_window": _ORACLE_DATE_WINDOW,
+        "maef_cleaning": _ORACLE_CLEANING,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_fingerprint": _ORACLE_FINGERPRINT,
