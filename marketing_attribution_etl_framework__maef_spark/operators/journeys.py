@@ -42,6 +42,7 @@ def build_journeys(
     strict_before: bool = False,
     lookback_days: int | None = None,
     broadcast_conversions: bool = False,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """conversions(conv_id, user_id, conv_ts, revenue) x
     sessions(session_id, user_id, event_ts, channel_name, flags...)
@@ -50,6 +51,14 @@ def build_journeys(
     Output columns: conversion_id, session_id, conv_ts, event_ts,
     channel_label, holder_engagement, closer_engagement,
     impression_interaction, conversion, revenue.
+
+    ``salt_buckets``: manual skew salting for when one user dominates
+    the key distribution beyond what AQE's skew-join splitting handles
+    — sessions get ``salt = xxhash64(session_id) % N``, conversions are
+    replicated across all N salts, and the join key becomes
+    (user_id, salt): a hot user's sessions spread over N tasks at the
+    cost of an N-fold replication of the (small) conversions side.
+    Results are identical to the unsalted join.
     """
     conv = conversions.select(
         F.col("conv_id").alias("conversion_id"),
@@ -57,8 +66,6 @@ def build_journeys(
         F.col("conv_ts"),
         F.col("revenue"),
     )
-    if broadcast_conversions:
-        conv = F.broadcast(conv)
 
     sess = sessions.select(
         "session_id",
@@ -70,6 +77,20 @@ def build_journeys(
         "impression_interaction",
     )
 
+    join_keys = ["user_id"]
+    if salt_buckets:
+        n = int(salt_buckets)
+        sess = sess.withColumn(
+            "_salt", F.pmod(F.xxhash64("session_id"), F.lit(n)).cast("int")
+        )
+        conv = conv.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(n)]))
+        )
+        join_keys = ["user_id", "_salt"]
+
+    if broadcast_conversions:
+        conv = F.broadcast(conv)
+
     time_pred = (
         (F.col("event_ts") < F.col("conv_ts"))
         if strict_before
@@ -80,7 +101,7 @@ def build_journeys(
             F.col("event_ts") >= F.col("conv_ts") - F.expr(f"INTERVAL {int(lookback_days)} DAYS")
         )
 
-    joined = conv.join(sess, on="user_id", how="inner").filter(time_pred)
+    joined = conv.join(sess, on=join_keys, how="inner").filter(time_pred)
 
     # conversion flag: 1 iff session timestamp == conversion timestamp
     # (src/etl/transform.py:242-245; reachable only in <= mode).

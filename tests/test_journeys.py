@@ -107,3 +107,18 @@ def test_group_journeys_ordered(spark, fixture):
     ids = [s.session_id for s in g.sessions]
     assert ids == ["s4", "s1", "s2", "s3"]  # time order
     assert g.n_sessions == 4
+
+
+def test_salted_join_equivalent(spark, sf_dir):
+    """Skew salting must not change the result set — same journeys,
+    spread over (user_id, salt) instead of user_id."""
+    from marketing_attribution_etl_framework__maef_spark import domain
+
+    conv = domain.conversions(spark, sf_dir)
+    sess = domain.session_sources(spark, sf_dir)
+    plain = build_journeys(conv, sess, lookback_days=30)
+    salted = build_journeys(conv, sess, lookback_days=30, salt_buckets=8)
+    assert "_salt" not in salted.columns
+    a = {(r.conversion_id, r.session_id) for r in plain.select("conversion_id", "session_id").collect()}
+    b = {(r.conversion_id, r.session_id) for r in salted.select("conversion_id", "session_id").collect()}
+    assert a == b and len(a) > 0
