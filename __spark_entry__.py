@@ -417,6 +417,12 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.language_id(_docs(spark, sf_dir))
 
 
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf-style keyword extraction: top-3 terms per document by
+    tf/df with deterministic tie-breaks."""
+    return txt.top_terms(_docs(spark, sf_dir), k=3)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (char 8-grams, window 4)."""
     return txt.fingerprints(_docs(spark, sf_dir))
@@ -432,6 +438,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs -> exact-Jaccard verify at J >= 1/2. Candidates only within
     LSH buckets — never all-pairs."""
     return dd.minhash_dedup_pairs(_aug_docs(spark, sf_dir))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate clusters: distributed min-label
+    propagation to the connected-components fixpoint (iterative over
+    the small pair graph, never the corpus); cluster_id = the cluster's
+    canonical survivor (min doc id). The oracle reaches the same
+    fixpoint with a recursive CTE."""
+    pairs = dd.minhash_dedup_pairs(_aug_docs(spark, sf_dir))
+    return dd.cluster_duplicates(pairs)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -916,6 +932,22 @@ SELECT doc_id,
 FROM best
 """
 
+_ORACLE_TOP_TERMS = f"""
+WITH {_NORM_RAW},
+ex AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM nd),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM ex) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) / df.df AS score
+  FROM tf JOIN df ON tf.term = df.term
+)
+SELECT doc_id, CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk, term, tf, df
+FROM scored
+WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, term)
+QUALIFY ROW_NUMBER() OVER w <= 3
+"""
+
 _ORACLE_FINGERPRINT = f"""
 WITH {_NORM_RAW},
 ex AS (
@@ -960,8 +992,7 @@ _mh_bands = "\n  UNION ALL ".join(
     for b in range(dd.BANDS)
 )
 
-_ORACLE_DEDUP_MINHASH = f"""
-WITH {_AUG}, {_NORM_AUG}, {_SHINGLED},
+_MINHASH_CTES = f"""
 ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
 sig AS (
   SELECT doc_id,
@@ -988,9 +1019,33 @@ scored AS (
   FROM cand c
   JOIN sets sa ON c.doc_a = sa.doc_id
   JOIN sets sb ON c.doc_b = sb.doc_id
-)
+)"""
+
+_ORACLE_DEDUP_MINHASH = f"""
+WITH {_AUG}, {_NORM_AUG}, {_SHINGLED}, {_MINHASH_CTES}
 SELECT doc_a, doc_b, inter_size, union_size
 FROM scored WHERE inter_size * 2 >= union_size * 1
+"""
+
+_ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_AUG}, {_NORM_AUG}, {_SHINGLED}, {_MINHASH_CTES},
+pairs AS (
+  SELECT doc_a, doc_b FROM scored WHERE inter_size * 2 >= union_size * 1
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, cluster_id) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.cluster_id
+  FROM walk w JOIN edges e ON e.dst = w.doc_id
+)
+SELECT doc_id, MIN(cluster_id) AS cluster_id
+FROM walk
+GROUP BY doc_id
 """
 
 _sh_votes = ",\n         ".join(
@@ -1210,9 +1265,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_cleaning": q_cleaning,
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
+        "llm_top_terms": q_top_terms,
         "llm_fingerprint": q_fingerprint,
         "llm_dedup_exact": q_dedup_exact,
         "llm_dedup_minhash": q_dedup_minhash,
+        "llm_dedup_clusters": q_dedup_clusters,
         "llm_dedup_simhash": q_dedup_simhash,
         "llm_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "llm_ann_topk": q_ann_topk,
@@ -1246,9 +1303,11 @@ def oracle_sql() -> dict[str, str]:
         "maef_cleaning": _ORACLE_CLEANING,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
+        "llm_top_terms": _ORACLE_TOP_TERMS,
         "llm_fingerprint": _ORACLE_FINGERPRINT,
         "llm_dedup_exact": _ORACLE_DEDUP_EXACT,
         "llm_dedup_minhash": _ORACLE_DEDUP_MINHASH,
+        "llm_dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         "llm_dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "llm_dedup_ngram_jaccard": _ORACLE_DEDUP_NGRAM,
         "llm_ann_topk": _ORACLE_ANN_TOPK,

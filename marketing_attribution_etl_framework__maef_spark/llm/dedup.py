@@ -286,6 +286,76 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components over pair lists)
+# ---------------------------------------------------------------------------
+
+
+def cluster_duplicates(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
+    components by iterative min-label propagation, so a chain
+    a~b, b~c lands a, b, c in one cluster with the min doc id as the
+    canonical survivor. Returns (doc_id, cluster_id) for every doc
+    that appears in a pair.
+
+    Iterative-but-distributed: each round is one join + one aggregate
+    over the PAIR graph (small after LSH — never the corpus), and the
+    round count is the component diameter (tiny for dup clusters, and
+    halving-style propagation converges in O(log diameter)). The loop
+    stops at the fixpoint; ``max_iterations`` only guards against
+    pathological chains."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"], "inner")
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("_nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("_nmin", F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def survivors_from_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep one document per duplicate cluster (the min id) plus every
+    document that appears in no pair."""
+    clusters = cluster_duplicates(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
 # blocked exact n-gram Jaccard (small-block baseline)
 # ---------------------------------------------------------------------------
 

@@ -119,6 +119,36 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document keyword extraction, tf-idf-style: terms ranked by
+    tf/df (in-document frequency over corpus document frequency) with
+    term-alphabetical tie-breaks. The score is a single IEEE division
+    of two exact integers — deliberately not log-idf, whose libm
+    rounding can differ across engines — so the ranking is bit-stable
+    and oracle-checkable. Two hash aggregates + one broadcast-sized
+    term-frequency join."""
+    norm = normalize_text(F.col(text_col))
+    ex = docs.select(F.col(id_col), F.explode(words(norm)).alias("term"))
+    tf = ex.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        ex.select(F.col(id_col), "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(df_, "term").withColumn(
+        "_score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col(id_col), F.col("rnk").cast("long").alias("rnk"), "term", "tf", "df")
+    )
+
+
 def fingerprints(
     docs: DataFrame,
     text_col: str = "text",

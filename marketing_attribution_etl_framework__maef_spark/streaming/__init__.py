@@ -3,9 +3,16 @@ of events and incremental attribution via ``foreachBatch``."""
 
 from marketing_attribution_etl_framework__maef_spark.streaming.incremental import (
     IncrementalAttribution,
+    dedup_stream,
     stream_events,
     windowed_channel_volume,
 )
 from marketing_attribution_etl_framework__maef_spark.streaming.sessionize import sessionize
 
-__all__ = ["IncrementalAttribution", "sessionize", "stream_events", "windowed_channel_volume"]
+__all__ = [
+    "IncrementalAttribution",
+    "dedup_stream",
+    "sessionize",
+    "stream_events",
+    "windowed_channel_volume",
+]

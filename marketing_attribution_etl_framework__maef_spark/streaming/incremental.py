@@ -59,6 +59,14 @@ def stream_events(
     return reader.parquet(path).withWatermark("ts", watermark)
 
 
+def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Streaming exact dedup: drop duplicate events within the
+    watermark horizon (state for a key is evicted once the watermark
+    passes it, so state is bounded by the lateness window, not the
+    stream length). Keys default to the event primary key."""
+    return events.dropDuplicatesWithinWatermark(keys or ["event_id"])
+
+
 def windowed_channel_volume(events: DataFrame, window: str = "1 day") -> DataFrame:
     """Watermarked event-time window aggregation: per-channel session
     count and value per window. Append-mode safe: a window closes once

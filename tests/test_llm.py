@@ -53,6 +53,27 @@ def test_lang_id(docs):
     assert got[5][0] == "de"  # zero everywhere -> alphabetical tie-break
 
 
+def test_top_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana common"),
+            (2, "cherry cherry common banana"),
+            (3, "common durian"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.rnk): (r.term, r.tf, r.df)
+        for r in txt.top_terms(docs, k=2).collect()
+    }
+    # doc 1: apple tf=3/df=1 beats banana 1/2 and common 1/3
+    assert got[(1, 1)] == ("apple", 3, 1)
+    assert got[(2, 1)] == ("cherry", 2, 1)
+    # doc 3: durian 1/1 beats common 1/3
+    assert got[(3, 1)] == ("durian", 1, 1)
+    assert got[(3, 2)] == ("common", 1, 3)
+
+
 def test_fingerprints_deterministic(docs, spark):
     a = txt.fingerprints(docs).collect()
     b = txt.fingerprints(docs).collect()
@@ -95,6 +116,22 @@ def test_ngram_jaccard_blocked(docs):
     pairs = {(r.doc_a, r.doc_b) for r in dd.ngram_jaccard_pairs(docs).collect()}
     assert (1, 2) in pairs and (1, 3) in pairs
     assert (1, 4) not in pairs  # different block (lang)
+
+
+def test_cluster_duplicates_chain(spark):
+    """Transitive chains collapse into one cluster with the min id as
+    survivor: 1~2, 2~3 and 7~9 give clusters {1,2,3} and {7,9}."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dd.cluster_duplicates(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [1, 2, 3, 5, 7, 9]], "doc_id long, text string"
+    )
+    kept = {r.doc_id for r in dd.survivors_from_pairs(docs, pairs).collect()}
+    assert kept == {1, 5, 7}  # one per cluster + untouched doc
 
 
 @pytest.fixture(scope="module")

@@ -105,6 +105,34 @@ def test_windowed_channel_volume(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_dedup_stream(spark, sf_dir, tmp_path):
+    """Streaming exact dedup drops replayed events within the
+    watermark horizon."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import dedup_stream
+
+    ev = domain.load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "dupstream")
+    os.makedirs(src, exist_ok=True)
+    ev.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "a"))
+    for f in os.listdir(str(tmp_path / "a")):
+        if f.endswith(".parquet"):
+            shutil.copy(str(tmp_path / "a" / f), os.path.join(src, "once.parquet"))
+            shutil.copy(str(tmp_path / "a" / f), os.path.join(src, "replay.parquet"))
+
+    out = dedup_stream(stream_events(spark, src, watermark="365 days"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream_t").first()
+    assert got.n == got.d == ev.count()
+
+
 def test_multimodal_plumbing(spark, sf_dir):
     docs = domain.load_table(spark, sf_dir, "documents")
     media = mm.attach_binary(docs)
