@@ -113,6 +113,65 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pixels", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def resize_payload(
+    payload: bytes, width: int, height: int, fake: bool = False
+) -> list[float]:
+    """Resize one image payload to width x height grayscale pixels.
+
+    STUB: a real implementation decodes with PIL/opencv and resamples;
+    neither is installed here. ``fake=True`` maps byte stripes onto the
+    target grid deterministically so the batching plumbing and output
+    shape are real and testable."""
+    if not fake:
+        raise NotImplementedError("no image codec available; use fake=True or install PIL")
+    n = width * height
+    if not payload:
+        return [0.0] * n
+    stripe = max(len(payload) // n, 1)
+    out = []
+    for i in range(n):
+        chunk = payload[i * stripe : (i + 1) * stripe] or payload[-stripe:]
+        out.append(sum(chunk) / (255.0 * len(chunk)))
+    return out
+
+
+def resize_images(
+    media: DataFrame, width: int = 4, height: int = 4, fake: bool = True
+) -> DataFrame:
+    """Arrow-batched resize over image-typed payloads: fixed output
+    shape (width x height grayscale in [0,1]), payloads never return
+    to the JVM — only the resized grid does."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            mask = pdf["media_type"] == "image/png"
+            sub = pdf[mask]
+            yield pd.DataFrame(
+                {
+                    "doc_id": sub["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "pixels": [
+                        resize_payload(p, width, height, fake=fake) for p in sub["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(
     media: DataFrame, n_frames: int = 4, frame_bytes: int = 16
 ) -> DataFrame:

@@ -155,6 +155,17 @@ def test_multimodal_decode_stub_raises():
         mm.decode_payload(b"abc", "image/png", fake=False)
 
 
+def test_resize_images(spark, sf_dir):
+    media = mm.attach_binary(domain.load_table(spark, sf_dir, "documents"))
+    out = mm.resize_images(media, width=3, height=2, fake=True).collect()
+    n_images = media.filter(F.col("media_type") == "image/png").count()
+    assert len(out) == n_images > 0
+    assert all(len(r.pixels) == 6 for r in out)
+    assert all(0.0 <= v <= 1.0 for r in out for v in r.pixels)
+    with pytest.raises(NotImplementedError):
+        mm.resize_payload(b"abc", 2, 2, fake=False)
+
+
 def test_frame_sampling(spark, sf_dir):
     media = mm.attach_binary(domain.load_table(spark, sf_dir, "documents"))
     frames = mm.sample_frames(media, n_frames=4, frame_bytes=16)
