@@ -423,6 +423,15 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.top_terms(_docs(spark, sf_dir), k=3)
 
 
+BM25_QUERY_TERMS = ["spark", "join", "window", "stream"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 documents for a fixed 4-term query; ranks are
+    ordered by the q20-quantized score (integer-deterministic)."""
+    return txt.bm25_topk(_docs(spark, sf_dir), BM25_QUERY_TERMS, k=20)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (char 8-grams, window 4)."""
     return txt.fingerprints(_docs(spark, sf_dir))
@@ -948,6 +957,44 @@ WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, term)
 QUALIFY ROW_NUMBER() OVER w <= 3
 """
 
+_bm25_terms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+_ORACLE_BM25 = f"""
+WITH {_NORM_RAW},
+d AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM nd),
+dlen AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+  FROM dlen
+),
+ex AS (SELECT doc_id, dl, unnest(ws) AS term FROM dlen),
+tf AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ex WHERE term IN ({_bm25_terms_sql}) GROUP BY 1, 2, 3
+),
+dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ln(((t.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) + 1.0)
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * ((tf.dl * t.n_docs) / t.sum_dl))) AS w
+  FROM tf JOIN dfx USING (term) CROSS JOIN totals t
+),
+agg AS (
+  SELECT doc_id, SUM(w) AS score, CAST(COUNT(*) AS BIGINT) AS n_hit_terms
+  FROM scored GROUP BY 1
+),
+q AS (
+  SELECT doc_id, n_hit_terms,
+         CAST(FLOOR(score * 1048576.0 + 0.5) AS BIGINT) AS score_q20
+  FROM agg
+)
+SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk, doc_id, n_hit_terms, score_q20
+FROM q
+WINDOW w AS (ORDER BY score_q20 DESC, doc_id)
+QUALIFY ROW_NUMBER() OVER w <= 20
+"""
+
 _ORACLE_FINGERPRINT = f"""
 WITH {_NORM_RAW},
 ex AS (
@@ -1266,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
         "llm_top_terms": q_top_terms,
+        "llm_bm25_topk": q_bm25_topk,
         "llm_fingerprint": q_fingerprint,
         "llm_dedup_exact": q_dedup_exact,
         "llm_dedup_minhash": q_dedup_minhash,
@@ -1304,6 +1352,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,
+        "llm_bm25_topk": _ORACLE_BM25,
         "llm_fingerprint": _ORACLE_FINGERPRINT,
         "llm_dedup_exact": _ORACLE_DEDUP_EXACT,
         "llm_dedup_minhash": _ORACLE_DEDUP_MINHASH,

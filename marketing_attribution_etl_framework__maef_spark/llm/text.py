@@ -149,6 +149,81 @@ def top_terms(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 retrieval: score every document against a fixed query
+    term set (k1 = 1.2, b = 0.75) and keep the global top-k.
+
+    The reference has no retrieval operator; this is part of the
+    LLM-training-data layer (quality scoring / corpus search). The
+    formula is the standard BM25+1 idf, ln((N - df + 1/2)/(df + 1/2) + 1),
+    which is strictly positive so stopword-frequency terms cannot flip
+    sign. Scores are irrational (a log times rationals), so the q20
+    binary fixed-point quantization is boundary-safe, and the final
+    rank orders by the *quantized* score with a doc-id tie-break —
+    fully integer-deterministic across engines.
+
+    Scale: two hash aggregates over the exploded term list (the filter
+    to the tiny query vocabulary is pushed below the first shuffle, so
+    the shuffled data is |query_terms| rows per doc, not the corpus
+    vocabulary); df and the (N, sum_dl) scalars are broadcast; the
+    global top-k is ``orderBy().limit(k)`` — Spark's
+    TakeOrderedAndProject, a per-partition heap merge, never a
+    single-task global sort. The k-row result then gets rank numbers
+    from a window over those k rows only.
+    """
+    norm = normalize_text(F.col(text_col))
+    d = docs.select(F.col(id_col), words(norm).alias("_ws"))
+    d = d.select(id_col, "_ws", F.size("_ws").cast("long").alias("dl"))
+    totals = d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    ex = d.select(F.col(id_col), "dl", F.explode("_ws").alias("term")).filter(
+        F.col("term").isin(query_terms)
+    )
+    tf = ex.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        ((F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * ((F.col("dl") * F.col("n_docs")) / F.col("sum_dl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            (idf * (F.col("tf") * F.lit(2.2)) / denom).alias("w"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.sum("w").alias("_score"),
+        F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+    )
+    q = agg.select(
+        F.col(id_col),
+        "n_hit_terms",
+        F.floor(F.col("_score") * F.lit(1048576.0) + F.lit(0.5))
+        .cast("long")
+        .alias("score_q20"),
+    )
+    top = q.orderBy(F.desc("score_q20"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score_q20"), F.asc(id_col))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.col(id_col),
+        "n_hit_terms",
+        "score_q20",
+    )
+
+
 def fingerprints(
     docs: DataFrame,
     text_col: str = "text",

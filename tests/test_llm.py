@@ -74,6 +74,43 @@ def test_top_terms(spark):
     assert got[(3, 2)] == ("common", 1, 3)
 
 
+def test_bm25_topk(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler filler"),
+            (2, "spark join"),
+            (3, "filler words only here"),
+            (4, "join join spark extra"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = txt.bm25_topk(docs, ["spark", "join"], k=3).collect()
+    assert [r.rnk for r in rows] == [1, 2, 3]
+    got = {r.doc_id: (r.rnk, r.n_hit_terms, r.score_q20) for r in rows}
+    assert 3 not in got  # no query term -> excluded
+    assert got[2][1] == 2 and got[4][1] == 2 and got[1][1] == 1
+
+    # recompute expected scores with the same formula (q20 absorbs libm ulps)
+    n_docs, sum_dl = 4, 6 + 2 + 4 + 4
+    df = {"spark": 3, "join": 2}
+    dl = {1: 6, 2: 2, 4: 4}
+    tf = {1: {"spark": 3}, 2: {"spark": 1, "join": 1}, 4: {"spark": 1, "join": 2}}
+
+    def score(d):
+        s = 0.0
+        for t, f in tf[d].items():
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * ((dl[d] * n_docs) / sum_dl)))
+        return math.floor(s * 1048576.0 + 0.5)
+
+    for d in (1, 2, 4):
+        assert got[d][2] == score(d)
+    expected_order = sorted((d for d in (1, 2, 4)), key=lambda d: (-score(d), d))
+    assert [r.doc_id for r in rows] == expected_order
+
+
 def test_fingerprints_deterministic(docs, spark):
     a = txt.fingerprints(docs).collect()
     b = txt.fingerprints(docs).collect()
