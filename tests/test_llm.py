@@ -171,6 +171,17 @@ def test_cluster_duplicates_chain(spark):
     assert kept == {1, 5, 7}  # one per cluster + untouched doc
 
 
+def test_cluster_duplicates_long_chain(spark):
+    """A 400-link path graph (diameter 400) must converge inside the
+    default 20-iteration budget — pointer doubling gives O(log d)
+    rounds, so plain O(d) propagation would fail this test."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "doc_a long, doc_b long"
+    )
+    labels = dd.cluster_duplicates(pairs)
+    assert labels.filter("cluster_id = 0").count() == 401
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rows = [
