@@ -496,6 +496,34 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means centroids (k=8, 2 Lloyd iterations) over q20
+    unit vectors, exploded to (cluster, pos, comp) integer rows; the
+    oracle unrolls the same iterations as CTE layers."""
+    cents = sim.kmeans_centroids(_embs(spark, sf_dir), k=8, n_iter=2)
+    return cents.select(
+        "cluster", F.posexplode("cq").alias("pos", "comp")
+    ).select("cluster", F.col("pos").cast("long").alias("pos"), "comp")
+
+
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat top-5 probing k-means centroids instead of the fixed
+    vec_id<8 seeds — the production IVF shape (at scale the corpus
+    would also be storage-partitioned by these cluster ids)."""
+    e = _embs(spark, sf_dir)
+    cents = sim.kmeans_centroids(e, k=8, n_iter=2)
+    out = sim.ivf_topk(
+        e,
+        e.filter(F.col("vec_id") % 50 == 7),
+        sim.centroids_as_embeddings(cents),
+        k=5,
+        probe=2,
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rnk"), "vec_id", "cos_q20"
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH approximate top-5: 6 md5-derived hyperplanes bucket the
     corpus into <=64 cells; brute force only inside the query's cell."""
@@ -1211,6 +1239,91 @@ WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id)
 QUALIFY ROW_NUMBER() OVER w <= 5
 """
 
+def _kmeans_ctes(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations as CTE layers (kqv -> kc0 -> ka_i ->
+    ks_i -> kc_i). All integer math over q20 unit vectors, so every
+    layer is bit-identical to the Spark loop in
+    llm/similarity.py kmeans_centroids."""
+    parts = [
+        "kqv AS (SELECT vec_id, list_transform(v, x -> "
+        "CAST(floor(x / vn * 1048576.0 + 0.5) AS BIGINT)) AS qv FROM e)",
+        f"kseeds AS (SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS m "
+        f"FROM kqv ORDER BY m, vec_id LIMIT {k})",
+        "kc0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY m, vec_id) - 1 AS BIGINT) "
+        "AS cluster, qv AS cq FROM kseeds)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""ka{i} AS (
+  SELECT vec_id, qv, cluster FROM (
+    SELECT t.vec_id, t.qv, c.cluster,
+           CAST(list_dot_product(t.qv::DOUBLE[], t.qv::DOUBLE[])
+                - 2.0 * list_dot_product(t.qv::DOUBLE[], c.cq::DOUBLE[])
+                + list_dot_product(c.cq::DOUBLE[], c.cq::DOUBLE[]) AS BIGINT) AS d
+    FROM kqv t CROSS JOIN kc{i - 1} c)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1
+)""")
+        parts.append(
+            f"kx{i} AS (SELECT cluster, p.pos, qv[p.pos + 1] AS comp FROM ka{i} "
+            f"CROSS JOIN (SELECT unnest(range(0, {dim})) AS pos) p)"
+        )
+        parts.append(
+            f"ks{i} AS (SELECT cluster, CAST(pos AS BIGINT) AS pos, "
+            f"CAST(floor(CAST(SUM(comp) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp "
+            f"FROM kx{i} GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"kc{i} AS (SELECT cluster, list(comp ORDER BY pos) AS cq FROM ks{i} GROUP BY 1)"
+        )
+    return ",\n".join(parts)
+
+
+_ORACLE_ANN_KMEANS = f"""
+WITH {_E_NORMED},
+{_kmeans_ctes()}
+SELECT cluster, pos, comp FROM ks2
+"""
+
+_ORACLE_ANN_IVF_KMEANS = f"""
+WITH {_E_NORMED},
+{_kmeans_ctes()},
+cents AS (
+  SELECT cluster AS centroid_id, cq::DOUBLE[] AS cv,
+         sqrt(list_dot_product(cq::DOUBLE[], cq::DOUBLE[])) AS cn
+  FROM kc2
+),
+q AS (SELECT vec_id AS query_id, v AS qv0, vn AS qn FROM e WHERE vec_id % 50 = 7),
+ascored AS (
+  SELECT e.vec_id, e.v, e.vn, c.centroid_id,
+         list_dot_product(e.v, c.cv) / (e.vn * c.cn) AS cs
+  FROM e, cents c
+),
+assign AS (
+  SELECT vec_id, v, vn, centroid_id AS cluster FROM ascored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) = 1
+),
+qscored AS (
+  SELECT q.query_id, q.qv0, q.qn, c.centroid_id,
+         list_dot_product(q.qv0, c.cv) / (q.qn * c.cn) AS cs
+  FROM q, cents c
+),
+probes AS (
+  SELECT query_id, qv0, qn, centroid_id AS cluster FROM qscored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, centroid_id) <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id,
+         list_dot_product(p.qv0, a.v) / (p.qn * a.vn) AS cos
+  FROM probes p JOIN assign a ON p.cluster = a.cluster
+)
+SELECT query_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+       vec_id,
+       CAST(FLOOR(cos * 1048576.0 + 0.5) AS BIGINT) AS cos_q20
+FROM cand
+WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id)
+QUALIFY ROW_NUMBER() OVER w <= 5
+"""
+
 _ORACLE_ANN_LSH = f"""
 WITH {_E_NORMED},
 hp AS (
@@ -1322,6 +1435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
+        "llm_ann_kmeans": q_ann_kmeans,
+        "llm_ann_ivf_kmeans": q_ann_ivf_kmeans,
         "llm_ann_lsh": q_ann_lsh,
         "llm_embedding_neardup": q_embedding_neardup,
         "llm_multimodal_meta": q_multimodal_meta,
@@ -1361,6 +1476,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_ngram_jaccard": _ORACLE_DEDUP_NGRAM,
         "llm_ann_topk": _ORACLE_ANN_TOPK,
         "llm_ann_ivf": _ORACLE_ANN_IVF,
+        "llm_ann_kmeans": _ORACLE_ANN_KMEANS,
+        "llm_ann_ivf_kmeans": _ORACLE_ANN_IVF_KMEANS,
         "llm_ann_lsh": _ORACLE_ANN_LSH,
         "llm_embedding_neardup": _ORACLE_EMB_NEARDUP,
         "llm_multimodal_meta": _ORACLE_MM_META,

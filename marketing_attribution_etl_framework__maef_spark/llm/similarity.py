@@ -148,6 +148,114 @@ def ivf_topk(
     )
 
 
+def idot(a: Column, b: Column) -> Column:
+    """Integer dot product over long arrays — exact, order-independent,
+    so it is bit-identical across engines by construction (q20 unit
+    vectors keep every partial sum far below 2^53)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def quantized_unit_vectors(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, q20-quantized unit vector): x -> floor(x/||v|| * 2^20
+    + 1/2) as long. Normalizing first makes k-means on these integers
+    *spherical* k-means (L2 on unit vectors is monotone in cosine), and
+    quantizing makes every later distance/centroid computation exact
+    integer math — the only floats are the one normalize division and
+    the final cosine, both IEEE-identical across engines."""
+    c = _norm_vec(corpus, id_col, vec_col, "vec_id", "_v")
+    return c.select(
+        "vec_id",
+        F.transform(
+            "_v", lambda x: F.floor(x / F.col("_vn") * F.lit(1048576.0) + F.lit(0.5)).cast("long")
+        ).alias("qv"),
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means over q20 unit vectors -> (cluster, cq)
+    centroid table (cq = array<long> in q20 units).
+
+    Deterministic end to end: seeds are the k vectors with the smallest
+    md5(vec_id) (a fixed pseudo-random draw both engines replay);
+    assignment minimizes the exact integer squared-L2 with centroid-id
+    tie-break; the centroid update is floor(SUM/COUNT) where SUM is an
+    exact integer — no float accumulation anywhere, so the DuckDB
+    oracle unrolls the same iterations bit-identically.
+
+    Scale shape per iteration: one broadcast of the k-row centroid
+    table, one corpus pass for assignment (no shuffle), then
+    posexplode -> groupBy(cluster, pos) — a map-side-combinable
+    aggregate whose reduce side is k*dim rows. Centroids are
+    localCheckpointed between iterations so the driver plan stays flat
+    (see cluster_duplicates for why). Empty clusters drop out rather
+    than being re-seeded — acceptable for IVF pruning, documented here.
+    At 100 TB you would persist the assignment of the LAST iteration
+    and write the corpus partitioned by cluster so IVF probes prune at
+    the storage layer (dynamic partition pruning)."""
+    q = quantized_unit_vectors(corpus, id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    w0 = Window.orderBy("_m", "vec_id")
+    cents = (
+        q.select("vec_id", "qv", F.md5(F.col("vec_id").cast("string")).alias("_m"))
+        .orderBy("_m", "vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w0) - 1).cast("long").alias("cluster"),
+            F.col("qv").alias("cq"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        dist = (
+            idot(F.col("qv"), F.col("qv"))
+            - F.lit(2) * idot(F.col("qv"), F.col("cq"))
+            + idot(F.col("cq"), F.col("cq"))
+        )
+        wa = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("cluster"))
+        assign = (
+            q.crossJoin(F.broadcast(cents))
+            .select("vec_id", "qv", "cluster", dist.alias("_d"))
+            .withColumn("_rn", F.row_number().over(wa))
+            .filter(F.col("_rn") == 1)
+        )
+        comps = assign.select("cluster", F.posexplode("qv").alias("pos", "comp"))
+        sums = comps.groupBy("cluster", F.col("pos").cast("long").alias("pos")).agg(
+            F.sum("comp").alias("_s"), F.count(F.lit(1)).alias("_n")
+        )
+        new_comp = F.floor(F.col("_s").cast("double") / F.col("_n")).cast("long")
+        cents = (
+            sums.select("cluster", "pos", new_comp.alias("comp"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "comp"))), lambda s: s["comp"]
+                ).alias("cq")
+            )
+            .localCheckpoint()
+        )
+    q.unpersist()
+    return cents
+
+
+def centroids_as_embeddings(cents: DataFrame) -> DataFrame:
+    """Adapt a (cluster, cq) centroid table to the (vec_id, embedding)
+    shape ivf_topk expects; q20 integers become integer-valued doubles
+    (exact), and cosine is scale-invariant so the q20 scale is free."""
+    return cents.select(
+        F.col("cluster").alias("vec_id"),
+        F.transform("cq", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
 def random_hyperplanes(spark, n_planes: int = 6, dim: int = 64) -> DataFrame:
     """Deterministic pseudo-random hyperplanes for sign-LSH: component
     (j, d) is the 60-bit md5 integer of "j_d" scaled into [-1, 1).

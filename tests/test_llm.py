@@ -171,6 +171,37 @@ def test_cluster_duplicates_chain(spark):
     assert kept == {1, 5, 7}  # one per cluster + untouched doc
 
 
+def test_kmeans_centroids_separates_directions(spark):
+    """Two tight direction bundles -> k=2 spherical k-means lands one
+    centroid per bundle, and members assign to their own bundle (IVF
+    with probe=1 returns neighbours only from the query's bundle)."""
+    import marketing_attribution_etl_framework__maef_spark.llm.similarity as s
+
+    # even ids hug +x, odd ids hug +z; the md5 seed order for 0..11
+    # starts (6, 9), so the two seeds land in different bundles
+    rows = [
+        (i, [10.0 + (i % 3), 1.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 10.0 + (i % 3)])
+        for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = s.kmeans_centroids(emb, k=2, n_iter=2).collect()
+    assert len(cents) == 2
+    # one centroid points mostly along x, the other mostly along z
+    by_dir = sorted([list(c.cq) for c in cents], key=lambda v: v[0])
+    assert by_dir[0][2] > by_dir[0][0] and by_dir[1][0] > by_dir[1][2]
+
+    evens, odds = set(range(0, 12, 2)), set(range(1, 12, 2))
+    out = s.ivf_topk(
+        emb, emb.filter("vec_id in (0, 7)"), s.centroids_as_embeddings(
+            s.kmeans_centroids(emb, k=2, n_iter=2)
+        ), k=3, probe=1,
+    ).collect()
+    got = {r.query_id: set() for r in out}
+    for r in out:
+        got[r.query_id].add(r.vec_id)
+    assert got[0] <= evens and got[7] <= odds
+
+
 def test_cluster_duplicates_long_chain(spark):
     """A 400-link path graph (diameter 400) must converge inside the
     default 20-iteration budget — pointer doubling gives O(log d)
