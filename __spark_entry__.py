@@ -539,6 +539,23 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe sign-LSH top-5: base bucket + 2 least-confident bit
+    flips per query — ~3/64 of the corpus scanned vs 1/64 for
+    single-probe, with correspondingly better recall."""
+    e = _embs(spark, sf_dir)
+    out = sim.lsh_multiprobe_topk(
+        e,
+        e.filter(F.col("vec_id") % 50 == 7),
+        sim.random_hyperplanes(spark, n_planes=6, dim=64),
+        k=5,
+        t=2,
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rnk"), "vec_id", "cos_q20"
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-blocked cosine near-duplicate pairs at >= 0.9."""
     return sim.embedding_neardup_pairs(_aug_embeddings(spark, sf_dir), threshold=0.9)
@@ -1359,6 +1376,58 @@ WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id)
 QUALIFY ROW_NUMBER() OVER w <= 5
 """
 
+_ORACLE_ANN_LSH_MULTIPROBE = f"""
+WITH {_E_NORMED},
+hp AS (
+  SELECT CAST(j AS INTEGER) AS plane,
+         list_transform(range(1, 65),
+           d -> CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT)
+                / CAST(576460752303423488 AS DOUBLE) - 1.0) AS h
+  FROM range(0, 6) t(j)
+),
+sk AS (
+  SELECT e.vec_id,
+         SUM(CASE WHEN list_dot_product(e.v, hp.h) >= 0
+                  THEN CAST(power(2.0, hp.plane) AS BIGINT) ELSE 0 END) AS bucket
+  FROM e, hp
+  GROUP BY e.vec_id
+),
+esk AS (SELECT e.vec_id, e.v, e.vn, sk.bucket FROM e JOIN sk ON e.vec_id = sk.vec_id),
+q AS (SELECT vec_id AS query_id, v AS qv0, vn AS qn FROM e WHERE vec_id % 50 = 7),
+qd AS (
+  SELECT q.query_id, hp.plane, list_dot_product(q.qv0, hp.h) AS d
+  FROM q, hp
+),
+qb AS (
+  SELECT query_id,
+         SUM(CASE WHEN d >= 0 THEN CAST(power(2.0, plane) AS BIGINT) ELSE 0 END) AS bucket
+  FROM qd GROUP BY 1
+),
+fl AS (
+  SELECT query_id, plane FROM qd
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY abs(d), plane) <= 2
+),
+pr AS (
+  SELECT query_id, bucket FROM qb
+  UNION
+  SELECT f.query_id, xor(b.bucket, CAST(power(2.0, f.plane) AS BIGINT))
+  FROM fl f JOIN qb b USING (query_id)
+),
+cand AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(q.qv0, c.v) / (q.qn * c.vn) AS cos
+  FROM q JOIN pr ON q.query_id = pr.query_id
+         JOIN esk c ON pr.bucket = c.bucket
+)
+SELECT query_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+       vec_id,
+       CAST(FLOOR(cos * 1048576.0 + 0.5) AS BIGINT) AS cos_q20
+FROM cand
+WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id)
+QUALIFY ROW_NUMBER() OVER w <= 5
+"""
+
 _ORACLE_EMB_NEARDUP = f"""
 WITH eaug0 AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
@@ -1438,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ann_kmeans": q_ann_kmeans,
         "llm_ann_ivf_kmeans": q_ann_ivf_kmeans,
         "llm_ann_lsh": q_ann_lsh,
+        "llm_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "llm_embedding_neardup": q_embedding_neardup,
         "llm_multimodal_meta": q_multimodal_meta,
         "llm_multimodal_features": q_multimodal_features,
@@ -1479,6 +1549,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_ann_kmeans": _ORACLE_ANN_KMEANS,
         "llm_ann_ivf_kmeans": _ORACLE_ANN_IVF_KMEANS,
         "llm_ann_lsh": _ORACLE_ANN_LSH,
+        "llm_ann_lsh_multiprobe": _ORACLE_ANN_LSH_MULTIPROBE,
         "llm_embedding_neardup": _ORACLE_EMB_NEARDUP,
         "llm_multimodal_meta": _ORACLE_MM_META,
         # llm_multimodal_features: intentionally no oracle — Python

@@ -15,8 +15,9 @@ Modules:
 - ``dedup``: exact (normalized-hash), MinHash-LSH (banded candidate
   generation — never all-pairs), SimHash (byte-banded), and blocked
   exact n-gram-Jaccard as the small-scale baseline.
-- ``similarity``: cosine top-k (brute-force baseline and IVF-pruned
-  scale path), embedding near-duplicate pairs.
+- ``similarity``: cosine top-k (brute-force baseline; IVF with fixed
+  or spherical-k-means centroids; single- and multiprobe sign-LSH),
+  embedding near-duplicate pairs.
 - ``multimodal``: binary-column plumbing with Arrow-batched feature
   extraction (decode stubbed — codec libs are not in this container).
 """

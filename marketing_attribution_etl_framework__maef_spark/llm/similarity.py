@@ -336,6 +336,64 @@ def lsh_topk(
     )
 
 
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: DataFrame,
+    k: int = 5,
+    t: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Multiprobe sign-LSH top-k: each query probes its own bucket PLUS
+    the ``t`` buckets reached by flipping the sign bit whose projection
+    magnitude |q.h_j| is smallest — the planes the query sits closest
+    to, i.e. exactly where a true neighbour most likely landed on the
+    other side. Recovers most of the recall single-bucket LSH loses for
+    a (t+1)/2^n_planes corpus-scan fraction instead of 1/2^n_planes.
+
+    Flip choice is deterministic cross-engine: the dots are the same
+    left-fold floats in both engines, ordered by (|dot|, plane). Each
+    corpus vector lives in exactly one bucket, so probing distinct
+    buckets can never produce duplicate candidates. Scale shape is the
+    same equi-join as lsh_topk, with t+1 probe rows per query."""
+    c_sk = lsh_sketch(corpus, planes, id_col, vec_col)
+    q = _norm_vec(queries, query_id_col, vec_col, "query_id", "_q")
+    qd = q.crossJoin(F.broadcast(planes)).select(
+        "query_id", "_q", "_qn", "plane", dot(F.col("_q"), F.col("h")).alias("_d")
+    )
+    agg = qd.groupBy("query_id", "_q", "_qn").agg(
+        F.sum(
+            F.when(F.col("_d") >= 0, F.pow(F.lit(2.0), F.col("plane")).cast("long")).otherwise(
+                F.lit(0)
+            )
+        ).alias("bucket"),
+        F.array_sort(
+            F.collect_list(F.struct(F.abs("_d").alias("a"), F.col("plane").alias("p")))
+        ).alias("_fl"),
+    )
+    flip_buckets = F.transform(
+        F.slice("_fl", 1, t),
+        lambda f: F.col("bucket").bitwiseXOR(F.pow(F.lit(2.0), f["p"]).cast("long")),
+    )
+    ex = agg.select(
+        "query_id",
+        "_q",
+        "_qn",
+        F.explode(F.array_union(F.array(F.col("bucket")), flip_buckets)).alias("bucket"),
+    )
+    cand = ex.join(c_sk, on="bucket", how="inner").select(
+        "query_id", "vec_id", _pair_cos("_q", "_v").alias("_cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", q20(F.col("_cos")).alias("cos_q20"))
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,

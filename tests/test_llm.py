@@ -202,6 +202,32 @@ def test_kmeans_centroids_separates_directions(spark):
     assert got[0] <= evens and got[7] <= odds
 
 
+def test_lsh_multiprobe_superset(spark):
+    """Multiprobe candidates are a superset of single-probe candidates
+    (the base bucket is always probed), so with k = corpus size every
+    single-probe hit appears in the multiprobe result too."""
+    import hashlib
+
+    import marketing_attribution_etl_framework__maef_spark.llm.similarity as s
+
+    def vec(i):
+        h = hashlib.md5(str(i).encode()).digest()
+        return [b / 127.5 - 1.0 for b in h[:8]]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    planes = s.random_hyperplanes(spark, n_planes=4, dim=8)
+    qs = emb.filter("vec_id in (3, 17, 29)")
+    single = {(r.query_id, r.vec_id) for r in s.lsh_topk(emb, qs, planes, k=100).collect()}
+    multi = {
+        (r.query_id, r.vec_id)
+        for r in s.lsh_multiprobe_topk(emb, qs, planes, k=100, t=2).collect()
+    }
+    assert single <= multi
+    assert len(multi) > len(single)  # the flips reached extra buckets
+
+
 def test_cluster_duplicates_long_chain(spark):
     """A 400-link path graph (diameter 400) must converge inside the
     default 20-iteration budget — pointer doubling gives O(log d)
