@@ -87,6 +87,102 @@ class Warehouse:
         return counts
 
 
+def merge_upsert(
+    wh: Warehouse,
+    table: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Storage-level MERGE (upsert) into a parquet table: rows whose
+    key matches an update are replaced, new keys are appended.
+
+    This is the keyed-write path the reference drives through SQLite
+    ``INSERT OR REPLACE`` (``src/database/db_utils.py:79``,
+    ``src/etl/load.py:103-116``), rebuilt for immutable parquet. No
+    transactional table format is available in this environment, so the
+    mechanics are explicit and the scale story lives in
+    ``partition_cols``:
+
+    - with partition columns, only the partitions PRESENT IN THE
+      UPDATE BATCH are read (the semi-join below prunes the scan) and
+      only those partitions are rewritten
+      (``partitionOverwriteMode=dynamic``) — at 100 TB a daily upsert
+      touches days, not the table;
+    - without them, the merge is a full rewrite and is only for small
+      dimension tables (documented, same contract).
+
+    With partition pruning the partition value must be determined by
+    the key (e.g. the date is part of the key) — a key that moved
+    partitions would leave its old row in an untouched partition.
+
+    The merged frame is localCheckpointed before the write because the
+    sink overwrites the files the plan reads from.
+    """
+    if not os.path.exists(wh.path(table)):
+        wh.write(table, updates, partition_by=partition_cols)
+        return
+    target = wh.read(table)
+    if partition_cols:
+        parts = updates.select(*partition_cols).distinct()
+        target = target.join(parts.hint("broadcast"), on=partition_cols, how="left_semi")
+    survivors = target.join(
+        updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+    )
+    merged = survivors.unionByName(updates.select(*survivors.columns)).localCheckpoint()
+    writer = merged.write.mode("overwrite")
+    if partition_cols:
+        writer = (
+            writer.partitionBy(*partition_cols)
+            .option("partitionOverwriteMode", "dynamic")
+        )
+    writer.parquet(wh.path(table))
+
+
+def compact_table(
+    wh: Warehouse,
+    table: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Small-file compaction: rewrite a table's many small part files
+    into ceil(total_bytes / target_file_bytes) files.
+
+    Incremental sinks (streaming foreachBatch, daily merge_upsert)
+    accrete small files; at scale the resulting scan pays one task +
+    one open per file. Compaction is the standard maintenance pass:
+    size the output file count from the actual byte size (the same
+    statistics-driven sizing AQE applies to shuffles), repartition, and
+    rewrite — for partitioned tables, repartition BY the partition
+    columns so each hive partition collapses to its own few files
+    instead of every output task writing a sliver of every partition.
+    Returns {files_before, files_after, bytes}."""
+    root = wh.path(table)
+    files = [
+        p
+        for p in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(p)
+    ]
+    total = sum(os.path.getsize(p) for p in files)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = wh.read(table)
+    if partition_cols:
+        compacted = df.repartition(int(n_out), *partition_cols)
+    else:
+        compacted = df.repartition(int(n_out))
+    compacted = compacted.localCheckpoint()
+    writer = compacted.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(root)
+    after = [
+        p
+        for p in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(p)
+    ]
+    return {"files_before": len(files), "files_after": len(after), "bytes": total}
+
+
 def save_bucketed_table(
     df: DataFrame,
     name: str,

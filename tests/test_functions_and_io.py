@@ -123,6 +123,61 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert got_days <= {"2024-01-05"}
 
 
+def test_merge_upsert_unpartitioned(spark, tmp_path):
+    from marketing_attribution_etl_framework__maef_spark.sources.io import merge_upsert
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [("k1", 1.0), ("k2", 2.0), ("k3", 3.0)], "k string, v double"
+    )
+    merge_upsert(wh, "t", base, ["k"])  # creates the table
+    upd = spark.createDataFrame([("k2", 20.0), ("k4", 40.0)], "k string, v double")
+    merge_upsert(wh, "t", upd, ["k"])
+    got = {r.k: r.v for r in wh.read("t").collect()}
+    assert got == {"k1": 1.0, "k2": 20.0, "k3": 3.0, "k4": 40.0}
+
+
+def test_merge_upsert_partition_pruned(spark, tmp_path):
+    """Dynamic-partition merge rewrites only the partitions present in
+    the update batch; untouched partitions keep their original files."""
+    import glob as g
+    from marketing_attribution_etl_framework__maef_spark.sources.io import merge_upsert
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [("d1", "k1", 1.0), ("d1", "k2", 2.0), ("d2", "k3", 3.0)],
+        "day string, k string, v double",
+    )
+    merge_upsert(wh, "t", base, ["day", "k"], partition_cols=["day"])
+    d2_files_before = set(g.glob(str(tmp_path / "wh" / "t" / "day=d2" / "*.parquet")))
+    upd = spark.createDataFrame([("d1", "k2", 20.0), ("d1", "k9", 90.0)], "day string, k string, v double")
+    merge_upsert(wh, "t", upd, ["day", "k"], partition_cols=["day"])
+    got = {(r.day, r.k): r.v for r in wh.read("t").collect()}
+    assert got == {
+        ("d1", "k1"): 1.0, ("d1", "k2"): 20.0, ("d1", "k9"): 90.0, ("d2", "k3"): 3.0,
+    }
+    d2_files_after = set(g.glob(str(tmp_path / "wh" / "t" / "day=d2" / "*.parquet")))
+    assert d2_files_after == d2_files_before  # d2 untouched on disk
+
+
+def test_compact_table(spark, tmp_path):
+    from marketing_attribution_etl_framework__maef_spark.sources.io import compact_table
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("grp")
+    )
+    wh.write("t", df.repartition(24))
+    stats = compact_table(wh, "t")
+    assert stats["files_before"] >= 24 and stats["files_after"] == 1
+    assert wh.read("t").count() == 10_000
+
+    wh.write("p", df.repartition(24), partition_by=["grp"])
+    stats = compact_table(wh, "p", partition_cols=["grp"])
+    assert stats["files_after"] <= 3  # one file per hive partition
+    assert wh.read("p").count() == 10_000
+
+
 def test_single_file_sinks(spark, tmp_path):
     df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
     jpath = str(tmp_path / "out.json")
