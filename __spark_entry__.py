@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from marketing_attribution_etl_framework__maef_spark import domain, schemas
+from marketing_attribution_etl_framework__maef_spark.llm import curation as cur
 from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd
 from marketing_attribution_etl_framework__maef_spark.llm import multimodal as mm
 from marketing_attribution_etl_framework__maef_spark.llm import similarity as sim
@@ -468,6 +469,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked (per-language) exact 3-shingle Jaccard at J >= 3/10 —
     the quadratic-within-block baseline for MinHash-LSH."""
     return dd.ngram_jaccard_pairs(_aug_docs(spark, sf_dir))
+
+
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation over the augmented documents:
+    quality gate -> English only -> exact-dedup survivors -> near-dup
+    (MinHash-LSH) cluster survivors -> deterministic 90/5/5
+    train/val/test split."""
+    return cur.curate_corpus(_aug_docs(spark, sf_dir))
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1195,6 +1204,63 @@ SELECT doc_a, doc_b, CAST(inter_size AS BIGINT) AS inter_size,
 FROM hits WHERE inter_size * 10 >= (sza + szb - inter_size) * 3
 """
 
+_ORACLE_CURATE = f"""
+WITH RECURSIVE {_AUG}, {_NORM_AUG},
+stq AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM nd)
+  WHERE len(ws) >= 5 AND len(list_distinct(ws)) * 10 >= len(ws) * 3
+),
+scores AS (
+  SELECT doc_id,
+       {_lang_score_cols}
+  FROM (SELECT doc_id, list_distinct(string_split(norm, ' ')) AS dws FROM nd)
+),
+best AS (
+  SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM scores
+),
+langg AS (
+  SELECT doc_id, CASE {_lang_case} ELSE 'zh' END AS lang_guess FROM best
+),
+elig AS (
+  SELECT nd.doc_id, nd.norm, l.lang_guess, s.n_tokens
+  FROM nd JOIN stq s USING (doc_id) JOIN langg l USING (doc_id)
+  WHERE l.lang_guess = 'en'
+),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM elig GROUP BY md5(norm)),
+surv1 AS (SELECT e.* FROM elig e JOIN keep USING (doc_id)),
+shingled AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(ws) - 1, 2)),
+                        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) AS shingles
+  FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM surv1)
+),
+{_MINHASH_CTES},
+pairs AS (SELECT doc_a, doc_b FROM scored WHERE inter_size * 2 >= union_size * 1),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, cluster_id) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.cluster_id
+  FROM walk w JOIN edges e ON e.dst = w.doc_id
+),
+losers AS (
+  SELECT doc_id FROM (SELECT doc_id, MIN(cluster_id) AS c FROM walk GROUP BY doc_id)
+  WHERE doc_id <> c
+)
+SELECT s.doc_id, s.lang_guess, s.n_tokens,
+       CASE WHEN CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT) % 100 < 90 THEN 'train'
+            WHEN CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT) % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM surv1 s LEFT JOIN losers l USING (doc_id)
+WHERE l.doc_id IS NULL
+"""
+
 # pair cosine with per-vector precomputed norms (mirrors
 # llm/similarity.py _norm_vec + _pair_cos: one dot per pair)
 _E_NORMED = """
@@ -1502,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dedup_clusters": q_dedup_clusters,
         "llm_dedup_simhash": q_dedup_simhash,
         "llm_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "llm_curate": q_curate,
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
         "llm_ann_kmeans": q_ann_kmeans,
@@ -1544,6 +1611,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         "llm_dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "llm_dedup_ngram_jaccard": _ORACLE_DEDUP_NGRAM,
+        "llm_curate": _ORACLE_CURATE,
         "llm_ann_topk": _ORACLE_ANN_TOPK,
         "llm_ann_ivf": _ORACLE_ANN_IVF,
         "llm_ann_kmeans": _ORACLE_ANN_KMEANS,

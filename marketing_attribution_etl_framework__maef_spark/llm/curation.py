@@ -1,0 +1,92 @@
+"""Corpus curation: the end-to-end training-set selection pipeline
+that the individual LLM-layer operators exist to serve.
+
+``curate_corpus`` chains quality gating (text_stats), language
+filtering (language_id), exact dedup (normalized-hash survivors),
+near-dup dedup (MinHash-LSH pairs -> cluster survivors), and a
+deterministic md5-bucket train/val/test split — the standard
+pre-training data shape (quality -> lang -> dedup -> split).
+
+Everything below composes operators that are already individually
+oracle-checked, and every stage is a pure column-algebra DataFrame
+transform, so the composition itself is oracle-checked too
+(``llm_curate`` in ``__spark_entry__``).
+
+Scale: the stages before dedup are per-document (no shuffle beyond
+the map-side-combining aggregates inside text_stats/language_id);
+dedup shuffles only signatures and candidate pairs (never all-pairs);
+the split is a stateless hash. A 100 TB curation run is therefore
+bounded by the MinHash pass — one shingle+signature scan plus a
+banded bucket join — which is the designed-for shape of llm/dedup.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from marketing_attribution_etl_framework__maef_spark.llm.dedup import (
+    _shared,
+    exact_dedup_groups,
+    minhash_dedup_pairs,
+    survivors_from_pairs,
+)
+from marketing_attribution_etl_framework__maef_spark.llm.text import language_id, text_stats
+
+
+def split_assign(
+    id_c: Column, train_pct: int = 90, val_pct: int = 5, salt: str = "split"
+) -> Column:
+    """Deterministic train/val/test assignment: md5-derived bucket in
+    [0, 100) -> 'train' below train_pct, 'val' below train+val, else
+    'test'. Salting the hash keeps the split independent of any other
+    md5-keyed derivation of the same id, and the assignment is stable
+    under corpus growth (a document's split never changes when other
+    documents arrive) — the property random splits lack."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(id_c.cast("string"), F.lit("|" + salt))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    langs: Sequence[str] | None = ("en",),
+    train_pct: int = 90,
+    val_pct: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality -> language -> exact dedup -> near-dup dedup -> split.
+    Returns (doc_id, lang_guess, n_tokens, split) for every surviving
+    document. Survivor choice is the canonical min-id rule at both
+    dedup stages, so the output set is deterministic."""
+    stats = text_stats(docs, text_col, id_col).filter(F.col("is_quality")).select(
+        F.col(id_col), "n_tokens"
+    )
+    lang = language_id(docs, text_col, id_col).select(F.col(id_col), "lang_guess")
+    base = docs.select(F.col(id_col), F.col(text_col)).join(stats, id_col).join(lang, id_col)
+    if langs:
+        base = base.filter(F.col("lang_guess").isin(list(langs)))
+    base = _shared(base)
+    keep = exact_dedup_groups(base, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    surv = _shared(base.join(keep, on=id_col, how="inner"))
+    pairs = minhash_dedup_pairs(surv, text_col, id_col)
+    final = survivors_from_pairs(surv, pairs, id_col)
+    return final.select(
+        F.col(id_col),
+        "lang_guess",
+        "n_tokens",
+        split_assign(F.col(id_col), train_pct, val_pct).alias("split"),
+    )

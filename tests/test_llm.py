@@ -202,6 +202,69 @@ def test_kmeans_centroids_separates_directions(spark):
     assert got[0] <= evens and got[7] <= odds
 
 
+def test_curate_corpus(spark):
+    """Quality gate, language filter, exact + near dedup, and the
+    deterministic split all compose: only the min-id English quality
+    survivors remain, each with a stable split label."""
+    from marketing_attribution_etl_framework__maef_spark.llm import curation as cur
+
+    en = "the quick brown fox jumps of the lazy dog and it runs to town"
+    docs = spark.createDataFrame(
+        [
+            (1, en),                        # survives
+            (2, en.upper() + "  "),         # exact dup of 1 after normalize
+            (3, en + " extra tail words"),  # near dup of 1 (J >= 1/2)
+            (4, "too short"),               # fails quality gate
+            (5, "el perro y el gato es una para con los las casa sol mar luz"),  # es
+            (6, "a completely different the document about graphs and of trees in it spanning forests"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in cur.curate_corpus(docs).collect()}
+    assert set(got) == {1, 6}
+    assert all(r.lang_guess == "en" for r in got.values())
+    assert all(r.split in ("train", "val", "test") for r in got.values())
+    # split is a pure function of doc_id — rerun gives identical labels
+    again = {r.doc_id: r.split for r in cur.curate_corpus(docs).collect()}
+    assert again == {d: r.split for d, r in got.items()}
+
+
+def test_ivf_cluster_partitioned_pruning(spark, tmp_path):
+    """The 100-TB IVF layout: corpus written partitioned by k-means
+    cluster id, so probing 2 of k clusters prunes the other partitions
+    at the parquet scan (PartitionFilters, not a full read)."""
+    import contextlib
+    import hashlib
+    import io as _io
+
+    import marketing_attribution_etl_framework__maef_spark.llm.similarity as s
+    from marketing_attribution_etl_framework__maef_spark.sources.io import Warehouse
+
+    def vec(i):
+        h = hashlib.md5(str(i).encode()).digest()
+        return [b / 127.5 - 1.0 for b in h[:8]]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(30)], "vec_id long, embedding array<double>"
+    )
+    cents = s.kmeans_centroids(emb, k=4, n_iter=1)
+    assign = s.ivf_assign(emb, s.centroids_as_embeddings(cents))
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write(
+        "corpus_ivf",
+        assign.select("vec_id", F.col("_v").alias("embedding"), "cluster"),
+        partition_by=["cluster"],
+    )
+    probed = wh.read("corpus_ivf").filter(F.col("cluster").isin([0, 1]))
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    total = wh.read("corpus_ivf").count()
+    assert 0 < probed.count() < total
+
+
 def test_lsh_multiprobe_superset(spark):
     """Multiprobe candidates are a superset of single-probe candidates
     (the base bucket is always probed), so with k = corpus size every
