@@ -479,6 +479,16 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.curate_corpus(_aug_docs(spark, sf_dir))
 
 
+SAMPLE_PCTS = {"en": 50, "de": 25, "fr": 10}
+
+
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample of documents by language
+    (en 50%, de 25%, fr 10%, others dropped) via salted md5 buckets."""
+    out = cur.stratified_sample(_docs(spark, sf_dir), "lang", SAMPLE_PCTS)
+    return out.select("doc_id", "lang")
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 for the query subset
     (vec_id % 50 == 7)."""
@@ -1204,6 +1214,17 @@ SELECT doc_a, doc_b, CAST(inter_size AS BIGINT) AS inter_size,
 FROM hits WHERE inter_size * 10 >= (sza + szb - inter_size) * 3
 """
 
+_sample_case = " ".join(
+    f"WHEN lang = '{v}' THEN {p}" for v, p in sorted(SAMPLE_PCTS.items())
+)
+
+_ORACLE_SAMPLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|sample'), 1, 15) AS BIGINT) % 100
+      < (CASE {_sample_case} ELSE 0 END)
+"""
+
 _ORACLE_CURATE = f"""
 WITH RECURSIVE {_AUG}, {_NORM_AUG},
 stq AS (
@@ -1569,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dedup_simhash": q_dedup_simhash,
         "llm_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "llm_curate": q_curate,
+        "llm_sample": q_sample,
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
         "llm_ann_kmeans": q_ann_kmeans,
@@ -1612,6 +1634,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "llm_dedup_ngram_jaccard": _ORACLE_DEDUP_NGRAM,
         "llm_curate": _ORACLE_CURATE,
+        "llm_sample": _ORACLE_SAMPLE,
         "llm_ann_topk": _ORACLE_ANN_TOPK,
         "llm_ann_ivf": _ORACLE_ANN_IVF,
         "llm_ann_kmeans": _ORACLE_ANN_KMEANS,

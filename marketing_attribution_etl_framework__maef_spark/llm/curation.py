@@ -60,6 +60,37 @@ def split_assign(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    pcts: dict[str, int],
+    default_pct: int = 0,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its salted
+    md5 bucket (0-99) is below the stratum's percentage. Unlike
+    ``DataFrame.sample`` this is reproducible across runs, engines and
+    partitionings (no RNG, no partition-order dependence), rows keep
+    membership when the corpus grows, and raising a stratum's pct only
+    ADDS rows (nested samples) — the properties corpus-rebalancing
+    pipelines (e.g. up-weighting low-resource languages) need.
+    Stateless per-row predicate: no shuffle, fully pushed into the
+    scan's filter at any scale."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    pct = F.lit(default_pct)
+    for value, p in sorted(pcts.items()):
+        pct = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(pct)
+    return df.filter(bucket < pct)
+
+
 def curate_corpus(
     docs: DataFrame,
     langs: Sequence[str] | None = ("en",),

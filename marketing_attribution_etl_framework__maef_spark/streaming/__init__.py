@@ -8,11 +8,13 @@ from marketing_attribution_etl_framework__maef_spark.streaming.incremental impor
     windowed_channel_volume,
 )
 from marketing_attribution_etl_framework__maef_spark.streaming.sessionize import sessionize
+from marketing_attribution_etl_framework__maef_spark.streaming.sessionize_tws import sessionize_tws
 
 __all__ = [
     "IncrementalAttribution",
     "dedup_stream",
     "sessionize",
+    "sessionize_tws",
     "stream_events",
     "windowed_channel_volume",
 ]

@@ -11,7 +11,8 @@ from pyspark.sql import functions as F
 
 from marketing_attribution_etl_framework__maef_spark import domain
 from marketing_attribution_etl_framework__maef_spark.sources.io import save_bucketed_table
-from marketing_attribution_etl_framework__maef_spark.streaming import sessionize, stream_events
+from marketing_attribution_etl_framework__maef_spark.streaming import sessionize, sessionize_tws, stream_events
+from marketing_attribution_etl_framework__maef_spark.streaming.sessionize_tws import ROCKSDB_PROVIDER
 
 GAP_MIN = 360      # 6h gap
 MAX_EVENTS = 5
@@ -105,3 +106,51 @@ def test_sessionize_gap_and_cap(spark, sf_dir, tmp_path):
     for _, s, e, n, ch in got:
         assert n <= MAX_EVENTS
         assert len(ch.split(",")) == n
+
+
+def test_sessionize_tws_matches_batch_reference(spark, sf_dir, tmp_path):
+    """The transformWithStateInPandas sessionizer (Spark 4 processor
+    API, RocksDB state store) produces exactly the same closed-session
+    set as the batch reference — and therefore as the
+    applyInPandasWithState implementation it tracks. Skips where the
+    python protobuf package (Spark's state-server protocol for this
+    API) is unavailable — as in the build container."""
+    import pytest
+    from marketing_attribution_etl_framework__maef_spark.streaming.sessionize_tws import HAS_PROTOBUF
+
+    if not HAS_PROTOBUF:
+        with pytest.raises(ImportError, match="protobuf"):
+            sessionize_tws(stream_events(spark, str(tmp_path), watermark="1 day"))
+        pytest.skip("python protobuf not installed: transformWithStateInPandas cannot run")
+    ev = domain.load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "stream")
+    ev.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        stream = stream_events(spark, src, watermark="365 days")
+        out = sessionize_tws(stream, gap_minutes=GAP_MIN, max_events=MAX_EVENTS)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sessions_tws")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.channels)
+        for r in spark.sql("SELECT * FROM sessions_tws").collect()
+    }
+    pdf = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("user_id", "ts", F.col("event_type").alias("channel_name"))
+        .toPandas()
+    )
+    closed, _ = _expected_sessions(pdf)
+    assert got == closed, (len(got), len(closed))

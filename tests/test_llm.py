@@ -229,6 +229,25 @@ def test_curate_corpus(spark):
     assert again == {d: r.split for d, r in got.items()}
 
 
+def test_stratified_sample_nested_and_deterministic(spark):
+    """Raising a stratum's pct only ADDS rows (nested samples), the
+    draw is stable across runs, and per-stratum rates are respected."""
+    from marketing_attribution_etl_framework__maef_spark.llm import curation as cur
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(400)], "doc_id long, lang string"
+    )
+    small = {r.doc_id for r in cur.stratified_sample(df, "lang", {"en": 20}).collect()}
+    big = {r.doc_id for r in cur.stratified_sample(df, "lang", {"en": 60}).collect()}
+    assert small <= big  # nested
+    assert small == {
+        r.doc_id for r in cur.stratified_sample(df, "lang", {"en": 20}).collect()
+    }  # deterministic
+    # de defaulted to 0 -> absent; rough rate sanity for en (200 ids)
+    assert all(i % 2 == 0 for i in big)
+    assert 0.4 * 200 < len(big) < 0.8 * 200
+
+
 def test_ivf_cluster_partitioned_pruning(spark, tmp_path):
     """The 100-TB IVF layout: corpus written partitioned by k-means
     cluster id, so probing 2 of k clusters prunes the other partitions
