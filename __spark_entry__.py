@@ -479,6 +479,43 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.curate_corpus(_aug_docs(spark, sf_dir))
 
 
+PII_SUFFIX = " contact bob.smith@example.com or 12345678901"
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic PII injected into doc_id%7==0 so
+    the scrub operator has true positives; mirrored in the oracle."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(PII_SUFFIX)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/long-number counts + md5 of the redacted text."""
+    return txt.scrub_pii(_pii_docs(spark, sf_dir))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (augmented corpus)
+    sharing any word 5-shingle with the eval slice (doc_id%10==0)."""
+    return cur.decontaminate(
+        _aug_docs(spark, sf_dir),
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0),
+        k=5,
+    )
+
+
+def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: documents -> context windows
+    (budget 512 tokens, <= 8 docs per pack)."""
+    stats = txt.text_stats(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
+    return cur.pack_sequences(stats, budget_tokens=512, max_docs=8)
+
+
 SAMPLE_PCTS = {"en": 50, "de": 25, "fr": 10}
 
 
@@ -1214,6 +1251,66 @@ SELECT doc_a, doc_b, CAST(inter_size AS BIGINT) AS inter_size,
 FROM hits WHERE inter_size * 10 >= (sza + szb - inter_size) * 3
 """
 
+_ORACLE_SCRUB_PII = f"""
+WITH pii AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || '{PII_SUFFIX}' ELSE text END AS text
+  FROM documents
+),
+nd AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM pii
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(norm, '{txt.EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(norm, '{txt.LONG_NUMBER_RE}')) AS BIGINT) AS n_long_numbers,
+       md5(regexp_replace(regexp_replace(norm, '{txt.EMAIL_RE}', '<email>', 'g'),
+                          '{txt.LONG_NUMBER_RE}', '<number>', 'g')) AS scrub_hash
+FROM nd
+"""
+
+# word 5-shingle distinct-hash sets (mirrors llm/text.py word_shingles
+# k=5 + llm/dedup.py shingle_hash)
+_SHINGLE5 = """
+  SELECT doc_id,
+         list_distinct(list_transform(
+           list_transform(range(1, greatest(len(ws) - 3, 2)),
+                          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])),
+           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS ds
+  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws FROM {src})
+"""
+
+_ORACLE_DECONTAMINATE = f"""
+WITH {_AUG},
+sha AS ({_SHINGLE5.format(src="aug")}),
+she AS ({_SHINGLE5.format(src="documents WHERE doc_id % 10 = 0")}),
+ev AS (SELECT DISTINCT unnest(ds) AS h FROM she),
+tr AS (SELECT doc_id, unnest(ds) AS h FROM sha)
+SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+FROM tr JOIN ev ON tr.h = ev.h
+GROUP BY 1
+"""
+
+_ORACLE_PACK = f"""
+WITH nd AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents
+),
+st AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+  FROM nd
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(greatest(n_tokens, 1)) OVER
+                  (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM st
+),
+s AS (SELECT doc_id, n_tokens, CAST(FLOOR(cumb / 512) AS BIGINT) AS s_id FROM c)
+SELECT doc_id, n_tokens,
+       CAST(s_id * 513 + FLOOR((ROW_NUMBER() OVER (PARTITION BY s_id ORDER BY doc_id) - 1) / 8) AS BIGINT) AS pack_id
+FROM s
+"""
+
 _sample_case = " ".join(
     f"WHEN lang = '{v}' THEN {p}" for v, p in sorted(SAMPLE_PCTS.items())
 )
@@ -1591,6 +1688,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "llm_curate": q_curate,
         "llm_sample": q_sample,
+        "llm_scrub_pii": q_scrub_pii,
+        "llm_decontaminate": q_decontaminate,
+        "llm_pack": q_pack,
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
         "llm_ann_kmeans": q_ann_kmeans,
@@ -1635,6 +1735,9 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_ngram_jaccard": _ORACLE_DEDUP_NGRAM,
         "llm_curate": _ORACLE_CURATE,
         "llm_sample": _ORACLE_SAMPLE,
+        "llm_scrub_pii": _ORACLE_SCRUB_PII,
+        "llm_decontaminate": _ORACLE_DECONTAMINATE,
+        "llm_pack": _ORACLE_PACK,
         "llm_ann_topk": _ORACLE_ANN_TOPK,
         "llm_ann_ivf": _ORACLE_ANN_IVF,
         "llm_ann_kmeans": _ORACLE_ANN_KMEANS,

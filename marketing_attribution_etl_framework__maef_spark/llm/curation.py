@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from marketing_attribution_etl_framework__maef_spark.llm.dedup import (
@@ -33,7 +33,14 @@ from marketing_attribution_etl_framework__maef_spark.llm.dedup import (
     minhash_dedup_pairs,
     survivors_from_pairs,
 )
-from marketing_attribution_etl_framework__maef_spark.llm.text import language_id, text_stats
+from marketing_attribution_etl_framework__maef_spark.llm.dedup import shingle_hash
+from marketing_attribution_etl_framework__maef_spark.llm.text import (
+    language_id,
+    normalize_text,
+    text_stats,
+    word_shingles,
+    words,
+)
 
 
 def split_assign(
@@ -57,6 +64,82 @@ def split_assign(
         F.when(bucket < train_pct, F.lit("train"))
         .when(bucket < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test"))
+    )
+
+
+_PACK_BUCKET_STRIDE = 1 << 40
+
+
+def pack_sequences(
+    docs_with_tokens: DataFrame,
+    budget_tokens: int = 512,
+    max_docs: int = 8,
+    bucket_col: str | None = None,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Pack documents into training context windows: each pack holds at
+    most ``max_docs`` documents and its token total exceeds
+    ``budget_tokens`` by at most one document (the standard greedy
+    overflow — a document longer than the budget gets its own pack).
+
+    Same two-level distributed formulation as the API chunker
+    (operators/chunking.py, which documents the cap proofs):
+    s_id groups by cumulative token budget, a row_number sub-split
+    enforces the doc cap, and ``bucket_col`` shards the ordering window
+    so no single task sorts the corpus — pack ids are offset by a 2^40
+    per-bucket stride, distinct but not dense (samplers only need
+    distinctness)."""
+    part = [bucket_col] if bucket_col else []
+    w = Window.partitionBy(*part).orderBy(id_col)
+    cum_before = F.coalesce(
+        F.sum(F.greatest(F.col(tokens_col), F.lit(1))).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    df = docs_with_tokens.withColumn(
+        "_s_id", F.floor(cum_before / F.lit(budget_tokens)).cast("long")
+    )
+    w2 = Window.partitionBy(*part, "_s_id").orderBy(id_col)
+    sub = F.floor((F.row_number().over(w2) - 1) / F.lit(max_docs))
+    pack = F.col("_s_id") * F.lit(budget_tokens + 1) + sub
+    if bucket_col:
+        pack = F.col(bucket_col).cast("long") * F.lit(_PACK_BUCKET_STRIDE) + pack
+    return df.withColumn("pack_id", pack.cast("long")).drop("_s_id")
+
+
+def decontaminate(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any word k-shingle with the evaluation set. Returns
+    (doc_id, n_shared_shingles) for every contaminated training doc;
+    anti-join the result to drop them.
+
+    The standard n-gram-collision test (eval-set leakage check) as an
+    inverted-index join: both sides explode to distinct shingle
+    hashes, the equi-join touches only colliding hashes, and the
+    aggregate counts distinct shared shingles per training doc. The
+    eval side is benchmark-sized — at corpus scale it broadcasts, so
+    the pass over 100 TB of training text is shuffle-free."""
+    def hashes(df: DataFrame, out: str) -> DataFrame:
+        norm = normalize_text(F.col(text_col))
+        sh = F.array_distinct(F.transform(word_shingles(words(norm), k), shingle_hash))
+        return df.select(F.col(id_col).alias(out), F.explode(sh).alias("_h"))
+
+    tr = hashes(train_docs, "doc_id")
+    ev = hashes(eval_docs, "_eval_id").select("_h").distinct()
+    return (
+        tr.join(F.broadcast(ev), on="_h", how="inner")
+        .groupBy("doc_id")
+        # both sides are pre-distinct, so plain COUNT counts distinct
+        # shared shingles without a second distinct aggregate
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
     )
 
 

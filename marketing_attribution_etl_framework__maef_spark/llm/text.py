@@ -224,6 +224,39 @@ def bm25_topk(
     )
 
 
+# PII patterns, deliberately restricted to syntax that java.util.regex
+# and DuckDB's RE2 interpret identically (char classes + bounded
+# quantifiers; no lookaround, no \\b)
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9-]+\\.[a-z]{2,}"
+LONG_NUMBER_RE = "[0-9]{10,}"
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII scrub for training corpora: count and redact email addresses
+    and 10+-digit number runs (phone/account shaped) in the normalized
+    text. Emits (doc_id, n_emails, n_long_numbers, scrub_hash) — the
+    hash of the redacted text stands in for the text itself at the
+    comparison interface, so the full scrubbed string never has to be
+    value-compared.
+
+    Per-document regexp work inside whole-stage codegen; no shuffle at
+    all — at 100 TB this is a pure map pass that fuses with whatever
+    scan feeds it."""
+    norm = normalize_text(F.col(text_col))
+    d = docs.select(F.col(id_col), norm.alias("_norm"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("_norm"), EMAIL_RE, "<email>"), LONG_NUMBER_RE, "<number>"
+    )
+    return d.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all("_norm", F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("_norm", F.lit(LONG_NUMBER_RE), 0))
+        .cast("long")
+        .alias("n_long_numbers"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    )
+
+
 def fingerprints(
     docs: DataFrame,
     text_col: str = "text",

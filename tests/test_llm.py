@@ -229,6 +229,64 @@ def test_curate_corpus(spark):
     assert again == {d: r.split for d, r in got.items()}
 
 
+def test_scrub_pii(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Write to Alice.B@Example.COM or call 12345678901 now"),
+            (2, "no pii here just words and the number 42"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in txt.scrub_pii(docs).collect()}
+    assert (got[1].n_emails, got[1].n_long_numbers) == (1, 1)
+    assert (got[2].n_emails, got[2].n_long_numbers) == (0, 0)
+    expect = "write to <email> or call <number> now"
+    assert got[1].scrub_hash == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_decontaminate(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import curation as cur
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix words {shared} suffix words"),   # contaminated
+            (2, "totally unrelated text about gardens and rivers flowing"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, shared)], "doc_id long, text string")
+    got = {r.doc_id: r.n_shared_shingles for r in cur.decontaminate(train, ev, k=5).collect()}
+    assert 1 in got and 2 not in got
+    assert got[1] == 2  # eval has 6 words -> 2 distinct 5-shingles, both present in doc 1
+
+
+def test_pack_sequences_caps(spark):
+    """Every pack holds <= max_docs documents, token totals exceed the
+    budget by at most one document, and bucketed ids stay distinct."""
+    from marketing_attribution_etl_framework__maef_spark.llm import curation as cur
+
+    rows = [(i, 7 if i % 5 else 120) for i in range(300)]  # skewed doc lengths
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = cur.pack_sequences(df, budget_tokens=100, max_docs=6).collect()
+    packs: dict[int, list] = {}
+    for r in out:
+        packs.setdefault(r.pack_id, []).append(r.n_tokens)
+    for toks in packs.values():
+        assert len(toks) <= 6
+        assert sum(toks) <= 100 + max(toks)  # greedy overflow bound
+    assert len(out) == 300
+
+    b = df.withColumn("bkt", (F.col("doc_id") % 4).cast("int"))
+    outb = cur.pack_sequences(b, budget_tokens=100, max_docs=6, bucket_col="bkt").collect()
+    by_pack: dict[int, set] = {}
+    for r in outb:
+        by_pack.setdefault(r.pack_id, set()).add(r.bkt)
+    assert all(len(s) == 1 for s in by_pack.values())  # no cross-bucket id collision
+
+
 def test_stratified_sample_nested_and_deterministic(spark):
     """Raising a stratum's pct only ADDS rows (nested samples), the
     draw is stable across runs, and per-stratum rates are respected."""
