@@ -509,6 +509,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-bigram repetition signal per document."""
+    return txt.repetition_stats(_docs(spark, sf_dir))
+
+
 def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing: documents -> context windows
     (budget 512 tokens, <= 8 docs per pack)."""
@@ -1290,6 +1295,21 @@ FROM tr JOIN ev ON tr.h = ev.h
 GROUP BY 1
 """
 
+_ORACLE_REPETITION = f"""
+WITH {_NORM_RAW},
+bg AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(ws), 2)),
+                        i -> concat_ws(' ', ws[i], ws[i+1])) AS b
+  FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM nd)
+)
+SELECT doc_id,
+       CAST(len(b) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(b)) AS BIGINT) AS n_distinct_bigrams,
+       (len(b) - len(list_distinct(b))) * 5 >= len(b) AS is_repetitive
+FROM bg
+"""
+
 _ORACLE_PACK = f"""
 WITH nd AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents
@@ -1691,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_scrub_pii": q_scrub_pii,
         "llm_decontaminate": q_decontaminate,
         "llm_pack": q_pack,
+        "llm_repetition": q_repetition,
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
         "llm_ann_kmeans": q_ann_kmeans,
@@ -1738,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_scrub_pii": _ORACLE_SCRUB_PII,
         "llm_decontaminate": _ORACLE_DECONTAMINATE,
         "llm_pack": _ORACLE_PACK,
+        "llm_repetition": _ORACLE_REPETITION,
         "llm_ann_topk": _ORACLE_ANN_TOPK,
         "llm_ann_ivf": _ORACLE_ANN_IVF,
         "llm_ann_kmeans": _ORACLE_ANN_KMEANS,

@@ -224,6 +224,32 @@ def bm25_topk(
     )
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signal (the Gopher-style quality
+    filter): duplicate word-bigram fraction, as exact integers.
+    Emits (doc_id, n_bigrams, n_distinct_bigrams, is_repetitive) where
+    is_repetitive <=> duplicated bigrams are >= 20% of all bigrams,
+    thresholded by integer cross-multiplication. One-word documents
+    yield their single word as the one 'bigram' (word_shingles'
+    short-document rule), hence are never repetitive.
+
+    Per-document column algebra only — no shuffle, fuses with the
+    scan."""
+    norm = normalize_text(F.col(text_col))
+    bg = word_shingles(words(norm), 2)
+    d = docs.select(F.col(id_col), bg.alias("_bg"))
+    n_bg = F.size("_bg").cast("long")
+    n_distinct = F.size(F.array_distinct("_bg")).cast("long")
+    return d.select(
+        F.col(id_col),
+        n_bg.alias("n_bigrams"),
+        n_distinct.alias("n_distinct_bigrams"),
+        ((n_bg - n_distinct) * F.lit(5) >= n_bg).alias("is_repetitive"),
+    )
+
+
 # PII patterns, deliberately restricted to syntax that java.util.regex
 # and DuckDB's RE2 interpret identically (char classes + bounded
 # quantifiers; no lookaround, no \\b)

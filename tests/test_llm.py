@@ -229,6 +229,21 @@ def test_curate_corpus(spark):
     assert again == {d: r.split for d, r in got.items()}
 
 
+def test_repetition_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham spam ham"),  # highly repetitive
+            (2, "all words here are used exactly once today"),
+            (3, "solo"),                                  # one word -> never repetitive
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in txt.repetition_stats(docs).collect()}
+    assert got[1].is_repetitive and got[1].n_distinct_bigrams == 2
+    assert not got[2].is_repetitive
+    assert (got[3].n_bigrams, got[3].is_repetitive) == (1, False)
+
+
 def test_scrub_pii(spark):
     import hashlib
 
