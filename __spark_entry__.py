@@ -536,8 +536,12 @@ SAMPLE_PCTS = {"en": 50, "de": 25, "fr": 10}
 
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample of documents by language
-    (en 50%, de 25%, fr 10%, others dropped) via salted md5 buckets."""
-    out = cur.stratified_sample(_docs(spark, sf_dir), "lang", SAMPLE_PCTS)
+    (en 50%, de 25%, fr 10%, others dropped) via salted md5 buckets.
+    Reads the table directly (no _docs repartition): the sample is a
+    stateless per-row filter, so the plan is scan -> filter with no
+    exchange at all."""
+    docs = domain.load_table(spark, sf_dir, "documents")
+    out = cur.stratified_sample(docs, "lang", SAMPLE_PCTS)
     return out.select("doc_id", "lang")
 
 

@@ -17,11 +17,14 @@ re-expresses that surface Spark-first:
   built only from ``pyspark.sql.functions`` (``functions``);
 - the end-to-end pipeline driver with the reference's runtime
   verification checks (``plans``);
-- structured-streaming ingestion with watermarked windowed aggregation
-  and foreachBatch incremental attribution (``streaming``);
+- structured-streaming ingestion with watermarked windowed aggregation,
+  foreachBatch incremental attribution and near-dup dedup, and the
+  gap+cap stateful sessionizer (``streaming``);
 - the LLM-training-data extension layer: dedup (exact / MinHash-LSH /
-  SimHash / blocked Jaccard), similarity search (brute + IVF cosine
-  top-k), text analysis, and multimodal binary-column plumbing
+  SimHash / blocked Jaccard / cluster resolution), similarity search
+  (brute + IVF + k-means + sign-LSH cosine top-k), text analysis and
+  retrieval, corpus curation (sampling, decontamination, packing,
+  PII scrub), and multimodal binary-column plumbing
   (``llm``).
 
 No code is copied from the reference; file:line citations in docstrings

@@ -7,11 +7,13 @@ from marketing_attribution_etl_framework__maef_spark.streaming.incremental impor
     stream_events,
     windowed_channel_volume,
 )
+from marketing_attribution_etl_framework__maef_spark.streaming.neardup import IncrementalNearDedup
 from marketing_attribution_etl_framework__maef_spark.streaming.sessionize import sessionize
 from marketing_attribution_etl_framework__maef_spark.streaming.sessionize_tws import sessionize_tws
 
 __all__ = [
     "IncrementalAttribution",
+    "IncrementalNearDedup",
     "dedup_stream",
     "sessionize",
     "sessionize_tws",

@@ -145,3 +145,44 @@ def test_clean_float_never_emits_nonfinite(spark):
     df = spark.createDataFrame([(v,) for v in vals], "x double")
     out = [r.y for r in df.select(clean_float(F.col("x")).alias("y")).collect()]
     assert all(v is None or math.isfinite(v) for v in out)
+
+
+@given(
+    st.lists(st.integers(0, 400), min_size=1, max_size=60),
+    st.integers(50, 300),
+    st.integers(1, 10),
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_caps_property(spark, token_counts, budget, max_docs):
+    """For arbitrary token distributions and caps: every pack holds at
+    most max_docs documents, exceeds the token budget by at most its
+    largest member, and every document is packed exactly once."""
+    from marketing_attribution_etl_framework__maef_spark.llm.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        list(enumerate(token_counts)), "doc_id long, n_tokens long"
+    )
+    out = pack_sequences(df, budget_tokens=budget, max_docs=max_docs).collect()
+    assert len(out) == len(token_counts)
+    packs: dict[int, list] = {}
+    for r in out:
+        packs.setdefault(r.pack_id, []).append(max(r.n_tokens, 1))
+    for toks in packs.values():
+        assert len(toks) <= max_docs
+        assert sum(toks) <= budget + max(toks)
+
+
+@given(st.integers(0, 100), st.integers(0, 100))
+@settings(**_SETTINGS)
+def test_stratified_sample_monotone_property(spark, p_small, p_big):
+    """Sample nesting law: for any two rates, the lower-rate sample is
+    a subset of the higher-rate sample of the same stratum."""
+    from marketing_attribution_etl_framework__maef_spark.llm.curation import stratified_sample
+
+    lo, hi = sorted((p_small, p_big))
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(150)], "doc_id long, lang string"
+    )
+    small = {r.doc_id for r in stratified_sample(df, "lang", {"en": lo}).collect()}
+    big = {r.doc_id for r in stratified_sample(df, "lang", {"en": hi}).collect()}
+    assert small <= big

@@ -173,3 +173,59 @@ def test_frame_sampling(spark, sf_dir):
     assert got and all(r.n == 4 for r in got)
     one = frames.filter(F.col("frame_no") == 0).limit(1).first()
     assert len(one.frame) <= 16
+
+
+def test_incremental_neardup_matches_batch(spark, tmp_path):
+    """Streaming near-dup dedup (greedy first-wins) equals the batch
+    cluster-survivor pipeline on star-shaped duplication: later exact
+    and near copies are rejected, fresh documents are accepted, and
+    within-batch duplicates resolve to the min-id canonical."""
+    import time as _time
+
+    from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd
+    from marketing_attribution_etl_framework__maef_spark.streaming import IncrementalNearDedup
+
+    ta = "the quick brown fox jumps over the lazy dog and runs far away today"
+    tb = "completely different words about rivers mountains valleys and forests under skies"
+    tc = "a third unique document describing spark joins windows and shuffles in detail"
+    td = "new content for batch two concerning matrices vectors and gradient descent methods"
+    b1 = [(1, ta), (2, tb), (3, tc)]
+    b2 = [
+        (10, ta.upper() + "  "),          # exact dup of 1 -> rejected
+        (11, tb + " tiny zz tail"),        # near dup of 2 -> rejected
+        (12, td),                          # fresh -> accepted
+        (13, td + "  "),                   # within-batch exact dup of 12 -> rejected
+    ]
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate((b1, b2)):
+        tmp = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"batch{i}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    nd = IncrementalNearDedup(spark, str(tmp_path / "state"))
+    q = nd.start(stream, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = {r.doc_id for r in nd.survivors().collect()}
+    assert got == {1, 2, 3, 12}
+
+    # batch-pipeline equivalence on the full corpus (star-shaped dups)
+    alldocs = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    batch_surv = {
+        r.doc_id
+        for r in dd.survivors_from_pairs(
+            alldocs, dd.minhash_dedup_pairs(alldocs)
+        ).collect()
+    }
+    assert got == batch_surv
