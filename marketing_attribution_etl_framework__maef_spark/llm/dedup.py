@@ -27,7 +27,6 @@ from operator import add
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 
 # NOTE on (not) persisting shared intermediates: signatures/sets/bands
@@ -315,24 +314,23 @@ def cluster_duplicates(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     sized from the edge count (single-task for kilobyte graphs,
     distributed for billion-edge ones), and the loop stops at the
     fixpoint — ``max_iterations`` is only a backstop."""
-    raw = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n_edges = raw.count()
-    spark = pairs.sparkSession
-    max_parts = spark.sparkContext.defaultParallelism
-    n_parts = max(1, min(max_parts, n_edges // _CLUSTER_ROWS_PER_PARTITION + 1))
     # localCheckpoint (eager) truncates lineage: without it every round's
     # logical plan embeds THREE copies of the previous round's plan (the
     # neighbour join, the self join, and the pointer-jump join), so
     # driver-side analysis grows 3^rounds — measured 2 s -> 8 s between
     # consecutive rounds on a 278-edge graph. With checkpoints each
     # round plans against a flat LogicalRDD and driver time is O(1).
-    edges = raw.repartition(n_parts, "dst").localCheckpoint()
-    raw.unpersist()
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()  # free: reads the checkpointed partitions
+    spark = pairs.sparkSession
+    max_parts = spark.sparkContext.defaultParallelism
+    n_parts = max(1, min(max_parts, n_edges // _CLUSTER_ROWS_PER_PARTITION + 1))
+    edges = edges.repartition(n_parts, "dst").localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
