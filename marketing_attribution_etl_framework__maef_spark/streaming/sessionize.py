@@ -23,7 +23,6 @@ event volume.
 
 from __future__ import annotations
 
-import datetime as dt
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
