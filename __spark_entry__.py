@@ -531,6 +531,51 @@ def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.pack_sequences(stats, budget_tokens=512, max_docs=8)
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus report: doc/token/word totals, vocabulary size,
+    quality and English counts — the numbers a curation run logs.
+    All exact integers (map-side-combining aggregates; the vocab count
+    is the one corpus-wide distinct)."""
+    d = _docs(spark, sf_dir)
+    st = txt.text_stats(d)
+    lg = txt.language_id(d)
+    base = st.join(lg, "doc_id")
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_words").alias("total_words"),
+        F.sum(F.when(F.col("is_quality"), 1).otherwise(0)).alias("n_quality"),
+        F.sum(F.when(F.col("lang_guess") == "en", 1).otherwise(0)).alias("n_en"),
+    )
+    vocab = d.select(
+        F.explode(txt.words(txt.normalize_text(F.col("text")))).alias("w")
+    ).agg(F.count_distinct("w").alias("vocab_size"))
+    return totals.crossJoin(F.broadcast(vocab))
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused per-document quality verdict: passes iff quality stats,
+    repetition, language, and PII checks all clear; failures listed in
+    a fixed-order reasons string."""
+    d = _pii_docs(spark, sf_dir)
+    f = (
+        txt.text_stats(d)
+        .join(txt.repetition_stats(d), "doc_id")
+        .join(txt.language_id(d), "doc_id")
+        .join(txt.scrub_pii(d), "doc_id")
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(~F.col("is_quality"), F.lit("low_quality")),
+        F.when(F.col("is_repetitive"), F.lit("repetitive")),
+        F.when(F.col("lang_guess") != "en", F.lit("lang")),
+        F.when(F.col("n_emails") + F.col("n_long_numbers") > 0, F.lit("pii")),
+    )
+    return f.select(
+        "doc_id", reasons.alias("reasons"), (reasons == "").alias("passes")
+    )
+
+
 SAMPLE_PCTS = {"en": 50, "de": 25, "fr": 10}
 
 
@@ -1345,6 +1390,81 @@ SELECT doc_id, n_tokens,
 FROM s
 """
 
+_ORACLE_CORPUS_STATS = f"""
+WITH {_NORM_RAW},
+st AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         (len(ws) >= 5 AND len(list_distinct(ws)) * 10 >= len(ws) * 3) AS is_quality,
+         ws
+  FROM (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM nd)
+),
+scores AS (
+  SELECT doc_id,
+       {_lang_score_cols}
+  FROM (SELECT doc_id, list_distinct(string_split(norm, ' ')) AS dws FROM nd)
+),
+best AS (SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM scores),
+langg AS (SELECT doc_id, CASE {_lang_case} ELSE 'zh' END AS lang_guess FROM best),
+vocab AS (
+  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab_size
+  FROM (SELECT unnest(string_split(norm, ' ')) AS w FROM nd)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       SUM(st.n_tokens) AS total_tokens,
+       SUM(st.n_words) AS total_words,
+       CAST(SUM(CASE WHEN st.is_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN l.lang_guess = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       ANY_VALUE(v.vocab_size) AS vocab_size
+FROM st JOIN langg l USING (doc_id) CROSS JOIN vocab v
+"""
+
+_ORACLE_QUALITY_GATE = f"""
+WITH pii AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || '{PII_SUFFIX}' ELSE text END AS text
+  FROM documents
+),
+nd AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM pii
+),
+st AS (
+  SELECT doc_id,
+         (len(ws) >= 5 AND len(list_distinct(ws)) * 10 >= len(ws) * 3) AS is_quality,
+         (len(bg) - len(list_distinct(bg))) * 5 >= len(bg) AS is_repetitive
+  FROM (
+    SELECT doc_id, ws,
+           list_transform(range(1, greatest(len(ws), 2)),
+                          i -> concat_ws(' ', ws[i], ws[i+1])) AS bg
+    FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM nd)
+  )
+),
+scores AS (
+  SELECT doc_id,
+       {_lang_score_cols}
+  FROM (SELECT doc_id, list_distinct(string_split(norm, ' ')) AS dws FROM nd)
+),
+best AS (SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM scores),
+langg AS (SELECT doc_id, CASE {_lang_case} ELSE 'zh' END AS lang_guess FROM best),
+pi AS (
+  SELECT doc_id,
+         len(regexp_extract_all(norm, '{txt.EMAIL_RE}'))
+         + len(regexp_extract_all(norm, '{txt.LONG_NUMBER_RE}')) AS n_pii
+  FROM nd
+),
+r AS (
+  SELECT st.doc_id,
+         concat_ws(',',
+           CASE WHEN NOT st.is_quality THEN 'low_quality' END,
+           CASE WHEN st.is_repetitive THEN 'repetitive' END,
+           CASE WHEN l.lang_guess <> 'en' THEN 'lang' END,
+           CASE WHEN p.n_pii > 0 THEN 'pii' END) AS reasons
+  FROM st JOIN langg l USING (doc_id) JOIN pi p USING (doc_id)
+)
+SELECT doc_id, reasons, reasons = '' AS passes FROM r
+"""
+
 _sample_case = " ".join(
     f"WHEN lang = '{v}' THEN {p}" for v, p in sorted(SAMPLE_PCTS.items())
 )
@@ -1726,6 +1846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_decontaminate": q_decontaminate,
         "llm_pack": q_pack,
         "llm_repetition": q_repetition,
+        "llm_corpus_stats": q_corpus_stats,
+        "llm_quality_gate": q_quality_gate,
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
         "llm_ann_kmeans": q_ann_kmeans,
@@ -1774,6 +1896,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_decontaminate": _ORACLE_DECONTAMINATE,
         "llm_pack": _ORACLE_PACK,
         "llm_repetition": _ORACLE_REPETITION,
+        "llm_corpus_stats": _ORACLE_CORPUS_STATS,
+        "llm_quality_gate": _ORACLE_QUALITY_GATE,
         "llm_ann_topk": _ORACLE_ANN_TOPK,
         "llm_ann_ivf": _ORACLE_ANN_IVF,
         "llm_ann_kmeans": _ORACLE_ANN_KMEANS,

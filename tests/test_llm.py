@@ -244,6 +244,24 @@ def test_repetition_stats(spark):
     assert (got[3].n_bigrams, got[3].is_repetitive) == (1, False)
 
 
+def test_quality_gate_and_corpus_stats(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    gate = entry.q_quality_gate(spark, sf_dir)
+    rows = gate.collect()
+    assert all((r.reasons == "") == r.passes for r in rows)
+    # the injected PII docs (doc_id % 7 == 0) must carry the pii reason
+    flagged = {r.doc_id for r in rows if "pii" in r.reasons.split(",")}
+    assert flagged and all(d % 7 == 0 for d in flagged)
+
+    st = entry.q_corpus_stats(spark, sf_dir).collect()
+    assert len(st) == 1
+    s = st[0]
+    assert s.n_docs > 0 and s.total_tokens >= s.total_words
+    assert 0 < s.vocab_size <= s.total_words
+    assert 0 <= s.n_quality <= s.n_docs and 0 <= s.n_en <= s.n_docs
+
+
 def test_scrub_pii(spark):
     import hashlib
 
