@@ -1323,13 +1323,17 @@ WITH pii AS (
 ),
 nd AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM pii
+),
+nm AS (
+  SELECT doc_id, norm,
+         regexp_replace(norm, '{txt.EMAIL_RE}', '<email>', 'g') AS nomail
+  FROM nd
 )
 SELECT doc_id,
        CAST(len(regexp_extract_all(norm, '{txt.EMAIL_RE}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(norm, '{txt.LONG_NUMBER_RE}')) AS BIGINT) AS n_long_numbers,
-       md5(regexp_replace(regexp_replace(norm, '{txt.EMAIL_RE}', '<email>', 'g'),
-                          '{txt.LONG_NUMBER_RE}', '<number>', 'g')) AS scrub_hash
-FROM nd
+       CAST(len(regexp_extract_all(nomail, '{txt.LONG_NUMBER_RE}')) AS BIGINT) AS n_long_numbers,
+       md5(regexp_replace(nomail, '{txt.LONG_NUMBER_RE}', '<number>', 'g')) AS scrub_hash
+FROM nm
 """
 
 # word 5-shingle distinct-hash sets (mirrors llm/text.py word_shingles
@@ -1450,7 +1454,9 @@ langg AS (SELECT doc_id, CASE {_lang_case} ELSE 'zh' END AS lang_guess FROM best
 pi AS (
   SELECT doc_id,
          len(regexp_extract_all(norm, '{txt.EMAIL_RE}'))
-         + len(regexp_extract_all(norm, '{txt.LONG_NUMBER_RE}')) AS n_pii
+         + len(regexp_extract_all(
+             regexp_replace(norm, '{txt.EMAIL_RE}', '<email>', 'g'),
+             '{txt.LONG_NUMBER_RE}')) AS n_pii
   FROM nd
 ),
 r AS (
@@ -1600,8 +1606,9 @@ def _kmeans_ctes(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
     layer is bit-identical to the Spark loop in
     llm/similarity.py kmeans_centroids."""
     parts = [
+        # WHERE vn > 0 mirrors quantized_unit_vectors' zero-vector drop
         "kqv AS (SELECT vec_id, list_transform(v, x -> "
-        "CAST(floor(x / vn * 1048576.0 + 0.5) AS BIGINT)) AS qv FROM e)",
+        "CAST(floor(x / vn * 1048576.0 + 0.5) AS BIGINT)) AS qv FROM e WHERE vn > 0)",
         f"kseeds AS (SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS m "
         f"FROM kqv ORDER BY m, vec_id LIMIT {k})",
         "kc0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY m, vec_id) - 1 AS BIGINT) "

@@ -42,6 +42,20 @@ from marketing_attribution_etl_framework__maef_spark.llm.text import (
 )
 
 
+def _md5_bucket(id_c: Column, salt: str) -> Column:
+    """Salted md5 bucket in [0, 100) — the one shared hash expression
+    behind split assignment and stratified sampling (drift here would
+    silently break both stability guarantees and their oracles)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(id_c.cast("string"), F.lit("|" + salt))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+
+
 def split_assign(
     id_c: Column, train_pct: int = 90, val_pct: int = 5, salt: str = "split"
 ) -> Column:
@@ -51,14 +65,7 @@ def split_assign(
     md5-keyed derivation of the same id, and the assignment is stable
     under corpus growth (a document's split never changes when other
     documents arrive) — the property random splits lack."""
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(id_c.cast("string"), F.lit("|" + salt))), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
+    bucket = _md5_bucket(id_c, salt)
     return (
         F.when(bucket < train_pct, F.lit("train"))
         .when(bucket < train_pct + val_pct, F.lit("val"))
@@ -88,7 +95,10 @@ def pack_sequences(
     enforces the doc cap, and ``bucket_col`` shards the ordering window
     so no single task sorts the corpus — pack ids are offset by a 2^40
     per-bucket stride, distinct but not dense (samplers only need
-    distinctness)."""
+    distinctness). Distinctness holds while each bucket's cumulative
+    clamped token count stays below 2^40 (~1 T tokens) and bucket ids
+    below 2^23; shard wider (more buckets) before either bound, or
+    emit (bucket, pack) as a composite key."""
     part = [bucket_col] if bucket_col else []
     w = Window.partitionBy(*part).orderBy(id_col)
     cum_before = F.coalesce(
@@ -159,14 +169,7 @@ def stratified_sample(
     pipelines (e.g. up-weighting low-resource languages) need.
     Stateless per-row predicate: no shuffle, fully pushed into the
     scan's filter at any scale."""
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
+    bucket = _md5_bucket(F.col(id_col), salt)
     pct = F.lit(default_pct)
     for value, p in sorted(pcts.items()):
         pct = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(pct)

@@ -320,17 +320,24 @@ def cluster_duplicates(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     # driver-side analysis grows 3^rounds — measured 2 s -> 8 s between
     # consecutive rounds on a 278-edge graph. With checkpoints each
     # round plans against a flat LogicalRDD and driver time is O(1).
-    edges = (
+    raw = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
         .localCheckpoint()
     )
-    n_edges = edges.count()  # free: reads the checkpointed partitions
+    n_edges = raw.count()  # free: reads the checkpointed partitions
     spark = pairs.sparkSession
     max_parts = spark.sparkContext.defaultParallelism
     n_parts = max(1, min(max_parts, n_edges // _CLUSTER_ROWS_PER_PARTITION + 1))
-    edges = edges.repartition(n_parts, "dst").localCheckpoint()
+    # second materialization, now at the loop's partitioning; the first
+    # checkpoint's blocks (and each round's, below) are reclaimed by
+    # the ContextCleaner once the python reference drops — peak extra
+    # storage is bounded by O(rounds x graph), fine for a post-LSH
+    # pair graph, and the eager-once-per-round shape is what keeps
+    # driver planning O(1) (see note above).
+    edges = raw.repartition(n_parts, "dst").localCheckpoint()
+    del raw
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()

@@ -165,8 +165,13 @@ def quantized_unit_vectors(
     *spherical* k-means (L2 on unit vectors is monotone in cosine), and
     quantizing makes every later distance/centroid computation exact
     integer math — the only floats are the one normalize division and
-    the final cosine, both IEEE-identical across engines."""
-    c = _norm_vec(corpus, id_col, vec_col, "vec_id", "_v")
+    the final cosine, both IEEE-identical across engines.
+
+    All-zero vectors are dropped: they have no direction to cluster
+    by, and 0/0 would otherwise produce NaN that the two engines
+    coerce differently (Spark NaN->0 long, DuckDB errors on the
+    cast)."""
+    c = _norm_vec(corpus, id_col, vec_col, "vec_id", "_v").filter(F.col("_vn") > 0)
     return c.select(
         "vec_id",
         F.transform(
@@ -215,15 +220,16 @@ def kmeans_centroids(
         .localCheckpoint()
     )
     for _ in range(n_iter):
-        dist = (
-            idot(F.col("qv"), F.col("qv"))
-            - F.lit(2) * idot(F.col("qv"), F.col("cq"))
-            + idot(F.col("cq"), F.col("cq"))
-        )
-        wa = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("cluster"))
+        # argmin of ||q - c||^2 == argmax of 2 q.c - c.c: the q.q term
+        # is constant per vector, and idot lambdas are interpreted, so
+        # dropping it cuts a third of the assignment stage's HOF cost
+        # (same exact-integer ranking and the same ties, so the
+        # centroid output — what the oracle checks — is unchanged)
+        score = F.lit(2) * idot(F.col("qv"), F.col("cq")) - idot(F.col("cq"), F.col("cq"))
+        wa = Window.partitionBy("vec_id").orderBy(F.desc("_s"), F.asc("cluster"))
         assign = (
             q.crossJoin(F.broadcast(cents))
-            .select("vec_id", "qv", "cluster", dist.alias("_d"))
+            .select("vec_id", "qv", "cluster", score.alias("_s"))
             .withColumn("_rn", F.row_number().over(wa))
             .filter(F.col("_rn") == 1)
         )

@@ -276,17 +276,21 @@ def scrub_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     all — at 100 TB this is a pure map pass that fuses with whatever
     scan feeds it."""
     norm = normalize_text(F.col(text_col))
-    d = docs.select(F.col(id_col), norm.alias("_norm"))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(F.col("_norm"), EMAIL_RE, "<email>"), LONG_NUMBER_RE, "<number>"
+    # numbers are counted on the EMAIL-REDACTED text so every count
+    # corresponds to a substitution actually present in the output
+    # (a digit run inside an email is covered by the email redaction)
+    d = docs.select(
+        F.col(id_col),
+        norm.alias("_norm"),
+        F.regexp_replace(norm, EMAIL_RE, "<email>").alias("_nomail"),
     )
     return d.select(
         F.col(id_col),
         F.size(F.regexp_extract_all("_norm", F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all("_norm", F.lit(LONG_NUMBER_RE), 0))
+        F.size(F.regexp_extract_all("_nomail", F.lit(LONG_NUMBER_RE), 0))
         .cast("long")
         .alias("n_long_numbers"),
-        F.md5(scrubbed).alias("scrub_hash"),
+        F.md5(F.regexp_replace("_nomail", LONG_NUMBER_RE, "<number>")).alias("scrub_hash"),
     )
 
 

@@ -13,6 +13,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from marketing_attribution_etl_framework__maef_spark import schemas
 
@@ -115,10 +116,26 @@ def merge_upsert(
     With partition pruning the partition value must be determined by
     the key (e.g. the date is part of the key) — a key that moved
     partitions would leave its old row in an untouched partition.
+    The update batch must hold at most one row per key (enforced —
+    DataFrames have no row order, so REPLACE has no winner to pick).
 
     The merged frame is localCheckpointed before the write because the
     sink overwrites the files the plan reads from.
     """
+    dup = (
+        updates.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_upsert into {table}: update batch repeats a key in "
+            f"{key_cols}; a keyed REPLACE needs exactly one row per key "
+            "(deduplicate the batch first — there is no row order to pick "
+            "a winner from)"
+        )
     if not os.path.exists(wh.path(table)):
         wh.write(table, updates, partition_by=partition_cols)
         return

@@ -22,6 +22,15 @@ State lives in three parquet tables, exactly like
 - ``sets``: (doc_id, shingle_set) for the exact-Jaccard verify of
   candidates.
 
+Replay safety: all three tables are hive-partitioned by ``_batch_id``
+and written with dynamic partition overwrite, so a foreachBatch retry
+after a partial failure REPLACES its own partitions instead of
+appending duplicates; store reads exclude the current batch's
+partition, so a half-written earlier attempt can never make a batch's
+documents reject against themselves. That makes ``process_batch``
+idempotent, which is the contract foreachBatch requires for
+exactly-once state.
+
 Scale: per batch the store-side join touches only colliding band
 buckets (the index is keyed for it), the verify joins only candidate
 pairs, and the appended state is signatures/sets of ACCEPTED docs
@@ -72,11 +81,26 @@ class IncrementalNearDedup:
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
-    def _read_or_empty(self, name: str, schema: str) -> DataFrame:
+    def _read_store(self, name: str, schema: str, exclude_batch: int) -> DataFrame:
+        """Accepted state from all batches BEFORE ``exclude_batch`` —
+        a retried batch must not see its own partial earlier write."""
         p = self._path(name)
         if os.path.exists(p):
-            return self.spark.read.parquet(p)
+            df = self.spark.read.parquet(p)
+            return df.filter(F.col("_batch_id") != exclude_batch).drop("_batch_id")
         return self.spark.createDataFrame([], schema)
+
+    def _write_batch(self, df: DataFrame, name: str, batch_id: int) -> None:
+        """Idempotent micro-batch write: the batch's rows land in their
+        own ``_batch_id`` partition with dynamic overwrite, so a replay
+        replaces rather than duplicates."""
+        (
+            df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self._path(name))
+        )
 
     def _index(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         """(shingle sets, LSH bands) of a document frame — the same
@@ -105,7 +129,9 @@ class IncrementalNearDedup:
         sets = sets.localCheckpoint()
         bands = bands.localCheckpoint()
 
-        store_bands = self._read_or_empty(self.BANDS, f"{id_col} long, band int, key string")
+        store_bands = self._read_store(
+            self.BANDS, f"{id_col} long, band int, key string", batch_id
+        )
         cand = (
             bands.select("band", "key", F.col(id_col).alias("_new"))
             .join(
@@ -116,7 +142,9 @@ class IncrementalNearDedup:
             .select("_new", "_old")
             .distinct()
         )
-        store_sets = self._read_or_empty(self.SETS, f"{id_col} long, shingle_set array<long>")
+        store_sets = self._read_store(
+            self.SETS, f"{id_col} long, shingle_set array<long>", batch_id
+        )
         sa = sets.select(F.col(id_col).alias("_new"), F.col("shingle_set").alias("_sa"))
         sb = store_sets.select(F.col(id_col).alias("_old"), F.col("shingle_set").alias("_sb"))
         inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
@@ -130,10 +158,10 @@ class IncrementalNearDedup:
         )
         accepted = surv.join(rejected, on=id_col, how="left_anti").localCheckpoint()
 
-        accepted.write.mode("append").parquet(self._path(self.SURVIVORS))
+        self._write_batch(accepted, self.SURVIVORS, batch_id)
         acc_ids = accepted.select(id_col)
-        bands.join(acc_ids, id_col).write.mode("append").parquet(self._path(self.BANDS))
-        sets.join(acc_ids, id_col).write.mode("append").parquet(self._path(self.SETS))
+        self._write_batch(bands.join(acc_ids, id_col), self.BANDS, batch_id)
+        self._write_batch(sets.join(acc_ids, id_col), self.SETS, batch_id)
 
     def start(self, docs: DataFrame, checkpoint: str | None = None):
         writer = (
@@ -144,4 +172,4 @@ class IncrementalNearDedup:
         return writer.start()
 
     def survivors(self) -> DataFrame:
-        return self.spark.read.parquet(self._path(self.SURVIVORS))
+        return self.spark.read.parquet(self._path(self.SURVIVORS)).drop("_batch_id")

@@ -206,3 +206,13 @@ def test_pipeline_date_range(spark, sf_dir):
     convs = pipe.conversions().select(F.date_format("conv_ts", "yyyy-MM-dd").alias("d")).distinct()
     ds = sorted(r.d for r in convs.collect())
     assert ds and ds[0] >= "2024-01-02" and ds[-1] <= "2024-01-05"
+
+
+def test_merge_upsert_rejects_duplicate_update_keys(spark, tmp_path):
+    import pytest
+    from marketing_attribution_etl_framework__maef_spark.sources.io import merge_upsert
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    upd = spark.createDataFrame([("k1", 1.0), ("k1", 2.0)], "k string, v double")
+    with pytest.raises(ValueError, match="repeats a key"):
+        merge_upsert(wh, "t", upd, ["k"])

@@ -229,3 +229,27 @@ def test_incremental_neardup_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == batch_surv
+
+
+def test_incremental_neardup_replay_idempotent(spark, tmp_path):
+    """foreachBatch replay safety: re-running a micro-batch (same
+    batch_id, as Structured Streaming does after a failure before the
+    checkpoint commit) must not duplicate survivors or index rows."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import IncrementalNearDedup
+
+    docs = spark.createDataFrame(
+        [(1, "some perfectly unique words about oceans tides and salt water")],
+        "doc_id long, text string",
+    )
+    nd = IncrementalNearDedup(spark, str(tmp_path / "state"))
+    nd.process_batch(docs, batch_id=0)
+    nd.process_batch(docs, batch_id=0)  # replay
+    assert nd.survivors().count() == 1
+    assert spark.read.parquet(nd._path(nd.BANDS)).select("doc_id").distinct().count() == 1
+    # and a genuinely new batch still dedups against batch 0
+    dup = spark.createDataFrame(
+        [(2, "SOME perfectly unique words about oceans tides and salt water ")],
+        "doc_id long, text string",
+    )
+    nd.process_batch(dup, batch_id=1)
+    assert {r.doc_id for r in nd.survivors().collect()} == {1}
