@@ -271,21 +271,39 @@ def _loader_envelopes(
         att = attr.attribute_linear(_journeys(spark, sf_dir))
     rows = att.select(F.col("conv_id").alias("conversion_id"), "session_id", "ihc")
     last = F.substring("session_id", -1, 1)
+    # One scan, not a 4-branch union: each row emits itself plus its
+    # injected variant (blank id / NULL ihc / exact dup) as an exploded
+    # array, so the attribution lineage is computed once per payload.
+    base = F.struct("conversion_id", "session_id", "ihc")
+    variant = (
+        F.when(
+            last == "0",
+            F.array(F.struct(F.lit("").alias("conversion_id"), "session_id", "ihc")),
+        )
+        .when(
+            last == "1",
+            F.array(
+                F.struct(
+                    "conversion_id",
+                    "session_id",
+                    F.lit(None).cast("double").alias("ihc"),
+                )
+            ),
+        )
+        .when(last == "2", F.array(base))
+        .otherwise(F.array().cast("array<struct<conversion_id:string,session_id:string,ihc:double>>"))
+    )
     payload = (
-        rows.unionByName(
-            rows.filter(last == "0").withColumn("conversion_id", F.lit(""))
-        )
-        .unionByName(
-            rows.filter(last == "1").withColumn("ihc", F.lit(None).cast("double"))
-        )
-        .unionByName(rows.filter(last == "2"))
+        rows.select(F.explode(F.concat(F.array(base), variant)).alias("r"))
+        .select("r.*")
     )
     env = ldr.pack_envelopes(
         payload,
         # try_cast: blank-id rows land in a NULL chunk (ANSI mode).
-        # 500 chunks keeps per-envelope collect_list arrays bounded as
-        # SF grows (20 chunks meant ~260k-struct arrays at sf0.1).
-        chunk=F.pmod(F.col("conversion_id").try_cast("bigint"), F.lit(500)),
+        # 4096 chunks keeps per-envelope collect_list arrays small as
+        # SF grows (explode of ~150-struct arrays measured 1.4 s vs
+        # 2.2 s for ~1300-struct arrays at sf0.1).
+        chunk=F.pmod(F.col("conversion_id").try_cast("bigint"), F.lit(4096)),
     )
     bad = spark.createDataFrame(
         [(500, None, None), (500, None, None), (None, None, None)],
@@ -300,11 +318,12 @@ def q_loader_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     injected invalid/duplicate rows must all wash out, so the loaded
     table equals the linear attribution exactly.
 
-    The attribution result feeds FOUR branches (three payload unions +
-    the upsert seed) and its lineage is the full journey join + window
-    — localCheckpoint materializes it once (measured 6.5 s -> 3.1 s
-    cold at sf0.1)."""
-    att = attr.attribute_linear(_journeys(spark, sf_dir)).localCheckpoint()
+    The attribution lineage feeds two branches (payload + upsert seed);
+    with the hash-agg dedup/upsert AQE overlaps the recomputes, and a
+    localCheckpoint barrier measured SLOWER than recompute at sf0.1
+    (7.2 s vs 6.0 s warm) — so no materialization here. At production
+    scale, write `att` to a table once and read it for both."""
+    att = attr.attribute_linear(_journeys(spark, sf_dir))
     envelopes = _loader_envelopes(spark, sf_dir, att=att)
     out = ldr.dedup_results(ldr.validate_results(ldr.explode_envelopes(envelopes)))
     seed = att.filter(F.substring("session_id", -1, 1) == "3").withColumn(
@@ -942,7 +961,7 @@ _ORACLE_LOADER_ERRORS = f"""
 WITH {_CONV}, {_SESS}, {_JOURNEYS},
 att AS (SELECT DISTINCT conversion_id, session_id FROM journeys),
 chunks AS (
-  SELECT DISTINCT (CAST(conversion_id AS BIGINT) % 500) AS c FROM att
+  SELECT DISTINCT (CAST(conversion_id AS BIGINT) % 4096) AS c FROM att
 )
 SELECT 'ok' AS error_code,
        (SELECT COUNT(*) FROM chunks)

@@ -9,7 +9,7 @@ a DataFrame transformation; the envelope dispatch becomes schema-driven
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from marketing_attribution_etl_framework__maef_spark import schemas
@@ -108,16 +108,18 @@ def dedup_results(rows: DataFrame, deterministic: bool = True) -> DataFrame:
     (conv_id, session_id). The reference's "first" is file order —
     nondeterministic under distribution — so the default here keeps the
     row with the *highest* ihc (stable, order-free); pass
-    ``deterministic=False`` for plain ``dropDuplicates`` (any-wins,
-    cheapest: map-side partial agg)."""
+    ``deterministic=False`` for plain ``dropDuplicates`` (any-wins).
+
+    Hash aggregation, not a window sort: the validated row is exactly
+    (conv_id, session_id, ihc), so highest-ihc-wins is ``max(ihc)`` per
+    key — map-side partial agg shrinks the shuffle to one row per key
+    per mapper, where a row_number window must shuffle every duplicate
+    and sort each partition. At 100 TB duplicates are the common case
+    (retried API chunks), so the partial agg is the difference between
+    shuffling the dup multiset and shuffling the key set."""
     if not deterministic:
         return rows.dropDuplicates(["conv_id", "session_id"])
-    w = Window.partitionBy("conv_id", "session_id").orderBy(F.col("ihc").desc())
-    return (
-        rows.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    return rows.groupBy("conv_id", "session_id").agg(F.max("ihc").alias("ihc"))
 
 
 def check_total_ihc(rows: DataFrame) -> float:
@@ -145,13 +147,16 @@ def upsert(existing: DataFrame, incoming: DataFrame) -> DataFrame:
     """S10 (``src/etl/load.py:125-143``): INSERT OR REPLACE keyed
     (conv_id, session_id) — incoming wins. Without a Delta/Iceberg
     catalog this is the union-dedup formulation; on a lakehouse table
-    it is ``MERGE INTO`` on the same key."""
+    it is ``MERGE INTO`` on the same key.
+
+    Both sides are unique per key (incoming is post-``dedup_results``,
+    existing is a loaded table), so incoming-wins is ``max_by(ihc, _src)``
+    per key — a hash aggregation with map-side combine instead of a
+    row_number window's shuffle-and-sort."""
     inc = incoming.select("conv_id", "session_id", "ihc").withColumn("_src", F.lit(1))
     ex = existing.select("conv_id", "session_id", "ihc").withColumn("_src", F.lit(0))
-    w = Window.partitionBy("conv_id", "session_id").orderBy(F.col("_src").desc())
     return (
         inc.unionByName(ex)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("conv_id", "session_id", "ihc")
+        .groupBy("conv_id", "session_id")
+        .agg(F.max_by("ihc", "_src").alias("ihc"))
     )
