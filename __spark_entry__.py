@@ -556,9 +556,7 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     All exact integers (map-side-combining aggregates; the vocab count
     is the one corpus-wide distinct)."""
     d = _docs(spark, sf_dir)
-    st = txt.text_stats(d)
-    lg = txt.language_id(d)
-    base = st.join(lg, "doc_id")
+    base = txt.doc_profile(d)  # stats+lang in one scan, no self-join
     totals = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -576,13 +574,7 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused per-document quality verdict: passes iff quality stats,
     repetition, language, and PII checks all clear; failures listed in
     a fixed-order reasons string."""
-    d = _pii_docs(spark, sf_dir)
-    f = (
-        txt.text_stats(d)
-        .join(txt.repetition_stats(d), "doc_id")
-        .join(txt.language_id(d), "doc_id")
-        .join(txt.scrub_pii(d), "doc_id")
-    )
+    f = txt.doc_profile(_pii_docs(spark, sf_dir))
     reasons = F.concat_ws(
         ",",
         F.when(~F.col("is_quality"), F.lit("low_quality")),

@@ -34,9 +34,9 @@ from marketing_attribution_etl_framework__maef_spark.llm.dedup import (
 )
 from marketing_attribution_etl_framework__maef_spark.llm.dedup import shingle_hash
 from marketing_attribution_etl_framework__maef_spark.llm.text import (
-    language_id,
+    TOKEN_REGEX,
+    lang_cols,
     normalize_text,
-    text_stats,
     word_shingles,
     words,
 )
@@ -188,13 +188,27 @@ def curate_corpus(
     Returns (doc_id, lang_guess, n_tokens, split) for every surviving
     document. Survivor choice is the canonical min-id rule at both
     dedup stages, so the output set is deterministic."""
-    stats = text_stats(docs, text_col, id_col).filter(F.col("is_quality")).select(
-        F.col(id_col), "n_tokens"
+    # stats + lang are per-row column algebra over the same scan — one
+    # fused projection (doc_profile columns), never self-joins.
+    norm = normalize_text(F.col(text_col))
+    prof = docs.select(
+        F.col(id_col), F.col(text_col), norm.alias("_norm")
+    ).select(
+        F.col(id_col), F.col(text_col), words(F.col("_norm")).alias("_ws"),
+        F.size(F.regexp_extract_all("_norm", F.lit(TOKEN_REGEX), 0)).cast("long").alias("n_tokens"),
     )
-    lang = language_id(docs, text_col, id_col).select(F.col(id_col), "lang_guess")
-    base = docs.select(F.col(id_col), F.col(text_col)).join(stats, id_col).join(lang, id_col)
+    n_words = F.size("_ws").cast("long")
+    n_distinct = F.size(F.array_distinct("_ws")).cast("long")
+    base = prof.select(
+        F.col(id_col),
+        F.col(text_col),
+        "n_tokens",
+        ((n_words >= 5) & (n_distinct * 10 >= n_words * 3)).alias("is_quality"),
+        *lang_cols(F.array_distinct(F.col("_ws"))),
+    ).filter(F.col("is_quality"))
     if langs:
         base = base.filter(F.col("lang_guess").isin(list(langs)))
+    base = base.select(F.col(id_col), F.col(text_col), "n_tokens", "lang_guess")
     keep = exact_dedup_groups(base, text_col, id_col).select(F.col("keep_id").alias(id_col))
     # surv feeds three branches (minhash signatures, shingle sets, the
     # final survivor join) and its lineage is the whole
