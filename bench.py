@@ -27,11 +27,19 @@ def main() -> None:
     spark = get_spark("maef-bench")
 
     queries = entrymod.queries()
-    # warm-up: JVM, codegen, and parquet footer caches for every input
-    # table (events / documents / embeddings), so the first query that
-    # touches each table isn't charged the one-time cold cost
-    for warm in ("maef_channel_report", "llm_multimodal_meta", "llm_ann_ivf"):
-        queries[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm-up: run every query once at the smallest SF (or, failing
+    # that, a 3-query subset at the target SF) so JVM JIT + whole-stage
+    # codegen classes + parquet footer caches exist before timing —
+    # the measured numbers are steady-state per-query cost, not
+    # first-compilation noise (cold-vs-warm measured 9.5 s vs 2.5 s on
+    # the simhash shape).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for fn in queries.values():
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+    else:
+        for warm in ("maef_channel_report", "llm_multimodal_meta", "llm_ann_ivf"):
+            queries[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
