@@ -18,6 +18,7 @@ hash is stable.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -384,6 +385,38 @@ def q_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("v"), 4).alias("total_value"),
         )
     )
+
+
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.9(a) / L26 as a correctness-gated query: Structured
+    Streaming file-source intake of the events parquet ->
+    ``foreachBatch`` incremental attribution (session store append +
+    journey join + linear model + idempotent upsert) with
+    ``trigger(availableNow=True)``. Over a static input the final
+    attribution table must EQUAL the batch ``maef_attribution_linear``
+    result exactly — streaming/batch parity is the oracle. Linear
+    weights are single divisions (1/n), so parity is bitwise, not
+    approximate.
+
+    State (session store, attribution table, checkpoint) lives under
+    the repo-local ``.stream_tmp`` scratch dir and is wiped per run so
+    the query is idempotent across invocations."""
+    import shutil
+
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".stream_tmp",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    drv = inc.IncrementalAttribution(
+        spark, root, model="linear", lookback_days=LOOKBACK_DAYS, strict_before=False
+    )
+    ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+    drv.start(ev).awaitTermination()
+    return drv.attribution()
 
 
 # ---------------------------------------------------------------------------
@@ -1847,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_loader_roundtrip": q_loader_roundtrip,
         "maef_loader_errors": q_loader_errors,
         "maef_date_window": q_date_window,
+        "maef_stream_attribution": q_stream_attribution,
         "maef_cleaning": q_cleaning,
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
@@ -1897,6 +1931,9 @@ def oracle_sql() -> dict[str, str]:
         "maef_loader_roundtrip": _ORACLE_LOADER_ROUNDTRIP,
         "maef_loader_errors": _ORACLE_LOADER_ERRORS,
         "maef_date_window": _ORACLE_DATE_WINDOW,
+        # streaming/batch parity: the incremental streaming run over a
+        # static input must equal the batch linear attribution exactly
+        "maef_stream_attribution": _ORACLE_ATTR_LINEAR,
         "maef_cleaning": _ORACLE_CLEANING,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,

@@ -37,6 +37,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from marketing_attribution_etl_framework__maef_spark import domain, schemas
 from marketing_attribution_etl_framework__maef_spark.operators import attribution as attr
@@ -57,6 +58,35 @@ def stream_events(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path).withWatermark("ts", watermark)
+
+
+def stream_events_nanos(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming read of the harness's TIMESTAMP(NANOS) events parquet:
+    same nanos-as-long + truncate-to-micros contract as
+    ``domain.load_table`` (the session-wide ``nanosAsLong`` invariant),
+    so a stream over ``sf_dir/events.parquet`` decodes ``ts``
+    identically to the batch path."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos_schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType(), f.nullable)
+            for f in schemas.EVENTS.fields
+        ]
+    )
+    reader = spark.readStream.schema(nanos_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if path.endswith(".parquet") and not os.path.isdir(path):
+        # FileStreamSource requires a directory (or glob) source path:
+        # a bare file fails with "Option 'basePath' must be a
+        # directory". Rewrite the harness's single-file layout as a
+        # glob, which anchors basePath at the parent directory.
+        path = os.path.join(os.path.dirname(path), os.path.basename(path).replace(".parquet", "*.parquet"))
+    return reader.parquet(path).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
 
 
 def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
