@@ -747,6 +747,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas path, value-checked: per-stripe integer byte
+    sums over the binary payload (llm/multimodal.py stripe_sums). Same
+    Arrow plumbing as feature extraction, but exact-integer output, so
+    the DuckDB oracle can hash-compare the Python batch transform
+    end to end (document text is ASCII, so SQL codepoints == payload
+    bytes)."""
+    media = mm.attach_binary(_docs(spark, sf_dir))
+    return mm.stripe_sums(media)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect) — same computations, same aliases
 # ---------------------------------------------------------------------------
@@ -1846,6 +1857,30 @@ SELECT doc_id,
 FROM documents
 """
 
+# document text is ASCII (verified: max codepoint 121), so SQL
+# codepoints equal UTF-8 payload bytes and the Python stripe sums are
+# reproducible exactly. stripe_len = ceil(n / 8) matches stripe_sums.
+_ORACLE_MM_STRIPES = """
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         text, LENGTH(text) AS n
+  FROM documents WHERE LENGTH(text) > 0
+),
+pos AS (
+  SELECT doc_id, media_type, n, text,
+         unnest(generate_series(1, n)) AS pos
+  FROM media
+)
+SELECT doc_id, media_type,
+       CAST((pos - 1) // CAST(ceil(n / 8.0) AS BIGINT) AS BIGINT) AS stripe,
+       CAST(COUNT(*) AS BIGINT) AS n_stripe_bytes,
+       CAST(SUM(unicode(substr(text, CAST(pos AS INT), 1))) AS BIGINT) AS sum_bytes
+FROM pos GROUP BY 1, 2, 3
+"""
+
 
 # ---------------------------------------------------------------------------
 # driver contract
@@ -1909,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_embedding_neardup": q_embedding_neardup,
         "llm_multimodal_meta": q_multimodal_meta,
         "llm_multimodal_features": q_multimodal_features,
+        "llm_multimodal_stripes": q_multimodal_stripes,
     }
 
 
@@ -1961,6 +1997,9 @@ def oracle_sql() -> dict[str, str]:
         "llm_ann_lsh_multiprobe": _ORACLE_ANN_LSH_MULTIPROBE,
         "llm_embedding_neardup": _ORACLE_EMB_NEARDUP,
         "llm_multimodal_meta": _ORACLE_MM_META,
+        # the mapInPandas path IS value-checked via the exact-integer
+        # stripe summary (same Arrow plumbing, no float output):
+        "llm_multimodal_stripes": _ORACLE_MM_STRIPES,
         # llm_multimodal_features: intentionally no oracle — Python
         # (mapInPandas) feature extraction is not ANSI-SQL expressible;
         # the driver records a rows-only check for it.

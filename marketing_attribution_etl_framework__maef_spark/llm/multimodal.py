@@ -113,6 +113,56 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+STRIPE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("stripe", T.LongType(), False),
+        T.StructField("n_stripe_bytes", T.LongType(), False),
+        T.StructField("sum_bytes", T.LongType(), False),
+    ]
+)
+
+
+def stripe_sums(media: DataFrame, n_stripes: int = 8) -> DataFrame:
+    """Integer byte-stripe summary via ``mapInPandas`` — the
+    oracle-checkable face of the feature extractor: the identical Arrow
+    batch plumbing over the binary column (payload enters Python,
+    never returns to the JVM), but the output is exact integers
+    (per-stripe byte count and byte sum, stripe length = ceil(n /
+    n_stripes)), so a SQL oracle can value-check the whole mapInPandas
+    path — no float features, no rounding cliffs. Rows are emitted
+    only for non-empty stripes."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("doc_id", "media_type", "stripe", "n_stripe_bytes", "sum_bytes")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for did, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                if n == 0:
+                    continue
+                stripe_len = -(-n // n_stripes)  # ceil
+                for i in range(n_stripes):
+                    start = i * stripe_len
+                    if start >= n:
+                        break
+                    chunk = b[start : start + stripe_len]
+                    rows["doc_id"].append(did)
+                    rows["media_type"].append(mt)
+                    rows["stripe"].append(i)
+                    rows["n_stripe_bytes"].append(len(chunk))
+                    rows["sum_bytes"].append(sum(chunk))
+            yield pd.DataFrame(rows).astype(
+                {"doc_id": "int64", "stripe": "int64", "n_stripe_bytes": "int64", "sum_bytes": "int64"}
+            )
+
+    return media.mapInPandas(run, schema=STRIPE_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

@@ -150,6 +150,23 @@ def test_multimodal_plumbing(spark, sf_dir):
     assert a == b
 
 
+def test_stripe_sums_exact(spark):
+    """stripe_sums must reproduce hand-computed byte sums, including
+    the short-payload tail (fewer stripes than n_stripes)."""
+    docs = spark.createDataFrame([(0, "abcdefghij"), (3, "xy")], "doc_id long, text string")
+    out = {
+        (r.doc_id, r.stripe): (r.n_stripe_bytes, r.sum_bytes)
+        for r in mm.stripe_sums(mm.attach_binary(docs), n_stripes=4).collect()
+    }
+    # doc 0: n=10, stripe_len=3 -> abc def ghi j
+    assert out[(0, 0)] == (3, ord("a") + ord("b") + ord("c"))
+    assert out[(0, 3)] == (1, ord("j"))
+    # doc 3: n=2, stripe_len=1 -> x y (only 2 stripes emitted)
+    assert out[(3, 0)] == (1, ord("x"))
+    assert out[(3, 1)] == (1, ord("y"))
+    assert (3, 2) not in out and len(out) == 6
+
+
 def test_multimodal_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         mm.decode_payload(b"abc", "image/png", fake=False)
