@@ -486,6 +486,12 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.top_terms(_docs(spark, sf_dir), k=3)
 
 
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score in exact whole-bit surprisal units
+    (llm/text.py unigram_surprisal)."""
+    return txt.unigram_surprisal(_docs(spark, sf_dir))
+
+
 BM25_QUERY_TERMS = ["spark", "join", "window", "stream"]
 
 
@@ -1175,6 +1181,18 @@ SELECT doc_id, CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk, term, tf, df
 FROM scored
 WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, term)
 QUALIFY ROW_NUMBER() OVER w <= 3
+"""
+
+_ORACLE_UNIGRAM_SURPRISAL = f"""
+WITH {_NORM_RAW},
+ex AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM nd),
+tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_term FROM ex GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_term) AS BIGINT) AS n_total FROM tf)
+SELECT ex.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_scored_words,
+       CAST(SUM(LENGTH(bin(tot.n_total // tf.n_term)) - 1) AS BIGINT) AS surprisal_bits
+FROM ex JOIN tf USING (term) CROSS JOIN tot
+GROUP BY 1
 """
 
 _bm25_terms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
@@ -1920,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
         "llm_top_terms": q_top_terms,
+        "llm_unigram_surprisal": q_unigram_surprisal,
         "llm_bm25_topk": q_bm25_topk,
         "llm_fingerprint": q_fingerprint,
         "llm_dedup_exact": q_dedup_exact,
@@ -1974,6 +1993,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,
+        "llm_unigram_surprisal": _ORACLE_UNIGRAM_SURPRISAL,
         "llm_bm25_topk": _ORACLE_BM25,
         "llm_fingerprint": _ORACLE_FINGERPRINT,
         "llm_dedup_exact": _ORACLE_DEDUP_EXACT,

@@ -339,6 +339,42 @@ def doc_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def unigram_surprisal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram language-model quality score (the CCNet/KenLM-filter
+    analogue): per document, the summed corpus surprisal of its words,
+    in EXACT whole-bit units.
+
+    For corpus total N and term count n_t, a word's surprisal is
+    floor(log2(N / n_t)) bits — computed without floating log as
+    ``length(bin(N div n_t)) - 1``, which is exact because
+    floor(log2(r)) == floor(log2(floor(r))) for r >= 1 (no integer
+    power of two can lie strictly between floor(r) and r). Rare-word
+    documents score high bits/word; boilerplate scores low — the usual
+    LM-perplexity quality signal, but bit-stable across engines (a
+    float ln() sum would be order-dependent ulp noise).
+
+    Plan: one explode -> term-count aggregate (map-side combining), a
+    1-row total broadcast, one term join back (inverted-index shape —
+    cost Σ tf, the same as top_terms/bm25), one per-doc aggregate. At
+    100 TB the term dictionary join is a shuffle join keyed by term
+    (or a broadcast when the vocabulary fits); never all-pairs."""
+    norm = normalize_text(F.col(text_col))
+    ex = docs.select(F.col(id_col), F.explode(words(norm)).alias("term"))
+    tf = ex.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    total = tf.agg(F.sum("n_term").alias("n_total"))
+    scored = ex.join(tf, "term").crossJoin(F.broadcast(total))
+    bits = F.length(F.bin(F.expr("n_total div n_term"))) - 1
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored_words"),
+            F.sum(bits).cast("long").alias("surprisal_bits"),
+        )
+    )
+
+
 def fingerprints(
     docs: DataFrame,
     text_col: str = "text",

@@ -53,6 +53,17 @@ def test_lang_id(docs):
     assert got[5][0] == "de"  # zero everywhere -> alphabetical tie-break
 
 
+def test_unigram_surprisal_exact(spark):
+    """Hand-computed whole-bit surprisal: corpus 'a a a a b b c d'
+    (N=8) -> bits(a)=floor(log2(8/4))=1, bits(b)=2, bits(c)=bits(d)=3."""
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a a b d")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_scored_words, r.surprisal_bits) for r in txt.unigram_surprisal(docs).collect()}
+    assert got[1] == (4, 1 + 1 + 2 + 3)
+    assert got[2] == (4, 1 + 1 + 2 + 3)
+
+
 def test_top_terms(spark):
     docs = spark.createDataFrame(
         [
