@@ -108,9 +108,12 @@ def attribute_u_shaped(journeys: DataFrame) -> DataFrame:
 
 def attribute_time_decay(journeys: DataFrame, halflife_days: float = 7.0) -> DataFrame:
     """weight = 2^(-age_days / halflife), normalized per conversion."""
-    age_days = (
-        F.col("conv_ts").cast("double") - F.col("event_ts").cast("double")
-    ) / F.lit(86400.0)
+    # timestampdiff works on TIMESTAMP and TIMESTAMP_NTZ alike (a
+    # direct cast-to-double is illegal on NTZ under Spark 4 ANSI) and
+    # matches the oracle's epoch_us difference exactly.
+    age_days = F.expr(
+        "timestampdiff(MICROSECOND, event_ts, conv_ts)"
+    ).cast("double") / F.lit(86400.0e6)
     weight = F.pow(F.lit(2.0), -age_days / F.lit(float(halflife_days)))
     return _finish(journeys, weight)
 

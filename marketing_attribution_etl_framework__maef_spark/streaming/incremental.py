@@ -63,30 +63,31 @@ def stream_events(
 def stream_events_nanos(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """Streaming read of the harness's TIMESTAMP(NANOS) events parquet:
-    same nanos-as-long + truncate-to-micros contract as
-    ``domain.load_table`` (the session-wide ``nanosAsLong`` invariant),
-    so a stream over ``sf_dir/events.parquet`` decodes ``ts``
-    identically to the batch path."""
+    """Streaming read of the harness's events parquet, decoding ``ts``
+    identically to the batch path (``domain.load_table``) whatever the
+    file's physical timestamp type:
+
+    - TIMESTAMP(NANOS): read as long (the session-wide ``nanosAsLong``
+      invariant) and truncated to a microsecond timestamp;
+    - TIMESTAMP(MICROS) / NTZ: read natively with the file's own type.
+
+    FileStreamSource needs a declared schema, so the file schema is
+    peeked with a batch footer read first — no data scan."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    nanos_schema = T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.LongType(), f.nullable)
-            for f in schemas.EVENTS.fields
-        ]
-    )
-    reader = spark.readStream.schema(nanos_schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if path.endswith(".parquet") and not os.path.isdir(path):
         # FileStreamSource requires a directory (or glob) source path:
         # a bare file fails with "Option 'basePath' must be a
         # directory". Rewrite the harness's single-file layout as a
         # glob, which anchors basePath at the parent directory.
         path = os.path.join(os.path.dirname(path), os.path.basename(path).replace(".parquet", "*.parquet"))
-    return reader.parquet(path).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    file_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(file_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    out = reader.parquet(path)
+    if isinstance(file_schema["ts"].dataType, T.LongType):
+        out = out.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return out
 
 
 def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:

@@ -216,3 +216,42 @@ def test_merge_upsert_rejects_duplicate_update_keys(spark, tmp_path):
     upd = spark.createDataFrame([("k1", 1.0), ("k1", 2.0)], "k string, v double")
     with pytest.raises(ValueError, match="repeats a key"):
         merge_upsert(wh, "t", upd, ["k"])
+
+
+def test_harness_ts_decode_smoke(spark):
+    """Regression: the harness has shipped events.ts as TIMESTAMP(NANOS)
+    in one round and TIMESTAMP(MICROS)/NTZ in another. Both the batch
+    decode path and every ts-arithmetic consumer (time_decay is the one
+    that casts) must work against the real file, whatever its physical
+    type this round."""
+    from marketing_attribution_etl_framework__maef_spark import domain
+    from marketing_attribution_etl_framework__maef_spark.operators import attribution, journeys
+
+    ev = domain.load_table(spark, "/root/testdata/sf0.001", "events")
+    ts_type = dict(ev.dtypes)["ts"]
+    assert ts_type in ("timestamp", "timestamp_ntz"), ts_type
+
+    j = journeys.build_journeys(
+        domain.conversions_from_events(ev), domain.sessions_from_events(ev)
+    )
+    out = attribution.attribute_time_decay(j).limit(5).collect()
+    assert all(0.0 <= r.ihc <= 1.0 for r in out)
+
+
+def test_harness_ts_decode_streaming(spark, tmp_path):
+    """Same regression for the streaming reader: stream_events_nanos
+    must adapt to the file's actual timestamp type."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    ev = inc.stream_events_nanos(spark, "/root/testdata/sf0.001/events.parquet")
+    assert dict(ev.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
+    q = (
+        ev.writeStream.format("memory")
+        .queryName("ts_decode_smoke")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(*) AS n, min(ts) AS lo FROM ts_decode_smoke").first()
+    assert n.n > 0 and n.lo is not None

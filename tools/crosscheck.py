@@ -45,7 +45,12 @@ def compare(sf_dir: str, names: list[str] | None = None) -> int:
     for name, fn in qs.items():
         if names and name not in names:
             continue
-        sdf = fn(spark, sf_dir).toPandas()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"{name:42s} FAIL exception: {str(ex).splitlines()[0][:160]}")
+            failures += 1
+            continue
         if name not in oracles:
             print(f"{name:42s} rows={len(sdf):7d}  (no oracle — rows-only)")
             continue
