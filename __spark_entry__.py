@@ -419,6 +419,58 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drv.attribution()
 
 
+def q_session_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): for each conversion, the single
+    most recent session at-or-before conv_ts for the same user, within
+    the journey lookback. The 1-row specialization of the journey join
+    (src/etl/transform.py:211-227) — and the generic operator a
+    training-data pipeline needs for point-in-time feature joins.
+    Right side is pre-deduped to one row per (user, ts) so the match is
+    deterministic in both engines."""
+    from marketing_attribution_etl_framework__maef_spark.operators import asof
+
+    conv = domain.conversions(spark, sf_dir)
+    s1 = (
+        domain.session_sources(spark, sf_dir)
+        .groupBy("user_id", "event_ts")
+        .agg(F.max(F.col("session_id").cast("long")).alias("sid"))
+    )
+    out = asof.asof_join(
+        conv,
+        s1,
+        on=["user_id"],
+        left_time="conv_ts",
+        right_time="event_ts",
+        tolerance_us=LOOKBACK_DAYS * 86400 * 1_000_000,
+    )
+    return out.select(
+        "conv_id",
+        F.col("r_sid").cast("string").alias("session_id"),
+        F.expr("timestampdiff(MICROSECOND, r_event_ts, conv_ts)")
+        .cast("long")
+        .alias("gap_us"),
+    )
+
+
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap+cap sessionization (operators/sessions.py): the batch
+    twin of the streaming sessionizer (L27), 30-minute gap, 20-event
+    cap, per-user. Timestamps formatted to strings for the cross-engine
+    value hash (same convention as maef_journey_entries)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import sessions
+
+    out = sessions.sessionize_batch(
+        domain.events(spark, sf_dir), gap_minutes=30, max_events=20
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "channels",
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline queries (llm/ package over documents + embeddings)
 # ---------------------------------------------------------------------------
@@ -997,6 +1049,66 @@ cleaned AS (
 SELECT channel_name, COUNT(*) AS n_rows, ROUND(SUM(v), 4) AS total_value
 FROM cleaned
 GROUP BY 1
+"""
+
+_ASOF_TOL_US = LOOKBACK_DAYS * 86400 * 1_000_000
+
+# independent cross-check: DuckDB's NATIVE ASOF JOIN vs the Spark
+# union-and-carry window formulation — two genuinely different
+# algorithms must produce the same matches.
+_ORACLE_SESSION_ASOF = f"""
+WITH {_CONV}, {_SESS},
+s1 AS (
+  SELECT user_id, event_ts, MAX(CAST(session_id AS BIGINT)) AS sid
+  FROM sess GROUP BY user_id, event_ts
+),
+m AS (
+  SELECT c.conv_id, c.conv_ts, s.sid, s.event_ts
+  FROM conv c ASOF LEFT JOIN s1 s
+    ON c.user_id = s.user_id AND s.event_ts <= c.conv_ts
+)
+SELECT conv_id,
+       CASE WHEN event_ts IS NOT NULL
+             AND epoch_us(conv_ts) - epoch_us(event_ts) <= {_ASOF_TOL_US}
+            THEN CAST(sid AS VARCHAR) END AS session_id,
+       CASE WHEN event_ts IS NOT NULL
+             AND epoch_us(conv_ts) - epoch_us(event_ts) <= {_ASOF_TOL_US}
+            THEN epoch_us(conv_ts) - epoch_us(event_ts) END AS gap_us
+FROM m
+"""
+
+_ORACLE_SESSIONIZE = """
+WITH base AS (
+  SELECT user_id, ts, event_id AS tb, event_type AS channel_name
+  FROM events WHERE event_type <> 'purchase'
+),
+lagged AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, tb) AS prev_ts
+  FROM base
+),
+brk AS (
+  SELECT *, CASE WHEN prev_ts IS NULL THEN 0
+                 WHEN epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+                 THEN 1 ELSE 0 END AS b
+  FROM lagged
+),
+g AS (
+  SELECT *, SUM(b) OVER (PARTITION BY user_id ORDER BY ts, tb
+                         ROWS UNBOUNDED PRECEDING) AS gs
+  FROM brk
+),
+sub AS (
+  SELECT *, CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY user_id, gs
+                                           ORDER BY ts, tb) - 1) / 20.0)
+                 AS BIGINT) AS sb
+  FROM g
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       STRING_AGG(channel_name, ',' ORDER BY ts, tb) AS channels
+FROM sub GROUP BY user_id, gs, sb
 """
 
 _ORACLE_LOADER_ERRORS = f"""
@@ -1935,6 +2047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_date_window": q_date_window,
         "maef_stream_attribution": q_stream_attribution,
         "maef_cleaning": q_cleaning,
+        "maef_session_asof": q_session_asof,
+        "maef_sessionize_batch": q_sessionize_batch,
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
         "llm_top_terms": q_top_terms,
@@ -1990,6 +2104,8 @@ def oracle_sql() -> dict[str, str]:
         # static input must equal the batch linear attribution exactly
         "maef_stream_attribution": _ORACLE_ATTR_LINEAR,
         "maef_cleaning": _ORACLE_CLEANING,
+        "maef_session_asof": _ORACLE_SESSION_ASOF,
+        "maef_sessionize_batch": _ORACLE_SESSIONIZE,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,

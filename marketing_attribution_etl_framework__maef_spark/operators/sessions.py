@@ -1,0 +1,85 @@
+"""Batch gap+cap sessionization — the batch twin of the streaming
+sessionizer (``streaming/sessionize.py``), same semantics, pure
+window functions.
+
+Semantics (mirroring ``streaming/sessionize.py:72-80`` exactly): per
+user, events ordered by ``(ts, tiebreak)``; a session closes when the
+next event is more than ``gap`` after the session's end (= previous
+event), or when it already holds ``max_events`` events.
+
+The cap makes the recurrence look sequential (each boundary depends on
+the previous one), but it decomposes into two embarrassingly-parallel
+window passes, the same trick as ``operators/chunking.py``:
+
+1. gap sessions: ``g = sum(gap_break) over (user order by ts)`` — a
+   prefix sum of an independent per-row predicate;
+2. cap split: within a gap session the ONLY closures are cap closures,
+   which fall at exact multiples of ``max_events`` — so
+   ``sub = floor((row_number()-1) / max_events)``.
+
+``(user_id, g, sub)`` is the session key. This is exact, not an
+approximation: inside a gap session no gap break exists by
+construction, so the sequential automaton's count resets happen
+precisely at the multiples the row_number split reproduces.
+
+100-TB argument: one shuffle on ``user_id``, two window passes over the
+same partitioning (Spark reuses the sort), aggregation is partial
+(map-side combine). No state beyond the window frame; skew is bounded
+by events-per-user. The streaming twin holds O(1) state per user; this
+batch form is the replay/backfill path over the same contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    max_events: int = 20,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """events-shaped batch DataFrame -> one row per completed session:
+    ``user_id, session_start, session_end, n_events, channels``
+    (channels = comma-joined channel sequence in event order), matching
+    the streaming sessionizer's OUTPUT_SCHEMA."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    sess = events.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "ts",
+        F.col(tiebreak).alias("_tb"),
+        F.col("event_type").alias("channel_name"),
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "_tb")
+    with_prev = sess.withColumn("_prev", F.lag("ts").over(w))
+    brk = F.when(F.col("_prev").isNull(), F.lit(0)).otherwise(
+        (F.expr("timestampdiff(MICROSECOND, _prev, ts)") > F.lit(gap_us)).cast("int")
+    )
+    with_g = with_prev.withColumn("_g", F.sum(brk).over(w)).drop("_prev")
+
+    w2 = Window.partitionBy("user_id", "_g").orderBy("ts", "_tb")
+    sub = F.floor((F.row_number().over(w2) - F.lit(1)) / F.lit(max_events))
+    keyed = with_g.withColumn("_sub", sub)
+
+    return (
+        keyed.groupBy("user_id", "_g", "_sub")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "_tb", "channel_name"))
+                    ),
+                    lambda x: x["channel_name"],
+                ),
+                ",",
+            ).alias("channels"),
+        )
+        .drop("_g", "_sub")
+    )
