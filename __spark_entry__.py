@@ -783,6 +783,24 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_neardup_pairs(_aug_embeddings(spark, sf_dir), threshold=0.9)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (llm/similarity.py semantic_dedup):
+    k-means clusters over the augmented embeddings (planted scaled
+    copies have cosine ~1 with their originals), then within-cluster
+    q20-cosine pruning, smaller vec_id wins. Survivors as
+    (vec_id, cluster)."""
+    return sim.semantic_dedup(
+        _aug_embeddings(spark, sf_dir), k=8, n_iter=2, tau_q20=995000
+    )
+
+
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate 8-gram coverage (llm/dedup.py
+    duplicate_ngram_coverage) over the augmented documents (planted
+    exact + mutated near-dups give the signal a real foreground)."""
+    return dd.duplicate_ngram_coverage(_aug_docs(spark, sf_dir))
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: payload byte length + content digest
     (llm/multimodal.py attach_binary), oracle-checkable end to end."""
@@ -1958,6 +1976,67 @@ WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id)
 QUALIFY ROW_NUMBER() OVER w <= 5
 """
 
+# SemDeDup over the augmented embeddings: reuse the unrolled-Lloyd
+# kmeans CTEs (seeded from the augmented set), assign with vn > 0,
+# within-cluster q20-cosine prune, smaller vec_id wins.
+_ORACLE_SEMDEDUP = f"""
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 1.02)
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e0),
+{_kmeans_ctes()},
+cents AS (
+  SELECT cluster AS centroid_id, cq::DOUBLE[] AS cv,
+         sqrt(list_dot_product(cq::DOUBLE[], cq::DOUBLE[])) AS cn
+  FROM kc2
+),
+ascored AS (
+  SELECT e.vec_id, e.v, e.vn, c.centroid_id,
+         list_dot_product(e.v, c.cv) / (e.vn * c.cn) AS cs
+  FROM e, cents c WHERE e.vn > 0
+),
+assign AS (
+  SELECT vec_id, v, vn, centroid_id AS cluster FROM ascored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) = 1
+),
+losers AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE CAST(FLOOR(list_dot_product(a.v, b.v) / (a.vn * b.vn) * 1048576.0 + 0.5)
+             AS BIGINT) >= 995000
+)
+SELECT s.vec_id, s.cluster FROM assign s
+LEFT JOIN losers l ON s.vec_id = l.vec_id WHERE l.vec_id IS NULL
+UNION ALL
+SELECT vec_id, CAST(-1 AS BIGINT) AS cluster FROM e WHERE vn <= 0
+"""
+
+# duplicate 8-gram coverage over the augmented documents; shingle ids
+# are the engine-portable 60-bit md5 longs (llm/dedup.py shingle_hash)
+_ORACLE_DUP_NGRAM = f"""
+WITH {_AUG}, {_NORM_AUG},
+sh8 AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(ws) - 6, 2)),
+                        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+                                            ws[i+4], ws[i+5], ws[i+6], ws[i+7])) AS shingles
+  FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM nd)
+),
+inst AS (
+  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS sh,
+         COUNT(*) AS m
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh8)
+  GROUP BY doc_id, sh
+),
+dfx AS (SELECT sh, COUNT(*) AS n_docs FROM inst GROUP BY sh)
+SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN m ELSE 0 END) AS BIGINT) AS n_dup
+FROM inst JOIN dfx USING (sh) GROUP BY doc_id
+"""
+
 _ORACLE_EMB_NEARDUP = f"""
 WITH eaug0 AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
@@ -2075,6 +2154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ann_lsh": q_ann_lsh,
         "llm_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "llm_embedding_neardup": q_embedding_neardup,
+        "llm_semdedup": q_semdedup,
+        "llm_dup_ngram_coverage": q_dup_ngram_coverage,
         "llm_multimodal_meta": q_multimodal_meta,
         "llm_multimodal_features": q_multimodal_features,
         "llm_multimodal_stripes": q_multimodal_stripes,
@@ -2132,6 +2213,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_ann_lsh": _ORACLE_ANN_LSH,
         "llm_ann_lsh_multiprobe": _ORACLE_ANN_LSH_MULTIPROBE,
         "llm_embedding_neardup": _ORACLE_EMB_NEARDUP,
+        "llm_semdedup": _ORACLE_SEMDEDUP,
+        "llm_dup_ngram_coverage": _ORACLE_DUP_NGRAM,
         "llm_multimodal_meta": _ORACLE_MM_META,
         # the mapInPandas path IS value-checked via the exact-integer
         # stripe summary (same Arrow plumbing, no float output):

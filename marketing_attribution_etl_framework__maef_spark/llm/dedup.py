@@ -442,3 +442,51 @@ def ngram_jaccard_pairs(
         "inter_size",
         (F.col("_sza") + F.col("_szb") - F.col("inter_size")).alias("union_size"),
     ).filter(F.col("inter_size") * F.lit(jaccard_den) >= F.col("union_size") * F.lit(jaccard_num))
+
+
+def duplicate_ngram_coverage(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicate n-gram coverage (the RefinedWeb /
+    Dolma "duplicate n-gram fraction" quality signal): per document,
+    how many of its word-``k``-gram instances use an n-gram that
+    occurs in >= ``min_docs`` distinct documents. Output
+    ``(doc_id, n_shingles, n_dup)`` as exact longs — callers threshold
+    the ratio by integer cross-multiplication (float policy).
+
+    Shape: explode shingles -> per-(doc, shingle) multiplicity (one
+    hash aggregate, map-side combinable) -> document frequency over
+    that already-distinct set (second aggregate) -> join back on the
+    60-bit shingle hash and re-aggregate per doc. This is the
+    inverted-index pattern (cost sum(df), never pairs²).
+
+    100-TB: all three shuffles key on the shingle hash or doc_id —
+    both high-cardinality and unskewed (stopword-only shingles are
+    k-words long, so no single key dominates the way unigrams would);
+    longs, not strings, cross the wire (shingle_hash).
+    """
+    norm = normalize_text(F.col(text_col))
+    sh = word_shingles(words(norm), k)
+    inst = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.transform(sh, shingle_hash)).alias("sh"),
+        )
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    dfx = inst.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        inst.join(dfx, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") >= F.lit(int(min_docs)), F.col("m")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_dup"),
+        )
+    )

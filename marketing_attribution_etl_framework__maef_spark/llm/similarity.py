@@ -433,3 +433,69 @@ def embedding_neardup_pairs(
         .filter(F.col("_cos") >= F.lit(float(threshold)))
         .select("vec_a", "vec_b", q20(F.col("_cos")).alias("cos_q20"))
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    tau_q20: int = 995000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then inside each
+    cluster drop every vector that has a smaller-id neighbor with
+    cosine >= tau. Returns survivors as (vec_id, cluster).
+
+    The pairwise test runs ONLY within a cluster (the paper's central
+    trick): cost is sum of cluster sizes squared, never corpus². The
+    smaller-id-wins rule replaces the paper's keep-farthest-from-
+    centroid so both engines pick identical survivors deterministically.
+
+    The threshold is compared in q20 fixed point (cosines of float
+    vectors are irrational-ish, so quantization ties cannot straddle
+    engines — CLAUDE.md float policy).
+
+    Scale: centroids broadcast (k rows); assignment is one corpus pass;
+    the self-join shuffles on cluster id. At 100 TB pick k ~ n/5000 so
+    clusters stay bounded, write the corpus partitioned by cluster, and
+    the intra-cluster join becomes partition-local (no shuffle at all).
+    Zero vectors have no direction, so (mirroring
+    quantized_unit_vectors) they are excluded from clustering and kept
+    as survivors with cluster = -1.
+    """
+    cents = kmeans_centroids(corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    normed = _norm_vec(corpus, id_col, vec_col, "vec_id", "_v")
+    zeros = normed.filter(F.col("_vn") <= 0).select(
+        "vec_id", F.lit(-1).cast("long").alias("cluster")
+    )
+    # exclude zero vectors BEFORE assignment: ANSI mode raises on the
+    # 0/0 cosine, so the filter must precede _pair_cos, not follow it
+    nz = normed.filter(F.col("_vn") > 0).select(F.col("vec_id").alias(id_col))
+    assign = ivf_assign(
+        corpus.join(nz, id_col, "inner"), centroids_as_embeddings(cents), id_col, vec_col
+    )
+
+    a = assign.select(
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_vn").alias("_van"),
+    )
+    b = assign.select(
+        "cluster",
+        F.col("vec_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_vn").alias("_vbn"),
+    )
+    losers = (
+        a.join(b, on="cluster", how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", q20(_pair_cos("_va", "_vb")).alias("_cq"))
+        .filter(F.col("_cq") >= F.lit(int(tau_q20)))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    survivors = assign.join(losers, "vec_id", "left_anti").select("vec_id", "cluster")
+    return survivors.unionByName(zeros)

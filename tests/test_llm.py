@@ -478,3 +478,47 @@ def test_embedding_neardup_pairs(vectors):
     pairs2 = {(r.vec_a, r.vec_b): r.cos_q20 for r in got.collect()}
     assert pairs2[(0, 5)] == 1048576  # parallel vectors, cosine exactly 1
     assert (0, 1) not in pairs2  # orthogonal
+
+
+def test_semantic_dedup_drops_parallel_vectors(vectors):
+    # vec 5 is parallel to vec 0 (cosine exactly 1): whatever cluster
+    # they land in, they land in it together, and the larger id loses.
+    # tau 1045000/2^20 ~ 0.9966: above the 0.9939 of the (0,2)/(3,4)
+    # near-parallel pairs, below the exact-parallel 1.0.
+    out = sim.semantic_dedup(vectors, k=2, n_iter=1, tau_q20=1045000)
+    kept = {r.vec_id for r in out.collect()}
+    assert 0 in kept and 5 not in kept
+    # near-parallel pairs below tau survive
+    assert {1, 2, 3, 4} <= kept
+
+
+def test_semantic_dedup_zero_vector_survives(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [2.0, 0.0], 0),   # parallel to 0 -> dropped
+        (2, [0.0, 0.0], 0),   # zero vector -> kept, cluster -1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r.cluster for r in
+           sim.semantic_dedup(df, k=1, n_iter=1, tau_q20=995000).collect()}
+    assert set(out) == {0, 2} and out[2] == -1
+
+
+def test_duplicate_ngram_coverage_exact(spark):
+    # 5-word docs with k=3 -> 3 shingle instances each. a and b share
+    # every shingle; c shares none; d repeats a shingle of a.
+    rows = [
+        (1, "w1 w2 w3 w4 w5"),
+        (2, "w1 w2 w3 w4 w5"),
+        (3, "x1 x2 x3 x4 x5"),
+        (4, "w1 w2 w3 w1 w2 w3"),  # 4 shingles, 2 of them = a's first
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_shingles, r.n_dup) for r in
+           dd.duplicate_ngram_coverage(df, k=3).collect()}
+    assert out[1] == (3, 3)   # all shingles shared with doc 2 (+4's)
+    assert out[2] == (3, 3)
+    assert out[3] == (3, 0)   # unique vocabulary
+    # doc 4: shingles w1w2w3, w2w3w1, w3w1w2, w1w2w3 -> 4 instances;
+    # only the two w1w2w3 instances exist elsewhere (docs 1/2)
+    assert out[4] == (4, 2)
