@@ -25,7 +25,7 @@ from __future__ import annotations
 from functools import reduce
 from operator import add
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -459,13 +459,16 @@ def duplicate_ngram_coverage(
     the ratio by integer cross-multiplication (float policy).
 
     Shape: explode shingles -> per-(doc, shingle) multiplicity (one
-    hash aggregate, map-side combinable) -> document frequency over
-    that already-distinct set (second aggregate) -> join back on the
-    60-bit shingle hash and re-aggregate per doc. This is the
-    inverted-index pattern (cost sum(df), never pairs²).
+    hash aggregate, map-side combinable) -> document frequency as
+    ``count() over (partition by sh)`` -> re-aggregate per doc. The
+    window (instead of a dfx self-join) keeps ONE lineage: a join
+    would recompute the whole explode pipeline for both branches
+    (measured: 12 scans / 10 exchanges vs 4 exchanges this way), and a
+    frameless count-over needs no sort. This is the inverted-index
+    pattern (cost sum(df), never pairs²).
 
-    100-TB: all three shuffles key on the shingle hash or doc_id —
-    both high-cardinality and unskewed (stopword-only shingles are
+    100-TB: the three shuffles key on (doc, shingle), shingle, doc —
+    all high-cardinality and unskewed (stopword-only shingles are
     k-words long, so no single key dominates the way unigrams would);
     longs, not strings, cross the wire (shingle_hash).
     """
@@ -479,9 +482,9 @@ def duplicate_ngram_coverage(
         .groupBy("doc_id", "sh")
         .agg(F.count(F.lit(1)).alias("m"))
     )
-    dfx = inst.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("sh"))
     return (
-        inst.join(dfx, "sh")
+        inst.withColumn("n_docs", n_docs)
         .groupBy("doc_id")
         .agg(
             F.sum("m").cast("long").alias("n_shingles"),

@@ -169,12 +169,16 @@ class IncrementalAttribution:
             self.ATTRIBUTION, "conv_id string, session_id string, ihc double"
         )
         merged = ldr.upsert(existing, result)
-        # write via temp + rename: the upsert reads the table it replaces
+        # write via temp + atomic directory rename: the upsert reads the
+        # table it replaces, so it cannot overwrite in place. A rename
+        # (not a second Spark read+write) makes the swap O(1) — the
+        # same move an object-store table format does with a metadata
+        # pointer flip.
         tmp = self._path(self.ATTRIBUTION + ".tmp")
         merged.write.mode("overwrite").parquet(tmp)
         final = self._path(self.ATTRIBUTION)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(final)
-        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
 
     def start(self, events: DataFrame, checkpoint: str | None = None):
         """Attach to a streaming events DataFrame. Use
