@@ -801,6 +801,35 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_ngram_coverage(_aug_docs(spark, sf_dir))
 
 
+def q_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketches.py) of users per
+    channel, k=64, joined with the exact distinct as the foil. The
+    sketch (count + k-th minimum of a fixed 60-bit hash) is
+    deterministic integers, so the oracle pins it exactly — unlike
+    HLL, whose registers are engine-private."""
+    from marketing_attribution_etl_framework__maef_spark.operators import sketches
+
+    ev = domain.events(spark, sf_dir)
+    sk = sketches.kmv_sketch(
+        ev.select(F.col("event_type").alias("channel_name"), "user_id"),
+        ["channel_name"],
+        "user_id",
+        k=64,
+    )
+    exact = ev.groupBy(F.col("event_type").alias("channel_name")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return sk.join(exact, "channel_name").select(
+        "channel_name", "n_exact", "n_seen", "kth_min_hash"
+    )
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixing ledger (llm/curation.py source_mix_plan):
+    exact token/quality supply + capped draw per source."""
+    return cur.source_mix_plan(_docs(spark, sf_dir), token_cap=50_000)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: payload byte length + content digest
     (llm/multimodal.py attach_binary), oracle-checkable end to end."""
@@ -2014,6 +2043,48 @@ UNION ALL
 SELECT vec_id, CAST(-1 AS BIGINT) AS cluster FROM e WHERE vn <= 0
 """
 
+_ORACLE_KMV = """
+WITH d AS (
+  SELECT event_type AS channel_name,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events GROUP BY 1, 2
+),
+kept AS (
+  SELECT channel_name, h FROM d
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY channel_name ORDER BY h) <= 64
+),
+ex AS (
+  SELECT event_type AS channel_name,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT k.channel_name, ANY_VALUE(ex.n_exact) AS n_exact,
+       CAST(COUNT(*) AS BIGINT) AS n_seen, MAX(h) AS kth_min_hash
+FROM kept k JOIN ex ON k.channel_name = ex.channel_name
+GROUP BY k.channel_name
+"""
+
+_ORACLE_SOURCE_MIX = """
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
+         (len(ws) >= 5 AND len(list_distinct(ws)) * 10 >= len(ws) * 3) AS is_quality
+  FROM (
+    SELECT source, norm, string_split(norm, ' ') AS ws
+    FROM (SELECT source,
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+          FROM documents)
+  )
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN is_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_docs,
+       CAST(SUM(CASE WHEN is_quality THEN n_tokens ELSE 0 END) AS BIGINT) AS quality_tokens,
+       CAST(LEAST(SUM(CASE WHEN is_quality THEN n_tokens ELSE 0 END), 50000) AS BIGINT) AS capped_tokens
+FROM per_doc GROUP BY source
+"""
+
 # duplicate 8-gram coverage over the augmented documents; shingle ids
 # are the engine-portable 60-bit md5 longs (llm/dedup.py shingle_hash)
 _ORACLE_DUP_NGRAM = f"""
@@ -2156,6 +2227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_embedding_neardup": q_embedding_neardup,
         "llm_semdedup": q_semdedup,
         "llm_dup_ngram_coverage": q_dup_ngram_coverage,
+        "llm_kmv_users": q_kmv_users,
+        "llm_source_mix": q_source_mix,
         "llm_multimodal_meta": q_multimodal_meta,
         "llm_multimodal_features": q_multimodal_features,
         "llm_multimodal_stripes": q_multimodal_stripes,
@@ -2215,6 +2288,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_embedding_neardup": _ORACLE_EMB_NEARDUP,
         "llm_semdedup": _ORACLE_SEMDEDUP,
         "llm_dup_ngram_coverage": _ORACLE_DUP_NGRAM,
+        "llm_kmv_users": _ORACLE_KMV,
+        "llm_source_mix": _ORACLE_SOURCE_MIX,
         "llm_multimodal_meta": _ORACLE_MM_META,
         # the mapInPandas path IS value-checked via the exact-integer
         # stripe summary (same Arrow plumbing, no float output):

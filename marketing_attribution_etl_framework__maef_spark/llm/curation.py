@@ -226,3 +226,52 @@ def curate_corpus(
         "n_tokens",
         split_assign(F.col(id_col), train_pct, val_pct).alias("split"),
     )
+
+
+def source_mix_plan(
+    docs: DataFrame,
+    token_cap: int = 50_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source mixing ledger for corpus assembly (the bookkeeping
+    behind data-mixture recipes a la The Pile / Dolma source tables):
+    exact token supply, quality-gated supply, and the capped token
+    budget a proportional-with-cap mixer would draw per source.
+
+    All outputs are exact longs; the final mixture weight
+    (capped_tokens / sum) is a rational left to the caller — emitting
+    it would trip the cross-engine rounding policy for zero analytical
+    gain.
+
+    One fused projection + one map-side-combinable aggregate on
+    ``source`` (low cardinality): at 100 TB this is a single scan, and
+    the only reduce-side state is a handful of counters per source.
+    """
+    norm = normalize_text(F.col(text_col))
+    d = docs.select(
+        F.col(source_col).alias("source"),
+        norm.alias("_norm"),
+        words(norm).alias("_ws"),
+    )
+    n_words = F.size("_ws").cast("long")
+    n_distinct = F.size(F.array_distinct("_ws")).cast("long")
+    per_doc = d.select(
+        "source",
+        F.size(F.regexp_extract_all("_norm", F.lit(TOKEN_REGEX), 0))
+        .cast("long")
+        .alias("n_tokens"),
+        ((n_words >= 5) & (n_distinct * 10 >= n_words * 3)).alias("is_quality"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.col("is_quality").cast("long")).cast("long").alias("n_quality_docs"),
+        F.sum(F.when(F.col("is_quality"), F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("quality_tokens"),
+    )
+    return agg.withColumn(
+        "capped_tokens", F.least(F.col("quality_tokens"), F.lit(int(token_cap)))
+    )

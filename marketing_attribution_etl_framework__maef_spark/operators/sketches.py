@@ -1,0 +1,71 @@
+"""Mergeable cardinality sketches (KMV / k-minimum-values).
+
+The reference's only cardinality tool is exact COUNT(DISTINCT ...)
+(``src/etl/reporting.py`` summary queries, rebuilt in
+``operators/reporting.py``). At 100 TB an exact distinct over a
+high-cardinality key is a full shuffle of every distinct value; the
+standard fix is a bounded-size mergeable sketch. HyperLogLog
+(``approx_count_distinct``) is built in, but its register layout is
+engine-private — useless for a cross-engine correctness gate.
+
+KMV (Bar-Yossef et al. 2002, "Counting distinct elements in a data
+stream") is the sketch you can pin exactly: hash every value with a
+fixed hash, keep the k smallest distinct hashes per group. The sketch
+IS the k hashes — deterministic integers, so a DuckDB oracle
+reproduces it bit for bit. The estimator (k-1) * 2^60 / h_k is a
+trivial client-side division over the emitted integers; emitting the
+sketch rather than the float estimate keeps the interface exact
+(CLAUDE.md float policy) and keeps the sketch mergeable (union = merge
+hash sets, re-take k smallest — an associative combine).
+
+100-TB shape: the inner distinct is a hash aggregate on
+(group, hash) — map-side combinable, the same cost class as the
+grouped count it serves; the rank window then sees at most the
+distinct values, and only k longs per group leave the reduce side.
+A production variant would replace the window with a k-size
+min-heap UDAF; the window form stays whole-stage-codegen and is
+exact at any k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def portable_hash60(c: Column) -> Column:
+    """60-bit engine-portable value hash (md5 prefix as integer) —
+    identical to ``llm/dedup.py shingle_hash``; duplicated here only
+    as a Column helper for non-LLM callers."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per group: the KMV distinct-count sketch of ``value_col``.
+
+    Output columns:
+    - ``n_seen``: number of distinct hashes kept (= min(k, true
+      distinct count) — when < k the sketch is exact);
+    - ``kth_min_hash``: the largest kept hash (the estimator's h_k;
+      NULL only for empty groups, which don't produce rows anyway);
+    - ``minhashes``: the sorted kept hashes (the mergeable sketch).
+    """
+    h = portable_hash60(F.col(value_col).cast("string"))
+    distinct = (
+        df.select(*[F.col(g) for g in group_cols], h.alias("_h"))
+        .groupBy(*group_cols, "_h")
+        .agg(F.count(F.lit(1)).alias("_m"))  # multiplicity unused; groupBy = distinct
+        .drop("_m")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("_h"))
+    kept = distinct.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    return kept.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+        F.max("_h").alias("kth_min_hash"),
+        F.array_sort(F.collect_list("_h")).alias("minhashes"),
+    )

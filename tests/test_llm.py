@@ -522,3 +522,42 @@ def test_duplicate_ngram_coverage_exact(spark):
     # doc 4: shingles w1w2w3, w2w3w1, w3w1w2, w1w2w3 -> 4 instances;
     # only the two w1w2w3 instances exist elsewhere (docs 1/2)
     assert out[4] == (4, 2)
+
+
+def test_kmv_sketch_exact_below_k(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.sketches import kmv_sketch
+
+    rows = [("a", i % 7) for i in range(100)] + [("b", i) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in kmv_sketch(df, ["g"], "v", k=64).collect()}
+    # group a has 7 distinct values < k -> sketch is exact
+    assert out["a"].n_seen == 7
+    assert len(out["a"].minhashes) == 7
+    # group b: exactly k hashes kept, sorted, kth_min_hash is the max
+    assert out["b"].n_seen == 64
+    assert out["b"].minhashes == sorted(out["b"].minhashes)
+    assert out["b"].kth_min_hash == out["b"].minhashes[-1]
+
+
+def test_kmv_estimator_sane(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.sketches import kmv_sketch
+
+    df = spark.createDataFrame([("g", i) for i in range(5000)], "g string, v long")
+    r = kmv_sketch(df, ["g"], "v", k=64).first()
+    est = (64 - 1) * (1 << 60) / r.kth_min_hash
+    assert 2500 < est < 10000  # KMV k=64 ~ 12% rel. error; 5000 true
+
+
+def test_source_mix_plan_caps(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm.curation import source_mix_plan
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "s1"),   # quality
+        (2, "w w w w w w w w", "s1"),                        # repetitive -> not quality
+        (3, "one two three four five six seven", "s2"),      # quality
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in source_mix_plan(df, token_cap=5).collect()}
+    assert out["s1"].n_docs == 2 and out["s1"].n_quality_docs == 1
+    assert out["s1"].quality_tokens == 6 and out["s1"].capped_tokens == 5
+    assert out["s2"].capped_tokens == 5 and out["s2"].quality_tokens == 7
