@@ -419,6 +419,74 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drv.attribution()
 
 
+def q_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3/S4/S5/S6/S7/S9/S11 under the oracle gate: write
+    session_costs into a scratch warehouse (overwrite = the reference's
+    DELETE-then-reload), copy it to a second warehouse and verify the
+    row counts (db_utils.py:67-102), emit CSV and JSON single-file
+    sinks (reporting.py:169-170, transform.py:276-288), write + re-read
+    journey entries through the package's own JSON contract
+    (read_journey_entries), and summarize every round-tripped surface.
+    Each per-format row must match the straight-SQL summary — proving
+    the sinks and sources neither drop, duplicate, nor corrupt rows."""
+    import shutil
+
+    from marketing_attribution_etl_framework__maef_spark.sources.io import (
+        Warehouse,
+        read_journey_entries,
+        write_csv_single,
+        write_json_single,
+    )
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".wh_tmp",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+
+    costs = domain.session_costs(spark, sf_dir)
+    wh_a = Warehouse(spark, os.path.join(root, "a"))
+    wh_b = Warehouse(spark, os.path.join(root, "b"))
+    wh_a.write("session_costs", costs)            # S9 insert / S11 truncate+reload
+    wh_b.copy_from(wh_a, ["session_costs"])       # S3 table copy
+    wh_b.verify_copy(wh_a, ["session_costs"])     # S4/A2 row-count verify (raises on mismatch)
+
+    csv_path = os.path.join(root, "costs.csv")
+    json_path = os.path.join(root, "costs.json")
+    write_csv_single(costs, csv_path)             # S7
+    write_json_single(costs, json_path)           # S5
+
+    entries = jny.journey_entries(_journeys(spark, sf_dir))
+    entries_path = os.path.join(root, "entries.json")
+    write_json_single(entries, entries_path)      # S5 on the contract shape
+    entries_back = read_journey_entries(spark, entries_path)  # S6
+
+    cost_schema = "session_id string, cost double"
+    surfaces = [
+        ("parquet", wh_b.read("session_costs")),
+        ("csv", spark.read.schema(cost_schema).option("header", True).csv(csv_path)),
+        ("json", spark.read.schema(cost_schema).json(json_path)),
+    ]
+    summaries = [
+        df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("cost"), 4).alias("metric"),
+        ).select(F.lit(fmt).alias("fmt"), "n_rows", "metric")
+        for fmt, df in surfaces
+    ]
+    entries_summary = entries_back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("conversion").cast("double").alias("metric"),
+    ).select(F.lit("journey_json").alias("fmt"), "n_rows", "metric")
+
+    out = summaries[0]
+    for s in summaries[1:] + [entries_summary]:
+        out = out.unionByName(s)
+    return out
+
+
 def q_session_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): for each conversion, the single
     most recent session at-or-before conv_ts for the same user, within
@@ -1096,6 +1164,23 @@ cleaned AS (
 SELECT channel_name, COUNT(*) AS n_rows, ROUND(SUM(v), 4) AS total_value
 FROM cleaned
 GROUP BY 1
+"""
+
+_ORACLE_WAREHOUSE = f"""
+WITH {_CONV}, {_SESS}, {_COSTS}, {_JOURNEYS},
+cs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, ROUND(SUM(cost), 4) AS metric
+  FROM costs
+),
+je AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN event_ts = conv_ts THEN 1 ELSE 0 END) AS DOUBLE) AS metric
+  FROM journeys
+)
+SELECT 'parquet' AS fmt, n_rows, metric FROM cs
+UNION ALL SELECT 'csv', n_rows, metric FROM cs
+UNION ALL SELECT 'json', n_rows, metric FROM cs
+UNION ALL SELECT 'journey_json', n_rows, metric FROM je
 """
 
 _ASOF_TOL_US = LOOKBACK_DAYS * 86400 * 1_000_000
@@ -2197,6 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_date_window": q_date_window,
         "maef_stream_attribution": q_stream_attribution,
         "maef_cleaning": q_cleaning,
+        "maef_warehouse_roundtrip": q_warehouse_roundtrip,
         "maef_session_asof": q_session_asof,
         "maef_sessionize_batch": q_sessionize_batch,
         "llm_text_stats": q_text_stats,
@@ -2258,6 +2344,7 @@ def oracle_sql() -> dict[str, str]:
         # static input must equal the batch linear attribution exactly
         "maef_stream_attribution": _ORACLE_ATTR_LINEAR,
         "maef_cleaning": _ORACLE_CLEANING,
+        "maef_warehouse_roundtrip": _ORACLE_WAREHOUSE,
         "maef_session_asof": _ORACLE_SESSION_ASOF,
         "maef_sessionize_batch": _ORACLE_SESSIONIZE,
         "llm_text_stats": _ORACLE_TEXT_STATS,
