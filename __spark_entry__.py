@@ -419,6 +419,36 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drv.attribution()
 
 
+def q_stream_windowed_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.9(a) windowed-agg face of L26: Structured Streaming
+    intake -> event-time 1-day tumbling window per channel
+    (streaming/incremental.py windowed_channel_volume), run to
+    completion with availableNow + complete output. Over a static
+    input the result must EQUAL the batch GROUP BY date_trunc — the
+    same streaming/batch-parity oracle pattern as
+    maef_stream_attribution. Spark's window() buckets are epoch-aligned
+    UTC days, exactly DuckDB's date_trunc('day')."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+    vol = inc.windowed_channel_volume(ev.withWatermark("ts", "1 hour"), window="1 day")
+    name = "stream_windowed_volume"
+    q = (
+        vol.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "channel_name",
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
 def q_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S3/S4/S5/S6/S7/S9/S11 under the oracle gate: write
     session_costs into a scratch warehouse (overwrite = the reference's
@@ -1164,6 +1194,15 @@ cleaned AS (
 SELECT channel_name, COUNT(*) AS n_rows, ROUND(SUM(v), 4) AS total_value
 FROM cleaned
 GROUP BY 1
+"""
+
+_ORACLE_STREAM_VOLUME = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type AS channel_name,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(SUM(value), 4) AS total_value
+FROM events WHERE event_type <> 'purchase'
+GROUP BY 1, 2
 """
 
 _ORACLE_WAREHOUSE = f"""
@@ -2282,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_date_window": q_date_window,
         "maef_stream_attribution": q_stream_attribution,
         "maef_cleaning": q_cleaning,
+        "maef_stream_windowed_volume": q_stream_windowed_volume,
         "maef_warehouse_roundtrip": q_warehouse_roundtrip,
         "maef_session_asof": q_session_asof,
         "maef_sessionize_batch": q_sessionize_batch,
@@ -2344,6 +2384,7 @@ def oracle_sql() -> dict[str, str]:
         # static input must equal the batch linear attribution exactly
         "maef_stream_attribution": _ORACLE_ATTR_LINEAR,
         "maef_cleaning": _ORACLE_CLEANING,
+        "maef_stream_windowed_volume": _ORACLE_STREAM_VOLUME,
         "maef_warehouse_roundtrip": _ORACLE_WAREHOUSE,
         "maef_session_asof": _ORACLE_SESSION_ASOF,
         "maef_sessionize_batch": _ORACLE_SESSIONIZE,

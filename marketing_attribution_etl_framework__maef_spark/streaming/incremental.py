@@ -87,6 +87,10 @@ def stream_events_nanos(
     out = reader.parquet(path)
     if isinstance(file_schema["ts"].dataType, T.LongType):
         out = out.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(file_schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks require TIMESTAMP; with the session pinned to UTC
+        # (session.py) this cast is an identity on the stored micros
+        out = out.withColumn("ts", F.col("ts").cast("timestamp"))
     return out
 
 
