@@ -928,6 +928,17 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.source_mix_plan(_docs(spark, sf_dir), token_cap=50_000)
 
 
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PERCENTILE_DISC (operators/quantiles.py) of document
+    length per source — the packing/truncation budget numbers. Returns
+    actual data elements (no interpolation), exact in both engines."""
+    from marketing_attribution_etl_framework__maef_spark.operators import quantiles
+
+    return quantiles.percentile_disc(
+        _docs(spark, sf_dir), ["source"], "n_chars", ps=[0.25, 0.5, 0.75]
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: payload byte length + content digest
     (llm/multimodal.py attach_binary), oracle-checkable end to end."""
@@ -2188,6 +2199,18 @@ FROM kept k JOIN ex ON k.channel_name = ex.channel_name
 GROUP BY k.channel_name
 """
 
+_ORACLE_LENGTH_PCT = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, p, n_chars
+FROM ranked CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75]) AS p)
+WHERE rn = CEIL(p * n)
+"""
+
 _ORACLE_SOURCE_MIX = """
 WITH per_doc AS (
   SELECT source,
@@ -2355,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dup_ngram_coverage": q_dup_ngram_coverage,
         "llm_kmv_users": q_kmv_users,
         "llm_source_mix": q_source_mix,
+        "llm_length_percentiles": q_length_percentiles,
         "llm_multimodal_meta": q_multimodal_meta,
         "llm_multimodal_features": q_multimodal_features,
         "llm_multimodal_stripes": q_multimodal_stripes,
@@ -2418,6 +2442,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_dup_ngram_coverage": _ORACLE_DUP_NGRAM,
         "llm_kmv_users": _ORACLE_KMV,
         "llm_source_mix": _ORACLE_SOURCE_MIX,
+        "llm_length_percentiles": _ORACLE_LENGTH_PCT,
         "llm_multimodal_meta": _ORACLE_MM_META,
         # the mapInPandas path IS value-checked via the exact-integer
         # stripe summary (same Arrow plumbing, no float output):

@@ -164,3 +164,18 @@ def test_sessionize_batch_matches_sequential_reference(spark, sf_dir):
     expected = _expected(pdf)
     assert got == expected
     assert any(n == MAX_EVENTS for (_, _, _, n, _) in got)  # the cap binds
+
+
+def test_percentile_disc_exact(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.quantiles import percentile_disc
+
+    rows = [("g", v) for v in [10, 20, 30, 40, 50, 60, 70, 80, 90]]  # n=9
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.p: r.v for r in percentile_disc(df, ["g"], "v", ps=[0.25, 0.5, 0.75, 1.0]).collect()}
+    # ceil(.25*9)=3 -> 30; ceil(.5*9)=5 -> 50; ceil(.75*9)=7 -> 70; 9 -> 90
+    assert out == {0.25: 30, 0.5: 50, 0.75: 70, 1.0: 90}
+
+    # ties: percentile value is still an element and deterministic
+    df2 = spark.createDataFrame([("g", v) for v in [1, 1, 1, 9]], "g string, v long")
+    got = {r.p: r.v for r in percentile_disc(df2, ["g"], "v", ps=[0.5]).collect()}
+    assert got == {0.5: 1}
