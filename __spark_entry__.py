@@ -339,6 +339,21 @@ def q_loader_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ldr.error_counts(_loader_envelopes(spark, sf_dir))
 
 
+def q_attribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 + A5 as an oracle-gated summary over last_touch — the one
+    model whose weights include real zeros, so the positive-ihc count
+    (src/etl/load.py:152-158) actually filters: n_positive must equal
+    n_conversions (exactly one 1.0 per journey) and total_ihc must
+    equal n_conversions (the sum-to-one invariant)."""
+    att = attr.attribute_last_touch(_journeys(spark, sf_dir))
+    return att.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("ihc") > 0).cast("long")).cast("long").alias("n_positive"),
+        F.countDistinct("conv_id").cast("long").alias("n_conversions"),
+        F.round(F.sum("ihc"), 4).alias("total_ihc"),
+    )
+
+
 def q_date_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 + pipeline date-range contract: conversions bounded to
     [start, end], sessions to [start - lookback, end] (the DAG's
@@ -1231,6 +1246,22 @@ SELECT 'parquet' AS fmt, n_rows, metric FROM cs
 UNION ALL SELECT 'csv', n_rows, metric FROM cs
 UNION ALL SELECT 'json', n_rows, metric FROM cs
 UNION ALL SELECT 'journey_json', n_rows, metric FROM je
+"""
+
+_ORACLE_ATTR_STATS = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+lt AS (
+  SELECT conversion_id AS conv_id, session_id,
+         CASE WHEN ROW_NUMBER() OVER w = COUNT(*) OVER (PARTITION BY conversion_id)
+              THEN 1.0 ELSE 0.0 END AS ihc
+  FROM journeys
+  WINDOW w AS (PARTITION BY conversion_id ORDER BY event_ts, session_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN ihc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+       ROUND(SUM(ihc), 4) AS total_ihc
+FROM lt
 """
 
 _ASOF_TOL_US = LOOKBACK_DAYS * 86400 * 1_000_000
@@ -2342,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_loader_roundtrip": q_loader_roundtrip,
         "maef_loader_errors": q_loader_errors,
         "maef_date_window": q_date_window,
+        "maef_attribution_stats": q_attribution_stats,
         "maef_stream_attribution": q_stream_attribution,
         "maef_cleaning": q_cleaning,
         "maef_stream_windowed_volume": q_stream_windowed_volume,
@@ -2408,6 +2440,7 @@ def oracle_sql() -> dict[str, str]:
         # static input must equal the batch linear attribution exactly
         "maef_stream_attribution": _ORACLE_ATTR_LINEAR,
         "maef_cleaning": _ORACLE_CLEANING,
+        "maef_attribution_stats": _ORACLE_ATTR_STATS,
         "maef_stream_windowed_volume": _ORACLE_STREAM_VOLUME,
         "maef_warehouse_roundtrip": _ORACLE_WAREHOUSE,
         "maef_session_asof": _ORACLE_SESSION_ASOF,
