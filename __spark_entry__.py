@@ -464,6 +464,32 @@ def q_stream_windowed_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_journey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.9(a): watermarked stream-stream INTERVAL join — the
+    streaming face of J1 (streaming/incremental.py stream_journey_join).
+    State is bounded by the lookback+lateness horizon via both
+    watermarks; run to completion over the static input, the emitted
+    (conversion_id, session_id) pairs must EQUAL the batch journey
+    join's pair set (the oracle)."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    j = inc.stream_journey_join(
+        inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet"),
+        inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet"),
+        lookback_days=LOOKBACK_DAYS,
+    )
+    name = "stream_journey_join"
+    q = (
+        j.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S3/S4/S5/S6/S7/S9/S11 under the oracle gate: write
     session_costs into a scratch warehouse (overwrite = the reference's
@@ -1220,6 +1246,11 @@ cleaned AS (
 SELECT channel_name, COUNT(*) AS n_rows, ROUND(SUM(v), 4) AS total_value
 FROM cleaned
 GROUP BY 1
+"""
+
+_ORACLE_STREAM_JOURNEY = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS}
+SELECT conversion_id, session_id FROM journeys
 """
 
 _ORACLE_STREAM_VOLUME = """
@@ -2377,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_stream_attribution": q_stream_attribution,
         "maef_cleaning": q_cleaning,
         "maef_stream_windowed_volume": q_stream_windowed_volume,
+        "maef_stream_journey_join": q_stream_journey_join,
         "maef_warehouse_roundtrip": q_warehouse_roundtrip,
         "maef_session_asof": q_session_asof,
         "maef_sessionize_batch": q_sessionize_batch,
@@ -2442,6 +2474,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_cleaning": _ORACLE_CLEANING,
         "maef_attribution_stats": _ORACLE_ATTR_STATS,
         "maef_stream_windowed_volume": _ORACLE_STREAM_VOLUME,
+        "maef_stream_journey_join": _ORACLE_STREAM_JOURNEY,
         "maef_warehouse_roundtrip": _ORACLE_WAREHOUSE,
         "maef_session_asof": _ORACLE_SESSION_ASOF,
         "maef_sessionize_batch": _ORACLE_SESSIONIZE,

@@ -196,3 +196,47 @@ class IncrementalAttribution:
 
     def attribution(self) -> DataFrame:
         return self.spark.read.parquet(self._path(self.ATTRIBUTION))
+
+
+def stream_journey_join(
+    conv_stream: DataFrame,
+    sess_stream: DataFrame,
+    lookback_days: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: the streaming face of the journey
+    construction join (J1, ``src/etl/transform.py:211-227``). Both
+    sides are events-shaped streams; conversions join every session of
+    the same user in ``[conv_ts - lookback, conv_ts]``.
+
+    This is Spark's canonical watermarked stream-stream inner join:
+    the equality key (user_id) partitions state, the time-interval
+    predicate + both watermarks bound it — a session older than
+    ``conv_ts_max - lookback - watermark`` can never match a future
+    conversion, so its state is evicted. State size is O(events inside
+    the lookback+lateness horizon), independent of stream length.
+    Matches emit immediately (inner-join semantics); the watermark
+    exists for state cleanup, not output gating.
+
+    Output: (conversion_id, session_id) pairs — over a static input
+    run to completion this must EQUAL the batch journey join's pair
+    set, which is the oracle (`maef_stream_journey_join`).
+    """
+    conv = (
+        domain.conversions_from_events(conv_stream)
+        .withColumnRenamed("user_id", "c_user_id")
+        .withWatermark("conv_ts", watermark)
+    )
+    sess = (
+        domain.sessions_from_events(sess_stream)
+        .select("session_id", "user_id", "event_ts")
+        .withWatermark("event_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("event_ts") <= F.col("conv_ts"))
+        & (F.col("event_ts") >= F.col("conv_ts") - F.expr(f"INTERVAL {int(lookback_days)} DAYS"))
+    )
+    return conv.join(sess, cond, "inner").select(
+        F.col("conv_id").alias("conversion_id"), "session_id"
+    )
