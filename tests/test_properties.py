@@ -186,3 +186,55 @@ def test_stratified_sample_monotone_property(spark, p_small, p_big):
     small = {r.doc_id for r in stratified_sample(df, "lang", {"en": lo}).collect()}
     big = {r.doc_id for r in stratified_sample(df, "lang", {"en": hi}).collect()}
     assert small <= big
+
+
+@st.composite
+def asof_frames_strategy(draw):
+    """Random left/right frames over few keys with tied timestamps
+    allowed; right timestamps unique per key (merge_asof precondition
+    for a deterministic match)."""
+    keys = ["k1", "k2", "k3"]
+    left = [
+        (draw(st.sampled_from(keys)), BASE_TS + dt.timedelta(minutes=int(m)), i)
+        for i, m in enumerate(draw(st.lists(st.integers(0, 300), min_size=1, max_size=25)))
+    ]
+    right = []
+    used = set()
+    for j, m in enumerate(draw(st.lists(st.integers(0, 300), min_size=0, max_size=25))):
+        k = draw(st.sampled_from(keys))
+        if (k, m) in used:
+            continue
+        used.add((k, m))
+        right.append((k, BASE_TS + dt.timedelta(minutes=int(m)), j * 10))
+    return left, right
+
+
+@given(frames=asof_frames_strategy())
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, frames):
+    """Third-implementation check: the union-and-carry asof_join must
+    agree with pandas.merge_asof (backward, inclusive) on random
+    frames — on top of the DuckDB ASOF JOIN oracle at sf0.01."""
+    import pandas as pd
+
+    from marketing_attribution_etl_framework__maef_spark.operators.asof import asof_join
+
+    left_rows, right_rows = frames
+    left = spark.createDataFrame(left_rows, "k string, lt timestamp, lid long")
+    right = spark.createDataFrame(
+        right_rows or [("zz", BASE_TS, -1)], "k string, rt timestamp, px long"
+    )
+    got = {
+        r.lid: r.r_px
+        for r in asof_join(left, right, on=["k"], left_time="lt", right_time="rt").collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "lt", "lid"]).sort_values("lt")
+    rp = pd.DataFrame(right_rows or [("zz", BASE_TS, -1)], columns=["k", "rt", "px"]).sort_values("rt")
+    merged = pd.merge_asof(
+        lp, rp, left_on="lt", right_on="rt", by="k", direction="backward"
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.px) else int(r.px)) for r in merged.itertuples()
+    }
+    assert got == want
