@@ -940,6 +940,13 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_ngram_coverage(_aug_docs(spark, sf_dir))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window long-document segmentation with overlap
+    (llm/curation.py chunk_documents), window 32 / overlap 8 so the
+    ~50-word harness docs actually split."""
+    return cur.chunk_documents(_docs(spark, sf_dir), window_tokens=32, overlap=8)
+
+
 def q_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketches.py) of users per
     channel, k=64, joined with the exact distinct as the foil. The
@@ -2261,6 +2268,24 @@ FROM kept k JOIN ex ON k.channel_name = ex.channel_name
 GROUP BY k.channel_name
 """
 
+_ORACLE_CHUNK_DOCS = """
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, ws,
+         unnest(range(0, GREATEST(1, CAST(CEIL((len(ws) - 8) / 24.0) AS BIGINT)))) AS seg_idx
+  FROM w
+)
+SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+       CAST(seg_idx * 24 AS BIGINT) AS start_tok,
+       CAST(len(ws[seg_idx*24+1 : seg_idx*24+32]) AS BIGINT) AS n_seg_tokens,
+       array_to_string(ws[seg_idx*24+1 : seg_idx*24+32], ' ') AS seg_text
+FROM segs
+"""
+
 _ORACLE_LENGTH_PCT = """
 WITH ranked AS (
   SELECT source, n_chars,
@@ -2443,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_kmv_users": q_kmv_users,
         "llm_source_mix": q_source_mix,
         "llm_length_percentiles": q_length_percentiles,
+        "llm_chunk_documents": q_chunk_documents,
         "llm_multimodal_meta": q_multimodal_meta,
         "llm_multimodal_features": q_multimodal_features,
         "llm_multimodal_stripes": q_multimodal_stripes,
@@ -2509,6 +2535,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_kmv_users": _ORACLE_KMV,
         "llm_source_mix": _ORACLE_SOURCE_MIX,
         "llm_length_percentiles": _ORACLE_LENGTH_PCT,
+        "llm_chunk_documents": _ORACLE_CHUNK_DOCS,
         "llm_multimodal_meta": _ORACLE_MM_META,
         # the mapInPandas path IS value-checked via the exact-integer
         # stripe summary (same Arrow plumbing, no float output):

@@ -275,3 +275,53 @@ def source_mix_plan(
     return agg.withColumn(
         "capped_tokens", F.least(F.col("quality_tokens"), F.lit(int(token_cap)))
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-window segmentation of long documents with overlap — the
+    long-document splitting step of a pretraining pipeline (every doc
+    longer than the context budget becomes overlapping windows;
+    whitespace words stand in for tokens, same convention as
+    pack_sequences). Output one row per segment:
+    ``(doc_id, seg_idx, start_tok, n_seg_tokens, seg_text)``.
+
+    All segment arithmetic is integer-exact: stride = window - overlap,
+    n_segs = max(1, ceil((n - overlap) / stride)), start = seg * stride.
+    The final segment may be shorter than the window (never empty); a
+    doc at or under the window yields itself as one segment.
+
+    Scale: per-row ``sequence`` + ``explode`` — no shuffle at all; the
+    fan-out is bounded by n_tokens / stride per document, and only the
+    segment slice (not the whole document) leaves the projection.
+    """
+    if not (0 <= overlap < window_tokens):
+        raise ValueError(f"need 0 <= overlap < window, got {overlap}/{window_tokens}")
+    stride = window_tokens - overlap
+    norm = normalize_text(F.col(text_col))
+    d = docs.select(F.col(id_col).alias("doc_id"), words(norm).alias("_ws"))
+    n = F.size("_ws").cast("long")
+    n_segs = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(f"(size(_ws) - {overlap} + {stride} - 1) div {stride}").cast("long"),
+    )
+    seg = d.select(
+        "doc_id",
+        F.col("_ws"),
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_segs - 1)).alias("seg_idx"),
+    )
+    start = F.col("seg_idx") * F.lit(stride)
+    piece = F.slice("_ws", (start + 1).cast("int"), window_tokens)
+    return seg.select(
+        "doc_id",
+        "seg_idx",
+        start.alias("start_tok"),
+        F.size(piece).cast("long").alias("n_seg_tokens"),
+        F.array_join(piece, " ").alias("seg_text"),
+    )

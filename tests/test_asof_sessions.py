@@ -179,3 +179,39 @@ def test_percentile_disc_exact(spark):
     df2 = spark.createDataFrame([("g", v) for v in [1, 1, 1, 9]], "g string, v long")
     got = {r.p: r.v for r in percentile_disc(df2, ["g"], "v", ps=[0.5]).collect()}
     assert got == {0.5: 1}
+
+
+def _plan_of(df) -> str:
+    import contextlib
+    import io as pyio
+
+    buf = pyio.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_asof_join_single_exchange(spark, trades, quotes):
+    """Scale pin: the as-of operator contributes exactly ONE exchange
+    (on the join key) — no range fan-out, no extra shuffles."""
+    plan = _plan_of(
+        asof_join(trades, quotes, on=["sym"], left_time="tt", right_time="qt")
+    )
+    import re
+
+    exchanges = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert [e for e in exchanges] == ["sym"], exchanges
+
+
+def test_sessionize_batch_single_exchange(spark):
+    """Scale pin: gap+cap sessionization = one shuffle on user_id;
+    both window passes and the final aggregate reuse that partitioning."""
+    ev = spark.createDataFrame(
+        [(1, 10, T0, "click", 1.0, None)],
+        "user_id long, event_id long, ts timestamp, event_type string, value double, props string",
+    )
+    plan = _plan_of(sessionize_batch(ev))
+    import re
+
+    exchanges = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert [e for e in exchanges] == ["user_id"], exchanges

@@ -561,3 +561,26 @@ def test_source_mix_plan_caps(spark):
     assert out["s1"].n_docs == 2 and out["s1"].n_quality_docs == 1
     assert out["s1"].quality_tokens == 6 and out["s1"].capped_tokens == 5
     assert out["s2"].capped_tokens == 5 and out["s2"].quality_tokens == 7
+
+
+def test_chunk_documents_exact(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm.curation import chunk_documents
+
+    # 10 words, window 4, overlap 1 -> stride 3 -> ceil(9/3) = 3 segs
+    text = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    df = spark.createDataFrame([(1, text), (2, "a b")], "doc_id long, text string")
+    out = {(r.doc_id, r.seg_idx): r for r in
+           chunk_documents(df, window_tokens=4, overlap=1).collect()}
+    assert {k for k in out} == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    assert out[(1, 0)].seg_text == "w0 w1 w2 w3"
+    assert out[(1, 1)].seg_text == "w3 w4 w5 w6"   # overlap of 1
+    assert out[(1, 2)].seg_text == "w6 w7 w8 w9"
+    assert out[(1, 2)].start_tok == 6 and out[(1, 2)].n_seg_tokens == 4
+    # short doc -> itself, one segment
+    assert out[(2, 0)].seg_text == "a b" and out[(2, 0)].n_seg_tokens == 2
+    # every token index is covered by some segment
+    covered = set()
+    for (d, _), r in out.items():
+        if d == 1:
+            covered |= set(range(r.start_tok, r.start_tok + r.n_seg_tokens))
+    assert covered == set(range(10))
