@@ -339,6 +339,30 @@ def q_loader_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ldr.error_counts(_loader_envelopes(spark, sf_dir))
 
 
+def q_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (functions/semistructured.py): parse
+    the events ``props`` JSON bag, pull the integer field, and roll it
+    up per channel — all expression-level (get_json_object), no UDF."""
+    from marketing_attribution_etl_framework__maef_spark.functions.semistructured import json_long
+
+    ev = domain.events(spark, sf_dir)
+    return (
+        ev.select(
+            F.col("event_type").alias("channel_name"),
+            json_long(F.col("props"), "$.k").alias("k"),
+        )
+        .groupBy("channel_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("k").cast("long").alias("n_parsed"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.countDistinct("k").cast("long").alias("n_distinct_k"),
+        )
+    )
+
+
 def q_attribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 + A5 as an oracle-gated summary over last_touch — the one
     model whose weights include real zeros, so the positive-ihc count
@@ -1284,6 +1308,22 @@ SELECT 'parquet' AS fmt, n_rows, metric FROM cs
 UNION ALL SELECT 'csv', n_rows, metric FROM cs
 UNION ALL SELECT 'json', n_rows, metric FROM cs
 UNION ALL SELECT 'journey_json', n_rows, metric FROM je
+"""
+
+_ORACLE_PROPS_STATS = """
+WITH p AS (
+  SELECT event_type AS channel_name,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT channel_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(k) AS BIGINT) AS n_parsed,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM p GROUP BY channel_name
 """
 
 _ORACLE_ATTR_STATS = f"""
@@ -2430,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_loader_errors": q_loader_errors,
         "maef_date_window": q_date_window,
         "maef_attribution_stats": q_attribution_stats,
+        "maef_props_stats": q_props_stats,
         "maef_stream_attribution": q_stream_attribution,
         "maef_cleaning": q_cleaning,
         "maef_stream_windowed_volume": q_stream_windowed_volume,
@@ -2499,6 +2540,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_stream_attribution": _ORACLE_ATTR_LINEAR,
         "maef_cleaning": _ORACLE_CLEANING,
         "maef_attribution_stats": _ORACLE_ATTR_STATS,
+        "maef_props_stats": _ORACLE_PROPS_STATS,
         "maef_stream_windowed_volume": _ORACLE_STREAM_VOLUME,
         "maef_stream_journey_join": _ORACLE_STREAM_JOURNEY,
         "maef_warehouse_roundtrip": _ORACLE_WAREHOUSE,
