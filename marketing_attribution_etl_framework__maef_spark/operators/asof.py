@@ -65,24 +65,24 @@ def asof_join(
         raise ValueError(f"right_time {right_time!r} must be a non-key right column")
     l_cols = left.columns
 
-    tb = (
-        F.col(tiebreak)
-        if tiebreak
-        else F.lit(0)
-    )
+    # keep the tiebreak's native type: casting e.g. a numeric priority
+    # to string would order it lexicographically (10 < 9)
+    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    tb_type = right.schema[tiebreak].dataType if tiebreak else None
     r = right.select(
         *[F.col(k) for k in on],
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
-        tb.cast("string").alias("_tb"),
+        tb.alias("_tb"),
         F.struct(*[F.col(c) for c in r_payload]).alias(_MATCH),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols if c not in on],
     )
+    l_tb = F.lit(None).cast(tb_type) if tb_type is not None else F.lit(0)
     l = left.select(
         *[F.col(k) for k in on],
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
-        F.lit("").alias("_tb"),
+        l_tb.alias("_tb"),
         F.lit(None).cast(r.schema[_MATCH].dataType).alias(_MATCH),
         *[F.col(c) for c in l_cols if c not in on],
     )

@@ -215,3 +215,17 @@ def test_sessionize_batch_single_exchange(spark):
 
     exchanges = re.findall(r"hashpartitioning\((\w+)", plan)
     assert [e for e in exchanges] == ["user_id"], exchanges
+
+
+def test_asof_tie_break_numeric_order(spark):
+    """Regression: a numeric tiebreak must order numerically (10 > 9),
+    not lexicographically ('10' < '9')."""
+    right = spark.createDataFrame(
+        [("a", _ts(0), 9, "nine"), ("a", _ts(0), 10, "ten")],
+        "k string, rt timestamp, pri int, v string",
+    )
+    left = spark.createDataFrame([("a", _ts(1))], "k string, lt timestamp")
+    out = asof_join(
+        left, right, on=["k"], left_time="lt", right_time="rt", tiebreak="pri"
+    ).collect()
+    assert out[0].r_v == "ten"
