@@ -270,3 +270,47 @@ def test_incremental_neardup_replay_idempotent(spark, tmp_path):
     )
     nd.process_batch(dup, batch_id=1)
     assert {r.doc_id for r in nd.survivors().collect()} == {1}
+
+
+def test_stream_journey_join_multibatch_parity(spark, sf_dir, tmp_path):
+    """Stream-stream interval join across MULTIPLE micro-batches
+    (maxFilesPerTrigger=1 over time-ordered files): state retention is
+    governed by watermark + the 30-day lookback, so every session a
+    later conversion needs is still buffered when it arrives — the
+    emitted pair set must equal the batch journey join exactly."""
+    from marketing_attribution_etl_framework__maef_spark.streaming.incremental import (
+        stream_events_nanos,
+        stream_journey_join,
+    )
+
+    from pyspark.sql import Window
+
+    ev = domain.load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "stream")
+    # 4 time-ordered files -> 4 micro-batches per side
+    ev.orderBy("ts").coalesce(1).withColumn(
+        "part", F.ntile(4).over(Window.orderBy("ts"))
+    ).write.partitionBy("part").mode("overwrite").parquet(src)
+
+    conv_s = stream_events_nanos(spark, src + "/part=*", max_files_per_trigger=1)
+    sess_s = stream_events_nanos(spark, src + "/part=*", max_files_per_trigger=1)
+    out = stream_journey_join(conv_s, sess_s, lookback_days=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sjj_multibatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.conversion_id, r.session_id)
+        for r in spark.sql("SELECT * FROM sjj_multibatch").collect()
+    }
+    conv = domain.conversions_from_events(ev)
+    sess = domain.sessions_from_events(ev)
+    batch = jny.build_journeys(conv, sess, strict_before=False, lookback_days=30)
+    want = {(r.conversion_id, r.session_id) for r in batch.collect()}
+    assert got == want
