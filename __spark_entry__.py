@@ -363,6 +363,15 @@ def q_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling features (operators/features.py): per event,
+    trailing-7-day count/value-sum plus seconds since the user's
+    previous event."""
+    from marketing_attribution_etl_framework__maef_spark.operators import features
+
+    return features.rolling_user_features(domain.events(spark, sf_dir), window_days=7)
+
+
 def q_attribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 + A5 as an oracle-gated summary over last_touch — the one
     model whose weights include real zeros, so the positive-ihc count
@@ -1308,6 +1317,18 @@ SELECT 'parquet' AS fmt, n_rows, metric FROM cs
 UNION ALL SELECT 'csv', n_rows, metric FROM cs
 UNION ALL SELECT 'json', n_rows, metric FROM cs
 UNION ALL SELECT 'journey_json', n_rows, metric FROM je
+"""
+
+_ORACLE_ROLLING = """
+WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS es FROM events)
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER wr AS BIGINT) AS n_window,
+       ROUND(SUM(value) OVER wr, 4) AS value_sum_window,
+       CAST(es - LAG(es) OVER wl AS BIGINT) AS usecs_since_prev
+FROM e
+WINDOW wr AS (PARTITION BY user_id ORDER BY es
+              RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW),
+       wl AS (PARTITION BY user_id ORDER BY es, event_id)
 """
 
 _ORACLE_PROPS_STATS = """
@@ -2471,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_date_window": q_date_window,
         "maef_attribution_stats": q_attribution_stats,
         "maef_props_stats": q_props_stats,
+        "maef_rolling_features": q_rolling_features,
         "maef_stream_attribution": q_stream_attribution,
         "maef_cleaning": q_cleaning,
         "maef_stream_windowed_volume": q_stream_windowed_volume,
@@ -2541,6 +2563,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_cleaning": _ORACLE_CLEANING,
         "maef_attribution_stats": _ORACLE_ATTR_STATS,
         "maef_props_stats": _ORACLE_PROPS_STATS,
+        "maef_rolling_features": _ORACLE_ROLLING,
         "maef_stream_windowed_volume": _ORACLE_STREAM_VOLUME,
         "maef_stream_journey_join": _ORACLE_STREAM_JOURNEY,
         "maef_warehouse_roundtrip": _ORACLE_WAREHOUSE,

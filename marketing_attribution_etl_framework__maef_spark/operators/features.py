@@ -1,0 +1,54 @@
+"""Per-entity rolling time-window features (RANGE-frame windows).
+
+The reference computes no rolling features, but its journey join is a
+degenerate one (everything in a 30-day lookback); a real attribution /
+training-data pipeline derives per-user activity features — "events in
+the last 7 days", "spend in the last 7 days", "seconds since previous
+event" — at every event. These are RANGE-frame window aggregates:
+
+- the frame is defined on the event-time axis (epoch seconds), so tied
+  timestamps are peers and both engines include the full peer group —
+  no tie-break ambiguity in the aggregate;
+- the recency delta uses a ROWS-frame lag with an explicit id
+  tie-break, which IS order-sensitive, so it gets its own window.
+
+100-TB shape: one shuffle on the entity key; both windows share the
+(user_id, time) sort, and the RANGE frame is evaluated with a sliding
+pointer (O(n) per partition, state bounded by the window span). This
+is the batch twin of a streaming sliding-window aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_user_features(
+    events: DataFrame,
+    window_days: int = 7,
+) -> DataFrame:
+    """Per event: rolling count + value sum over the trailing
+    ``window_days`` (inclusive of the current event and its time
+    peers), and microseconds since the user's previous event (NULL for
+    the first). Output: event_id, user_id, n_window, value_sum_window,
+    usecs_since_prev."""
+    span = window_days * 86400 * 1_000_000
+    # microsecond epoch: exact integers in both engines (DuckDB's
+    # epoch() returns fractional seconds; truncation there vs here
+    # drifts by one second). NTZ-safe via the UTC-identity cast.
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = events.select(
+        "event_id", "user_id", "ts", "value", epoch.alias("_es")
+    )
+    w_range = (
+        Window.partitionBy("user_id").orderBy("_es").rangeBetween(-span, 0)
+    )
+    w_rows = Window.partitionBy("user_id").orderBy("_es", "event_id")
+    return d.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w_range).cast("long").alias("n_window"),
+        F.round(F.sum("value").over(w_range), 4).alias("value_sum_window"),
+        (F.col("_es") - F.lag("_es").over(w_rows)).cast("long").alias("usecs_since_prev"),
+    )

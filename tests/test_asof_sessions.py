@@ -229,3 +229,25 @@ def test_asof_tie_break_numeric_order(spark):
         left, right, on=["k"], left_time="lt", right_time="rt", tiebreak="pri"
     ).collect()
     assert out[0].r_v == "ten"
+
+
+def test_rolling_user_features_exact(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.features import rolling_user_features
+
+    rows = [
+        (1, 1, T0, "a", 1.0, None),
+        (2, 1, T0 + dt.timedelta(days=3), "a", 2.0, None),
+        (3, 1, T0 + dt.timedelta(days=8), "a", 4.0, None),   # day-0 event left the 7d window
+        (4, 1, T0 + dt.timedelta(days=10), "a", 8.0, None),  # window holds days 3,8,10
+        (5, 2, T0, "a", 16.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double, props string"
+    )
+    out = {r.event_id: r for r in rolling_user_features(ev, window_days=7).collect()}
+    assert (out[1].n_window, out[1].value_sum_window, out[1].usecs_since_prev) == (1, 1.0, None)
+    assert (out[2].n_window, out[2].value_sum_window) == (2, 3.0)
+    assert (out[3].n_window, out[3].value_sum_window) == (2, 6.0)
+    assert (out[4].n_window, out[4].value_sum_window) == (3, 14.0)
+    assert out[4].usecs_since_prev == 2 * 86400 * 1_000_000
+    assert (out[5].n_window, out[5].value_sum_window) == (1, 16.0)
