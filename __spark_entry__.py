@@ -973,6 +973,16 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_ngram_coverage(_aug_docs(spark, sf_dir))
 
 
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-200 terms by exact (tf, df)."""
+    return txt.vocabulary(_docs(spark, sf_dir), k=200)
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 bigrams by PMI (q20), counts exact."""
+    return txt.bigram_pmi(_docs(spark, sf_dir), min_count=5, k=50)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-window long-document segmentation with overlap
     (llm/curation.py chunk_documents), window 32 / overlap 8 so the
@@ -2329,6 +2339,64 @@ FROM kept k JOIN ex ON k.channel_name = ex.channel_name
 GROUP BY k.channel_name
 """
 
+_ORACLE_VOCAB = f"""
+WITH {_NORM_RAW},
+per_doc AS (
+  SELECT doc_id, term, COUNT(*) AS m
+  FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM nd)
+  GROUP BY doc_id, term
+),
+agg AS (
+  SELECT term, CAST(SUM(m) AS BIGINT) AS tf, CAST(COUNT(*) AS BIGINT) AS df
+  FROM per_doc GROUP BY term
+)
+SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk, term, tf, df
+FROM agg
+WINDOW w AS (ORDER BY tf DESC, term)
+QUALIFY ROW_NUMBER() OVER w <= 200
+"""
+
+_ORACLE_BIGRAM_PMI = f"""
+WITH {_NORM_RAW},
+base AS (
+  SELECT string_split(norm, ' ') AS ws FROM nd
+  WHERE len(string_split(norm, ' ')) >= 2
+),
+uni AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n_u
+  FROM (SELECT unnest(ws) AS term FROM base) GROUP BY term
+),
+bg AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM (
+    SELECT unnest(list_transform(range(1, len(ws)),
+                                 i -> concat_ws(' ', ws[i], ws[i+1]))) AS bigram
+    FROM base
+  )
+  GROUP BY bigram HAVING COUNT(*) >= 5
+),
+t AS (
+  SELECT (SELECT CAST(SUM(n_u) AS BIGINT) FROM uni) AS t_u,
+         (SELECT CAST(SUM(len(ws) - 1) AS BIGINT) FROM base) AS t_b
+),
+scored AS (
+  SELECT b.bigram, b.n_ab, ua.n_u AS n_a, ub.n_u AS n_b,
+         CAST(FLOOR((ln(CAST(b.n_ab AS DOUBLE)) - ln(CAST(t.t_b AS DOUBLE))
+                     - ln(CAST(ua.n_u AS DOUBLE)) - ln(CAST(ub.n_u AS DOUBLE))
+                     + 2.0 * ln(CAST(t.t_u AS DOUBLE))) * 1048576.0 + 0.5)
+              AS BIGINT) AS pmi_q20
+  FROM bg b
+  JOIN uni ua ON ua.term = string_split(b.bigram, ' ')[1]
+  JOIN uni ub ON ub.term = string_split(b.bigram, ' ')[2]
+  CROSS JOIN t
+)
+SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+       bigram, n_ab, n_a, n_b, pmi_q20
+FROM scored
+WINDOW w AS (ORDER BY pmi_q20 DESC, bigram)
+QUALIFY ROW_NUMBER() OVER w <= 50
+"""
+
 _ORACLE_CHUNK_DOCS = """
 WITH w AS (
   SELECT doc_id,
@@ -2532,6 +2600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_source_mix": q_source_mix,
         "llm_length_percentiles": q_length_percentiles,
         "llm_chunk_documents": q_chunk_documents,
+        "llm_vocabulary": q_vocabulary,
+        "llm_bigram_pmi": q_bigram_pmi,
         "llm_multimodal_meta": q_multimodal_meta,
         "llm_multimodal_features": q_multimodal_features,
         "llm_multimodal_stripes": q_multimodal_stripes,
@@ -2601,6 +2671,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_source_mix": _ORACLE_SOURCE_MIX,
         "llm_length_percentiles": _ORACLE_LENGTH_PCT,
         "llm_chunk_documents": _ORACLE_CHUNK_DOCS,
+        "llm_vocabulary": _ORACLE_VOCAB,
+        "llm_bigram_pmi": _ORACLE_BIGRAM_PMI,
         "llm_multimodal_meta": _ORACLE_MM_META,
         # the mapInPandas path IS value-checked via the exact-integer
         # stripe summary (same Arrow plumbing, no float output):

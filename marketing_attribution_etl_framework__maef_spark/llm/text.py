@@ -410,3 +410,91 @@ def fingerprints(
         F.countDistinct("fp").alias("n_fingerprints"),
         F.min("fp").alias("min_fp"),
     )
+
+
+def vocabulary(
+    docs: DataFrame, k: int = 200, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary table: the top-``k`` terms by total frequency
+    with exact (tf, df) longs — the artifact a tokenizer-training or
+    stopword-induction step starts from. Per-(doc, term) counts first
+    (map-side combinable), then one aggregate per term; the top-k is a
+    TakeOrdered, never a global single-task sort."""
+    per_doc = (
+        docs.select(F.col(id_col).alias("_id"), F.explode(words(normalize_text(F.col(text_col)))).alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    agg = per_doc.groupBy("term").agg(
+        F.sum("_m").cast("long").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    top = agg.orderBy(F.desc("tf"), F.asc("term")).limit(k)
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rnk"), "term", "tf", "df"
+    )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information over word
+    bigrams: PMI = ln(p(ab) / (p(a) p(b))), computed as an explicit
+    sum of logs of exact integer counts so both engines evaluate the
+    identical float expression (counts can overflow a product at
+    corpus scale; logs cannot). PMI values are irrational, so q20
+    quantization is cross-engine safe (float policy). Output: top-k
+    (rnk, bigram, n_ab, n_a, n_b, pmi_q20) with n_ab >= min_count.
+
+    Shape: one bigram aggregate + one unigram aggregate + two joins on
+    the term key (the unigram table is vocabulary-sized — broadcast at
+    any corpus scale); top-k is a TakeOrdered."""
+    norm = normalize_text(F.col(text_col))
+    base = docs.select(words(norm).alias("_ws")).filter(F.size("_ws") >= 2)
+    uni = (
+        base.select(F.explode("_ws").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_u"))
+    )
+    bg = (
+        base.select(F.explode(word_shingles(F.col("_ws"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= F.lit(int(min_count)))
+    )
+    t_uni = uni.agg(F.sum("n_u").cast("long").alias("t_u"))
+    t_bg = base.select(
+        (F.size("_ws") - 1).cast("long").alias("_nb")
+    ).agg(F.sum("_nb").cast("long").alias("t_b"))
+
+    parts = F.split("bigram", " ")
+    scored = (
+        bg.withColumn("_a", parts.getItem(0))
+        .withColumn("_b", parts.getItem(1))
+        .join(uni.select(F.col("term").alias("_a"), F.col("n_u").alias("n_a")), "_a")
+        .join(uni.select(F.col("term").alias("_b"), F.col("n_u").alias("n_b")), "_b")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_bg))
+    )
+    pmi = (
+        F.log(F.col("n_ab").cast("double"))
+        - F.log(F.col("t_b").cast("double"))
+        - F.log(F.col("n_a").cast("double"))
+        - F.log(F.col("n_b").cast("double"))
+        + F.lit(2.0) * F.log(F.col("t_u").cast("double"))
+    )
+    q = scored.select(
+        "bigram", "n_ab", "n_a", "n_b",
+        F.floor(pmi * F.lit(1048576.0) + F.lit(0.5)).cast("long").alias("pmi_q20"),
+    )
+    top = q.orderBy(F.desc("pmi_q20"), F.asc("bigram")).limit(k)
+    w = Window.orderBy(F.desc("pmi_q20"), F.asc("bigram"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rnk"),
+        "bigram", "n_ab", "n_a", "n_b", "pmi_q20",
+    )

@@ -584,3 +584,28 @@ def test_chunk_documents_exact(spark):
         if d == 1:
             covered |= set(range(r.start_tok, r.start_tok + r.n_seg_tokens))
     assert covered == set(range(10))
+
+
+def test_vocabulary_and_bigram_pmi(spark):
+    docs = spark.createDataFrame(
+        [(i, "tok alpha beta tok gamma") for i in range(10)]
+        + [(100 + i, "alpha beta filler") for i in range(5)],
+        "doc_id long, text string",
+    )
+    vocab = {r.term: (r.rnk, r.tf, r.df) for r in txt.vocabulary(docs, k=3).collect()}
+    assert vocab["tok"] == (1, 20, 10)          # tf 2x10, df 10
+    assert vocab["alpha"][1:] == (15, 15)
+    assert vocab["beta"][1:] == (15, 15)
+
+    import math
+
+    pmi = {r.bigram: r for r in txt.bigram_pmi(docs, min_count=5, k=10).collect()}
+    # 'alpha beta' occurs in every doc; hand-compute its PMI
+    r = pmi["alpha beta"]
+    assert (r.n_ab, r.n_a, r.n_b) == (15, 15, 15)
+    t_u = 10 * 5 + 5 * 3          # total unigrams
+    t_b = 10 * 4 + 5 * 2          # total bigrams
+    want = math.log(15) - math.log(t_b) - 2 * math.log(15) + 2 * math.log(t_u)
+    assert r.pmi_q20 == math.floor(want * 1048576.0 + 0.5)
+    # the always-adjacent pair outranks an incidental one
+    assert r.rnk <= pmi["beta tok"].rnk if "beta tok" in pmi else True
