@@ -471,11 +471,18 @@ def semantic_dedup(
         "vec_id", F.lit(-1).cast("long").alias("cluster")
     )
     # exclude zero vectors BEFORE assignment: ANSI mode raises on the
-    # 0/0 cosine, so the filter must precede _pair_cos, not follow it
+    # 0/0 cosine, so the filter must precede _pair_cos, not follow it.
+    # The assignment feeds THREE consumers (both self-join branches +
+    # the survivor anti-join) and its lineage is the whole
+    # kmeans+crossJoin+window pipeline — materialize ONCE
+    # (A/B at sf0.1: localCheckpoint 4.0 s vs lazy 4.9 s warm /
+    # 13.5 s cold; the plan audit showed 28 scans lazily). At
+    # production scale this is the write of the cluster-assignment
+    # table that IVF probing also wants storage-partitioned.
     nz = normed.filter(F.col("_vn") > 0).select(F.col("vec_id").alias(id_col))
     assign = ivf_assign(
         corpus.join(nz, id_col, "inner"), centroids_as_embeddings(cents), id_col, vec_col
-    )
+    ).localCheckpoint()
 
     a = assign.select(
         "cluster",
