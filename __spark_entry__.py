@@ -199,6 +199,20 @@ def q_attribution_ihc_redist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("conv_id", "session_id", _q20(F.col("ihc")).alias("ihc_q20"))
 
 
+def q_attribution_ihc_directional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 with the third redistribution knob — ``direction =
+    earlier_sessions_only`` (src/api/ihc_api.py:54-72): each 'view'
+    session's credit goes only to kept sessions EARLIER in the journey
+    (suffix-sum window math, operators/attribution.py
+    _redistribute_directional)."""
+    params = attr.IHCParams(
+        redistribution_channel_labels=["view"],
+        redistribution_direction="earlier_sessions_only",
+    )
+    df = attr.attribute_ihc(_journeys(spark, sf_dir), params)
+    return df.select("conv_id", "session_id", _q20(F.col("ihc")).alias("ihc_q20"))
+
+
 def q_channel_report_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8.2 replicate grain: the shipped fan-out arithmetic
     (src/etl/reporting.py:57-98), computed via the exact factorization
@@ -1186,6 +1200,50 @@ SELECT conversion_id AS conv_id, session_id,
                         THEN raw2 / SUM(raw2) OVER pw
                         ELSE 1.0 / n END) * 1048576.0 + 0.5) AS BIGINT) AS ihc_q20
 FROM redist
+WINDOW pw AS (PARTITION BY conversion_id)
+"""
+
+_ORACLE_ATTR_IHC_DIR = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS}, {_IHC_RAW},
+dirw AS (
+  SELECT b.conversion_id, b.session_id, b.n, b.rn, r.raw_w,
+         (b.channel_label NOT IN ('view')) AS keep
+  FROM ihc_base b
+  JOIN ihc_raw r ON b.conversion_id = r.conversion_id AND b.session_id = r.session_id
+),
+stage AS (
+  SELECT *,
+         CASE WHEN keep THEN raw_w ELSE 0.0 END AS kept_w,
+         CASE WHEN NOT keep THEN raw_w ELSE 0.0 END AS lost_w
+  FROM dirw
+),
+stage2 AS (
+  SELECT *,
+         COALESCE(SUM(kept_w) OVER (PARTITION BY conversion_id ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS elig
+  FROM stage
+),
+stage3 AS (
+  SELECT *, CASE WHEN lost_w > 0 AND elig > 0 THEN lost_w / elig ELSE 0.0 END AS ratio
+  FROM stage2
+),
+stage4 AS (
+  SELECT *,
+         COALESCE(SUM(ratio) OVER (PARTITION BY conversion_id ORDER BY rn
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0.0) AS gainf
+  FROM stage3
+),
+final AS (
+  SELECT conversion_id, session_id, n,
+         kept_w * (1.0 + gainf)
+         + CASE WHEN lost_w > 0 AND elig <= 0 THEN lost_w ELSE 0.0 END AS raw2
+  FROM stage4
+)
+SELECT conversion_id AS conv_id, session_id,
+       CAST(FLOOR((CASE WHEN SUM(raw2) OVER pw > 0
+                        THEN raw2 / SUM(raw2) OVER pw
+                        ELSE 1.0 / n END) * 1048576.0 + 0.5) AS BIGINT) AS ihc_q20
+FROM final
 WINDOW pw AS (PARTITION BY conversion_id)
 """
 
@@ -2549,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_attribution_time_decay": q_attribution_time_decay,
         "maef_attribution_ihc": q_attribution_ihc,
         "maef_attribution_ihc_redist": q_attribution_ihc_redist,
+        "maef_attribution_ihc_directional": q_attribution_ihc_directional,
         "maef_channel_report": q_channel_report,
         "maef_channel_report_export": q_channel_report_export,
         "maef_channel_report_replicate": q_channel_report_replicate,
@@ -2618,6 +2677,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_attribution_time_decay": _ORACLE_ATTR_DECAY,
         "maef_attribution_ihc": _ORACLE_ATTR_IHC,
         "maef_attribution_ihc_redist": _ORACLE_ATTR_IHC_REDIST,
+        "maef_attribution_ihc_directional": _ORACLE_ATTR_IHC_DIR,
         "maef_channel_report": _ORACLE_REPORT,
         "maef_channel_report_export": _ORACLE_REPORT_EXPORT,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,

@@ -133,6 +133,12 @@ class IHCParams:
     # minimum weight a session must reach to keep credit; below it the
     # credit is redistributed (ihc_api.py receive_threshold)
     receive_threshold: float = 0.0
+    # which sessions may receive a losing session's credit, relative to
+    # the loser's position in the journey (ihc_api.py `direction`):
+    # 'any_session' (proportional over all kept sessions),
+    # 'earlier_sessions_only', or 'later_sessions_only'. A loser with
+    # no eligible receiver keeps its own credit.
+    redistribution_direction: str = "any_session"
 
 
 def attribute_ihc(journeys: DataFrame, params: IHCParams | None = None) -> DataFrame:
@@ -184,13 +190,67 @@ def attribute_ihc(journeys: DataFrame, params: IHCParams | None = None) -> DataF
         keep = ~F.col("channel_label").isin(p.redistribution_channel_labels)
         if p.receive_threshold > 0:
             keep = keep & (F.col("_raw") >= F.lit(p.receive_threshold))
-        kept_total = F.sum(F.when(keep, F.col("_raw")).otherwise(F.lit(0.0))).over(_wall())
-        df = df.withColumn(
-            "_raw",
-            F.when(kept_total > 0, F.when(keep, F.col("_raw")).otherwise(F.lit(0.0)))
-            .otherwise(F.col("_raw")),
-        )
+        if p.redistribution_direction == "any_session":
+            kept_total = F.sum(F.when(keep, F.col("_raw")).otherwise(F.lit(0.0))).over(_wall())
+            df = df.withColumn(
+                "_raw",
+                F.when(kept_total > 0, F.when(keep, F.col("_raw")).otherwise(F.lit(0.0)))
+                .otherwise(F.col("_raw")),
+            )
+        elif p.redistribution_direction in ("earlier_sessions_only", "later_sessions_only"):
+            df = _redistribute_directional(
+                df, keep, earlier=(p.redistribution_direction == "earlier_sessions_only")
+            )
+        else:
+            raise ValueError(
+                f"unknown redistribution_direction {p.redistribution_direction!r}"
+            )
     return _finish(df, F.col("_raw"))
+
+
+def _redistribute_directional(df: DataFrame, keep: F.Column, earlier: bool) -> DataFrame:
+    """Directional redistribution (ihc_api.py ``direction``): each
+    losing session's credit is re-spread proportionally over the KEPT
+    sessions strictly earlier (or later) than it in the journey; a
+    loser with no eligible receiver keeps its own credit.
+
+    Pure window math, no self-join: with sessions ordered by
+    (event_ts, session_id),
+
+        eligible_i = cumulative kept weight strictly before/after i
+        ratio_i    = lost_i / eligible_i          (losers with receivers)
+        gain_j     = kept_j * sum(ratio_i) over losers i on the far side
+
+    Each loser's ratio times its receivers' weights sums back to
+    exactly lost_i, so total credit is conserved (then _finish
+    normalizes exactly to 1)."""
+    w = _w()
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    after = w.rowsBetween(1, Window.unboundedFollowing)
+    eligible_frame = before if earlier else after
+    ratio_frame = after if earlier else before
+
+    kept_w = F.when(keep, F.col("_raw")).otherwise(F.lit(0.0))
+    lost_w = F.when(~keep, F.col("_raw")).otherwise(F.lit(0.0))
+    eligible = F.coalesce(F.sum(kept_w).over(eligible_frame), F.lit(0.0))
+    d = (
+        df.withColumn("_kept", kept_w)
+        .withColumn("_lost", lost_w)
+        .withColumn("_elig", eligible)
+    )
+    ratio = F.when(
+        (F.col("_lost") > 0) & (F.col("_elig") > 0), F.col("_lost") / F.col("_elig")
+    ).otherwise(F.lit(0.0))
+    d = d.withColumn("_ratio", ratio)
+    gain_factor = F.coalesce(F.sum("_ratio").over(ratio_frame), F.lit(0.0))
+    final = (
+        F.col("_kept") * (F.lit(1.0) + gain_factor)
+        # loser with no receiver keeps its credit
+        + F.when((F.col("_lost") > 0) & (F.col("_elig") <= 0), F.col("_lost")).otherwise(
+            F.lit(0.0)
+        )
+    )
+    return d.withColumn("_raw", final).drop("_kept", "_lost", "_elig", "_ratio")
 
 
 MODELS = {

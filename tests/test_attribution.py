@@ -112,3 +112,44 @@ def test_ihc_redistribution(journeys):
 def test_unknown_model(journeys):
     with pytest.raises(ValueError):
         attr.attribute(journeys, "nope")
+
+
+def test_ihc_directional_redistribution(spark):
+    """earlier_sessions_only: a losing session's credit flows only to
+    kept sessions before it; a loser with no earlier kept receiver
+    keeps its credit. Hand-computed on [view, click, view] with no
+    engagement flags: raws (0.4, 0.1, 0.5) -> finals (0.4, 0.6, 0.0)."""
+    import datetime as dt
+
+    from marketing_attribution_etl_framework__maef_spark.operators.attribution import IHCParams, attribute_ihc
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", "sA", t0, "view", 0, 0),
+        ("c1", "sB", t0 + dt.timedelta(hours=1), "click", 0, 0),
+        ("c1", "sC", t0 + dt.timedelta(hours=2), "view", 0, 0),
+    ]
+    j = spark.createDataFrame(
+        rows,
+        "conversion_id string, session_id string, event_ts timestamp, "
+        "channel_label string, holder_engagement int, closer_engagement int",
+    )
+    params = IHCParams(
+        redistribution_channel_labels=["view"],
+        redistribution_direction="earlier_sessions_only",
+    )
+    got = {r.session_id: round(r.ihc, 9) for r in attribute_ihc(j, params).collect()}
+    assert got == {"sA": 0.4, "sB": 0.6, "sC": 0.0}
+
+    # later_sessions_only mirror: loser A redistributes to kept B (the
+    # only kept session after it); loser C has no later receiver.
+    params2 = IHCParams(
+        redistribution_channel_labels=["view"],
+        redistribution_direction="later_sessions_only",
+    )
+    got2 = {r.session_id: round(r.ihc, 9) for r in attribute_ihc(j, params2).collect()}
+    assert got2 == {"sA": 0.0, "sB": 0.5, "sC": 0.5}
+
+    # weights still sum to one per conversion in both modes
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert abs(sum(got2.values()) - 1.0) < 1e-9
