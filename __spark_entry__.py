@@ -1004,6 +1004,14 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.chunk_documents(_docs(spark, sf_dir), window_tokens=32, overlap=8)
 
 
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the source-mix ledger (llm/curation.py mix_sample):
+    integer-exact hash downsampling of each source to its capped
+    quality-token budget. token_cap=5000 so the cap actually binds at
+    sf0.01 (quality sources carry ~1.2-1.5k tokens each)."""
+    return cur.mix_sample(_docs(spark, sf_dir), token_cap=800)
+
+
 def q_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketches.py) of users per
     channel, k=64, joined with the exact distinct as the foil. The
@@ -2473,6 +2481,30 @@ SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
 FROM segs
 """
 
+_ORACLE_MIX_SAMPLE = """
+WITH per_doc AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens,
+         (len(ws) >= 5 AND len(list_distinct(ws)) * 10 >= len(ws) * 3) AS is_quality
+  FROM (
+    SELECT doc_id, source, norm, string_split(norm, ' ') AS ws
+    FROM (SELECT doc_id, source,
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          FROM documents)
+  )
+),
+ledger AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS quality_tokens,
+         CAST(LEAST(SUM(n_tokens), 800) AS BIGINT) AS capped_tokens
+  FROM per_doc WHERE is_quality GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_tokens
+FROM per_doc d JOIN ledger l ON d.source = l.source
+WHERE d.is_quality
+  AND CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 1, 15) AS BIGINT)
+      % l.quality_tokens < l.capped_tokens
+"""
+
 _ORACLE_LENGTH_PCT = """
 WITH ranked AS (
   SELECT source, n_chars,
@@ -2657,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dup_ngram_coverage": q_dup_ngram_coverage,
         "llm_kmv_users": q_kmv_users,
         "llm_source_mix": q_source_mix,
+        "llm_mix_sample": q_mix_sample,
         "llm_length_percentiles": q_length_percentiles,
         "llm_chunk_documents": q_chunk_documents,
         "llm_vocabulary": q_vocabulary,
@@ -2729,6 +2762,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_dup_ngram_coverage": _ORACLE_DUP_NGRAM,
         "llm_kmv_users": _ORACLE_KMV,
         "llm_source_mix": _ORACLE_SOURCE_MIX,
+        "llm_mix_sample": _ORACLE_MIX_SAMPLE,
         "llm_length_percentiles": _ORACLE_LENGTH_PCT,
         "llm_chunk_documents": _ORACLE_CHUNK_DOCS,
         "llm_vocabulary": _ORACLE_VOCAB,

@@ -325,3 +325,65 @@ def chunk_documents(
         F.size(piece).cast("long").alias("n_seg_tokens"),
         F.array_join(piece, " ").alias("seg_text"),
     )
+
+
+def mix_sample(
+    docs: DataFrame,
+    token_cap: int = 50_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Execute the ``source_mix_plan`` ledger: downsample each source
+    to its capped quality-token budget by deterministic hashing —
+    a quality doc from source s survives iff
+
+        md5_60(doc_id || '|mix') % quality_tokens(s) < capped_tokens(s)
+
+    i.e. a keep-probability of capped/quality enforced with EXACT
+    integer arithmetic (no float rates, no cross-engine rounding), the
+    same per-item coin every run. Sources under their cap keep every
+    quality doc (modulus test always true). Expected sampled tokens
+    per source = its capped budget.
+
+    Shape: the fused per-doc projection from source_mix_plan, the
+    ledger aggregate (a handful of rows), one broadcast join back, a
+    stateless hash filter. At 100 TB the ledger is still broadcast-
+    sized: this is how you execute a mixture recipe in one pass.
+    """
+    norm = normalize_text(F.col(text_col))
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.size(F.regexp_extract_all(norm, F.lit(TOKEN_REGEX), 0))
+        .cast("long")
+        .alias("n_tokens"),
+        words(norm).alias("_ws"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (
+            (F.size("_ws") >= 5)
+            & (F.size(F.array_distinct("_ws")) * 10 >= F.size("_ws") * 3)
+        ).alias("is_quality"),
+    )
+    ledger = (
+        per_doc.filter("is_quality")
+        .groupBy("source")
+        .agg(F.sum("n_tokens").cast("long").alias("quality_tokens"))
+        .withColumn(
+            "capped_tokens", F.least(F.col("quality_tokens"), F.lit(int(token_cap)))
+        )
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|mix"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (
+        per_doc.filter("is_quality")
+        .join(F.broadcast(ledger), "source")
+        .filter(F.pmod(h, F.col("quality_tokens")) < F.col("capped_tokens"))
+        .select("doc_id", "source", "n_tokens")
+    )

@@ -609,3 +609,25 @@ def test_vocabulary_and_bigram_pmi(spark):
     assert r.pmi_q20 == math.floor(want * 1048576.0 + 0.5)
     # the always-adjacent pair outranks an incidental one
     assert r.rnk <= pmi["beta tok"].rnk if "beta tok" in pmi else True
+
+
+def test_mix_sample_caps_and_determinism(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm.curation import mix_sample
+
+    rows = (
+        [(i, "alpha beta gamma delta epsilon zeta", "big") for i in range(200)]
+        + [(1000 + i, "one two three four five six", "small") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = mix_sample(df, token_cap=120)  # big: 1200 quality tokens -> ~10% keep
+    got = out.collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    # under-cap source keeps everything
+    assert sorted(by_src["small"]) == [1000, 1001, 1002]
+    # over-cap source is downsampled hard (expected ~10%, generous bounds)
+    assert 5 <= len(by_src["big"]) <= 50
+    # deterministic: identical result on re-run
+    again = {r.doc_id for r in mix_sample(df, token_cap=120).collect()}
+    assert again == {r.doc_id for r in got}
