@@ -137,10 +137,19 @@ def positive_ihc_count(rows: DataFrame) -> int:
 
 def invalid_samples(envelopes: DataFrame, limit: int = 3) -> DataFrame:
     """W3 (``src/etl/load.py:48-49,60-67``): keep <= 3 samples of
-    invalid envelopes for diagnostics."""
-    return envelopes.filter(
-        F.col("statusCode").isNull() | (F.col("statusCode") != 200) | F.col("value").isNull()
-    ).limit(limit)
+    invalid envelopes for diagnostics. Ordered before the limit so the
+    sample is deterministic (a bare limit picks whichever partitions
+    answer first); TakeOrdered, not a global sort."""
+    return (
+        envelopes.filter(
+            F.col("statusCode").isNull() | (F.col("statusCode") != 200) | F.col("value").isNull()
+        )
+        .orderBy(
+            F.col("statusCode").asc_nulls_first(),
+            F.size(F.coalesce(F.col("value"), F.array())).asc(),
+        )
+        .limit(limit)
+    )
 
 
 def upsert(existing: DataFrame, incoming: DataFrame) -> DataFrame:
