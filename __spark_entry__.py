@@ -383,7 +383,12 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous event."""
     from marketing_attribution_etl_framework__maef_spark.operators import features
 
-    return features.rolling_user_features(domain.events(spark, sf_dir), window_days=7)
+    out = features.rolling_user_features(domain.events(spark, sf_dir), window_days=7)
+    # sentinel -1 for the first event's undefined recency (NULL-free
+    # outputs keep the driver's row-sort/hash comparison type-stable)
+    return out.withColumn(
+        "usecs_since_prev", F.coalesce(F.col("usecs_since_prev"), F.lit(-1).cast("long"))
+    )
 
 
 def q_attribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -629,12 +634,47 @@ def q_session_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_time="event_ts",
         tolerance_us=LOOKBACK_DAYS * 86400 * 1_000_000,
     )
+    # sentinel '' / -1 instead of NULL (see q_session_asof_forward)
     return out.select(
         "conv_id",
-        F.col("r_sid").cast("string").alias("session_id"),
-        F.expr("timestampdiff(MICROSECOND, r_event_ts, conv_ts)")
-        .cast("long")
-        .alias("gap_us"),
+        F.coalesce(F.col("r_sid").cast("string"), F.lit("")).alias("session_id"),
+        F.coalesce(
+            F.expr("timestampdiff(MICROSECOND, r_event_ts, conv_ts)").cast("long"),
+            F.lit(-1).cast("long"),
+        ).alias("gap_us"),
+    )
+
+
+def q_session_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each session, the user's NEXT conversion
+    at-or-after it (time-to-conversion, the classic label-assignment
+    join for training data). Exercises asof_join's forward direction
+    against DuckDB's native ASOF with the reversed inequality."""
+    from marketing_attribution_etl_framework__maef_spark.operators import asof
+
+    sess = domain.session_sources(spark, sf_dir).select("session_id", "user_id", "event_ts")
+    c1 = (
+        domain.conversions(spark, sf_dir)
+        .groupBy("user_id", "conv_ts")
+        .agg(F.max(F.col("conv_id").cast("long")).alias("cid"))
+    )
+    out = asof.asof_join(
+        sess,
+        c1,
+        on=["user_id"],
+        left_time="event_ts",
+        right_time="conv_ts",
+        direction="forward",
+    )
+    # sentinel '' / -1 instead of NULL: the cross-engine value hash
+    # sorts rows, and NULLs don't sort against strings in python
+    return out.select(
+        "session_id",
+        F.coalesce(F.col("r_cid").cast("string"), F.lit("")).alias("conv_id"),
+        F.coalesce(
+            F.expr("timestampdiff(MICROSECOND, event_ts, r_conv_ts)").cast("long"),
+            F.lit(-1).cast("long"),
+        ).alias("wait_us"),
     )
 
 
@@ -1400,7 +1440,7 @@ WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS es FROM events)
 SELECT event_id, user_id,
        CAST(COUNT(*) OVER wr AS BIGINT) AS n_window,
        ROUND(SUM(value) OVER wr, 4) AS value_sum_window,
-       CAST(es - LAG(es) OVER wl AS BIGINT) AS usecs_since_prev
+       CAST(COALESCE(es - LAG(es) OVER wl, -1) AS BIGINT) AS usecs_since_prev
 FROM e
 WINDOW wr AS (PARTITION BY user_id ORDER BY es
               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW),
@@ -1456,12 +1496,29 @@ m AS (
     ON c.user_id = s.user_id AND s.event_ts <= c.conv_ts
 )
 SELECT conv_id,
-       CASE WHEN event_ts IS NOT NULL
+       COALESCE(CASE WHEN event_ts IS NOT NULL
              AND epoch_us(conv_ts) - epoch_us(event_ts) <= {_ASOF_TOL_US}
-            THEN CAST(sid AS VARCHAR) END AS session_id,
-       CASE WHEN event_ts IS NOT NULL
+            THEN CAST(sid AS VARCHAR) END, '') AS session_id,
+       COALESCE(CASE WHEN event_ts IS NOT NULL
              AND epoch_us(conv_ts) - epoch_us(event_ts) <= {_ASOF_TOL_US}
-            THEN epoch_us(conv_ts) - epoch_us(event_ts) END AS gap_us
+            THEN epoch_us(conv_ts) - epoch_us(event_ts) END, -1) AS gap_us
+FROM m
+"""
+
+_ORACLE_SESSION_ASOF_FWD = f"""
+WITH {_CONV}, {_SESS},
+c1 AS (
+  SELECT user_id, conv_ts, MAX(CAST(conv_id AS BIGINT)) AS cid
+  FROM conv GROUP BY user_id, conv_ts
+),
+m AS (
+  SELECT s.session_id, s.event_ts, c.cid, c.conv_ts
+  FROM sess s ASOF LEFT JOIN c1 c
+    ON s.user_id = c.user_id AND c.conv_ts >= s.event_ts
+)
+SELECT session_id,
+       COALESCE(CAST(cid AS VARCHAR), '') AS conv_id,
+       COALESCE(epoch_us(conv_ts) - epoch_us(event_ts), -1) AS wait_us
 FROM m
 """
 
@@ -2658,6 +2715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_stream_journey_join": q_stream_journey_join,
         "maef_warehouse_roundtrip": q_warehouse_roundtrip,
         "maef_session_asof": q_session_asof,
+        "maef_session_asof_forward": q_session_asof_forward,
         "maef_sessionize_batch": q_sessionize_batch,
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
@@ -2731,6 +2789,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_stream_journey_join": _ORACLE_STREAM_JOURNEY,
         "maef_warehouse_roundtrip": _ORACLE_WAREHOUSE,
         "maef_session_asof": _ORACLE_SESSION_ASOF,
+        "maef_session_asof_forward": _ORACLE_SESSION_ASOF_FWD,
         "maef_sessionize_batch": _ORACLE_SESSIONIZE,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,

@@ -63,11 +63,16 @@ def compare(sf_dir: str, names: list[str] | None = None) -> int:
         if s_cols != o_cols:
             ok, msgs = False, msgs + [f"cols {s_cols} != {o_cols}"]
         if ok:
+            def _key(row):
+                return tuple((v is None, type(v).__name__, str(v)) for v in row)
+
             s_rows = sorted(
-                tuple(_norm(v) for v in row) for row in sdf[s_cols].itertuples(index=False)
+                (tuple(_norm(v) for v in row) for row in sdf[s_cols].itertuples(index=False)),
+                key=_key,
             )
             o_rows = sorted(
-                tuple(_norm(v) for v in row) for row in odf[o_cols].itertuples(index=False)
+                (tuple(_norm(v) for v in row) for row in odf[o_cols].itertuples(index=False)),
+                key=_key,
             )
             if s_rows != o_rows:
                 ok = False
