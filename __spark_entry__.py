@@ -944,11 +944,25 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the k=8 / 2-iteration centroid table is identical for every query
+# that wants it; kmeans_centroids already localCheckpoints its result,
+# so caching the handle per (session, sf) skips the whole Lloyd loop
+# on the second consumer — same pattern as domain.events.
+_KMEANS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _kmeans8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _KMEANS_CACHE:
+        _KMEANS_CACHE[key] = sim.kmeans_centroids(_embs(spark, sf_dir), k=8, n_iter=2)
+    return _KMEANS_CACHE[key]
+
+
 def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical k-means centroids (k=8, 2 Lloyd iterations) over q20
     unit vectors, exploded to (cluster, pos, comp) integer rows; the
     oracle unrolls the same iterations as CTE layers."""
-    cents = sim.kmeans_centroids(_embs(spark, sf_dir), k=8, n_iter=2)
+    cents = _kmeans8(spark, sf_dir)
     return cents.select(
         "cluster", F.posexplode("cq").alias("pos", "comp")
     ).select("cluster", F.col("pos").cast("long").alias("pos"), "comp")
@@ -959,7 +973,7 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id<8 seeds — the production IVF shape (at scale the corpus
     would also be storage-partitioned by these cluster ids)."""
     e = _embs(spark, sf_dir)
-    cents = sim.kmeans_centroids(e, k=8, n_iter=2)
+    cents = _kmeans8(spark, sf_dir)
     out = sim.ivf_topk(
         e,
         e.filter(F.col("vec_id") % 50 == 7),
