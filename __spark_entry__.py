@@ -508,12 +508,14 @@ def q_stream_windowed_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).select(
+    out = spark.table(name).select(
         F.date_format("window_start", "yyyy-MM-dd").alias("day"),
         "channel_name",
         F.col("n_sessions").cast("long").alias("n_sessions"),
         F.round("total_value", 4).alias("total_value"),
-    )
+    ).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def q_stream_journey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,7 +541,11 @@ def q_stream_journey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    # move the result out of the memory sink (which would otherwise
+    # pin the full pair set in driver memory for the session's life)
+    out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def q_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
