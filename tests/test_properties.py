@@ -63,14 +63,25 @@ def test_attribution_contract_all_models(spark, rows):
         "channel_label string, holder_engagement int, closer_engagement int, "
         "impression_interaction int",
     )
-    for model in attr.MODELS:
-        out = attr.attribute(df, model)
+    variants = [(m, {}) for m in attr.MODELS]
+    # redistribution knobs, incl. both directional modes, must keep
+    # the same hard contract on arbitrary journeys
+    for direction in ("any_session", "earlier_sessions_only", "later_sessions_only"):
+        variants.append(
+            ("ihc", {"params": attr.IHCParams(
+                redistribution_channel_labels=["Direct"],
+                receive_threshold=0.05,
+                redistribution_direction=direction,
+            )})
+        )
+    for model, kw in variants:
+        out = attr.attribute(df, model, **kw)
         rowsc = out.collect()
-        assert all(r.ihc >= 0 for r in rowsc), model
+        assert all(r.ihc >= 0 for r in rowsc), (model, kw)
         sums = {}
         for r in rowsc:
             sums[r.conv_id] = sums.get(r.conv_id, 0.0) + r.ihc
-        assert all(abs(s - 1.0) < 1e-9 for s in sums.values()), (model, sums)
+        assert all(abs(s - 1.0) < 1e-9 for s in sums.values()), (model, kw, sums)
 
 
 @given(st.lists(st.integers(1, 400), min_size=1, max_size=60))
