@@ -59,6 +59,10 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    reserved = {"_t", "_side", "_tb", _MATCH}
+    clash = reserved & set(left.columns) | reserved & set(right.columns)
+    if clash:
+        raise ValueError(f"column names {sorted(clash)} are reserved by asof_join")
 
     r_payload = [c for c in right.columns if c not in on]
     if right_time not in r_payload:
