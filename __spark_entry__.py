@@ -353,6 +353,60 @@ def q_loader_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ldr.error_counts(_loader_envelopes(spark, sf_dir))
 
 
+def q_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional aggregation (ROLLUP grouping sets): per
+    (channel, day), per channel, and grand-total session counts/value
+    in ONE pass — Catalyst expands the sets map-side, no re-scan per
+    level. Subtotal rows are labeled 'ALL' (NULL-free outputs) and
+    grouping_id disambiguates a real 'ALL' value from a subtotal."""
+    ev = domain.events(spark, sf_dir)
+    sess = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("event_type").alias("channel_name"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return (
+        sess.rollup("channel_name", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("channel_name", F.lit("ALL")).alias("channel_name"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n_sessions",
+            "total_value",
+            "gid",
+        )
+    )
+
+
+def q_channel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-channel month-of-year session-value matrix — the 12
+    months become columns. The value list is the fixed 01..12 universe
+    (data-independent: one pass, no distinct-scan, stable schema at
+    any SF). Missing cells emit 0.0, keeping outputs NULL-free. The
+    oracle spells it as conditional aggregation — exactly what
+    Catalyst lowers pivot to."""
+    ev = domain.events(spark, sf_dir)
+    sess = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("event_type").alias("channel_name"),
+        F.date_format("ts", "MM").alias("month"),
+        "value",
+    )
+    months = [f"{m:02d}" for m in range(1, 13)]
+    out = (
+        sess.groupBy("channel_name")
+        .pivot("month", months)
+        .agg(F.round(F.sum("value"), 4))
+    )
+    return out.select(
+        "channel_name",
+        *[F.coalesce(F.col(m), F.lit(0.0)).alias(f"m{m}") for m in months],
+    )
+
+
 def q_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction (functions/semistructured.py): parse
     the events ``props`` JSON bag, pull the integer field, and roll it
@@ -1465,6 +1519,35 @@ FROM e
 WINDOW wr AS (PARTITION BY user_id ORDER BY es
               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW),
        wl AS (PARTITION BY user_id ORDER BY es, event_id)
+"""
+
+_ORACLE_ROLLUP = """
+SELECT COALESCE(channel_name, 'ALL') AS channel_name,
+       COALESCE(day, 'ALL') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(SUM(value), 4) AS total_value,
+       CAST(GROUPING(channel_name) * 2 + GROUPING(day) AS BIGINT) AS gid
+FROM (SELECT event_type AS channel_name, strftime(ts, '%Y-%m-%d') AS day, value
+      FROM events WHERE event_type <> 'purchase')
+GROUP BY ROLLUP (channel_name, day)
+"""
+
+_ORACLE_PIVOT = """
+SELECT event_type AS channel_name,
+       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '01' THEN value END), 4), 0.0) AS m01,
+       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '02' THEN value END), 4), 0.0) AS m02,
+       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '03' THEN value END), 4), 0.0) AS m03,
+       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '04' THEN value END), 4), 0.0) AS m04,
+       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '05' THEN value END), 4), 0.0) AS m05,
+       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '06' THEN value END), 4), 0.0) AS m06,
+       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '07' THEN value END), 4), 0.0) AS m07,
+       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '08' THEN value END), 4), 0.0) AS m08,
+       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '09' THEN value END), 4), 0.0) AS m09,
+       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '10' THEN value END), 4), 0.0) AS m10,
+       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '11' THEN value END), 4), 0.0) AS m11,
+       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '12' THEN value END), 4), 0.0) AS m12
+FROM events WHERE event_type <> 'purchase'
+GROUP BY event_type
 """
 
 _ORACLE_PROPS_STATS = """
@@ -2728,6 +2811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_date_window": q_date_window,
         "maef_attribution_stats": q_attribution_stats,
         "maef_props_stats": q_props_stats,
+        "maef_channel_rollup": q_channel_rollup,
+        "maef_channel_pivot": q_channel_pivot,
         "maef_rolling_features": q_rolling_features,
         "maef_stream_attribution": q_stream_attribution,
         "maef_cleaning": q_cleaning,
@@ -2804,6 +2889,8 @@ def oracle_sql() -> dict[str, str]:
         "maef_cleaning": _ORACLE_CLEANING,
         "maef_attribution_stats": _ORACLE_ATTR_STATS,
         "maef_props_stats": _ORACLE_PROPS_STATS,
+        "maef_channel_rollup": _ORACLE_ROLLUP,
+        "maef_channel_pivot": _ORACLE_PIVOT,
         "maef_rolling_features": _ORACLE_ROLLING,
         "maef_stream_windowed_volume": _ORACLE_STREAM_VOLUME,
         "maef_stream_journey_join": _ORACLE_STREAM_JOURNEY,
