@@ -43,6 +43,12 @@ def get_spark(app_name: str = "maef_spark", shuffle_partitions: int | None = Non
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/maef_spark_warehouse"),
         )
+        # ContextCleaner reclaims shuffle files / broadcasts /
+        # checkpointed RDDs only after a DRIVER GC collects their weak
+        # references; the default periodic GC is every 30 min, so a
+        # many-query session (the 69-query bench) accumulates blocks
+        # and the heap-pressure tail randomly inflates later queries.
+        .config("spark.cleaner.periodicGC.interval", "45s")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
