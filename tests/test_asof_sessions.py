@@ -245,9 +245,9 @@ def test_rolling_user_features_exact(spark):
         rows, "event_id long, user_id long, ts timestamp, event_type string, value double, props string"
     )
     out = {r.event_id: r for r in rolling_user_features(ev, window_days=7).collect()}
-    assert (out[1].n_window, out[1].value_sum_window, out[1].usecs_since_prev) == (1, 1.0, None)
-    assert (out[2].n_window, out[2].value_sum_window) == (2, 3.0)
-    assert (out[3].n_window, out[3].value_sum_window) == (2, 6.0)
-    assert (out[4].n_window, out[4].value_sum_window) == (3, 14.0)
+    assert (out[1].n_window, out[1].value_cents_window, out[1].usecs_since_prev) == (1, 100, None)
+    assert (out[2].n_window, out[2].value_cents_window) == (2, 300)
+    assert (out[3].n_window, out[3].value_cents_window) == (2, 600)
+    assert (out[4].n_window, out[4].value_cents_window) == (3, 1400)
     assert out[4].usecs_since_prev == 2 * 86400 * 1_000_000
-    assert (out[5].n_window, out[5].value_sum_window) == (1, 16.0)
+    assert (out[5].n_window, out[5].value_cents_window) == (1, 1600)
