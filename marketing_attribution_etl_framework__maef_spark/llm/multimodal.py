@@ -86,21 +86,62 @@ def decode_payload(payload: bytes, media_type: str, fake: bool = False) -> list[
     return feats
 
 
+def _fake_features_batch(payloads: list[bytes]) -> list:
+    """Vectorized batch twin of ``decode_payload(..., fake=True)``:
+    bit-identical output (exact integer byte sums -> one float64
+    divide), computed with one ``np.add.reduceat`` over the whole
+    Arrow batch instead of a per-byte Python loop (VERDICT r02 #6 —
+    the loop made this the single biggest bench line).
+
+    Rows shorter than FEATURE_DIM bytes (where the reference slicing
+    falls back to ``payload[-stripe:]``) take the scalar path — they
+    are rare and O(FEATURE_DIM) each."""
+    import numpy as np
+
+    feats: list = [None] * len(payloads)
+    big_idx, big_payloads = [], []
+    for r, p in enumerate(payloads):
+        b = bytes(p) if p is not None else b""
+        if len(b) >= FEATURE_DIM:
+            big_idx.append(r)
+            big_payloads.append(b)
+        else:
+            feats[r] = decode_payload(b, "", fake=True)
+    if big_payloads:
+        lens = np.fromiter((len(b) for b in big_payloads), dtype=np.int64)
+        stripes = lens // FEATURE_DIM  # >= 1 by construction
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        # 9 boundaries per row: 8 stripes + a discarded remainder tail;
+        # the dummy trailing byte keeps every index < buf.size as
+        # reduceat requires (it only ever lands in a discarded segment)
+        buf = np.frombuffer(b"".join(big_payloads) + b"\0", dtype=np.uint8).astype(np.int64)
+        bounds = starts[:, None] + stripes[:, None] * np.arange(FEATURE_DIM + 1)
+        sums = np.add.reduceat(buf, bounds.ravel()).reshape(-1, FEATURE_DIM + 1)[:, :FEATURE_DIM]
+        vecs = sums / (255.0 * stripes[:, None])
+        for r, v in zip(big_idx, vecs):
+            feats[r] = v
+    return feats
+
+
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
     ``mapInPandas``: each Arrow batch arrives as a pandas DataFrame,
-    features are computed per row, and only (id, metadata, features)
-    leaves Python — the payload never round-trips back to the JVM."""
+    features are computed batch-at-a-time in numpy (fake decoder) or
+    per row (a real codec), and only (id, metadata, features) leaves
+    Python — the payload never round-trips back to the JVM."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            feats = [
-                decode_payload(p, m, fake=fake)
-                for p, m in zip(pdf["payload"], pdf["media_type"])
-            ]
+            if fake:
+                feats = _fake_features_batch(list(pdf["payload"]))
+            else:
+                feats = [
+                    decode_payload(p, m, fake=fake)
+                    for p, m in zip(pdf["payload"], pdf["media_type"])
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -135,29 +176,54 @@ def stripe_sums(media: DataFrame, n_stripes: int = 8) -> DataFrame:
     only for non-empty stripes."""
 
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
-        cols = ("doc_id", "media_type", "stripe", "n_stripe_bytes", "sum_bytes")
         for pdf in batches:
-            rows: dict[str, list] = {k: [] for k in cols}
+            payloads, dids, mts = [], [], []
             for did, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
                 b = bytes(payload)
-                n = len(b)
-                if n == 0:
-                    continue
-                stripe_len = -(-n // n_stripes)  # ceil
-                for i in range(n_stripes):
-                    start = i * stripe_len
-                    if start >= n:
-                        break
-                    chunk = b[start : start + stripe_len]
-                    rows["doc_id"].append(did)
-                    rows["media_type"].append(mt)
-                    rows["stripe"].append(i)
-                    rows["n_stripe_bytes"].append(len(chunk))
-                    rows["sum_bytes"].append(sum(chunk))
-            yield pd.DataFrame(rows).astype(
-                {"doc_id": "int64", "stripe": "int64", "n_stripe_bytes": "int64", "sum_bytes": "int64"}
+                if b:
+                    payloads.append(b)
+                    dids.append(did)
+                    mts.append(mt)
+            if not payloads:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "media_type": pd.Series([], dtype="object"),
+                        "stripe": pd.Series([], dtype="int64"),
+                        "n_stripe_bytes": pd.Series([], dtype="int64"),
+                        "sum_bytes": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            # One reduceat over the whole batch: each row contributes
+            # its emitted-stripe start offsets; consecutive rows chain,
+            # so the last (possibly short) stripe of row r ends exactly
+            # where row r+1 starts. Exact integer sums, identical to
+            # the per-row loop it replaces.
+            lens = np.fromiter((len(b) for b in payloads), dtype=np.int64)
+            stripe_len = -(-lens // n_stripes)  # ceil
+            n_emit = -(-lens // stripe_len)  # stripes with start < n
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            stripe_no = np.concatenate([np.arange(k) for k in n_emit])
+            row_of = np.repeat(np.arange(len(payloads)), n_emit)
+            bounds = starts[row_of] + stripe_no * stripe_len[row_of]
+            # rows are contiguous in buf, so every stripe's end is the
+            # next stripe's start; the global last ends at buf's end
+            ends = np.concatenate((bounds[1:], [int(lens.sum())]))
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
+            sums = np.add.reduceat(buf, bounds)
+            did_arr = np.asarray(dids, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": did_arr[row_of],
+                    "media_type": np.asarray(mts, dtype=object)[row_of],
+                    "stripe": stripe_no.astype("int64"),
+                    "n_stripe_bytes": (ends - bounds).astype("int64"),
+                    "sum_bytes": sums.astype("int64"),
+                }
             )
 
     return media.mapInPandas(run, schema=STRIPE_SCHEMA)

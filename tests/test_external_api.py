@@ -77,3 +77,14 @@ def test_default_transport_is_a_stub(spark, sf_dir):
     with pytest.raises(Exception) as ei:
         xapi.attribute_external(_journeys(spark, sf_dir)).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_requests_transport_constructs_when_requests_present():
+    """S8 transport: with the `requests` package importable the real
+    transport must construct (lazily — no network touched here); only
+    the wire call itself needs connectivity."""
+    pytest.importorskip("requests")
+    from marketing_attribution_etl_framework__maef_spark.sources.external_api import requests_transport
+
+    send = requests_transport("http://localhost:0/attribution")
+    assert callable(send)

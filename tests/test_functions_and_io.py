@@ -255,3 +255,16 @@ def test_harness_ts_decode_streaming(spark, tmp_path):
     q.awaitTermination(120)
     n = spark.sql("SELECT count(*) AS n, min(ts) AS lo FROM ts_decode_smoke").first()
     assert n.n > 0 and n.lo is not None
+
+
+def test_capabilities_report():
+    """The environment-stub surface is machine-visible: both gated
+    features report unavailable in this container but name a degraded
+    mode and the packages that would enable them."""
+    from marketing_attribution_etl_framework__maef_spark.capabilities import capabilities
+
+    caps = capabilities()
+    assert set(caps) == {"multimodal_decode", "external_api_transport"}
+    for feat in caps.values():
+        assert {"available", "degraded_mode", "needs"} <= set(feat)
+        assert isinstance(feat["available"], bool)

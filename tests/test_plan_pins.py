@@ -1,0 +1,94 @@
+"""Plan pins for the global-window finishers (VERDICT r02 #7).
+
+Four operators use an UNPARTITIONED window (`Window.orderBy` with no
+partitionBy) to stamp a dense global rank. That is only acceptable
+because each one runs over a `.limit(k)`-bounded input — a single task
+ranking <= k rows, post-aggregation. These tests pin that shape into
+the physical plan: if a refactor ever drops the limit below the
+window, the global WindowExec would process the full corpus in one
+task (the exact scale-killer the crosscheck's `WindowExec: No
+Partition Defined` warning hints at) and the pin fails.
+
+The pin reads the *optimized/physical* plan text: in these linear
+plans the tree prints top-down, so "the GlobalLimit line appears after
+the Window line" means the limit is an input (descendant) of the
+window.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def _plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    return buf.getvalue()
+
+
+def _assert_global_window_above_limit(df, k: int) -> None:
+    plan = _plan_text(df)
+    lines = plan.splitlines()
+    win = [i for i, ln in enumerate(lines) if "Window" in ln]
+    lim = [i for i, ln in enumerate(lines) if "GlobalLimit" in ln or "TakeOrdered" in ln]
+    assert win, f"expected a Window in plan:\n{plan}"
+    assert lim, f"expected a GlobalLimit feeding the global window:\n{plan}"
+    assert min(win) < min(lim), (
+        "global Window must sit ABOVE (consume) the GlobalLimit so it "
+        f"ranks <= {k} rows, not the corpus:\n{plan}"
+    )
+
+
+@pytest.mark.parametrize(
+    "qname,k",
+    [
+        ("llm_bm25_topk", 10),
+        ("llm_vocabulary", 200),
+        ("llm_bigram_pmi", 50),
+    ],
+)
+def test_topk_global_window_is_limit_bounded(spark, sf_dir, qname, k):
+    df = entrymod.queries()[qname](spark, sf_dir)
+    _assert_global_window_above_limit(df, k)
+
+
+def test_kmeans_seed_global_window_is_limit_bounded(spark, sf_dir):
+    """The k-means seed picker ranks a md5-ordered `.limit(k)` sample;
+    its plan is consumed through localCheckpoint inside
+    kmeans_centroids, so pin the seed expression directly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from marketing_attribution_etl_framework__maef_spark.llm import similarity as sim
+
+    q = sim.quantized_unit_vectors(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id", "embedding"
+    )
+    w0 = Window.orderBy("_m", "vec_id")
+    seed = (
+        q.select("vec_id", "qv", F.md5(F.col("vec_id").cast("string")).alias("_m"))
+        .orderBy("_m", "vec_id")
+        .limit(8)
+        .select((F.row_number().over(w0) - 1).alias("cluster"), "qv")
+    )
+    _assert_global_window_above_limit(seed, 8)
+
+
+def test_percentile_disc_windows_are_partitioned(spark, sf_dir):
+    """percentile_disc must never fall into a global window when group
+    columns are supplied: every window spec in the plan carries the
+    group key as its partitioning."""
+    df = entrymod.queries()["llm_length_percentiles"](spark, sf_dir)
+    plan = _plan_text(df)
+    win_lines = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert win_lines, f"expected window specs in plan:\n{plan}"
+    for ln in win_lines:
+        assert "source" in ln.split("windowspecdefinition")[0], (
+            f"window not partitioned by the group key:\n{ln}\n\nfull plan:\n{plan}"
+        )

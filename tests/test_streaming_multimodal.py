@@ -314,3 +314,19 @@ def test_stream_journey_join_multibatch_parity(spark, sf_dir, tmp_path):
     batch = jny.build_journeys(conv, sess, strict_before=False, lookback_days=30)
     want = {(r.conversion_id, r.session_id) for r in batch.collect()}
     assert got == want
+
+
+def test_fake_features_batch_matches_scalar_decode():
+    """The vectorized batch decoder (one reduceat per Arrow batch) must
+    be bit-identical to the per-row reference decoder, including the
+    short-payload (<FEATURE_DIM bytes) fallback and empty payloads."""
+    import random
+
+    random.seed(7)
+    payloads = [
+        bytes(random.getrandbits(8) for _ in range(n))
+        for n in [0, 1, 3, 7, 8, 9, 15, 64, 333, 1024, 5000] * 10
+    ]
+    got = mm._fake_features_batch(payloads)
+    for p, v in zip(payloads, got):
+        assert list(v) == mm.decode_payload(p, "x", fake=True)
