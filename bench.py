@@ -41,16 +41,23 @@ import __spark_entry__ as entrymod
 from marketing_attribution_etl_framework__maef_spark import domain
 from marketing_attribution_etl_framework__maef_spark.session import get_spark
 
-GC_EVERY = 8  # timed queries between forced driver GCs
+GC_EVERY = 6  # timed queries between forced driver GCs
 
 
 def _drain(spark) -> None:
     """Force a driver GC so ContextCleaner reclaims dead checkpoint/
     broadcast/shuffle blocks NOW (outside any timed region), then give
-    the async cleaner thread a moment to process the queue."""
+    the async cleaner thread time to process the queue — the block
+    removals run on the executor threads, so an unfinished drain bleeds
+    straight into the next timed query (measured: a drain right before
+    llm_curate inflated it 5.9s -> 22s). Two collections with a pause:
+    the first enqueues the weak references, the pause lets the cleaner
+    drain, the second catches stragglers freed by the first round."""
     gc.collect()
     spark.sparkContext._jvm.System.gc()
-    time.sleep(0.5)
+    time.sleep(1.25)
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(0.75)
 
 
 def main() -> None:

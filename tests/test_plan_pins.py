@@ -89,6 +89,10 @@ def test_percentile_disc_windows_are_partitioned(spark, sf_dir):
     win_lines = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
     assert win_lines, f"expected window specs in plan:\n{plan}"
     for ln in win_lines:
-        assert "source" in ln.split("windowspecdefinition")[0], (
+        # the partition spec is the leading argument list of
+        # windowspecdefinition (before any ASC/DESC order expression)
+        spec = ln.split("windowspecdefinition(", 1)[1]
+        head = spec.split(" ASC")[0].split(" DESC")[0]
+        assert "source#" in head, (
             f"window not partitioned by the group key:\n{ln}\n\nfull plan:\n{plan}"
         )
