@@ -31,7 +31,9 @@ from marketing_attribution_etl_framework__maef_spark.llm import multimodal as mm
 from marketing_attribution_etl_framework__maef_spark.llm import similarity as sim
 from marketing_attribution_etl_framework__maef_spark.llm import text as txt
 from marketing_attribution_etl_framework__maef_spark.operators import attribution as attr
+from marketing_attribution_etl_framework__maef_spark.operators import cdc
 from marketing_attribution_etl_framework__maef_spark.operators import chunking
+from marketing_attribution_etl_framework__maef_spark.operators import intervals as ivx
 from marketing_attribution_etl_framework__maef_spark.operators import journeys as jny
 from marketing_attribution_etl_framework__maef_spark.operators import loader as ldr
 from marketing_attribution_etl_framework__maef_spark.operators import reporting as rpt
@@ -1211,6 +1213,85 @@ def q_multimodal_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes)."""
     media = mm.attach_binary(_docs(spark, sf_dir))
     return mm.stripe_sums(media)
+
+
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L48: cross-document boilerplate-segment scrub (llm/dedup.py
+    boilerplate_scrub) over the augmented documents — the planted
+    exact/near duplicates contribute aligned duplicate segments, so
+    the scrub has a real foreground to remove."""
+    return dd.boilerplate_scrub(_aug_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L52: incremental-ingest exact dedup (llm/dedup.py
+    incremental_dedup): the planted copies (doc_id >= 100000) are the
+    new batch, the originals the existing corpus — exact duplicates
+    (+200000, normalize-identical) are rejected by the corpus anti
+    join, near-duplicates (+100000, mutated) survive."""
+    aug = _aug_docs(spark, sf_dir)
+    return dd.incremental_dedup(
+        aug.filter(F.col("doc_id") >= 100000),
+        aug.filter(F.col("doc_id") < 100000),
+    )
+
+
+def q_flash_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L49: bucketed interval join (operators/intervals.py): 6-hour
+    flash windows anchored at high-value purchases (value > 200),
+    joined against ALL events by pure time containment (no equi key),
+    then rolled up per window. The oracle runs the same join as a
+    plain inequality join (DuckDB IEJoin)."""
+    ev = domain.events(spark, sf_dir)
+    anchors = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 200)).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("w_end"),
+    )
+    facts = ev.select(F.col("event_id").alias("fact_id"), "ts", "user_id", "value")
+    joined = ivx.interval_join_bucketed(
+        facts, anchors, ts_col="ts", start_col="w_start", end_col="w_end", bucket_seconds=21600
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("value_cents"),
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L50: snapshot CDC diff (operators/cdc.py): per-user activity
+    profiles as of 2024-01-20 vs end-of-data, full-outer diffed into
+    inserted/updated/unchanged rows. Money is summed as exact integer
+    cents (CLAUDE.md float policy); absent-side values are coalesced
+    to -1 so the output is NULL-free."""
+    ev = domain.events(spark, sf_dir)
+
+    def profile(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("value_cents"),
+        )
+
+    old = profile(ev.filter(F.col("ts").cast("date") < F.lit("2024-01-20").cast("date")))
+    new = profile(ev)
+    d = cdc.snapshot_diff(old, new, key_cols=["user_id"], compare_cols=["n_events", "value_cents"])
+    return d.select(
+        "user_id",
+        "change_type",
+        *[
+            F.coalesce(F.col(c), F.lit(-1).cast("long")).alias(c)
+            for c in ("old_n_events", "new_n_events", "old_value_cents", "new_value_cents")
+        ],
+    )
+
+
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L51: curriculum-learning schedule (llm/curation.py
+    curriculum_buckets): 8 equal-population difficulty tiers by the
+    q20 distinct-word-ratio score, boundaries from the bounded-domain
+    histogram CDF (never a corpus-wide NTILE sort)."""
+    return cur.curriculum_buckets(_docs(spark, sf_dir), n_buckets=8)
 
 
 # ---------------------------------------------------------------------------
@@ -2657,7 +2738,7 @@ SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
 FROM segs
 """
 
-_ORACLE_MIX_SAMPLE = """
+_ORACLE_MIX_SAMPLE = r"""
 WITH per_doc AS (
   SELECT doc_id, source,
          CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens,
@@ -2790,6 +2871,124 @@ SELECT doc_id, media_type,
 FROM pos GROUP BY 1, 2, 3
 """
 
+# cross-document boilerplate-segment scrub over the augmented docs:
+# fixed 8-word segments, removed when the exact segment text occurs in
+# >= 2 distinct documents; the document is rebuilt from surviving
+# segments in order and carried as (length, md5). string_agg skips the
+# NULL (removed) branches exactly as Spark's collect_list does; the
+# COALESCE('') matches Spark's array_join of an empty array.
+_ORACLE_BOILERPLATE = f"""
+WITH {_AUG}, {_NORM_AUG},
+w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM nd),
+seg0 AS (
+  SELECT doc_id,
+         list_transform(range(0, greatest((len(ws) + 7) // 8, 1)),
+             i -> struct_pack(seg_idx := i,
+                              seg_text := array_to_string(list_slice(ws, i*8+1, i*8+8), ' '))) AS segs
+  FROM w
+),
+seg AS (SELECT doc_id, unnest(segs, recursive := true) FROM seg0),
+dfx AS (SELECT seg_text, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY seg_text)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN d.df < 2 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       CAST(length(COALESCE(string_agg(CASE WHEN d.df < 2 THEN s.seg_text END, ' ' ORDER BY s.seg_idx), '')) AS BIGINT) AS clean_n_chars,
+       md5(COALESCE(string_agg(CASE WHEN d.df < 2 THEN s.seg_text END, ' ' ORDER BY s.seg_idx), '')) AS clean_fp
+FROM seg s JOIN dfx d USING (seg_text)
+GROUP BY s.doc_id
+"""
+
+# incremental-ingest exact dedup: batch = planted copies (>= 100000),
+# corpus = originals; within-batch first-wins then corpus anti join
+_ORACLE_DEDUP_INCREMENTAL = f"""
+WITH {_AUG},
+bh AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+  FROM aug WHERE doc_id >= 100000
+),
+fw AS (SELECT content_hash, MIN(doc_id) AS doc_id FROM bh GROUP BY content_hash),
+ch AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+  FROM aug WHERE doc_id < 100000
+)
+SELECT doc_id, content_hash FROM fw
+WHERE content_hash NOT IN (SELECT content_hash FROM ch)
+"""
+
+# pure range-predicate join: DuckDB runs it natively (IEJoin); Spark
+# runs the bucketed decomposition — results must agree exactly
+_ORACLE_FLASH_WINDOWS = """
+WITH w AS (
+  SELECT event_id AS window_id, ts AS w_start, ts + INTERVAL 6 HOUR AS w_end
+  FROM events WHERE event_type = 'purchase' AND value > 200
+)
+SELECT w.window_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.window_id
+"""
+
+# snapshot CDC diff: per-user profile as of 2024-01-20 vs end-of-data
+_ORACLE_SNAPSHOT_DIFF = """
+WITH oldp AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-20' GROUP BY user_id
+),
+newp AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events GROUP BY user_id
+)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'inserted'
+            WHEN n.user_id IS NULL THEN 'deleted'
+            WHEN o.n_events <> n.n_events OR o.value_cents <> n.value_cents THEN 'updated'
+            ELSE 'unchanged' END AS change_type,
+       COALESCE(o.n_events, -1) AS old_n_events,
+       COALESCE(n.n_events, -1) AS new_n_events,
+       COALESCE(o.value_cents, -1) AS old_value_cents,
+       COALESCE(n.value_cents, -1) AS new_value_cents
+FROM oldp o FULL JOIN newp n ON o.user_id = n.user_id
+"""
+
+# curriculum buckets: integer q20 score, histogram-CDF boundaries at
+# integer ranks (k*n + 7) // 8, ties to the lower bucket — mirrors
+# llm/curation.py curriculum_buckets step for step
+_ORACLE_CURRICULUM = """
+WITH nd AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents
+),
+sc AS (
+  SELECT doc_id,
+         (CAST(len(list_distinct(ws)) AS BIGINT) * 1048576) // CAST(len(ws) AS BIGINT) AS score,
+         CAST(len(ws) AS BIGINT) AS n_words
+  FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM nd)
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
+hist AS (SELECT score, COUNT(*) AS c FROM sc GROUP BY score),
+cdf AS (SELECT score, SUM(c) OVER (ORDER BY score) AS cum FROM hist),
+bounds AS (
+  SELECT k, MIN(score) AS b
+  FROM (SELECT unnest(range(1, 8)) AS k) ks, cdf, tot
+  WHERE cum >= (k * n + 7) // 8
+  GROUP BY k
+),
+bk AS (
+  SELECT s.score, s.n_words,
+         CAST(1 + (SELECT COUNT(*) FROM bounds WHERE s.score > bounds.b) AS BIGINT) AS bucket
+  FROM sc s
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS sum_words,
+       MIN(score) AS min_score_q20,
+       MAX(score) AS max_score_q20
+FROM bk GROUP BY bucket
+"""
+
 
 # ---------------------------------------------------------------------------
 # driver contract
@@ -2833,6 +3032,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_multimodal_features": q_multimodal_features,
         "llm_multimodal_stripes": q_multimodal_stripes,
         "llm_corpus_stats": q_corpus_stats,
+        # round-3 additions (L48-L52): new => inside the 50-entry gate window
+        "llm_boilerplate_scrub": q_boilerplate_scrub,
+        "llm_dedup_incremental": q_dedup_incremental,
+        "maef_flash_windows": q_flash_windows,
+        "maef_snapshot_diff": q_snapshot_diff,
+        "llm_curriculum": q_curriculum,
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
         "llm_top_terms": q_top_terms,
@@ -2938,6 +3143,11 @@ def oracle_sql() -> dict[str, str]:
         "llm_pack": _ORACLE_PACK,
         "llm_repetition": _ORACLE_REPETITION,
         "llm_corpus_stats": _ORACLE_CORPUS_STATS,
+        "llm_boilerplate_scrub": _ORACLE_BOILERPLATE,
+        "llm_dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
+        "maef_flash_windows": _ORACLE_FLASH_WINDOWS,
+        "maef_snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
+        "llm_curriculum": _ORACLE_CURRICULUM,
         "llm_quality_gate": _ORACLE_QUALITY_GATE,
         "llm_ann_topk": _ORACLE_ANN_TOPK,
         "llm_ann_ivf": _ORACLE_ANN_IVF,

@@ -387,3 +387,81 @@ def mix_sample(
         .filter(F.pmod(h, F.col("quality_tokens")) < F.col("capped_tokens"))
         .select("doc_id", "source", "n_tokens")
     )
+
+
+def curriculum_buckets(
+    docs: DataFrame,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum schedule: partition the corpus into ``n_buckets``
+    equal-population difficulty tiers by lexical-diversity score and
+    report each tier's volume — the ordering table a curriculum-
+    learning data loader consumes (easy -> hard phase scheduling).
+
+    Score: ``(n_distinct_words * 2^20) div n_words`` — a pure-integer
+    q20 of the distinct-word ratio, so scores are bit-identical across
+    engines and SFs (float policy: never a rounded rational).
+
+    Bucketing is EXACT equal-frequency without a global NTILE: a
+    corpus-wide ``NTILE() OVER (ORDER BY score)`` is a single-partition
+    sort — the one window shape this repo bans at scale. Instead:
+
+    1. histogram the scores (one map-side-combining aggregate; the q20
+       domain is bounded at 2^20 distinct values, so the histogram is
+       <= 1M rows REGARDLESS of corpus size),
+    2. running-count the histogram (a window over the bounded
+       histogram, not the corpus),
+    3. derive the n_buckets-1 boundary scores at integer ranks
+       ``ceil(k * n / n_buckets)`` = ``(k*n + n_buckets-1) div
+       n_buckets``,
+    4. broadcast the boundary array back and assign
+       ``bucket = 1 + |{k : score > b_k}|``.
+
+    Ties sit in the lower bucket (deterministic); with heavy ties the
+    populations are as equal as the data allows. Output per bucket:
+    ``(bucket, n_docs, sum_words, min_score_q20, max_score_q20)`` —
+    all exact longs.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"need at least 2 buckets, got {n_buckets}")
+    norm = normalize_text(F.col(text_col))
+    scores = docs.select(
+        F.col(id_col).alias("doc_id"), words(norm).alias("_ws")
+    ).select(
+        "doc_id",
+        F.expr(
+            "(cast(size(array_distinct(_ws)) as bigint) * 1048576)"
+            " div cast(size(_ws) as bigint)"
+        ).alias("score"),
+        F.size("_ws").cast("long").alias("n_words"),
+    )
+    hist = scores.groupBy("score").agg(F.count(F.lit(1)).alias("_c"))
+    cum_w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = hist.select("score", F.sum("_c").over(cum_w).alias("_cum"))
+    total = scores.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    spark = docs.sparkSession
+    ks = spark.createDataFrame([(k,) for k in range(1, n_buckets)], "k long")
+    bounds = (
+        cdf.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(ks))
+        .filter(F.col("_cum") >= F.expr(f"(k * _n + {n_buckets - 1}) div {n_buckets}"))
+        .groupBy("k")
+        .agg(F.min("score").alias("b"))
+    )
+    barr = bounds.groupBy().agg(F.array_sort(F.collect_list("b")).alias("_bs"))
+    assigned = scores.crossJoin(F.broadcast(barr)).select(
+        "score",
+        "n_words",
+        (
+            F.lit(1)
+            + F.size(F.filter("_bs", lambda b: F.col("score") > b))
+        ).cast("long").alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("sum_words"),
+        F.min("score").alias("min_score_q20"),
+        F.max("score").alias("max_score_q20"),
+    )

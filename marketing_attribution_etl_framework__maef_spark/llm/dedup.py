@@ -444,6 +444,107 @@ def ngram_jaccard_pairs(
     ).filter(F.col("inter_size") * F.lit(jaccard_den) >= F.col("union_size") * F.lit(jaccard_num))
 
 
+def boilerplate_scrub(
+    docs: DataFrame,
+    seg_words: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate-segment removal (the CCNet /
+    RefinedWeb "duplicated line" scrub, with fixed ``seg_words``-word
+    segments standing in for lines — the corpus has no newline
+    structure): a segment whose exact text occurs in >= ``min_docs``
+    distinct documents is boilerplate (headers, footers, injected
+    templates) and is removed; the document is reassembled from the
+    surviving segments in order.
+
+    Output per document: ``(doc_id, n_segments, n_removed,
+    clean_n_chars, clean_fp)`` — counts as exact longs, the cleaned
+    text carried as its length + md5 fingerprint so the interface stays
+    scale- and engine-stable.
+
+    Shape: segment explode -> distinct(doc, seg) -> one hash aggregate
+    for document frequency -> join back -> one grouped aggregate that
+    rebuilds the document with an ordered ``collect_list`` (bounded by
+    the document's own segment count — never cross-document state).
+    Two shuffles total: the df aggregate/join keys on the segment text
+    (boilerplate keys are hot by definition — AQE skew-join splits
+    them; at extreme scale hash the segment first so only a long
+    crosses the wire), the rebuild keys on doc_id.
+    """
+    norm = normalize_text(F.col(text_col))
+    d = docs.select(F.col(id_col).alias("doc_id"), words(norm).alias("_ws"))
+    n_segs = F.greatest(F.lit(1), F.expr(f"(size(_ws) + {seg_words - 1}) div {seg_words}"))
+    segs = d.select(
+        "doc_id",
+        F.col("_ws"),
+        F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_idx"),
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.array_join(
+            F.slice("_ws", (F.col("seg_idx") * seg_words + 1).cast("int"), seg_words), " "
+        ).alias("seg_text"),
+    )
+    dfx = (
+        segs.select("doc_id", "seg_text")
+        .distinct()
+        .groupBy("seg_text")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    keep = F.col("_df") < F.lit(int(min_docs))
+    rebuilt = (
+        segs.join(dfx, on="seg_text", how="inner")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(F.when(keep, F.lit(0)).otherwise(F.lit(1))).cast("long").alias("n_removed"),
+            F.array_sort(
+                F.collect_list(F.when(keep, F.struct("seg_idx", "seg_text")))
+            ).alias("_kept"),
+        )
+    )
+    clean = F.array_join(F.transform("_kept", lambda s: s["seg_text"]), " ")
+    return rebuilt.select(
+        "doc_id",
+        "n_segments",
+        "n_removed",
+        F.length(clean).cast("long").alias("clean_n_chars"),
+        F.md5(clean).alias("clean_fp"),
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest exact dedup: which documents of a NEW batch
+    survive against an EXISTING corpus. Two stages: (a) within-batch
+    first-wins by normalized-content hash (min id per hash group), then
+    (b) a left-anti join against the corpus's distinct content hashes.
+    Returns ``(doc_id, content_hash)`` of the survivors.
+
+    This is the steady-state shape of a production dedup service — the
+    full corpus is never re-deduped per ingest; only batch hashes
+    shuffle (keyed by md5, perfectly uniform), and the corpus side is
+    a pre-distinct hash table that at scale lives as a bucketed table
+    so the anti join is shuffle-free on the corpus side. Cost per
+    ingest: O(|batch| + matched corpus partitions), independent of
+    corpus size.
+    """
+    bh = batch.select(
+        F.col(id_col).alias("doc_id"), content_hash(F.col(text_col)).alias("content_hash")
+    )
+    first_wins = bh.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    corpus_hashes = corpus.select(content_hash(F.col(text_col)).alias("content_hash")).distinct()
+    return first_wins.join(corpus_hashes, on="content_hash", how="left_anti").select(
+        "doc_id", "content_hash"
+    )
+
+
 def duplicate_ngram_coverage(
     docs: DataFrame,
     k: int = 8,

@@ -1,0 +1,222 @@
+"""Unit tests for the round-3 operators: boilerplate-segment scrub,
+incremental dedup, bucketed interval join, snapshot CDC diff, and
+curriculum bucketing — each on a handmade fixture with hand-computed
+expectations."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketing_attribution_etl_framework__maef_spark.llm.curation import curriculum_buckets
+from marketing_attribution_etl_framework__maef_spark.llm.dedup import boilerplate_scrub, incremental_dedup
+from marketing_attribution_etl_framework__maef_spark.operators.cdc import snapshot_diff
+from marketing_attribution_etl_framework__maef_spark.operators.intervals import interval_join_bucketed
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_scrub
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_scrub_removes_shared_segments(spark):
+    # segment size 2: "x y" is the shared boilerplate (docs 1 and 2);
+    # every other segment is unique to its doc.
+    docs = spark.createDataFrame(
+        [
+            (1, "x y a b c"),      # segs: "x y" | "a b" | "c"
+            (2, "x y d e"),        # segs: "x y" | "d e"
+            (3, "f g h i"),        # segs: "f g" | "h i"
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_scrub(docs, seg_words=2, min_docs=2).collect()
+    }
+    assert out[1]["n_segments"] == 3 and out[1]["n_removed"] == 1
+    assert out[1]["clean_fp"] == _md5("a b c")
+    assert out[1]["clean_n_chars"] == len("a b c")
+    assert out[2]["n_segments"] == 2 and out[2]["n_removed"] == 1
+    assert out[2]["clean_fp"] == _md5("d e")
+    assert out[3]["n_removed"] == 0 and out[3]["clean_fp"] == _md5("f g h i")
+
+
+def test_boilerplate_scrub_fully_removed_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x y"), (3, "x y")], "doc_id long, text string"
+    )
+    rows = boilerplate_scrub(docs, seg_words=2, min_docs=2).collect()
+    for r in rows:
+        assert r["n_removed"] == 1
+        assert r["clean_n_chars"] == 0
+        assert r["clean_fp"] == _md5("")
+
+
+# ---------------------------------------------------------------------------
+# incremental_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_first_wins_and_anti_join(spark):
+    corpus = spark.createDataFrame(
+        [(1, "old doc one"), (2, "old doc two")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "old doc one"),   # collides with corpus -> dropped
+            (11, "brand new a"),   # survives
+            (12, "brand new a"),   # within-batch dup of 11 -> dropped
+            (13, "  Brand NEW a "),  # normalize-identical to 11 -> dropped
+            (14, "brand new b"),   # survives
+        ],
+        "doc_id long, text string",
+    )
+    rows = incremental_dedup(batch, corpus).collect()
+    assert sorted(r["doc_id"] for r in rows) == [11, 14]
+
+
+def test_incremental_dedup_empty_batch_and_disjoint(spark):
+    corpus = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert incremental_dedup(empty, corpus).count() == 0
+    disjoint = spark.createDataFrame([(5, "c d")], "doc_id long, text string")
+    assert incremental_dedup(disjoint, corpus).collect()[0]["doc_id"] == 5
+
+
+# ---------------------------------------------------------------------------
+# interval_join_bucketed
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def iv_fixture(spark):
+    facts = spark.createDataFrame(
+        [
+            (1, T0 + dt.timedelta(minutes=5)),
+            (2, T0 + dt.timedelta(minutes=30)),   # == end of w1 -> excluded (half-open)
+            (3, T0 + dt.timedelta(minutes=29, seconds=59)),
+            (4, T0 + dt.timedelta(hours=5)),      # in no window
+            (5, T0 + dt.timedelta(minutes=45)),   # in w2 only
+        ],
+        "fact_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, T0, T0 + dt.timedelta(minutes=30)),
+            (200, T0 + dt.timedelta(minutes=40), T0 + dt.timedelta(minutes=70)),
+        ],
+        "window_id long, w_start timestamp, w_end timestamp",
+    )
+    return facts, intervals
+
+
+def test_interval_join_matches_and_half_open(spark, iv_fixture):
+    facts, intervals = iv_fixture
+    out = interval_join_bucketed(
+        facts, intervals, "ts", "w_start", "w_end", bucket_seconds=600
+    )
+    pairs = sorted((r["window_id"], r["fact_id"]) for r in out.collect())
+    assert pairs == [(100, 1), (100, 3), (200, 5)]
+
+
+def test_interval_join_no_duplicate_pairs_with_tiny_buckets(spark, iv_fixture):
+    # bucket much smaller than the interval: the interval explodes over
+    # many buckets, but each fact lives in exactly one bucket, so every
+    # (interval, fact) pair still joins at most once.
+    facts, intervals = iv_fixture
+    out = interval_join_bucketed(
+        facts, intervals, "ts", "w_start", "w_end", bucket_seconds=60
+    )
+    pairs = [(r["window_id"], r["fact_id"]) for r in out.collect()]
+    assert len(pairs) == len(set(pairs)) == 3
+
+
+def test_interval_join_rejects_column_collision(spark, iv_fixture):
+    facts, intervals = iv_fixture
+    with pytest.raises(ValueError, match="collision"):
+        interval_join_bucketed(
+            facts.withColumnRenamed("fact_id", "window_id"),
+            intervals, "ts", "w_start", "w_end", 600,
+        )
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, None)], "k long, v long, s string"
+    )
+    new = spark.createDataFrame(
+        [(2, 21, "b"), (3, 30, None), (4, 40, "d")], "k long, v long, s string"
+    )
+    out = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"], ["v", "s"]).collect()
+    }
+    assert out == {1: "deleted", 2: "updated", 3: "unchanged", 4: "inserted"}
+
+
+def test_snapshot_diff_null_vs_value_is_updated(spark):
+    # NULL -> value must be 'updated', not 'unchanged' (null-safe compare)
+    old = spark.createDataFrame([(1, None)], "k long, s string")
+    new = spark.createDataFrame([(1, "x")], "k long, s string")
+    rows = snapshot_diff(old, new, ["k"], ["s"]).collect()
+    assert rows[0]["change_type"] == "updated"
+
+
+# ---------------------------------------------------------------------------
+# curriculum_buckets
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_equal_population_and_score_monotone(spark):
+    # 8 docs with strictly increasing distinct-ratio scores -> with
+    # n_buckets=4 every bucket gets exactly 2 docs, and score ranges
+    # must be disjoint and increasing with the bucket id.
+    texts = [
+        "a a a a a a a a",        # 1/8
+        "a a a a a a a b",        # 2/8
+        "a a a a a a b c",        # 3/8
+        "a a a a a b c d",        # 4/8
+        "a a a a b c d e",        # 5/8
+        "a a a b c d e f",        # 6/8
+        "a a b c d e f g",        # 7/8
+        "a b c d e f g h",        # 8/8
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = sorted(curriculum_buckets(docs, n_buckets=4).collect(), key=lambda r: r["bucket"])
+    assert [r["bucket"] for r in rows] == [1, 2, 3, 4]
+    assert all(r["n_docs"] == 2 for r in rows)
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_score_q20"] < hi["min_score_q20"]
+    assert sum(r["sum_words"] for r in rows) == 64
+
+
+def test_curriculum_ties_share_a_bucket(spark):
+    # all-identical scores collapse into bucket 1 (ties sit low)
+    docs = spark.createDataFrame(
+        [(i, "a b c d") for i in range(6)], "doc_id long, text string"
+    )
+    rows = curriculum_buckets(docs, n_buckets=3).collect()
+    assert len(rows) == 1 and rows[0]["bucket"] == 1 and rows[0]["n_docs"] == 6
+
+
+def test_curriculum_rejects_single_bucket(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="buckets"):
+        curriculum_buckets(docs, n_buckets=1)
