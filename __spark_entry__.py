@@ -33,6 +33,7 @@ from marketing_attribution_etl_framework__maef_spark.llm import text as txt
 from marketing_attribution_etl_framework__maef_spark.operators import attribution as attr
 from marketing_attribution_etl_framework__maef_spark.operators import cdc
 from marketing_attribution_etl_framework__maef_spark.operators import chunking
+from marketing_attribution_etl_framework__maef_spark.operators import funnel as fnl
 from marketing_attribution_etl_framework__maef_spark.operators import intervals as ivx
 from marketing_attribution_etl_framework__maef_spark.operators import journeys as jny
 from marketing_attribution_etl_framework__maef_spark.operators import loader as ldr
@@ -1283,6 +1284,32 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col(c), F.lit(-1).cast("long")).alias(c)
             for c in ("old_n_events", "new_n_events", "old_value_cents", "new_value_cents")
         ],
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L53: ordered signup -> view -> click -> purchase funnel with
+    strict time ordering (operators/funnel.py), over the first three
+    days only so every stage is populated (the full window saturates:
+    every user completes). Emits users at each furthest stage plus the
+    cumulative reach column a funnel chart plots."""
+    ev = domain.events(spark, sf_dir).filter(
+        F.col("ts").cast("date") < F.lit("2024-01-04").cast("date")
+    )
+    return fnl.funnel_summary(ev, steps=["signup", "view", "click", "purchase"])
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L54: cohort retention matrix at day grain (operators/funnel.py
+    cohort_retention; the 30-day test window holds only one weekly
+    cohort, so days give the discriminative signal). cohort_period is
+    emitted as an ISO string so both engines hash the same value
+    representation."""
+    out = fnl.cohort_retention(domain.events(spark, sf_dir), grain="day")
+    return out.select(
+        F.col("cohort_period").cast("string").alias("cohort_period"),
+        "period_offset",
+        "n_active",
     )
 
 
@@ -2954,6 +2981,62 @@ SELECT COALESCE(o.user_id, n.user_id) AS user_id,
 FROM oldp o FULL JOIN newp n ON o.user_id = n.user_id
 """
 
+# ordered 3-step funnel: each step's reach is a conditional MIN over
+# events strictly after the previous step's time; stage 0 = has step
+# events but never step 1. n_reached = cumulative users at >= stage.
+_ORACLE_FUNNEL = """
+WITH base AS (
+  SELECT user_id, event_type AS et, ts FROM events
+  WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+    AND CAST(ts AS DATE) < DATE '2024-01-04'
+),
+s0 AS (SELECT user_id, MIN(ts) AS t0 FROM base WHERE et = 'signup' GROUP BY user_id),
+s1 AS (
+  SELECT b.user_id, MIN(b.ts) AS t1
+  FROM base b JOIN s0 ON b.user_id = s0.user_id
+  WHERE b.et = 'view' AND b.ts > s0.t0 GROUP BY b.user_id
+),
+s2 AS (
+  SELECT b.user_id, MIN(b.ts) AS t2
+  FROM base b JOIN s1 ON b.user_id = s1.user_id
+  WHERE b.et = 'click' AND b.ts > s1.t1 GROUP BY b.user_id
+),
+s3 AS (
+  SELECT b.user_id, MIN(b.ts) AS t3
+  FROM base b JOIN s2 ON b.user_id = s2.user_id
+  WHERE b.et = 'purchase' AND b.ts > s2.t2 GROUP BY b.user_id
+),
+stages AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS stage FROM (SELECT DISTINCT user_id FROM base)
+  UNION ALL SELECT user_id, CAST(1 AS BIGINT) FROM s0
+  UNION ALL SELECT user_id, CAST(2 AS BIGINT) FROM s1
+  UNION ALL SELECT user_id, CAST(3 AS BIGINT) FROM s2
+  UNION ALL SELECT user_id, CAST(4 AS BIGINT) FROM s3
+),
+fs AS (SELECT user_id, MAX(stage) AS funnel_stage FROM stages GROUP BY user_id),
+at AS (SELECT funnel_stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM fs GROUP BY funnel_stage)
+SELECT a.funnel_stage, a.n_users, CAST(SUM(b.n_users) AS BIGINT) AS n_reached
+FROM at a JOIN at b ON b.funnel_stage >= a.funnel_stage
+GROUP BY a.funnel_stage, a.n_users
+"""
+
+# cohort retention at day grain (one weekly cohort exists in the
+# 30-day test window; days discriminate)
+_ORACLE_COHORT = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_period
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS active_period FROM events
+)
+SELECT CAST(f.cohort_period AS VARCHAR) AS cohort_period,
+       date_diff('day', f.cohort_period, a.active_period) // 1 AS period_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM active a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
 # curriculum buckets: integer q20 score, histogram-CDF boundaries at
 # integer ranks (k*n + 7) // 8, ties to the lower bucket — mirrors
 # llm/curation.py curriculum_buckets step for step
@@ -3038,6 +3121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_flash_windows": q_flash_windows,
         "maef_snapshot_diff": q_snapshot_diff,
         "llm_curriculum": q_curriculum,
+        "maef_funnel": q_funnel,
+        "maef_cohort_retention": q_cohort_retention,
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
         "llm_top_terms": q_top_terms,
@@ -3148,6 +3233,8 @@ def oracle_sql() -> dict[str, str]:
         "maef_flash_windows": _ORACLE_FLASH_WINDOWS,
         "maef_snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
         "llm_curriculum": _ORACLE_CURRICULUM,
+        "maef_funnel": _ORACLE_FUNNEL,
+        "maef_cohort_retention": _ORACLE_COHORT,
         "llm_quality_gate": _ORACLE_QUALITY_GATE,
         "llm_ann_topk": _ORACLE_ANN_TOPK,
         "llm_ann_ivf": _ORACLE_ANN_IVF,

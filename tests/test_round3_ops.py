@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from marketing_attribution_etl_framework__maef_spark.llm.curation import curriculum_buckets
 from marketing_attribution_etl_framework__maef_spark.llm.dedup import boilerplate_scrub, incremental_dedup
+from marketing_attribution_etl_framework__maef_spark.operators import funnel as fnl
 from marketing_attribution_etl_framework__maef_spark.operators.cdc import snapshot_diff
 from marketing_attribution_etl_framework__maef_spark.operators.intervals import interval_join_bucketed
 
@@ -220,3 +221,81 @@ def test_curriculum_rejects_single_bucket(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="buckets"):
         curriculum_buckets(docs, n_buckets=1)
+
+
+# ---------------------------------------------------------------------------
+# funnel_stages / funnel_summary / cohort_retention
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def funnel_events(spark):
+    rows = [
+        # u1 completes view -> click -> buy in order
+        (1, "view", T0), (1, "click", T0 + dt.timedelta(minutes=1)),
+        (1, "buy", T0 + dt.timedelta(minutes=2)),
+        # u2: click BEFORE view, then no click after view -> stage 1
+        (2, "click", T0), (2, "view", T0 + dt.timedelta(minutes=1)),
+        # u3: click only (never viewed) -> stage 0
+        (3, "click", T0),
+        # u4: view then click, buy before click -> stage 2
+        (4, "view", T0), (4, "buy", T0 + dt.timedelta(minutes=1)),
+        (4, "click", T0 + dt.timedelta(minutes=2)),
+        # u5: no funnel event types at all -> absent from output
+        (5, "error", T0),
+    ]
+    return spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+
+
+def test_funnel_stages_strict_ordering(spark, funnel_events):
+    out = {
+        r["user_id"]: r["funnel_stage"]
+        for r in fnl.funnel_stages(funnel_events, ["view", "click", "buy"]).collect()
+    }
+    assert out == {1: 3, 2: 1, 3: 0, 4: 2}
+
+
+def test_funnel_summary_cumulative_reach(spark, funnel_events):
+    rows = {
+        r["funnel_stage"]: (r["n_users"], r["n_reached"])
+        for r in fnl.funnel_summary(funnel_events, ["view", "click", "buy"]).collect()
+    }
+    assert rows == {0: (1, 4), 1: (1, 3), 2: (1, 2), 3: (1, 1)}
+
+
+def test_funnel_equal_timestamp_does_not_count(spark):
+    # strict ordering: a click at the exact same instant as the view
+    # does not advance the funnel
+    ev = spark.createDataFrame(
+        [(1, "view", T0), (1, "click", T0)], "user_id long, event_type string, ts timestamp"
+    )
+    rows = fnl.funnel_stages(ev, ["view", "click"]).collect()
+    assert rows[0]["funnel_stage"] == 1
+
+
+def test_cohort_retention_day_grain(spark):
+    d = lambda days, hours=0: T0 + dt.timedelta(days=days, hours=hours)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            (1, d(0)), (1, d(0, 5)), (1, d(2)),   # cohort day0, active offsets {0, 2}
+            (2, d(2)), (2, d(3)),                  # cohort day2, offsets {0, 1}
+            (3, d(0)),                             # cohort day0, offset {0}
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = {
+        (r["cohort_period"].isoformat(), r["period_offset"]): r["n_active"]
+        for r in fnl.cohort_retention(ev, grain="day").collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-03", 0): 1,
+        ("2024-01-03", 1): 1,
+    }
+
+
+def test_cohort_retention_rejects_bad_grain(spark):
+    ev = spark.createDataFrame([(1, T0)], "user_id long, ts timestamp")
+    with pytest.raises(ValueError, match="grain"):
+        fnl.cohort_retention(ev, grain="month")
