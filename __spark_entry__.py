@@ -35,6 +35,7 @@ from marketing_attribution_etl_framework__maef_spark.operators import cdc
 from marketing_attribution_etl_framework__maef_spark.operators import chunking
 from marketing_attribution_etl_framework__maef_spark.operators import funnel as fnl
 from marketing_attribution_etl_framework__maef_spark.operators import intervals as ivx
+from marketing_attribution_etl_framework__maef_spark.operators import topk as tk
 from marketing_attribution_etl_framework__maef_spark.operators import journeys as jny
 from marketing_attribution_etl_framework__maef_spark.operators import loader as ldr
 from marketing_attribution_etl_framework__maef_spark.operators import reporting as rpt
@@ -1310,6 +1311,38 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cohort_period").cast("string").alias("cohort_period"),
         "period_offset",
         "n_active",
+    )
+
+
+def q_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L55: per-source top-3 documents by the q20 lexical-diversity
+    score (operators/topk.py group_topk) — a partitioned rank window,
+    never a global sort; ties broken by doc_id so ranks are total."""
+    docs = _docs(spark, sf_dir).select(
+        "source", "doc_id", txt.words(txt.normalize_text(F.col("text"))).alias("_ws")
+    ).select(
+        "source",
+        "doc_id",
+        F.expr(
+            "(cast(size(array_distinct(_ws)) as bigint) * 1048576)"
+            " div cast(size(_ws) as bigint)"
+        ).alias("score_q20"),
+    )
+    return tk.group_topk(
+        docs, ["source"], [F.desc("score_q20"), F.asc("doc_id")], k=3
+    ).select("source", "rnk", "doc_id", "score_q20")
+
+
+def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L56: ingest-time near-dup search (llm/dedup.py
+    incremental_neardup_pairs): the planted copies (doc_id >= 100000)
+    are the new batch, LSH-banded against the original corpus only —
+    no batch x batch or corpus x corpus pairs — then exact-Jaccard
+    verified at J >= 1/2."""
+    aug = _aug_docs(spark, sf_dir)
+    return dd.incremental_neardup_pairs(
+        aug.filter(F.col("doc_id") >= 100000).select("doc_id", "text"),
+        aug.filter(F.col("doc_id") < 100000).select("doc_id", "text"),
     )
 
 
@@ -3037,6 +3070,34 @@ FROM active a JOIN firsts f ON a.user_id = f.user_id
 GROUP BY 1, 2
 """
 
+# per-source top-3 by q20 lexical-diversity score, total ordering
+_ORACLE_SOURCE_TOPK = """
+WITH nd AS (
+  SELECT source, doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+),
+sc AS (
+  SELECT source, doc_id,
+         (CAST(len(list_distinct(ws)) AS BIGINT) * 1048576) // CAST(len(ws) AS BIGINT) AS score_q20
+  FROM (SELECT source, doc_id, string_split(norm, ' ') AS ws FROM nd)
+)
+SELECT source, CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk, doc_id, score_q20
+FROM sc
+WINDOW w AS (PARTITION BY source ORDER BY score_q20 DESC, doc_id)
+QUALIFY ROW_NUMBER() OVER w <= 3
+"""
+
+# ingest-time near-dup search: the full-corpus LSH candidate set
+# restricted to cross-set (corpus, batch) pairs is exactly the
+# batch-vs-corpus band join (band collision is a per-pair property)
+_ORACLE_NEARDUP_INCREMENTAL = f"""
+WITH {_AUG}, {_NORM_AUG}, {_SHINGLED}, {_MINHASH_CTES}
+SELECT doc_a, doc_b, inter_size, union_size
+FROM scored
+WHERE doc_a < 100000 AND doc_b >= 100000
+  AND inter_size * 2 >= union_size * 1
+"""
+
 # curriculum buckets: integer q20 score, histogram-CDF boundaries at
 # integer ranks (k*n + 7) // 8, ties to the lower bucket — mirrors
 # llm/curation.py curriculum_buckets step for step
@@ -3123,6 +3184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_curriculum": q_curriculum,
         "maef_funnel": q_funnel,
         "maef_cohort_retention": q_cohort_retention,
+        "llm_source_topk": q_source_topk,
+        "llm_neardup_incremental": q_neardup_incremental,
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
         "llm_top_terms": q_top_terms,
@@ -3235,6 +3298,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_curriculum": _ORACLE_CURRICULUM,
         "maef_funnel": _ORACLE_FUNNEL,
         "maef_cohort_retention": _ORACLE_COHORT,
+        "llm_source_topk": _ORACLE_SOURCE_TOPK,
+        "llm_neardup_incremental": _ORACLE_NEARDUP_INCREMENTAL,
         "llm_quality_gate": _ORACLE_QUALITY_GATE,
         "llm_ann_topk": _ORACLE_ANN_TOPK,
         "llm_ann_ivf": _ORACLE_ANN_IVF,

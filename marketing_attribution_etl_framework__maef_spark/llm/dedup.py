@@ -545,6 +545,68 @@ def incremental_dedup(
     )
 
 
+def incremental_neardup_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    jaccard_num: int = 1,
+    jaccard_den: int = 2,
+) -> DataFrame:
+    """Near-duplicate SEARCH of a new batch against an existing corpus
+    — the ingest-time twin of ``minhash_dedup_pairs``: LSH bands are
+    joined batch x corpus ONLY (never batch x batch or corpus x
+    corpus), candidates are verified with exact Jaccard, and pairs with
+    J >= jaccard_num/jaccard_den are returned as
+    ``(doc_a = corpus id, doc_b = batch id, inter_size, union_size)``.
+
+    This is the steady-state production shape: the corpus side's
+    signatures/bands/shingle-sets are computed once at ingest and live
+    as bucketed tables keyed on (band, key), so each new batch pays
+    O(|batch| x signature cost) plus a join that touches only the
+    band buckets the batch actually hits — per-ingest cost independent
+    of corpus size. Here both sides are derived inline because the
+    harness has no persistent warehouse between queries; the call
+    structure (two independent inputs, no self-join) is the part that
+    matters.
+    """
+    def _bands_for(docs: DataFrame) -> DataFrame:
+        norm = normalize_text(F.col(text_col))
+        exploded = docs.select(
+            F.col(id_col), F.explode(word_shingles(words(norm), k)).alias("shingle")
+        )
+        sigs = minhash_signatures(exploded, id_col, "shingle", num_hashes)
+        return lsh_bands(sigs, id_col, bands, rows_per_band)
+
+    b = _bands_for(batch).select("band", "key", F.col(id_col).alias("doc_b"))
+    c = _bands_for(corpus).select("band", "key", F.col(id_col).alias("doc_a"))
+    cands = c.join(b, on=["band", "key"], how="inner").select("doc_a", "doc_b").distinct()
+    sa = shingle_sets(corpus, text_col, id_col, k).select(
+        F.col(id_col).alias("doc_a"), F.col("shingle_set").alias("_sa")
+    )
+    sb = shingle_sets(batch, text_col, id_col, k).select(
+        F.col(id_col).alias("doc_b"), F.col("shingle_set").alias("_sb")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
+    scored = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter_size"),
+            (F.size("_sa").cast("long") + F.size("_sb").cast("long") - inter).alias("union_size"),
+        )
+    )
+    return scored.filter(
+        F.col("inter_size") * F.lit(jaccard_den) >= F.col("union_size") * F.lit(jaccard_num)
+    )
+
+
 def duplicate_ngram_coverage(
     docs: DataFrame,
     k: int = 8,

@@ -299,3 +299,55 @@ def test_cohort_retention_rejects_bad_grain(spark):
     ev = spark.createDataFrame([(1, T0)], "user_id long, ts timestamp")
     with pytest.raises(ValueError, match="grain"):
         fnl.cohort_retention(ev, grain="month")
+
+
+# ---------------------------------------------------------------------------
+# group_topk / incremental_neardup_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_group_topk_ranks_and_ties(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.topk import group_topk
+
+    df = spark.createDataFrame(
+        [("a", 1, 30), ("a", 2, 30), ("a", 3, 10), ("a", 4, 5), ("b", 5, 1)],
+        "g string, id long, score long",
+    )
+    out = sorted(
+        (r["g"], r["rnk"], r["id"])
+        for r in group_topk(df, ["g"], [F.desc("score"), F.asc("id")], k=2).collect()
+    )
+    # tie on score=30 broken by id asc; only top-2 kept per group
+    assert out == [("a", 1, 1), ("a", 2, 2), ("b", 1, 5)]
+
+
+def test_group_topk_rejects_nonpositive_k(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.topk import group_topk
+
+    df = spark.createDataFrame([("a", 1)], "g string, id long")
+    with pytest.raises(ValueError, match="k"):
+        group_topk(df, ["g"], [F.asc("id")], k=0)
+
+
+def test_incremental_neardup_cross_set_only(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm.dedup import incremental_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different words about spark plans and shuffles here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base + " extra tail"),             # near-dup of corpus doc 1
+            (11, base + " extra tail"),             # identical to 10: batch-internal pair must NOT appear
+            (12, "unrelated payload entirely novel content stream for testing"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = incremental_neardup_pairs(batch, corpus).collect()
+    pairs = sorted((r["doc_a"], r["doc_b"]) for r in rows)
+    assert pairs == [(1, 10), (1, 11)]
+    for r in rows:
+        # J >= 1/2 held with exact integer sizes
+        assert r["inter_size"] * 2 >= r["union_size"]
