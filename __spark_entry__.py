@@ -30,6 +30,7 @@ from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd
 from marketing_attribution_etl_framework__maef_spark.llm import multimodal as mm
 from marketing_attribution_etl_framework__maef_spark.llm import similarity as sim
 from marketing_attribution_etl_framework__maef_spark.llm import text as txt
+from marketing_attribution_etl_framework__maef_spark.llm import tokenizer as tok
 from marketing_attribution_etl_framework__maef_spark.operators import attribution as attr
 from marketing_attribution_etl_framework__maef_spark.operators import cdc
 from marketing_attribution_etl_framework__maef_spark.operators import chunking
@@ -1344,6 +1345,14 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         aug.filter(F.col("doc_id") >= 100000).select("doc_id", "text"),
         aug.filter(F.col("doc_id") < 100000).select("doc_id", "text"),
     )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L57: distributed BPE tokenizer training (llm/tokenizer.py):
+    8 merges learned over the word histogram — the corpus is scanned
+    exactly once (histogram checkpoint), the merge loop touches only
+    vocabulary-sized tables."""
+    return tok.bpe_merges(_docs(spark, sf_dir), n_merges=8)
 
 
 def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3098,6 +3107,56 @@ WHERE doc_a < 100000 AND doc_b >= 100000
   AND inter_size * 2 >= union_size * 1
 """
 
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """Unrolled-loop DuckDB twin of llm/tokenizer.py bpe_merges: per
+    round, pair counts over the word histogram, argmax with (count
+    DESC, pair ASC) total ordering, and greedy merge application via a
+    ``list_reduce`` string fold written as the exact accumulator
+    program the Spark side runs in ``F.aggregate``."""
+    rounds = []
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        rounds.append(f"""
+p{r} AS (
+  SELECT p[1] AS lhs, p[2] AS rhs, CAST(SUM(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT cnt,
+               unnest(list_transform(range(1, len(syms)), i -> [syms[i], syms[i+1]])) AS p
+        FROM {prev})
+  GROUP BY 1, 2
+),
+b{r} AS (
+  SELECT lhs, rhs, lhs || rhs AS merged, pair_count
+  FROM p{r} ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+),
+s{r} AS (
+  SELECT cnt, string_split(list_reduce(syms, (acc, x) ->
+    CASE WHEN x = b.rhs AND regexp_extract(acc, '([^ ]+)$') = b.lhs
+         THEN CASE WHEN acc = b.lhs THEN b.merged
+              ELSE left(acc, length(acc) - length(b.lhs)) || b.merged END
+         ELSE acc || ' ' || x END), ' ') AS syms
+  FROM {prev}, b{r} b
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, lhs, rhs, merged, pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    head = r"""
+WITH nd AS (
+  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents
+),
+wh AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(norm, ' ')) AS w FROM nd) GROUP BY w
+),
+s0 AS (
+  SELECT cnt, list_transform(range(1, length(w) + 1), i -> w[i]) AS syms FROM wh
+),"""
+    return head + ",".join(rounds) + "\n" + finals
+
+
+_ORACLE_BPE = _bpe_oracle_sql(8)
+
+
 # curriculum buckets: integer q20 score, histogram-CDF boundaries at
 # integer ranks (k*n + 7) // 8, ties to the lower bucket — mirrors
 # llm/curation.py curriculum_buckets step for step
@@ -3186,6 +3245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_cohort_retention": q_cohort_retention,
         "llm_source_topk": q_source_topk,
         "llm_neardup_incremental": q_neardup_incremental,
+        "llm_bpe_merges": q_bpe_merges,
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
         "llm_top_terms": q_top_terms,
@@ -3300,6 +3360,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_cohort_retention": _ORACLE_COHORT,
         "llm_source_topk": _ORACLE_SOURCE_TOPK,
         "llm_neardup_incremental": _ORACLE_NEARDUP_INCREMENTAL,
+        "llm_bpe_merges": _ORACLE_BPE,
         "llm_quality_gate": _ORACLE_QUALITY_GATE,
         "llm_ann_topk": _ORACLE_ANN_TOPK,
         "llm_ann_ivf": _ORACLE_ANN_IVF,

@@ -351,3 +351,47 @@ def test_incremental_neardup_cross_set_only(spark):
     for r in rows:
         # J >= 1/2 held with exact integer sizes
         assert r["inter_size"] * 2 >= r["union_size"]
+
+
+# ---------------------------------------------------------------------------
+# bpe_merges
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_merges_classic_example(spark):
+    # Sennrich et al.'s canonical vocabulary: low x4, lower x2,
+    # newest x5, widest x3 (split across two docs; counts are what
+    # matter). Hand-derived first merges: (e,s)=8, (es,t)=8, then
+    # (l,o)=6, (lo,w)=6, then the count-5 tie (e,w) beats (n,..),
+    # (w,..) lexicographically, and (ew,est) follows.
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lower newest newest newest newest widest"),
+            (2, "widest widest newest low"),
+        ],
+        "doc_id long, text string",
+    )
+    from marketing_attribution_etl_framework__maef_spark.llm.tokenizer import bpe_merges
+
+    rows = [tuple(r) for r in sorted(bpe_merges(docs, n_merges=6).collect())]
+    assert rows == [
+        (1, "e", "s", "es", 8),
+        (2, "es", "t", "est", 8),
+        (3, "l", "o", "lo", 6),
+        (4, "lo", "w", "low", 6),
+        (5, "e", "w", "ew", 5),
+        (6, "ew", "est", "ewest", 5),
+    ]
+
+
+def test_bpe_merge_application_is_greedy_left_to_right(spark):
+    # 'a a a' with merge (a,a) must become 'aa a', never 'a aa':
+    # with word 'aaa' x3 and 'ab' x1: first merge is (a,a)=6
+    # (aaa contributes two overlapping pairs -> counted 2 per word),
+    # and after application the pair (aa,a) exists (greedy), not (a,aa).
+    from marketing_attribution_etl_framework__maef_spark.llm.tokenizer import bpe_merges
+
+    docs = spark.createDataFrame([(1, "aaa aaa aaa ab")], "doc_id long, text string")
+    rows = [tuple(r) for r in sorted(bpe_merges(docs, n_merges=2).collect())]
+    assert rows[0] == (1, "a", "a", "aa", 6)
+    assert rows[1] == (2, "aa", "a", "aaa", 3)
