@@ -38,6 +38,7 @@ from marketing_attribution_etl_framework__maef_spark.operators import funnel as 
 from marketing_attribution_etl_framework__maef_spark.operators import intervals as ivx
 from marketing_attribution_etl_framework__maef_spark.operators import topk as tk
 from marketing_attribution_etl_framework__maef_spark.operators import journeys as jny
+from marketing_attribution_etl_framework__maef_spark.operators import markov as mkv
 from marketing_attribution_etl_framework__maef_spark.operators import loader as ldr
 from marketing_attribution_etl_framework__maef_spark.operators import reporting as rpt
 from marketing_attribution_etl_framework__maef_spark.plans.pipeline import AttributionPipeline, PipelineConfig
@@ -1353,6 +1354,27 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once (histogram checkpoint), the merge loop touches only
     vocabulary-sized tables."""
     return tok.bpe_merges(_docs(spark, sf_dir), n_merges=8)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L58: BPE tokenization counts (llm/tokenizer.py
+    bpe_encode_counts): the 8 learned merges applied to the
+    distinct-word table, joined back to the corpus for exact per-doc
+    token counts."""
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in tok.bpe_merges(_docs(spark, sf_dir), n_merges=8)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return tok.bpe_encode_counts(_docs(spark, sf_dir), rules)
+
+
+def q_channel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L59: Markov-attribution transition matrix
+    (operators/markov.py): (start)/channel/(conversion) transition
+    counts over the ordered per-conversion journeys."""
+    return mkv.channel_transitions(_journeys(spark, sf_dir))
 
 
 def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3107,12 +3129,14 @@ WHERE doc_a < 100000 AND doc_b >= 100000
   AND inter_size * 2 >= union_size * 1
 """
 
-def _bpe_oracle_sql(n_merges: int = 8) -> str:
-    """Unrolled-loop DuckDB twin of llm/tokenizer.py bpe_merges: per
-    round, pair counts over the word histogram, argmax with (count
-    DESC, pair ASC) total ordering, and greedy merge application via a
-    ``list_reduce`` string fold written as the exact accumulator
-    program the Spark side runs in ``F.aggregate``."""
+def _bpe_oracle_sql(n_merges: int = 8, encode: bool = False) -> str:
+    """Unrolled-loop DuckDB twin of llm/tokenizer.py: per round, pair
+    counts over the word histogram, argmax with (count DESC, pair ASC)
+    total ordering, and greedy merge application via a ``list_reduce``
+    string fold written as the exact accumulator program the Spark
+    side runs in ``F.aggregate``. With ``encode=True`` the tail joins
+    the final word -> token-length map back to the corpus
+    (bpe_encode_counts) instead of emitting the merge table."""
     rounds = []
     for r in range(1, n_merges + 1):
         prev = f"s{r - 1}"
@@ -3129,32 +3153,59 @@ b{r} AS (
   FROM p{r} ORDER BY pair_count DESC, lhs, rhs LIMIT 1
 ),
 s{r} AS (
-  SELECT cnt, string_split(list_reduce(syms, (acc, x) ->
+  SELECT w, cnt, string_split(list_reduce(syms, (acc, x) ->
     CASE WHEN x = b.rhs AND regexp_extract(acc, '([^ ]+)$') = b.lhs
          THEN CASE WHEN acc = b.lhs THEN b.merged
               ELSE left(acc, length(acc) - length(b.lhs)) || b.merged END
          ELSE acc || ' ' || x END), ' ') AS syms
   FROM {prev}, b{r} b
 )""")
-    finals = "\nUNION ALL\n".join(
-        f"SELECT CAST({r} AS BIGINT) AS merge_rank, lhs, rhs, merged, pair_count FROM b{r}"
-        for r in range(1, n_merges + 1)
-    )
+    if encode:
+        tail = f"""
+, final AS (SELECT w, CAST(len(syms) AS BIGINT) AS tl FROM s{n_merges}),
+exd AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM nd)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(tl) AS BIGINT) AS n_bpe_tokens
+FROM exd JOIN final USING (w) GROUP BY doc_id"""
+    else:
+        tail = "\n" + "\nUNION ALL\n".join(
+            f"SELECT CAST({r} AS BIGINT) AS merge_rank, lhs, rhs, merged, pair_count FROM b{r}"
+            for r in range(1, n_merges + 1)
+        )
     head = r"""
 WITH nd AS (
-  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents
 ),
 wh AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM (SELECT unnest(string_split(norm, ' ')) AS w FROM nd) GROUP BY w
 ),
 s0 AS (
-  SELECT cnt, list_transform(range(1, length(w) + 1), i -> w[i]) AS syms FROM wh
+  SELECT w, cnt, list_transform(range(1, length(w) + 1), i -> w[i]) AS syms FROM wh
 ),"""
-    return head + ",".join(rounds) + "\n" + finals
+    return head + ",".join(rounds) + tail
 
 
 _ORACLE_BPE = _bpe_oracle_sql(8)
+_ORACLE_BPE_ENCODE = _bpe_oracle_sql(8, encode=True)
+
+# Markov-attribution transition matrix over per-conversion journeys
+_ORACLE_CHANNEL_TRANSITIONS = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+ordered AS (
+  SELECT conversion_id, channel_label,
+         LAG(channel_label) OVER w AS prev,
+         LEAD(channel_label) OVER w AS nxt
+  FROM journeys
+  WINDOW w AS (PARTITION BY conversion_id ORDER BY event_ts, session_id)
+),
+tr AS (
+  SELECT COALESCE(prev, '(start)') AS src, channel_label AS dst FROM ordered
+  UNION ALL
+  SELECT channel_label AS src, '(conversion)' AS dst FROM ordered WHERE nxt IS NULL
+)
+SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2
+"""
 
 
 # curriculum buckets: integer q20 score, histogram-CDF boundaries at
@@ -3246,6 +3297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_source_topk": q_source_topk,
         "llm_neardup_incremental": q_neardup_incremental,
         "llm_bpe_merges": q_bpe_merges,
+        "llm_bpe_encode": q_bpe_encode,
+        "maef_channel_transitions": q_channel_transitions,
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
         "llm_top_terms": q_top_terms,
@@ -3361,6 +3414,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_source_topk": _ORACLE_SOURCE_TOPK,
         "llm_neardup_incremental": _ORACLE_NEARDUP_INCREMENTAL,
         "llm_bpe_merges": _ORACLE_BPE,
+        "llm_bpe_encode": _ORACLE_BPE_ENCODE,
+        "maef_channel_transitions": _ORACLE_CHANNEL_TRANSITIONS,
         "llm_quality_gate": _ORACLE_QUALITY_GATE,
         "llm_ann_topk": _ORACLE_ANN_TOPK,
         "llm_ann_ivf": _ORACLE_ANN_IVF,

@@ -118,3 +118,40 @@ def bpe_merges(
     return spark.createDataFrame(
         merges, "merge_rank long, lhs string, rhs string, merged string, pair_count long"
     )
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list and count BPE tokens per document —
+    the corpus-scale HALF of tokenization, shaped the way production
+    tokenizers run it: merges are folded over the DISTINCT-WORD table
+    (vocabulary-sized, one fold chain per rule), and the corpus pays
+    only its word explode plus one equi join against the resulting
+    ``word -> token_length`` map. A naive per-document fold would run
+    the whole merge chain once per word OCCURRENCE; this runs it once
+    per distinct word, a multiple-orders reduction on natural-language
+    corpora (Zipf). The join's right side is the vocabulary — AQE
+    broadcasts it while it fits and falls back to a hash join keyed on
+    the word beyond that.
+
+    Output: ``(doc_id, n_words, n_bpe_tokens)`` as exact longs.
+    """
+    norm = normalize_text(F.col(text_col))
+    ex = docs.select(F.col(id_col).alias("doc_id"), F.explode(words(norm)).alias("w"))
+    syms = ex.select("w").distinct().select(
+        "w",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")), lambda i: F.substr(F.col("w"), i, F.lit(1))
+        ).alias("_syms"),
+    )
+    for lhs, rhs in merges:
+        syms = syms.select("w", _apply_merge(F.col("_syms"), lhs, rhs).alias("_syms"))
+    tok_len = syms.select("w", F.size("_syms").cast("long").alias("_tl"))
+    return ex.join(tok_len, "w").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("_tl").cast("long").alias("n_bpe_tokens"),
+    )

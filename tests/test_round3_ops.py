@@ -395,3 +395,45 @@ def test_bpe_merge_application_is_greedy_left_to_right(spark):
     rows = [tuple(r) for r in sorted(bpe_merges(docs, n_merges=2).collect())]
     assert rows[0] == (1, "a", "a", "aa", 6)
     assert rows[1] == (2, "aa", "a", "aaa", 3)
+
+
+def test_bpe_encode_counts(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm.tokenizer import bpe_encode_counts
+
+    # merges (l,o) then (lo,w): 'low' -> 1 token, 'lower' -> low,e,r = 3,
+    # 'slow' -> s,low = 2; unmerged 'dog' stays 3 chars
+    docs = spark.createDataFrame(
+        [(1, "low lower low"), (2, "slow dog")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode_counts(docs, [("l", "o"), ("lo", "w")]).collect()
+    }
+    assert out == {1: (3, 1 + 3 + 1), 2: (2, 2 + 3)}
+
+
+def test_channel_transitions_chain_and_absorbing_states(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.markov import channel_transitions
+
+    j = spark.createDataFrame(
+        [
+            # conv A: view -> click
+            ("A", "s1", T0, "view"),
+            ("A", "s2", T0 + dt.timedelta(minutes=1), "click"),
+            # conv B: click only
+            ("B", "s3", T0, "click"),
+            # conv C: tie on ts broken by session_id: s4 < s5
+            ("C", "s4", T0, "view"),
+            ("C", "s5", T0, "signup"),
+        ],
+        "conversion_id string, session_id string, event_ts timestamp, channel_label string",
+    )
+    out = {(r["src"], r["dst"]): r["n"] for r in channel_transitions(j).collect()}
+    assert out == {
+        ("(start)", "view"): 2,
+        ("(start)", "click"): 1,
+        ("view", "click"): 1,
+        ("view", "signup"): 1,
+        ("click", "(conversion)"): 2,
+        ("signup", "(conversion)"): 1,
+    }
