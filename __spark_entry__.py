@@ -1377,6 +1377,14 @@ def q_channel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mkv.channel_transitions(_journeys(spark, sf_dir))
 
 
+def q_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L60: Markov removal-effect attribution (operators/markov.py
+    removal_effects): fixed-horizon (25-step) q20-integer absorption
+    probability of conversion for the full chain and under each
+    single-channel removal."""
+    return mkv.removal_effects(_journeys(spark, sf_dir))
+
+
 def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L51: curriculum-learning schedule (llm/curation.py
     curriculum_buckets): 8 equal-population difficulty tiers by the
@@ -3189,6 +3197,66 @@ s0 AS (
 _ORACLE_BPE = _bpe_oracle_sql(8)
 _ORACLE_BPE_ENCODE = _bpe_oracle_sql(8, encode=True)
 
+def _markov_removal_oracle_sql(horizon: int = 25) -> str:
+    """Unrolled-SQL twin of operators/markov.py removal_effects: q20
+    integer absorption probabilities under a fixed horizon, one
+    scenario row per removed channel plus '(none)'. Integer arithmetic
+    only (products then a single floor division per state per round),
+    so the recurrence is bit-equal to the driver-side Python loop."""
+    rounds = []
+    for k in range(horizon):
+        rounds.append(f"""
+p{k + 1} AS MATERIALIZED (
+  SELECT p.rm, p.s,
+         CASE WHEN p.s = '(conversion)' THEN CAST(1048576 AS BIGINT)
+              WHEN p.s = p.rm THEN CAST(0 AS BIGINT)
+              ELSE COALESCE(agg.v, 0) END AS p
+  FROM p{k} p
+  LEFT JOIN (
+    SELECT pk.rm, t.src AS s,
+           CAST(SUM(t.n * CASE WHEN t.dst = pk.rm THEN 0 ELSE pk.p END)
+                // MAX(tt.tot) AS BIGINT) AS v
+    FROM p{k} pk
+    JOIN t ON t.dst = pk.s
+    JOIN tot tt ON tt.src = t.src
+    GROUP BY pk.rm, t.src
+  ) agg ON agg.rm = p.rm AND agg.s = p.s
+)""")
+    return f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+ordered AS (
+  SELECT conversion_id, channel_label,
+         LAG(channel_label) OVER w AS prev,
+         LEAD(channel_label) OVER w AS nxt
+  FROM journeys
+  WINDOW w AS (PARTITION BY conversion_id ORDER BY event_ts, session_id)
+),
+tr AS (
+  SELECT COALESCE(prev, '(start)') AS src, channel_label AS dst FROM ordered
+  UNION ALL
+  SELECT channel_label AS src, '(conversion)' AS dst FROM ordered WHERE nxt IS NULL
+),
+t AS MATERIALIZED (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2),
+tot AS MATERIALIZED (SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM t GROUP BY src),
+scen AS (
+  SELECT '(none)' AS rm
+  UNION ALL SELECT DISTINCT src FROM t WHERE src <> '(start)'
+),
+states AS (SELECT src AS s FROM t UNION SELECT dst FROM t),
+p0 AS MATERIALIZED (
+  SELECT rm, s, CAST(CASE WHEN s = '(conversion)' THEN 1048576 ELSE 0 END AS BIGINT) AS p
+  FROM scen, states
+),{",".join(rounds)},
+res AS (SELECT rm, p AS absorption_q20 FROM p{horizon} WHERE s = '(start)')
+SELECT r.rm AS removed_channel, r.absorption_q20,
+       CASE WHEN r.rm = '(none)' THEN CAST(0 AS BIGINT)
+            ELSE f.a - r.absorption_q20 END AS removal_q20
+FROM res r, (SELECT absorption_q20 AS a FROM res WHERE rm = '(none)') f
+"""
+
+
+_ORACLE_MARKOV_REMOVAL = _markov_removal_oracle_sql(25)
+
 # Markov-attribution transition matrix over per-conversion journeys
 _ORACLE_CHANNEL_TRANSITIONS = f"""
 WITH {_CONV}, {_SESS}, {_JOURNEYS},
@@ -3299,6 +3367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_bpe_merges": q_bpe_merges,
         "llm_bpe_encode": q_bpe_encode,
         "maef_channel_transitions": q_channel_transitions,
+        "maef_markov_removal": q_markov_removal,
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
         "llm_top_terms": q_top_terms,
@@ -3416,6 +3485,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_bpe_merges": _ORACLE_BPE,
         "llm_bpe_encode": _ORACLE_BPE_ENCODE,
         "maef_channel_transitions": _ORACLE_CHANNEL_TRANSITIONS,
+        "maef_markov_removal": _ORACLE_MARKOV_REMOVAL,
         "llm_quality_gate": _ORACLE_QUALITY_GATE,
         "llm_ann_topk": _ORACLE_ANN_TOPK,
         "llm_ann_ivf": _ORACLE_ANN_IVF,

@@ -53,3 +53,74 @@ def channel_transitions(
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+Q20 = 1 << 20
+
+
+def removal_effects(
+    journeys: DataFrame,
+    horizon: int = 25,
+    part_col: str = "conversion_id",
+    channel_col: str = "channel_label",
+    order_cols: tuple[str, str] = ("event_ts", "session_id"),
+) -> DataFrame:
+    """Markov removal-effect attribution over the transition matrix.
+
+    For the full chain and for each single-channel removal, compute the
+    probability (q20 fixed point) that a journey starting at (start)
+    reaches (conversion) within ``horizon`` steps; a channel's removal
+    effect is the drop vs the full chain. The horizon is part of the
+    operator's definition (truncated-horizon absorption), so the result
+    is exact — no convergence tolerance to disagree on.
+
+    Arithmetic is integer end to end: probabilities are q20 longs and
+    each step is ``floor(sum_j n(s->j) * p(j) / sum_j n(s->j))`` —
+    products stay under 2^63 for transition counts up to ~2^42 (raise
+    to q10 beyond that). Order-independent (integer sums), so
+    deterministic at any parallelism and bit-equal to the oracle's
+    unrolled-SQL twin by construction.
+
+    Scale: the corpus-sized work is exactly the transition-count
+    aggregate (channel_transitions); the matrix it produces is bounded
+    by (|channels| + 2)^2 ROWS REGARDLESS OF INPUT SCALE, so it is
+    pulled to the driver (same bounded-collect pattern as the k-means
+    centroid pull and the BPE argmax) and the absorption recurrence
+    runs as plain integer arithmetic there — running ``horizon``
+    Spark jobs over a 50-row table would pay ~horizon job latencies
+    for no parallelism gain.
+
+    Output: ``(removed_channel, absorption_q20, removal_q20)`` with
+    removed_channel = '(none)' for the full chain.
+    """
+    trans = channel_transitions(journeys, part_col, channel_col, order_cols).collect()
+    edges: dict[str, list[tuple[str, int]]] = {}
+    for r in trans:
+        edges.setdefault(r["src"], []).append((r["dst"], r["n"]))
+    channels = sorted(
+        {s for s in edges if s != START}
+        | {d for outs in edges.values() for d, _ in outs if d != CONVERSION}
+    )
+
+    def absorb(removed: str | None) -> int:
+        p = {CONVERSION: Q20}
+        for _ in range(horizon):
+            nxt = {CONVERSION: Q20}
+            for s, outs in edges.items():
+                if s == removed:
+                    continue
+                tot = sum(n for _, n in outs)
+                num = sum(
+                    n * p.get(d, 0) for d, n in outs if d != removed
+                )
+                nxt[s] = num // tot
+            p = nxt
+        return p.get(START, 0)
+
+    full = absorb(None)
+    rows = [("(none)", full, 0)] + [
+        (c, absorb(c), full - absorb(c)) for c in channels
+    ]
+    return journeys.sparkSession.createDataFrame(
+        rows, "removed_channel string, absorption_q20 long, removal_q20 long"
+    )

@@ -437,3 +437,24 @@ def test_channel_transitions_chain_and_absorbing_states(spark):
         ("click", "(conversion)"): 2,
         ("signup", "(conversion)"): 1,
     }
+
+
+def test_markov_removal_effects_two_path_chain(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.markov import removal_effects
+
+    # two disjoint single-hop paths: (start)->view->(conv) and
+    # (start)->click->(conv). Full-chain absorption = 1.0 (q20 2^20);
+    # removing either channel kills exactly half the probability mass.
+    j = spark.createDataFrame(
+        [
+            ("A", "s1", T0, "view"),
+            ("B", "s2", T0, "click"),
+        ],
+        "conversion_id string, session_id string, event_ts timestamp, channel_label string",
+    )
+    rows = {r["removed_channel"]: r for r in removal_effects(j).collect()}
+    assert rows["(none)"]["absorption_q20"] == 1 << 20
+    assert rows["(none)"]["removal_q20"] == 0
+    for ch in ("view", "click"):
+        assert rows[ch]["absorption_q20"] == 1 << 19
+        assert rows[ch]["removal_q20"] == 1 << 19
