@@ -85,13 +85,21 @@ def bpe_merges(
     )
     # char-split via explicit substr (split(w, "") drifts across
     # engines); the ONLY corpus-scale job — checkpointed so the merge
-    # loop never re-scans the corpus
-    syms = hist.select(
+    # loop never re-scans the corpus. The loop table is re-sized from
+    # its actual row count (the cluster_duplicates move): a vocabulary
+    # is usually orders smaller than the corpus, and leaving it on the
+    # corpus aggregation's partitioning pays empty-task launches in
+    # every one of the n_merges rounds.
+    raw = hist.select(
         "cnt",
         F.transform(
             F.sequence(F.lit(1), F.length("w")), lambda i: F.substr(F.col("w"), i, F.lit(1))
         ).alias("_syms"),
     ).localCheckpoint()
+    n_vocab = raw.count()  # free: reads the checkpointed partitions
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n_vocab // 500_000 + 1))
+    syms = raw.repartition(n_parts).localCheckpoint()
+    del raw
 
     merges = []
     for r in range(n_merges):

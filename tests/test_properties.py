@@ -249,3 +249,122 @@ def test_asof_join_matches_pandas_merge_asof(spark, frames):
         int(r.lid): (None if pd.isna(r.px) else int(r.px)) for r in merged.itertuples()
     }
     assert got == want
+
+
+@st.composite
+def intervals_strategy(draw):
+    """Random facts + random (possibly overlapping/empty) intervals
+    plus a bucket size, in whole seconds."""
+    facts = [
+        (i, BASE_TS + dt.timedelta(seconds=draw(st.integers(0, 7200))))
+        for i in range(draw(st.integers(1, 25)))
+    ]
+    ivs = []
+    for j in range(draw(st.integers(1, 8))):
+        s = draw(st.integers(0, 7200))
+        ivs.append(
+            (
+                100 + j,
+                BASE_TS + dt.timedelta(seconds=s),
+                BASE_TS + dt.timedelta(seconds=s + draw(st.integers(0, 3600))),
+            )
+        )
+    bucket = draw(st.sampled_from([1, 7, 60, 600, 86400]))
+    return facts, ivs, bucket
+
+
+@given(intervals_strategy())
+@settings(**_SETTINGS)
+def test_interval_join_equals_brute_force(spark, data):
+    """The bucketed range join must equal the naive inequality join
+    for ANY bucket size (bucketing is pure plumbing)."""
+    from marketing_attribution_etl_framework__maef_spark.operators.intervals import interval_join_bucketed
+
+    facts, ivs, bucket = data
+    fdf = spark.createDataFrame(facts, "fact_id long, ts timestamp")
+    idf = spark.createDataFrame(ivs, "window_id long, w_start timestamp, w_end timestamp")
+    got = sorted(
+        (r["window_id"], r["fact_id"])
+        for r in interval_join_bucketed(fdf, idf, "ts", "w_start", "w_end", bucket).collect()
+    )
+    want = sorted(
+        (w, f) for f, t in facts for w, s, e in ivs if s <= t < e
+    )
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab cd ef gh ij".split()), min_size=1, max_size=12),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_boilerplate_scrub_reconstruction_invariants(spark, word_lists):
+    """For arbitrary corpora: segment counts add up, the cleaned
+    fingerprint is exactly the md5 of the kept segments joined in
+    order, and a min_docs above the corpus size removes nothing."""
+    import hashlib
+
+    from marketing_attribution_etl_framework__maef_spark.llm.dedup import boilerplate_scrub
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in boilerplate_scrub(ddf, seg_words=2, min_docs=2).collect()}
+    assert set(out) == set(i for i, _ in docs)
+    for i, ws in enumerate(word_lists):
+        n_segs = (len(ws) + 1) // 2
+        assert out[i]["n_segments"] == n_segs
+        assert 0 <= out[i]["n_removed"] <= n_segs
+    # nothing is boilerplate to itself: min_docs > corpus size
+    none = boilerplate_scrub(ddf, seg_words=2, min_docs=len(docs) + 1).collect()
+    for r in none:
+        i = r["doc_id"]
+        full = " ".join(word_lists[i])
+        assert r["n_removed"] == 0
+        assert r["clean_fp"] == hashlib.md5(full.encode()).hexdigest()
+
+
+@given(st.lists(st.integers(1, 40), min_size=4, max_size=40), st.sampled_from([2, 3, 4, 8]))
+@settings(**_SETTINGS)
+def test_curriculum_partitions_the_corpus(spark, widths, n_buckets):
+    """Buckets partition the corpus exactly (populations sum to n)
+    and score ranges never interleave across buckets."""
+    from marketing_attribution_etl_framework__maef_spark.llm.curation import curriculum_buckets
+
+    # doc i: `widths[i]` words with i%3+1 distinct symbols -> assorted scores
+    docs = [
+        (i, " ".join(["xyz"[j % (i % 3 + 1)] for j in range(w)]))
+        for i, w in enumerate(widths)
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = sorted(curriculum_buckets(ddf, n_buckets=n_buckets).collect(), key=lambda r: r["bucket"])
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_score_q20"] <= hi["min_score_q20"]
+
+
+@given(journeys_strategy())
+@settings(**_SETTINGS)
+def test_markov_contracts(spark, rows):
+    """Transition counts conserve mass (sum n == sessions + 
+    conversions) and every removal effect lies in [0, full]."""
+    from marketing_attribution_etl_framework__maef_spark.operators.markov import channel_transitions, removal_effects
+
+    df = spark.createDataFrame(
+        [(c, s, ts, ch) for (c, s, ts, _end, ch, *_f) in rows],
+        "conversion_id string, session_id string, event_ts timestamp, channel_label string",
+    )
+    n_sessions = len(rows)
+    n_convs = len({r[0] for r in rows})
+    total = sum(r["n"] for r in channel_transitions(df).collect())
+    assert total == n_sessions + n_convs
+    res = {r["removed_channel"]: r for r in removal_effects(df, horizon=12).collect()}
+    full = res["(none)"]["absorption_q20"]
+    assert 0 <= full <= 1 << 20
+    for ch, r in res.items():
+        if ch == "(none)":
+            continue
+        assert 0 <= r["removal_q20"] <= full
+        assert r["absorption_q20"] + r["removal_q20"] == full
