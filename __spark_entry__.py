@@ -1402,6 +1402,66 @@ def q_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mkv.removal_effects(_journeys(spark, sf_dir))
 
 
+# fixed-granularity money in integer units (CLAUDE.md float policy):
+# extendedprice is 2-dec, discount/tax 2-dec fractions, so
+# disc_price = cents x (100 - disc_hundredths) is EXACT in 1e-4 $
+# units and charge adds (100 + tax_hundredths) for 1e-6 $ units.
+# BIGINT headroom: ~1e11 per row -> safe to ~1e7 rows per group at
+# 1e-6 units; a 100-TB run promotes these columns to DECIMAL(38,0).
+_CENTS = 'cast(round(l_extendedprice * 100, 0) as bigint)'
+_DISC_H = 'cast(100 - round(l_discount * 100, 0) as bigint)'
+_TAX_H = 'cast(100 + round(l_tax * 100, 0) as bigint)'
+
+
+def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L61: relational kernel, TPC-H Q1 shape — one scan of lineitem
+    with the shipdate predicate pushed to the parquet scan, grouped
+    conditional sums in exact integer money units. The canonical
+    whole-stage-codegen aggregation kernel."""
+    li = domain.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("l_quantity"), 0).cast("long")).cast("long").alias("sum_qty"),
+            F.sum(F.expr(_CENTS)).cast("long").alias("sum_base_cents"),
+            F.sum(F.expr(f"{_CENTS} * {_DISC_H}")).cast("long").alias("sum_disc_e4"),
+            F.sum(F.expr(f"{_CENTS} * {_DISC_H} * {_TAX_H}")).cast("long").alias("sum_charge_e6"),
+        )
+    )
+
+
+def q_rel_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L62: relational kernel, TPC-H Q3/Q4 shape — broadcast the
+    customer dimension into orders (explicitly, it is the small side
+    at every scale), shuffle-join lineitem on the orderkey, roll up
+    revenue by market segment x order priority. Date predicates push
+    below both joins."""
+    cust = domain.load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = (
+        domain.load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+    )
+    li = domain.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.expr(f"{_CENTS} * {_DISC_H}").alias("_rev")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("_rev").cast("long").alias("revenue_e4"),
+        )
+    )
+
+
 def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L51: curriculum-learning schedule (llm/curation.py
     curriculum_buckets): 8 equal-population difficulty tiers by the
@@ -3293,6 +3353,35 @@ SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2
 """
 
 
+_ORACLE_REL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(100 - ROUND(l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(100 - ROUND(l_discount * 100, 0) AS BIGINT)
+                * CAST(100 + ROUND(l_tax * 100, 0) AS BIGINT)) AS BIGINT) AS sum_charge_e6
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_ORACLE_REL_SEGMENT = """
+SELECT c.c_mktsegment, o.o_orderpriority,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(100 - ROUND(l.l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+GROUP BY 1, 2
+"""
+
 # curriculum buckets: integer q20 score, histogram-CDF boundaries at
 # integer ranks (k*n + 7) // 8, ties to the lower bucket — mirrors
 # llm/curation.py curriculum_buckets step for step
@@ -3385,6 +3474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_bpe_encode": q_bpe_encode,
         "maef_channel_transitions": q_channel_transitions,
         "maef_markov_removal": q_markov_removal,
+        "rel_pricing_summary": q_rel_pricing_summary,
+        "rel_segment_priority": q_rel_segment_priority,
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
         "llm_top_terms": q_top_terms,
@@ -3503,6 +3594,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_bpe_encode": _ORACLE_BPE_ENCODE,
         "maef_channel_transitions": _ORACLE_CHANNEL_TRANSITIONS,
         "maef_markov_removal": _ORACLE_MARKOV_REMOVAL,
+        "rel_pricing_summary": _ORACLE_REL_PRICING,
+        "rel_segment_priority": _ORACLE_REL_SEGMENT,
         "llm_quality_gate": _ORACLE_QUALITY_GATE,
         "llm_ann_topk": _ORACLE_ANN_TOPK,
         "llm_ann_ivf": _ORACLE_ANN_IVF,
