@@ -42,6 +42,7 @@ from marketing_attribution_etl_framework__maef_spark.operators import markov as 
 from marketing_attribution_etl_framework__maef_spark.operators import loader as ldr
 from marketing_attribution_etl_framework__maef_spark.operators import reporting as rpt
 from marketing_attribution_etl_framework__maef_spark.plans.pipeline import AttributionPipeline, PipelineConfig
+from marketing_attribution_etl_framework__maef_spark.sources import bucketed as bkt
 
 LOOKBACK_DAYS = 30
 
@@ -1459,6 +1460,35 @@ def q_rel_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_lines"),
             F.sum("_rev").cast("long").alias("revenue_e4"),
         )
+    )
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L63: co-located bucketed join (sources/bucketed.py):
+    conversions and sessions are written as user_id-bucketed tables
+    (16 buckets each), then joined WITHOUT any exchange — the scans
+    satisfy the join distribution (plan-pinned in
+    test_round3_ops.py). Output: journey volume + revenue cents per
+    channel, identical to the plain join the oracle runs."""
+    import re as _re
+
+    tag = _re.sub(r"\W", "_", sf_dir)
+    base = f"/tmp/maef_spark_bucketed{tag}"
+    bkt.write_bucketed(
+        domain.conversions(spark, sf_dir), f"conv_b{tag}", f"{base}/conv", "user_id", 16, "user_id"
+    )
+    bkt.write_bucketed(
+        domain.session_sources(spark, sf_dir), f"sess_b{tag}", f"{base}/sess", "user_id", 16, "user_id"
+    )
+    c = spark.table(f"conv_b{tag}").select("user_id", "conv_ts", "revenue")
+    s = spark.table(f"sess_b{tag}").select("user_id", "event_ts", "channel_name")
+    j = c.join(s, "user_id").filter(
+        (F.col("event_ts") <= F.col("conv_ts"))
+        & (F.col("event_ts") >= F.col("conv_ts") - F.expr(f"INTERVAL {LOOKBACK_DAYS} DAYS"))
+    )
+    return j.groupBy("channel_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touch"),
+        F.sum(F.round(F.col("revenue") * 100, 0).cast("long")).cast("long").alias("revenue_cents"),
     )
 
 
@@ -3353,6 +3383,19 @@ SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2
 """
 
 
+# co-located bucketed join: bucketing changes the PLAN, never the
+# result — the oracle is the plain join
+_ORACLE_BUCKETED_JOIN = f"""
+WITH {_CONV}, {_SESS}
+SELECT s.channel_name,
+       CAST(COUNT(*) AS BIGINT) AS n_touch,
+       CAST(SUM(CAST(ROUND(c.revenue * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM conv c JOIN sess s ON c.user_id = s.user_id
+WHERE s.event_ts <= c.conv_ts
+  AND s.event_ts >= c.conv_ts - INTERVAL {LOOKBACK_DAYS} DAY
+GROUP BY 1
+"""
+
 _ORACLE_REL_PRICING = """
 SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -3476,6 +3519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_markov_removal": q_markov_removal,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_segment_priority": q_rel_segment_priority,
+        "maef_bucketed_join": q_bucketed_join,
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
         "llm_top_terms": q_top_terms,
@@ -3596,6 +3640,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_markov_removal": _ORACLE_MARKOV_REMOVAL,
         "rel_pricing_summary": _ORACLE_REL_PRICING,
         "rel_segment_priority": _ORACLE_REL_SEGMENT,
+        "maef_bucketed_join": _ORACLE_BUCKETED_JOIN,
         "llm_quality_gate": _ORACLE_QUALITY_GATE,
         "llm_ann_topk": _ORACLE_ANN_TOPK,
         "llm_ann_ivf": _ORACLE_ANN_IVF,

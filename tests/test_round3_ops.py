@@ -458,3 +458,32 @@ def test_markov_removal_effects_two_path_chain(spark):
     for ch in ("view", "click"):
         assert rows[ch]["absorption_q20"] == 1 << 19
         assert rows[ch]["removal_q20"] == 1 << 19
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_eliminates_exchange(spark):
+    from marketing_attribution_etl_framework__maef_spark.sources.bucketed import (
+        has_join_exchange,
+        write_bucketed,
+    )
+
+    left = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "user_id long, a long"
+    )
+    right = spark.createDataFrame(
+        [(i % 40, i) for i in range(200)], "user_id long, b long"
+    )
+    write_bucketed(left, "t_bleft", "/tmp/maef_test_bucketed/left", "user_id", 8, "user_id")
+    write_bucketed(right, "t_bright", "/tmp/maef_test_bucketed/right", "user_id", 8, "user_id")
+    j = spark.table("t_bleft").join(spark.table("t_bright"), "user_id")
+    # the whole point: both sides pre-clustered -> no shuffle on the key
+    assert not has_join_exchange(j, "user_id")
+    # and the result is the plain join's result
+    assert j.count() == 200
+    # a non-bucketed twin of the same join DOES shuffle
+    plain = left.join(right, "user_id")
+    assert has_join_exchange(plain, "user_id")
