@@ -24,7 +24,13 @@ from importlib.util import find_spec
 
 
 def _importable(*names: str) -> bool:
-    return any(find_spec(n) is not None for n in names)
+    def probe(n: str) -> bool:
+        try:
+            return find_spec(n) is not None
+        except ModuleNotFoundError:  # missing namespace parent (e.g. google.*)
+            return False
+
+    return any(probe(n) for n in names)
 
 
 def capabilities() -> dict[str, dict]:
@@ -46,6 +52,12 @@ def capabilities() -> dict[str, dict]:
             "degraded_mode": "linear_stub_transport (in-process; full "
             "chunk/retry/backoff path exercised)",
             "needs": ["requests", "network access"],
+        },
+        "transform_with_state_sessionizer": {
+            "available": _importable("google.protobuf"),
+            "degraded_mode": "applyInPandasWithState twin "
+            "(streaming/sessionize.py) is the tested operator of record",
+            "needs": ["protobuf (Spark state-server protocol)"],
         },
     }
 
