@@ -51,7 +51,7 @@ def capabilities() -> dict[str, dict]:
             "available": http,
             "degraded_mode": "linear_stub_transport (in-process; full "
             "chunk/retry/backoff path exercised)",
-            "needs": ["requests", "network access"],
+            "needs": ["network access (requests is now present; the transport is end-to-end tested against a local HTTP server)"],
         },
         "transform_with_state_sessionizer": {
             "available": _importable("google.protobuf"),

@@ -56,13 +56,15 @@ def default_transport(body: dict) -> dict:
 
 def requests_transport(url: str, conv_type_id: str = "") -> Transport:
     """Real-network transport, constructed lazily so the module imports
-    without the ``requests`` package installed."""
+    without the ``requests`` package. End-to-end tested against a local
+    HTTP server speaking the IHC contract
+    (test_external_api.py test_real_http_transport_end_to_end)."""
     try:
-        import requests  # noqa: F401  (not installed in this container)
+        import requests  # noqa: F401
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError("the 'requests' package is not installed") from exc
 
-    def send(body: dict) -> dict:  # pragma: no cover — needs network
+    def send(body: dict) -> dict:
         resp = requests.post(f"{url}?conv_type_id={conv_type_id}", json=body, timeout=60)
         return {"statusCode": resp.status_code, **resp.json()}
 

@@ -88,3 +88,61 @@ def test_requests_transport_constructs_when_requests_present():
 
     send = requests_transport("http://localhost:0/attribution")
     assert callable(send)
+
+
+def test_real_http_transport_end_to_end(spark, sf_dir):
+    """S8 over an actual socket: a local ThreadingHTTPServer speaks
+    the IHC API contract (linear credit), and the REAL
+    requests-based transport drives it from the executors — the full
+    chunk -> HTTP POST -> envelope -> load path with zero fakes in
+    the transport layer. Result must equal the native linear model.
+    ('requests' became available in this container in round 3; the
+    lazy construction in requests_transport now succeeds.)"""
+    pytest.importorskip("requests")
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            value = []
+            for j in body["customer_journeys"]:
+                n = len(j["sessions"])
+                for s in j["sessions"]:
+                    value.append(
+                        {
+                            "conversion_id": j["conversion_id"],
+                            "session_id": s["session_id"],
+                            "ihc": 1.0 / n,
+                        }
+                    )
+            payload = json.dumps({"value": value, "partialFailureErrors": []}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *args):  # keep pytest output clean
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}/attribute"
+        transport = xapi.requests_transport(url, conv_type_id="test")
+        journeys = _journeys(spark, sf_dir)
+        got = {
+            (r.conv_id, r.session_id): round(r.ihc, 9)
+            for r in xapi.attribute_external(journeys, transport).collect()
+        }
+        want = {
+            (r.conv_id, r.session_id): round(r.ihc, 9)
+            for r in attr.attribute_linear(journeys).collect()
+        }
+        assert got == want and got
+    finally:
+        server.shutdown()
+        server.server_close()
