@@ -1492,6 +1492,28 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L64: Count-Min sketch heavy hitters (operators/sketches.py
+    cms_table/cms_estimates): 4x256 md5-hashed counters over every
+    word occurrence; the top-10 exact terms are point-estimated
+    against the broadcast sketch (estimate >= exact always)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import sketches
+
+    ex = _docs(spark, sf_dir).select(
+        F.explode(txt.words(txt.normalize_text(F.col("text")))).alias("w")
+    )
+    cms = sketches.cms_table(ex, "w")
+    top = (
+        ex.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("w"))
+        .limit(10)
+    )
+    return sketches.cms_estimates(cms, top, "w").select(
+        F.col("w").alias("term"), "tf", "cms_est"
+    )
+
+
 def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L51: curriculum-learning schedule (llm/curation.py
     curriculum_buckets): 8 equal-population difficulty tiers by the
@@ -3396,6 +3418,31 @@ WHERE s.event_ts <= c.conv_ts
 GROUP BY 1
 """
 
+# Count-Min heavy hitters: md5 row hashes make the sketch cells
+# engine-portable; min over the 4 counters per probed term
+_ORACLE_CMS = r"""
+WITH nd AS (
+  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents
+),
+ex AS (SELECT unnest(string_split(norm, ' ')) AS w FROM nd),
+cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS tf FROM ex GROUP BY w),
+top AS (SELECT w, tf FROM cnt ORDER BY tf DESC, w LIMIT 10),
+rws AS (SELECT unnest(range(0, 4)) AS j),
+cms AS (
+  SELECT j, CAST('0x' || substr(md5('cms' || j || '|' || w), 1, 15) AS BIGINT) % 256 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ex, rws GROUP BY 1, 2
+),
+probes AS (
+  SELECT t.w, t.tf, r.j,
+         CAST('0x' || substr(md5('cms' || r.j || '|' || t.w), 1, 15) AS BIGINT) % 256 AS bucket
+  FROM top t, rws r
+)
+SELECT p.w AS term, p.tf, CAST(MIN(c.cnt) AS BIGINT) AS cms_est
+FROM probes p JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
+GROUP BY 1, 2
+"""
+
 _ORACLE_REL_PRICING = """
 SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -3520,6 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_segment_priority": q_rel_segment_priority,
         "maef_bucketed_join": q_bucketed_join,
+        "llm_cms_heavy_hitters": q_cms_heavy_hitters,
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
         "llm_top_terms": q_top_terms,
@@ -3641,6 +3689,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_pricing_summary": _ORACLE_REL_PRICING,
         "rel_segment_priority": _ORACLE_REL_SEGMENT,
         "maef_bucketed_join": _ORACLE_BUCKETED_JOIN,
+        "llm_cms_heavy_hitters": _ORACLE_CMS,
         "llm_quality_gate": _ORACLE_QUALITY_GATE,
         "llm_ann_topk": _ORACLE_ANN_TOPK,
         "llm_ann_ivf": _ORACLE_ANN_IVF,

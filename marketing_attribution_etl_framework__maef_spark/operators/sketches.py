@@ -69,3 +69,78 @@ def kmv_sketch(
         F.max("_h").alias("kth_min_hash"),
         F.array_sort(F.collect_list("_h")).alias("minhashes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (heavy-hitter frequency estimation)
+# ---------------------------------------------------------------------------
+#
+# CMS (Cormode & Muthukrishnan 2005): d independent hash rows of w
+# counters; an item's estimate is the MIN over its d counters, which
+# NEVER underestimates (every counter the item hashes to holds its true
+# count plus nonnegative collision mass). Like KMV above, the md5-based
+# row hashes make the whole sketch engine-portable integers, so the
+# DuckDB oracle reproduces it bit for bit — unlike Spark's built-in
+# count_min_sketch aggregate, whose binary layout is engine-private.
+#
+# 100-TB shape: building the sketch is one map-side-combining aggregate
+# over (row, bucket) — d*w counters total (a few KB) REGARDLESS of input
+# scale, and sketches from different partitions/days merge by cellwise
+# addition. Estimation joins the queried items against the broadcast
+# sketch.
+
+
+def _cms_bucket(c: Column, row: int, w: int) -> Column:
+    return portable_hash60(F.concat(F.lit(f"cms{row}|"), c)) % w
+
+
+def cms_table(
+    df: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Build the (row, bucket, cnt) Count-Min table over every
+    occurrence of ``value_col`` (multiplicities counted)."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                _cms_bucket(F.col(value_col), j, w).alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimates(
+    cms: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Point-estimate every row of ``items``: min over the d counters.
+    The sketch side is d*w rows — always broadcast."""
+    probes = items.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _cms_bucket(F.col(value_col), j, w).alias("bucket"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select("*", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")).drop("rb")
+    joined = probes.join(F.broadcast(cms), on=["row", "bucket"], how="inner")
+    others = [c for c in items.columns]
+    return joined.groupBy(*others).agg(F.min("cnt").cast("long").alias("cms_est"))

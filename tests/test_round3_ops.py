@@ -487,3 +487,46 @@ def test_bucketed_join_eliminates_exchange(spark):
     # a non-bucketed twin of the same join DOES shuffle
     plain = left.join(right, "user_id")
     assert has_join_exchange(plain, "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_is_exact_without_collisions(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.sketches import cms_estimates, cms_table
+
+    words = ["alpha"] * 7 + ["beta"] * 3 + ["gamma"] * 1
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    cms = cms_table(df, "w", d=4, w=256)
+    # total mass is conserved per row
+    per_row = {r["row"]: 0 for r in cms.collect()}
+    for r in cms.collect():
+        per_row[r["row"]] += r["cnt"]
+    assert all(v == len(words) for v in per_row.values())
+    items = spark.createDataFrame([("alpha", 7), ("beta", 3), ("gamma", 1)], "w string, tf long")
+    est = {r["w"]: r["cms_est"] for r in cms_estimates(cms, items, "w", d=4, w=256).collect()}
+    for w, tf in (("alpha", 7), ("beta", 3), ("gamma", 1)):
+        assert est[w] >= tf  # CMS never underestimates
+    # 3 distinct items in 256 buckets: overwhelmingly collision-free,
+    # and with d=4 rows a collision in EVERY row is impossible here —
+    # the min must be exact
+    assert est == {"alpha": 7, "beta": 3, "gamma": 1}
+
+
+def test_cms_merges_by_cellwise_addition(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.sketches import cms_table
+
+    a = spark.createDataFrame([("x",)] * 4, "w string")
+    b = spark.createDataFrame([("x",)] * 2 + [("y",)], "w string")
+    both = a.unionByName(b)
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"] for r in cms_table(both, "w").collect()
+    }
+    ca = {(r["row"], r["bucket"]): r["cnt"] for r in cms_table(a, "w").collect()}
+    cb = {(r["row"], r["bucket"]): r["cnt"] for r in cms_table(b, "w").collect()}
+    summed = dict(ca)
+    for k, v in cb.items():
+        summed[k] = summed.get(k, 0) + v
+    assert merged == summed
