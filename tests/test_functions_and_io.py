@@ -258,13 +258,26 @@ def test_harness_ts_decode_streaming(spark, tmp_path):
 
 
 def test_capabilities_report():
-    """The environment-stub surface is machine-visible: both gated
-    features report unavailable in this container but name a degraded
-    mode and the packages that would enable them."""
+    """The environment-gated surface is machine-visible: every gated
+    feature names a degraded mode and the packages that would enable
+    it, and `available` tracks what is actually importable (the set of
+    present packages has drifted between rounds — r03 gained
+    `requests` — so the test asserts probe consistency, not a frozen
+    environment)."""
+    from importlib.util import find_spec
+
     from marketing_attribution_etl_framework__maef_spark.capabilities import capabilities
 
     caps = capabilities()
-    assert set(caps) == {"multimodal_decode", "external_api_transport"}
+    assert set(caps) == {
+        "multimodal_decode",
+        "external_api_transport",
+        "transform_with_state_sessionizer",
+    }
     for feat in caps.values():
         assert {"available", "degraded_mode", "needs"} <= set(feat)
         assert isinstance(feat["available"], bool)
+    assert caps["external_api_transport"]["available"] == (find_spec("requests") is not None)
+    assert caps["multimodal_decode"]["available"] == any(
+        find_spec(n) is not None for n in ("PIL", "soundfile", "torchaudio", "av")
+    )
