@@ -1514,6 +1514,29 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L65: streaming Count-Min maintenance
+    (streaming/incremental.py IncrementalCMS): per-micro-batch cell
+    tables appended and cellwise-summed. Over a static input the
+    summed sketch must equal the batch sketch cell for cell (addition
+    is associative), so the batch CMS SQL is the oracle — the
+    streaming/batch-parity pattern of maef_stream_attribution."""
+    import shutil
+
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".stream_tmp",
+        "cms_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    drv = inc.IncrementalCMS(spark, root, value_col="user_id")
+    ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+    drv.start(ev).awaitTermination()
+    return drv.sketch()
+
+
 def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L51: curriculum-learning schedule (llm/curation.py
     curriculum_buckets): 8 equal-population difficulty tiers by the
@@ -3443,6 +3466,16 @@ FROM probes p JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
 GROUP BY 1, 2
 """
 
+# batch CMS over events.user_id — the streaming parity target
+_ORACLE_STREAM_CMS = """
+WITH rws AS (SELECT unnest(range(0, 4)) AS j)
+SELECT j AS "row",
+       CAST('0x' || substr(md5('cms' || j || '|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events, rws
+GROUP BY 1, 2
+"""
+
 _ORACLE_REL_PRICING = """
 SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -3568,6 +3601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_segment_priority": q_rel_segment_priority,
         "maef_bucketed_join": q_bucketed_join,
         "llm_cms_heavy_hitters": q_cms_heavy_hitters,
+        "maef_stream_cms": q_stream_cms,
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
         "llm_top_terms": q_top_terms,
@@ -3690,6 +3724,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_segment_priority": _ORACLE_REL_SEGMENT,
         "maef_bucketed_join": _ORACLE_BUCKETED_JOIN,
         "llm_cms_heavy_hitters": _ORACLE_CMS,
+        "maef_stream_cms": _ORACLE_STREAM_CMS,
         "llm_quality_gate": _ORACLE_QUALITY_GATE,
         "llm_ann_topk": _ORACLE_ANN_TOPK,
         "llm_ann_ivf": _ORACLE_ANN_IVF,

@@ -105,7 +105,7 @@ def cms_table(
     cells = F.array(
         *[
             F.struct(
-                F.lit(j).alias("row"),
+                F.lit(j).cast("long").alias("row"),
                 _cms_bucket(F.col(value_col), j, w).alias("bucket"),
             )
             for j in range(d)
@@ -133,7 +133,7 @@ def cms_estimates(
             F.array(
                 *[
                     F.struct(
-                        F.lit(j).alias("row"),
+                        F.lit(j).cast("long").alias("row"),
                         _cms_bucket(F.col(value_col), j, w).alias("bucket"),
                     )
                     for j in range(d)

@@ -247,3 +247,64 @@ def stream_journey_join(
     return conv.join(sess, cond, "inner").select(
         F.col("conv_id").alias("conversion_id"), "session_id"
     )
+
+
+class IncrementalCMS:
+    """Streaming maintenance of a Count-Min sketch
+    (operators/sketches.py): each micro-batch's cell table is appended
+    to a parquet part store, and the live sketch is the cellwise SUM
+    of the parts — exactly the CMS merge law, which is what makes it a
+    streaming-native sketch: no per-key state, no watermark needed,
+    and the store is bounded by batches x d x w cells (compactable to
+    d x w at any time by rewriting the summed table).
+
+    Parity contract: over a static input run with availableNow, the
+    summed sketch must EQUAL the batch-built sketch — cell for cell —
+    because addition is associative and batching is the only
+    difference. That is the oracle for ``maef_stream_cms``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        value_col: str = "user_id",
+        d: int = 4,
+        w: int = 256,
+    ):
+        from marketing_attribution_etl_framework__maef_spark.operators import sketches
+
+        self.spark = spark
+        self.root = root
+        self.value_col = value_col
+        self.d = d
+        self.w = w
+        self._sketches = sketches
+        os.makedirs(root, exist_ok=True)
+
+    def _parts(self) -> str:
+        return os.path.join(self.root, "cms_parts")
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        cells = self._sketches.cms_table(
+            batch_df.select(F.col(self.value_col).cast("string").alias("_v")),
+            "_v",
+            d=self.d,
+            w=self.w,
+        )
+        cells.write.mode("append").parquet(self._parts())
+
+    def start(self, events: DataFrame, checkpoint: str | None = None):
+        writer = (
+            events.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint or os.path.join(self.root, "_ckpt"))
+            .trigger(availableNow=True)
+        )
+        return writer.start()
+
+    def sketch(self) -> DataFrame:
+        return (
+            self.spark.read.parquet(self._parts())
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )

@@ -530,3 +530,22 @@ def test_cms_merges_by_cellwise_addition(spark):
     for k, v in cb.items():
         summed[k] = summed.get(k, 0) + v
     assert merged == summed
+
+
+def test_incremental_cms_equals_batch_sketch(spark, sf_dir, tmp_path):
+    from marketing_attribution_etl_framework__maef_spark import domain
+    from marketing_attribution_etl_framework__maef_spark.operators.sketches import cms_table
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    drv = inc.IncrementalCMS(spark, str(tmp_path / "cms"), value_col="user_id")
+    ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+    drv.start(ev).awaitTermination()
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in drv.sketch().collect()}
+    batch = cms_table(
+        domain.load_table(spark, sf_dir, "events").select(
+            F.col("user_id").cast("string").alias("_v")
+        ),
+        "_v",
+    )
+    want = {(r["row"], r["bucket"]): r["cnt"] for r in batch.collect()}
+    assert got == want
