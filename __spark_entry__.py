@@ -1537,6 +1537,30 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drv.sketch()
 
 
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L66: declarative data-quality ledger (operators/quality.py):
+    six constraints over events evaluated in one scan — the
+    generalization of the reference loader's imperative per-record
+    checks into a dbt-test/Deequ-shaped rule set."""
+    from marketing_attribution_etl_framework__maef_spark.operators import quality as dq
+
+    ev = domain.events(spark, sf_dir)
+    return dq.check_constraints(
+        ev,
+        row_rules={
+            "event_id_not_null": F.col("event_id").isNull(),
+            "user_id_not_null": F.col("user_id").isNull(),
+            "value_nonnegative": F.col("value") < 0,
+            "known_event_type": ~F.col("event_type").isin(
+                "click", "view", "signup", "error", "purchase"
+            ),
+            "ts_in_range": (F.col("ts").cast("date") < F.lit("2020-01-01").cast("date"))
+            | (F.col("ts").cast("date") > F.lit("2030-01-01").cast("date")),
+        },
+        unique_keys={"event_id_unique": ["event_id"]},
+    )
+
+
 def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L51: curriculum-learning schedule (llm/curation.py
     curriculum_buckets): 8 equal-population difficulty tiers by the
@@ -3476,6 +3500,27 @@ FROM events, rws
 GROUP BY 1, 2
 """
 
+# one-pass data-quality ledger; NULL predicate results count as
+# violations on both sides (COALESCE(..., TRUE))
+_ORACLE_DATA_QUALITY = """
+WITH agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN COALESCE(event_id IS NULL, TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS event_id_not_null,
+    CAST(SUM(CASE WHEN COALESCE(user_id IS NULL, TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS user_id_not_null,
+    CAST(SUM(CASE WHEN COALESCE(value < 0, TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS value_nonnegative,
+    CAST(SUM(CASE WHEN COALESCE(event_type NOT IN ('click','view','signup','error','purchase'), TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS known_event_type,
+    CAST(SUM(CASE WHEN COALESCE(CAST(ts AS DATE) < DATE '2020-01-01' OR CAST(ts AS DATE) > DATE '2030-01-01', TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS ts_in_range,
+    CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS event_id_unique
+  FROM events
+)
+SELECT 'event_id_not_null' AS rule, event_id_not_null AS n_violations FROM agg
+UNION ALL SELECT 'user_id_not_null', user_id_not_null FROM agg
+UNION ALL SELECT 'value_nonnegative', value_nonnegative FROM agg
+UNION ALL SELECT 'known_event_type', known_event_type FROM agg
+UNION ALL SELECT 'ts_in_range', ts_in_range FROM agg
+UNION ALL SELECT 'event_id_unique', event_id_unique FROM agg
+"""
+
 _ORACLE_REL_PRICING = """
 SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -3602,6 +3647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_bucketed_join": q_bucketed_join,
         "llm_cms_heavy_hitters": q_cms_heavy_hitters,
         "maef_stream_cms": q_stream_cms,
+        "maef_data_quality": q_data_quality,
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
         "llm_top_terms": q_top_terms,
@@ -3725,6 +3771,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_bucketed_join": _ORACLE_BUCKETED_JOIN,
         "llm_cms_heavy_hitters": _ORACLE_CMS,
         "maef_stream_cms": _ORACLE_STREAM_CMS,
+        "maef_data_quality": _ORACLE_DATA_QUALITY,
         "llm_quality_gate": _ORACLE_QUALITY_GATE,
         "llm_ann_topk": _ORACLE_ANN_TOPK,
         "llm_ann_ivf": _ORACLE_ANN_IVF,

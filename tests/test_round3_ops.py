@@ -549,3 +549,42 @@ def test_incremental_cms_equals_batch_sketch(spark, sf_dir, tmp_path):
     )
     want = {(r["row"], r["bucket"]): r["cnt"] for r in batch.collect()}
     assert got == want
+
+
+def test_check_constraints_one_pass_ledger(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.quality import check_constraints
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, -1.0), (2, "b", None), (None, "zz", 3.0)],
+        "id long, cat string, v double",
+    )
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in check_constraints(
+            df,
+            row_rules={
+                "id_not_null": F.col("id").isNull(),
+                "v_nonneg": F.col("v") < 0,          # NULL v counts as violation
+                "cat_known": ~F.col("cat").isin("a", "b"),  # NULL cat counts too
+            },
+            unique_keys={"id_unique": ["id"]},
+        ).collect()
+    }
+    assert out == {
+        "id_not_null": 1,
+        "v_nonneg": 2,   # the -1 row and the NULL-v row
+        "cat_known": 2,  # 'zz' and the NULL-cat row
+        # count(*)=4 minus distinct non-NULL ids {1,2}=2: the duplicate
+        # id=2 AND the NULL id both count as surplus (a NULL key can
+        # never be proven unique; pair with a not-null rule to tell
+        # the two failure modes apart)
+        "id_unique": 2,
+    }
+
+
+def test_check_constraints_rejects_empty_ruleset(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.quality import check_constraints
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="rules"):
+        check_constraints(df, row_rules={})
