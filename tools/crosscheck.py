@@ -42,6 +42,7 @@ def compare(sf_dir: str, names: list[str] | None = None) -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    checked = 0
     for name, fn in qs.items():
         if names and name not in names:
             continue
@@ -81,6 +82,8 @@ def compare(sf_dir: str, names: list[str] | None = None) -> int:
         status = "OK " if ok else "FAIL"
         print(f"{name:42s} rows={len(sdf):7d}  {status} {'; '.join(msgs)}")
         failures += 0 if ok else 1
+        checked += 1
+    print(f"crosscheck: {checked - failures}/{checked} OK, {failures} FAIL ({sf_dir})")
     return failures
 
 
