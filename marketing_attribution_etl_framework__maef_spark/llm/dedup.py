@@ -330,19 +330,19 @@ def cluster_duplicates(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     spark = pairs.sparkSession
     max_parts = spark.sparkContext.defaultParallelism
     n_parts = max(1, min(max_parts, n_edges // _CLUSTER_ROWS_PER_PARTITION + 1))
-    # second materialization, now at the loop's partitioning; the first
-    # checkpoint's blocks (and each round's, below) are reclaimed by
-    # the ContextCleaner once the python reference drops — peak extra
-    # storage is bounded by O(rounds x graph), fine for a post-LSH
-    # pair graph, and the eager-once-per-round shape is what keeps
-    # driver planning O(1) (see note above).
-    edges = raw.repartition(n_parts, "dst").localCheckpoint()
-    del raw
+    # narrow the checkpointed edges with coalesce — NOT a keyed
+    # repartition + second checkpoint: the loop's joins are
+    # broadcast/tiny for post-LSH graphs (and AQE re-plans big ones),
+    # so pre-partitioning by key bought nothing while the extra
+    # materialization cost ~1s/query (A/B at sf0.1: 3.0s -> 2.1s).
+    # coalesce only ever narrows; when the graph is big enough that
+    # n_parts equals the cluster parallelism it is a no-op.
+    edges = raw.coalesce(n_parts)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .repartition(n_parts, "doc_id")
+        .coalesce(n_parts)
         .localCheckpoint()
     )
     for _ in range(max_iterations):
@@ -372,7 +372,7 @@ def cluster_duplicates(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                 "_old",
                 F.least(F.col("_mid"), F.coalesce("_pl", F.col("_mid"))).alias("cluster_id"),
             )
-            .repartition(n_parts, "doc_id")
+            .coalesce(n_parts)
             .localCheckpoint()
         )
         changed = updated.filter(F.col("cluster_id") != F.col("_old")).limit(1).count()
