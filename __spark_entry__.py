@@ -39,6 +39,7 @@ from marketing_attribution_etl_framework__maef_spark.operators import intervals 
 from marketing_attribution_etl_framework__maef_spark.operators import topk as tk
 from marketing_attribution_etl_framework__maef_spark.operators import journeys as jny
 from marketing_attribution_etl_framework__maef_spark.operators import markov as mkv
+from marketing_attribution_etl_framework__maef_spark.operators import shapley as shp
 from marketing_attribution_etl_framework__maef_spark.operators import loader as ldr
 from marketing_attribution_etl_framework__maef_spark.operators import reporting as rpt
 from marketing_attribution_etl_framework__maef_spark.plans.pipeline import AttributionPipeline, PipelineConfig
@@ -1558,6 +1559,15 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("ts").cast("date") > F.lit("2030-01-01").cast("date")),
         },
         unique_keys={"event_id_unique": ["event_id"]},
+    )
+
+
+def q_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L67: exact Shapley-value attribution (operators/shapley.py)
+    over the 4-channel coalition lattice, all-integer (phi scaled by
+    4! = 24; efficiency: sum(phi_scaled) = 24 x total conversions)."""
+    return shp.shapley_attribution(
+        _journeys(spark, sf_dir), channels=["click", "error", "signup", "view"]
     )
 
 
@@ -3433,6 +3443,37 @@ FROM res r, (SELECT absorption_q20 AS a FROM res WHERE rm = '(none)') f
 
 _ORACLE_MARKOV_REMOVAL = _markov_removal_oracle_sql(25)
 
+# exact integer Shapley over the 4-channel coalition lattice;
+# weights s!(3-s)! = 6,2,2,6; denom 4! = 24
+_ORACLE_SHAPLEY = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+bm AS (
+  SELECT conversion_id,
+         BIT_OR(CASE channel_label WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                                   WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END) AS mask
+  FROM journeys GROUP BY 1
+),
+cnt AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_conv FROM bm GROUP BY 1),
+lattice AS (SELECT unnest(range(0, 16)) AS smask),
+v AS (
+  SELECT l.smask, CAST(COALESCE(SUM(c.n_conv), 0) AS BIGINT) AS v
+  FROM lattice l LEFT JOIN cnt c ON (c.mask & l.smask) = c.mask
+  GROUP BY 1
+),
+players AS (SELECT * FROM (VALUES ('click', 1), ('error', 2), ('signup', 4), ('view', 8)) AS t(channel, b)),
+pairs AS (
+  SELECT p.channel, a.v AS vs, b2.v AS vsb,
+         CASE bit_count(a.smask) WHEN 0 THEN 6 WHEN 1 THEN 2
+                                 WHEN 2 THEN 2 WHEN 3 THEN 6 END AS w
+  FROM players p
+  JOIN v a ON (a.smask & p.b) = 0
+  JOIN v b2 ON b2.smask = (a.smask | p.b)
+)
+SELECT channel, CAST(SUM(w * (vsb - vs)) AS BIGINT) AS phi_scaled,
+       CAST(24 AS BIGINT) AS denom
+FROM pairs GROUP BY channel
+"""
+
 # Markov-attribution transition matrix over per-conversion journeys
 _ORACLE_CHANNEL_TRANSITIONS = f"""
 WITH {_CONV}, {_SESS}, {_JOURNEYS},
@@ -3648,6 +3689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_cms_heavy_hitters": q_cms_heavy_hitters,
         "maef_stream_cms": q_stream_cms,
         "maef_data_quality": q_data_quality,
+        "maef_shapley": q_shapley,
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
         "llm_top_terms": q_top_terms,
@@ -3772,6 +3814,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_cms_heavy_hitters": _ORACLE_CMS,
         "maef_stream_cms": _ORACLE_STREAM_CMS,
         "maef_data_quality": _ORACLE_DATA_QUALITY,
+        "maef_shapley": _ORACLE_SHAPLEY,
         "llm_quality_gate": _ORACLE_QUALITY_GATE,
         "llm_ann_topk": _ORACLE_ANN_TOPK,
         "llm_ann_ivf": _ORACLE_ANN_IVF,

@@ -588,3 +588,43 @@ def test_check_constraints_rejects_empty_ruleset(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="rules"):
         check_constraints(df, row_rules={})
+
+
+# ---------------------------------------------------------------------------
+# shapley_attribution
+# ---------------------------------------------------------------------------
+
+
+def _sh_journeys(spark, rows):
+    return spark.createDataFrame(rows, "conversion_id string, channel_label string")
+
+
+def test_shapley_hand_computed_asymmetric(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.shapley import shapley_attribution
+
+    # conv1 touched {a}; conv2 touched {a, b}:
+    # v(0)=0, v(a)=1, v(b)=0, v(ab)=2 -> phi_a=3, phi_b=1 over denom 2!
+    j = _sh_journeys(spark, [("c1", "a"), ("c2", "a"), ("c2", "b")])
+    out = {r["channel"]: (r["phi_scaled"], r["denom"]) for r in
+           shapley_attribution(j, ["a", "b"]).collect()}
+    assert out == {"a": (3, 2), "b": (1, 2)}
+
+
+def test_shapley_symmetry_and_efficiency(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.shapley import shapley_attribution
+
+    # a and b appear in exchangeable roles -> equal credit; and the
+    # scaled credits always sum to n! * total conversions
+    j = _sh_journeys(spark, [("c1", "a"), ("c2", "a"), ("c2", "b"), ("c3", "b")])
+    rows = shapley_attribution(j, ["a", "b"]).collect()
+    out = {r["channel"]: r["phi_scaled"] for r in rows}
+    assert out["a"] == out["b"]
+    assert sum(out.values()) == 2 * 3  # n! x v(full) = 2 x 3 conversions
+
+
+def test_shapley_rejects_unlisted_channel(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.shapley import shapley_attribution
+
+    j = _sh_journeys(spark, [("c1", "a"), ("c1", "zz")])
+    with pytest.raises(Exception, match="player universe"):
+        shapley_attribution(j, ["a", "b"]).collect()
