@@ -598,11 +598,18 @@ def incremental_neardup_pairs(
 
     b = _bands_for(batch).select("band", "key", F.col(id_col).alias("doc_b"))
     c = _bands_for(corpus).select("band", "key", F.col(id_col).alias("doc_a"))
-    cands = c.join(b, on=["band", "key"], how="inner").select("doc_a", "doc_b").distinct()
-    sa = shingle_sets(corpus, text_col, id_col, k).select(
+    cands = (
+        c.join(b, on=["band", "key"], how="inner").select("doc_a", "doc_b").distinct().localCheckpoint()
+    )
+    # verify only the touched documents on each side (same candidate
+    # semi-filter as minhash_dedup_pairs — the corpus side especially
+    # must never be re-shingled wholesale at ingest time)
+    ids_a = cands.select(F.col("doc_a").alias(id_col)).distinct()
+    ids_b = cands.select(F.col("doc_b").alias(id_col)).distinct()
+    sa = shingle_sets(corpus.join(ids_a, id_col, "left_semi"), text_col, id_col, k).select(
         F.col(id_col).alias("doc_a"), F.col("shingle_set").alias("_sa")
     )
-    sb = shingle_sets(batch, text_col, id_col, k).select(
+    sb = shingle_sets(batch.join(ids_b, id_col, "left_semi"), text_col, id_col, k).select(
         F.col(id_col).alias("doc_b"), F.col("shingle_set").alias("_sb")
     )
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
