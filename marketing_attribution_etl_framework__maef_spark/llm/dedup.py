@@ -487,6 +487,8 @@ def boilerplate_scrub(
     them; at extreme scale hash the segment first so only a long
     crosses the wire), the rebuild keys on doc_id.
     """
+    if seg_words < 1 or min_docs < 1:
+        raise ValueError(f"seg_words and min_docs must be >= 1, got {seg_words}/{min_docs}")
     norm = normalize_text(F.col(text_col))
     d = docs.select(F.col(id_col).alias("doc_id"), words(norm).alias("_ws"))
     n_segs = F.greatest(F.lit(1), F.expr(f"(size(_ws) + {seg_words - 1}) div {seg_words}"))
