@@ -36,11 +36,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# shifts every practical epoch positive (back to ~year -29000) so the
+# truncating `div` behaves as floor division; without it a pre-1970
+# timestamp (negative unix_micros) would round toward zero and land in
+# the wrong bucket. Uniform shift — bucket ids stay internally
+# consistent, which is all they need to be.
+_EPOCH_SHIFT_US = 1_000_000_000_000_000_000
+
+
 def _bucket(ts_col: str, bucket_seconds: int):
     """Integer bucket id of a timestamp column — integer arithmetic
     end-to-end (unix_micros -> div), no float rounding."""
     return F.expr(
-        f"unix_micros(cast({ts_col} as timestamp)) div {int(bucket_seconds) * 1_000_000}"
+        f"(unix_micros(cast({ts_col} as timestamp)) + {_EPOCH_SHIFT_US})"
+        f" div {int(bucket_seconds) * 1_000_000}"
     )
 
 

@@ -628,3 +628,20 @@ def test_shapley_rejects_unlisted_channel(spark):
     j = _sh_journeys(spark, [("c1", "a"), ("c1", "zz")])
     with pytest.raises(Exception, match="player universe"):
         shapley_attribution(j, ["a", "b"]).collect()
+
+
+def test_interval_join_pre_epoch_timestamps(spark):
+    # negative unix epochs: the truncating `div` would mis-bucket
+    # without the uniform epoch shift — the 1969 fact must still land
+    # in its 1969 window and nothing else
+    t69 = dt.datetime(1969, 12, 31, 23, 0, 0)
+    facts = spark.createDataFrame(
+        [(1, t69 + dt.timedelta(minutes=10)), (2, dt.datetime(1970, 1, 1, 0, 30))],
+        "fact_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(100, t69, t69 + dt.timedelta(minutes=30))],
+        "window_id long, w_start timestamp, w_end timestamp",
+    )
+    out = interval_join_bucketed(facts, intervals, "ts", "w_start", "w_end", 600)
+    assert [(r["window_id"], r["fact_id"]) for r in out.collect()] == [(100, 1)]
