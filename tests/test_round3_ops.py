@@ -645,3 +645,57 @@ def test_interval_join_pre_epoch_timestamps(spark):
     )
     out = interval_join_bucketed(facts, intervals, "ts", "w_start", "w_end", 600)
     assert [(r["window_id"], r["fact_id"]) for r in out.collect()] == [(100, 1)]
+
+
+# ---------------------------------------------------------------------------
+# salted_join / snapshot_diff properties
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_result_identical_and_spreads_hot_key(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.skew import salted_join
+
+    # one key holds 90% of the big side
+    big = spark.createDataFrame(
+        [(1, i) for i in range(90)] + [(k, 1000 + k) for k in range(2, 12)],
+        "k long, payload long",
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 12)], "k long, attr string")
+    for n_salts in (1, 4, 16):
+        got = sorted(map(tuple, salted_join(big, dim, ["k"], n_salts).collect()))
+        want = sorted(map(tuple, big.join(dim, "k").collect()))
+        assert got == want
+    # left join keeps unmatched big rows
+    big2 = big.unionByName(spark.createDataFrame([(99, 0)], "k long, payload long"))
+    got = sorted(map(tuple, salted_join(big2, dim, ["k"], 4, how="left").collect()))
+    want = sorted(map(tuple, big2.join(dim, "k", "left").collect()), key=lambda t: tuple(map(str, t)))
+    assert sorted(got, key=lambda t: tuple(map(str, t))) == want
+    # the hot key's rows really land in multiple salt buckets
+    from pyspark.sql import functions as FF
+    salts = (
+        big.filter(FF.col("k") == 1)
+        .withColumn("_s", FF.pmod(FF.xxhash64("k", "payload"), FF.lit(16)))
+        .select("_s").distinct().count()
+    )
+    assert salts > 1
+
+
+def test_salted_join_rejects_bad_args(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_join(df, df, ["k"], 0)
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, ["k"], 2, how="full")
+
+
+def test_snapshot_diff_identity_and_disjoint_properties(spark):
+    old = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    # identical snapshots -> everything unchanged
+    same = snapshot_diff(old, old, ["k"], ["v"]).collect()
+    assert {r["change_type"] for r in same} == {"unchanged"}
+    # disjoint snapshots -> old side all deleted, new side all inserted
+    new = spark.createDataFrame([(3, 30)], "k long, v long")
+    out = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert out == {1: "deleted", 2: "deleted", 3: "inserted"}
