@@ -699,3 +699,55 @@ def test_snapshot_diff_identity_and_disjoint_properties(spark):
     new = spark.createDataFrame([(3, 30)], "k long, v long")
     out = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
     assert out == {1: "deleted", 2: "deleted", 3: "inserted"}
+
+
+# ---------------------------------------------------------------------------
+# zorder_value
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_interleaves_bits_exactly(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.zorder import zorder_value
+
+    df = spark.createDataFrame([(3, 5)], "x long, y long")  # 0b011, 0b101
+    out = df.select(zorder_value([F.col("x"), F.col("y")], bits=3).alias("z")).collect()
+    # bit b of x -> position 2b; bit b of y -> position 2b+1:
+    # x=011 -> bits at 0,2 ; y=101 -> bits at 1,5 -> z = 1+2+4+32 = 39
+    assert out[0]["z"] == 39
+
+
+def test_zorder_files_have_tighter_ranges_than_single_sort(spark, tmp_path):
+    """The pruning argument, measured on real parquet metadata: write
+    a 2-D grid sorted by z-value vs sorted by x only, and compare the
+    per-file min/max WIDTH of the y column (x is tight in both). The
+    z-sorted layout must bound y's per-file range; the x-sorted one
+    leaves y unconstrained (full range in every file)."""
+    pa = pytest.importorskip("pyarrow.parquet")
+    import glob
+
+    from marketing_attribution_etl_framework__maef_spark.operators.zorder import zorder_value
+
+    n = 64
+    df = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+
+    def ranges(path, order_col):
+        (df.withColumn("_z", order_col).repartitionByRange(16, "_z")
+           .sortWithinPartitions("_z").drop("_z")
+           .write.mode("overwrite").parquet(path))
+        widths = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pa.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                col = {md.row_group(rg).column(i).path_in_schema: md.row_group(rg).column(i)
+                       for i in range(md.row_group(rg).num_columns)}
+                st = col["y"].statistics
+                widths.append(st.max - st.min)
+        return sum(widths) / len(widths)
+
+    z_width = ranges(str(tmp_path / "zorder"), zorder_value([F.col("x"), F.col("y")], bits=6))
+    x_width = ranges(str(tmp_path / "xsort"), F.col("x"))
+    # x-sorted files see essentially the full y range; z-sorted files
+    # must be at least 2x tighter on y
+    assert z_width * 2 < x_width
