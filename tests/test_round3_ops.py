@@ -751,3 +751,22 @@ def test_zorder_files_have_tighter_ranges_than_single_sort(spark, tmp_path):
     # x-sorted files see essentially the full y range; z-sorted files
     # must be at least 2x tighter on y
     assert z_width * 2 < x_width
+
+
+def test_kmv_estimator_quality(spark):
+    """The KMV estimate (k-1) * 2^60 / h_k must land within ~20% of
+    the true distinct count when k << n (standard error ~ 1/sqrt(k));
+    and when n <= k the sketch is EXACT (n_seen == n)."""
+    from marketing_attribution_etl_framework__maef_spark.operators.sketches import kmv_sketch
+
+    n = 5000
+    df = spark.createDataFrame(
+        [("g", f"user{i}") for i in range(n)], "g string, u string"
+    )
+    row = kmv_sketch(df, ["g"], "u", k=256).collect()[0]
+    assert row["n_seen"] == 256
+    est = (256 - 1) * (1 << 60) / row["kth_min_hash"]
+    assert abs(est - n) / n < 0.2
+    small = spark.createDataFrame([("g", f"u{i}") for i in range(40)], "g string, u string")
+    srow = kmv_sketch(small, ["g"], "u", k=256).collect()[0]
+    assert srow["n_seen"] == 40 and len(srow["minhashes"]) == 40
