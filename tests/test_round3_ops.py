@@ -770,3 +770,34 @@ def test_kmv_estimator_quality(spark):
     small = spark.createDataFrame([("g", f"u{i}") for i in range(40)], "g string, u string")
     srow = kmv_sketch(small, ["g"], "u", k=256).collect()[0]
     assert srow["n_seen"] == 40 and len(srow["minhashes"]) == 40
+
+
+def test_embedding_neardup_composes_with_ivf_blocking(spark):
+    """The scale path embedding_neardup_pairs documents: block by IVF
+    cluster (from ivf_assign) instead of a label column. Two planted
+    exact-duplicate pairs far apart in space must each land in one
+    cluster and be found; the composition must also never emit MORE
+    than the label-blocked (ground-truth-blocked) run finds."""
+    from marketing_attribution_etl_framework__maef_spark.llm import similarity as sim
+
+    base = [
+        (1, [1.0, 0.0, 0.0], 0), (2, [0.99, 0.01, 0.0], 0),   # near-dup pair A
+        (3, [0.0, 1.0, 0.0], 1), (4, [0.0, 0.99, 0.01], 1),   # near-dup pair B
+        (5, [0.0, 0.0, 1.0], 2),                               # singleton
+    ]
+    emb = spark.createDataFrame(base, "vec_id long, embedding array<double>, label int")
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0]), (12, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assigned = sim.ivf_assign(emb, cents).select("vec_id", "cluster")
+    blocked = emb.join(assigned, "vec_id")
+    got = sorted(
+        (r["vec_a"], r["vec_b"])
+        for r in sim.embedding_neardup_pairs(blocked, threshold=0.9, block_col="cluster").collect()
+    )
+    want = sorted(
+        (r["vec_a"], r["vec_b"])
+        for r in sim.embedding_neardup_pairs(emb, threshold=0.9, block_col="label").collect()
+    )
+    assert got == want == [(1, 2), (3, 4)]
