@@ -1580,6 +1580,203 @@ def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-3 additions (L70-L79)
+# ---------------------------------------------------------------------------
+
+
+def q_rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L70: relational kernel, TPC-H Q8 shape — per-nation revenue
+    share inside one region. lineitem shuffles once on l_orderkey into
+    the date-filtered orders; supplier -> nation -> region collapse to
+    ONE broadcast dimension (100 rows at any SF: dims scale with the
+    schema, not the data). The share is integer q20 of exact e4 money
+    units — nation_rev * 2^20 div region_total — so no float crosses
+    the engine boundary. The final window-sum runs over <= |nations in
+    region| aggregated rows (post-aggregation by construction)."""
+    nat = (
+        domain.load_table(spark, sf_dir, "supplier")
+        .join(
+            domain.load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            domain.load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    orders = domain.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    )
+    li = domain.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.expr(f"{_CENTS} * {_DISC_H}").alias("_rev")
+    )
+    per_nation = (
+        li.join(F.broadcast(nat), li["l_suppkey"] == nat["s_suppkey"])
+        .join(orders.select("o_orderkey"), li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(F.sum("_rev").cast("long").alias("revenue_e4"))
+    )
+    return per_nation.withColumn(
+        "share_q20",
+        F.expr("revenue_e4 * 1048576 div sum(revenue_e4) over ()").cast("long"),
+    )
+
+
+def q_rel_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L71: relational kernel, TPC-H Q13 shape — order count per
+    customer including zero-order customers (right outer join against
+    the pre-aggregated orders side, so the outer join carries one row
+    per customer, not one per order), then the count-of-counts
+    histogram. Two map-side-combining aggregates + one join."""
+    per_cust = (
+        domain.load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    cust = domain.load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        cust.join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )
+
+
+def q_rel_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L72: relational kernel, TPC-H Q15 shape — revenue per supplier
+    over one quarter, then the max-revenue supplier(s) via a window
+    max over the aggregated (|suppliers|-row) table — the scalar-
+    subquery comparison (SURVEY J6) done without a second scan.
+    Exact integer e4 money units make the max tie-stable."""
+    li = domain.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(F.expr(f"{_CENTS} * {_DISC_H}")).cast("long").alias("revenue_e4")
+    )
+    top = per_supp.withColumn(
+        "_mx", F.expr("max(revenue_e4) over ()")
+    ).filter(F.col("revenue_e4") == F.col("_mx"))
+    supp = domain.load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return top.join(F.broadcast(supp), top["l_suppkey"] == supp["s_suppkey"]).select(
+        "s_suppkey", "s_name", "revenue_e4"
+    )
+
+
+def q_rel_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L73: relational kernel, TPC-H Q4 shape — orders per priority
+    where at least one line was returned: the EXISTS lowered to a
+    LEFT SEMI join (Spark never materializes the match multiplicity,
+    so the returned-lines side deduplicates for free on the probe)."""
+    orders = domain.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-07-01").cast("date"))
+    )
+    returned = (
+        domain.load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders["o_orderkey"] == returned["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+def q_rel_nation_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L74: relational kernel, TPC-H Q9 shape — PROMO-part revenue by
+    nation x order year. The selective part filter broadcasts INTO the
+    lineitem scan (cutting the fact early), supplier->nation is the
+    second broadcast, and only then does the surviving fact shuffle
+    once on l_orderkey to pick up the order year."""
+    parts = (
+        domain.load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    snat = (
+        domain.load_table(spark, sf_dir, "supplier")
+        .join(
+            domain.load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    orders = domain.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year(F.col("o_orderdate")).cast("long").alias("o_year")
+    )
+    li = domain.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", F.expr(f"{_CENTS} * {_DISC_H}").alias("_rev")
+    )
+    return (
+        li.join(F.broadcast(parts), li["l_partkey"] == parts["p_partkey"])
+        .join(F.broadcast(snat), li["l_suppkey"] == snat["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("n_name", "o_year")
+        .agg(F.sum("_rev").cast("long").alias("revenue_e4"))
+    )
+
+
+def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L75: HyperLogLog register sketch (operators/sketches.py
+    hll_register_summary) of distinct users per channel, emitted as
+    exact-integer register summaries (the estimate is a client-side
+    division; accuracy band pinned in tests/test_round3b_ops.py), plus
+    the exact distinct for reference. Unlike Spark's built-in HLL++,
+    the md5 register layout is engine-portable, so the DuckDB oracle
+    reproduces every register bit for bit."""
+    from marketing_attribution_etl_framework__maef_spark.operators import sketches
+
+    ev = domain.events(spark, sf_dir).select(
+        F.col("event_type").alias("channel"), "user_id"
+    )
+    sk = sketches.hll_register_summary(ev, ["channel"], "user_id")
+    exact = ev.groupBy("channel").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return sk.join(exact, "channel")
+
+
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L76: z-score daily-volume outlier flags per channel
+    (operators/anomaly.py zscore_day_outliers) with the exact-integer
+    cross-multiplied z^2 evidence columns — sqrt never computed, so
+    Spark and DuckDB agree bit for bit."""
+    from marketing_attribution_etl_framework__maef_spark.operators import anomaly
+
+    return anomaly.zscore_day_outliers(domain.events(spark, sf_dir))
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L77: deterministic weighted (PPS) sampling with multiplicity
+    (llm/curation.py systematic_weighted_sample): k=25 grid points over
+    the char-weighted document line in hash order, prefix sums via the
+    two-phase bucket scan. Sum(mult) = 25 exactly (pinned in tests)."""
+    return cur.systematic_weighted_sample(_docs(spark, sf_dir), k=25)
+
+
+def q_dormant_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L78: dormant-user report (operators/reporting.py dormant_users)
+    — users active (sessions) in the trailing window but with NO
+    purchase in it, rolled up by their last-touch channel: the standard
+    churn-risk audience query, built on the LEFT ANTI join the SURVEY
+    §2 join matrix lacked."""
+    return rpt.dormant_users(domain.events(spark, sf_dir), "2024-01-28")
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L79: asymmetric shingle-containment near-dup pairs
+    (llm/dedup.py containment_pairs) over the augmented corpus — the
+    subset-copy detector Jaccard misses. Inverted-index join, integer
+    cross-multiplied 4/5 threshold."""
+    return dd.containment_pairs(_aug_docs(spark, sf_dir), cont_num=4, cont_den=5)
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect) — same computations, same aliases
 # ---------------------------------------------------------------------------
 
@@ -3627,6 +3824,203 @@ FROM bk GROUP BY bucket
 """
 
 
+# round-3 (L70-L79) oracles ------------------------------------------------
+
+_REV_E4 = """CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(100 - ROUND(l.l_discount * 100, 0) AS BIGINT)"""
+
+_ORACLE_REL_MARKET_SHARE = f"""
+WITH per_nation AS (
+  SELECT n.n_name,
+         CAST(SUM({_REV_E4}) AS BIGINT) AS revenue_e4
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(o.o_orderdate AS DATE) <  DATE '1998-01-01'
+  GROUP BY 1
+)
+SELECT n_name, revenue_e4,
+       CAST((revenue_e4 * 1048576)
+            // (SELECT CAST(SUM(revenue_e4) AS BIGINT) FROM per_nation) AS BIGINT) AS share_q20
+FROM per_nation
+"""
+
+_ORACLE_REL_CUSTDIST = """
+WITH pc AS (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM pc GROUP BY 1
+"""
+
+_ORACLE_REL_TOP_SUPPLIER = f"""
+WITH ps AS (
+  SELECT l.l_suppkey, CAST(SUM({_REV_E4}) AS BIGINT) AS revenue_e4
+  FROM lineitem l
+  WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l.l_shipdate AS DATE) <  DATE '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, ps.revenue_e4
+FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+WHERE ps.revenue_e4 = (SELECT MAX(revenue_e4) FROM ps)
+"""
+
+_ORACLE_REL_ORDER_PRIORITY = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) <  DATE '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1
+"""
+
+_ORACLE_REL_NATION_MARGIN = f"""
+SELECT n.n_name,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({_REV_E4}) AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""
+
+# HLL registers: 60-bit md5 hash -> register = h % 256, payload
+# w = h // 256 (52 bits), rho = 53 - bit_length(w) (53 when w = 0);
+# bit_length via binary string rendering — no floating log2.
+_ORACLE_HLL = """
+WITH h AS (
+  SELECT event_type AS channel,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+  FROM events
+),
+mr AS (
+  SELECT channel, hv % 256 AS reg,
+         MAX(CASE WHEN hv // 256 = 0 THEN 53
+                  ELSE 53 - length(printf('%b', hv // 256)) END) AS rho
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT channel,
+         CAST(COUNT(*) AS BIGINT) AS n_registers_hit,
+         CAST(SUM(rho) AS BIGINT) AS sum_rho,
+         CAST(CAST(SUM(CAST(1 AS BIGINT) << (53 - rho)) AS BIGINT)
+              + (256 - CAST(COUNT(*) AS BIGINT)) * (CAST(1 AS BIGINT) << 53)
+              AS BIGINT) AS harmonic_s53
+  FROM mr GROUP BY 1
+),
+ex AS (
+  SELECT event_type AS channel,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT a.channel, a.n_registers_hit, a.sum_rho, a.harmonic_s53, ex.exact_distinct
+FROM agg a JOIN ex ON a.channel = ex.channel
+"""
+
+# z^2 > 4 by integer cross-multiplication — sqrt never computed
+_ORACLE_ANOMALY = """
+WITH d AS (
+  SELECT event_type AS channel, strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT channel, CAST(COUNT(*) AS BIGINT) AS d_days,
+         CAST(SUM(n_events) AS BIGINT) AS s_sum,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS q_sum
+  FROM d GROUP BY 1
+)
+SELECT d.channel, d.event_day, d.n_events,
+       CAST((d.n_events * s.d_days - s.s_sum)
+            * (d.n_events * s.d_days - s.s_sum) * (s.d_days - 1) AS BIGINT) AS z2_num,
+       CAST(4 * s.d_days * (s.d_days * s.q_sum - s.s_sum * s.s_sum) AS BIGINT) AS z2_den,
+       CAST(CASE WHEN (d.n_events * s.d_days - s.s_sum)
+                      * (d.n_events * s.d_days - s.s_sum) * (s.d_days - 1)
+                    > 4 * s.d_days * (s.d_days * s.q_sum - s.s_sum * s.s_sum)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM d JOIN s ON d.channel = s.channel
+"""
+
+# single-window formulation of the two-phase prefix sum: total order
+# (h % 256, h, doc_id) = Spark's (bucket offsets, within-bucket order)
+_ORACLE_WEIGHTED_SAMPLE = """
+WITH w AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|wsamp'), 1, 15) AS BIGINT) AS h
+  FROM documents
+),
+t AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM w),
+c AS (
+  SELECT doc_id, source, weight,
+         CAST(SUM(weight) OVER (ORDER BY h % 256, h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c_hi
+  FROM w
+)
+SELECT doc_id, source, weight,
+       CAST((c_hi * 25) // t.tw - ((c_hi - weight) * 25) // t.tw AS BIGINT) AS mult
+FROM c, t
+WHERE (c_hi * 25) // t.tw - ((c_hi - weight) * 25) // t.tw > 0
+"""
+
+_ORACLE_DORMANT = """
+WITH win AS (
+  SELECT * FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-28'
+),
+buyers AS (
+  SELECT DISTINCT user_id FROM win WHERE event_type = 'purchase'
+),
+d AS (
+  SELECT e.user_id, e.event_type, e.ts, e.event_id
+  FROM win e LEFT JOIN buyers b ON e.user_id = b.user_id
+  WHERE e.event_type <> 'purchase' AND b.user_id IS NULL
+),
+r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS ns
+  FROM d
+)
+SELECT event_type AS last_channel,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(ns) AS BIGINT) AS n_sessions
+FROM r WHERE rn = 1 GROUP BY 1
+"""
+
+_ORACLE_CONTAINMENT = f"""
+WITH {_AUG}, {_NORM_AUG}, {_SHINGLED},
+sets AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(shingles,
+           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS ds
+  FROM shingled
+),
+ex AS (
+  SELECT lang, doc_id, CAST(len(ds) AS BIGINT) AS sz, unnest(ds) AS h FROM sets
+),
+hits AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sza, b.sz AS szb,
+         CAST(COUNT(*) AS BIGINT) AS inter_size
+  FROM ex a JOIN ex b ON a.lang = b.lang AND a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, inter_size,
+       sza AS size_a, szb AS size_b,
+       CAST(CASE WHEN inter_size * 5 >= sza * 4 THEN 1 ELSE 0 END AS BIGINT) AS contained_a,
+       CAST(CASE WHEN inter_size * 5 >= szb * 4 THEN 1 ELSE 0 END AS BIGINT) AS contained_b
+FROM hits
+WHERE (CASE WHEN inter_size * 5 >= sza * 4 THEN 1 ELSE 0 END
+       + CASE WHEN inter_size * 5 >= szb * 4 THEN 1 ELSE 0 END) > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3643,11 +4037,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
-    # registry entries per round (VERDICT r02 finding #2).  The 19 queries that
-    # had no driver row in r02 (ANN/similarity/multimodal families) come first,
-    # then llm_corpus_stats (r02's one red row, oracle fixed this round), then
-    # the rest of the llm layer.  The maef_* entries sit last — each already has
-    # green driver rows in BOTH CORRECTNESS_r01 and CORRECTNESS_r02.
+    # registry entries per round (VERDICT r02 finding #2).  The window is
+    # exactly full in r03: 40 entries with no driver row yet (the 19 families
+    # unchecked in r02, the r02 late additions, and llm_corpus_stats whose
+    # oracle was fixed) followed by the 10 round-3 additions (L70-L79).  Every
+    # entry from llm_text_stats down already has a green driver row in
+    # CORRECTNESS_r01/r02.  r04 rule: rotate freshly-green entries to the back
+    # before adding anything new.
     return {
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
@@ -3690,6 +4086,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_stream_cms": q_stream_cms,
         "maef_data_quality": q_data_quality,
         "maef_shapley": q_shapley,
+        # round-3 additions (L70-L79): new => inside the 50-entry gate window
+        "rel_market_share": q_rel_market_share,
+        "rel_customer_distribution": q_rel_customer_distribution,
+        "rel_top_supplier": q_rel_top_supplier,
+        "rel_order_priority": q_rel_order_priority,
+        "rel_nation_margin": q_rel_nation_margin,
+        "llm_hll_users": q_hll_users,
+        "maef_anomaly_days": q_anomaly_days,
+        "llm_weighted_sample": q_weighted_sample,
+        "maef_dormant_users": q_dormant_users,
+        "llm_containment": q_containment,
         "llm_text_stats": q_text_stats,
         "llm_lang_id": q_lang_id,
         "llm_top_terms": q_top_terms,
@@ -3832,6 +4239,16 @@ def oracle_sql() -> dict[str, str]:
         "llm_chunk_documents": _ORACLE_CHUNK_DOCS,
         "llm_vocabulary": _ORACLE_VOCAB,
         "llm_bigram_pmi": _ORACLE_BIGRAM_PMI,
+        "rel_market_share": _ORACLE_REL_MARKET_SHARE,
+        "rel_customer_distribution": _ORACLE_REL_CUSTDIST,
+        "rel_top_supplier": _ORACLE_REL_TOP_SUPPLIER,
+        "rel_order_priority": _ORACLE_REL_ORDER_PRIORITY,
+        "rel_nation_margin": _ORACLE_REL_NATION_MARGIN,
+        "llm_hll_users": _ORACLE_HLL,
+        "maef_anomaly_days": _ORACLE_ANOMALY,
+        "llm_weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
+        "maef_dormant_users": _ORACLE_DORMANT,
+        "llm_containment": _ORACLE_CONTAINMENT,
         "llm_multimodal_meta": _ORACLE_MM_META,
         # the mapInPandas path IS value-checked via the exact-integer
         # stripe summary (same Arrow plumbing, no float output):

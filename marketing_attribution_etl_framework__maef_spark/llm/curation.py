@@ -465,3 +465,84 @@ def curriculum_buckets(
         F.min("score").alias("min_score_q20"),
         F.max("score").alias("max_score_q20"),
     )
+
+
+def systematic_weighted_sample(
+    docs: DataFrame,
+    k: int = 25,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic weighted sampling (with multiplicity) via
+    systematic selection over a distributed prefix sum.
+
+    Classic weighted reservoir sampling (Efraimidis-Spirakis) orders by
+    u^(1/w) — a transcendental per-row key whose libm rounding differs
+    across engines, exactly the cross-engine float trap CLAUDE.md bans.
+    Systematic (grid) sampling needs only INTEGER arithmetic: lay the
+    documents on a line in a deterministic hash-random order, each
+    occupying a segment of length = its weight; with W = total weight,
+    pick the k grid points j*W/k (j = 1..k); a document is selected
+    once per grid point inside its segment:
+
+        mult = floor(c_hi * k / W) - floor(c_lo * k / W)
+
+    Σ mult = k exactly, and P(selected) ∝ weight, the same guarantee
+    PPS sampling gives (Madow 1949 systematic PPS).
+
+    The prefix sum is the scale problem: a single ORDER BY cumsum is a
+    global unpartitioned window. Standard distributed fix (two-phase
+    scan): bucket rows by the top hash bits, cumsum WITHIN each bucket
+    (a partitioned window), and add per-bucket offsets computed from
+    the n_buckets-row bucket-total table — bounded driver state per the
+    CLAUDE.md rule, exact integers end to end. The DuckDB oracle runs
+    the single-window formulation over the same (bucket, hash, id)
+    total order and must agree bit for bit.
+
+    Overflow: c_hi*k <= W*k; at 100 TB of chars (1e14) with k <= 1e4
+    this still fits a long, beyond that promote to DECIMAL(38,0).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|wsamp"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col),
+        F.col("source"),
+        F.col(weight_col).cast("long").alias("weight"),
+        h.alias("_h"),
+    ).withColumn("_b", F.col("_h") % n_buckets)
+    # phase 1: bucket totals -> exclusive prefix offsets (bounded rows)
+    totals = base.groupBy("_b").agg(F.sum("weight").cast("long").alias("_t"))
+    rows = sorted((r["_b"], r["_t"]) for r in totals.collect())
+    offsets, acc = [], 0
+    for b, t in rows:
+        offsets.append((b, acc))
+        acc += t
+    w_total = acc
+    if w_total <= 0:
+        return base.select(id_col, "source", "weight").limit(0).withColumn(
+            "mult", F.lit(0).cast("long")
+        )
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(offsets, "_b long, _off long")
+    # phase 2: within-bucket cumsum (partitioned window) + offset
+    cum_w = (
+        Window.partitionBy("_b")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        base.join(F.broadcast(off_df), "_b")
+        .withColumn("_c_hi", F.sum("weight").over(cum_w) + F.col("_off"))
+        .withColumn("_c_lo", F.col("_c_hi") - F.col("weight"))
+    )
+    # integer floor division — operands are nonnegative longs
+    mult = F.expr(f"(_c_hi * {int(k)}) div {w_total} - (_c_lo * {int(k)}) div {w_total}")
+    return (
+        c.withColumn("mult", mult.cast("long"))
+        .filter(F.col("mult") > 0)
+        .select(id_col, "source", "weight", "mult")
+    )

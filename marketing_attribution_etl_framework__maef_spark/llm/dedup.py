@@ -458,6 +458,67 @@ def ngram_jaccard_pairs(
     ).filter(F.col("inter_size") * F.lit(jaccard_den) >= F.col("union_size") * F.lit(jaccard_num))
 
 
+def containment_pairs(
+    docs: DataFrame,
+    block_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    cont_num: int = 4,
+    cont_den: int = 5,
+) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs (within a block).
+
+    Jaccard (``ngram_jaccard_pairs``) misses the subset-copy case: a
+    short document quoted wholesale inside a much longer one has tiny
+    Jaccard but containment ~1. Containment C(A in B) = |A ∩ B| / |A|
+    is the standard fix (Broder 1997 "On the resemblance and
+    containment of documents"; the CCNet/The-Stack pipelines dedup on
+    it). Emits every unordered pair where EITHER side's containment
+    meets cont_num/cont_den, with exact integer evidence and per-side
+    flags — thresholded by integer cross-multiplication (CLAUDE.md
+    float policy), never a ratio.
+
+    Same inverted-index shape (and therefore the same Σ df(shingle)^2
+    cost bound and skew story) as ``ngram_jaccard_pairs``; only the
+    final filter differs. At open-corpus scale the block column is the
+    LSH band bucket rather than the language.
+    """
+    if cont_num <= 0:
+        raise ValueError("threshold must be positive: zero-overlap pairs are never emitted")
+    norm = normalize_text(F.col(text_col))
+    sets = docs.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col),
+        F.array_distinct(F.transform(word_shingles(words(norm), k), shingle_hash)).alias("_set"),
+    )
+    ex = sets.select(
+        "_blk",
+        F.col(id_col).alias("_id"),
+        F.size("_set").cast("long").alias("_sz"),
+        F.explode("_set").alias("_h"),
+    )
+    a = ex.select("_blk", "_h", F.col("_id").alias("doc_a"), F.col("_sz").alias("_sza"))
+    b = ex.select("_blk", "_h", F.col("_id").alias("doc_b"), F.col("_sz").alias("_szb"))
+    inter = (
+        a.join(b, on=["_blk", "_h"], how="inner")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "_sza", "_szb")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_size"))
+    )
+    cont_a = F.col("inter_size") * F.lit(cont_den) >= F.col("_sza") * F.lit(cont_num)
+    cont_b = F.col("inter_size") * F.lit(cont_den) >= F.col("_szb") * F.lit(cont_num)
+    return inter.select(
+        "doc_a",
+        "doc_b",
+        "inter_size",
+        F.col("_sza").alias("size_a"),
+        F.col("_szb").alias("size_b"),
+        cont_a.cast("long").alias("contained_a"),
+        cont_b.cast("long").alias("contained_b"),
+    ).filter((F.col("contained_a") + F.col("contained_b")) > 0)
+
+
 def boilerplate_scrub(
     docs: DataFrame,
     seg_words: int = 8,

@@ -1,0 +1,69 @@
+"""Integer-exact z-score outlier detection over daily channel volume.
+
+The reference's reporting layer (``src/etl/reporting.py:57-98``, rebuilt
+in ``operators/reporting.py``) rolls events up to channel x day but has
+no notion of "this day is off-trend"; a production marketing pipeline
+needs exactly that (tracking outages, bot storms, double-fired tags).
+This operator flags days whose count deviates from the channel's mean
+by more than 2 sample standard deviations.
+
+Cross-engine exactness (CLAUDE.md float policy): the z-score itself is
+irrational (sqrt), so we never compute it. For day count n over a
+channel with d days, sum S and sum-of-squares Q:
+
+    z^2 > 4  <=>  (n*d - S)^2 * (d - 1)  >  4 * d * (d*Q - S^2)
+
+— both sides exact BIGINTs, so Spark and the DuckDB oracle agree bit
+for bit. The emitted evidence columns are those two integers.
+
+100-TB shape: the daily roll-up is one map-side-combining aggregate;
+the per-channel moment table is |channels| rows — broadcast back onto
+the daily table (explicitly marked). No window over raw events, no
+second scan. Overflow: with n,S <= ~1e9 per channel-day the left side
+is ~1e18*d — promote the moment columns to DECIMAL(38,0) at extreme
+scale (same plan shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def zscore_day_outliers(ev: DataFrame, z_threshold: int = 2) -> DataFrame:
+    """Per (event_type, day): the daily count plus the exact-integer
+    z^2 cross-multiplication evidence and the anomaly flag
+    (|n - mean| > z_threshold * sample stddev, strict)."""
+    # day as 'yyyy-MM-dd' STRING: Spark DATE surfaces as datetime.date
+    # while DuckDB DATE surfaces as datetime64 — the string rendering is
+    # the one representation both engines (and the driver's value hash)
+    # agree on, per the repo's existing day-grain oracles.
+    daily = (
+        ev.select(
+            F.col("event_type").alias("channel"),
+            F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
+        )
+        .groupBy("channel", "event_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    moments = daily.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("_d"),
+        F.sum("n_events").cast("long").alias("_s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("_q"),
+    )
+    j = daily.join(F.broadcast(moments), "channel")
+    dev = F.col("n_events") * F.col("_d") - F.col("_s")
+    num = dev * dev * (F.col("_d") - F.lit(1).cast("long"))
+    den = (
+        F.lit(int(z_threshold) ** 2).cast("long")
+        * F.col("_d")
+        * (F.col("_d") * F.col("_q") - F.col("_s") * F.col("_s"))
+    )
+    return j.select(
+        "channel",
+        "event_day",
+        "n_events",
+        num.cast("long").alias("z2_num"),
+        den.cast("long").alias("z2_den"),
+        (num > den).cast("long").alias("is_anomaly"),
+    )

@@ -228,3 +228,38 @@ def report_summary(report: DataFrame) -> DataFrame:
         F.countDistinct("channel_name").alias("n_channels"),
         F.countDistinct("date").alias("n_dates"),
     )
+
+
+def dormant_users(ev: DataFrame, cutoff: str) -> DataFrame:
+    """Churn-risk audience: users with session activity on/after
+    ``cutoff`` but no purchase on/after it, rolled up by their
+    last-touch channel.
+
+    The no-purchase set is a LEFT ANTI join — the relational complement
+    missing from the reference's join matrix (its reporting joins are
+    all inner/left, ``src/etl/reporting.py:57-98``). Last touch uses a
+    per-user window with a total (ts, event_id) order so equal-ts ties
+    cannot flip across engines or runs.
+
+    100-TB shape: the cutoff predicate pushes to the scan (cast-to-date
+    compare, Catalyst rewrites to a timestamp bound); both the anti
+    join and the window shuffle on user_id, and AQE collapses the two
+    identical-key exchanges at runtime (measured on the funnel twin —
+    see CLAUDE.md perf notes).
+    """
+    from pyspark.sql import Window
+
+    win = ev.filter(F.col("ts").cast("date") >= F.lit(cutoff).cast("date"))
+    sessions = win.filter(F.col("event_type") != "purchase")
+    buyers = win.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    dormant = sessions.join(buyers, "user_id", "left_anti")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    last = (
+        dormant.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n_sess", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .filter(F.col("_rn") == 1)
+    )
+    return last.groupBy(F.col("event_type").alias("last_channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("_n_sess").cast("long").alias("n_sessions"),
+    )

@@ -90,6 +90,77 @@ def kmv_sketch(
 # sketch.
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog register table (cardinality estimation)
+# ---------------------------------------------------------------------------
+#
+# HLL (Flajolet et al. 2007): split the value hash into a register index
+# (top-level bucket) and a payload; each register keeps the maximum
+# rho = (leading zeros of the payload) + 1. Spark's built-in
+# approx_count_distinct IS HyperLogLog++, but its register blob is
+# engine-private — useless for a cross-engine gate — so, exactly like the
+# KMV/CMS sketches above, we materialize the registers as portable
+# integers from the md5 value hash. rho is computed WITHOUT floating
+# log2 (whose rounding at 2^k boundaries differs per libm): for a
+# 52-bit payload w, rho = 53 - bit_length(w), and bit_length is the
+# length of the binary string rendering (Spark ``bin()``, DuckDB
+# ``printf('%b', ..)``) — exact in both engines.
+#
+# 100-TB shape: one map-side-combining MAX aggregate over
+# (group, register) — at most 256 rows per group survive the map side —
+# then a 256-row roll-up per group. Register tables from different
+# partitions/days merge by cellwise MAX (associative), which is the
+# whole point of carrying the sketch instead of the estimate.
+
+
+def hll_register_summary(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per group: the 256-register HLL sketch of ``value_col``,
+    rolled up to exact-integer summary columns.
+
+    Output columns (all exact integers — no float leaves the engine,
+    per the CLAUDE.md cross-engine float policy):
+    - ``n_registers_hit``: registers with >= 1 value (long, <= 256);
+    - ``sum_rho``: sum of the per-register max rho (long);
+    - ``harmonic_s53``: sum over all 256 registers of 2^(53 - rho)
+      with rho = 0 for unhit registers — i.e. the HLL harmonic
+      denominator scaled by 2^53, exact in a long (<= 256 * 2^53 < 2^62).
+      The classic estimate is alpha_256 * 256^2 * 2^53 / harmonic_s53,
+      a client-side division over the emitted integers (see
+      tests/test_round3b_ops.py for the accuracy band).
+    """
+    h = portable_hash60(F.col(value_col).cast("string"))
+    reg = df.select(*[F.col(g) for g in group_cols], h.alias("_h")).select(
+        *group_cols,
+        (F.col("_h") % 256).alias("_reg"),
+        # integer div — double division would round 60-bit hashes
+        F.expr("_h div 256").alias("_w"),
+    )
+    rho = F.when(F.col("_w") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.expr("bin(_w)"))
+    )
+    per_reg = (
+        reg.select(*group_cols, "_reg", rho.alias("_rho"))
+        .groupBy(*group_cols, "_reg")
+        .agg(F.max("_rho").alias("_mr"))
+    )
+    # F.shiftleft takes a literal shift count; a per-row count needs
+    # the SQL form (both are the same JVM expression)
+    term = F.expr("shiftleft(cast(1 as bigint), cast(53 - _mr as int))")
+    return per_reg.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers_hit"),
+        F.sum("_mr").cast("long").alias("sum_rho"),
+        (
+            F.sum(term).cast("long")
+            + (F.lit(256).cast("long") - F.count(F.lit(1)).cast("long"))
+            * F.lit(1 << 53).cast("long")
+        ).alias("harmonic_s53"),
+    )
+
+
 def _cms_bucket(c: Column, row: int, w: int) -> Column:
     return portable_hash60(F.concat(F.lit(f"cms{row}|"), c)) % w
 

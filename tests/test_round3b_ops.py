@@ -1,0 +1,286 @@
+"""Unit tests for the round-3b operators (L70-L79): HLL register
+sketch, z-score day outliers, systematic weighted sampling,
+containment near-dup pairs, dormant users, and invariant checks on the
+relational kernels — each on a handmade fixture with hand-computed
+expectations."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from marketing_attribution_etl_framework__maef_spark.llm.curation import systematic_weighted_sample
+from marketing_attribution_etl_framework__maef_spark.llm.dedup import containment_pairs
+from marketing_attribution_etl_framework__maef_spark.operators.anomaly import zscore_day_outliers
+from marketing_attribution_etl_framework__maef_spark.operators.reporting import dormant_users
+from marketing_attribution_etl_framework__maef_spark.operators.sketches import hll_register_summary
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# HLL registers
+# ---------------------------------------------------------------------------
+
+
+def _hll_expected(values):
+    regs: dict[int, int] = {}
+    for v in set(values):
+        h = _h60(str(v))
+        reg, w = h % 256, h // 256
+        rho = 53 if w == 0 else 53 - w.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    hit = len(regs)
+    s53 = sum(1 << (53 - r) for r in regs.values()) + (256 - hit) * (1 << 53)
+    return hit, sum(regs.values()), s53
+
+
+def test_hll_registers_match_reference_bits(spark):
+    vals = [f"u{i}" for i in range(40)] * 3  # duplicates must not matter
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v string")
+    row = hll_register_summary(df, ["grp"], "v").collect()[0]
+    hit, srho, s53 = _hll_expected(vals)
+    assert row["n_registers_hit"] == hit
+    assert row["sum_rho"] == srho
+    assert row["harmonic_s53"] == s53
+
+
+def test_hll_estimate_accuracy_band(spark):
+    n = 3000
+    df = spark.createDataFrame([("g", f"user-{i}") for i in range(n)], "grp string, v string")
+    row = hll_register_summary(df, ["grp"], "v").collect()[0]
+    m = 256
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m * (1 << 53) / row["harmonic_s53"]
+    # standard error 1.04/sqrt(256) = 6.5%; 3 sigma band
+    assert abs(est - n) / n < 0.20
+
+
+def test_hll_mergeability_by_cellwise_max(spark):
+    # sketch(A ∪ B) == cellwise-max merge of sketch(A) and sketch(B):
+    # verified via the summary of the union equalling the summary
+    # computed from the python-side merged register tables
+    a = [f"a{i}" for i in range(500)]
+    b = [f"b{i}" for i in range(500)] + a[:100]
+    df = spark.createDataFrame(
+        [("u", v) for v in a + b], "grp string, v string"
+    )
+    row = hll_register_summary(df, ["grp"], "v").collect()[0]
+    hit, srho, s53 = _hll_expected(a + b)
+    assert (row["n_registers_hit"], row["sum_rho"], row["harmonic_s53"]) == (hit, srho, s53)
+
+
+# ---------------------------------------------------------------------------
+# z-score day outliers
+# ---------------------------------------------------------------------------
+
+
+def _events_with_daily_counts(spark, counts, channel="click"):
+    rows = []
+    eid = 0
+    for day, n in enumerate(counts):
+        for _ in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + day, 12, 0, 0), eid % 7, channel, 1.0)
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_zscore_flags_the_spike_day(spark):
+    counts = [10] * 10 + [100]
+    ev = _events_with_daily_counts(spark, counts)
+    out = {r["event_day"]: r for r in zscore_day_outliers(ev).collect()}
+    assert len(out) == 11
+    spike = out["2024-01-11"]
+    # hand-computed: d=11, S=200, Q=10*10^2+100^2=11000; dev=900
+    assert spike["n_events"] == 100
+    assert spike["z2_num"] == 900 * 900 * 10
+    assert spike["z2_den"] == 4 * 11 * (11 * 11000 - 200 * 200)
+    assert spike["is_anomaly"] == 1
+    assert all(r["is_anomaly"] == 0 for d, r in out.items() if d != "2024-01-11")
+
+
+def test_zscore_uniform_series_has_no_anomaly(spark):
+    ev = _events_with_daily_counts(spark, [5] * 8)
+    rows = zscore_day_outliers(ev).collect()
+    assert len(rows) == 8
+    assert all(r["is_anomaly"] == 0 and r["z2_num"] == 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# systematic weighted sample
+# ---------------------------------------------------------------------------
+
+
+def _wsamp_reference(docs, k):
+    """Single-pass python reference of the same grid sampling."""
+    keyed = [
+        (_h60(f"{d}|wsamp") % 256, _h60(f"{d}|wsamp"), d, s, w) for d, s, w in docs
+    ]
+    keyed.sort()
+    total = sum(w for *_rest, w in keyed)
+    out = {}
+    c = 0
+    for _b, _h, d, s, w in keyed:
+        lo, c = c, c + w
+        mult = (c * k) // total - (lo * k) // total
+        if mult > 0:
+            out[d] = (s, w, mult)
+    return out
+
+
+def test_weighted_sample_matches_reference_and_sums_to_k(spark):
+    docs = [(i, f"s{i % 3}", 50 + 13 * (i % 7)) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, source string, n_chars long")
+    k = 10
+    got = {
+        r["doc_id"]: (r["source"], r["weight"], r["mult"])
+        for r in systematic_weighted_sample(df, k=k).collect()
+    }
+    assert got == _wsamp_reference(docs, k)
+    assert sum(m for *_x, m in got.values()) == k
+
+
+def test_weighted_sample_heavy_doc_gets_proportional_multiplicity(spark):
+    docs = [(0, "big", 9000)] + [(i, "small", 100) for i in range(1, 11)]
+    df = spark.createDataFrame(docs, "doc_id long, source string, n_chars long")
+    got = {r["doc_id"]: r["mult"] for r in systematic_weighted_sample(df, k=10).collect()}
+    assert got[0] >= 8  # 90% of the weight -> >= 8 of 10 grid points
+    assert sum(got.values()) == 10
+
+
+def test_weighted_sample_is_deterministic(spark):
+    docs = [(i, "s", 10 + i) for i in range(25)]
+    df = spark.createDataFrame(docs, "doc_id long, source string, n_chars long")
+    a = sorted(map(tuple, systematic_weighted_sample(df, k=5).collect()))
+    b = sorted(map(tuple, systematic_weighted_sample(df, k=5).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# containment pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_subset_copy_jaccard_misses(spark):
+    # doc 1 is fully contained in doc 2 (which is 3x larger):
+    # containment(1 in 2) = 1.0 but Jaccard ~ 1/3 — below the usual
+    # 0.3 Jaccard gate at which ngram_jaccard_pairs starts firing.
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    big = small + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, small, "en"), (2, big, "en"), (3, "totally different text here now", "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = containment_pairs(docs, cont_num=4, cont_den=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["contained_a"] == 1 and r["contained_b"] == 0
+    assert r["inter_size"] == r["size_a"]  # full containment
+
+
+def test_containment_blocks_by_lang(spark):
+    t = "one two three four five six"
+    docs = spark.createDataFrame(
+        [(1, t, "en"), (2, t, "de")], "doc_id long, text string, lang string"
+    )
+    assert containment_pairs(docs).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# dormant users
+# ---------------------------------------------------------------------------
+
+
+def test_dormant_users_window_and_last_touch(spark):
+    mk = lambda eid, day, uid, typ: (eid, dt.datetime(2024, 1, day, 10, 0, eid), uid, typ, 1.0)
+    ev = spark.createDataFrame(
+        [
+            mk(1, 20, 1, "click"),      # u1: active + purchased in window
+            mk(2, 21, 1, "purchase"),
+            mk(3, 20, 2, "view"),       # u2: dormant, last touch = signup
+            mk(4, 22, 2, "signup"),
+            mk(5, 2, 3, "click"),       # u3: only active before cutoff
+            mk(6, 21, 4, "purchase"),   # u4: purchase only -> not a session user
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    rows = dormant_users(ev, "2024-01-15").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["last_channel"] == "signup"
+    assert r["n_users"] == 1 and r["n_sessions"] == 2
+
+
+def test_dormant_users_tie_breaks_on_event_id(spark):
+    t = dt.datetime(2024, 1, 20, 10, 0, 0)
+    ev = spark.createDataFrame(
+        [(1, t, 1, "click", 1.0), (2, t, 1, "view", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    rows = dormant_users(ev, "2024-01-15").collect()
+    assert rows[0]["last_channel"] == "view"  # higher event_id wins the tie
+
+
+# ---------------------------------------------------------------------------
+# relational kernels — structural invariants at the smoke SF
+# (value-level correctness is the DuckDB oracle's job)
+# ---------------------------------------------------------------------------
+
+
+def test_rel_market_share_shares_sum_below_one(spark, sf_dir):
+    rows = entrymod.q_rel_market_share(spark, sf_dir).collect()
+    assert rows, "ASIA region must have revenue"
+    total_q20 = sum(r["share_q20"] for r in rows)
+    # floor division: sum in (2^20 - n_rows, 2^20]
+    assert (1 << 20) - len(rows) < total_q20 <= (1 << 20)
+
+
+def test_rel_customer_distribution_accounts_for_every_customer(spark, sf_dir):
+    from marketing_attribution_etl_framework__maef_spark import domain
+
+    rows = entrymod.q_rel_customer_distribution(spark, sf_dir).collect()
+    n_cust = domain.load_table(spark, sf_dir, "customer").count()
+    n_orders = domain.load_table(spark, sf_dir, "orders").count()
+    assert sum(r["custdist"] for r in rows) == n_cust
+    assert sum(r["c_count"] * r["custdist"] for r in rows) == n_orders
+
+
+def test_rel_top_supplier_is_the_argmax(spark, sf_dir):
+    rows = entrymod.q_rel_top_supplier(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    assert len({r["revenue_e4"] for r in rows}) == 1
+
+
+def test_rel_order_priority_bounded_by_window_orders(spark, sf_dir):
+    from marketing_attribution_etl_framework__maef_spark import domain
+
+    rows = entrymod.q_rel_order_priority(spark, sf_dir).collect()
+    in_window = (
+        domain.load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate").cast("date") < F.lit("1996-07-01").cast("date"))
+        )
+        .count()
+    )
+    assert 0 < sum(r["n_orders"] for r in rows) <= in_window
+
+
+def test_rel_nation_margin_broadcasts_the_dimensions(spark, sf_dir):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        entrymod.q_rel_nation_margin(spark, sf_dir).explain(mode="simple")
+    assert buf.getvalue().count("BroadcastHashJoin") >= 2  # part + supplier×nation
