@@ -47,7 +47,10 @@ TABLES = [
 # 100 TB the equivalent move is materializing the three derived MAEF
 # tables once per run via sources.io.Warehouse — same call sites, just
 # swap events() for Warehouse.read.
-_EVENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+# Keyed by applicationId, not id(spark): CPython can reuse a dead
+# session's id for a new one, handing out cached handles bound to a
+# stopped JVM (ADVICE r02; same rationale as the k-means/BPE caches).
+_EVENTS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -75,7 +78,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared, cached events scan all MAEF tables derive from."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _EVENTS_CACHE:
         _EVENTS_CACHE[key] = load_table(spark, sf_dir, "events").cache()
     return _EVENTS_CACHE[key]
