@@ -52,12 +52,21 @@ def _drain(spark) -> None:
     straight into the next timed query (measured: a drain right before
     llm_curate inflated it 5.9s -> 22s). Two collections with a pause:
     the first enqueues the weak references, the pause lets the cleaner
-    drain, the second catches stragglers freed by the first round."""
+    drain, the second catches stragglers freed by the first round.
+    The trailing soak job occupies every executor thread with trivial
+    untimed work, so any still-queued block removals serialize behind
+    it instead of bleeding into the next timed query (sleeps alone
+    proved insufficient when the drain lands next to a
+    localCheckpoint-heavy query — r03: llm_curate 14.5s vs 4.9s
+    steady-state)."""
     gc.collect()
     spark.sparkContext._jvm.System.gc()
     time.sleep(1.25)
     spark.sparkContext._jvm.System.gc()
     time.sleep(0.75)
+    spark.range(0, 32 * 50000, 1, 32).selectExpr("sum(id)").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
 
 def main() -> None:

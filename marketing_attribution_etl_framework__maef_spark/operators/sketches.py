@@ -215,3 +215,97 @@ def cms_estimates(
     joined = probes.join(F.broadcast(cms), on=["row", "bucket"], how="inner")
     others = [c for c in items.columns]
     return joined.groupBy(*others).agg(F.min("cnt").cast("long").alias("cms_est"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (set-membership sketch)
+# ---------------------------------------------------------------------------
+#
+# Bloom (1970): k bit positions per value in an m-bit array; membership
+# probes all k — no false negatives, tunable false-positive rate
+# (1 - e^(-kn/m))^k. Spark's own runtime bloom pushdown
+# (spark.sql.optimizer.runtime.bloomFilter.enabled) covers join
+# pruning INSIDE one engine; this one exists for the cross-engine /
+# cross-run use: the filter is a table of (word_idx, bits) longs built
+# from md5 positions, so it can be persisted, merged across days
+# (cellwise OR), shipped to another engine, or used as a broadcast
+# pre-filter in front of an expensive exact check (e.g. benchmark
+# decontamination: probe the bloom first, run the shingle join only on
+# probable hits).
+#
+# 100-TB shape: building is one map-side-combining BIT_OR aggregate to
+# m/64 rows (a few KB) regardless of input size; probing joins items
+# against the broadcast word table. Merge law: cellwise OR — the same
+# mergeable-sketch contract as KMV/CMS/HLL above.
+
+_BLOOM_SALTS = "bloom"
+
+
+def _bloom_positions(c: Column, k_hashes: int, m_bits: int) -> list[Column]:
+    return [
+        portable_hash60(F.concat(F.lit(f"{_BLOOM_SALTS}{j}|"), c)) % m_bits
+        for j in range(k_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Build the (word_idx, bits) Bloom table over distinct values of
+    ``value_col``. m_bits must be a multiple of 64; only words with at
+    least one set bit are emitted (absent word = 0, the OR identity)."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(value_col).cast("string"), k_hashes, m_bits))
+    ).alias("_p")
+    return (
+        df.select(pos)
+        .select(
+            F.expr("_p div 64").alias("word_idx"),
+            F.expr("shiftleft(cast(1 as bigint), cast(_p % 64 as int))").alias("_bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_bit").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """items plus a ``might_contain`` flag (long 0/1): 1 iff every one
+    of the value's k bits is set. The bloom side is <= m/64 rows —
+    always broadcast; a LEFT join treats missing words as all-zero."""
+    probes = items.select(
+        "*",
+        F.explode(
+            F.array(*_bloom_positions(F.col(value_col).cast("string"), k_hashes, m_bits))
+        ).alias("_p"),
+    ).select(
+        "*",
+        F.expr("_p div 64").alias("word_idx"),
+        F.expr("shiftleft(cast(1 as bigint), cast(_p % 64 as int))").alias("_mask"),
+    )
+    j = probes.join(F.broadcast(bloom), "word_idx", "left")
+    hit = (F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(F.col("_mask")) == F.col("_mask")).cast("int")
+    keys = [c for c in items.columns]
+    return (
+        j.groupBy(*keys)
+        .agg((F.sum(hit) == F.lit(k_hashes)).cast("long").alias("might_contain"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two Bloom tables built with identical (m, k): cellwise OR."""
+    return (
+        a.unionByName(b)
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )

@@ -284,3 +284,51 @@ def test_rel_nation_margin_broadcasts_the_dimensions(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         entrymod.q_rel_nation_margin(spark, sf_dir).explain(mode="simple")
     assert buf.getvalue().count("BroadcastHashJoin") >= 2  # part + supplier×nation
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_has_no_false_negatives(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    vals = spark.createDataFrame([(f"v{i}",) for i in range(500)], "v string")
+    bloom = bloom_build(vals, "v")
+    flags = bloom_might_contain(bloom, vals, "v").collect()
+    assert len(flags) == 500
+    assert all(r["might_contain"] == 1 for r in flags)
+
+
+def test_bloom_false_positive_rate_in_band(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    ins = spark.createDataFrame([(f"in{i}",) for i in range(500)], "v string")
+    out = spark.createDataFrame([(f"out{i}",) for i in range(1000)], "v string")
+    bloom = bloom_build(ins, "v")
+    fp = sum(r["might_contain"] for r in bloom_might_contain(bloom, out, "v").collect())
+    # theoretical FPR for n=500, m=8192, k=4 is ~0.2%; allow 2%
+    assert fp <= 20
+
+
+def test_bloom_merge_equals_union_build(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.sketches import bloom_build, bloom_merge
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(100)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(100)], "v string")
+    merged = {
+        (r["word_idx"], r["bits"]) for r in bloom_merge(bloom_build(a, "v"), bloom_build(b, "v")).collect()
+    }
+    direct = {(r["word_idx"], r["bits"]) for r in bloom_build(a.union(b), "v").collect()}
+    assert merged == direct
+
+
+def test_bloom_rejects_bad_width(spark):
+    import pytest as _pytest
+
+    from marketing_attribution_etl_framework__maef_spark.operators.sketches import bloom_build
+
+    df = spark.createDataFrame([("x",)], "v string")
+    with _pytest.raises(ValueError):
+        bloom_build(df, "v", m_bits=100)
