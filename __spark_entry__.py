@@ -600,14 +600,27 @@ def q_stream_journey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lookback_days=LOOKBACK_DAYS,
     )
     name = "stream_journey_join"
-    q = (
-        j.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # A streaming query's state partition count is frozen from
+    # spark.sql.shuffle.partitions at first start, and a stream-stream
+    # join commits FOUR state stores per partition per micro-batch —
+    # at 32 partitions that is 128 store commits of a few MB of state,
+    # pure fixed overhead at harness scale (A/B at sf0.1: ~10s at 32
+    # partitions, ~5s at 8; 4 is noisy). Production sizes this to
+    # state volume per partition, not to the session's relational
+    # shuffle width, which is exactly what this override expresses.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            j.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # move the result out of the memory sink (which would otherwise
     # pin the full pair set in driver memory for the session's life)
     out = spark.table(name).localCheckpoint()
