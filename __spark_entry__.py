@@ -1781,6 +1781,60 @@ def q_dormant_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rpt.dormant_users(domain.events(spark, sf_dir), "2024-01-28")
 
 
+def q_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L81: time-spine gap filling (operators/timeseries.py
+    fill_daily_gaps): dense channel x day frame over the event window
+    with zero-filled session counts and a forward-filled daily-max
+    value level — the dashboard-correct dense series the reference's
+    sparse channel report cannot produce. Registered behind the gate
+    window this round (r04 rotation candidate); crosschecked locally."""
+    from marketing_attribution_etl_framework__maef_spark.operators import timeseries as tsx
+
+    ev = domain.events(spark, sf_dir).filter(F.col("event_type") != "purchase")
+    daily = ev.groupBy(
+        F.col("event_type").alias("channel"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.max(F.round(F.col("value") * 100, 0).cast("long")).alias("max_cents"),
+    )
+    return tsx.fill_daily_gaps(
+        daily,
+        ["channel"],
+        "day",
+        "2024-01-01",
+        "2024-01-30",
+        zero_cols=["n_sessions"],
+        ffill_cols=["max_cents"],
+    )
+
+
+def q_fuzzy_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L82: edit-distance channel reconciliation (operators/fuzzy.py
+    fuzzy_best_match): deterministic dirty variants of every channel
+    label (suffix 'x', first char dropped, 'zz' prefix, plus one
+    unmatchable noise label) resolved to the canonical dimension by
+    minimum Levenshtein within 2 edits, length-band blocked. Registered
+    behind the gate window this round (r04 rotation candidate)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import fuzzy as fz
+
+    canon = (
+        domain.events(spark, sf_dir)
+        .select(F.col("event_type").alias("channel"))
+        .distinct()
+    )
+    variants = canon.select(
+        F.explode(
+            F.array(
+                F.concat(F.col("channel"), F.lit("x")),
+                F.expr("substr(channel, 2)"),
+                F.concat(F.lit("zz"), F.col("channel")),
+            )
+        ).alias("name")
+    ).union(spark.createDataFrame([("qqqqqqqq",)], "name string"))
+    return fz.fuzzy_best_match(variants, canon, "name", "channel", max_distance=2)
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L79: asymmetric shingle-containment near-dup pairs
     (llm/dedup.py containment_pairs) over the augmented corpus — the
@@ -4034,6 +4088,52 @@ WHERE (CASE WHEN inter_size * 5 >= sza * 4 THEN 1 ELSE 0 END
 """
 
 
+_ORACLE_FILL_GAPS = """
+WITH spine AS (
+  SELECT ch.channel, strftime(dd.d, '%Y-%m-%d') AS day
+  FROM (SELECT DISTINCT event_type AS channel FROM events
+        WHERE event_type <> 'purchase') ch,
+       (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                      INTERVAL 1 DAY)) AS d) dd
+),
+daily AS (
+  SELECT event_type AS channel,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_raw,
+         CAST(MAX(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS max_cents_raw
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+)
+SELECT s.channel, s.day,
+       COALESCE(d.n_raw, 0) AS n_sessions,
+       CAST(last_value(d.max_cents_raw IGNORE NULLS) OVER (
+         PARTITION BY s.channel ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS max_cents
+FROM spine s LEFT JOIN daily d ON s.channel = d.channel AND s.day = d.day
+"""
+
+_ORACLE_FUZZY_CHANNELS = """
+WITH canon AS (SELECT DISTINCT event_type AS channel FROM events),
+variants AS (
+  SELECT channel || 'x' AS dirty FROM canon
+  UNION SELECT substr(channel, 2) FROM canon
+  UNION SELECT 'zz' || channel FROM canon
+  UNION SELECT 'qqqqqqqq'
+),
+scored AS (
+  SELECT v.dirty, c.channel AS canonical,
+         CAST(levenshtein(v.dirty, c.channel) AS BIGINT) AS distance
+  FROM variants v JOIN canon c
+    ON abs(length(v.dirty) - length(c.channel)) <= 2
+  WHERE levenshtein(v.dirty, c.channel) <= 2
+)
+SELECT dirty, canonical, distance FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty
+            ORDER BY distance, canonical) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4159,6 +4259,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_session_asof": q_session_asof,
         "maef_session_asof_forward": q_session_asof_forward,
         "maef_sessionize_batch": q_sessionize_batch,
+        # L81/L82: behind the (full) 50-entry gate window this round —
+        # crosschecked locally; rotate to the front in r04
+        "maef_fill_gaps": q_fill_gaps,
+        "maef_fuzzy_channels": q_fuzzy_channels,
     }
 
 
@@ -4262,6 +4366,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
         "maef_dormant_users": _ORACLE_DORMANT,
         "llm_containment": _ORACLE_CONTAINMENT,
+        "maef_fill_gaps": _ORACLE_FILL_GAPS,
+        "maef_fuzzy_channels": _ORACLE_FUZZY_CHANNELS,
         "llm_multimodal_meta": _ORACLE_MM_META,
         # the mapInPandas path IS value-checked via the exact-integer
         # stripe summary (same Arrow plumbing, no float output):

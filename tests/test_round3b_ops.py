@@ -332,3 +332,85 @@ def test_bloom_rejects_bad_width(spark):
     df = spark.createDataFrame([("x",)], "v string")
     with _pytest.raises(ValueError):
         bloom_build(df, "v", m_bits=100)
+
+
+# ---------------------------------------------------------------------------
+# time-spine gap filling
+# ---------------------------------------------------------------------------
+
+
+def test_fill_daily_gaps_zero_and_ffill(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.timeseries import fill_daily_gaps
+
+    facts = spark.createDataFrame(
+        [
+            ("a", "2024-01-01", 5, 100),
+            ("a", "2024-01-03", 7, 130),
+            ("b", "2024-01-02", 1, 10),
+        ],
+        "channel string, day string, n long, level long",
+    )
+    out = {
+        (r["channel"], r["day"]): (r["n"], r["level"])
+        for r in fill_daily_gaps(
+            facts, ["channel"], "day", "2024-01-01", "2024-01-04",
+            zero_cols=["n"], ffill_cols=["level"],
+        ).collect()
+    }
+    assert len(out) == 8  # 2 channels x 4 days, dense
+    assert out[("a", "2024-01-02")] == (0, 100)   # zero-fill + carry
+    assert out[("a", "2024-01-03")] == (7, 130)
+    assert out[("a", "2024-01-04")] == (0, 130)   # carried forward
+    assert out[("b", "2024-01-01")] == (0, None)  # before first obs
+    assert out[("b", "2024-01-04")] == (0, 10)
+
+
+def test_day_spine_is_inclusive_and_dense(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.timeseries import day_spine
+
+    keys = spark.createDataFrame([("x",), ("y",)], "k string")
+    rows = day_spine(keys, "2024-02-27", "2024-03-02").collect()
+    assert len(rows) == 2 * 5  # leap-year Feb 29 included
+    days = sorted({r["day"] for r in rows})
+    assert days == ["2024-02-27", "2024-02-28", "2024-02-29", "2024-03-01", "2024-03-02"]
+
+
+# ---------------------------------------------------------------------------
+# fuzzy best match
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_best_match_picks_min_distance(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.fuzzy import fuzzy_best_match
+
+    dirty = spark.createDataFrame(
+        [("payperclick",), ("e-mail",), ("zzzzz",)], "name string"
+    )
+    canon = spark.createDataFrame(
+        [("pay-per-click",), ("email",), ("affiliate",)], "channel string"
+    )
+    got = {
+        r["dirty"]: (r["canonical"], r["distance"])
+        for r in fuzzy_best_match(dirty, canon, "name", "channel", max_distance=3).collect()
+    }
+    assert got["payperclick"] == ("pay-per-click", 2)
+    assert got["e-mail"] == ("email", 1)
+    assert "zzzzz" not in got  # nothing within budget
+
+
+def test_fuzzy_best_match_tie_breaks_alphabetically(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.fuzzy import fuzzy_best_match
+
+    dirty = spark.createDataFrame([("ac",)], "name string")
+    canon = spark.createDataFrame([("ab",), ("aa",)], "channel string")  # both distance 1
+    rows = fuzzy_best_match(dirty, canon, "name", "channel").collect()
+    assert rows[0]["canonical"] == "aa"
+
+
+def test_fuzzy_length_band_excludes_impossible_pairs(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.fuzzy import fuzzy_best_match
+
+    dirty = spark.createDataFrame([("ab",)], "name string")
+    canon = spark.createDataFrame([("abcdefgh",)], "channel string")
+    # length gap 6 > max_distance 3: blocked before any comparison
+    assert fuzzy_best_match(dirty, canon, "name", "channel", max_distance=3).count() == 0
