@@ -1835,6 +1835,41 @@ def q_fuzzy_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fz.fuzzy_best_match(variants, canon, "name", "channel", max_distance=2)
 
 
+def q_bloom_converters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L80: Bloom-filter membership screen (operators/sketches.py
+    bloom_build/bloom_might_contain): build the 8192-bit filter over
+    purchasing user_ids, probe every session user, and report per
+    channel the session count, Bloom hit count, and exact hit count —
+    bloom_hits >= exact_hits always (no false negatives), and the gap
+    is the false-positive mass the broadcast pre-filter would let
+    through to an exact join. Registered behind the gate window this
+    round (r04 rotation candidate)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import sketches as sk
+
+    ev = domain.events(spark, sf_dir)
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    bloom = sk.bloom_build(buyers, "user_id")
+    sess = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("event_type").alias("channel"), "user_id"
+    )
+    probed = sk.bloom_might_contain(bloom, sess.distinct(), "user_id")
+    exact = buyers.withColumn("_is_buyer", F.lit(1).cast("long"))
+    joined = (
+        sess.join(probed, ["channel", "user_id"])
+        .join(exact, "user_id", "left")
+        .select(
+            "channel",
+            "might_contain",
+            F.coalesce("_is_buyer", F.lit(0).cast("long")).alias("_b"),
+        )
+    )
+    return joined.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("might_contain").cast("long").alias("bloom_hits"),
+        F.sum("_b").cast("long").alias("exact_hits"),
+    )
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L79: asymmetric shingle-containment near-dup pairs
     (llm/dedup.py containment_pairs) over the augmented corpus — the
@@ -4088,6 +4123,56 @@ WHERE (CASE WHEN inter_size * 5 >= sza * 4 THEN 1 ELSE 0 END
 """
 
 
+# Bloom: positions = md5_60('bloom{j}|' || v) % 8192, j = 0..3;
+# word = p div 62, bit = p % 62 (62-bit words: DuckDB raises on a
+# shift into the sign bit); build = BIT_OR of 1<<bit per word.
+_ORACLE_BLOOM_CONVERTERS = """
+WITH buyers AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events
+  WHERE event_type = 'purchase'
+),
+positions AS (
+  SELECT CAST('0x' || substr(md5('bloom' || j || '|' || v), 1, 15) AS BIGINT) % 8192 AS p
+  FROM buyers, (SELECT unnest(range(0, 4)) AS j)
+),
+bloom AS (
+  SELECT p // 62 AS word_idx, bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INTEGER)) AS bits
+  FROM positions GROUP BY 1
+),
+sess AS (
+  SELECT DISTINCT event_type AS channel, CAST(user_id AS VARCHAR) AS v
+  FROM events WHERE event_type <> 'purchase'
+),
+probe AS (
+  SELECT s.channel, s.v,
+         CAST('0x' || substr(md5('bloom' || j.j || '|' || s.v), 1, 15) AS BIGINT) % 8192 AS p
+  FROM sess s, (SELECT unnest(range(0, 4)) AS j) j
+),
+hits AS (
+  SELECT pr.channel, pr.v,
+         CASE WHEN COUNT(*) FILTER (WHERE
+           (COALESCE(b.bits, 0) & (CAST(1 AS BIGINT) << CAST(pr.p % 62 AS INTEGER)))
+             = (CAST(1 AS BIGINT) << CAST(pr.p % 62 AS INTEGER))) = 4
+         THEN 1 ELSE 0 END AS might_contain
+  FROM probe pr LEFT JOIN bloom b ON pr.p // 62 = b.word_idx
+  GROUP BY 1, 2
+),
+flagged AS (
+  SELECT e.event_type AS channel, CAST(e.user_id AS VARCHAR) AS v,
+         h.might_contain,
+         CASE WHEN bu.v IS NULL THEN 0 ELSE 1 END AS is_buyer
+  FROM events e
+  JOIN hits h ON h.channel = e.event_type AND h.v = CAST(e.user_id AS VARCHAR)
+  LEFT JOIN buyers bu ON bu.v = CAST(e.user_id AS VARCHAR)
+  WHERE e.event_type <> 'purchase'
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(might_contain) AS BIGINT) AS bloom_hits,
+       CAST(SUM(is_buyer) AS BIGINT) AS exact_hits
+FROM flagged GROUP BY 1
+"""
+
 _ORACLE_FILL_GAPS = """
 WITH spine AS (
   SELECT ch.channel, strftime(dd.d, '%Y-%m-%d') AS day
@@ -4263,6 +4348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crosschecked locally; rotate to the front in r04
         "maef_fill_gaps": q_fill_gaps,
         "maef_fuzzy_channels": q_fuzzy_channels,
+        "llm_bloom_converters": q_bloom_converters,
     }
 
 
@@ -4368,6 +4454,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_containment": _ORACLE_CONTAINMENT,
         "maef_fill_gaps": _ORACLE_FILL_GAPS,
         "maef_fuzzy_channels": _ORACLE_FUZZY_CHANNELS,
+        "llm_bloom_converters": _ORACLE_BLOOM_CONVERTERS,
         "llm_multimodal_meta": _ORACLE_MM_META,
         # the mapInPandas path IS value-checked via the exact-integer
         # stripe summary (same Arrow plumbing, no float output):

@@ -255,18 +255,23 @@ def bloom_build(
     k_hashes: int = 4,
 ) -> DataFrame:
     """Build the (word_idx, bits) Bloom table over distinct values of
-    ``value_col``. m_bits must be a multiple of 64; only words with at
-    least one set bit are emitted (absent word = 0, the OR identity)."""
-    if m_bits % 64:
-        raise ValueError("m_bits must be a multiple of 64")
+    ``value_col``. Only words with at least one set bit are emitted
+    (absent word = 0, the OR identity).
+
+    Words pack 62 bits, not 64: DuckDB's ``<<`` raises on a shift into
+    the sign bit (1 << 63) while Spark's wraps silently — 62-bit words
+    keep every mask a positive long in BOTH engines, the same
+    avoid-the-edge rule as the repo's 60-bit md5 hashes."""
+    if m_bits <= 0:
+        raise ValueError("m_bits must be positive")
     pos = F.explode(
         F.array(*_bloom_positions(F.col(value_col).cast("string"), k_hashes, m_bits))
     ).alias("_p")
     return (
         df.select(pos)
         .select(
-            F.expr("_p div 64").alias("word_idx"),
-            F.expr("shiftleft(cast(1 as bigint), cast(_p % 64 as int))").alias("_bit"),
+            F.expr("_p div 62").alias("word_idx"),
+            F.expr("shiftleft(cast(1 as bigint), cast(_p % 62 as int))").alias("_bit"),
         )
         .groupBy("word_idx")
         .agg(F.bit_or("_bit").alias("bits"))
@@ -290,8 +295,8 @@ def bloom_might_contain(
         ).alias("_p"),
     ).select(
         "*",
-        F.expr("_p div 64").alias("word_idx"),
-        F.expr("shiftleft(cast(1 as bigint), cast(_p % 64 as int))").alias("_mask"),
+        F.expr("_p div 62").alias("word_idx"),
+        F.expr("shiftleft(cast(1 as bigint), cast(_p % 62 as int))").alias("_mask"),
     )
     j = probes.join(F.broadcast(bloom), "word_idx", "left")
     hit = (F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(F.col("_mask")) == F.col("_mask")).cast("int")

@@ -331,7 +331,7 @@ def test_bloom_rejects_bad_width(spark):
 
     df = spark.createDataFrame([("x",)], "v string")
     with _pytest.raises(ValueError):
-        bloom_build(df, "v", m_bits=100)
+        bloom_build(df, "v", m_bits=0)
 
 
 # ---------------------------------------------------------------------------
