@@ -1870,6 +1870,90 @@ def q_bloom_converters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L83: incremental aggregate maintenance (operators/ivm.py):
+    materialize the channel x day report over history (ts before
+    2024-01-20), then apply ONE signed delta batch — the later events
+    as inserts plus a deterministic retraction set (old rows with
+    event_id % 97 == 0) as deletes — without rescanning history. The
+    maintained table must EQUAL a from-scratch recompute over the final
+    fact set, which is the oracle. Registered behind the gate window
+    this round (r04 rotation candidate)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import ivm
+
+    ev = domain.events(spark, sf_dir)
+    cutoff = F.lit("2024-01-20").cast("date")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    sum_cols = {"value_cents": cents}
+
+    def shape(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("event_type").alias("channel"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "value",
+            "event_id",
+        )
+
+    old = shape(ev.filter(F.col("ts").cast("date") < cutoff))
+    fresh = shape(ev.filter(F.col("ts").cast("date") >= cutoff))
+    base = ivm.aggregate_snapshot(old, ["channel", "day"], sum_cols)
+    delta = fresh.withColumn("op", F.lit(1)).unionByName(
+        old.filter(F.col("event_id") % 97 == 0).withColumn("op", F.lit(-1))
+    )
+    return ivm.apply_aggregate_delta(base, delta, ["channel", "day"], sum_cols)
+
+
+def q_channel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L84: UNPIVOT/melt — the inverse reshape of q_channel_pivot: the
+    12 month columns fold back to (channel, month, cents) rows, and
+    the round trip must reproduce the plain long-form GROUP BY, which
+    is the oracle. Spark lowers unpivot to an expression-level
+    expand — one pass, no shuffle beyond the pivot's own. Zero cells
+    are kept (the dense matrix is the pivot's contract); the oracle
+    cross-joins the fixed month universe. Registered behind the gate
+    window this round (r04 rotation candidate)."""
+    wide = q_channel_pivot(spark, sf_dir)
+    months = [f"m{m:02d}" for m in range(1, 13)]
+    return wide.unpivot(
+        ids=["channel_name"],
+        values=months,
+        variableColumnName="month",
+        valueColumnName="cents",
+    ).select(
+        "channel_name",
+        F.expr("substr(month, 2)").alias("month"),
+        F.col("cents").cast("long").alias("cents"),
+    )
+
+
+def q_audience_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L85: set operations over user audiences (SURVEY §2.5) — the
+    INTERSECT / EXCEPT / UNION cardinalities between the click and
+    view audiences, computed with Spark's native set operators (which
+    lower to aggregate/join plans, shuffling only distinct user ids).
+    Registered behind the gate window this round (r04 rotation
+    candidate)."""
+    ev = domain.events(spark, sf_dir)
+
+    def aud(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select("user_id")
+
+    click, view = aud("click"), aud("view")
+    rows = [
+        ("click_and_view", click.intersect(view)),
+        ("click_not_view", click.distinct().exceptAll(view.distinct())),
+        ("view_not_click", view.distinct().exceptAll(click.distinct())),
+        ("click_or_view", click.union(view).distinct()),
+    ]
+    out = None
+    for name, df in rows:
+        part = df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(name).alias("audience"), "n_users"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L79: asymmetric shingle-containment near-dup pairs
     (llm/dedup.py containment_pairs) over the augmented corpus — the
@@ -4123,6 +4207,53 @@ WHERE (CASE WHEN inter_size * 5 >= sza * 4 THEN 1 ELSE 0 END
 """
 
 
+_ORACLE_CHANNEL_UNPIVOT = """
+WITH sess AS (
+  SELECT event_type AS channel_name, strftime(ts, '%m') AS month,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type <> 'purchase'
+),
+universe AS (
+  SELECT c.channel_name, lpad(CAST(m.m AS VARCHAR), 2, '0') AS month
+  FROM (SELECT DISTINCT channel_name FROM sess) c,
+       (SELECT unnest(range(1, 13)) AS m) m
+)
+SELECT u.channel_name, u.month,
+       CAST(COALESCE(SUM(s.cents), 0) AS BIGINT) AS cents
+FROM universe u LEFT JOIN sess s
+  ON u.channel_name = s.channel_name AND u.month = s.month
+GROUP BY 1, 2
+"""
+
+_ORACLE_AUDIENCE_SETOPS = """
+WITH click AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     vw    AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+SELECT 'click_and_view' AS audience,
+       CAST((SELECT COUNT(*) FROM click WHERE user_id IN (SELECT user_id FROM vw)) AS BIGINT) AS n_users
+UNION ALL
+SELECT 'click_not_view',
+       CAST((SELECT COUNT(*) FROM click WHERE user_id NOT IN (SELECT user_id FROM vw)) AS BIGINT)
+UNION ALL
+SELECT 'view_not_click',
+       CAST((SELECT COUNT(*) FROM vw WHERE user_id NOT IN (SELECT user_id FROM click)) AS BIGINT)
+UNION ALL
+SELECT 'click_or_view',
+       CAST((SELECT COUNT(DISTINCT user_id) FROM (SELECT user_id FROM click UNION SELECT user_id FROM vw)) AS BIGINT)
+"""
+
+# IVM parity: the incrementally-maintained aggregate must equal a
+# from-scratch recompute over the final fact set (old rows minus the
+# event_id % 97 retractions, plus everything on/after the cutoff).
+_ORACLE_IVM_REPORT = """
+SELECT event_type AS channel,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE CAST(ts AS DATE) >= DATE '2024-01-20' OR event_id % 97 <> 0
+GROUP BY 1, 2
+"""
+
 # Bloom: positions = md5_60('bloom{j}|' || v) % 8192, j = 0..3;
 # word = p div 62, bit = p % 62 (62-bit words: DuckDB raises on a
 # shift into the sign bit); build = BIT_OR of 1<<bit per word.
@@ -4349,6 +4480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_fill_gaps": q_fill_gaps,
         "maef_fuzzy_channels": q_fuzzy_channels,
         "llm_bloom_converters": q_bloom_converters,
+        "maef_ivm_report": q_ivm_report,
+        "maef_channel_unpivot": q_channel_unpivot,
+        "maef_audience_setops": q_audience_setops,
     }
 
 
@@ -4455,6 +4589,9 @@ def oracle_sql() -> dict[str, str]:
         "maef_fill_gaps": _ORACLE_FILL_GAPS,
         "maef_fuzzy_channels": _ORACLE_FUZZY_CHANNELS,
         "llm_bloom_converters": _ORACLE_BLOOM_CONVERTERS,
+        "maef_ivm_report": _ORACLE_IVM_REPORT,
+        "maef_channel_unpivot": _ORACLE_CHANNEL_UNPIVOT,
+        "maef_audience_setops": _ORACLE_AUDIENCE_SETOPS,
         "llm_multimodal_meta": _ORACLE_MM_META,
         # the mapInPandas path IS value-checked via the exact-integer
         # stripe summary (same Arrow plumbing, no float output):

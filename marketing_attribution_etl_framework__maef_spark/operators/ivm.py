@@ -1,0 +1,74 @@
+"""Incremental (materialized-view) aggregate maintenance.
+
+The reference recomputes ``channel_reporting`` from scratch every run
+(``src/etl/reporting.py:57-98``); its only concession to increments is
+re-running over a date window. The standard warehouse upgrade is
+delta maintenance: keep the materialized aggregate, and on each batch
+apply only the CHANGE — never rescan history.
+
+For the distributive aggregates this engine reports (COUNT, SUM of
+integer units), maintenance is exact algebra over signed deltas:
+
+    count' = count + Σ op        (op = +1 insert, -1 delete/retract)
+    sum'   = sum   + Σ op * x    (an update = retract old + insert new)
+
+and a group whose count' reaches 0 is dropped (it no longer exists,
+which a recompute would also show). MIN/MAX are NOT maintainable this
+way under deletes (they need a recompute of the affected group) —
+callers wanting them list the group keys with count' changes and
+recompute just those groups.
+
+100-TB shape: the delta batch aggregates map-side to at most
+|changed groups| rows, then one outer-merge join against the
+materialized table on the group key — cost proportional to the CHANGE,
+not to history. This is exactly the foreachBatch shape of
+``streaming/incremental.py`` (the attribution upsert), generalized to
+any distributive aggregate; parity with full recompute is the oracle
+(``maef_ivm_report``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def aggregate_snapshot(
+    facts: DataFrame, group_cols: list[str], sum_cols: dict[str, object]
+) -> DataFrame:
+    """The materialized aggregate: per group, ``n`` (long) plus one
+    summed column per ``sum_cols`` entry (name -> Column expression)."""
+    return facts.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[F.sum(expr).cast("long").alias(name) for name, expr in sum_cols.items()],
+    )
+
+
+def apply_aggregate_delta(
+    agg: DataFrame,
+    delta: DataFrame,
+    group_cols: list[str],
+    sum_cols: dict[str, object],
+    op_col: str = "op",
+) -> DataFrame:
+    """Maintain ``agg`` (as produced by ``aggregate_snapshot``) under a
+    signed delta batch: ``delta`` holds fact-shaped rows plus ``op_col``
+    in {+1, -1}. Groups whose maintained count reaches 0 are dropped."""
+    op = F.col(op_col).cast("long")
+    d = delta.groupBy(*group_cols).agg(
+        F.sum(op).alias("_dn"),
+        *[F.sum(op * expr).alias(f"_d_{name}") for name, expr in sum_cols.items()],
+    )
+    merged = agg.join(d, on=group_cols, how="full_outer")
+    zero = F.lit(0).cast("long")
+    out = merged.select(
+        *group_cols,
+        (F.coalesce(F.col("n"), zero) + F.coalesce(F.col("_dn"), zero)).alias("n"),
+        *[
+            (
+                F.coalesce(F.col(name), zero) + F.coalesce(F.col(f"_d_{name}"), zero)
+            ).alias(name)
+            for name in sum_cols
+        ],
+    )
+    return out.filter(F.col("n") > 0)

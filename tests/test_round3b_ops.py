@@ -414,3 +414,52 @@ def test_fuzzy_length_band_excludes_impossible_pairs(spark):
     canon = spark.createDataFrame([("abcdefgh",)], "channel string")
     # length gap 6 > max_distance 3: blocked before any comparison
     assert fuzzy_best_match(dirty, canon, "name", "channel", max_distance=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+
+def _ivm_mod():
+    from marketing_attribution_etl_framework__maef_spark.operators import ivm
+
+    return ivm
+
+
+def test_ivm_matches_recompute_with_inserts_deletes_updates(spark):
+    ivm = _ivm_mod()
+    old = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5), ("c", 7)], "g string, x long"
+    )
+    sum_cols = {"sx": F.col("x")}
+    base = ivm.aggregate_snapshot(old, ["g"], sum_cols)
+    # delete one 'a' row; update the 'b' row 5 -> 9 (retract + insert);
+    # delete ALL of 'c' (group must drop); insert a brand-new group 'd'
+    delta = spark.createDataFrame(
+        [
+            ("a", 10, -1),
+            ("b", 5, -1),
+            ("b", 9, 1),
+            ("c", 7, -1),
+            ("d", 3, 1),
+        ],
+        "g string, x long, op int",
+    )
+    got = {
+        r["g"]: (r["n"], r["sx"])
+        for r in ivm.apply_aggregate_delta(base, delta, ["g"], sum_cols).collect()
+    }
+    assert got == {"a": (1, 20), "b": (1, 9), "d": (1, 3)}  # c dropped
+
+
+def test_ivm_empty_delta_is_identity(spark):
+    ivm = _ivm_mod()
+    old = spark.createDataFrame([("a", 1), ("b", 2)], "g string, x long")
+    sum_cols = {"sx": F.col("x")}
+    base = ivm.aggregate_snapshot(old, ["g"], sum_cols)
+    empty = spark.createDataFrame([], "g string, x long, op int")
+    got = sorted(
+        map(tuple, ivm.apply_aggregate_delta(base, empty, ["g"], sum_cols).collect())
+    )
+    assert got == sorted(map(tuple, base.collect()))
