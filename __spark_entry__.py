@@ -1954,6 +1954,16 @@ def q_audience_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_pagerank_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L86: PageRank centrality over the channel handoff graph
+    (operators/markov.py pagerank_channels): fixed-20-iteration q20
+    integer power method with exact 17/20 damping, per-term floors —
+    bit-equal to the unrolled-SQL oracle. The bounded-matrix driver
+    solve follows removal_effects. Registered behind the gate window
+    this round (r04 rotation candidate)."""
+    return mkv.pagerank_channels(_journeys(spark, sf_dir))
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L79: asymmetric shingle-containment near-dup pairs
     (llm/dedup.py containment_pairs) over the augmented corpus — the
@@ -3826,6 +3836,65 @@ FROM res r, (SELECT absorption_q20 AS a FROM res WHERE rm = '(none)') f
 
 _ORACLE_MARKOV_REMOVAL = _markov_removal_oracle_sql(25)
 
+
+def _pagerank_oracle_sql(iterations: int = 20) -> str:
+    """Unrolled-SQL twin of operators/markov.py pagerank_channels: q20
+    integer power method with per-term floors (one per inbound edge,
+    one for the pooled dangling mass). Every pr_k is referenced twice
+    per round (inbound sum + dangling sum) -> MATERIALIZED, per the
+    CLAUDE.md exponential-CTE rule."""
+    rounds = []
+    for k in range(iterations):
+        rounds.append(f"""
+pr{k + 1} AS MATERIALIZED (
+  SELECT nd.ch,
+         CAST((3 * 1048576) // (20 * nn.n)
+              + COALESCE(inb.v, 0)
+              + (17 * dang.s) // (20 * nn.n) AS BIGINT) AS p
+  FROM nodes nd
+  CROSS JOIN nn
+  LEFT JOIN (
+    SELECT t.dst AS ch,
+           CAST(SUM((17 * p.p * t.n) // (20 * d.deg)) AS BIGINT) AS v
+    FROM t JOIN pr{k} p ON p.ch = t.src JOIN deg d ON d.ch = t.src
+    GROUP BY 1
+  ) inb ON inb.ch = nd.ch
+  CROSS JOIN (
+    SELECT CAST(COALESCE(SUM(p.p), 0) AS BIGINT) AS s
+    FROM pr{k} p LEFT JOIN deg d ON d.ch = p.ch
+    WHERE d.ch IS NULL
+  ) dang
+)""")
+    return f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+ordered AS (
+  SELECT conversion_id, channel_label,
+         LAG(channel_label) OVER w AS prev,
+         LEAD(channel_label) OVER w AS nxt
+  FROM journeys
+  WINDOW w AS (PARTITION BY conversion_id ORDER BY event_ts, session_id)
+),
+tr AS (
+  SELECT COALESCE(prev, '(start)') AS src, channel_label AS dst FROM ordered
+  UNION ALL
+  SELECT channel_label AS src, '(conversion)' AS dst FROM ordered WHERE nxt IS NULL
+),
+tall AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2),
+t AS MATERIALIZED (
+  SELECT * FROM tall WHERE src <> '(start)' AND dst <> '(conversion)'
+),
+nodes AS MATERIALIZED (SELECT src AS ch FROM t UNION SELECT dst FROM t),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+deg AS MATERIALIZED (SELECT src AS ch, CAST(SUM(n) AS BIGINT) AS deg FROM t GROUP BY 1),
+pr0 AS MATERIALIZED (
+  SELECT ch, CAST(1048576 // nn.n AS BIGINT) AS p FROM nodes, nn
+),{",".join(rounds)}
+SELECT ch AS channel, p AS pagerank_q20 FROM pr{iterations}
+"""
+
+
+_ORACLE_PAGERANK = _pagerank_oracle_sql(20)
+
 # exact integer Shapley over the 4-channel coalition lattice;
 # weights s!(3-s)! = 6,2,2,6; denom 4! = 24
 _ORACLE_SHAPLEY = f"""
@@ -4483,6 +4552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_ivm_report": q_ivm_report,
         "maef_channel_unpivot": q_channel_unpivot,
         "maef_audience_setops": q_audience_setops,
+        "maef_pagerank_channels": q_pagerank_channels,
     }
 
 
@@ -4592,6 +4662,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_ivm_report": _ORACLE_IVM_REPORT,
         "maef_channel_unpivot": _ORACLE_CHANNEL_UNPIVOT,
         "maef_audience_setops": _ORACLE_AUDIENCE_SETOPS,
+        "maef_pagerank_channels": _ORACLE_PAGERANK,
         "llm_multimodal_meta": _ORACLE_MM_META,
         # the mapInPandas path IS value-checked via the exact-integer
         # stripe summary (same Arrow plumbing, no float output):

@@ -124,3 +124,70 @@ def removal_effects(
     return journeys.sparkSession.createDataFrame(
         rows, "removed_channel string, absorption_q20 long, removal_q20 long"
     )
+
+
+def pagerank_channels(
+    journeys: DataFrame,
+    iterations: int = 20,
+    part_col: str = "conversion_id",
+    channel_col: str = "channel_label",
+    order_cols: tuple[str, str] = ("event_ts", "session_id"),
+) -> DataFrame:
+    """PageRank centrality over the channel->channel transition graph
+    (the (start)/(conversion) absorbing edges are dropped; what remains
+    is the within-journey handoff graph). A published alternative lens
+    on channel importance next to removal_effects — centrality of a
+    channel as a handoff hub rather than its absorption contribution.
+
+    Fixed-iteration (truncated) power method in q20 integers, damping
+    17/20 (= 0.85 exactly, a rational the integer arithmetic carries
+    losslessly):
+
+        pr_0(v)     = Q20 // N
+        pr_{t+1}(v) = (3 * Q20) // (20 * N)
+                    + sum_u (17 * pr_t(u) * n(u,v)) // (20 * deg(u))
+                    + (17 * sum_{dangling u} pr_t(u)) // (20 * N)
+
+    with one floor PER TERM (per inbound edge, and once for the pooled
+    dangling mass) — an order-independent integer recurrence the
+    unrolled-SQL oracle reproduces bit for bit. The truncated horizon
+    is part of the definition, so there is no convergence tolerance to
+    disagree on (same design as removal_effects).
+
+    Scale: identical to removal_effects — the corpus-sized work is the
+    transition aggregate; the graph is bounded by (|channels|)^2 rows
+    regardless of input scale, so it is pulled to the driver and the
+    recurrence runs as plain integer arithmetic (the CLAUDE.md
+    bounded-collect rule).
+
+    Output: (channel, pagerank_q20), one row per graph node.
+    """
+    trans = channel_transitions(journeys, part_col, channel_col, order_cols)
+    edges = [
+        (r["src"], r["dst"], r["n"])
+        for r in trans.filter(
+            (F.col("src") != START) & (F.col("dst") != CONVERSION)
+        ).collect()
+    ]
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n_nodes = len(nodes)
+    if not n_nodes:
+        return journeys.sparkSession.createDataFrame(
+            [], "channel string, pagerank_q20 long"
+        )
+    deg = {v: 0 for v in nodes}
+    for s, _, n in edges:
+        deg[s] += n
+    pr = {v: Q20 // n_nodes for v in nodes}
+    base = (3 * Q20) // (20 * n_nodes)
+    for _ in range(iterations):
+        dangling = sum(p for v, p in pr.items() if deg[v] == 0)
+        dang_term = (17 * dangling) // (20 * n_nodes)
+        nxt = {v: base + dang_term for v in nodes}
+        for s, d, n in edges:
+            nxt[d] += (17 * pr[s] * n) // (20 * deg[s])
+        pr = nxt
+    rows = [(v, pr[v]) for v in nodes]
+    return journeys.sparkSession.createDataFrame(
+        rows, "channel string, pagerank_q20 long"
+    )

@@ -463,3 +463,83 @@ def test_ivm_empty_delta_is_identity(spark):
         map(tuple, ivm.apply_aggregate_delta(base, empty, ["g"], sum_cols).collect())
     )
     assert got == sorted(map(tuple, base.collect()))
+
+
+# ---------------------------------------------------------------------------
+# columnar source formats beyond parquet
+# ---------------------------------------------------------------------------
+
+
+def test_orc_roundtrip_preserves_rows_and_schema(spark, tmp_path):
+    # the engine's storage layer is parquet-first, but Spark's ORC
+    # source works unchanged on the same DataFrames — pin the roundtrip
+    # so a format swap (or a mixed lake) stays a config choice, not a
+    # code change
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, None, 0.0)],
+        "id long, s string, v double",
+    )
+    path = str(tmp_path / "t.orc")
+    df.write.format("orc").mode("overwrite").save(path)
+    back = spark.read.format("orc").load(path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+# ---------------------------------------------------------------------------
+# pagerank over the channel handoff graph
+# ---------------------------------------------------------------------------
+
+
+def _mk_journeys(spark, chains):
+    """chains: list of channel sequences; one conversion each."""
+    rows = []
+    for ci, chain in enumerate(chains):
+        for si, ch in enumerate(chain):
+            rows.append((f"c{ci}", f"s{ci}_{si}", dt.datetime(2024, 1, 1, 0, 0, si), ch))
+    return spark.createDataFrame(
+        rows, "conversion_id string, session_id string, event_ts timestamp, channel_label string"
+    )
+
+
+def test_pagerank_hub_outranks_leaves_and_mass_is_conserved(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.markov import pagerank_channels
+
+    # every journey hands off INTO 'hub': hub must collect the most rank
+    chains = [["a", "hub"], ["b", "hub"], ["c", "hub"], ["hub", "a"]]
+    pr = {r["channel"]: r["pagerank_q20"] for r in pagerank_channels(_mk_journeys(spark, chains)).collect()}
+    assert set(pr) == {"a", "b", "c", "hub"}
+    assert pr["hub"] == max(pr.values())
+    assert pr["hub"] > pr["b"] and pr["hub"] > pr["c"]
+    # q20 mass conservation within per-term floor loss: sum <= Q20,
+    # and not more than (#nodes + #edges) ulps short per iteration
+    assert 0 < sum(pr.values()) <= (1 << 20)
+
+
+def test_pagerank_matches_integer_reference(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.markov import pagerank_channels
+
+    chains = [["x", "y"], ["y", "x"], ["x", "z"]]
+    got = {r["channel"]: r["pagerank_q20"] for r in pagerank_channels(_mk_journeys(spark, chains), iterations=5).collect()}
+    # independent integer replica of the documented recurrence
+    edges = {("x", "y"): 1, ("y", "x"): 1, ("x", "z"): 1}
+    nodes = ["x", "y", "z"]
+    deg = {"x": 2, "y": 1, "z": 0}
+    Q = 1 << 20
+    pr = {v: Q // 3 for v in nodes}
+    for _ in range(5):
+        dang = sum(p for v, p in pr.items() if deg[v] == 0)
+        nxt = {v: (3 * Q) // (20 * 3) + (17 * dang) // (20 * 3) for v in nodes}
+        for (s, d), n in edges.items():
+            nxt[d] += (17 * pr[s] * n) // (20 * deg[s])
+        pr = nxt
+    assert got == pr
+
+
+def test_pagerank_empty_graph_is_empty(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.markov import pagerank_channels
+
+    # single-touch journeys only: every edge is (start)->ch->(conversion),
+    # so the channel->channel graph is empty
+    chains = [["a"], ["b"]]
+    assert pagerank_channels(_mk_journeys(spark, chains)).count() == 0
