@@ -368,3 +368,93 @@ def test_markov_contracts(spark, rows):
             continue
         assert 0 <= r["removal_q20"] <= full
         assert r["absorption_q20"] + r["removal_q20"] == full
+
+
+@given(
+    weights=st.lists(st.integers(1, 500), min_size=1, max_size=30),
+    k=st.integers(1, 12),
+)
+@settings(**_SETTINGS)
+def test_weighted_sample_total_multiplicity_property(spark, weights, k):
+    from marketing_attribution_etl_framework__maef_spark.llm.curation import systematic_weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, "s", w) for i, w in enumerate(weights)],
+        "doc_id long, source string, n_chars long",
+    )
+    rows = systematic_weighted_sample(df, k=k).collect()
+    # grid sampling law: multiplicities sum to exactly k, and no doc
+    # exceeds ceil(k * w / W) + 1 picks
+    assert sum(r["mult"] for r in rows) == k
+    total = sum(weights)
+    for r in rows:
+        assert r["mult"] <= (k * r["weight"]) // total + 1
+
+
+@given(
+    facts=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 100)),
+        min_size=1,
+        max_size=20,
+    ),
+    data=st.data(),
+)
+@settings(**_SETTINGS)
+def test_ivm_parity_with_recompute_property(spark, facts, data):
+    from marketing_attribution_etl_framework__maef_spark.operators import ivm
+
+    # delete a random subset of existing rows, insert a random batch
+    n_del = data.draw(st.integers(0, len(facts)))
+    deleted = facts[:n_del]
+    inserts = data.draw(
+        st.lists(
+            st.tuples(st.sampled_from(["a", "b", "c", "d"]), st.integers(0, 100)),
+            max_size=10,
+        )
+    )
+    sum_cols = {"sx": F.col("x")}
+    base = ivm.aggregate_snapshot(
+        spark.createDataFrame(facts, "g string, x long"), ["g"], sum_cols
+    )
+    delta_rows = [(g, x, -1) for g, x in deleted] + [(g, x, 1) for g, x in inserts]
+    if delta_rows:
+        delta = spark.createDataFrame(delta_rows, "g string, x long, op int")
+    else:
+        delta = spark.createDataFrame([], "g string, x long, op int")
+    maintained = sorted(
+        map(tuple, ivm.apply_aggregate_delta(base, delta, ["g"], sum_cols).collect())
+    )
+    survivors = facts[n_del:] + inserts
+    if survivors:
+        recomputed = sorted(
+            map(
+                tuple,
+                ivm.aggregate_snapshot(
+                    spark.createDataFrame(survivors, "g string, x long"), ["g"], sum_cols
+                ).collect(),
+            )
+        )
+    else:
+        recomputed = []
+    assert maintained == recomputed
+
+
+@given(values=st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=60))
+@settings(**_SETTINGS)
+def test_hll_register_summary_matches_python_reference(spark, values):
+    import hashlib
+
+    from marketing_attribution_etl_framework__maef_spark.operators.sketches import hll_register_summary
+
+    df = spark.createDataFrame([("g", v) for v in values], "grp string, v string")
+    row = hll_register_summary(df, ["grp"], "v").collect()[0]
+    regs = {}
+    for v in set(values):
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        reg, w = h % 256, h // 256
+        rho = 53 if w == 0 else 53 - w.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    s53 = sum(1 << (53 - r) for r in regs.values()) + (256 - len(regs)) * (1 << 53)
+    assert row["n_registers_hit"] == len(regs)
+    assert row["sum_rho"] == sum(regs.values())
+    assert row["harmonic_s53"] == s53
