@@ -543,3 +543,37 @@ def test_pagerank_empty_graph_is_empty(spark):
     # so the channel->channel graph is empty
     chains = [["a"], ["b"]]
     assert pagerank_channels(_mk_journeys(spark, chains)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# native streaming dedup (dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_dedup_within_watermark_matches_batch_distinct(spark, tmp_path):
+    # the engine's incremental dedup (L52) is foreachBatch-based so it
+    # can anti-join a persisted corpus store; Spark's NATIVE stateful
+    # dedup operator covers the simpler stream-internal case — pin the
+    # availableNow run against the batch distinct (the same
+    # streaming/batch-parity oracle pattern as maef_stream_*).
+    src = str(tmp_path / "src")
+    rows = [(i % 7, dt.datetime(2024, 1, 1, 0, i), f"v{i % 7}") for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v string")
+    df.write.parquet(src)
+    stream = (
+        spark.readStream.schema("k long, ts timestamp, v string").parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    name = "dedup_wm_test"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["k"] for r in spark.table(name).collect())
+    spark.catalog.dropTempView(name)
+    assert got == sorted(r["k"] for r in df.select("k").distinct().collect())
