@@ -1964,6 +1964,25 @@ def q_pagerank_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mkv.pagerank_channels(_journeys(spark, sf_dir))
 
 
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L87: mergeable log-histogram quantile sketch
+    (operators/quantiles.py log_histogram/histogram_quantile_bounds):
+    per-source doc-length p50/p90 bucket lower bounds from base-2
+    sub-divided bins — the bounded-relative-error, map-side-combining
+    alternative to the exact rank-window percentile (L37), portable
+    integers end to end. Registered behind the gate window this round
+    (r04 rotation candidate)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import quantiles as qtl
+
+    docs = _docs(spark, sf_dir).select(
+        "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    hist = qtl.log_histogram(docs, ["source"], "n_chars", sub_bits=2)
+    return qtl.histogram_quantile_bounds(
+        hist, ["source"], [("p50_lb", 1, 2), ("p90_lb", 9, 10)]
+    )
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L79: asymmetric shingle-containment near-dup pairs
     (llm/dedup.py containment_pairs) over the augmented corpus — the
@@ -4276,6 +4295,31 @@ WHERE (CASE WHEN inter_size * 5 >= sza * 4 THEN 1 ELSE 0 END
 """
 
 
+# log-histogram buckets: keep the top 3 bits (sub_bits = 2) —
+# g = max(bitlen(x) - 3, 0), bucket_lb = (x >> g) << g
+_ORACLE_LENGTH_HISTOGRAM = """
+WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+b AS (
+  SELECT source, CAST((x >> g) << g AS BIGINT) AS bucket_lb
+  FROM (SELECT source, x,
+               CASE WHEN length(printf('%b', x)) - 3 > 0
+                    THEN length(printf('%b', x)) - 3 ELSE 0 END AS g
+        FROM v)
+),
+h AS (SELECT source, bucket_lb, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+cdf AS (
+  SELECT source, bucket_lb,
+         CAST(SUM(c) OVER (PARTITION BY source ORDER BY bucket_lb) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM h
+)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n_values,
+       CAST(MIN(CASE WHEN cum * 2 >= n * 1 THEN bucket_lb END) AS BIGINT) AS p50_lb,
+       CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN bucket_lb END) AS BIGINT) AS p90_lb
+FROM cdf GROUP BY source
+"""
+
 _ORACLE_CHANNEL_UNPIVOT = """
 WITH sess AS (
   SELECT event_type AS channel_name, strftime(ts, '%m') AS month,
@@ -4553,6 +4597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_channel_unpivot": q_channel_unpivot,
         "maef_audience_setops": q_audience_setops,
         "maef_pagerank_channels": q_pagerank_channels,
+        "llm_length_histogram": q_length_histogram,
     }
 
 
@@ -4663,6 +4708,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_channel_unpivot": _ORACLE_CHANNEL_UNPIVOT,
         "maef_audience_setops": _ORACLE_AUDIENCE_SETOPS,
         "maef_pagerank_channels": _ORACLE_PAGERANK,
+        "llm_length_histogram": _ORACLE_LENGTH_HISTOGRAM,
         "llm_multimodal_meta": _ORACLE_MM_META,
         # the mapInPandas path IS value-checked via the exact-integer
         # stripe summary (same Arrow plumbing, no float output):

@@ -577,3 +577,51 @@ def test_streaming_dedup_within_watermark_matches_batch_distinct(spark, tmp_path
     got = sorted(r["k"] for r in spark.table(name).collect())
     spark.catalog.dropTempView(name)
     assert got == sorted(r["k"] for r in df.select("k").distinct().collect())
+
+
+# ---------------------------------------------------------------------------
+# log-histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_log_bucket_bounds_and_quantile_error(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.quantiles import (
+        histogram_quantile_bounds,
+        log_histogram,
+    )
+
+    vals = list(range(1, 2001))  # uniform 1..2000, true p50=1000, p90=1800
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v long")
+    hist = log_histogram(df, ["grp"], "v", sub_bits=2)
+    # bucket count is bounded: ~4 buckets per octave, 11 octaves here
+    assert hist.count() <= 64
+    row = histogram_quantile_bounds(
+        hist, ["grp"], [("p50_lb", 1, 2), ("p90_lb", 9, 10)]
+    ).collect()[0]
+    assert row["n_values"] == 2000
+    # lower bound within one bucket width (25% relative at sub_bits=2)
+    assert 750 <= row["p50_lb"] <= 1000
+    assert 1350 <= row["p90_lb"] <= 1800
+
+
+def test_log_histogram_merge_is_count_sum(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.quantiles import log_histogram
+
+    a = spark.createDataFrame([("g", v) for v in range(1, 100)], "grp string, v long")
+    b = spark.createDataFrame([("g", v) for v in range(50, 300)], "grp string, v long")
+    merged = (
+        log_histogram(a, ["grp"], "v")
+        .unionByName(log_histogram(b, ["grp"], "v"))
+        .groupBy("grp", "bucket_lb")
+        .agg(F.sum("c").alias("c"))
+    )
+    direct = log_histogram(a.unionByName(b), ["grp"], "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_log_bucket_small_values_are_exact(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.quantiles import log_histogram
+
+    df = spark.createDataFrame([("g", v) for v in (0, 1, 2, 3, 4, 5, 6, 7)], "grp string, v long")
+    lbs = sorted(r["bucket_lb"] for r in log_histogram(df, ["grp"], "v").collect())
+    assert lbs == [0, 1, 2, 3, 4, 5, 6, 7]  # below 2^3: every value its own bucket
