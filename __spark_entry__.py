@@ -1983,6 +1983,56 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_channel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L88: CUBE grouping sets — all four (channel, month) subtotal
+    levels in one pass (rollup L46 covers only the prefix chain; CUBE
+    adds the month-only margin). Subtotals labeled 'ALL', grouping_id
+    disambiguates, money in exact integer cents. Registered behind the
+    gate window this round (r04 rotation candidate)."""
+    ev = domain.events(spark, sf_dir)
+    sess = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("event_type").alias("channel_name"),
+        F.date_format("ts", "MM").alias("month"),
+        "value",
+    )
+    return (
+        sess.cube("channel_name", "month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("channel_name", F.lit("ALL")).alias("channel_name"),
+            F.coalesce("month", F.lit("ALL")).alias("month"),
+            "n_sessions",
+            "cents",
+            "gid",
+        )
+    )
+
+
+def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L89: functional-dependency profiling (operators/quality.py
+    functional_dependency_profile) — measures whether event_id ->
+    user_id (a key the reference trusts) and user_id -> event_type
+    (deliberately non-functional) hold, with exact violation counts.
+    Registered behind the gate window this round (r04 rotation
+    candidate)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import quality as dq
+
+    ev = domain.events(spark, sf_dir)
+    a = dq.functional_dependency_profile(ev, ["event_id"], "user_id").select(
+        F.lit("event_id->user_id").alias("dep"), "*"
+    )
+    b = dq.functional_dependency_profile(ev, ["user_id"], "event_type").select(
+        F.lit("user_id->event_type").alias("dep"), "*"
+    )
+    return a.unionByName(b)
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L79: asymmetric shingle-containment near-dup pairs
     (llm/dedup.py containment_pairs) over the augmented corpus — the
@@ -4295,6 +4345,37 @@ WHERE (CASE WHEN inter_size * 5 >= sza * 4 THEN 1 ELSE 0 END
 """
 
 
+_ORACLE_CHANNEL_CUBE = """
+WITH sess AS (
+  SELECT event_type AS channel_name, strftime(ts, '%m') AS month,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE event_type <> 'purchase'
+)
+SELECT COALESCE(channel_name, 'ALL') AS channel_name,
+       COALESCE(month, 'ALL') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(c) AS BIGINT) AS cents,
+       CAST(GROUPING(channel_name) * 2 + GROUPING(month) AS BIGINT) AS gid
+FROM sess
+GROUP BY CUBE (channel_name, month)
+"""
+
+_ORACLE_FD_PROFILE = """
+WITH a AS (SELECT event_id, COUNT(DISTINCT user_id) AS nr FROM events GROUP BY 1),
+     b AS (SELECT user_id, COUNT(DISTINCT event_type) AS nr FROM events GROUP BY 1)
+SELECT 'event_id->user_id' AS dep,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+       CAST(MAX(nr) AS BIGINT) AS max_rhs_per_group
+FROM a
+UNION ALL
+SELECT 'user_id->event_type',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(MAX(nr) AS BIGINT)
+FROM b
+"""
+
 # log-histogram buckets: keep the top 3 bits (sub_bits = 2) —
 # g = max(bitlen(x) - 3, 0), bucket_lb = (x >> g) << g
 _ORACLE_LENGTH_HISTOGRAM = """
@@ -4598,6 +4679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_audience_setops": q_audience_setops,
         "maef_pagerank_channels": q_pagerank_channels,
         "llm_length_histogram": q_length_histogram,
+        "maef_channel_cube": q_channel_cube,
+        "maef_fd_profile": q_fd_profile,
     }
 
 
@@ -4709,6 +4792,8 @@ def oracle_sql() -> dict[str, str]:
         "maef_audience_setops": _ORACLE_AUDIENCE_SETOPS,
         "maef_pagerank_channels": _ORACLE_PAGERANK,
         "llm_length_histogram": _ORACLE_LENGTH_HISTOGRAM,
+        "maef_channel_cube": _ORACLE_CHANNEL_CUBE,
+        "maef_fd_profile": _ORACLE_FD_PROFILE,
         "llm_multimodal_meta": _ORACLE_MM_META,
         # the mapInPandas path IS value-checked via the exact-integer
         # stripe summary (same Arrow plumbing, no float output):

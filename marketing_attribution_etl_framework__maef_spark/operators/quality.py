@@ -62,3 +62,31 @@ def check_constraints(
     return wide.select(
         F.expr(f"stack({len(names)}, {stack}) as (rule, n_violations)")
     )
+
+
+def functional_dependency_profile(
+    df: DataFrame, lhs_cols: list[str], rhs_col: str
+) -> DataFrame:
+    """Profile whether ``lhs_cols -> rhs_col`` holds functionally
+    (every LHS group maps to exactly one RHS value) — the dependency
+    discovery step a schema-inference/constraint-mining pass runs
+    before declaring keys. The reference simply TRUSTS session_id ->
+    user_id (``src/etl/transform.py:211-227`` joins on it); this
+    measures that trust.
+
+    Output (one row): ``n_groups``, ``n_violating_groups`` (LHS values
+    with >= 2 distinct RHS), ``max_rhs_per_group``. All exact longs.
+
+    Shape: one map-side-combining aggregate on (lhs, rhs) — the same
+    cost class as a distinct — then a bounded per-lhs roll-up; no
+    window, no self-join. Scales like any grouped count.
+    """
+    per_pair = df.groupBy(*lhs_cols, rhs_col).agg(F.count(F.lit(1)).alias("_m"))
+    per_lhs = per_pair.groupBy(*lhs_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_nrhs")
+    )
+    return per_lhs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("_nrhs") > 1).cast("long")).cast("long").alias("n_violating_groups"),
+        F.max("_nrhs").cast("long").alias("max_rhs_per_group"),
+    )

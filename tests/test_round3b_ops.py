@@ -625,3 +625,41 @@ def test_log_bucket_small_values_are_exact(spark):
     df = spark.createDataFrame([("g", v) for v in (0, 1, 2, 3, 4, 5, 6, 7)], "grp string, v long")
     lbs = sorted(r["bucket_lb"] for r in log_histogram(df, ["grp"], "v").collect())
     assert lbs == [0, 1, 2, 3, 4, 5, 6, 7]  # below 2^3: every value its own bucket
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets + functional-dependency profiling
+# ---------------------------------------------------------------------------
+
+
+def test_channel_cube_margins_are_consistent(spark, sf_dir):
+    rows = entrymod.q_channel_cube(spark, sf_dir).collect()
+    gids = {r["gid"] for r in rows}
+    assert gids == {0, 1, 2, 3}  # all four grouping sets present
+    grand = [r for r in rows if r["gid"] == 3]
+    assert len(grand) == 1
+    detail_n = sum(r["n_sessions"] for r in rows if r["gid"] == 0)
+    chan_n = sum(r["n_sessions"] for r in rows if r["gid"] == 1)
+    month_n = sum(r["n_sessions"] for r in rows if r["gid"] == 2)
+    assert detail_n == chan_n == month_n == grand[0]["n_sessions"]
+    assert sum(r["cents"] for r in rows if r["gid"] == 0) == grand[0]["cents"]
+
+
+def test_fd_profile_detects_violations(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.quality import functional_dependency_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    r = functional_dependency_profile(df, ["k"], "v").collect()[0]
+    assert r["n_groups"] == 3
+    assert r["n_violating_groups"] == 1  # k=2 maps to two values
+    assert r["max_rhs_per_group"] == 2
+
+
+def test_fd_profile_clean_dependency(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.quality import functional_dependency_profile
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "k long, v string")
+    r = functional_dependency_profile(df, ["k"], "v").collect()[0]
+    assert (r["n_groups"], r["n_violating_groups"], r["max_rhs_per_group"]) == (10, 0, 1)
