@@ -2033,6 +2033,46 @@ def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def q_rel_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L90: month-over-month revenue growth per order priority — the
+    canonical time-series LAG over an aggregated fact (one
+    map-side-combining aggregate, then a window over ~80 months per
+    priority; the first month's delta is NULL by definition). Money in
+    exact integer cents. Registered behind the gate window this round
+    (r04 rotation candidate)."""
+    from pyspark.sql import Window
+
+    orders = domain.load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        "n_orders",
+        "revenue_cents",
+        (F.col("revenue_cents") - F.lag("revenue_cents").over(w))
+        .cast("long")
+        .alias("mom_delta_cents"),
+    )
+
+
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L91: sparse TF-IDF cosine document pairs (llm/text.py
+    tfidf_cosine_pairs) over the augmented corpus — whole-bit IDF, 3/5
+    cosine threshold by decimal-width integer cross-multiplication,
+    stopword-pruned inverted index. Registered behind the gate window
+    this round (r04 rotation candidate)."""
+    return txt.tfidf_cosine_pairs(_aug_docs(spark, sf_dir), cos_num=3, cos_den=5)
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L79: asymmetric shingle-containment near-dup pairs
     (llm/dedup.py containment_pairs) over the augmented corpus — the
@@ -4345,6 +4385,57 @@ WHERE (CASE WHEN inter_size * 5 >= sza * 4 THEN 1 ELSE 0 END
 """
 
 
+# TF-IDF cosine pairs: whole-bit idf, stopword prune at df*10 > N,
+# threshold 25*dot^2 >= 9*na2*nb2 in HUGEINT (dot^2 exceeds BIGINT)
+_ORACLE_TFIDF_PAIRS = f"""
+WITH {_AUG}, {_NORM_AUG},
+ex AS (
+  SELECT lang, doc_id, unnest(string_split(norm, ' ')) AS term FROM nd
+),
+tf AS (
+  SELECT lang, doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ex GROUP BY 1, 2, 3
+),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM aug),
+dfq AS (
+  SELECT term, CAST(length(printf('%b', n // df)) AS BIGINT) AS ibits
+  FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), nt
+  WHERE df * 10 <= n
+),
+w AS (
+  SELECT t.lang, t.doc_id, t.term, CAST(t.tf * d.ibits AS BIGINT) AS w
+  FROM tf t JOIN dfq d ON t.term = d.term
+),
+norms AS (
+  SELECT lang, doc_id, CAST(SUM(w * w) AS BIGINT) AS norm2 FROM w GROUP BY 1, 2
+),
+dots AS (
+  SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.lang = b.lang AND a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT d.doc_a, d.doc_b, d.dot, na.norm2 AS norm2_a, nb.norm2 AS norm2_b
+FROM dots d
+JOIN norms na ON na.lang = d.lang AND na.doc_id = d.doc_a
+JOIN norms nb ON nb.lang = d.lang AND nb.doc_id = d.doc_b
+WHERE CAST(25 AS HUGEINT) * d.dot * d.dot
+      >= CAST(9 AS HUGEINT) * na.norm2 * nb.norm2
+"""
+
+_ORACLE_REL_MONTHLY_GROWTH = """
+WITH m AS (
+  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, month, n_orders, revenue_cents,
+       CAST(revenue_cents - LAG(revenue_cents) OVER (
+         PARTITION BY o_orderpriority ORDER BY month) AS BIGINT) AS mom_delta_cents
+FROM m
+"""
+
 _ORACLE_CHANNEL_CUBE = """
 WITH sess AS (
   SELECT event_type AS channel_name, strftime(ts, '%m') AS month,
@@ -4681,6 +4772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_length_histogram": q_length_histogram,
         "maef_channel_cube": q_channel_cube,
         "maef_fd_profile": q_fd_profile,
+        "rel_monthly_growth": q_rel_monthly_growth,
+        "llm_tfidf_pairs": q_tfidf_pairs,
     }
 
 
@@ -4794,6 +4887,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_length_histogram": _ORACLE_LENGTH_HISTOGRAM,
         "maef_channel_cube": _ORACLE_CHANNEL_CUBE,
         "maef_fd_profile": _ORACLE_FD_PROFILE,
+        "rel_monthly_growth": _ORACLE_REL_MONTHLY_GROWTH,
+        "llm_tfidf_pairs": _ORACLE_TFIDF_PAIRS,
         "llm_multimodal_meta": _ORACLE_MM_META,
         # the mapInPandas path IS value-checked via the exact-integer
         # stripe summary (same Arrow plumbing, no float output):

@@ -503,3 +503,76 @@ def bigram_pmi(
         F.row_number().over(w).cast("long").alias("rnk"),
         "bigram", "n_ab", "n_a", "n_b", "pmi_q20",
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    block_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cos_num: int = 3,
+    cos_den: int = 5,
+    max_df_num: int = 1,
+    max_df_den: int = 10,
+) -> DataFrame:
+    """Sparse TF-IDF cosine document pairs (within a block) — the
+    classic bag-of-words similarity kernel, complementing BM25 (L4,
+    query->doc) and embedding cosine (L19, dense): doc->doc over the
+    term space.
+
+    Cross-engine exactness: IDF uses WHOLE-BIT units —
+    ibits(t) = bit_length(N div df(t)) — the unigram_surprisal trick
+    (no libm log whose rounding differs per engine), so every weight
+    tf * ibits is an exact integer, the dot product and squared norms
+    are exact longs, and the cosine threshold is integer
+    cross-multiplication:
+
+        cos >= num/den  <=>  den^2 * dot^2 >= num^2 * norm2_a * norm2_b
+
+    with the squares computed in DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB oracle) — dot can reach ~1e11, so its square must not
+    touch BIGINT.
+
+    Scale shape: inverted-index join on (block, term), cost
+    Σ df(term)^2. Unlike shingles, raw words have stopword-class terms
+    with df ~ N that would square into an all-pairs blowup — terms in
+    more than max_df_num/max_df_den (default 1/10) of the corpus are
+    pruned (they carry ~zero IDF weight anyway; standard
+    sparse-similarity practice, mirrored exactly in the oracle).
+    """
+    norm = normalize_text(F.col(text_col))
+    ex = docs.select(
+        F.col(block_col).alias("_blk"), F.col(id_col), F.explode(words(norm)).alias("term")
+    )
+    tf = ex.groupBy("_blk", id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+    n_total = docs.groupBy().agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    df_ = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("_df") * int(max_df_den) <= F.col("_n") * int(max_df_num))  # stopword prune
+        .select("term", F.expr("cast(length(bin(_n div _df)) as long)").alias("_ibits"))
+    )
+    w = tf.join(F.broadcast(df_), "term").select(
+        "_blk", F.col(id_col), "term", (F.col("_tf") * F.col("_ibits")).alias("_w")
+    )
+    norms = w.groupBy("_blk", id_col).agg(
+        F.sum(F.col("_w") * F.col("_w")).cast("long").alias("_norm2")
+    )
+    a = w.select("_blk", "term", F.col(id_col).alias("doc_a"), F.col("_w").alias("_wa"))
+    b = w.select("_blk", "term", F.col(id_col).alias("doc_b"), F.col("_w").alias("_wb"))
+    dots = (
+        a.join(b, on=["_blk", "term"], how="inner")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("_blk", "doc_a", "doc_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("_blk"), F.col(id_col).alias("doc_a"), F.col("_norm2").alias("norm2_a"))
+    nb = norms.select(F.col("_blk"), F.col(id_col).alias("doc_b"), F.col("_norm2").alias("norm2_b"))
+    out = dots.join(na, ["_blk", "doc_a"]).join(nb, ["_blk", "doc_b"])
+    dec = "decimal(38,0)"
+    keep = F.expr(
+        f"cast({cos_den * cos_den} as {dec}) * cast(dot as {dec}) * cast(dot as {dec})"
+        f" >= cast({cos_num * cos_num} as {dec}) * cast(norm2_a as {dec}) * cast(norm2_b as {dec})"
+    )
+    return out.filter(keep).select("doc_a", "doc_b", "dot", "norm2_a", "norm2_b")

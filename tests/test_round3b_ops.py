@@ -663,3 +663,44 @@ def test_fd_profile_clean_dependency(spark):
     df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "k long, v string")
     r = functional_dependency_profile(df, ["k"], "v").collect()[0]
     assert (r["n_groups"], r["n_violating_groups"], r["max_rhs_per_group"]) == (10, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# tf-idf cosine pairs
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_identical_docs_reach_cosine_one(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm.text import tfidf_cosine_pairs
+
+    t = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(1, t, "en"), (2, t, "en"), (3, "omega psi chi phi upsilon tau", "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = tfidf_cosine_pairs(docs, cos_num=3, cos_den=5, max_df_num=1, max_df_den=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    # identical weight vectors: dot^2 == norm2_a * norm2_b exactly
+    assert r["dot"] * r["dot"] == r["norm2_a"] * r["norm2_b"]
+
+
+def test_tfidf_stopword_pruning_drops_ubiquitous_terms(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm.text import tfidf_cosine_pairs
+
+    # at max_df 1/2: 'common' (df = 12 of 12) is pruned while
+    # 'shared' (df = 2) survives — the only overlap between docs 1, 2
+    docs = spark.createDataFrame(
+        [(1, "common shared aaa1 bbb1", "en"), (2, "common shared aaa2 bbb2", "en")]
+        + [(i, f"common xx{i} yy{i} zz{i}", "en") for i in range(3, 13)],
+        "doc_id long, text string, lang string",
+    )
+    pairs = tfidf_cosine_pairs(docs, cos_num=1, cos_den=5, max_df_num=1, max_df_den=2).collect()
+    hit = {(r["doc_a"], r["doc_b"]): r for r in pairs}
+    assert (1, 2) in hit
+    r = hit[(1, 2)]
+    # one shared surviving term of tf=1: dot = ibits('shared')^2
+    n, df_shared = 12, 2
+    ibits = (n // df_shared).bit_length()
+    assert r["dot"] == ibits * ibits
