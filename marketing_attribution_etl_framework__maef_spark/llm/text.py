@@ -553,8 +553,17 @@ def tfidf_cosine_pairs(
         .filter(F.col("_df") * int(max_df_den) <= F.col("_n") * int(max_df_num))  # stopword prune
         .select("term", F.expr("cast(length(bin(_n div _df)) as long)").alias("_ibits"))
     )
-    w = tf.join(F.broadcast(df_), "term").select(
-        "_blk", F.col(id_col), "term", (F.col("_tf") * F.col("_ibits")).alias("_w")
+    # the weights table feeds THREE consumers (norms + both self-join
+    # sides), each of which would otherwise recompute the corpus
+    # explode + tf aggregate. Unlike the cheap slice-shingling shapes
+    # (where a persist barrier LOSES to AQE's parallel branch scans —
+    # CLAUDE.md perf rules), this lineage is expensive enough that the
+    # checkpoint wins: A/B at sf0.1 3.3s -> 2.6s median. At production
+    # scale this is a checkpoint-to-table.
+    w = (
+        tf.join(F.broadcast(df_), "term")
+        .select("_blk", F.col(id_col), "term", (F.col("_tf") * F.col("_ibits")).alias("_w"))
+        .localCheckpoint()
     )
     norms = w.groupBy("_blk", id_col).agg(
         F.sum(F.col("_w") * F.col("_w")).cast("long").alias("_norm2")
