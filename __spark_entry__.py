@@ -2073,6 +2073,87 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.tfidf_cosine_pairs(_aug_docs(spark, sf_dir), cos_num=3, cos_den=5)
 
 
+def q_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L92: cross-model channel-credit comparison — the attribution
+    dashboard's core deliverable: per (model, channel), total credit
+    under linear / first-touch / last-touch / U-shaped, side by side.
+    Per-row weights are the bit-identical expressions the individual
+    model queries already hash-verify; credit is the integer sum of
+    per-row q20 weights (floor(ihc * 2^20 + 0.5) — CLAUDE.md float
+    policy: never sum raw doubles across engines). One journeys scan
+    feeds all four models; AQE collapses the shared window subplans.
+    Registered behind the gate window this round (r04 rotation
+    candidate)."""
+    j = _journeys(spark, sf_dir)
+    chans = j.select(
+        F.col("conversion_id").alias("conv_id"), "session_id", "channel_label"
+    )
+    models = [
+        ("linear", attr.attribute_linear),
+        ("first_touch", attr.attribute_first_touch),
+        ("last_touch", attr.attribute_last_touch),
+        ("u_shaped", attr.attribute_u_shaped),
+    ]
+    out = None
+    for name, fn in models:
+        scored = fn(j).join(chans, ["conv_id", "session_id"])
+        agg = scored.groupBy("channel_label").agg(
+            F.sum(F.floor(F.col("ihc") * 1048576 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("credit_q20"),
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+        ).select(F.lit(name).alias("model"), "*")
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def q_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L93: pairwise channel audience overlap — for every unordered
+    channel pair, how many distinct users touch both (plus each side's
+    audience size): the cross-channel synergy matrix reports are built
+    from. Inverted on user_id (the bucketed self-join shape of the
+    dedup family — candidates only among a user's own channels, never
+    a channel-pair cross product). Registered behind the gate window
+    this round (r04 rotation candidate)."""
+    ev = domain.events(spark, sf_dir)
+    cu = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("channel"), "user_id")
+        .distinct()
+    )
+    sizes = cu.groupBy("channel").agg(F.count(F.lit(1)).cast("long").alias("_sz"))
+    a = cu.select("user_id", F.col("channel").alias("chan_a"))
+    b = cu.select("user_id", F.col("channel").alias("chan_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("chan_a") < F.col("chan_b"))
+        .groupBy("chan_a", "chan_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("channel").alias("chan_a"), F.col("_sz").alias("size_a"))
+    sb = sizes.select(F.col("channel").alias("chan_b"), F.col("_sz").alias("size_b"))
+    return pairs.join(F.broadcast(sa), "chan_a").join(F.broadcast(sb), "chan_b").select(
+        "chan_a", "chan_b", "n_common", "size_a", "size_b"
+    )
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L94: declared-vs-guessed language confusion matrix — the QA
+    roll-up of the L2 language-ID heuristic against the documents
+    table's own lang column (label-quality auditing, the first step of
+    any lang-filtered curation run). Registered behind the gate window
+    this round (r04 rotation candidate)."""
+    docs = _docs(spark, sf_dir)
+    norm = txt.normalize_text(F.col("text"))
+    guessed = docs.select(
+        F.col("lang").alias("declared"),
+        *txt.lang_cols(F.array_distinct(txt.words(norm))),
+    )
+    return guessed.groupBy("declared", F.col("lang_guess").alias("guessed")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L79: asymmetric shingle-containment near-dup pairs
     (llm/dedup.py containment_pairs) over the augmented corpus — the
@@ -4385,6 +4466,70 @@ WHERE (CASE WHEN inter_size * 5 >= sza * 4 THEN 1 ELSE 0 END
 """
 
 
+_ORACLE_CHANNEL_OVERLAP = """
+WITH cu AS (
+  SELECT DISTINCT event_type AS channel, user_id
+  FROM events WHERE event_type <> 'purchase'
+),
+sizes AS (SELECT channel, CAST(COUNT(*) AS BIGINT) AS sz FROM cu GROUP BY 1),
+pairs AS (
+  SELECT a.channel AS chan_a, b.channel AS chan_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cu a JOIN cu b ON a.user_id = b.user_id AND a.channel < b.channel
+  GROUP BY 1, 2
+)
+SELECT p.chan_a, p.chan_b, p.n_common,
+       sa.sz AS size_a, sb.sz AS size_b
+FROM pairs p
+JOIN sizes sa ON sa.channel = p.chan_a
+JOIN sizes sb ON sb.channel = p.chan_b
+"""
+
+_ORACLE_LANG_CONFUSION = f"""
+WITH {_NORM_RAW},
+scores AS (
+  SELECT doc_id, lang AS declared,
+       {{lang_score_cols}}
+  FROM (SELECT doc_id, lang, list_distinct(string_split(norm, ' ')) AS dws FROM nd)
+),
+best AS (
+  SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM scores
+)
+SELECT declared,
+       CASE {{lang_case}} ELSE 'zh' END AS guessed,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM best GROUP BY 1, 2
+""".replace("{lang_score_cols}", _lang_score_cols).replace("{lang_case}", _lang_case)
+
+# model comparison: per-row q20 weights (bit-identical to the
+# individually-oracled model queries) summed as exact integers
+_ORACLE_MODEL_COMPARISON = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+base AS (
+  SELECT conversion_id, session_id, channel_label,
+         ROW_NUMBER() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY conversion_id) AS n
+  FROM journeys
+  WINDOW w AS (PARTITION BY conversion_id ORDER BY event_ts, session_id)
+),
+weights AS (
+  SELECT 'linear' AS model, channel_label, 1.0 / n AS ihc FROM base
+  UNION ALL
+  SELECT 'first_touch', channel_label, CASE WHEN rn = 1 THEN 1.0 ELSE 0.0 END FROM base
+  UNION ALL
+  SELECT 'last_touch', channel_label, CASE WHEN rn = n THEN 1.0 ELSE 0.0 END FROM base
+  UNION ALL
+  SELECT 'u_shaped', channel_label,
+         CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+              WHEN rn = 1 THEN 0.4 WHEN rn = n THEN 0.4
+              ELSE 0.2 / (n - 2) END FROM base
+)
+SELECT model, channel_label,
+       CAST(SUM(CAST(FLOOR(ihc * 1048576 + 0.5) AS BIGINT)) AS BIGINT) AS credit_q20,
+       CAST(COUNT(*) AS BIGINT) AS n_touches
+FROM weights GROUP BY 1, 2
+"""
+
 # TF-IDF cosine pairs: whole-bit idf, stopword prune at df*10 > N,
 # threshold 25*dot^2 >= 9*na2*nb2 in HUGEINT (dot^2 exceeds BIGINT)
 _ORACLE_TFIDF_PAIRS = f"""
@@ -4774,6 +4919,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_fd_profile": q_fd_profile,
         "rel_monthly_growth": q_rel_monthly_growth,
         "llm_tfidf_pairs": q_tfidf_pairs,
+        "maef_model_comparison": q_model_comparison,
+        "maef_channel_overlap": q_channel_overlap,
+        "llm_lang_confusion": q_lang_confusion,
     }
 
 
@@ -4889,6 +5037,9 @@ def oracle_sql() -> dict[str, str]:
         "maef_fd_profile": _ORACLE_FD_PROFILE,
         "rel_monthly_growth": _ORACLE_REL_MONTHLY_GROWTH,
         "llm_tfidf_pairs": _ORACLE_TFIDF_PAIRS,
+        "maef_model_comparison": _ORACLE_MODEL_COMPARISON,
+        "maef_channel_overlap": _ORACLE_CHANNEL_OVERLAP,
+        "llm_lang_confusion": _ORACLE_LANG_CONFUSION,
         "llm_multimodal_meta": _ORACLE_MM_META,
         # the mapInPandas path IS value-checked via the exact-integer
         # stripe summary (same Arrow plumbing, no float output):
