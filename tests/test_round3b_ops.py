@@ -704,3 +704,44 @@ def test_tfidf_stopword_pruning_drops_ubiquitous_terms(spark):
     n, df_shared = 12, 2
     ibits = (n // df_shared).bit_length()
     assert r["dot"] == ibits * ibits
+
+
+# ---------------------------------------------------------------------------
+# composition-query invariants (model comparison, overlap, confusion)
+# ---------------------------------------------------------------------------
+
+
+def test_model_comparison_credit_conserves_per_model(spark, sf_dir):
+    rows = entrymod.q_model_comparison(spark, sf_dir).collect()
+    models = {r["model"] for r in rows}
+    assert models == {"linear", "first_touch", "last_touch", "u_shaped"}
+    n_conv = (
+        entrymod.q_journey_entries(spark, sf_dir)
+        .select("conversion_id")
+        .distinct()
+        .count()
+    )
+    q = 1 << 20
+    for m in models:
+        sub = [r for r in rows if r["model"] == m]
+        credit = sum(r["credit_q20"] for r in sub)
+        touches = sum(r["n_touches"] for r in sub)
+        # each conversion's weights sum to 1; per-row q20 floors lose
+        # at most 1 ulp per touch and round-half-up can add the same
+        assert n_conv * q - touches <= credit <= n_conv * q + touches
+
+
+def test_channel_overlap_bounded_by_audience_sizes(spark, sf_dir):
+    rows = entrymod.q_channel_overlap(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_common"] <= min(r["size_a"], r["size_b"])
+        assert r["chan_a"] < r["chan_b"]
+
+
+def test_lang_confusion_accounts_for_every_document(spark, sf_dir):
+    from marketing_attribution_etl_framework__maef_spark import domain
+
+    rows = entrymod.q_lang_confusion(spark, sf_dir).collect()
+    n_docs = domain.load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
