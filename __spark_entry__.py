@@ -2154,6 +2154,27 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L95: per-channel purchase-value distribution via the L87
+    log-histogram sketch (operators/quantiles.py) over integer cents —
+    median and p90 lower bounds per channel from the mergeable bucket
+    table, demonstrating the sketch family's reuse across tables.
+    Registered behind the gate window this round (r04 rotation
+    candidate)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import quantiles as qtl
+
+    purchases = domain.events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_type").alias("channel"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    hist = qtl.log_histogram(purchases, ["channel"], "cents", sub_bits=2)
+    return qtl.histogram_quantile_bounds(
+        hist, ["channel"], [("p50_lb", 1, 2), ("p90_lb", 9, 10)]
+    )
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L79: asymmetric shingle-containment near-dup pairs
     (llm/dedup.py containment_pairs) over the augmented corpus — the
@@ -4466,6 +4487,32 @@ WHERE (CASE WHEN inter_size * 5 >= sza * 4 THEN 1 ELSE 0 END
 """
 
 
+_ORACLE_REVENUE_HISTOGRAM = """
+WITH v AS (
+  SELECT event_type AS channel, CAST(ROUND(value * 100, 0) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT channel, CAST((x >> g) << g AS BIGINT) AS bucket_lb
+  FROM (SELECT channel, x,
+               CASE WHEN length(printf('%b', x)) - 3 > 0
+                    THEN length(printf('%b', x)) - 3 ELSE 0 END AS g
+        FROM v)
+),
+h AS (SELECT channel, bucket_lb, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+cdf AS (
+  SELECT channel, bucket_lb,
+         CAST(SUM(c) OVER (PARTITION BY channel ORDER BY bucket_lb) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY channel) AS BIGINT) AS n
+  FROM h
+)
+SELECT channel,
+       CAST(MAX(n) AS BIGINT) AS n_values,
+       CAST(MIN(CASE WHEN cum * 2 >= n * 1 THEN bucket_lb END) AS BIGINT) AS p50_lb,
+       CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN bucket_lb END) AS BIGINT) AS p90_lb
+FROM cdf GROUP BY channel
+"""
+
 _ORACLE_CHANNEL_OVERLAP = """
 WITH cu AS (
   SELECT DISTINCT event_type AS channel, user_id
@@ -4922,6 +4969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_model_comparison": q_model_comparison,
         "maef_channel_overlap": q_channel_overlap,
         "llm_lang_confusion": q_lang_confusion,
+        "maef_revenue_histogram": q_revenue_histogram,
     }
 
 
@@ -5040,6 +5088,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_model_comparison": _ORACLE_MODEL_COMPARISON,
         "maef_channel_overlap": _ORACLE_CHANNEL_OVERLAP,
         "llm_lang_confusion": _ORACLE_LANG_CONFUSION,
+        "maef_revenue_histogram": _ORACLE_REVENUE_HISTOGRAM,
         "llm_multimodal_meta": _ORACLE_MM_META,
         # the mapInPandas path IS value-checked via the exact-integer
         # stripe summary (same Arrow plumbing, no float output):
