@@ -2155,23 +2155,23 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_revenue_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L95: per-channel purchase-value distribution via the L87
-    log-histogram sketch (operators/quantiles.py) over integer cents —
-    median and p90 lower bounds per channel from the mergeable bucket
-    table, demonstrating the sketch family's reuse across tables.
-    Registered behind the gate window this round (r04 rotation
-    candidate)."""
+    """L95: daily purchase-value distribution via the L87 log-histogram
+    sketch (operators/quantiles.py) over integer cents — per day,
+    median and p90 lower bounds from the mergeable bucket table
+    (sketch-family reuse across tables; the per-day tables also merge
+    into any coarser grain by summing counts). Registered behind the
+    gate window this round (r04 rotation candidate)."""
     from marketing_attribution_etl_framework__maef_spark.operators import quantiles as qtl
 
     purchases = domain.events(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
     ).select(
-        F.col("event_type").alias("channel"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
-    hist = qtl.log_histogram(purchases, ["channel"], "cents", sub_bits=2)
+    hist = qtl.log_histogram(purchases, ["event_day"], "cents", sub_bits=2)
     return qtl.histogram_quantile_bounds(
-        hist, ["channel"], [("p50_lb", 1, 2), ("p90_lb", 9, 10)]
+        hist, ["event_day"], [("p50_lb", 1, 2), ("p90_lb", 9, 10)]
     )
 
 
@@ -4489,28 +4489,29 @@ WHERE (CASE WHEN inter_size * 5 >= sza * 4 THEN 1 ELSE 0 END
 
 _ORACLE_REVENUE_HISTOGRAM = """
 WITH v AS (
-  SELECT event_type AS channel, CAST(ROUND(value * 100, 0) AS BIGINT) AS x
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_day,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS x
   FROM events WHERE event_type = 'purchase'
 ),
 b AS (
-  SELECT channel, CAST((x >> g) << g AS BIGINT) AS bucket_lb
-  FROM (SELECT channel, x,
+  SELECT event_day, CAST((x >> g) << g AS BIGINT) AS bucket_lb
+  FROM (SELECT event_day, x,
                CASE WHEN length(printf('%b', x)) - 3 > 0
                     THEN length(printf('%b', x)) - 3 ELSE 0 END AS g
         FROM v)
 ),
-h AS (SELECT channel, bucket_lb, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+h AS (SELECT event_day, bucket_lb, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
 cdf AS (
-  SELECT channel, bucket_lb,
-         CAST(SUM(c) OVER (PARTITION BY channel ORDER BY bucket_lb) AS BIGINT) AS cum,
-         CAST(SUM(c) OVER (PARTITION BY channel) AS BIGINT) AS n
+  SELECT event_day, bucket_lb,
+         CAST(SUM(c) OVER (PARTITION BY event_day ORDER BY bucket_lb) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY event_day) AS BIGINT) AS n
   FROM h
 )
-SELECT channel,
+SELECT event_day,
        CAST(MAX(n) AS BIGINT) AS n_values,
        CAST(MIN(CASE WHEN cum * 2 >= n * 1 THEN bucket_lb END) AS BIGINT) AS p50_lb,
        CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN bucket_lb END) AS BIGINT) AS p90_lb
-FROM cdf GROUP BY channel
+FROM cdf GROUP BY event_day
 """
 
 _ORACLE_CHANNEL_OVERLAP = """
