@@ -275,7 +275,13 @@ def q_report_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("channel_name").alias("n_channels"),
         F.countDistinct("date").alias("n_dates"),
         F.min("date").alias("min_date"),
-        F.round(F.sum("ihc"), 4).alias("total_ihc"),
+        # CLAUDE.md float policy: never ROUND(SUM(double)) cross-engine —
+        # per-row q20 fixed point summed as integers (report-row ihc is a
+        # rational-weight sum; non-dyadic values never sit on a q20
+        # boundary, so sum-order ulp noise cannot flip the floor).
+        F.sum(F.floor(F.col("ihc") * 1048576 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("total_ihc_q20"),
     )
 
 
@@ -468,7 +474,12 @@ def q_attribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum((F.col("ihc") > 0).cast("long")).cast("long").alias("n_positive"),
         F.countDistinct("conv_id").cast("long").alias("n_conversions"),
-        F.round(F.sum("ihc"), 4).alias("total_ihc"),
+        # last-touch ihc is exactly 0.0/1.0 per row, so the q20 sum is the
+        # exact integer n_conversions * 2^20 — zero float risk either way,
+        # but integer-typed keeps the repo float policy exception-free.
+        F.sum(F.floor(F.col("ihc") * 1048576 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("total_ihc_q20"),
     )
 
 
@@ -1047,8 +1058,13 @@ def _kmeans8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keyed by applicationId, not id(spark): CPython can reuse a dead
     # session's id() for a new one, resurrecting handles bound to a
     # stopped SparkContext (ADVICE r02).
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     if key not in _KMEANS_CACHE:
+        # evict dead-application entries on miss (ADVICE r03: unbounded
+        # growth in long-lived multi-session processes)
+        for stale in [k for k in _KMEANS_CACHE if k[0] != app_id]:
+            _KMEANS_CACHE.pop(stale, None)
         _KMEANS_CACHE[key] = sim.kmeans_centroids(_embs(spark, sf_dir), k=8, n_iter=2)
     return _KMEANS_CACHE[key]
 
@@ -1371,8 +1387,11 @@ _BPE_CACHE: dict[tuple[str, str], list[tuple]] = {}
 
 
 def _bpe_rules(spark: SparkSession, sf_dir: str) -> list[tuple]:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     if key not in _BPE_CACHE:
+        for stale in [k for k in _BPE_CACHE if k[0] != app_id]:
+            _BPE_CACHE.pop(stale, None)
         _BPE_CACHE[key] = [
             tuple(r)
             for r in tok.bpe_merges(_docs(spark, sf_dir), n_merges=8)
@@ -1631,9 +1650,16 @@ def q_rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum("_rev").cast("long").alias("revenue_e4"))
     )
+    # DECIMAL(38,0) before the *2^20: per-nation e4 revenue is ~2.5e12 at
+    # sf0.1, so a BIGINT product is within 4x of int64 max and would
+    # overflow (hard ANSI error) around sf~1 — decimal keeps the 100-TB
+    # claim honest (tfidf_cosine_pairs cross-multiply pattern).
     return per_nation.withColumn(
         "share_q20",
-        F.expr("revenue_e4 * 1048576 div sum(revenue_e4) over ()").cast("long"),
+        F.expr(
+            "cast(cast(revenue_e4 as decimal(38,0)) * 1048576"
+            " div sum(cast(revenue_e4 as decimal(38,0))) over () as bigint)"
+        ),
     )
 
 
@@ -2564,7 +2590,8 @@ lt AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN ihc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
        CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
-       ROUND(SUM(ihc), 4) AS total_ihc
+       CAST(SUM(CAST(FLOOR(ihc * 1048576 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_ihc_q20
 FROM lt
 """
 
@@ -2720,7 +2747,8 @@ SELECT COUNT(*) AS n_rows,
        COUNT(DISTINCT channel_name) AS n_channels,
        COUNT(DISTINCT date) AS n_dates,
        MIN(date) AS min_date,
-       ROUND(SUM(ihc), 4) AS total_ihc
+       CAST(SUM(CAST(FLOOR(ihc * 1048576 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_ihc_q20
 FROM report
 """
 )
@@ -4309,8 +4337,12 @@ WITH per_nation AS (
   GROUP BY 1
 )
 SELECT n_name, revenue_e4,
-       CAST((revenue_e4 * 1048576)
-            // (SELECT CAST(SUM(revenue_e4) AS BIGINT) FROM per_nation) AS BIGINT) AS share_q20
+       -- HUGEINT, not DECIMAL: DuckDB lowers DECIMAL(38)/DECIMAL(38) to
+       -- double (precision loss near q20 boundaries); HUGEINT // is exact
+       -- truncating division, matching Spark's DECIMAL(38,0) div.
+       CAST((CAST(revenue_e4 AS HUGEINT) * 1048576)
+            // (SELECT CAST(SUM(CAST(revenue_e4 AS HUGEINT)) AS HUGEINT)
+                FROM per_nation) AS BIGINT) AS share_q20
 FROM per_nation
 """
 
@@ -4844,14 +4876,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
-    # registry entries per round (VERDICT r02 finding #2).  The window is
-    # exactly full in r03: 40 entries with no driver row yet (the 19 families
-    # unchecked in r02, the r02 late additions, and llm_corpus_stats whose
-    # oracle was fixed) followed by the 10 round-3 additions (L70-L79).  Every
-    # entry from llm_text_stats down already has a green driver row in
-    # CORRECTNESS_r01/r02.  r04 rule: rotate freshly-green entries to the back
-    # before adding anything new.
+    # registry entries per round (VERDICT r02 finding #2).  r04 rotation
+    # (VERDICT r03 next-steps #1): the 16 L80-L95 entries that sat behind the
+    # full window all of r03 move to the FRONT, followed by the three entries
+    # whose oracles changed this round (q20 float-policy conversion for
+    # attribution_stats/report_summary, DECIMAL overflow fix for
+    # rel_market_share) and the round-4 additions.  Everything after the
+    # "long-green" marker has a green driver row in CORRECTNESS_r01-r03.
     return {
+        # --- r04 gate window: the 16 driver-unseen L80-L95 entries ---
+        "maef_fill_gaps": q_fill_gaps,
+        "maef_fuzzy_channels": q_fuzzy_channels,
+        "llm_bloom_converters": q_bloom_converters,
+        "maef_ivm_report": q_ivm_report,
+        "maef_channel_unpivot": q_channel_unpivot,
+        "maef_audience_setops": q_audience_setops,
+        "maef_pagerank_channels": q_pagerank_channels,
+        "llm_length_histogram": q_length_histogram,
+        "maef_channel_cube": q_channel_cube,
+        "maef_fd_profile": q_fd_profile,
+        "rel_monthly_growth": q_rel_monthly_growth,
+        "llm_tfidf_pairs": q_tfidf_pairs,
+        "maef_model_comparison": q_model_comparison,
+        "maef_channel_overlap": q_channel_overlap,
+        "llm_lang_confusion": q_lang_confusion,
+        "maef_revenue_histogram": q_revenue_histogram,
+        # --- oracles changed in r04 => need fresh driver rows ---
+        "maef_attribution_stats": q_attribution_stats,
+        "maef_report_summary": q_report_summary,
+        "rel_market_share": q_rel_market_share,
+        # --- round-4 additions land here (inside the window) ---
+        # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
         "llm_ann_kmeans": q_ann_kmeans,
@@ -4872,7 +4927,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_multimodal_features": q_multimodal_features,
         "llm_multimodal_stripes": q_multimodal_stripes,
         "llm_corpus_stats": q_corpus_stats,
-        # round-3 additions (L48-L52): new => inside the 50-entry gate window
         "llm_boilerplate_scrub": q_boilerplate_scrub,
         "llm_dedup_incremental": q_dedup_incremental,
         "maef_flash_windows": q_flash_windows,
@@ -4893,8 +4947,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_stream_cms": q_stream_cms,
         "maef_data_quality": q_data_quality,
         "maef_shapley": q_shapley,
-        # round-3 additions (L70-L79): new => inside the 50-entry gate window
-        "rel_market_share": q_rel_market_share,
         "rel_customer_distribution": q_rel_customer_distribution,
         "rel_top_supplier": q_rel_top_supplier,
         "rel_order_priority": q_rel_order_priority,
@@ -4936,11 +4988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_channel_report_replicate": q_channel_report_replicate,
         "maef_journey_paths": q_journey_paths,
         "maef_chunk_assignment": q_chunk_assignment,
-        "maef_report_summary": q_report_summary,
         "maef_loader_roundtrip": q_loader_roundtrip,
         "maef_loader_errors": q_loader_errors,
         "maef_date_window": q_date_window,
-        "maef_attribution_stats": q_attribution_stats,
         "maef_props_stats": q_props_stats,
         "maef_channel_rollup": q_channel_rollup,
         "maef_channel_pivot": q_channel_pivot,
@@ -4953,24 +5003,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_session_asof": q_session_asof,
         "maef_session_asof_forward": q_session_asof_forward,
         "maef_sessionize_batch": q_sessionize_batch,
-        # L81/L82: behind the (full) 50-entry gate window this round —
-        # crosschecked locally; rotate to the front in r04
-        "maef_fill_gaps": q_fill_gaps,
-        "maef_fuzzy_channels": q_fuzzy_channels,
-        "llm_bloom_converters": q_bloom_converters,
-        "maef_ivm_report": q_ivm_report,
-        "maef_channel_unpivot": q_channel_unpivot,
-        "maef_audience_setops": q_audience_setops,
-        "maef_pagerank_channels": q_pagerank_channels,
-        "llm_length_histogram": q_length_histogram,
-        "maef_channel_cube": q_channel_cube,
-        "maef_fd_profile": q_fd_profile,
-        "rel_monthly_growth": q_rel_monthly_growth,
-        "llm_tfidf_pairs": q_tfidf_pairs,
-        "maef_model_comparison": q_model_comparison,
-        "maef_channel_overlap": q_channel_overlap,
-        "llm_lang_confusion": q_lang_confusion,
-        "maef_revenue_histogram": q_revenue_histogram,
     }
 
 

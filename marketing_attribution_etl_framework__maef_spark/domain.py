@@ -78,8 +78,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared, cached events scan all MAEF tables derive from."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     if key not in _EVENTS_CACHE:
+        # Evict entries from other (stopped) applications on miss so a
+        # long-lived multi-session process (test runners) doesn't
+        # accumulate dead-JVM DataFrame handles forever (ADVICE r03).
+        for stale in [k for k in _EVENTS_CACHE if k[0] != app_id]:
+            _EVENTS_CACHE.pop(stale, None)
         _EVENTS_CACHE[key] = load_table(spark, sf_dir, "events").cache()
     return _EVENTS_CACHE[key]
 

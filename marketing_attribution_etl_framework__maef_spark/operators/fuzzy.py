@@ -50,11 +50,22 @@ def fuzzy_best_match(
     )
     # length-band block: |len(a) - len(b)| <= max_distance is a
     # NECESSARY condition for lev <= max_distance — anything outside
-    # the band cannot match and is never compared
-    banded = d.join(
-        F.broadcast(c),
-        F.abs(F.col("_dlen") - F.col("_clen")) <= F.lit(int(max_distance)),
-    )
+    # the band cannot match and is never compared.  The band is joined
+    # as an EQUI key (each dirty length exploded into its 2d+1
+    # candidate lengths, hash-joined on _clen): a raw band predicate
+    # would be a BroadcastNestedLoopJoin evaluating the inequality over
+    # every |dirty| x |canonical| pair (ADVICE r03) — the hash join
+    # keeps the join itself, not just the Levenshtein evaluations, at
+    # |dirty| x band_width.
+    banded = d.withColumn(
+        "_clen",
+        F.explode(
+            F.sequence(
+                F.col("_dlen") - F.lit(int(max_distance)),
+                F.col("_dlen") + F.lit(int(max_distance)),
+            )
+        ),
+    ).join(F.broadcast(c), "_clen")
     scored = banded.select(
         "dirty",
         "canonical",

@@ -50,10 +50,21 @@ def apply_aggregate_delta(
     group_cols: list[str],
     sum_cols: dict[str, object],
     op_col: str = "op",
+    on_negative: str = "error",
 ) -> DataFrame:
     """Maintain ``agg`` (as produced by ``aggregate_snapshot``) under a
     signed delta batch: ``delta`` holds fact-shaped rows plus ``op_col``
-    in {+1, -1}. Groups whose maintained count reaches 0 are dropped."""
+    in {+1, -1}. Groups whose maintained count reaches exactly 0 are
+    dropped (a clean full retraction).
+
+    A maintained count that goes NEGATIVE is an inconsistent delta
+    (retracting rows absent from the snapshot) — masking it as a drop
+    would hide corruption, so by default (``on_negative="error"``) the
+    job fails at evaluation time naming the offending group.
+    ``on_negative="drop"`` restores the silent-drop behavior for
+    callers that intentionally replay overlapping retractions."""
+    if on_negative not in ("error", "drop"):
+        raise ValueError("on_negative must be 'error' or 'drop'")
     op = F.col(op_col).cast("long")
     d = delta.groupBy(*group_cols).agg(
         F.sum(op).alias("_dn"),
@@ -61,9 +72,25 @@ def apply_aggregate_delta(
     )
     merged = agg.join(d, on=group_cols, how="full_outer")
     zero = F.lit(0).cast("long")
+    n_raw = F.coalesce(F.col("n"), zero) + F.coalesce(F.col("_dn"), zero)
+    if on_negative == "error":
+        # raise_error embedded in the n column itself (not a droppable
+        # side column), so Catalyst cannot prune the check away.
+        n_val = F.when(
+            n_raw < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("ivm: negative maintained count for group ("),
+                    F.concat_ws(", ", *[F.col(c).cast("string") for c in group_cols]),
+                    F.lit(")"),
+                )
+            ).cast("long"),
+        ).otherwise(n_raw)
+    else:
+        n_val = n_raw
     out = merged.select(
         *group_cols,
-        (F.coalesce(F.col("n"), zero) + F.coalesce(F.col("_dn"), zero)).alias("n"),
+        n_val.alias("n"),
         *[
             (
                 F.coalesce(F.col(name), zero) + F.coalesce(F.col(f"_d_{name}"), zero)
@@ -71,4 +98,6 @@ def apply_aggregate_delta(
             for name in sum_cols
         ],
     )
-    return out.filter(F.col("n") > 0)
+    return out.filter(F.col("n") != 0) if on_negative == "error" else out.filter(
+        F.col("n") > 0
+    )

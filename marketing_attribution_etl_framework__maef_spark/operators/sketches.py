@@ -287,7 +287,13 @@ def bloom_might_contain(
 ) -> DataFrame:
     """items plus a ``might_contain`` flag (long 0/1): 1 iff every one
     of the value's k bits is set. The bloom side is <= m/64 rows —
-    always broadcast; a LEFT join treats missing words as all-zero."""
+    always broadcast; a LEFT join treats missing words as all-zero.
+
+    Output has one row per DISTINCT item tuple (the groupBy collapses
+    duplicate input rows). The flag test is ``sum(hit) == count(*)``
+    (all probe rows hit), not ``== k_hashes``: with d duplicate rows a
+    group holds d*k probes, so comparing to k would flag true members
+    0 — a false negative violating the Bloom contract."""
     probes = items.select(
         "*",
         F.explode(
@@ -303,7 +309,7 @@ def bloom_might_contain(
     keys = [c for c in items.columns]
     return (
         j.groupBy(*keys)
-        .agg((F.sum(hit) == F.lit(k_hashes)).cast("long").alias("might_contain"))
+        .agg((F.sum(hit) == F.count(F.lit(1))).cast("long").alias("might_contain"))
     )
 
 
