@@ -2210,6 +2210,22 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-4 additions
+# ---------------------------------------------------------------------------
+
+
+def q_curate_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L96: sketch-gated curation (llm/curation.py curate_corpus_sketch)
+    — quality -> language-ID -> per-language p10..p90 LENGTH GATE driven
+    by the L87 mergeable log-histogram sketch (never an exact
+    rank-window percentile) -> exact dedup -> split. The documented
+    100-TB curation path end to end: bounds come from a bounded
+    map-side-combining bucket table that merges across days/partitions
+    by summing counts (VERDICT r03 #6)."""
+    return cur.curate_corpus_sketch(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect) — same computations, same aliases
 # ---------------------------------------------------------------------------
 
@@ -3286,6 +3302,68 @@ FROM surv1 s LEFT JOIN losers l USING (doc_id)
 WHERE l.doc_id IS NULL
 """
 
+# L96 sketch-gated curation: quality -> lang -> per-lang p10..p90
+# log-histogram bucket gate on n_tokens -> exact dedup -> split.
+# The bucket expression mirrors operators/quantiles.py
+# log_bucket_lower(sub_bits=2): keep the top 3 bits of the value
+# (n_tokens >= 5 under the quality gate, so the x=0 branch is moot).
+_ORACLE_CURATE_SKETCH = f"""
+WITH {_NORM_RAW},
+stq AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM nd)
+  WHERE len(ws) >= 5 AND len(list_distinct(ws)) * 10 >= len(ws) * 3
+),
+scores AS (
+  SELECT doc_id,
+       {_lang_score_cols}
+  FROM (SELECT doc_id, list_distinct(string_split(norm, ' ')) AS dws FROM nd)
+),
+best AS (SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM scores),
+langg AS (SELECT doc_id, CASE {_lang_case} ELSE 'zh' END AS lang_guess FROM best),
+base AS (
+  SELECT s.doc_id, l.lang_guess, s.n_tokens
+  FROM stq s JOIN langg l USING (doc_id)
+),
+bk AS (
+  SELECT doc_id, lang_guess, n_tokens,
+         CAST((n_tokens >> g) << g AS BIGINT) AS bucket_lb
+  FROM (SELECT *,
+               CASE WHEN length(printf('%b', n_tokens)) - 3 > 0
+                    THEN length(printf('%b', n_tokens)) - 3 ELSE 0 END AS g
+        FROM base)
+),
+h AS (SELECT lang_guess, bucket_lb, CAST(COUNT(*) AS BIGINT) AS c FROM bk GROUP BY 1, 2),
+cdf AS (
+  SELECT lang_guess, bucket_lb,
+         CAST(SUM(c) OVER (PARTITION BY lang_guess ORDER BY bucket_lb) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY lang_guess) AS BIGINT) AS n
+  FROM h
+),
+bounds AS (
+  SELECT lang_guess,
+         MIN(CASE WHEN cum * 10 >= n * 1 THEN bucket_lb END) AS lo_lb,
+         MIN(CASE WHEN cum * 10 >= n * 9 THEN bucket_lb END) AS hi_lb
+  FROM cdf GROUP BY 1
+),
+gated AS (
+  SELECT bk.doc_id, bk.lang_guess, bk.n_tokens
+  FROM bk JOIN bounds USING (lang_guess)
+  WHERE bucket_lb >= lo_lb AND bucket_lb <= hi_lb
+),
+keep AS (
+  SELECT MIN(g.doc_id) AS doc_id
+  FROM gated g JOIN nd ON g.doc_id = nd.doc_id
+  GROUP BY md5(nd.norm)
+)
+SELECT g.doc_id, g.lang_guess, g.n_tokens,
+       CASE WHEN CAST('0x' || substr(md5(CAST(g.doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT) % 100 < 90 THEN 'train'
+            WHEN CAST('0x' || substr(md5(CAST(g.doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT) % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM gated g JOIN keep k ON g.doc_id = k.doc_id
+"""
+
 # pair cosine with per-vector precomputed norms (mirrors
 # llm/similarity.py _norm_vec + _pair_cos: one dot per pair)
 _E_NORMED = """
@@ -3637,7 +3715,7 @@ WINDOW w AS (ORDER BY pmi_q20 DESC, bigram)
 QUALIFY ROW_NUMBER() OVER w <= 50
 """
 
-_ORACLE_CHUNK_DOCS = """
+_ORACLE_CHUNK_DOCS = r"""
 WITH w AS (
   SELECT doc_id,
          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
@@ -4906,6 +4984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_report_summary": q_report_summary,
         "rel_market_share": q_rel_market_share,
         # --- round-4 additions land here (inside the window) ---
+        "llm_curate_sketch": q_curate_sketch,
         # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
@@ -5053,6 +5132,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_simhash": _ORACLE_DEDUP_SIMHASH,
         "llm_dedup_ngram_jaccard": _ORACLE_DEDUP_NGRAM,
         "llm_curate": _ORACLE_CURATE,
+        "llm_curate_sketch": _ORACLE_CURATE_SKETCH,
         "llm_sample": _ORACLE_SAMPLE,
         "llm_scrub_pii": _ORACLE_SCRUB_PII,
         "llm_decontaminate": _ORACLE_DECONTAMINATE,
@@ -5130,3 +5210,15 @@ def oracle_sql() -> dict[str, str]:
         # (mapInPandas) feature extraction is not ANSI-SQL expressible;
         # the driver records a rows-only check for it.
     }
+
+
+# Registry hygiene (VERDICT r03 #4): every queries() entry must have an
+# oracle_sql() entry UNLESS it is explicitly whitelisted here with the
+# reason it cannot be SQL-expressed.  tests/test_registry.py asserts the
+# bijection so window rotations can't silently orphan an oracle.
+ROWS_ONLY_QUERIES: dict[str, str] = {
+    "llm_multimodal_features": (
+        "mapInPandas feature extraction over binary payloads — Python is "
+        "the point; not ANSI-SQL expressible (driver records rows-only)"
+    ),
+}

@@ -43,6 +43,22 @@ from marketing_attribution_etl_framework__maef_spark.session import get_spark
 
 GC_EVERY = 6  # timed queries between forced driver GCs
 
+# localCheckpoint-heavy pipelines vary 2-4x run-to-run in the shared
+# bench JVM (r03: dedup_clusters 16.0s official vs 3.55s standalone on
+# identical code — checkpoint materialization timing, not plan).  The
+# noise is one-sided (contamination only adds time), so each of these
+# gets a drain immediately before AND is run twice with the MIN
+# recorded (VERDICT r03 #3); BENCH_DETAIL marks them.
+CHECKPOINT_HEAVY = {
+    "llm_dedup_minhash",
+    "llm_dedup_clusters",
+    "llm_dedup_simhash",
+    "llm_curate",
+    "llm_neardup_incremental",
+    "llm_unigram_surprisal",
+    "llm_top_terms",
+}
+
 
 def _drain(spark) -> None:
     """Force a driver GC so ContextCleaner reclaims dead checkpoint/
@@ -101,11 +117,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for i, (name, fn) in enumerate(queries.items()):
-        if i and i % GC_EVERY == 0:
+        heavy = name in CHECKPOINT_HEAVY
+        if heavy or (i and i % GC_EVERY == 0):
             _drain(spark)
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        t = time.perf_counter() - t0
+        if heavy:
+            _drain(spark)
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t = min(t, time.perf_counter() - t0)
+        timings[name] = round(t, 3)
 
     total = round(sum(timings.values()), 3)
     detail = {
@@ -114,6 +137,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "min_of_2": sorted(CHECKPOINT_HEAVY & set(timings)),
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)

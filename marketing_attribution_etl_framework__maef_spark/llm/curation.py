@@ -228,6 +228,104 @@ def curate_corpus(
     )
 
 
+def sketch_length_gate(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: tuple[int, int] = (1, 10),
+    hi: tuple[int, int] = (9, 10),
+    sub_bits: int = 2,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` log-histogram bucket lies between
+    the group's lo- and hi-quantile bucket lower bounds (fractions as
+    exact (num, den) integer pairs).
+
+    This is the 100-TB form of a percentile length gate: the exact
+    rank-window percentile (operators/quantiles.py percentile_disc)
+    shuffles every value; the log-histogram sketch aggregates map-side
+    to <= ~64 * 2^sub_bits buckets per group, the bounds table is
+    |groups| rows (broadcast), and the gate itself is a per-row bucket
+    computation + broadcast join — the corpus is scanned, never
+    shuffled on the value. Bucket-space comparison (not raw-value)
+    keeps the decision identical to what a merged multi-day sketch
+    would decide, and it is exact integer arithmetic on both engines.
+    """
+    from marketing_attribution_etl_framework__maef_spark.operators import quantiles as qtl
+
+    hist = qtl.log_histogram(df, group_cols, value_col, sub_bits)
+    bounds = qtl.histogram_quantile_bounds(
+        hist, group_cols, [("_lo_lb", *lo), ("_hi_lb", *hi)]
+    ).select(*group_cols, "_lo_lb", "_hi_lb")
+    gated = (
+        df.withColumn("_blb", qtl.log_bucket_lower(value_col, sub_bits))
+        .join(F.broadcast(bounds), on=group_cols)
+        .filter((F.col("_blb") >= F.col("_lo_lb")) & (F.col("_blb") <= F.col("_hi_lb")))
+    )
+    return gated.drop("_blb", "_lo_lb", "_hi_lb")
+
+
+def curate_corpus_sketch(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    sub_bits: int = 2,
+) -> DataFrame:
+    """``curate_corpus`` variant whose length gate is the mergeable
+    log-histogram sketch instead of exact percentiles: quality ->
+    language-ID -> per-language p10..p90 sketch length gate on
+    n_tokens -> exact dedup -> split.
+
+    Kept per-language (no lang filter) so the gate demonstrates
+    grouped bounds; the near-dup stage is orthogonal to the gate and
+    exercised by ``curate_corpus`` — composing both is a filter swap.
+    Returns (doc_id, lang_guess, n_tokens, split) for survivors.
+
+    Reference parity: the gate replaces the reference's implicit
+    trust in upstream length trimming (src/etl/transform.py has no
+    outlier handling); the sketch path is the one a 100-TB curation
+    run takes — bounds from yesterday's persisted histograms merge
+    with today's by summing counts (log_histogram docstring).
+    """
+    norm = normalize_text(F.col(text_col))
+    prof = docs.select(F.col(id_col), norm.alias("_norm")).select(
+        F.col(id_col),
+        "_norm",
+        words(F.col("_norm")).alias("_ws"),
+        F.size(F.regexp_extract_all("_norm", F.lit(TOKEN_REGEX), 0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    n_words = F.size("_ws").cast("long")
+    n_distinct = F.size(F.array_distinct("_ws")).cast("long")
+    base = (
+        prof.filter((n_words >= 5) & (n_distinct * 10 >= n_words * 3))
+        .select(
+            F.col(id_col),
+            "_norm",
+            "n_tokens",
+            *lang_cols(F.array_distinct(F.col("_ws"))),
+        )
+        .select(F.col(id_col), "_norm", "n_tokens", "lang_guess")
+    )
+    gated = sketch_length_gate(
+        base, ["lang_guess"], "n_tokens", lo=(1, 10), hi=(9, 10), sub_bits=sub_bits
+    )
+    keep = exact_dedup_groups(gated.withColumnRenamed("_norm", text_col), text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return (
+        gated.join(keep, on=id_col, how="inner")
+        .select(
+            F.col(id_col),
+            "lang_guess",
+            "n_tokens",
+            split_assign(F.col(id_col), train_pct, val_pct).alias("split"),
+        )
+    )
+
+
 def source_mix_plan(
     docs: DataFrame,
     token_cap: int = 50_000,

@@ -1,0 +1,94 @@
+"""Round-4 operator tests: sketch-gated curation, plus regression
+tests for the ADVICE r03 fixes (bloom duplicate safety, IVM negative
+count detection, fuzzy equi-join plan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketing_attribution_etl_framework__maef_spark.llm import curation as cur
+from marketing_attribution_etl_framework__maef_spark.operators import fuzzy, ivm, sketches
+
+
+def test_sketch_length_gate_handmade(spark):
+    """Values 1..10, one group, sub_bits=2: buckets are the value itself
+    below 8, then [8,9]->8 and 10->10.  p10 bound = bucket 1, p90 bound
+    = bucket 8 (cum 9 of 10), so the gate keeps 1..9 and drops 10."""
+    df = spark.createDataFrame([("g", v) for v in range(1, 11)], "grp string, x long")
+    got = sorted(
+        r.x for r in cur.sketch_length_gate(df, ["grp"], "x", (1, 10), (9, 10)).collect()
+    )
+    assert got == list(range(1, 10))
+
+
+def test_curate_corpus_sketch(spark):
+    """10 same-length docs + 1 exact dup + 1 huge outlier: the sketch
+    gate drops the outlier (its bucket is above the p90 bound), exact
+    dedup drops the dup, and the split is deterministic."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    rows = [(i, f"{base} tail{chr(97 + i)}") for i in range(10)]
+    rows.append((100, rows[0][1]))  # exact duplicate of doc 0
+    rows.append((200, " ".join(f"zz{chr(97 + i)} yy{chr(97 + i)}" for i in range(30))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in cur.curate_corpus_sketch(docs).collect()}
+    assert set(got) == set(range(10))
+    assert all(r.split in ("train", "val", "test") for r in got.values())
+    again = {r.doc_id: r.split for r in cur.curate_corpus_sketch(docs).collect()}
+    assert again == {d: r.split for d, r in got.items()}
+
+
+def test_bloom_duplicate_probe_rows_no_false_negative(spark):
+    """ADVICE r03: duplicate probe rows must not break the no-false-
+    negative contract (sum(hit) is compared to count(*), not k)."""
+    members = spark.createDataFrame([("a",), ("b",)], "v string")
+    bloom = sketches.bloom_build(members, "v", m_bits=256, k_hashes=4)
+    probes = spark.createDataFrame([("a",), ("a",), ("c",)], "v string")
+    got = {r.v: r.might_contain for r in
+           sketches.bloom_might_contain(bloom, probes, "v", m_bits=256, k_hashes=4).collect()}
+    assert got["a"] == 1  # true member, duplicated probe rows
+    assert set(got) == {"a", "c"}  # one row per distinct item
+
+
+def test_ivm_negative_count_raises(spark):
+    """Retracting a row absent from the snapshot must fail loudly, not
+    vanish as a clean delete; on_negative='drop' opts back out."""
+    facts = spark.createDataFrame([("x", 5)], "k string, v long")
+    snap = ivm.aggregate_snapshot(facts, ["k"], {"sv": F.col("v")})
+    bad_delta = spark.createDataFrame(
+        [("y", 3, -1)], "k string, v long, op int"
+    )
+    out = ivm.apply_aggregate_delta(snap, bad_delta, ["k"], {"sv": F.col("v")})
+    with pytest.raises(Exception, match="negative maintained count"):
+        out.collect()
+    dropped = ivm.apply_aggregate_delta(
+        snap, bad_delta, ["k"], {"sv": F.col("v")}, on_negative="drop"
+    ).collect()
+    assert {r.k for r in dropped} == {"x"}
+
+
+def test_ivm_clean_retraction_still_drops(spark):
+    facts = spark.createDataFrame([("x", 5), ("y", 2)], "k string, v long")
+    snap = ivm.aggregate_snapshot(facts, ["k"], {"sv": F.col("v")})
+    delta = spark.createDataFrame([("y", 2, -1)], "k string, v long, op int")
+    got = ivm.apply_aggregate_delta(snap, delta, ["k"], {"sv": F.col("v")}).collect()
+    assert {(r.k, r.n, r.sv) for r in got} == {("x", 1, 5)}
+
+
+def test_fuzzy_band_join_is_hash_join(spark):
+    """ADVICE r03: the length band must be an equi hash join, not a
+    BroadcastNestedLoopJoin over all |dirty| x |canonical| pairs."""
+    dirty = spark.createDataFrame(
+        [("payperclick",), ("p p c ads",), ("emali",), ("zzzzzzzzzzzzzz",)],
+        "channel string",
+    )
+    canon = spark.createDataFrame(
+        [("ppc",), ("email",), ("payperclick",)], "name string"
+    )
+    out = fuzzy.fuzzy_best_match(dirty, canon, "channel", "name", max_distance=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {r.dirty: (r.canonical, r.distance) for r in out.collect()}
+    assert got["payperclick"] == ("payperclick", 0)
+    assert got["emali"] == ("email", 2)
+    assert "zzzzzzzzzzzzzz" not in got
