@@ -2214,6 +2214,27 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L97: Spark-native gap sessionization via ``F.session_window``
+    (operators/sessions.py sessionize_native) — Catalyst's own merging
+    session aggregate, one shuffle on user_id, and the identical
+    expression runs under readStream with watermark state eviction.
+    Exact-boundary semantics pinned equal to the hand-rolled twin
+    (closed interval: diff <= gap merges;
+    tests/test_round4_ops.py::test_session_window_gap_boundary_semantics).
+    Oracle: the prefix-sum gap-session SQL with no cap."""
+    from marketing_attribution_etl_framework__maef_spark.operators import sessions
+
+    out = sessions.sessionize_native(domain.events(spark, sf_dir), gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "channels",
+    )
+
+
 def q_curate_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L96: sketch-gated curation (llm/curation.py curate_corpus_sketch)
     — quality -> language-ID -> per-language p10..p90 LENGTH GATE driven
@@ -2686,6 +2707,38 @@ SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        STRING_AGG(channel_name, ',' ORDER BY ts, tb) AS channels
 FROM sub GROUP BY user_id, gs, sb
+"""
+
+# L97 native session_window: pure gap sessions (no cap) — the same
+# prefix-sum SQL without the sub-split, proving the Spark-native
+# merging session aggregate against an algorithmically different
+# formulation.
+_ORACLE_SESSIONIZE_NATIVE = """
+WITH base AS (
+  SELECT user_id, ts, event_id AS tb, event_type AS channel_name
+  FROM events WHERE event_type <> 'purchase'
+),
+lagged AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, tb) AS prev_ts
+  FROM base
+),
+brk AS (
+  SELECT *, CASE WHEN prev_ts IS NULL THEN 0
+                 WHEN epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+                 THEN 1 ELSE 0 END AS b
+  FROM lagged
+),
+g AS (
+  SELECT *, SUM(b) OVER (PARTITION BY user_id ORDER BY ts, tb
+                         ROWS UNBOUNDED PRECEDING) AS gs
+  FROM brk
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       STRING_AGG(channel_name, ',' ORDER BY ts, tb) AS channels
+FROM g GROUP BY user_id, gs
 """
 
 _ORACLE_LOADER_ERRORS = f"""
@@ -4985,6 +5038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_market_share": q_rel_market_share,
         # --- round-4 additions land here (inside the window) ---
         "llm_curate_sketch": q_curate_sketch,
+        "maef_sessionize_native": q_sessionize_native,
         # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
@@ -5120,6 +5174,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_session_asof": _ORACLE_SESSION_ASOF,
         "maef_session_asof_forward": _ORACLE_SESSION_ASOF_FWD,
         "maef_sessionize_batch": _ORACLE_SESSIONIZE,
+        "maef_sessionize_native": _ORACLE_SESSIONIZE_NATIVE,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,

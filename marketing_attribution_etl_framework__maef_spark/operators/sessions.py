@@ -83,3 +83,50 @@ def sessionize_batch(
         )
         .drop("_g", "_sub")
     )
+
+
+def sessionize_native(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Spark-native gap sessionization via ``F.session_window`` — the
+    built-in primitive for PURE gap sessions (no event cap), same
+    output shape as ``sessionize_batch``.
+
+    ``session_window`` is the one sessionization form Catalyst owns end
+    to end: in batch it compiles to a merging session aggregate after a
+    single shuffle on the grouping key, and the identical expression
+    runs under ``readStream`` with watermark-driven state eviction — so
+    a pipeline that doesn't need the ``max_events`` cap should prefer
+    this over the hand-rolled prefix-sum twin and get both engines'
+    native optimizations for free.  ``sessionize_batch(max_events=big)``
+    is exactly equivalent (parity pytest
+    ``tests/test_round4_ops.py::test_session_window_parity``); the cap
+    is the one semantic ``session_window`` cannot express, which is why
+    the prefix-sum form exists at all (SURVEY §7 note).
+    """
+    sess = events.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "ts",
+        F.col(tiebreak).alias("_tb"),
+        F.col("event_type").alias("channel_name"),
+    )
+    return (
+        sess.groupBy("user_id", F.session_window("ts", f"{int(gap_minutes)} minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "_tb", "channel_name"))
+                    ),
+                    lambda x: x["channel_name"],
+                ),
+                ",",
+            ).alias("channels"),
+        )
+        .drop("session_window")
+    )

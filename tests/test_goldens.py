@@ -103,6 +103,71 @@ def test_native_models_on_reference_journeys(spark):
         assert out.filter(F.col("ihc") < 0).count() == 0, f"{model}: negative weight"
 
 
+def test_replicate_report_csv_end_to_end(spark, tmp_path):
+    """S7 + §2.8.2 end to end (VERDICT r03 #5): replication-mode (fan-
+    out) channel report over a 2023-08/09-shaped fixture, through the
+    single-file CSV writer, diffed against the shipped
+    channel_report.csv CONVENTIONS (the reference ships no input DB, so
+    the exact CSV cannot be re-derived — the header/quoting/value
+    round-trip contract can be, and the fan-out arithmetic is pinned
+    numerically by hand here)."""
+    from marketing_attribution_etl_framework__maef_spark.operators.reporting import channel_report
+    from marketing_attribution_etl_framework__maef_spark.sources.io import write_csv_single
+
+    conversions = spark.createDataFrame(
+        [("C1", "2023-09-01 10:00:00", 100.0), ("C2", "2023-09-02 09:00:00", 50.0)],
+        "conv_id string, conv_ts string, revenue double",
+    ).withColumn("conv_ts", F.to_timestamp("conv_ts"))
+    sources = spark.createDataFrame(
+        [
+            ("s1", "Affiliate & Partnerships", "2023-09-01 08:00:00"),
+            ("s2", "TV, Radio & Print", "2023-09-01 07:00:00"),
+            ("s3", "Direct", "2023-08-31 12:00:00"),
+        ],
+        "session_id string, channel_name string, event_ts string",
+    ).withColumn("event_ts", F.to_timestamp("event_ts"))
+    costs = spark.createDataFrame(
+        [("s1", 2.0), ("s2", 3.5)], "session_id string, cost double"
+    )
+    attribution = spark.createDataFrame(
+        [("C1", "s1", 0.6), ("C1", "s2", 0.4), ("C2", "s2", 1.0)],
+        "conv_id string, session_id string, ihc double",
+    )
+    rep = channel_report(attribution, sources, costs, conversions, mode="replicate")
+    from marketing_attribution_etl_framework__maef_spark.operators.reporting import export_report
+
+    out = export_report(rep)
+    # hand-computed fan-out arithmetic (src/etl/reporting.py:57-98):
+    # (channel, date) pair-sum = per-side sums times the other side's count
+    got = {(r.channel_name, r.date): r for r in out.collect()}
+    ap = got[("Affiliate & Partnerships", "2023-09-01")]
+    assert (ap.cost, ap.ihc, ap.ihc_revenue) == (2.0, 0.6, 60.0)
+    tv = got[("TV, Radio & Print", "2023-09-01")]
+    assert (tv.cost, round(tv.ihc, 12), tv.ihc_revenue) == (7.0, 1.4, 90.0)
+    assert round(tv.cpo, 12) == 5.0 and round(tv.roas, 12) == round(90.0 / 7.0, 12)
+    # 'Direct' has no attribution rows and 2023-08-31 < min conv date
+    assert set(got) == {("Affiliate & Partnerships", "2023-09-01"),
+                        ("TV, Radio & Print", "2023-09-01")}
+
+    path = str(tmp_path / "channel_report.csv")
+    write_csv_single(out, path)
+    lines = open(path).read().splitlines()
+    gold_header = open(f"{GOLD}/channel_report.csv").readline().strip()
+    assert lines[0] == gold_header  # identical column order + names
+    # embedded-comma channel names must be quoted, as CSV demands
+    assert any(line.startswith('"TV, Radio & Print"') for line in lines[1:])
+    # values round-trip exactly (Spark writes shortest round-trip repr)
+    back = (
+        spark.read.option("header", True).csv(path)
+        .select(
+            "channel_name", "date",
+            *[F.col(c).cast("double").alias(c)
+              for c in ("cost", "ihc", "ihc_revenue", "cpo", "roas")],
+        )
+    )
+    assert back.exceptAll(out).count() == 0 and out.exceptAll(back).count() == 0
+
+
 def test_export_metrics_match_shipped_csv(spark):
     """channel_report.csv — recompute cpo/roas from the shipped
     cost/ihc/ihc_revenue columns with our P11 projection and compare

@@ -75,6 +75,46 @@ def test_ivm_clean_retraction_still_drops(spark):
     assert {(r.k, r.n, r.sv) for r in got} == {("x", 1, 5)}
 
 
+def test_session_window_parity(spark, sf_dir):
+    """VERDICT r03 #8: the Spark-native session_window sessionizer must
+    agree with the hand-rolled prefix-sum twin whenever the event cap
+    is not binding (pure gap sessions)."""
+    from marketing_attribution_etl_framework__maef_spark import domain
+    from marketing_attribution_etl_framework__maef_spark.operators import sessions as sx
+
+    ev = domain.events(spark, sf_dir)
+    a = sx.sessionize_batch(ev, gap_minutes=30, max_events=10**9)
+    b = sx.sessionize_native(ev, gap_minutes=30)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() > 0
+
+
+def test_session_window_gap_boundary_semantics(spark):
+    """Exact-boundary pin: an event exactly gap after its predecessor
+    merges in BOTH forms — session_window treats windows touching at a
+    point as overlapping (merge on diff <= gap), the same closed
+    interval the hand-rolled prefix-sum uses. This equality is what
+    makes the blanket parity test above safe on real data."""
+    from marketing_attribution_etl_framework__maef_spark.operators import sessions as sx
+
+    rows = [
+        (1, "u", "click", "2024-01-01 00:00:00"),
+        (2, "u", "view", "2024-01-01 00:30:00"),  # exactly 30 min later
+        (3, "u", "click", "2024-01-01 01:00:01"),  # 1s past the gap
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id string, event_type string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = sorted(sx.sessionize_batch(ev, gap_minutes=30, max_events=100).collect(),
+                   key=lambda r: r.session_start)
+    native = sorted(sx.sessionize_native(ev, gap_minutes=30).collect(),
+                    key=lambda r: r.session_start)
+    assert [r.n_events for r in batch] == [2, 1]
+    assert [(r.session_start, r.session_end, r.n_events, r.channels) for r in batch] == [
+        (r.session_start, r.session_end, r.n_events, r.channels) for r in native
+    ]
+
+
 def test_fuzzy_band_join_is_hash_join(spark):
     """ADVICE r03: the length band must be an equi hash join, not a
     BroadcastNestedLoopJoin over all |dirty| x |canonical| pairs."""
