@@ -2111,26 +2111,54 @@ def q_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     Registered behind the gate window this round (r04 rotation
     candidate)."""
     j = _journeys(spark, sf_dir)
-    chans = j.select(
-        F.col("conversion_id").alias("conv_id"), "session_id", "channel_label"
+    # ONE windowed scan computes all four models' weights as sibling
+    # columns (they share the same two window specs), ONE aggregate
+    # produces the per-channel credits, and stack() unpivots to the
+    # (model, channel) grain — r04 plan fix: the previous form ran four
+    # attribute_*(j) scans each re-joined to the channel projection
+    # (5.6 s at sf0.1, the round's slowest query). Weight expressions
+    # are bit-identical to operators/attribution.py's, so the q20 sums
+    # hash-match the unchanged oracle.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conversion_id").orderBy("event_ts", "session_id")
+    wall = Window.partitionBy("conversion_id")
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wall)
+    u = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when(rn == 1, F.lit(0.4))
+        .when(rn == n, F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2))
     )
-    models = [
-        ("linear", attr.attribute_linear),
-        ("first_touch", attr.attribute_first_touch),
-        ("last_touch", attr.attribute_last_touch),
-        ("u_shaped", attr.attribute_u_shaped),
-    ]
-    out = None
-    for name, fn in models:
-        scored = fn(j).join(chans, ["conv_id", "session_id"])
-        agg = scored.groupBy("channel_label").agg(
-            F.sum(F.floor(F.col("ihc") * 1048576 + F.lit(0.5)).cast("long"))
+    scored = j.select(
+        "channel_label",
+        (F.lit(1.0) / n).alias("_w_linear"),
+        F.when(rn == 1, F.lit(1.0)).otherwise(F.lit(0.0)).alias("_w_first"),
+        F.when(rn == n, F.lit(1.0)).otherwise(F.lit(0.0)).alias("_w_last"),
+        u.alias("_w_u"),
+    )
+
+    def q20(c: str):
+        return (
+            F.sum(F.floor(F.col(c) * 1048576 + F.lit(0.5)).cast("long"))
             .cast("long")
-            .alias("credit_q20"),
-            F.count(F.lit(1)).cast("long").alias("n_touches"),
-        ).select(F.lit(name).alias("model"), "*")
-        out = agg if out is None else out.unionByName(agg)
-    return out
+            .alias(f"_c{c}")
+        )
+
+    agg = scored.groupBy("channel_label").agg(
+        q20("_w_linear"), q20("_w_first"), q20("_w_last"), q20("_w_u"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 'linear', _c_w_linear, 'first_touch', _c_w_first, "
+            "'last_touch', _c_w_last, 'u_shaped', _c_w_u) AS (model, credit_q20)"
+        ),
+        "channel_label",
+        F.col("_n").alias("n_touches"),
+    ).select("model", "channel_label", "credit_q20", "n_touches")
 
 
 def q_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2244,6 +2272,172 @@ def q_curate_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combining bucket table that merges across days/partitions
     by summing counts (VERDICT r03 #6)."""
     return cur.curate_corpus_sketch(_docs(spark, sf_dir))
+
+
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L98: median/MAD robust daily-revenue outliers per channel
+    (operators/anomaly.py mad_day_outliers) — the robust twin of the
+    z-score gate (L76): a single extreme day inflates mean AND stddev
+    (masking itself) but moves neither median nor MAD. All-integer
+    (PERCENTILE_DISC medians are actual elements), rank windows run
+    only on the post-aggregation channel x day grain."""
+    from marketing_attribution_etl_framework__maef_spark.operators import anomaly
+
+    return anomaly.mad_day_outliers(domain.events(spark, sf_dir), k=3)
+
+
+def q_channel_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L99: exponentially decayed (half-life 1 day, 21-day horizon)
+    channel spend (operators/timeseries.py decayed_daily_sum) — the
+    recency-weighted momentum feature for pacing models, as exact q20
+    integers (dyadic weights 2^(20-d): no float crosses the engine
+    boundary). Range self-join on the bounded channel x day grain,
+    never on raw events."""
+    from marketing_attribution_etl_framework__maef_spark.operators import timeseries as ts
+
+    return ts.decayed_daily_sum(domain.events(spark, sf_dir), horizon_days=21)
+
+
+def q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L100: relational kernel, TPC-H Q3 shape — unshipped-revenue
+    top-10: BUILDING-segment customers (broadcast dim), orders placed
+    before the cutoff, lineitems shipped after it, revenue per order
+    in exact e4 integer units, deterministic top-10 via total ordering
+    (revenue desc, orderdate, orderkey). Both date predicates push to
+    the parquet scans; the only wide shuffle is lineitem onto the
+    filtered orders; the top-10 is a TakeOrdered, not a global sort."""
+    cust = (
+        domain.load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        domain.load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").cast("date") < F.lit("1996-07-01").cast("date"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    o = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_orderpriority",
+    )
+    li = (
+        domain.load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").cast("date") > F.lit("1996-07-01").cast("date"))
+        .select("l_orderkey", F.expr(f"{_CENTS} * {_DISC_H}").alias("_rev"))
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "orderdate", "o_orderpriority")
+        .agg(F.sum("_rev").cast("long").alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            "revenue_e4",
+            "orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+def q_rel_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L101: relational kernel, TPC-H Q16 shape (adapted to the
+    harness schema: no partsupp table, supplier-part pairs come from
+    lineitem) — per (p_brand, p_size in a 5-value list): distinct
+    suppliers, EXCLUDING negative-balance suppliers via LEFT ANTI join
+    (Q16's NOT IN lowered to the join form Catalyst broadcasts: the
+    exclusion list is dimension-sized at any SF). part is broadcast
+    into lineitem; the only shuffle is the distinct-aggregate on the
+    (brand, size) grain."""
+    part = (
+        domain.load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size").isin([1, 14, 23, 36, 49]))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = (
+        domain.load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    li = domain.load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .select("p_brand", F.col("p_size").cast("long").alias("p_size"), "supplier_cnt")
+    )
+
+
+def q_rel_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L102: relational kernel, TPC-H Q18 shape — large-volume orders:
+    lineitem pre-aggregates to per-order quantity (map-side combine),
+    the HAVING > 300 filter reduces it to a tiny key set, and ONLY
+    those keys join back to orders and the customer dimension — the
+    aggregate-then-semi-join pattern that avoids dragging order/customer
+    attributes through the big aggregation. Quantities are integral in
+    the data (pinned by round) so the totals are exact longs."""
+    big = (
+        domain.load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("long")).cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    orders = domain.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = domain.load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("totalprice_cents"),
+            "total_qty",
+        )
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.9 / L103: Spark-native streaming dedup —
+    ``dropDuplicatesWithinWatermark`` (streaming/incremental.py
+    dedup_stream) over a deliberately DOUBLED stream (the same source
+    unioned with itself: every event arrives twice), then per-channel
+    counts over the deduped sink. State per key is evicted once the
+    watermark passes it, so dedup state is bounded by the lateness
+    horizon, not the stream length. Parity oracle: the batch
+    per-channel aggregate over the original (already unique) events —
+    the stream must drop exactly the injected duplicates."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    ev1 = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+    ev2 = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+    doubled = ev1.unionByName(ev2).withWatermark("ts", "365 days")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    name = "stream_dedup_sink"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table(name)
+        .groupBy(F.col("event_type").alias("channel_name"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("event_id").cast("long").alias("n_distinct"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("cents"),
+        )
+        .localCheckpoint()
+    )
+    spark.catalog.dropTempView(name)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -2739,6 +2933,121 @@ SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        STRING_AGG(channel_name, ',' ORDER BY ts, tb) AS channels
 FROM g GROUP BY user_id, gs
+"""
+
+# shared daily channel-revenue grain for the r04 time-series oracles
+_DAILY_CENTS = """
+daily AS (
+  SELECT event_type AS channel, strftime(ts, '%Y-%m-%d') AS event_day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+)"""
+
+# L98 median/MAD outliers: PERCENTILE_DISC mirrored as the identical
+# rank-window formulation (operators/quantiles.py percentile_disc:
+# the row whose row_number equals ceil(p * n); 0.5 * n is an exact
+# binary product so ceil is deterministic in both engines).
+_ORACLE_ANOMALY_MAD = f"""
+WITH {_DAILY_CENTS},
+rmed AS (
+  SELECT channel, cents,
+         ROW_NUMBER() OVER (PARTITION BY channel ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY channel) AS n
+  FROM daily
+),
+med AS (SELECT channel, cents AS med FROM rmed WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)),
+dev AS (
+  SELECT d.channel, d.event_day, d.cents, m.med,
+         ABS(d.cents - m.med) AS dv
+  FROM daily d JOIN med m USING (channel)
+),
+rmad AS (
+  SELECT channel, dv,
+         ROW_NUMBER() OVER (PARTITION BY channel ORDER BY dv) AS rn,
+         COUNT(*) OVER (PARTITION BY channel) AS n
+  FROM dev
+),
+mad AS (SELECT channel, dv AS mad FROM rmad WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT))
+SELECT d.channel, d.event_day, d.cents,
+       CAST(d.med AS BIGINT) AS median_cents,
+       CAST(a.mad AS BIGINT) AS mad_cents,
+       CAST(CASE WHEN d.dv > 3 * a.mad THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM dev d JOIN mad a USING (channel)
+"""
+
+# L99 decayed daily sum: dyadic weights 2^(20-d) over a 21-day
+# horizon — exact integer arithmetic mirroring
+# operators/timeseries.py decayed_daily_sum.
+_ORACLE_CHANNEL_DECAY = f"""
+WITH {_DAILY_CENTS}
+SELECT t.channel, t.event_day,
+       CAST(MAX(CASE WHEN i.event_day = t.event_day THEN i.cents END) AS BIGINT) AS cents,
+       CAST(SUM(i.cents * (CAST(1 AS BIGINT) <<
+            (20 - date_diff('day', CAST(i.event_day AS DATE), CAST(t.event_day AS DATE)))))
+            AS BIGINT) AS decay_cents_q20
+FROM daily t JOIN daily i
+  ON t.channel = i.channel
+ AND CAST(i.event_day AS DATE) <= CAST(t.event_day AS DATE)
+ AND CAST(i.event_day AS DATE) >= CAST(t.event_day AS DATE) - 20
+GROUP BY 1, 2
+"""
+
+# L100 TPC-H Q3 shape (_REV_E4 inlined: that fragment is defined
+# further down the module)
+_ORACLE_REL_SHIPPING = """
+SELECT l.l_orderkey AS orderkey,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(100 - ROUND(l.l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) <  DATE '1996-07-01'
+  AND CAST(l.l_shipdate  AS DATE) >  DATE '1996-07-01'
+GROUP BY 1, 3, 4
+ORDER BY revenue_e4 DESC, orderdate ASC, orderkey ASC
+LIMIT 10
+"""
+
+# L101 TPC-H Q16 shape (supplier-part pairs from lineitem; NOT IN
+# exclusion of negative-balance suppliers)
+_ORACLE_REL_PARTS_SUPPLIER = """
+SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size IN (1, 14, 23, 36, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+# L102 TPC-H Q18 shape
+_ORACLE_REL_BIG_SPENDERS = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING total_qty > 300
+)
+SELECT c.c_name,
+       o.o_orderkey AS orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS totalprice_cents,
+       b.total_qty
+FROM big b
+JOIN orders o   ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+# L103 streaming dedup parity: the doubled-then-deduped stream must
+# reduce to the batch aggregate over the original unique events.
+_ORACLE_STREAM_DEDUP = """
+SELECT event_type AS channel_name,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY 1
 """
 
 _ORACLE_LOADER_ERRORS = f"""
@@ -5039,6 +5348,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 additions land here (inside the window) ---
         "llm_curate_sketch": q_curate_sketch,
         "maef_sessionize_native": q_sessionize_native,
+        "maef_anomaly_mad": q_anomaly_mad,
+        "maef_channel_decay": q_channel_decay,
+        "rel_shipping_priority": q_rel_shipping_priority,
+        "rel_parts_supplier": q_rel_parts_supplier,
+        "rel_big_spenders": q_rel_big_spenders,
+        "maef_stream_dedup": q_stream_dedup,
         # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
@@ -5175,6 +5490,12 @@ def oracle_sql() -> dict[str, str]:
         "maef_session_asof_forward": _ORACLE_SESSION_ASOF_FWD,
         "maef_sessionize_batch": _ORACLE_SESSIONIZE,
         "maef_sessionize_native": _ORACLE_SESSIONIZE_NATIVE,
+        "maef_anomaly_mad": _ORACLE_ANOMALY_MAD,
+        "maef_channel_decay": _ORACLE_CHANNEL_DECAY,
+        "rel_shipping_priority": _ORACLE_REL_SHIPPING,
+        "rel_parts_supplier": _ORACLE_REL_PARTS_SUPPLIER,
+        "rel_big_spenders": _ORACLE_REL_BIG_SPENDERS,
+        "maef_stream_dedup": _ORACLE_STREAM_DEDUP,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,

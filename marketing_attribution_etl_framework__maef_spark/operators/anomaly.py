@@ -67,3 +67,58 @@ def zscore_day_outliers(ev: DataFrame, z_threshold: int = 2) -> DataFrame:
         den.cast("long").alias("z2_den"),
         (num > den).cast("long").alias("is_anomaly"),
     )
+
+
+def mad_day_outliers(ev: DataFrame, k: int = 3) -> DataFrame:
+    """Median/MAD robust outlier flags over daily channel revenue:
+    |cents - median| > k * MAD (strict, integer comparison).
+
+    The robust counterpart of ``zscore_day_outliers``: one bot-storm
+    day inflates the mean AND the stddev (masking itself from the
+    z-gate), but moves neither the median nor the MAD. Everything is
+    exact integers — the median is PERCENTILE_DISC(1/2) (an actual
+    element of the data, via the rank-window formulation in
+    operators/quantiles.py), the MAD is the discrete median of the
+    absolute deviations, and the flag is an integer inequality — so
+    the DuckDB oracle agrees bit for bit.
+
+    100-TB shape: the raw scan collapses to the channel x day grain in
+    one map-side-combining aggregate; both rank windows then run over
+    that post-aggregation table (|channels| x |days| rows — bounded by
+    the calendar, not the data volume), and the per-channel med/MAD
+    rows broadcast back. No window ever touches raw events.
+    """
+    from marketing_attribution_etl_framework__maef_spark.operators.quantiles import percentile_disc
+
+    daily = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(
+            F.col("event_type").alias("channel"),
+            F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("_c"),
+        )
+        .groupBy("channel", "event_day")
+        .agg(F.sum("_c").cast("long").alias("cents"))
+    )
+    med = percentile_disc(daily, ["channel"], "cents", [0.5]).select(
+        "channel", F.col("cents").alias("_med")
+    )
+    dev = daily.join(F.broadcast(med), "channel").withColumn(
+        "_dev", F.abs(F.col("cents") - F.col("_med")).cast("long")
+    )
+    mad = percentile_disc(
+        dev.select("channel", "_dev"), ["channel"], "_dev", [0.5]
+    ).select("channel", F.col("_dev").alias("_mad"))
+    return (
+        dev.join(F.broadcast(mad), "channel")
+        .select(
+            "channel",
+            "event_day",
+            "cents",
+            F.col("_med").alias("median_cents"),
+            F.col("_mad").alias("mad_cents"),
+            (F.col("_dev") > F.lit(int(k)).cast("long") * F.col("_mad"))
+            .cast("long")
+            .alias("is_anomaly"),
+        )
+    )

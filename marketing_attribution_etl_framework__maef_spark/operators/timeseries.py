@@ -68,3 +68,57 @@ def fill_daily_gaps(
     for c in ffill_cols or []:
         out_cols.append(F.last(F.col(c), ignorenulls=True).over(w).alias(c))
     return joined.select(*out_cols)
+
+
+def decayed_daily_sum(ev: DataFrame, horizon_days: int = 21) -> DataFrame:
+    """Recency-weighted daily channel spend: for each (channel, day t),
+
+        decay_cents_q20 = SUM_{d=0..H-1} cents(t-d) * 2^(H-1-d)
+
+    — an exponentially decayed sum with dyadic half-life 1 day,
+    truncated at ``horizon_days`` and scaled by 2^(H-1) so every term
+    is an exact integer (no float ever crosses the engine boundary;
+    with H=21 the scale is the repo's q20 fixed point). The standard
+    'recency-weighted momentum' feature for budget pacing models.
+
+    Why not a window frame: the weight depends on BOTH the frame row
+    and the current row (2^(i-t)), which SUM-over-frame cannot express
+    without an overflow-prone absolute-epoch exponent. Instead the raw
+    scan collapses to the channel x day grain first (map-side combine)
+    and the decayed sum is a range self-join ON THAT GRAIN — |channels|
+    x |days| x H joined rows, bounded by the calendar and the horizon,
+    not the data volume. At extreme daily volumes promote the product
+    to DECIMAL(38,0) (cents/day ~1e13 * 2^20 * H nears int64).
+    """
+    h = int(horizon_days)
+    daily = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(
+            F.col("event_type").alias("channel"),
+            F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("_c"),
+        )
+        .groupBy("channel", "event_day")
+        .agg(F.sum("_c").cast("long").alias("cents"))
+    )
+    t = daily.select("channel", F.col("event_day"), "cents")
+    i = daily.select(
+        F.col("channel").alias("_ch"),
+        F.col("event_day").alias("_iday"),
+        F.col("cents").alias("_ic"),
+    )
+    dd = F.datediff(F.col("event_day").cast("date"), F.col("_iday").cast("date"))
+    joined = t.join(
+        i,
+        (F.col("channel") == F.col("_ch"))
+        & (F.col("_iday").cast("date") <= F.col("event_day").cast("date"))
+        & (F.col("_iday").cast("date") >= F.date_sub(F.col("event_day").cast("date"), h - 1)),
+    )
+    weight = F.expr(f"shiftleft(cast(1 as bigint), {h - 1} - datediff(cast(event_day as date), cast(_iday as date)))")
+    return (
+        joined.groupBy("channel", "event_day")
+        .agg(
+            F.max(F.when(dd == 0, F.col("_ic"))).cast("long").alias("cents"),
+            F.sum(F.col("_ic") * weight).cast("long").alias("decay_cents_q20"),
+        )
+    )

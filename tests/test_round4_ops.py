@@ -115,6 +115,47 @@ def test_session_window_gap_boundary_semantics(spark):
     ]
 
 
+def test_mad_day_outliers_handmade(spark):
+    """7 identical days + 1 extreme day in one channel: the extreme day
+    flags (median/MAD unmoved by it), the rest do not — and the same
+    shape would NOT flag under a mean/std gate distorted by the outlier."""
+    from marketing_attribution_etl_framework__maef_spark.operators import anomaly
+
+    rows = [(i, "u", "click", f"2024-01-0{i+1} 08:00:00", 10.0) for i in range(7)]
+    rows.append((99, "u", "click", "2024-01-08 08:00:00", 10000.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.event_day: r for r in anomaly.mad_day_outliers(ev, k=3).collect()}
+    assert got["2024-01-08"].is_anomaly == 1
+    assert all(r.is_anomaly == 0 for d, r in got.items() if d != "2024-01-08")
+    assert got["2024-01-01"].median_cents == 1000
+    assert got["2024-01-01"].mad_cents == 0
+
+
+def test_decayed_daily_sum_handmade(spark):
+    """Three consecutive days of 100 cents: day 3's decayed sum is
+    100*(2^20 + 2^19 + 2^18); a gap day contributes nothing."""
+    from marketing_attribution_etl_framework__maef_spark.operators import timeseries as ts
+
+    rows = [
+        (1, "u", "click", "2024-01-01 08:00:00", 1.0),
+        (2, "u", "click", "2024-01-02 08:00:00", 1.0),
+        (3, "u", "click", "2024-01-03 08:00:00", 1.0),
+        (4, "u", "click", "2024-01-05 08:00:00", 1.0),  # gap on the 4th
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.event_day: r.decay_cents_q20 for r in ts.decayed_daily_sum(ev, 21).collect()}
+    q = 1 << 20
+    assert got["2024-01-01"] == 100 * q
+    assert got["2024-01-02"] == 100 * (q + q // 2)
+    assert got["2024-01-03"] == 100 * (q + q // 2 + q // 4)
+    # 3rd at d=2, 2nd at d=3, 1st at d=4 — the gap day itself adds 0
+    assert got["2024-01-05"] == 100 * (q + q // 4 + q // 8 + q // 16)
+
+
 def test_fuzzy_band_join_is_hash_join(spark):
     """ADVICE r03: the length band must be an equi hash join, not a
     BroadcastNestedLoopJoin over all |dirty| x |canonical| pairs."""
