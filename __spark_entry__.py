@@ -2401,6 +2401,57 @@ def q_rel_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_channel_assists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L104: assisted-conversion report (operators/reporting.py
+    channel_assists) — per channel: conversions touched vs closed vs
+    merely assisted (distinct-conversion counts off the shared journey
+    ordering window) plus the integer-q20 assist ratio. The standard
+    complement to last-touch credit the reference's report never
+    computes."""
+    return rpt.channel_assists(_journeys(spark, sf_dir))
+
+
+def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L105: per-user lifetime feature vector (operators/features.py
+    user_feature_vector) — the LTV/churn training table: session and
+    purchase counts, distinct channels, active days, exact-cents
+    revenue, activity span. One conditional-aggregate scan, full
+    map-side combine."""
+    from marketing_attribution_etl_framework__maef_spark.operators import features as ftr
+
+    return ftr.user_feature_vector(domain.events(spark, sf_dir))
+
+
+def q_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L106: time-to-conversion distribution per channel via the L87
+    mergeable log-histogram sketch — p50/p90 bucket lower bounds of
+    journey latency (integer seconds, truncating div) per
+    channel_label. Third domain reuse of the sketch family (doc
+    lengths, revenue, now latencies): the per-channel bucket tables
+    merge across days by summing counts."""
+    from marketing_attribution_etl_framework__maef_spark.operators import quantiles as qtl
+
+    lat = _journeys(spark, sf_dir).select(
+        "channel_label",
+        F.expr("timestampdiff(MICROSECOND, event_ts, conv_ts) div 1000000")
+        .cast("long")
+        .alias("latency_sec"),
+    )
+    hist = qtl.log_histogram(lat, ["channel_label"], "latency_sec", sub_bits=2)
+    return qtl.histogram_quantile_bounds(
+        hist, ["channel_label"], [("p50_lb", 1, 2), ("p90_lb", 9, 10)]
+    )
+
+
+def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L107: Hamilton largest-remainder budget apportionment
+    (operators/reporting.py budget_allocation) — a fixed integer-cents
+    budget split across channels proportional to session value, exact
+    integer arithmetic end to end (DECIMAL/HUGEINT products), summing
+    to the budget EXACTLY — the invariant float shares violate."""
+    return rpt.budget_allocation(domain.events(spark, sf_dir), budget_cents=100_000_000)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.9 / L103: Spark-native streaming dedup —
     ``dropDuplicatesWithinWatermark`` (streaming/incremental.py
@@ -3048,6 +3099,94 @@ SELECT event_type AS channel_name,
        CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
        CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
 FROM events GROUP BY 1
+"""
+
+# L104 assisted-conversion report over the shared journey ordering
+_ORACLE_CHANNEL_ASSISTS = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+j AS (
+  SELECT conversion_id, channel_label,
+         ROW_NUMBER() OVER w = COUNT(*) OVER (PARTITION BY conversion_id) AS is_last
+  FROM journeys
+  WINDOW w AS (PARTITION BY conversion_id ORDER BY event_ts, session_id)
+)
+SELECT channel_label,
+       CAST(COUNT(DISTINCT conversion_id) AS BIGINT) AS n_touched,
+       CAST(COUNT(DISTINCT CASE WHEN is_last THEN conversion_id END) AS BIGINT) AS n_closed,
+       CAST(COUNT(DISTINCT CASE WHEN NOT is_last THEN conversion_id END) AS BIGINT) AS n_assists,
+       CAST(COUNT(DISTINCT CASE WHEN NOT is_last THEN conversion_id END) * 1048576
+            // COUNT(DISTINCT conversion_id) AS BIGINT) AS assist_ratio_q20
+FROM j GROUP BY 1
+"""
+
+# L106 journey-latency log-histogram sketch (same bucket SQL as the
+# L87 length/revenue sketches; latency in truncated integer seconds)
+_ORACLE_LATENCY_HISTOGRAM = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+v AS (
+  SELECT channel_label,
+         (epoch_us(conv_ts) - epoch_us(event_ts)) // 1000000 AS x
+  FROM journeys
+),
+b AS (
+  SELECT channel_label, CAST((x >> g) << g AS BIGINT) AS bucket_lb
+  FROM (SELECT channel_label, x,
+               CASE WHEN length(printf('%b', x)) - 3 > 0
+                    THEN length(printf('%b', x)) - 3 ELSE 0 END AS g
+        FROM v)
+),
+h AS (SELECT channel_label, bucket_lb, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+cdf AS (
+  SELECT channel_label, bucket_lb,
+         CAST(SUM(c) OVER (PARTITION BY channel_label ORDER BY bucket_lb) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY channel_label) AS BIGINT) AS n
+  FROM h
+)
+SELECT channel_label,
+       CAST(MAX(n) AS BIGINT) AS n_values,
+       CAST(MIN(CASE WHEN cum * 2 >= n * 1 THEN bucket_lb END) AS BIGINT) AS p50_lb,
+       CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN bucket_lb END) AS BIGINT) AS p90_lb
+FROM cdf GROUP BY 1
+"""
+
+# L105 per-user lifetime feature vector
+_ORACLE_USER_FEATURES = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT CASE WHEN event_type <> 'purchase' THEN event_type END) AS BIGINT) AS n_channels,
+       CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS active_days,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS revenue_cents,
+       MIN(strftime(ts, '%Y-%m-%d')) AS first_day,
+       MAX(strftime(ts, '%Y-%m-%d')) AS last_day
+FROM events GROUP BY 1
+"""
+
+# L107 Hamilton largest-remainder budget apportionment (HUGEINT ==
+# Spark's DECIMAL(38,0) for exact products; // and % truncate on
+# nonnegative values in both engines)
+_ORACLE_BUDGET_ALLOC = """
+WITH per AS (
+  SELECT event_type AS channel,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(CAST(value_cents AS HUGEINT)) AS HUGEINT) AS v FROM per),
+scaled AS (
+  SELECT channel, value_cents,
+         CAST(CAST(100000000 AS HUGEINT) * CAST(value_cents AS HUGEINT) // t.v AS BIGINT) AS base,
+         CAST(100000000 AS HUGEINT) * CAST(value_cents AS HUGEINT) % t.v AS rem
+  FROM per, tot t
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, channel ASC) AS rk,
+         (SELECT 100000000 - SUM(base) FROM scaled) AS leftover
+  FROM scaled
+)
+SELECT channel, value_cents,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_cents
+FROM rk
 """
 
 _ORACLE_LOADER_ERRORS = f"""
@@ -5354,6 +5493,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_parts_supplier": q_rel_parts_supplier,
         "rel_big_spenders": q_rel_big_spenders,
         "maef_stream_dedup": q_stream_dedup,
+        "maef_channel_assists": q_channel_assists,
+        "maef_user_features": q_user_features,
+        "maef_latency_histogram": q_latency_histogram,
+        "maef_budget_allocation": q_budget_allocation,
         # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
@@ -5496,6 +5639,10 @@ def oracle_sql() -> dict[str, str]:
         "rel_parts_supplier": _ORACLE_REL_PARTS_SUPPLIER,
         "rel_big_spenders": _ORACLE_REL_BIG_SPENDERS,
         "maef_stream_dedup": _ORACLE_STREAM_DEDUP,
+        "maef_channel_assists": _ORACLE_CHANNEL_ASSISTS,
+        "maef_user_features": _ORACLE_USER_FEATURES,
+        "maef_latency_histogram": _ORACLE_LATENCY_HISTOGRAM,
+        "maef_budget_allocation": _ORACLE_BUDGET_ALLOC,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,

@@ -59,3 +59,40 @@ def rolling_user_features(
         F.sum("_cents").over(w_range).cast("long").alias("value_cents_window"),
         (F.col("_es") - F.lag("_es").over(w_rows)).cast("long").alias("usecs_since_prev"),
     )
+
+
+def user_feature_vector(events: DataFrame) -> DataFrame:
+    """Per-user lifetime feature vector — the entity-level feature
+    table an LTV / churn / propensity model trains on, all from ONE
+    conditional-aggregate scan (no self-joins, no windows):
+
+    - n_sessions / n_purchases: non-purchase vs purchase event counts
+    - n_channels: distinct non-purchase channels touched
+    - active_days: distinct active calendar days
+    - revenue_cents: purchase revenue, exact integer cents
+    - first_day / last_day: activity span ('yyyy-MM-dd' strings, the
+      cross-engine day rendering)
+
+    The reference has no feature layer at all (its pandas pipeline
+    ends at the channel report); this is the standard extension a
+    production MAEF grows. 100-TB shape: one shuffle on user_id with
+    full map-side combining — every column is an algebraic aggregate;
+    conditional counts stay in whole-stage codegen."""
+    is_purchase = F.col("event_type") == "purchase"
+    return events.groupBy("user_id").agg(
+        F.sum((~is_purchase).cast("long")).cast("long").alias("n_sessions"),
+        F.sum(is_purchase.cast("long")).cast("long").alias("n_purchases"),
+        F.countDistinct(F.when(~is_purchase, F.col("event_type")))
+        .cast("long")
+        .alias("n_channels"),
+        F.countDistinct(F.date_format("ts", "yyyy-MM-dd")).cast("long").alias("active_days"),
+        F.sum(
+            F.when(is_purchase, F.round(F.col("value") * 100, 0).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+        F.min(F.date_format("ts", "yyyy-MM-dd")).alias("first_day"),
+        F.max(F.date_format("ts", "yyyy-MM-dd")).alias("last_day"),
+    )

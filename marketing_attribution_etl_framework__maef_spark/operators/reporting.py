@@ -263,3 +263,101 @@ def dormant_users(ev: DataFrame, cutoff: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("_n_sess").cast("long").alias("n_sessions"),
     )
+
+
+def channel_assists(journeys: DataFrame) -> DataFrame:
+    """Assisted-conversion report — the standard complement to
+    last-touch credit the reference's report (src/etl/reporting.py)
+    never computes: per channel, how many conversions it merely
+    ASSISTED (touched but did not close) vs CLOSED (was the last
+    touch). Distinct-conversion counts, plus the integer-q20 assist
+    ratio (assists * 2^20 div touched — no float crosses engines).
+
+    100-TB shape: one journey-ordering window (the same
+    (conversion_id; event_ts, session_id) sort every attribution model
+    uses — AQE collapses the shared exchange), then one
+    distinct-aggregate on the channel grain. The q20 division's BIGINT
+    product is safe to ~8e12 touched conversions per channel; promote
+    to DECIMAL(38,0) past that (rel_market_share pattern)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conversion_id").orderBy("event_ts", "session_id")
+    wall = Window.partitionBy("conversion_id")
+    j = journeys.select(
+        "conversion_id",
+        "channel_label",
+        (F.row_number().over(w) == F.count(F.lit(1)).over(wall)).alias("_is_last"),
+    )
+    agg = j.groupBy("channel_label").agg(
+        F.countDistinct("conversion_id").cast("long").alias("n_touched"),
+        F.countDistinct(F.when(F.col("_is_last"), F.col("conversion_id")))
+        .cast("long")
+        .alias("n_closed"),
+        F.countDistinct(F.when(~F.col("_is_last"), F.col("conversion_id")))
+        .cast("long")
+        .alias("n_assists"),
+    )
+    return agg.withColumn(
+        "assist_ratio_q20",
+        F.expr("n_assists * 1048576 div n_touched").cast("long"),
+    )
+
+
+def budget_allocation(sessions: DataFrame, budget_cents: int = 100_000_000) -> DataFrame:
+    """Integer budget apportionment across channels proportional to
+    channel session value — Hamilton's largest-remainder method, the
+    deterministic way to split a fixed budget with no fractional cents
+    and no float: base_i = B * v_i div V, then the B - sum(base)
+    leftover cents go one each to the channels with the largest
+    remainder (B * v_i mod V), ties broken alphabetically.
+
+    Every quantity is an exact integer on both engines, so the
+    allocation (which sums to B exactly — the invariant float shares
+    violate) is oracle-checkable bit for bit. 100-TB shape: one
+    map-side-combining aggregate to the |channels|-row grain; the
+    rank window runs on that dimension-sized table. The B * v_i
+    product promotes to DECIMAL(38,0) (HUGEINT in the oracle) so the
+    arithmetic survives any revenue scale."""
+    from pyspark.sql import Window
+
+    b = int(budget_cents)
+    per = (
+        sessions.filter(F.col("event_type") != "purchase")
+        .select(
+            F.col("event_type").alias("channel"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("_c"),
+        )
+        .groupBy("channel")
+        .agg(F.sum("_c").cast("long").alias("value_cents"))
+    )
+    dec = "decimal(38,0)"
+    scaled = per.select(
+        "channel",
+        "value_cents",
+        F.expr(
+            f"cast(cast({b} as {dec}) * cast(value_cents as {dec})"
+            f" div sum(cast(value_cents as {dec})) over () as bigint)"
+        ).alias("_base"),
+        F.expr(
+            f"cast(cast({b} as {dec}) * cast(value_cents as {dec})"
+            f" % sum(cast(value_cents as {dec})) over () as {dec})"
+        ).alias("_rem"),
+    )
+    w = Window.orderBy(F.desc("_rem"), F.asc("channel"))
+    leftover = F.lit(b).cast("long") - F.sum("_base").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        scaled.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_left", leftover)
+        .select(
+            "channel",
+            "value_cents",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_left"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("alloc_cents"),
+        )
+    )

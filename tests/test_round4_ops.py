@@ -156,6 +156,48 @@ def test_decayed_daily_sum_handmade(spark):
     assert got["2024-01-05"] == 100 * (q + q // 4 + q // 8 + q // 16)
 
 
+def test_budget_allocation_sums_exactly(spark):
+    """Hamilton apportionment: a budget indivisible by the shares must
+    still sum to the budget exactly, remainder cents going to the
+    largest remainders (alphabetical ties)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import reporting as rpt
+
+    rows = [
+        (1, "u", "a_chan", "2024-01-01 08:00:00", 1.0),
+        (2, "u", "b_chan", "2024-01-01 08:01:00", 1.0),
+        (3, "u", "c_chan", "2024-01-01 08:02:00", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.channel: r.alloc_cents for r in
+           rpt.budget_allocation(ev, budget_cents=100).collect()}
+    # 100/3 = 33 each, remainder 1; all remainders equal -> alphabetical
+    assert got == {"a_chan": 34, "b_chan": 33, "c_chan": 33}
+    assert sum(got.values()) == 100
+
+
+def test_channel_assists_handmade(spark):
+    """Journey A: x -> y (y closes, x assists). Journey B: y only
+    (y closes). x: touched 1, closed 0, assists 1; y: touched 2,
+    closed 2, assists 0."""
+    from marketing_attribution_etl_framework__maef_spark.operators import reporting as rpt
+
+    j = spark.createDataFrame(
+        [
+            ("A", "s1", "2024-01-01 08:00:00", "x"),
+            ("A", "s2", "2024-01-01 09:00:00", "y"),
+            ("B", "s3", "2024-01-02 08:00:00", "y"),
+        ],
+        "conversion_id string, session_id string, event_ts string, channel_label string",
+    ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+    got = {r.channel_label: r for r in rpt.channel_assists(j).collect()}
+    assert (got["x"].n_touched, got["x"].n_closed, got["x"].n_assists) == (1, 0, 1)
+    assert (got["y"].n_touched, got["y"].n_closed, got["y"].n_assists) == (2, 2, 0)
+    assert got["x"].assist_ratio_q20 == 1 << 20
+    assert got["y"].assist_ratio_q20 == 0
+
+
 def test_fuzzy_band_join_is_hash_join(spark):
     """ADVICE r03: the length band must be an equi hash join, not a
     BroadcastNestedLoopJoin over all |dirty| x |canonical| pairs."""
