@@ -2452,6 +2452,45 @@ def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rpt.budget_allocation(domain.events(spark, sf_dir), budget_cents=100_000_000)
 
 
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L108: time-constrained conversion funnel (operators/funnel.py
+    window_funnel; ClickHouse windowFunnel semantics): signup -> view
+    -> click -> purchase where every step falls within 72 hours of the
+    user's first signup — the conversion-window product question the
+    unbounded funnel (L53) can't answer. Same k conditional-min
+    aggregates, anchor bound carried through the chain."""
+    return fnl.window_funnel(
+        domain.events(spark, sf_dir),
+        steps=["signup", "view", "click", "purchase"],
+        window_hours=72,
+    )
+
+
+def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L109: A/B experiment readout (operators/reporting.py
+    ab_lift_report) — users split by the canonical salted-md5 bucket,
+    per variant: users, converters, conversions, exact-cents revenue,
+    q20 conversion rate. Exact integer counts (the significance test
+    is the notebook's job; the warehouse contract is the counts)."""
+    return rpt.ab_lift_report(domain.events(spark, sf_dir))
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L110: hybrid retrieval via Reciprocal Rank Fusion
+    (llm/similarity.py hybrid_rrf_topk): cosine and raw-dot rankings
+    from ONE corpus scan, fused as 1/(60+r_cos) + 1/(60+r_dot) over
+    the top-20 lists, re-ranked to top-10. Fused score is a rational
+    of integer ranks — q20-safe. The fusion stage is scorer-agnostic:
+    swap the brute scan for IVF/LSH candidates at scale."""
+    e = _embs(spark, sf_dir)
+    out = sim.hybrid_rrf_topk(
+        e, e.filter(F.col("vec_id") % 50 == 7), k_list=20, k_out=10
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rnk"), "vec_id", "rrf_q20"
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.9 / L103: Spark-native streaming dedup —
     ``dropDuplicatesWithinWatermark`` (streaming/incremental.py
@@ -3099,6 +3138,75 @@ SELECT event_type AS channel_name,
        CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
        CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
 FROM events GROUP BY 1
+"""
+
+# L108 time-constrained funnel: the chain carries the user's step-1
+# anchor t0 and bounds every later step to t0 + 72h (exact integer
+# microsecond comparison in both engines).
+_WF_US = 72 * 3600 * 1_000_000
+_ORACLE_WINDOW_FUNNEL = f"""
+WITH base AS (
+  SELECT user_id, event_type AS et, ts FROM events
+  WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+),
+s0 AS (SELECT user_id, MIN(ts) AS t0 FROM base WHERE et = 'signup' GROUP BY user_id),
+s1 AS (
+  SELECT b.user_id, MIN(s0.t0) AS t0, MIN(b.ts) AS t1
+  FROM base b JOIN s0 ON b.user_id = s0.user_id
+  WHERE b.et = 'view' AND b.ts > s0.t0
+    AND epoch_us(b.ts) - epoch_us(s0.t0) <= {_WF_US}
+  GROUP BY b.user_id
+),
+s2 AS (
+  SELECT b.user_id, MIN(s1.t0) AS t0, MIN(b.ts) AS t2
+  FROM base b JOIN s1 ON b.user_id = s1.user_id
+  WHERE b.et = 'click' AND b.ts > s1.t1
+    AND epoch_us(b.ts) - epoch_us(s1.t0) <= {_WF_US}
+  GROUP BY b.user_id
+),
+s3 AS (
+  SELECT b.user_id, MIN(b.ts) AS t3
+  FROM base b JOIN s2 ON b.user_id = s2.user_id
+  WHERE b.et = 'purchase' AND b.ts > s2.t2
+    AND epoch_us(b.ts) - epoch_us(s2.t0) <= {_WF_US}
+  GROUP BY b.user_id
+),
+stages AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS stage FROM (SELECT DISTINCT user_id FROM base)
+  UNION ALL SELECT user_id, CAST(1 AS BIGINT) FROM s0
+  UNION ALL SELECT user_id, CAST(2 AS BIGINT) FROM s1
+  UNION ALL SELECT user_id, CAST(3 AS BIGINT) FROM s2
+  UNION ALL SELECT user_id, CAST(4 AS BIGINT) FROM s3
+),
+fs AS (SELECT user_id, MAX(stage) AS funnel_stage FROM stages GROUP BY user_id),
+at AS (SELECT funnel_stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM fs GROUP BY funnel_stage)
+SELECT a.funnel_stage, a.n_users,
+       CAST((SELECT SUM(b.n_users) FROM at b WHERE b.funnel_stage >= a.funnel_stage) AS BIGINT) AS n_reached
+FROM at a
+"""
+
+# L109 A/B lift readout (canonical salted-md5 bucket; integer counts)
+_ORACLE_AB_LIFT = """
+WITH pu AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_conv,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS rev
+  FROM events GROUP BY 1
+),
+v AS (
+  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|ab'), 1, 15) AS BIGINT) % 100 < 50
+              THEN 'A' ELSE 'B' END AS variant,
+         n_conv, rev
+  FROM pu
+)
+SELECT variant,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN n_conv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converters,
+       CAST(SUM(n_conv) AS BIGINT) AS n_conversions,
+       CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+       CAST(SUM(CASE WHEN n_conv > 0 THEN 1 ELSE 0 END) * 1048576 // COUNT(*) AS BIGINT) AS conv_rate_q20
+FROM v GROUP BY 1
 """
 
 # L104 assisted-conversion report over the shared journey ordering
@@ -3887,6 +3995,39 @@ SELECT query_id,
        CAST(FLOOR(cos * 1048576.0 + 0.5) AS BIGINT) AS cos_q20
 FROM scored
 WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id)
+QUALIFY ROW_NUMBER() OVER w <= 10
+"""
+
+# L110 Reciprocal Rank Fusion of the cosine and raw-dot rankings
+# (mirrors llm/similarity.py hybrid_rrf_topk: integer-rank rationals,
+# fixed term order, q20 emit)
+_ORACLE_HYBRID_RRF = f"""
+WITH {_E_NORMED},
+q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM e WHERE vec_id % 50 = 7),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(q.qv, e.v) AS d,
+         list_dot_product(q.qv, e.v) / (q.qn * e.vn) AS cos
+  FROM e, q
+),
+rk AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rc,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id ASC) AS rd
+  FROM scored
+),
+sc AS (
+  SELECT query_id, vec_id,
+         (CASE WHEN rc <= 20 THEN 1.0 / (60.0 + rc) ELSE 0.0 END)
+         + (CASE WHEN rd <= 20 THEN 1.0 / (60.0 + rd) ELSE 0.0 END) AS s
+  FROM rk WHERE rc <= 20 OR rd <= 20
+)
+SELECT query_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+       vec_id,
+       CAST(FLOOR(s * 1048576.0 + 0.5) AS BIGINT) AS rrf_q20
+FROM sc
+WINDOW w AS (PARTITION BY query_id ORDER BY s DESC, vec_id ASC)
 QUALIFY ROW_NUMBER() OVER w <= 10
 """
 
@@ -5497,6 +5638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_user_features": q_user_features,
         "maef_latency_histogram": q_latency_histogram,
         "maef_budget_allocation": q_budget_allocation,
+        "maef_window_funnel": q_window_funnel,
+        "maef_ab_lift": q_ab_lift,
+        "llm_hybrid_rrf": q_hybrid_rrf,
         # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
@@ -5643,6 +5787,9 @@ def oracle_sql() -> dict[str, str]:
         "maef_user_features": _ORACLE_USER_FEATURES,
         "maef_latency_histogram": _ORACLE_LATENCY_HISTOGRAM,
         "maef_budget_allocation": _ORACLE_BUDGET_ALLOC,
+        "maef_window_funnel": _ORACLE_WINDOW_FUNNEL,
+        "maef_ab_lift": _ORACLE_AB_LIFT,
+        "llm_hybrid_rrf": _ORACLE_HYBRID_RRF,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,

@@ -89,6 +89,61 @@ def brute_topk(
     )
 
 
+def hybrid_rrf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_list: int = 20,
+    k_out: int = 10,
+    k_const: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: two ranking
+    functions (cosine and raw dot product) computed from ONE corpus
+    scan, each yielding a top-``k_list`` list per query, fused as
+    rrf = 1/(k+r_cos) + 1/(k+r_dot) (a missing list contributes 0)
+    and re-ranked to ``k_out``. This is the standard way multi-signal
+    retrieval (dense + lexical, or here two dense scorers) is merged
+    in training-data pipelines — rank fusion needs no score
+    calibration between the signals.
+
+    Cross-engine exactness: the fused score is a sum of two exact
+    rationals of INTEGER ranks (denominators 61..80 — non-dyadic, so
+    q20 never lands on a boundary); ties break by vec_id. 100-TB
+    shape: identical to the brute baseline (queries broadcast, one
+    corpus scan, two rank windows sharing the query_id partitioning);
+    swap the scan for an IVF/LSH candidate set (ivf_topk/lsh_topk)
+    for the approximate path — the fusion stage is unchanged.
+    """
+    c = _norm_vec(corpus, id_col, vec_col, "vec_id", "_v")
+    q = _norm_vec(queries, id_col, vec_col, "query_id", "_q")
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        dot(F.col("_q"), F.col("_v")).alias("_dot"),
+        _pair_cos("_q", "_v").alias("_cos"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    wd = Window.partitionBy("query_id").orderBy(F.desc("_dot"), F.asc("vec_id"))
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(wc).alias("_rc"),
+        F.row_number().over(wd).alias("_rd"),
+    ).filter((F.col("_rc") <= k_list) | (F.col("_rd") <= k_list))
+    kc = F.lit(float(k_const))
+    score = F.when(F.col("_rc") <= k_list, F.lit(1.0) / (kc + F.col("_rc"))).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("_rd") <= k_list, F.lit(1.0) / (kc + F.col("_rd"))).otherwise(F.lit(0.0))
+    wf = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("vec_id"))
+    return (
+        ranked.withColumn("_score", score)
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k_out)
+        .select("query_id", "rank", "vec_id", q20(F.col("_score")).alias("rrf_q20"))
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -105,6 +105,74 @@ def funnel_summary(
     )
 
 
+def window_funnel(
+    events: DataFrame,
+    steps: list[str],
+    window_hours: int = 168,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-constrained funnel (the ClickHouse ``windowFunnel`` /
+    Amplitude conversion-window semantics): the furthest step each user
+    reaches where every step is strictly after the previous one AND
+    within ``window_hours`` of the user's FIRST step-1 event (the
+    deterministic anchor — min ts of step 1; later anchors are a
+    different product question).
+
+    Same k conditional-min-aggregate shape as ``funnel_stages`` (never
+    a per-user sort or history buffer; MIN combines map-side in O(1)
+    state), with the anchor bound carried through the chain. All the
+    per-step joins key on user_id, so they reuse the single up-front
+    exchange. Output: (funnel_stage, n_users, n_reached) like
+    ``funnel_summary``.
+    """
+    if not steps:
+        raise ValueError("need at least one funnel step")
+    us = int(window_hours) * 3600 * 1_000_000
+    base = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.col(type_col).alias("_et"),
+            F.col(ts_col).alias("_ts"),
+        )
+        .filter(F.col("_et").isin(list(steps)))
+        .repartition("user_id")
+    )
+    stages = None
+    cur = None
+    for i, step in enumerate(steps):
+        ev_i = base.filter(F.col("_et") == step)
+        if cur is None:
+            cur = ev_i.groupBy("user_id").agg(F.min("_ts").alias("_t0"))
+            cur = cur.withColumn("_prev", F.col("_t0"))
+        else:
+            cur = (
+                ev_i.join(cur, "user_id")
+                .filter(
+                    (F.col("_ts") > F.col("_prev"))
+                    & (F.expr("timestampdiff(MICROSECOND, _t0, _ts)") <= F.lit(us))
+                )
+                .groupBy("user_id")
+                .agg(F.min("_t0").alias("_t0"), F.min("_ts").alias("_prev"))
+            )
+        reached = cur.select("user_id", F.lit(i + 1).cast("long").alias("_stage"))
+        stages = reached if stages is None else stages.unionByName(reached)
+    everyone = base.select("user_id").distinct().withColumn("_stage", F.lit(0).cast("long"))
+    per_user = (
+        everyone.unionByName(stages)
+        .groupBy("user_id")
+        .agg(F.max("_stage").alias("funnel_stage"))
+    )
+    at = per_user.groupBy("funnel_stage").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    b = at.select(F.col("funnel_stage").alias("_s2"), F.col("n_users").alias("_n2"))
+    return (
+        at.join(b, F.col("_s2") >= F.col("funnel_stage"))
+        .groupBy("funnel_stage", "n_users")
+        .agg(F.sum("_n2").cast("long").alias("n_reached"))
+    )
+
+
 _GRAIN_DAYS = {"day": 1, "week": 7}
 
 

@@ -303,6 +303,55 @@ def channel_assists(journeys: DataFrame) -> DataFrame:
     )
 
 
+def ab_lift_report(events: DataFrame, salt: str = "ab", split_pct: int = 50) -> DataFrame:
+    """A/B experiment readout: users assigned to variants by the
+    repo's canonical salted-md5 bucket (deterministic, stable under
+    data growth — the same expression behind split_assign and
+    stratified sampling), then per variant: users, converters (any
+    purchase), conversion count, exact-cents revenue, and the q20
+    conversion rate (converters * 2^20 div users — integer, so no
+    float crosses engines).
+
+    The significance TEST belongs in the analyst's notebook; the
+    warehouse job's contract is exact counts, which is what this
+    emits. 100-TB shape: one user-grain aggregate (map-side combining
+    conditional counts), then a |variants|-row roll-up."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|" + salt))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    per_user = events.groupBy("user_id").agg(
+        F.sum(is_purchase.cast("long")).cast("long").alias("_n_conv"),
+        F.sum(
+            F.when(is_purchase, F.round(F.col("value") * 100, 0).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("_rev"),
+    ).select(
+        F.when(bucket < int(split_pct), F.lit("A")).otherwise(F.lit("B")).alias("variant"),
+        "_n_conv",
+        "_rev",
+    )
+    agg = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum((F.col("_n_conv") > 0).cast("long")).cast("long").alias("n_converters"),
+        F.sum("_n_conv").cast("long").alias("n_conversions"),
+        F.sum("_rev").cast("long").alias("revenue_cents"),
+    )
+    return agg.withColumn(
+        "conv_rate_q20", F.expr("n_converters * 1048576 div n_users").cast("long")
+    )
+
+
 def budget_allocation(sessions: DataFrame, budget_cents: int = 100_000_000) -> DataFrame:
     """Integer budget apportionment across channels proportional to
     channel session value — Hamilton's largest-remainder method, the

@@ -198,6 +198,30 @@ def test_channel_assists_handmade(spark):
     assert got["y"].assist_ratio_q20 == 0
 
 
+def test_window_funnel_anchor_bound(spark):
+    """u1 completes view->click within 72h of signup; u2's click lands
+    outside the 72h anchor window (though within 72h of the view), so
+    u2 stops at stage 2 — the constraint the unbounded funnel misses."""
+    from marketing_attribution_etl_framework__maef_spark.operators import funnel as fnl
+
+    rows = [
+        (1, "u1", "signup", "2024-01-01 00:00:00"),
+        (2, "u1", "view", "2024-01-02 00:00:00"),
+        (3, "u1", "click", "2024-01-03 00:00:00"),
+        (4, "u2", "signup", "2024-01-01 00:00:00"),
+        (5, "u2", "view", "2024-01-03 12:00:00"),
+        (6, "u2", "click", "2024-01-04 12:00:00"),  # 84h after signup
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.funnel_stage: r for r in
+           fnl.window_funnel(ev, ["signup", "view", "click"], window_hours=72).collect()}
+    # u1 reached 3, u2 reached 2; n_reached is cumulative from the top
+    assert got[3].n_users == 1 and got[2].n_users == 1
+    assert got[2].n_reached == 2 and got[3].n_reached == 1
+
+
 def test_fuzzy_band_join_is_hash_join(spark):
     """ADVICE r03: the length band must be an equi hash join, not a
     BroadcastNestedLoopJoin over all |dirty| x |canonical| pairs."""
