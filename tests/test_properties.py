@@ -458,3 +458,62 @@ def test_hll_register_summary_matches_python_reference(spark, values):
     assert row["n_registers_hit"] == len(regs)
     assert row["sum_rho"] == sum(regs.values())
     assert row["harmonic_s53"] == s53
+
+
+@given(
+    cents=st.lists(st.integers(1, 10_000_000), min_size=1, max_size=8),
+    budget=st.integers(1, 1_000_000),
+)
+@settings(**_SETTINGS)
+def test_budget_allocation_exact_and_fair(spark, cents, budget):
+    """Hamilton apportionment laws: allocations sum to the budget
+    EXACTLY, and each channel gets floor or ceil of its exact
+    proportional share (never further away)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import reporting as rpt
+
+    rows = [
+        (i, "u", f"ch{i:02d}", "2024-01-01 08:00:00", c / 100.0)
+        for i, c in enumerate(cents)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.channel: (r.value_cents, r.alloc_cents) for r in
+           rpt.budget_allocation(ev, budget_cents=budget).collect()}
+    total = sum(v for v, _ in got.values())
+    assert sum(a for _, a in got.values()) == budget
+    for v, a in got.values():
+        lo = budget * v // total
+        assert a in (lo, lo + 1)
+
+
+@given(
+    days=st.lists(st.tuples(st.integers(0, 30), st.integers(1, 100_000)),
+                  min_size=1, max_size=10, unique_by=lambda t: t[0]),
+)
+@settings(**_SETTINGS)
+def test_decayed_daily_sum_matches_python_reference(spark, days):
+    """The q20 decayed sum equals the integer reference computed in
+    plain Python over the same (day, cents) series."""
+    import datetime as _dt
+
+    from marketing_attribution_etl_framework__maef_spark.operators import timeseries as ts
+
+    base = _dt.date(2024, 1, 1)
+    rows = [
+        (i, "u", "click", f"{base + _dt.timedelta(days=d)} 08:00:00", c / 100.0)
+        for i, (d, c) in enumerate(days)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.event_day: r.decay_cents_q20
+           for r in ts.decayed_daily_sum(ev, horizon_days=21).collect()}
+    series = dict(days)
+    for d, _ in days:
+        expect = sum(
+            c_i * (1 << (20 - (d - d_i)))
+            for d_i, c_i in series.items()
+            if 0 <= d - d_i <= 20
+        )
+        assert got[str(base + _dt.timedelta(days=d))] == expect
