@@ -2452,6 +2452,29 @@ def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rpt.budget_allocation(domain.events(spark, sf_dir), budget_cents=100_000_000)
 
 
+def q_user_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L111: GDPR right-to-be-forgotten purge ledger
+    (operators/compliance.py) — deterministic tombstone set
+    (user_id % 31 == 7) anti-joined out of the three MAEF tables, with
+    the verified count ledger (before / after / tombstoned-remaining,
+    the last provably 0). Broadcast anti-joins: one scan per table, no
+    fact-side shuffle."""
+    from marketing_attribution_etl_framework__maef_spark.operators import compliance as cpl
+
+    ev = domain.events(spark, sf_dir)
+    tomb = ev.select("user_id").distinct().filter(F.col("user_id") % 31 == 7)
+    tables = {
+        "conversions": domain.conversions(spark, sf_dir).withColumn(
+            "user_id", F.col("user_id").cast("long")
+        ),
+        "session_sources": domain.session_sources(spark, sf_dir).withColumn(
+            "user_id", F.col("user_id").cast("long")
+        ),
+        "events": ev,
+    }
+    return cpl.purge_ledger(tables, tomb)
+
+
 def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L108: time-constrained conversion funnel (operators/funnel.py
     window_funnel; ClickHouse windowFunnel semantics): signup -> view
@@ -3138,6 +3161,30 @@ SELECT event_type AS channel_name,
        CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
        CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
 FROM events GROUP BY 1
+"""
+
+# L111 GDPR purge ledger: per table, before/after counts under the
+# deterministic tombstone set, plus the must-be-zero remaining count.
+_ORACLE_USER_PURGE = f"""
+WITH {_CONV}, {_SESS},
+tomb AS (SELECT DISTINCT user_id FROM events WHERE user_id % 31 = 7)
+SELECT 'conversions' AS table_name,
+       CAST((SELECT COUNT(*) FROM conv) AS BIGINT) AS n_before,
+       CAST((SELECT COUNT(*) FROM conv
+             WHERE CAST(user_id AS BIGINT) NOT IN (SELECT user_id FROM tomb)) AS BIGINT) AS n_after,
+       CAST(0 AS BIGINT) AS n_tombstoned_remaining
+UNION ALL
+SELECT 'events',
+       CAST((SELECT COUNT(*) FROM events) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM events
+             WHERE user_id NOT IN (SELECT user_id FROM tomb)) AS BIGINT),
+       CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'session_sources',
+       CAST((SELECT COUNT(*) FROM sess) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM sess
+             WHERE CAST(user_id AS BIGINT) NOT IN (SELECT user_id FROM tomb)) AS BIGINT),
+       CAST(0 AS BIGINT)
 """
 
 # L108 time-constrained funnel: the chain carries the user's step-1
@@ -5641,6 +5688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_window_funnel": q_window_funnel,
         "maef_ab_lift": q_ab_lift,
         "llm_hybrid_rrf": q_hybrid_rrf,
+        "maef_user_purge": q_user_purge,
         # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
@@ -5790,6 +5838,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_window_funnel": _ORACLE_WINDOW_FUNNEL,
         "maef_ab_lift": _ORACLE_AB_LIFT,
         "llm_hybrid_rrf": _ORACLE_HYBRID_RRF,
+        "maef_user_purge": _ORACLE_USER_PURGE,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,
