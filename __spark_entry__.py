@@ -2475,6 +2475,36 @@ def q_user_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cpl.purge_ledger(tables, tomb)
 
 
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L112: Bloom-pruned semi join — sideways information passing,
+    the 100-TB scan-pruning pattern: the build side's Bloom sketch
+    (operators/sketches.py, <= m/62 rows whatever the member count)
+    broadcasts into the fact scan and discards non-matching rows
+    BEFORE the shuffle; the exact semi join then removes the sketch's
+    false positives. No false negatives (pytest-pinned), so the result
+    EQUALS the plain semi join — which is exactly what the oracle
+    checks: purchases by signed-up users, rolled up per day."""
+    from marketing_attribution_etl_framework__maef_spark.operators import sketches as sk
+
+    ev = domain.events(spark, sf_dir)
+    aud = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("_cents"),
+    )
+    bloom = sk.bloom_build(aud, "user_id", m_bits=65536, k_hashes=4)
+    pruned = sk.bloom_might_contain(
+        bloom, purchases, "user_id", m_bits=65536, k_hashes=4
+    ).filter(F.col("might_contain") == 1)
+    exact = pruned.join(aud, "user_id", "left_semi")
+    return exact.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("_cents").cast("long").alias("cents"),
+    )
+
+
 def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L108: time-constrained conversion funnel (operators/funnel.py
     window_funnel; ClickHouse windowFunnel semantics): signup -> view
@@ -3185,6 +3215,19 @@ SELECT 'session_sources',
        CAST((SELECT COUNT(*) FROM sess
              WHERE CAST(user_id AS BIGINT) NOT IN (SELECT user_id FROM tomb)) AS BIGINT),
        CAST(0 AS BIGINT)
+"""
+
+# L112 bloom-pruned semi join: the sketch is semantically transparent
+# (no false negatives; false positives removed by the exact semi
+# join), so the oracle is the PLAIN semi join.
+_ORACLE_BLOOM_PRUNED_JOIN = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+WHERE event_type = 'purchase'
+  AND user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+GROUP BY 1
 """
 
 # L108 time-constrained funnel: the chain carries the user's step-1
@@ -5689,6 +5732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_ab_lift": q_ab_lift,
         "llm_hybrid_rrf": q_hybrid_rrf,
         "maef_user_purge": q_user_purge,
+        "maef_bloom_pruned_join": q_bloom_pruned_join,
         # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
@@ -5839,6 +5883,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_ab_lift": _ORACLE_AB_LIFT,
         "llm_hybrid_rrf": _ORACLE_HYBRID_RRF,
         "maef_user_purge": _ORACLE_USER_PURGE,
+        "maef_bloom_pruned_join": _ORACLE_BLOOM_PRUNED_JOIN,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,
