@@ -2561,14 +2561,22 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = ev1.unionByName(ev2).withWatermark("ts", "365 days")
     deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
     name = "stream_dedup_sink"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # dedup state partition count freezes from shuffle.partitions at
+    # first start; size it to state volume like stream_journey_join
+    # (A/B at sf0.1: 32 -> 3.3 s, 8 -> 2.0 s) and restore after.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = (
         spark.table(name)
         .groupBy(F.col("event_type").alias("channel_name"))
