@@ -2475,6 +2475,148 @@ def q_user_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cpl.purge_ledger(tables, tomb)
 
 
+def q_rel_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L113: relational kernel, TPC-H Q22 shape — positive-balance
+    customers with NO order since the cutoff (LEFT ANTI join) and an
+    above-average balance, per market segment. The average comparison
+    is exact integer cross-multiplication (bal_cents * n > total_cents
+    — no float AVG crosses engines); the scalar aggregates are 1-row
+    broadcasts."""
+    cust = domain.load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    recent = (
+        domain.load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").cast("date") >= F.lit("2000-01-01").cast("date"))
+        .select("o_custkey")
+        .distinct()
+    )
+    pos_stats = cust.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).cast("long").alias("_tot"),
+    )
+    idle = (
+        cust.join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+        .crossJoin(F.broadcast(pos_stats))
+        .filter(
+            F.round(F.col("c_acctbal") * 100, 0).cast("long") * F.col("_n") > F.col("_tot")
+        )
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_custs"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).cast("long").alias("bal_cents"),
+    )
+
+
+def q_rel_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L114: relational kernel, TPC-H Q10 shape — top-20 customers by
+    returned-item (l_returnflag = 'R') revenue in a bounded order
+    window, e4 integer money, deterministic total ordering (revenue
+    desc, custkey asc), customer dimension broadcast AFTER the top-k
+    cut would be the ideal; here the aggregate runs on custkey and the
+    broadcast join attaches the name to the 20 survivors."""
+    orders = (
+        domain.load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        domain.load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", F.expr(f"{_CENTS} * {_DISC_H}").alias("_rev"))
+    )
+    per_cust = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("_rev").cast("long").alias("revenue_e4"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue_e4"), F.asc("o_custkey"))
+        .limit(20)
+    )
+    cust = domain.load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return per_cust.join(
+        F.broadcast(cust), per_cust["o_custkey"] == cust["c_custkey"]
+    ).select(
+        F.col("c_custkey").cast("long").alias("custkey"),
+        "c_name",
+        "revenue_e4",
+        "n_items",
+    )
+
+
+def q_journey_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L115: journey drop-off curve — for each journey length k: how
+    many journeys END at exactly k sessions and how many reach AT
+    LEAST k (the survival curve funnels are read against). One count
+    per conversion (map-side combining), then the tiny length-domain
+    self-join for the cumulative column (same shape as
+    funnel_summary's n_reached)."""
+    lens = (
+        _journeys(spark, sf_dir)
+        .groupBy("conversion_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("_len"))
+        .groupBy(F.col("_len").alias("position"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ending"))
+    )
+    b = lens.select(F.col("position").alias("_p2"), F.col("n_ending").alias("_n2"))
+    return (
+        lens.join(b, F.col("_p2") >= F.col("position"))
+        .groupBy("position", "n_ending")
+        .agg(F.sum("_n2").cast("long").alias("n_reaching"))
+    )
+
+
+def q_sketch_merge_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L116: the log-histogram MERGE LAW as an oracle-checked query —
+    per-day bucket tables summed up to (channel, month) must equal the
+    histogram built directly at month grain. The Spark side computes
+    the MERGE of daily sketches; the oracle computes the DIRECT month
+    histogram — hash equality proves mergeability cross-engine (the
+    property that makes the sketch family safe to persist and combine
+    across partitions/days at 100 TB)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import quantiles as qtl
+
+    ev = domain.events(spark, sf_dir)
+    vals = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("event_type").alias("channel"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    daily = qtl.log_histogram(vals, ["channel", "month", "event_day"], "cents", sub_bits=2)
+    return (
+        daily.groupBy("channel", "month", "bucket_lb")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def q_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L117: per-user inactivity profile — max inter-event gap in
+    exact integer microseconds (ROWS-frame lag with the (ts, event_id)
+    total order) plus the reactivation flag (a gap over 7 days means
+    the user lapsed and returned — the winback audience). One shuffle
+    on user_id; single-event users emit gap 0."""
+    ev = domain.events(spark, sf_dir)
+    gaps = ev.select(
+        "user_id",
+        F.coalesce(
+            F.expr("timestampdiff(MICROSECOND, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("_gap"),
+    )
+    seven_days_us = 7 * 86400 * 1_000_000
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("_gap").cast("long").alias("max_gap_usecs"),
+        (F.max("_gap") > F.lit(seven_days_us)).cast("long").alias("reactivated"),
+    )
+
+
 def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L112: Bloom-pruned semi join — sideways information passing,
     the 100-TB scan-pruning pattern: the build side's Bloom sketch
@@ -3223,6 +3365,98 @@ SELECT 'session_sources',
        CAST((SELECT COUNT(*) FROM sess
              WHERE CAST(user_id AS BIGINT) NOT IN (SELECT user_id FROM tomb)) AS BIGINT),
        CAST(0 AS BIGINT)
+"""
+
+# L113 TPC-H Q22 shape: anti-join + integer cross-multiplied
+# above-average predicate
+_ORACLE_REL_IDLE_CUSTOMERS = """
+WITH pos AS (SELECT * FROM customer WHERE c_acctbal > 0),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS tot
+  FROM pos
+),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01'
+),
+idle AS (
+  SELECT p.* FROM pos p, stats s
+  WHERE p.c_custkey NOT IN (SELECT o_custkey FROM recent)
+    AND CAST(ROUND(p.c_acctbal * 100, 0) AS BIGINT) * s.n > s.tot
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM idle GROUP BY 1
+"""
+
+# L114 TPC-H Q10 shape: returned-item revenue top-20
+_ORACLE_REL_RETURNED_ITEMS = """
+WITH per AS (
+  SELECT o.o_custkey,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(100 - ROUND(l.l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(o.o_orderdate AS DATE) <  DATE '1997-01-01'
+  GROUP BY 1
+  ORDER BY revenue_e4 DESC, o_custkey ASC
+  LIMIT 20
+)
+SELECT CAST(p.o_custkey AS BIGINT) AS custkey, c.c_name, p.revenue_e4, p.n_items
+FROM per p JOIN customer c ON p.o_custkey = c.c_custkey
+"""
+
+# L115 journey drop-off / survival curve
+_ORACLE_JOURNEY_DROPOFF = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+lens AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS position
+  FROM journeys GROUP BY conversion_id
+),
+at AS (SELECT position, CAST(COUNT(*) AS BIGINT) AS n_ending FROM lens GROUP BY 1)
+SELECT a.position, a.n_ending,
+       CAST((SELECT SUM(b.n_ending) FROM at b WHERE b.position >= a.position) AS BIGINT) AS n_reaching
+FROM at a
+"""
+
+# L116 sketch merge law: the oracle builds the month histogram
+# DIRECTLY from raw values; the Spark side merges daily sketches —
+# equality proves mergeability.
+_ORACLE_SKETCH_MERGE_LAW = """
+WITH v AS (
+  SELECT event_type AS channel, strftime(ts, '%Y-%m') AS month,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS x
+  FROM events WHERE event_type <> 'purchase'
+),
+b AS (
+  SELECT channel, month, CAST((x >> g) << g AS BIGINT) AS bucket_lb
+  FROM (SELECT channel, month, x,
+               CASE WHEN x = 0 THEN 0
+                    WHEN length(printf('%b', x)) - 3 > 0
+                    THEN length(printf('%b', x)) - 3 ELSE 0 END AS g
+        FROM v)
+)
+SELECT channel, month, bucket_lb, CAST(COUNT(*) AS BIGINT) AS c
+FROM b GROUP BY 1, 2, 3
+"""
+
+# L117 per-user inactivity profile
+_ORACLE_USER_GAPS = """
+WITH g AS (
+  SELECT user_id,
+         COALESCE(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)), 0) AS gap
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_usecs,
+       CAST(CASE WHEN MAX(gap) > 604800000000 THEN 1 ELSE 0 END AS BIGINT) AS reactivated
+FROM g GROUP BY 1
 """
 
 # L112 bloom-pruned semi join: the sketch is semantically transparent
@@ -5741,6 +5975,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_hybrid_rrf": q_hybrid_rrf,
         "maef_user_purge": q_user_purge,
         "maef_bloom_pruned_join": q_bloom_pruned_join,
+        "rel_idle_customers": q_rel_idle_customers,
+        "rel_returned_items": q_rel_returned_items,
+        "maef_journey_dropoff": q_journey_dropoff,
+        "maef_sketch_merge_law": q_sketch_merge_law,
+        "maef_user_gaps": q_user_gaps,
         # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
@@ -5892,6 +6131,11 @@ def oracle_sql() -> dict[str, str]:
         "llm_hybrid_rrf": _ORACLE_HYBRID_RRF,
         "maef_user_purge": _ORACLE_USER_PURGE,
         "maef_bloom_pruned_join": _ORACLE_BLOOM_PRUNED_JOIN,
+        "rel_idle_customers": _ORACLE_REL_IDLE_CUSTOMERS,
+        "rel_returned_items": _ORACLE_REL_RETURNED_ITEMS,
+        "maef_journey_dropoff": _ORACLE_JOURNEY_DROPOFF,
+        "maef_sketch_merge_law": _ORACLE_SKETCH_MERGE_LAW,
+        "maef_user_gaps": _ORACLE_USER_GAPS,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,
