@@ -2475,6 +2475,41 @@ def q_user_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cpl.purge_ledger(tables, tomb)
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L118: ORC source/sink round-trip — the second columnar
+    interchange format Spark ships natively. session_costs written to
+    a single ORC file, read back, and summarized in exact integer
+    milli-units next to the straight-from-parquet summary; the oracle
+    emits the same summary twice, so any row drop, duplication, or
+    value corruption in the ORC path hash-mismatches."""
+    import shutil
+
+    from marketing_attribution_etl_framework__maef_spark.sources.io import write_orc_single
+
+    root = os.path.join(
+        os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/maef_spark_scratch"),
+        ".orc_tmp",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    costs = domain.session_costs(spark, sf_dir)
+    orc_path = os.path.join(root, "costs.orc")
+    write_orc_single(costs, orc_path)
+    surfaces = [
+        ("orc", spark.read.orc(orc_path)),
+        ("parquet_direct", costs),
+    ]
+    out = None
+    for fmt, df in surfaces:
+        s = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("cost") * 1000, 0).cast("long")).alias("metric"),
+        ).select(F.lit(fmt).alias("fmt"), "n_rows", "metric")
+        out = s if out is None else out.unionByName(s)
+    return out
+
+
 def q_rel_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L113: relational kernel, TPC-H Q22 shape — positive-balance
     customers with NO order since the cutoff (LEFT ANTI join) and an
@@ -3365,6 +3400,20 @@ SELECT 'session_sources',
        CAST((SELECT COUNT(*) FROM sess
              WHERE CAST(user_id AS BIGINT) NOT IN (SELECT user_id FROM tomb)) AS BIGINT),
        CAST(0 AS BIGINT)
+"""
+
+# L118 ORC round-trip: the oracle emits the straight summary twice —
+# the Spark side's ORC row must equal it bit for bit.
+_ORACLE_ORC_ROUNDTRIP = f"""
+WITH {_CONV}, {_SESS}, {_COSTS},
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(ROUND(cost * 1000, 0) AS BIGINT)) AS BIGINT) AS metric
+  FROM costs
+)
+SELECT 'orc' AS fmt, n_rows, metric FROM s
+UNION ALL
+SELECT 'parquet_direct', n_rows, metric FROM s
 """
 
 # L113 TPC-H Q22 shape: anti-join + integer cross-multiplied
@@ -5980,6 +6029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_journey_dropoff": q_journey_dropoff,
         "maef_sketch_merge_law": q_sketch_merge_law,
         "maef_user_gaps": q_user_gaps,
+        "maef_orc_roundtrip": q_orc_roundtrip,
         # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
@@ -6136,6 +6186,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_journey_dropoff": _ORACLE_JOURNEY_DROPOFF,
         "maef_sketch_merge_law": _ORACLE_SKETCH_MERGE_LAW,
         "maef_user_gaps": _ORACLE_USER_GAPS,
+        "maef_orc_roundtrip": _ORACLE_ORC_ROUNDTRIP,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,

@@ -247,6 +247,16 @@ def write_csv_single(df: DataFrame, path: str) -> None:
     _single_file(tmp, path, ".csv")
 
 
+def write_orc_single(df: DataFrame, path: str) -> None:
+    """ORC single-file sink — the columnar interchange format besides
+    parquet that Spark ships natively (no extra packages). Same
+    move-the-part-file contract as the CSV/JSON sinks; at scale drop
+    the coalesce and write the directory form."""
+    tmp = path + ".spark-tmp"
+    df.coalesce(1).write.mode("overwrite").orc(tmp)
+    _single_file(tmp, path, ".orc")
+
+
 def read_journey_entries(spark: SparkSession, path: str, multiline: bool = False) -> DataFrame:
     """Journey-entry JSON source with the declared contract schema.
 
