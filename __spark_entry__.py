@@ -2475,6 +2475,70 @@ def q_user_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cpl.purge_ledger(tables, tomb)
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L119: STREAMING native sessionization — the same
+    ``session_window`` expression as L97 run under readStream
+    (Catalyst's merging-session state store), complete output over the
+    static input; the result must EQUAL the batch prefix-sum oracle.
+    Complete mode sidesteps the append-mode tail problem (sessions
+    still open when the final watermark lands never emit); a live
+    pipeline uses append + watermark and accepts that contract. State
+    partitions sized to state volume (CLAUDE.md streaming rule)."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    name = "stream_sessionize_sink"
+    try:
+        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet").withWatermark(
+            "ts", "0 seconds"
+        )
+        sess = ev.filter(F.col("event_type") != "purchase").select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("_tb"),
+            F.col("event_type").alias("channel_name"),
+        )
+        g = (
+            sess.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("ts", "_tb", "channel_name"))),
+                        lambda x: x["channel_name"],
+                    ),
+                    ",",
+                ).alias("channels"),
+            )
+        )
+        q = (
+            g.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(name)
+            .select(
+                "user_id",
+                F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+                "n_events",
+                "channels",
+            )
+            .localCheckpoint()
+        )
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L118: ORC source/sink round-trip — the second columnar
     interchange format Spark ships natively. session_costs written to
@@ -6030,6 +6094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_sketch_merge_law": q_sketch_merge_law,
         "maef_user_gaps": q_user_gaps,
         "maef_orc_roundtrip": q_orc_roundtrip,
+        "maef_stream_sessionize": q_stream_sessionize,
         # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
@@ -6187,6 +6252,9 @@ def oracle_sql() -> dict[str, str]:
         "maef_sketch_merge_law": _ORACLE_SKETCH_MERGE_LAW,
         "maef_user_gaps": _ORACLE_USER_GAPS,
         "maef_orc_roundtrip": _ORACLE_ORC_ROUNDTRIP,
+        # streaming/batch parity: streaming session_window over static
+        # input must equal the batch prefix-sum gap-session SQL
+        "maef_stream_sessionize": _ORACLE_SESSIONIZE_NATIVE,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,
