@@ -222,6 +222,72 @@ def test_window_funnel_anchor_bound(spark):
     assert got[2].n_reached == 2 and got[3].n_reached == 1
 
 
+def test_orc_single_file_roundtrip(spark, tmp_path):
+    """The ORC sink writes ONE file and round-trips schema + values."""
+    from marketing_attribution_etl_framework__maef_spark.sources.io import write_orc_single
+
+    df = spark.createDataFrame(
+        [("a", 1.25), ("b", -3.5), ("c", 0.0)], "k string, v double"
+    )
+    path = str(tmp_path / "t.orc")
+    write_orc_single(df, path)
+    import os
+
+    assert os.path.isfile(path)
+    back = spark.read.orc(path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_hybrid_rrf_handmade(spark):
+    """Two 2-d vectors + a query equal to one of them: the matching
+    vector must rank 1 under fusion, and its score must be exactly
+    1/61 + 1/61 (rank 1 in both lists)."""
+    from marketing_attribution_etl_framework__maef_spark.llm import similarity as sim
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    q = corpus.filter("vec_id = 0")
+    got = sorted(
+        sim.hybrid_rrf_topk(corpus, q, k_list=3, k_out=3).collect(),
+        key=lambda r: r.rank,
+    )
+    assert got[0].vec_id == 0 and got[0].rank == 1
+    import math
+
+    assert got[0].rrf_q20 == math.floor((2.0 / 61.0) * 1048576 + 0.5)
+
+
+def test_user_gaps_single_event(spark):
+    """A single-event user emits gap 0 and is not 'reactivated'."""
+    from marketing_attribution_etl_framework__maef_spark import domain  # noqa: F401
+    import __spark_entry__ as entrymod
+
+    ev = spark.createDataFrame(
+        [(1, "solo", "click", "2024-01-01 08:00:00", 1.0),
+         (2, "buzzy", "click", "2024-01-01 08:00:00", 1.0),
+         (3, "buzzy", "view", "2024-02-01 08:00:00", 1.0)],
+        "event_id long, user_id string, event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    from pyspark.sql import functions as _F
+
+    gaps = ev.select(
+        "user_id",
+        _F.coalesce(
+            _F.expr("timestampdiff(MICROSECOND, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"),
+            _F.lit(0),
+        ).cast("long").alias("_gap"),
+    ).groupBy("user_id").agg(
+        _F.max("_gap").alias("max_gap"),
+        (_F.max("_gap") > _F.lit(7 * 86400 * 1_000_000)).cast("long").alias("reactivated"),
+    )
+    got = {r.user_id: r for r in gaps.collect()}
+    assert got["solo"].max_gap == 0 and got["solo"].reactivated == 0
+    assert got["buzzy"].reactivated == 1
+
+
 def test_fuzzy_band_join_is_hash_join(spark):
     """ADVICE r03: the length band must be an equi hash join, not a
     BroadcastNestedLoopJoin over all |dirty| x |canonical| pairs."""
