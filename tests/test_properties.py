@@ -517,3 +517,109 @@ def test_decayed_daily_sum_matches_python_reference(spark, days):
             if 0 <= d - d_i <= 20
         )
         assert got[str(base + _dt.timedelta(days=d))] == expect
+
+
+@given(values=st.lists(st.integers(0, 1_000_000), min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_log_histogram_bounds_match_python_reference(spark, values):
+    """Bucket assignment and quantile bucket bounds equal a plain-
+    Python reimplementation (sub_bits=2: keep the top 3 bits)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import quantiles as qtl
+
+    def bucket(x):
+        if x == 0:
+            return 0
+        g = max(x.bit_length() - 3, 0)
+        return (x >> g) << g
+
+    df = spark.createDataFrame([("g", v) for v in values], "grp string, x long")
+    hist = {r.bucket_lb: r.c for r in qtl.log_histogram(df, ["grp"], "x").collect()}
+    expect = {}
+    for v in values:
+        b = bucket(v)
+        expect[b] = expect.get(b, 0) + 1
+    assert hist == expect
+
+    row = qtl.histogram_quantile_bounds(
+        qtl.log_histogram(df, ["grp"], "x"), ["grp"], [("p50", 1, 2), ("p90", 9, 10)]
+    ).collect()[0]
+    n = len(values)
+    cdf = sorted(expect.items())
+
+    def bound(num, den):
+        cum = 0
+        for b, c in cdf:
+            cum += c
+            if cum * den >= n * num:
+                return b
+
+    assert row["p50"] == bound(1, 2)
+    assert row["p90"] == bound(9, 10)
+    assert row["n_values"] == n
+
+
+@st.composite
+def funnel_events_strategy(draw):
+    rows = []
+    eid = 0
+    for u in range(draw(st.integers(1, 4))):
+        for _ in range(draw(st.integers(1, 10))):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    f"u{u}",
+                    draw(st.sampled_from(["signup", "view", "click"])),
+                    draw(st.integers(0, 200)),  # minutes from base
+                )
+            )
+    return rows
+
+
+@given(rows=funnel_events_strategy(), window_hours=st.sampled_from([1, 2, 48]))
+@settings(**_SETTINGS)
+def test_window_funnel_matches_python_simulator(spark, rows, window_hours):
+    """window_funnel equals a sequential per-user Python automaton:
+    anchor = min step-1 time; each later step = min event strictly
+    after the previous step and within the anchor window."""
+    from marketing_attribution_etl_framework__maef_spark.operators import funnel as fnl
+
+    steps = ["signup", "view", "click"]
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(e, u, t, base + dt.timedelta(minutes=m)) for e, u, t, m in rows],
+        "event_id long, user_id string, event_type string, ts timestamp",
+    )
+    # python simulator
+    per_user = {}
+    for _, u, t, m in rows:
+        per_user.setdefault(u, []).append((t, m))
+    win_min = window_hours * 60
+    stages = {}
+    for u, evs in per_user.items():
+        stage = 0
+        t1 = min((m for t, m in evs if t == steps[0]), default=None)
+        if t1 is not None:
+            stage = 1
+            prev = t1
+            for s in steps[1:]:
+                nxt = min(
+                    (m for t, m in evs if t == s and m > prev and m - t1 <= win_min),
+                    default=None,
+                )
+                if nxt is None:
+                    break
+                stage += 1
+                prev = nxt
+        stages[u] = stage
+    from collections import Counter
+
+    at = Counter(stages.values())
+    expect = {
+        k: (v, sum(v2 for k2, v2 in at.items() if k2 >= k)) for k, v in at.items()
+    }
+    got = {
+        r.funnel_stage: (r.n_users, r.n_reached)
+        for r in fnl.window_funnel(ev, steps, window_hours=window_hours).collect()
+    }
+    assert got == expect
