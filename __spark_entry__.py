@@ -2475,6 +2475,35 @@ def q_user_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cpl.purge_ledger(tables, tomb)
 
 
+def q_rel_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L120: relational kernel, TPC-H Q17 shape — revenue locked in
+    small-quantity orders: lineitems whose quantity is below 20% of
+    their part's average, per brand. The correlated aggregate subquery
+    decorrelates to (per-part pre-aggregate) JOIN (lineitem), and the
+    20%-of-average predicate is exact integer cross-multiplication
+    (qty * 5 * cnt < sum_qty — quantities are integral in the data;
+    no float AVG crosses engines). Part dimension broadcasts."""
+    li = domain.load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity"), 0).cast("long").alias("_q"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("_cents"),
+    )
+    pq = li.groupBy("l_partkey").agg(
+        F.sum("_q").cast("long").alias("_sq"),
+        F.count(F.lit(1)).cast("long").alias("_cnt"),
+    )
+    part = domain.load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    small = (
+        li.join(pq, "l_partkey")
+        .filter(F.col("_q") * F.lit(5) * F.col("_cnt") < F.col("_sq"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return small.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("_cents").cast("long").alias("price_cents"),
+    )
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L119: STREAMING native sessionization — the same
     ``session_window`` expression as L97 run under readStream
@@ -3464,6 +3493,25 @@ SELECT 'session_sources',
        CAST((SELECT COUNT(*) FROM sess
              WHERE CAST(user_id AS BIGINT) NOT IN (SELECT user_id FROM tomb)) AS BIGINT),
        CAST(0 AS BIGINT)
+"""
+
+# L120 TPC-H Q17 shape: decorrelated aggregate subquery + integer
+# cross-multiplied 20%-of-average predicate
+_ORACLE_REL_SMALL_QUANTITY = """
+WITH pq AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+)
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+FROM lineitem l
+JOIN pq ON l.l_partkey = pq.l_partkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE CAST(ROUND(l.l_quantity, 0) AS BIGINT) * 5 * pq.cnt < pq.sq
+GROUP BY 1
 """
 
 # L118 ORC round-trip: the oracle emits the straight summary twice —
@@ -6095,6 +6143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_user_gaps": q_user_gaps,
         "maef_orc_roundtrip": q_orc_roundtrip,
         "maef_stream_sessionize": q_stream_sessionize,
+        "rel_small_quantity": q_rel_small_quantity,
         # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
@@ -6255,6 +6304,7 @@ def oracle_sql() -> dict[str, str]:
         # streaming/batch parity: streaming session_window over static
         # input must equal the batch prefix-sum gap-session SQL
         "maef_stream_sessionize": _ORACLE_SESSIONIZE_NATIVE,
+        "rel_small_quantity": _ORACLE_REL_SMALL_QUANTITY,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,
