@@ -2504,6 +2504,378 @@ def q_rel_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4b additions (L121-L130): the remaining TPC-H join shapes + SCD2
+# ---------------------------------------------------------------------------
+
+
+def q_rel_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L121: relational kernel, TPC-H Q5 shape — revenue from orders
+    where the CUSTOMER and the SUPPLIER sit in the same nation of one
+    region. customer shuffles once into the date-filtered orders on
+    custkey; supplier x nation x region collapse to one broadcast
+    dimension into lineitem; the final join adds the cross-column
+    equi-predicate c_nationkey = s_nationkey on top of the orderkey
+    key, so it stays a plain hash join (no nested loop). Exact e4
+    integer money units only."""
+    dim = (
+        domain.load_table(spark, sf_dir, "supplier")
+        .join(
+            domain.load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            domain.load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = domain.load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        domain.load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    oc = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "c_nationkey"
+    )
+    li = domain.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.expr(f"{_CENTS} * {_DISC_H}").alias("_rev")
+    )
+    return (
+        li.join(F.broadcast(dim), li["l_suppkey"] == dim["s_suppkey"])
+        .join(
+            oc,
+            (li["l_orderkey"] == oc["o_orderkey"])
+            & (dim["s_nationkey"] == oc["c_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("_rev").cast("long").alias("revenue_e4"),
+        )
+    )
+
+
+def q_rel_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L122: relational kernel, TPC-H Q7 shape — bilateral shipping
+    volume between two nations by ship year. Supplier-nation and
+    customer-nation are both tiny broadcast dimensions; lineitem joins
+    orders once on orderkey (the only big-big shuffle); the
+    asymmetric-pair predicate (supp != cust nation) is applied after
+    both broadcasts, grouped by (supp_nation, cust_nation, year)."""
+    n3, n8 = "NATION_3", "NATION_8"
+    nat = domain.load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(n3, n8))
+    supp = (
+        domain.load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        domain.load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = domain.load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = domain.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year(F.col("l_shipdate")).cast("long").alias("l_year"),
+        F.expr(f"{_CENTS} * {_DISC_H}").alias("_rev"),
+    )
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("_rev").cast("long").alias("revenue_e4"),
+        )
+    )
+
+
+def q_rel_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L123: relational kernel, TPC-H Q14 shape — promotional revenue
+    share for one ship month. One lineitem scan (shipdate pushed),
+    part broadcast, conditional sum vs total sum in the same
+    aggregate, share emitted as integer q20 via DECIMAL(38,0) div
+    (== DuckDB HUGEINT //, the exact truncating division — CLAUDE.md
+    cross-engine division rule)."""
+    part = domain.load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = domain.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-09-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-10-01").cast("date"))
+    )
+    agg = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(
+            F.expr(f"{_CENTS} * {_DISC_H}").alias("_rev"),
+            (F.col("p_type") == "PROMO").cast("long").alias("_p"),
+        )
+        .agg(
+            F.sum(F.col("_rev") * F.col("_p")).cast("long").alias("promo_rev_e4"),
+            F.sum("_rev").cast("long").alias("total_rev_e4"),
+        )
+    )
+    return agg.select(
+        "promo_rev_e4",
+        "total_rev_e4",
+        F.expr(
+            "cast(cast(promo_rev_e4 as decimal(38,0)) * 1048576"
+            " div cast(total_rev_e4 as decimal(38,0)) as bigint)"
+        ).alias("promo_share_q20"),
+    )
+
+
+def q_rel_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L124: relational kernel, TPC-H Q19 shape — an OR-of-ANDs
+    join predicate over three (brand, size-band, quantity-band)
+    conjuncts. The common factor (p_brand IN (...)) is hoisted onto
+    the part scan so the broadcast build side prunes BEFORE the join,
+    and the join itself stays an equi hash join on partkey with the
+    disjunction as a post-join filter — never a nested loop. A 100-TB
+    scan reads two pruned columns of part and three of lineitem."""
+    b1, b2, b3 = "Brand#1", "Brand#3", "Brand#5"
+    part = (
+        domain.load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin(b1, b2, b3))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = domain.load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity"), 0).cast("long").alias("_q"),
+        F.expr(f"{_CENTS} * {_DISC_H}").alias("_rev"),
+    )
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    c1 = (F.col("p_brand") == b1) & F.col("p_size").between(1, 10) & F.col("_q").between(1, 15)
+    c2 = (F.col("p_brand") == b2) & F.col("p_size").between(5, 20) & F.col("_q").between(10, 30)
+    c3 = (F.col("p_brand") == b3) & F.col("p_size").between(15, 50) & F.col("_q").between(25, 50)
+    return j.filter(c1 | c2 | c3).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("_rev").cast("long").alias("revenue_e4"),
+    )
+
+
+def q_rel_return_culprits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L125: relational kernel, TPC-H Q21 shape — suppliers who were
+    the SOLE returning supplier on a multi-supplier finished order
+    (l_returnflag stands in for the reference schema's late-delivery
+    columns, which this dataset does not carry). The classic
+    EXISTS / NOT-EXISTS pair decorrelates to ONE per-order aggregate
+    (distinct suppliers, distinct returning suppliers) re-joined to
+    the returning lines — two passes over lineitem co-partitioned on
+    orderkey instead of two correlated subqueries per row. Supplier x
+    nation x region is a broadcast dimension; EUROPE keeps the
+    per-supplier row count meaningful at every SF."""
+    li = domain.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_ns"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_nr"),
+    )
+    orders_f = (
+        domain.load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    dim = (
+        domain.load_table(spark, sf_dir, "supplier")
+        .join(
+            domain.load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            domain.load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    culprits = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(stats.filter((F.col("_ns") > 1) & (F.col("_nr") == 1)), "l_orderkey")
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dim), F.col("l_suppkey") == dim["s_suppkey"])
+    )
+    return culprits.groupBy("s_name").agg(
+        F.count(F.lit(1)).cast("long").alias("numwait")
+    )
+
+
+def q_rel_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L126: relational kernel, TPC-H Q2 shape — for each small part,
+    the EUROPE supplier(s) selling it at the minimum observed unit
+    line price (lineitem stands in for the absent partsupp table).
+    The correlated MIN subquery decorrelates to a per-part minimum
+    re-joined on (partkey, cost) equality — ties emit every minimal
+    supplier, deterministically. Costs are exact integer cents; both
+    aggregates share the partkey partitioning so the min-join adds no
+    extra shuffle."""
+    dim = (
+        domain.load_table(spark, sf_dir, "supplier")
+        .join(
+            domain.load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            domain.load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    part = (
+        domain.load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 10)
+        .select("p_partkey", "p_brand", F.col("p_size").cast("long").alias("p_size"))
+    )
+    offers = (
+        domain.load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", F.expr(_CENTS).alias("_cents"))
+        .join(F.broadcast(dim), F.col("l_suppkey") == dim["s_suppkey"])
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .groupBy("p_partkey", "p_brand", "p_size", "s_suppkey", "s_name", "n_name")
+        .agg(F.min("_cents").cast("long").alias("cost_cents"))
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("cost_cents").alias("_best")
+    )
+    return offers.join(
+        best,
+        (offers["p_partkey"] == best["_pk"]) & (offers["cost_cents"] == best["_best"]),
+    ).select("p_partkey", "p_brand", "p_size", "s_name", "n_name", "cost_cents")
+
+
+def q_rel_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L127: relational kernel, TPC-H Q11 shape — parts whose EUROPE
+    revenue exceeds 1.5x the average part's (value * n_parts * 2 >
+    3 * total). The HAVING-vs-global-scalar predicate is a 1-row
+    broadcast crossJoin compared by exact integer cross-multiplication
+    in DECIMAL(38,0) (BIGINT products overflow around sf1 — the
+    rel_market_share headroom rule). An average-relative threshold
+    stays selective at EVERY scale, unlike Q11's literal fraction
+    which degenerates to empty as the part count grows."""
+    dim = (
+        domain.load_table(spark, sf_dir, "supplier")
+        .join(
+            domain.load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            domain.load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        domain.load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", F.expr(f"{_CENTS} * {_DISC_H}").alias("_rev"))
+        .join(F.broadcast(dim), F.col("l_suppkey") == dim["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum("_rev").cast("long").alias("value_e4"))
+    )
+    total = per_part.agg(
+        F.sum(F.col("value_e4").cast("decimal(38,0)")).alias("_total"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_cnt"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_e4").cast("decimal(38,0)") * F.col("_cnt") * F.lit(2)
+            > F.col("_total") * F.lit(3)
+        )
+        .select(F.col("l_partkey").alias("partkey"), "value_e4")
+    )
+
+
+def q_rel_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L128: relational kernel, TPC-H Q20 shape — suppliers who moved
+    real volume of promotable parts: a nested semi-join chain
+    (name-filtered part -> per-(supplier, part) 1997 shipped quantity
+    above 2x the average pair's -> DISTINCT suppliers -> supplier
+    dimension). Expressed as left-semi joins end to end, so no
+    duplicate amplification ever materializes; the part filter
+    broadcasts, the quantity aggregate is the only shuffle; the
+    threshold is average-relative (integer cross-multiplication in
+    DECIMAL(38,0)) so it stays selective at every scale."""
+    rods = (
+        domain.load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%rod%"))
+        .select("p_partkey")
+    )
+    li = (
+        domain.load_table(spark, sf_dir, "lineitem")
+        .filter(F.year(F.col("l_shipdate")) == 1997)
+        .select("l_partkey", "l_suppkey", F.round(F.col("l_quantity"), 0).cast("long").alias("_q"))
+        .join(F.broadcast(rods), F.col("l_partkey") == rods["p_partkey"], "left_semi")
+    )
+    pairs = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("_q").cast("decimal(38,0)").alias("_sq")
+    )
+    tot = pairs.agg(
+        F.sum("_sq").alias("_tot"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_cnt"),
+    )
+    movers = (
+        pairs.crossJoin(F.broadcast(tot))
+        .filter(F.col("_sq") * F.col("_cnt") > F.col("_tot") * F.lit(2))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = domain.load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(domain.load_table(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        supp.join(movers, supp["s_suppkey"] == movers["l_suppkey"], "left_semi")
+        .select("s_name", "n_name")
+    )
+
+
+def q_rel_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L129: relational kernel, TPC-H Q6 shape — the canonical pure
+    scan-filter-aggregate: one year of shipments, a discount band and
+    a quantity cap, no join at all. Every predicate reaches the
+    parquet scan (plan-pinned); revenue = price x discount in exact
+    1e-4 units (cents x discount-hundredths). The whole query is one
+    WholeStageCodegen stage ending in a 1-row partial+final agg."""
+    disc_h = 'cast(round(l_discount * 100, 0) as bigint)'
+    li = domain.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+        & (F.round(F.col("l_quantity"), 0).cast("long") < 24)
+        & F.expr(disc_h).isin(5, 6, 7)
+    )
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.expr(f"{_CENTS} * {disc_h}")).cast("long").alias("discount_rev_e4"),
+    )
+
+
+def q_scd2_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L130: SCD Type 2 dimension build (operators/cdc.py
+    scd2_intervals) — per-user channel history as validity intervals:
+    a version opens at every channel change-point, closes at the next
+    version's open, the live version carries valid_to_us = -1. One
+    shuffle on user_id shared by the LAG scan, the run aggregate and
+    the LEAD close."""
+    return cdc.scd2_intervals(
+        domain.session_sources(spark, sf_dir),
+        key_cols=["user_id"],
+        attr_col="channel_name",
+        ts_col="event_ts",
+        tiebreak_col="session_id",
+    )
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L119: STREAMING native sessionization — the same
     ``session_window`` expression as L97 run under readStream
@@ -6073,6 +6445,181 @@ SELECT dirty, canonical, distance FROM (
 """
 
 
+# round-4b (L121-L130) oracles ----------------------------------------------
+
+_ORACLE_REL_LOCAL_VOLUME = f"""
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM({_REV_E4}) AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) <  DATE '1998-01-01'
+GROUP BY 1
+"""
+
+_ORACLE_REL_NATION_TRADE = f"""
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM({_REV_E4}) AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+WHERE ns.n_name IN ('NATION_3', 'NATION_8')
+  AND nc.n_name IN ('NATION_3', 'NATION_8')
+  AND ns.n_name <> nc.n_name
+GROUP BY 1, 2, 3
+"""
+
+_ORACLE_REL_PROMO_SHARE = f"""
+WITH a AS (
+  SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_E4} ELSE 0 END) AS BIGINT)
+           AS promo_rev_e4,
+         CAST(SUM({_REV_E4}) AS BIGINT) AS total_rev_e4
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-09-01'
+    AND CAST(l.l_shipdate AS DATE) <  DATE '1996-10-01'
+)
+SELECT promo_rev_e4, total_rev_e4,
+       CAST((CAST(promo_rev_e4 AS HUGEINT) * 1048576)
+            // CAST(total_rev_e4 AS HUGEINT) AS BIGINT) AS promo_share_q20
+FROM a
+"""
+
+_ORACLE_REL_DISJUNCTIVE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM({_REV_E4}) AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+        AND CAST(ROUND(l.l_quantity, 0) AS BIGINT) BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 5 AND 20
+        AND CAST(ROUND(l.l_quantity, 0) AS BIGINT) BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 15 AND 50
+        AND CAST(ROUND(l.l_quantity, 0) AS BIGINT) BETWEEN 25 AND 50)
+"""
+
+# EXISTS / NOT-EXISTS written literally here; the Spark side runs the
+# decorrelated per-order aggregate — the parity check proves the rewrite.
+_ORACLE_REL_RETURN_CULPRITS = """
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R') l1
+JOIN orders o   ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY 1
+"""
+
+# offers referenced twice (per-part min + join back) => MATERIALIZED, per
+# the CLAUDE.md DuckDB CTE-inlining rule.
+_ORACLE_REL_MIN_COST_SUPPLIER = """
+WITH offers AS MATERIALIZED (
+  SELECT p.p_partkey, p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+         s.s_name, n.n_name,
+         CAST(MIN(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS cost_cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+  JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_size <= 10
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT o.p_partkey, o.p_brand, o.p_size, o.s_name, o.n_name, o.cost_cents
+FROM offers o
+WHERE o.cost_cents = (SELECT MIN(o2.cost_cents) FROM offers o2
+                      WHERE o2.p_partkey = o.p_partkey)
+"""
+
+_ORACLE_REL_IMPORTANT_PARTS = f"""
+WITH v AS MATERIALIZED (
+  SELECT l.l_partkey AS partkey,
+         CAST(SUM({_REV_E4}) AS BIGINT) AS value_e4
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+  GROUP BY 1
+)
+SELECT partkey, value_e4 FROM v
+WHERE CAST(value_e4 AS HUGEINT) * (SELECT COUNT(*) FROM v) * 2
+      > (SELECT SUM(CAST(value_e4 AS HUGEINT)) FROM v) * 3
+"""
+
+_ORACLE_REL_PART_PROMOTION = """
+WITH q AS MATERIALIZED (
+  SELECT l.l_suppkey, l.l_partkey,
+         CAST(SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) AS HUGEINT) AS sq
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE '%rod%' AND year(l.l_shipdate) = 1997
+  GROUP BY 1, 2
+)
+SELECT s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l_suppkey FROM q
+  WHERE sq * (SELECT COUNT(*) FROM q) > (SELECT SUM(sq) FROM q) * 2)
+"""
+
+_ORACLE_REL_FORECAST_REVENUE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS discount_rev_e4
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+  AND CAST(ROUND(l_quantity, 0) AS BIGINT) < 24
+  AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) IN (5, 6, 7)
+"""
+
+_ORACLE_SCD2_CHANNELS = f"""
+WITH {_SESS},
+m AS (
+  SELECT user_id, session_id, channel_name, event_ts,
+         CASE WHEN lag(channel_name) OVER (PARTITION BY user_id
+                ORDER BY event_ts, session_id) IS DISTINCT FROM channel_name
+              THEN 1 ELSE 0 END AS chg
+  FROM sess
+),
+v AS (
+  SELECT user_id, channel_name, event_ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY event_ts, session_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM m
+),
+runs AS (
+  SELECT user_id, CAST(version AS BIGINT) AS version, channel_name,
+         CAST(MIN(epoch_us(event_ts)) AS BIGINT) AS valid_from_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM v GROUP BY 1, 2, 3
+)
+SELECT user_id, version, channel_name, valid_from_us,
+       COALESCE(CAST(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) AS BIGINT),
+                CAST(-1 AS BIGINT)) AS valid_to_us,
+       CAST(CASE WHEN lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+       n_events
+FROM runs
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6144,6 +6691,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_orc_roundtrip": q_orc_roundtrip,
         "maef_stream_sessionize": q_stream_sessionize,
         "rel_small_quantity": q_rel_small_quantity,
+        # --- round-4b additions: last five window slots (46-50) ---
+        "rel_local_volume": q_rel_local_volume,
+        "rel_nation_trade": q_rel_nation_trade,
+        "rel_return_culprits": q_rel_return_culprits,
+        "maef_scd2_channels": q_scd2_channels,
+        "rel_promo_share": q_rel_promo_share,
+        # --- round-4b overflow: first in line for the r05 window ---
+        "rel_disjunctive": q_rel_disjunctive,
+        "rel_min_cost_supplier": q_rel_min_cost_supplier,
+        "rel_important_parts": q_rel_important_parts,
+        "rel_part_promotion": q_rel_part_promotion,
+        "rel_forecast_revenue": q_rel_forecast_revenue,
         # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
@@ -6305,6 +6864,16 @@ def oracle_sql() -> dict[str, str]:
         # input must equal the batch prefix-sum gap-session SQL
         "maef_stream_sessionize": _ORACLE_SESSIONIZE_NATIVE,
         "rel_small_quantity": _ORACLE_REL_SMALL_QUANTITY,
+        "rel_local_volume": _ORACLE_REL_LOCAL_VOLUME,
+        "rel_nation_trade": _ORACLE_REL_NATION_TRADE,
+        "rel_return_culprits": _ORACLE_REL_RETURN_CULPRITS,
+        "maef_scd2_channels": _ORACLE_SCD2_CHANNELS,
+        "rel_promo_share": _ORACLE_REL_PROMO_SHARE,
+        "rel_disjunctive": _ORACLE_REL_DISJUNCTIVE,
+        "rel_min_cost_supplier": _ORACLE_REL_MIN_COST_SUPPLIER,
+        "rel_important_parts": _ORACLE_REL_IMPORTANT_PARTS,
+        "rel_part_promotion": _ORACLE_REL_PART_PROMOTION,
+        "rel_forecast_revenue": _ORACLE_REL_FORECAST_REVENUE,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,
