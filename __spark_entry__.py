@@ -2876,6 +2876,26 @@ def q_scd2_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L131: point-in-time lookup (operators/cdc.py scd2_lookup) —
+    each conversion joined to the channel-history version valid at its
+    purchase instant. Equi hash join on user_id; the interval predicate
+    prunes the per-key version list (run-length-bounded, not
+    event-bounded). Conversions before a user's first session match
+    nothing (strict point-in-time semantics)."""
+    dim = cdc.scd2_intervals(
+        domain.session_sources(spark, sf_dir),
+        key_cols=["user_id"],
+        attr_col="channel_name",
+        ts_col="event_ts",
+        tiebreak_col="session_id",
+    )
+    conv = domain.conversions(spark, sf_dir).select("conv_id", "user_id", "conv_ts")
+    return cdc.scd2_lookup(dim, conv, ["user_id"], "conv_ts").select(
+        "conv_id", "user_id", "version", "channel_name"
+    )
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L119: STREAMING native sessionization — the same
     ``session_window`` expression as L97 run under readStream
@@ -6619,6 +6639,39 @@ SELECT user_id, version, channel_name, valid_from_us,
 FROM runs
 """
 
+_ORACLE_SCD2_LOOKUP = f"""
+WITH {_CONV}, {_SESS},
+m AS (
+  SELECT user_id, session_id, channel_name, event_ts,
+         CASE WHEN lag(channel_name) OVER (PARTITION BY user_id
+                ORDER BY event_ts, session_id) IS DISTINCT FROM channel_name
+              THEN 1 ELSE 0 END AS chg
+  FROM sess
+),
+v AS (
+  SELECT user_id, channel_name, event_ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY event_ts, session_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM m
+),
+runs AS (
+  SELECT user_id, CAST(version AS BIGINT) AS version, channel_name,
+         CAST(MIN(epoch_us(event_ts)) AS BIGINT) AS valid_from_us
+  FROM v GROUP BY 1, 2, 3
+),
+dim AS (
+  SELECT user_id, version, channel_name, valid_from_us,
+         COALESCE(CAST(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) AS BIGINT),
+                  CAST(-1 AS BIGINT)) AS valid_to_us
+  FROM runs
+)
+SELECT c.conv_id, c.user_id, d.version, d.channel_name
+FROM conv c
+JOIN dim d ON c.user_id = d.user_id
+WHERE d.valid_from_us <= epoch_us(c.conv_ts)
+  AND (d.valid_to_us = -1 OR epoch_us(c.conv_ts) < d.valid_to_us)
+"""
+
 
 # ---------------------------------------------------------------------------
 # driver contract
@@ -6703,6 +6756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_important_parts": q_rel_important_parts,
         "rel_part_promotion": q_rel_part_promotion,
         "rel_forecast_revenue": q_rel_forecast_revenue,
+        "maef_scd2_lookup": q_scd2_lookup,
         # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
@@ -6874,6 +6928,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_important_parts": _ORACLE_REL_IMPORTANT_PARTS,
         "rel_part_promotion": _ORACLE_REL_PART_PROMOTION,
         "rel_forecast_revenue": _ORACLE_REL_FORECAST_REVENUE,
+        "maef_scd2_lookup": _ORACLE_SCD2_LOOKUP,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,

@@ -132,3 +132,33 @@ def scd2_intervals(
         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("is_current"),
         "n_events",
     )
+
+
+def scd2_lookup(
+    dim: DataFrame,
+    facts: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Point-in-time lookup against an SCD2 dimension built by
+    :func:`scd2_intervals`: for every fact row, the dimension version
+    whose ``[valid_from_us, valid_to_us)`` interval covers the fact's
+    timestamp (the open version covers everything from its open).
+
+    Facts earlier than the key's first version match nothing and are
+    dropped (inner join) — point-in-time semantics, not nearest-match;
+    callers wanting them keep a left join downstream.
+
+    100-TB shape: an EQUI hash join on ``key_cols`` with the interval
+    containment as a post-join filter — per key the version list is
+    run-length-bounded (versions, not events), so the join fan-out per
+    fact row is the key's version count, pruned immediately by the
+    interval predicate. Never a range/nested-loop join: the equi key
+    carries all the distribution, which is exactly the bucketing both
+    sides should be written in.
+    """
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    covered = (F.col("valid_from_us") <= ts_us) & (
+        (F.col("valid_to_us") == -1) | (ts_us < F.col("valid_to_us"))
+    )
+    return facts.join(dim, on=key_cols, how="inner").filter(covered)

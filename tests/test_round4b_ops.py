@@ -78,6 +78,33 @@ def test_scd2_timestamp_tie_broken_by_tiebreak(spark):
     assert [r.ch for r in got] == ["A", "B"]
 
 
+def test_scd2_lookup_point_in_time(spark):
+    """Facts resolve to the version open at their instant: before the
+    first version -> dropped; inside a closed interval -> that version;
+    at/after the last open -> the open version. A fact exactly at a
+    boundary belongs to the NEW version ([from, to) intervals)."""
+    from datetime import datetime
+
+    dim = _scd2(
+        spark,
+        [
+            ("u", "A", "2024-01-01 00:00:00", "1"),
+            ("u", "B", "2024-01-03 00:00:00", "2"),
+        ],
+    )
+    facts = spark.createDataFrame(
+        [
+            ("f0", "u", datetime.fromisoformat("2023-12-31 00:00:00")),  # pre-history
+            ("f1", "u", datetime.fromisoformat("2024-01-02 00:00:00")),  # inside A
+            ("f2", "u", datetime.fromisoformat("2024-01-03 00:00:00")),  # boundary -> B
+            ("f3", "u", datetime.fromisoformat("2024-09-09 00:00:00")),  # open B
+        ],
+        "fid string, uid string, fts timestamp",
+    )
+    got = {r.fid: r.ch for r in cdc.scd2_lookup(dim, facts, ["uid"], "fts").collect()}
+    assert got == {"f1": "A", "f2": "B", "f3": "B"}
+
+
 def _plan(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
