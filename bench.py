@@ -57,6 +57,11 @@ CHECKPOINT_HEAVY = {
     "llm_neardup_incremental",
     "llm_unigram_surprisal",
     "llm_top_terms",
+    # not checkpoint-heavy but the same one-sided noise profile: its
+    # cost is single-file sink I/O (coalesce-to-1 CSV/JSON writes),
+    # which only ever gets SLOWER under page-cache/dirty-writeback
+    # pressure (r04b: 12.5s official vs 6.4s standalone).
+    "maef_warehouse_roundtrip",
 }
 
 
@@ -128,6 +133,11 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             t = min(t, time.perf_counter() - t0)
+            # drain AFTER too: two heavy runs leave twice the debris,
+            # and the next timed query otherwise pays for it (r04b:
+            # maef_shapley 8.8s official vs 1.2s standalone — it sits
+            # downstream of a heavy pair).
+            _drain(spark)
         timings[name] = round(t, 3)
 
     total = round(sum(timings.values()), 3)

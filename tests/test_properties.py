@@ -623,3 +623,66 @@ def test_window_funnel_matches_python_simulator(spark, rows, window_hours):
         for r in fnl.window_funnel(ev, steps, window_hours=window_hours).collect()
     }
     assert got == expect
+
+
+@st.composite
+def scd2_events_strategy(draw):
+    """1-4 keys, 1-12 events each: random attrs from a 3-letter
+    alphabet, random minute offsets (ties allowed — the tiebreak column
+    must resolve them deterministically)."""
+    out = []
+    tb = 0
+    for k in range(draw(st.integers(1, 4))):
+        n = draw(st.integers(1, 12))
+        for _ in range(n):
+            tb += 1
+            out.append(
+                (
+                    f"k{k}",
+                    draw(st.sampled_from(["a", "b", "c"])),
+                    BASE_TS + dt.timedelta(minutes=draw(st.integers(0, 30))),
+                    f"t{tb:04d}",
+                )
+            )
+    return out
+
+
+@given(scd2_events_strategy())
+@settings(**_SETTINGS)
+def test_scd2_interval_laws(spark, rows):
+    """SCD2 algebraic laws, vs a Python reference run-length encoding:
+    (1) per key, versions are 1..n dense; (2) exactly one open row
+    (valid_to_us = -1, is_current = 1) and it is the max version;
+    (3) intervals chain (version v's close == v+1's open); (4)
+    adjacent versions differ in attribute; (5) n_events sums to the
+    key's event count; (6) the (version, attr, n_events) sequence
+    equals the reference RLE of the (ts, tiebreak)-sorted stream."""
+    from marketing_attribution_etl_framework__maef_spark.operators import cdc as _cdc
+
+    df = spark.createDataFrame(rows, "uid string, ch string, ts timestamp, tb string")
+    got = _cdc.scd2_intervals(df, ["uid"], "ch", "ts", "tb").collect()
+    by_key: dict[str, list] = {}
+    for r in got:
+        by_key.setdefault(r.uid, []).append(r)
+    events_by_key: dict[str, list] = {}
+    for uid, ch, ts, tb in rows:
+        events_by_key.setdefault(uid, []).append((ts, tb, ch))
+    assert set(by_key) == set(events_by_key)
+    for uid, rs in by_key.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        assert [r.is_current for r in rs] == [0] * (len(rs) - 1) + [1]
+        assert rs[-1].valid_to_us == -1
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to_us == b.valid_from_us
+            assert a.ch != b.ch
+        # Python reference RLE over the totally-ordered stream
+        seq = [c for _, _, c in sorted(events_by_key[uid])]
+        rle = []
+        for c in seq:
+            if rle and rle[-1][0] == c:
+                rle[-1][1] += 1
+            else:
+                rle.append([c, 1])
+        assert [(r.ch, r.n_events) for r in rs] == [tuple(x) for x in rle]
+        assert sum(r.n_events for r in rs) == len(seq)
