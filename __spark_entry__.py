@@ -2876,6 +2876,32 @@ def q_scd2_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L132: relational kernel, TPC-H Q12 shape — the two-path CASE
+    aggregation: lineitem joined to orders once on orderkey, grouped
+    by a LINE attribute (l_returnflag stands in for the schema's
+    absent l_shipmode), counting lines from high-priority vs other
+    orders. One big-big shuffle on the orderkey; the CASE branches are
+    conditional counts inside the same partial aggregate (never two
+    scans). Completes the 22-shape TPC-H matrix."""
+    li = domain.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    ).select("l_orderkey", "l_returnflag")
+    orders = domain.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(hi).cast("long").alias("high_line_count"),
+            F.sum(F.lit(1) - hi).cast("long").alias("low_line_count"),
+        )
+    )
+
+
 def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L131: point-in-time lookup (operators/cdc.py scd2_lookup) —
     each conversion joined to the channel-history version valid at its
@@ -6639,6 +6665,19 @@ SELECT user_id, version, channel_name, valid_from_us,
 FROM runs
 """
 
+_ORACLE_REL_PRIORITY_LINES = """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l.l_shipdate AS DATE) <  DATE '1997-01-01'
+GROUP BY 1
+"""
+
 _ORACLE_SCD2_LOOKUP = f"""
 WITH {_CONV}, {_SESS},
 m AS (
@@ -6757,6 +6796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_part_promotion": q_rel_part_promotion,
         "rel_forecast_revenue": q_rel_forecast_revenue,
         "maef_scd2_lookup": q_scd2_lookup,
+        "rel_priority_lines": q_rel_priority_lines,
         # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
@@ -6929,6 +6969,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_part_promotion": _ORACLE_REL_PART_PROMOTION,
         "rel_forecast_revenue": _ORACLE_REL_FORECAST_REVENUE,
         "maef_scd2_lookup": _ORACLE_SCD2_LOOKUP,
+        "rel_priority_lines": _ORACLE_REL_PRIORITY_LINES,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,
