@@ -32,6 +32,7 @@ from marketing_attribution_etl_framework__maef_spark.llm import similarity as si
 from marketing_attribution_etl_framework__maef_spark.llm import text as txt
 from marketing_attribution_etl_framework__maef_spark.llm import tokenizer as tok
 from marketing_attribution_etl_framework__maef_spark.operators import attribution as attr
+from marketing_attribution_etl_framework__maef_spark.operators import basket as bsk
 from marketing_attribution_etl_framework__maef_spark.operators import cdc
 from marketing_attribution_etl_framework__maef_spark.operators import chunking
 from marketing_attribution_etl_framework__maef_spark.operators import funnel as fnl
@@ -42,6 +43,9 @@ from marketing_attribution_etl_framework__maef_spark.operators import markov as 
 from marketing_attribution_etl_framework__maef_spark.operators import shapley as shp
 from marketing_attribution_etl_framework__maef_spark.operators import loader as ldr
 from marketing_attribution_etl_framework__maef_spark.operators import reporting as rpt
+from marketing_attribution_etl_framework__maef_spark.operators import robust as rbst
+from marketing_attribution_etl_framework__maef_spark.operators import segmentation as seg
+from marketing_attribution_etl_framework__maef_spark.operators import survival as surv
 from marketing_attribution_etl_framework__maef_spark.plans.pipeline import AttributionPipeline, PipelineConfig
 from marketing_attribution_etl_framework__maef_spark.sources import bucketed as bkt
 
@@ -6726,6 +6730,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return pipe.export()
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L133: RFM customer segmentation (operators/segmentation.py) —
+    per-customer Recency/Frequency/Monetary quintile scores over exact
+    two-phase distributed global ranks (no single-partition window, no
+    NTILE).  The classic next report after the reference's channel
+    rollup (/root/reference/src/etl/reporting.py:60-110)."""
+    return seg.rfm_scores(domain.load_table(spark, sf_dir, "orders"))
+
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L134: time-to-conversion survival analysis
+    (operators/survival.py) — right-censored per-user durations, the
+    discrete hazard risk table, and the exact integer Kaplan-Meier
+    curve (per-step truncating e9 recurrence; the oracle replays it
+    with WITH RECURSIVE — no exp(sum(log)) float trap)."""
+    return surv.kaplan_meier(surv.hazard_table(surv.user_durations(domain.events(spark, sf_dir))))
+
+
+def q_rel_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L135: market-basket pair mining (operators/basket.py) — A-Priori
+    k=2 co-occurrence support + exact q20 lift over size-capped
+    baskets; the within-basket self-join shape the reference's star
+    joins never exercise."""
+    return bsk.basket_pairs(domain.load_table(spark, sf_dir, "lineitem"))
+
+
+def q_robust_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L136: robust channel revenue (operators/robust.py) — exact
+    rank-based 5% trimmed and winsorized integer-cent sums per
+    channel; the whale-proof version of the reference's raw channel
+    averages (/root/reference/src/etl/reporting.py:60-110)."""
+    sess = domain.session_sources(spark, sf_dir).select(
+        "channel_name",
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("value_cents"),
+        "session_id",
+    )
+    return rbst.robust_group_stats(
+        sess, group_col="channel_name", cents_col="value_cents", tiebreak_col="session_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round (VERDICT r02 finding #2).  r04 rotation
@@ -6797,6 +6842,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_forecast_revenue": q_rel_forecast_revenue,
         "maef_scd2_lookup": q_scd2_lookup,
         "rel_priority_lines": q_rel_priority_lines,
+        # --- round-4c additions: r05 window with the overflow above ---
+        "maef_rfm_segments": q_rfm_segments,
+        "maef_survival_km": q_survival_km,
+        "rel_basket_pairs": q_rel_basket_pairs,
+        "maef_robust_stats": q_robust_channel_stats,
         # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
@@ -6897,6 +6947,145 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# L133 RFM segmentation: quintile = 1 + (5*(rank-1)) // n over the
+# (metric, custkey) total order — the two-phase Spark rank equals the
+# oracle's single ROW_NUMBER because the rank depends only on the
+# total order, not the partitioning.  Recency is inverted (n+1-rank)
+# so score 5 = most recent on every axis.
+_ORACLE_RFM_SEGMENTS = """
+WITH per_cust AS MATERIALIZED (
+  SELECT o_custkey AS custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY 1
+),
+anch AS (SELECT MAX(last_d) AS a FROM per_cust),
+base AS (
+  SELECT custkey, frequency, monetary_cents,
+         CAST(date_diff('day', last_d, a) AS BIGINT) AS recency_days,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM per_cust, anch
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY recency_days, custkey) AS rr,
+         ROW_NUMBER() OVER (ORDER BY frequency, custkey)    AS rf,
+         ROW_NUMBER() OVER (ORDER BY monetary_cents, custkey) AS rm
+  FROM base
+)
+SELECT custkey, recency_days, frequency, monetary_cents,
+       CAST(1 + (5 * ((n + 1 - rr) - 1)) // n AS INTEGER) AS r_score,
+       CAST(1 + (5 * (rf - 1)) // n AS INTEGER)           AS f_score,
+       CAST(1 + (5 * (rm - 1)) // n AS INTEGER)           AS m_score
+FROM ranked
+"""
+
+# L134 survival analysis: the KM recurrence is replayed with WITH
+# RECURSIVE over the materialized risk table — every step is integer
+# (truncating //), so it is bit-identical to the Spark driver loop.
+_ORACLE_SURVIVAL_KM = """
+WITH RECURSIVE durs AS MATERIALIZED (
+  SELECT user_id,
+         CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+              THEN CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                        CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS DATE)) AS BIGINT)
+              ELSE CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                        CAST(MAX(ts) AS DATE)) AS BIGINT) END AS offset_days,
+         CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+              THEN 1 ELSE 0 END AS event
+  FROM events GROUP BY user_id
+),
+day AS MATERIALIZED (
+  SELECT offset_days,
+         CAST(SUM(event) AS BIGINT) AS n_conv,
+         CAST(SUM(1 - event) AS BIGINT) AS n_censored
+  FROM durs GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM durs),
+risk AS MATERIALIZED (
+  SELECT offset_days, n_conv, n_censored,
+         CAST(n - COALESCE(SUM(n_conv + n_censored) OVER (
+             ORDER BY offset_days ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk,
+         ROW_NUMBER() OVER (ORDER BY offset_days) AS rn
+  FROM day, tot
+),
+km(rn, s) AS (
+  SELECT CAST(0 AS BIGINT), CAST(1000000000 AS BIGINT)
+  UNION ALL
+  SELECT r.rn, km.s * (r.n_risk - r.n_conv) // r.n_risk
+  FROM km JOIN risk r ON r.rn = km.rn + 1
+)
+SELECT r.offset_days, r.n_risk, r.n_conv, r.n_censored,
+       CAST((r.n_conv * 1048576) // r.n_risk AS BIGINT) AS hazard_q20,
+       CAST(k.s AS BIGINT) AS survival_e9
+FROM risk r JOIN km k ON k.rn = r.rn
+"""
+
+# L135 basket pairs: lift_q20 = pair*n*2^20 // (cnt_a*cnt_b) in
+# HUGEINT — truncating, matching Spark DECIMAL(38,0) div.
+_ORACLE_REL_BASKET_PAIRS = """
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem
+),
+capped AS MATERIALIZED (
+  SELECT i.* FROM items i
+  JOIN (SELECT okey FROM items GROUP BY okey HAVING COUNT(*) <= 8) s USING (okey)
+),
+tot AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM capped),
+sup AS MATERIALIZED (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM capped GROUP BY 1
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+  FROM capped a JOIN capped b ON a.okey = b.okey AND a.item < b.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT p.item_a, p.item_b, p.pair_cnt,
+       sa.cnt AS cnt_a, sb.cnt AS cnt_b, t.n_orders,
+       CAST(CAST(p.pair_cnt AS HUGEINT) * t.n_orders * 1048576
+            // (CAST(sa.cnt AS HUGEINT) * sb.cnt) AS BIGINT) AS lift_q20
+FROM pairs p
+JOIN sup sa ON sa.item = p.item_a
+JOIN sup sb ON sb.item = p.item_b, tot t
+"""
+
+# L136 robust stats: exact rank-based 5% trim; ties have equal cents
+# so the row_number tiebreak cannot change any emitted value.
+_ORACLE_ROBUST_STATS = f"""
+WITH {_SESS},
+vals AS MATERIALIZED (
+  SELECT channel_name AS grp,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+         session_id AS tb
+  FROM sess
+),
+ranked AS (
+  SELECT grp, v,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, tb) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM vals
+),
+sized AS (SELECT *, (5 * n) // 100 AS k FROM ranked),
+agg AS (
+  SELECT grp AS channel_name,
+         MAX(n) AS n,
+         CAST(MAX(k) AS BIGINT) AS k_trimmed,
+         CAST(SUM(v) AS BIGINT) AS raw_sum_cents,
+         CAST(SUM(CASE WHEN rn > k AND rn <= n - k THEN v END) AS BIGINT) AS trimmed_sum_cents,
+         MAX(CASE WHEN rn = k + 1 THEN v END) AS lo_clip_cents,
+         MAX(CASE WHEN rn = n - k THEN v END) AS hi_clip_cents
+  FROM sized GROUP BY 1
+)
+SELECT channel_name, n, k_trimmed, raw_sum_cents, trimmed_sum_cents,
+       CAST(trimmed_sum_cents + k_trimmed * (lo_clip_cents + hi_clip_cents) AS BIGINT)
+         AS winsorized_sum_cents,
+       lo_clip_cents, hi_clip_cents
+FROM agg
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "maef_journey_entries": _ORACLE_JOURNEY_ENTRIES,
@@ -6970,6 +7159,10 @@ def oracle_sql() -> dict[str, str]:
         "rel_forecast_revenue": _ORACLE_REL_FORECAST_REVENUE,
         "maef_scd2_lookup": _ORACLE_SCD2_LOOKUP,
         "rel_priority_lines": _ORACLE_REL_PRIORITY_LINES,
+        "maef_rfm_segments": _ORACLE_RFM_SEGMENTS,
+        "maef_survival_km": _ORACLE_SURVIVAL_KM,
+        "rel_basket_pairs": _ORACLE_REL_BASKET_PAIRS,
+        "maef_robust_stats": _ORACLE_ROBUST_STATS,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,

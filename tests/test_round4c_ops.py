@@ -1,0 +1,183 @@
+"""Round-4c operators: RFM segmentation, survival/KM, basket pairs,
+robust trimmed/winsorized stats — handmade fixtures with hand-computed
+expectations (the SURVEY §5 golden-fixture pattern)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from marketing_attribution_etl_framework__maef_spark.operators import basket as bsk
+from marketing_attribution_etl_framework__maef_spark.operators import robust as rbst
+from marketing_attribution_etl_framework__maef_spark.operators import segmentation as seg
+from marketing_attribution_etl_framework__maef_spark.operators import survival as surv
+
+
+def _d(s):
+    return dt.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------- RFM
+
+
+def test_global_row_number_matches_total_order(spark):
+    rows = [(v, i) for i, v in enumerate([5, 3, 9, 3, 1, 7, 2, 8, 0, 6])]
+    df = spark.createDataFrame(rows, "v long, id long")
+    got = {
+        (r["v"], r["id"]): r["rn"]
+        for r in seg.global_row_number(df, ["v", "id"], num_partitions=4).collect()
+    }
+    expect = {
+        (v, i): rank + 1
+        for rank, (v, i) in enumerate(sorted((v, i) for v, i in rows))
+    }
+    assert got == expect
+
+
+def test_rfm_scores_small_fixture(spark):
+    # 5 customers: one order each except c1 (3 orders). Anchor = max date.
+    orders = spark.createDataFrame(
+        [
+            (1, _d("2023-01-01"), 10.0),
+            (1, _d("2023-03-01"), 20.0),
+            (1, _d("2023-05-01"), 30.0),
+            (2, _d("2023-05-01"), 100.0),
+            (3, _d("2023-04-01"), 50.0),
+            (4, _d("2023-02-01"), 5.0),
+            (5, _d("2023-01-15"), 500.0),
+        ],
+        "o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    out = {r["custkey"]: r.asDict() for r in seg.rfm_scores(orders).collect()}
+    assert out[1]["frequency"] == 3 and out[1]["monetary_cents"] == 6000
+    assert out[1]["recency_days"] == 0 and out[2]["recency_days"] == 0
+    assert out[5]["monetary_cents"] == 50000
+    # n=5 -> each rank its own quintile; monetary order: 4(500),1(6000),
+    # 3(5000)... cents: c4=500, c3=5000, c1=6000, c2=10000, c5=50000
+    assert out[4]["m_score"] == 1 and out[5]["m_score"] == 5
+    # frequency: c1 alone has 3 -> top rank -> score 5
+    assert out[1]["f_score"] == 5
+    # recency ties (c1,c2 at day 0) break by custkey: inverted rank
+    # puts them at ranks 5,4 -> scores 5,4; stalest (c5... c5 is
+    # 2023-01-15 -> oldest? c5 recency 106d, c4 recency 89d) -> c5=1
+    assert out[5]["r_score"] == 1
+    assert {out[1]["r_score"], out[2]["r_score"]} == {4, 5}
+
+
+def test_rfm_segment_counts_bounded(spark):
+    orders = spark.createDataFrame(
+        [(i, _d("2023-01-01"), float(i)) for i in range(1, 21)],
+        "o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    seg_counts = seg.rfm_segment_counts(seg.rfm_scores(orders)).collect()
+    assert sum(r["n_customers"] for r in seg_counts) == 20
+    assert all(1 <= r["m_score"] <= 5 for r in seg_counts)
+
+
+# ----------------------------------------------------------- survival
+
+
+def test_user_durations_censoring(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "view", _d("2023-01-01")),
+            (2, 10, "purchase", _d("2023-01-04")),  # converts at day 3
+            (3, 20, "view", _d("2023-01-01")),
+            (4, 20, "click", _d("2023-01-06")),  # censored at day 5
+            (5, 30, "purchase", _d("2023-01-01")),  # converts at day 0
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    out = {r["user_id"]: (r["offset_days"], r["event"]) for r in surv.user_durations(ev).collect()}
+    assert out == {10: (3, 1), 20: (5, 0), 30: (0, 1)}
+
+
+def test_hazard_and_km_hand_computed(spark):
+    # durations: day0: 1 conv; day1: 1 censored; day2: 1 conv, N=4
+    # (fourth subject censored day 3).
+    durs = spark.createDataFrame(
+        [(1, 0, 1), (2, 1, 0), (3, 2, 1), (4, 3, 0)],
+        "user_id long, offset_days long, event int",
+    )
+    hz = {r["offset_days"]: r.asDict() for r in surv.hazard_table(durs).collect()}
+    assert hz[0]["n_risk"] == 4 and hz[0]["n_conv"] == 1
+    assert hz[1]["n_risk"] == 3 and hz[1]["n_censored"] == 1
+    assert hz[2]["n_risk"] == 2 and hz[2]["n_conv"] == 1
+    assert hz[3]["n_risk"] == 1
+    assert hz[0]["hazard_q20"] == (1 * 1048576) // 4
+    km = {
+        r["offset_days"]: r["survival_e9"]
+        for r in surv.kaplan_meier(surv.hazard_table(durs)).collect()
+    }
+    # S0 = 1e9 * 3 // 4 = 750000000; day1 no conv -> unchanged;
+    # day2: * 1 // 2 -> 375000000; day3 unchanged.
+    assert km == {0: 750_000_000, 1: 750_000_000, 2: 375_000_000, 3: 375_000_000}
+
+
+# ------------------------------------------------------------- basket
+
+
+def test_basket_pairs_support_and_lift(spark):
+    # orders: O1{A,B}, O2{A,B}, O3{A,C}, O4{B} -> pair (A,B) cnt=2.
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "C"), (4, "B")]
+    facts = spark.createDataFrame(rows, "l_orderkey long, l_partkey string")
+    out = bsk.basket_pairs(facts, min_support=2).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert (r["item_a"], r["item_b"]) == ("A", "B")
+    assert r["pair_cnt"] == 2 and r["cnt_a"] == 3 and r["cnt_b"] == 3 and r["n_orders"] == 4
+    # lift = 2*4/(3*3) = 8/9 -> q20 = floor(8*2^20/9)
+    assert r["lift_q20"] == (2 * 4 * 1048576) // (3 * 3)
+
+
+def test_basket_cap_drops_whale_order_consistently(spark):
+    whale = [(99, f"P{i}") for i in range(10)]  # 10 items > cap 8
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B")] + whale
+    facts = spark.createDataFrame(rows, "l_orderkey long, l_partkey string")
+    out = bsk.basket_pairs(facts, max_basket=8, min_support=2).collect()
+    assert len(out) == 1
+    # n_orders counts only capped universe (2 orders)
+    assert out[0]["n_orders"] == 2
+
+
+def test_basket_dedups_repeated_lines(spark):
+    rows = [(1, "A"), (1, "A"), (1, "B"), (2, "A"), (2, "B")]
+    facts = spark.createDataFrame(rows, "l_orderkey long, l_partkey string")
+    out = bsk.basket_pairs(facts, min_support=2).collect()
+    assert out[0]["pair_cnt"] == 2 and out[0]["cnt_a"] == 2
+
+
+# ------------------------------------------------------------- robust
+
+
+def test_robust_stats_hand_computed(spark):
+    # one group, values 1..20 cents, trim 5% -> k=1: drop 1 and 20.
+    df = spark.createDataFrame(
+        [("x", v, str(v)) for v in range(1, 21)], "g string, cents long, id string"
+    )
+    r = rbst.robust_group_stats(df, "g", "cents", "id", trim_pct=5).collect()[0].asDict()
+    assert r["n"] == 20 and r["k_trimmed"] == 1
+    assert r["raw_sum_cents"] == 210
+    assert r["trimmed_sum_cents"] == 210 - 1 - 20
+    assert r["lo_clip_cents"] == 2 and r["hi_clip_cents"] == 19
+    assert r["winsorized_sum_cents"] == 189 + 2 + 19
+
+
+def test_robust_stats_tiny_group_no_trim(spark):
+    df = spark.createDataFrame(
+        [("x", 5, "a"), ("x", 7, "b"), ("y", 100, "c")], "g string, cents long, id string"
+    )
+    out = {r["g"]: r.asDict() for r in rbst.robust_group_stats(df, "g", "cents", "id").collect()}
+    assert out["x"]["k_trimmed"] == 0
+    assert out["x"]["trimmed_sum_cents"] == 12 == out["x"]["winsorized_sum_cents"]
+    assert out["y"]["n"] == 1 and out["y"]["raw_sum_cents"] == 100
+
+
+def test_robust_stats_rejects_bad_trim(spark):
+    df = spark.createDataFrame([("x", 1, "a")], "g string, cents long, id string")
+    try:
+        rbst.robust_group_stats(df, "g", "cents", "id", trim_pct=50)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
