@@ -1,0 +1,96 @@
+"""Triangle counting over an undirected co-occurrence graph.
+
+Graph analytics beyond the repo's pointer-doubled connected
+components (llm/dedup.py) and channel-matrix PageRank
+(operators/markov.py): the triangle count is the standard cohesion
+statistic behind clustering coefficients and community strength, here
+run over the item co-purchase graph that basket mining
+(operators/basket.py) produces.
+
+Scale design — the textbook hazard is the path join around
+heavy-hitter nodes: joining raw edges on the shared endpoint costs
+sum(deg^2), quadratic in the hub degree.  The fix is DEGREE-ORDERED
+ORIENTATION (Chiba-Nishizeki; the MapReduce form is Suri & Vassilvitskii
+WWW'11): direct every undirected edge from its lower-(degree, id)
+endpoint to the higher one.  Every node's OUT-degree is then at most
+O(sqrt(2m)) regardless of its raw degree, the wedge join costs
+sum(outdeg^2) <= O(m^1.5), and each triangle is counted exactly once
+(its unique orientation-minimal corner emits the single wedge whose
+closing edge exists).
+
+The count is orientation-invariant, so the DuckDB oracle can verify
+with the naive a<b<c three-way join — same number, different plan —
+which keeps the oracle honest without mirroring the optimization.
+
+Everything is equi hash joins on node ids + one left-semi close;
+exact integers; no windows, no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Count triangles in an undirected simple graph.
+
+    edges: one row per undirected edge, any orientation, no
+    self-loops required to be pre-removed (they are dropped here);
+    duplicate rows are deduped.
+
+    Output: one row (n_nodes, n_edges, n_triangles), all longs.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    nodes = und.select(F.col("a").alias("v")).union(und.select("b")).distinct()
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    # orient low (degree, id) -> high (degree, id)
+    e = (
+        und.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+            .alias("e")
+        )
+        .select("e.u", "e.w")
+    )
+    # wedges u->w1, u->w2 (w1 < w2 in oriented order is not needed:
+    # orientation makes (u,w1),(u,w2) unordered pairs — emit both and
+    # the closing edge (w1,w2) exists in exactly one direction, so
+    # count each unordered wedge once via w1 < w2 on the ORIENTED ids)
+    e1 = e.select(F.col("u"), F.col("w").alias("w1"))
+    e2 = e.select(F.col("u"), F.col("w").alias("w2"))
+    wedges = (
+        e1.join(e2, "u")
+        .filter(F.col("w1") < F.col("w2"))
+        # the closing edge is undirected: look it up in CANONICAL
+        # (least, greatest) form so the close is ONE equi hash join —
+        # an OR over both orientations would degrade to a nested loop.
+        .select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+    )
+    closed = wedges.join(und, ["a", "b"], "left_semi")
+    n_tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return (
+        nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .join(und.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        .join(n_tri)
+    )

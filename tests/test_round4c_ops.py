@@ -181,3 +181,85 @@ def test_robust_stats_rejects_bad_trim(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+# ------------------------------------------------------------ packing
+
+
+def test_pack_sequences_layout_invariants(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import packing as pck
+
+    docs = spark.createDataFrame(
+        [(i, 100 + i) for i in range(1, 41)] + [(99, 0)], "doc_id long, n_chars long"
+    )
+    out = sorted(
+        (r["offset"], r["n_chars"], r["doc_id"], r["seq_first"], r["seq_last"], r["n_seqs"])
+        for r in pck.pack_sequences(docs, budget=500).collect()
+    )
+    # zero-weight doc dropped
+    assert len(out) == 40
+    # offsets tile the line exactly: each doc starts where the
+    # previous one ended, first at 0
+    assert out[0][0] == 0
+    for (o1, w1, *_), (o2, *_rest) in zip(out, out[1:]):
+        assert o2 == o1 + w1
+    # sequence coordinates consistent with the offset arithmetic
+    for o, w, _id, sf, sl, ns in out:
+        assert sf == o // 500 and sl == (o + w - 1) // 500 and ns == sl - sf + 1
+
+
+def test_pack_sequences_deterministic_across_partitionings(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import packing as pck
+
+    docs = spark.createDataFrame([(i, 37 * (i % 11) + 1) for i in range(200)], "doc_id long, n_chars long")
+    a = {r["doc_id"]: r["offset"] for r in pck.pack_sequences(docs, budget=256).collect()}
+    b = {
+        r["doc_id"]: r["offset"]
+        for r in pck.pack_sequences(docs.repartition(7), budget=256).collect()
+    }
+    assert a == b
+
+
+# ------------------------------------------------------------- bandit
+
+
+def test_ucb1_scores_hand_computed(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import bandit as bdt
+
+    sess = spark.createDataFrame(
+        [("s1", "a"), ("s2", "a"), ("s3", "b"), ("s4", "b")],
+        "session_id string, channel_name string",
+    )
+    jny = spark.createDataFrame([("c1", "s1"), ("c2", "s1"), ("c3", "s3")], "conversion_id string, session_id string")
+    out = {r["channel_name"]: r.asDict() for r in bdt.ucb1_scores(sess, jny).collect()}
+    import math
+
+    assert out["a"]["plays"] == 2 and out["a"]["reward_sum"] == 1  # s1 only (distinct)
+    assert out["b"]["reward_sum"] == 1 and out["a"]["n_total"] == 4
+    expect_a = math.floor((0.5 + math.sqrt(2 * math.log(4) / 2)) * 1048576 + 0.5)
+    assert out["a"]["ucb_q20"] == expect_a
+
+
+# -------------------------------------------------------------- graph
+
+
+def test_triangle_count_known_graphs(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import graph as grph
+
+    # K4 has 4 triangles; add a pendant edge (no new triangle), a
+    # self-loop and a duplicate edge (both must be ignored).
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(3, 9), (2, 2), (1, 0)], "src long, dst long"
+    )
+    r = grph.triangle_count(edges).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (5, 7, 4)
+
+
+def test_triangle_count_triangle_free(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import graph as grph
+
+    # C4 cycle: 4 edges, 0 triangles
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long")
+    r = grph.triangle_count(edges).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 4, 0)
