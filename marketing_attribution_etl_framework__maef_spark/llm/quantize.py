@@ -1,0 +1,94 @@
+"""Scalar (int8) embedding quantization with a cross-engine code hash.
+
+ANN at 100 TB does not ship float32 vectors around — it quantizes
+them (scalar or product quantization) and searches over compact
+codes.  This is the scalar stage: per-dimension min/max calibration
+over the corpus, then each coordinate snapped to the 0..255 grid
+
+    code = floor((x - mn_d) / (mx_d - mn_d) * 255 + 0.5)
+
+(0 when the dimension is constant).  All inputs are cast to DOUBLE
+before any arithmetic so both engines run the identical IEEE op
+sequence on identical operands — per-row rational arithmetic, exact
+cross-engine per the repo float policy; the +0.5/floor makes the
+grid assignment integral, and ties cannot wobble because the operand
+doubles are bit-identical.
+
+Calibration is one explode + per-dimension MIN/MAX aggregate (no
+summation — exact on floats), collected to the driver as BOUNDED
+state (n_dims rows) and re-broadcast as literal arrays so the encode
+step is a single ``F.transform`` over the original array column —
+positional, no second explode, no join, whole-stage-codegen'd.
+
+The full code array is pinned cross-engine by ``codes_md5``: md5 of
+the comma-joined code string in dimension order (the repo's
+engine-portable hash).  The oracle rebuilds the same string with
+UNNEST WITH ORDINALITY + string_agg ORDER BY ordinality.
+
+Reference parity: the reference has no vector layer at all; this
+extends the SURVEY §2.10 ANN family (llm/similarity.py) with the
+compression stage those indexes assume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def calibrate_minmax(embs: DataFrame, vec_col: str = "embedding") -> tuple[list, list]:
+    """Per-dimension (min, max) over the corpus, as Python lists
+    (bounded driver state: n_dims rows)."""
+    dims = (
+        embs.select(F.posexplode(F.col(vec_col)).alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .collect()
+    )
+    by_d = {r["d"]: (r["mn"], r["mx"]) for r in dims}
+    n = max(by_d) + 1 if by_d else 0
+    mn = [by_d[i][0] for i in range(n)]
+    mx = [by_d[i][1] for i in range(n)]
+    return mn, mx
+
+
+def quantize_int8(
+    embs: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Scalar-quantize every vector to 0..255 codes.
+
+    Output: (vec_id, n_dims, code_sum, code_min, code_max,
+    codes_md5) — integer summaries plus the md5 pin of the whole code
+    array in dimension order.
+    """
+    mn, mx = calibrate_minmax(embs, vec_col)
+    mn_arr = F.array(*[F.lit(float(v)).cast("double") for v in mn])
+    mx_arr = F.array(*[F.lit(float(v)).cast("double") for v in mx])
+    coded = (
+        embs.withColumn("_mn", mn_arr)
+        .withColumn("_mx", mx_arr)
+        .select(
+            F.col(id_col),
+            # 0-based array subscript (repo rule: no element_at under
+            # Spark 4 ANSI); i is the transform lambda's 0-based index
+            F.expr(
+                f"transform({vec_col}, (x, i) -> "
+                "CASE WHEN _mx[i] = _mn[i] THEN CAST(0 AS BIGINT) "
+                "ELSE CAST(floor((CAST(x AS DOUBLE) - _mn[i])"
+                " / (_mx[i] - _mn[i]) * 255.0 + 0.5) AS BIGINT) END)"
+            ).alias("codes"),
+        )
+    )
+    return coded.select(
+        id_col,
+        F.size("codes").cast("long").alias("n_dims"),
+        F.expr("aggregate(codes, CAST(0 AS BIGINT), (acc, c) -> acc + c)").alias("code_sum"),
+        F.array_min("codes").cast("long").alias("code_min"),
+        F.array_max("codes").cast("long").alias("code_max"),
+        F.md5(F.concat_ws(",", F.expr("transform(codes, c -> CAST(c AS STRING))"))).alias(
+            "codes_md5"
+        ),
+    )

@@ -46,9 +46,22 @@ def global_row_number(
 
     ``order_cols`` must be a TOTAL order (include a unique tiebreak
     column) or ranks of tied rows are partition-placement dependent.
+
+    The ranged layout is pinned with ``localCheckpoint`` BEFORE the
+    bucket column is read: the per-partition counts job and the window
+    job would otherwise re-execute the range partitioner
+    independently, and AQE may pick a different upstream partitioning
+    for each, moving the sampled range boundaries — the offsets then
+    mismatch the window's partitions (observed as off-by-one quintiles
+    at sf0.1).  Unlike the hash-bucketed scans (llm/curation.py,
+    operators/sampling.py), whose bucket is a pure function of the
+    data, a range bucket depends on the partitioner instance, so it
+    must be materialized once and shared.  At warehouse scale this
+    checkpoint becomes a write to a staging table (the documented
+    production pattern for shared iterative state).
     """
     ranged = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
     # bounded driver state: one (pid, count) row per partition
     counts = sorted(
         (r["_pid"], r["_n"])

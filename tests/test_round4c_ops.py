@@ -263,3 +263,131 @@ def test_triangle_count_triangle_free(spark):
     edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long")
     r = grph.triangle_count(edges).collect()[0]
     assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 4, 0)
+
+
+# ----------------------------------------------------------- sampling
+
+
+def test_stratified_sample_exact_k_and_proportions(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import sampling as smp
+
+    # strata: a=60, b=30, c=10 rows; k=10 -> quotas 6/3/1 exactly
+    rows = (
+        [(i, "a") for i in range(60)]
+        + [(100 + i, "b") for i in range(30)]
+        + [(200 + i, "c") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = smp.stratified_sample(docs, k=10).collect()
+    assert len(out) == 10
+    by_s = {}
+    for r in out:
+        by_s.setdefault(r["source"], 0)
+        by_s[r["source"]] += 1
+        assert r["rank"] <= r["quota"]
+    assert by_s == {"a": 6, "b": 3, "c": 1}
+
+
+def test_stratified_sample_remainder_and_determinism(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import sampling as smp
+
+    # 3 strata x 10 rows, k=10: base 3 each, 1 leftover -> equal
+    # remainders, alphabetical tie-break gives stratum "a" the +1
+    rows = [(s * 100 + i, chr(97 + s)) for s in range(3) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = smp.stratified_sample(docs, k=10).collect()
+    by_s = {}
+    for r in out:
+        by_s[r["source"]] = by_s.get(r["source"], 0) + 1
+    assert by_s == {"a": 4, "b": 3, "c": 3}
+    # deterministic across partitionings
+    again = smp.stratified_sample(docs.repartition(5), k=10).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+
+
+def test_grouped_hash_rank_is_dense_per_group(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import sampling as smp
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = smp.grouped_hash_rank(df, "source", "doc_id", n_buckets=8).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r["rank"])
+    for g, ranks in per.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# ----------------------------------------------------------- quantize
+
+
+def test_quantize_int8_known_grid(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import quantize as qtz
+
+    # dim0 spans [0,2] -> codes 0/127.5->128? x=1 -> (1-0)/2*255+0.5
+    # = 128.0 -> floor 128; dim1 constant -> code 0
+    embs = spark.createDataFrame(
+        [(1, [0.0, 7.0]), (2, [1.0, 7.0]), (3, [2.0, 7.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r.asDict() for r in qtz.quantize_int8(embs).collect()}
+    assert out[1]["code_sum"] == 0 and out[3]["code_sum"] == 255
+    assert out[2]["code_sum"] == 128  # floor(127.5 + 0.5)
+    assert out[1]["n_dims"] == 2 and out[1]["code_min"] == 0
+    # md5 pin: same codes -> same hash; different codes -> different
+    assert out[1]["codes_md5"] != out[2]["codes_md5"]
+
+
+def test_quantize_codes_md5_matches_manual(spark):
+    import hashlib
+
+    from marketing_attribution_etl_framework__maef_spark.llm import quantize as qtz
+
+    embs = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [4.0, 8.0])], "vec_id long, embedding array<float>"
+    )
+    out = {r["vec_id"]: r["codes_md5"] for r in qtz.quantize_int8(embs).collect()}
+    assert out[2] == hashlib.md5(b"255,255").hexdigest()
+    assert out[1] == hashlib.md5(b"0,0").hexdigest()
+
+
+# ------------------------------------------------------------- motifs
+
+
+def test_path_motifs_hand_computed(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import motifs as mtf
+
+    # journey j1: a,b,c,d -> triples (a,b,c),(b,c,d); j2: a,b,c ->
+    # (a,b,c); j3: x,y (too short)
+    rows = [
+        ("j1", "s1", _d("2023-01-01 00:00"), "a"),
+        ("j1", "s2", _d("2023-01-01 01:00"), "b"),
+        ("j1", "s3", _d("2023-01-01 02:00"), "c"),
+        ("j1", "s4", _d("2023-01-01 03:00"), "d"),
+        ("j2", "s5", _d("2023-01-01 00:00"), "a"),
+        ("j2", "s6", _d("2023-01-01 01:00"), "b"),
+        ("j2", "s7", _d("2023-01-01 02:00"), "c"),
+        ("j3", "s8", _d("2023-01-01 00:00"), "x"),
+        ("j3", "s9", _d("2023-01-01 01:00"), "y"),
+    ]
+    jny = spark.createDataFrame(
+        rows, "conversion_id string, session_id string, event_ts timestamp, channel_label string"
+    )
+    out = {
+        (r["c1"], r["c2"], r["c3"]): (r["n_motif"], r["n_journeys"])
+        for r in mtf.path_motifs(jny, min_count=1).collect()
+    }
+    assert out == {("a", "b", "c"): (2, 2), ("b", "c", "d"): (1, 1)}
+
+
+def test_path_motifs_tie_order_by_session_id(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import motifs as mtf
+
+    # equal timestamps: order falls back to session_id
+    t = _d("2023-01-01 00:00")
+    rows = [("j", "s1", t, "a"), ("j", "s2", t, "b"), ("j", "s3", t, "c")]
+    jny = spark.createDataFrame(
+        rows, "conversion_id string, session_id string, event_ts timestamp, channel_label string"
+    )
+    out = mtf.path_motifs(jny, min_count=1).collect()
+    assert len(out) == 1 and (out[0]["c1"], out[0]["c2"], out[0]["c3"]) == ("a", "b", "c")
