@@ -57,6 +57,10 @@ CHECKPOINT_HEAVY = {
     "llm_neardup_incremental",
     "llm_unigram_surprisal",
     "llm_top_terms",
+    # r04c localCheckpoint users (shared-lineage materialization):
+    "rel_basket_pairs",
+    "rel_triangle_count",
+    "maef_rfm_segments",
     # not checkpoint-heavy but the same one-sided noise profile: its
     # cost is single-file sink I/O (coalesce-to-1 CSV/JSON writes),
     # which only ever gets SLOWER under page-cache/dirty-writeback

@@ -1,0 +1,151 @@
+"""Multinomial Naive Bayes language ID — train AND score in fixed
+point, so the classifier is deterministic cross-engine.
+
+The n-gram-heuristic language ID (llm/text.py:123) needs no training;
+this is the supervised upgrade an LLM-data pipeline actually runs:
+fit a multinomial NB on the labeled slice, score the corpus, report
+the confusion matrix.
+
+Everything that touches floats is quantized ONCE at train time:
+
+- counts c(l,w), class token totals tot(l), vocabulary size V, doc
+  counts n(l): exact longs from two hash aggregates;
+- log-weights w_q20(l,w) = floor(ln((c+1)/(tot_l+V)) * 2^20 + 0.5)
+  and the per-class unseen weight (c=0 case) and prior
+  floor(ln(n_l/n) * 2^20 + 0.5): irrational values, q20-safe per the
+  repo float policy (pow/cosine/sqrt precedents).
+
+Scoring is then INTEGER arithmetic end to end:
+
+    score(d,l) = prior_q20(l) + sum_w tf(d,w) * w_q20(l,w)
+               + (tf_total(d) - tf_matched(d,l)) * unseen_q20(l)
+
+— a sum of longs, immune to accumulation-order noise, so the argmax
+(ties by lang ascending) is bit-stable and the whole pipeline is
+oracle-checkable.
+
+Scale: the weights table is |langs| x V rows keyed on word — an equi
+shuffle join against the exploded corpus (token count, not doc
+count, is the join cardinality); langs are bounded so the per-(doc,
+lang) aggregate fans out by a small constant. No windows over
+unbounded groups, no driver state at all (the quantization happens
+inside the plan).
+
+Reference parity: no counterpart — reference has no text layer; this
+extends SURVEY §2.10's text-analysis family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from marketing_attribution_etl_framework__maef_spark.llm.text import normalize_text, words
+
+_Q = 1_048_576  # 2^20
+
+
+def _q20_ln(expr: str) -> str:
+    return f"cast(floor(ln({expr}) * {_Q} + 0.5) as bigint)"
+
+
+def nb_train(docs: DataFrame, label_col: str = "lang", text_col: str = "text") -> dict:
+    """Fit multinomial NB; returns the three model tables (DataFrames):
+    weights (label, word, w_q20), classes (label, prior_q20,
+    unseen_q20), and the scalar vocab size df.
+    """
+    toks = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(words(normalize_text(F.col(text_col)))).alias("word"),
+    ).filter(F.col("word") != "")
+    counts = toks.groupBy("label", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = counts.groupBy("label").agg(F.sum("c").cast("long").alias("tot"))
+    vocab = counts.select("word").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    n_docs = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_l")
+    )
+    n_all = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    classes = (
+        n_docs.join(F.broadcast(n_all))
+        .join(tot, "label")
+        .join(F.broadcast(vocab))
+        .select(
+            "label",
+            F.expr(_q20_ln("cast(n_l as double) / n")).alias("prior_q20"),
+            F.expr(_q20_ln("1.0 / (tot + v)")).alias("unseen_q20"),
+            "tot",
+        )
+    )
+    weights = counts.join(tot, "label").join(F.broadcast(vocab)).select(
+        "label",
+        "word",
+        F.expr(_q20_ln("cast(c + 1 as double) / (tot + v)")).alias("w_q20"),
+    )
+    return {"weights": weights, "classes": classes}
+
+
+def nb_predict(
+    docs: DataFrame, model: dict, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Score every doc against every class; argmax with label-ascending
+    tie-break.  Output: (doc_id, pred_label, score_q20)."""
+    tf = (
+        docs.select(
+            F.col(id_col), F.explode(words(normalize_text(F.col(text_col)))).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    doc_tot = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("tf_total"))
+    matched = (
+        tf.join(model["weights"], "word")
+        .groupBy(id_col, "label")
+        .agg(
+            F.sum(F.col("tf") * F.col("w_q20")).cast("long").alias("w_matched"),
+            F.sum("tf").cast("long").alias("tf_matched"),
+        )
+    )
+    classes = F.broadcast(model["classes"].select("label", "prior_q20", "unseen_q20"))
+    scored = (
+        doc_tot.join(classes)  # bounded fan-out: |langs| rows per doc
+        .join(matched, [id_col, "label"], "left")
+        .select(
+            id_col,
+            "label",
+            (
+                F.col("prior_q20")
+                + F.coalesce(F.col("w_matched"), F.lit(0))
+                + (F.col("tf_total") - F.coalesce(F.col("tf_matched"), F.lit(0)))
+                * F.col("unseen_q20")
+            )
+            .cast("long")
+            .alias("score_q20"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_q20"), F.asc("label"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, F.col("label").alias("pred_label"), "score_q20")
+    )
+
+
+def nb_confusion(
+    docs: DataFrame, label_col: str = "lang", text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Self-train + score + confusion matrix (bounded |langs|^2 rows).
+
+    Output: (lang, pred_label, n_docs)."""
+    model = nb_train(docs, label_col, text_col)
+    pred = nb_predict(docs, model, text_col, id_col)
+    return (
+        docs.select(F.col(id_col), F.col(label_col).alias("lang"))
+        .join(pred, id_col)
+        .groupBy("lang", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

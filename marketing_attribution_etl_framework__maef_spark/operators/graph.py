@@ -41,6 +41,12 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
 
     Output: one row (n_nodes, n_edges, n_triangles), all longs.
     """
+    # und feeds SEVEN consumers (degree unions, orientation join,
+    # wedge close, node/edge counts) and its lineage includes whatever
+    # produced the edges (here: the whole basket-mining pipeline) —
+    # the expensive-multi-consumer case: checkpoint once, everything
+    # downstream reads the materialized edge list (7.8s -> measured
+    # after at sf0.1).  At production scale: a staging table.
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -48,6 +54,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
+        .localCheckpoint()
     )
     nodes = und.select(F.col("a").alias("v")).union(und.select("b")).distinct()
     deg = (

@@ -7,16 +7,17 @@ conversion?" — path motifs, the journey-level analogue of text
 n-grams.
 
 Implementation: order each conversion's touchpoints by (event_ts,
-session_id) with a per-conversion ``row_number`` (high-cardinality
-partition key — shards across executors), then two self-equi-joins on
-(conversion_id, rn+1) and (conversion_id, rn+2) stitch consecutive
-triples, and one hash aggregate counts each (c1, c2, c3) motif.  A
-journey with k touches emits k-2 triples, so cost is linear in total
-journey length; the joins are co-partitioned on conversion_id (one
-exchange, reused across both joins at equal partitioning).
+session_id) and stitch consecutive k-grams with ``lead(ch, i)`` over
+that ONE window — a single shuffle on the (high-cardinality)
+conversion key and a single sorted pass, where the equivalent
+self-join formulation pays three exchanges (measured 4.0 s -> see
+bench detail at sf0.1).  One hash aggregate then counts each motif.
+A journey with k touches emits k-(length-1) grams, so cost is linear
+in total journey length.
 
 No collect_list: a whale journey (bot traffic, 10^6 touches) would
-blow a per-group buffer, but contributes only 10^6-2 join rows here.
+blow a per-group buffer, but streams through the window operator in
+sorted order here.
 
 Exact integers only; deterministic order by the (ts, session_id)
 tiebreak."""
@@ -45,20 +46,14 @@ def path_motifs(
     if length < 2:
         raise ValueError("motif length must be >= 2")
     w = Window.partitionBy(conv_col).orderBy(ts_col, tiebreak_col)
-    base = journeys.select(
+    grams = journeys.select(
         F.col(conv_col).alias("cid"),
-        F.col(channel_col).alias("ch"),
-        F.row_number().over(w).alias("rn"),
-    )
-    cur = base.select("cid", "rn", F.col("ch").alias("c1"))
-    for i in range(2, length + 1):
-        nxt = base.select(
-            "cid", (F.col("rn") - (i - 1)).alias("rn"), F.col("ch").alias(f"c{i}")
-        )
-        cur = cur.join(nxt, ["cid", "rn"])
+        F.col(channel_col).alias("c1"),
+        *[F.lead(F.col(channel_col), i - 1).over(w).alias(f"c{i}") for i in range(2, length + 1)],
+    ).filter(F.col(f"c{length}").isNotNull())
     cols = [f"c{i}" for i in range(1, length + 1)]
     return (
-        cur.groupBy(*cols)
+        grams.groupBy(*cols)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_motif"),
             F.countDistinct("cid").cast("long").alias("n_journeys"),

@@ -391,3 +391,57 @@ def test_path_motifs_tie_order_by_session_id(spark):
     )
     out = mtf.path_motifs(jny, min_count=1).collect()
     assert len(out) == 1 and (out[0]["c1"], out[0]["c2"], out[0]["c3"]) == ("a", "b", "c")
+
+
+# ---------------------------------------------------------- recommend
+
+
+def test_recommend_items_symmetric_and_cut(spark):
+    pairs = spark.createDataFrame(
+        [
+            ("A", "B", 5, 10, 10, 100, 2000),
+            ("A", "C", 3, 10, 10, 100, 3000),
+            ("A", "D", 2, 10, 10, 100, 1000),
+            ("A", "E", 1, 10, 10, 100, 500),
+        ],
+        "item_a string, item_b string, pair_cnt long, cnt_a long, cnt_b long,"
+        " n_orders long, lift_q20 long",
+    )
+    out = bsk.recommend_items(pairs, top_k=3).collect()
+    a_rows = sorted((r["rank"], r["rec"]) for r in out if r["item"] == "A")
+    # by lift desc: C(3000), B(2000), D(1000); E cut
+    assert a_rows == [(1, "C"), (2, "B"), (3, "D")]
+    # symmetric direction: B recommends A at rank 1
+    b_rows = [(r["rank"], r["rec"]) for r in out if r["item"] == "B"]
+    assert b_rows == [(1, "A")]
+
+
+# ----------------------------------------------------------- NB model
+
+
+def test_nb_langid_separable_corpus(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import classify as clf
+
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the dog ate the bone", "en"),
+        (3, "le chat est sur le tapis", "fr"),
+        (4, "le chien mange le os", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    conf = {(r["lang"], r["pred_label"]): r["n_docs"] for r in clf.nb_confusion(docs).collect()}
+    # self-scored separable corpus: perfect diagonal
+    assert conf == {("en", "en"): 2, ("fr", "fr"): 2}
+
+
+def test_nb_predict_scores_are_integer_and_tie_break(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import classify as clf
+
+    rows = [(1, "x y", "a"), (2, "x y", "b")]  # identical docs, two labels
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model = clf.nb_train(docs)
+    pred = clf.nb_predict(docs, model).collect()
+    # symmetric training data -> identical scores -> alphabetical
+    # tie-break picks "a" for both docs
+    assert {r["pred_label"] for r in pred} == {"a"}
+    assert all(isinstance(r["score_q20"], int) for r in pred)
