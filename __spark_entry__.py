@@ -33,6 +33,7 @@ from marketing_attribution_etl_framework__maef_spark.llm import text as txt
 from marketing_attribution_etl_framework__maef_spark.llm import tokenizer as tok
 from marketing_attribution_etl_framework__maef_spark.operators import attribution as attr
 from marketing_attribution_etl_framework__maef_spark.llm import classify as cls
+from marketing_attribution_etl_framework__maef_spark.llm import coverage as cov
 from marketing_attribution_etl_framework__maef_spark.llm import packing as pck
 from marketing_attribution_etl_framework__maef_spark.llm import quantize as qtz
 from marketing_attribution_etl_framework__maef_spark.operators import motifs as mtf
@@ -6848,6 +6849,60 @@ def q_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cls.nb_confusion(_docs(spark, sf_dir))
 
 
+def q_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L145: Benford first-digit screen over order totals
+    (operators/quality.py benford_screen) — exact digit counts from
+    the decimal string of integer cents, observed_q20 by exact integer
+    division, expected_q20 the quantized Benford mass."""
+    from marketing_attribution_etl_framework__maef_spark.operators import quality as dq
+
+    o = domain.load_table(spark, sf_dir, "orders").select(
+        F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("cents")
+    )
+    return dq.benford_screen(o, "cents")
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L146: SURVEY §2.9 stream-static broadcast enrichment
+    (streaming/incremental.py enrich_stream) — each streaming session
+    joined to the static customer dimension (broadcast; the stream
+    side never shuffles), rolled up per (1-day event-time window,
+    market segment). Run to completion over the static input the
+    result must EQUAL the batch join+GROUP BY (the parity oracle)."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet").withWatermark(
+        "ts", "1 hour"
+    )
+    dim = domain.load_table(spark, sf_dir, "customer")
+    enr = inc.enrich_stream(ev, dim, "user_id", "c_custkey", window="1 day")
+    name = "stream_enrich"
+    q = (
+        enr.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "segment",
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("total_value_cents").cast("long").alias("total_value_cents"),
+    ).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return out
+
+
+def q_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L147: greedy coverage-maximizing selection (llm/coverage.py) —
+    k=8 facility-location rounds over word-3-shingle sets, exact set
+    arithmetic; the oracle unrolls the same rounds with MATERIALIZED
+    CTEs (markov/BPE unrolled-loop precedent)."""
+    return cov.greedy_coverage(_docs(spark, sf_dir), k=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round (VERDICT r02 finding #2).  r04 rotation
@@ -6932,6 +6987,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_path_motifs": q_path_motifs,
         "rel_item_recs": q_rel_item_recs,
         "llm_nb_langid": q_nb_langid,
+        "maef_benford_screen": q_benford_screen,
+        "maef_stream_enrich": q_stream_enrich,
+        "llm_greedy_coverage": q_greedy_coverage,
         # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
@@ -7388,6 +7446,91 @@ FROM documents d JOIN pred p USING (doc_id)
 GROUP BY 1, 2
 """
 
+# L145 Benford screen: digit from the decimal string (exact), masses
+# in q20.
+_ORACLE_BENFORD_SCREEN = """
+WITH pos AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders
+  WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) > 0
+),
+per AS MATERIALIZED (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_observed
+  FROM pos GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_observed) AS BIGINT) AS n_total FROM per)
+SELECT digit, n_observed, n_total,
+       (n_observed * 1048576) // n_total AS observed_q20,
+       CAST(FLOOR(log10(1.0 + 1.0 / digit) * 1048576 + 0.5) AS BIGINT) AS expected_q20,
+       (n_observed * 1048576) // n_total
+         - CAST(FLOOR(log10(1.0 + 1.0 / digit) * 1048576 + 0.5) AS BIGINT) AS deviation_q20
+FROM per, tot
+"""
+
+# L146 stream-static enrich parity: Spark's window('1 day') buckets
+# are epoch-aligned UTC days == date_trunc('day').
+_ORACLE_STREAM_ENRICH = """
+SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+       c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS total_value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type <> 'purchase'
+GROUP BY 1, 2
+"""
+
+
+def _greedy_coverage_oracle(k: int = 8) -> str:
+    """Unrolled k-round greedy-coverage oracle (markov/BPE unrolled-
+    loop precedent: every round MATERIALIZED so DuckDB cannot inline
+    the chain exponentially)."""
+    ctes = [
+        """nd AS MATERIALIZED (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+)""",
+        """pairs AS MATERIALIZED (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(ws) - 1, 2)),
+                  i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+    FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM nd)
+  ) WHERE sh <> ''
+)""",
+    ]
+    prev = None
+    for j in range(1, k + 1):
+        src = (
+            "pairs"
+            if prev is None
+            else f"(SELECT p.* FROM pairs p ANTI JOIN {prev} USING (sh))"
+        )
+        ctes.append(
+            f"""r{j} AS MATERIALIZED (
+  SELECT CAST({j} AS BIGINT) AS round, doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+  FROM {src} GROUP BY doc_id ORDER BY gain DESC, doc_id ASC LIMIT 1
+)"""
+        )
+        new_sh = f"SELECT sh FROM pairs WHERE doc_id = (SELECT doc_id FROM r{j})"
+        cov_def = new_sh if prev is None else f"SELECT sh FROM {prev} UNION {new_sh}"
+        ctes.append(f"c{j} AS MATERIALIZED ({cov_def})")
+        prev = f"c{j}"
+    sel = " UNION ALL ".join(f"SELECT * FROM r{j}" for j in range(1, k + 1))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+sel AS ({sel})
+SELECT round, doc_id, gain,
+       CAST(SUM(gain) OVER (ORDER BY round
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS covered_total
+FROM sel WHERE gain > 0
+"""
+    )
+
+
+_ORACLE_GREEDY_COVERAGE = _greedy_coverage_oracle(8)
+
 # L136 robust stats: exact rank-based 5% trim; ties have equal cents
 # so the row_number tiebreak cannot change any emitted value.
 _ORACLE_ROBUST_STATS = f"""
@@ -7508,6 +7651,9 @@ def oracle_sql() -> dict[str, str]:
         "maef_path_motifs": _ORACLE_PATH_MOTIFS,
         "rel_item_recs": _ORACLE_REL_ITEM_RECS,
         "llm_nb_langid": _ORACLE_NB_LANGID,
+        "maef_benford_screen": _ORACLE_BENFORD_SCREEN,
+        "maef_stream_enrich": _ORACLE_STREAM_ENRICH,
+        "llm_greedy_coverage": _ORACLE_GREEDY_COVERAGE,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,

@@ -1,0 +1,89 @@
+"""Greedy coverage-maximizing data selection (submodular facility
+location over shingle sets).
+
+Dedup removes redundant documents; the dual curation question is
+"which k documents COVER the corpus best?" — pick, one at a time, the
+document adding the most not-yet-covered word shingles.  Greedy on a
+monotone submodular objective carries the classic (1 - 1/e)
+guarantee (Nemhauser-Wolsey-Fisher 1978); the distributed form here
+is the standard k-round scan.
+
+Per round (k is small and fixed — BOUNDED driver loop per the repo
+rule; the per-round driver state is ONE row):
+
+1. gains: anti-join the (doc, shingle) table against the covered-
+   shingle set, then a hash aggregate per doc — both distributed,
+   cost O(|doc_sh|) per round;
+2. argmax with (gain DESC, doc_id ASC) tie-break — a distributed
+   top-1 (TakeOrderedAndProject, never a full sort);
+3. covered += the winner's shingles, localCheckpoint'd so the plan
+   does not grow with rounds (same device as cluster_duplicates'
+   loop state; at production scale: a staging table per round).
+
+Everything is exact set arithmetic on strings — no floats anywhere —
+so the k selections and their gains are oracle-checkable; the DuckDB
+oracle unrolls the same k rounds with MATERIALIZED CTEs (the
+markov/BPE unrolled-loop precedent).
+
+Reference parity: none (the reference has no text layer); this
+completes the SURVEY §2.10 curation family next to dedup (L13-L17),
+mixing (L44) and sketch-gated curation (L96).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from marketing_attribution_etl_framework__maef_spark.llm.text import normalize_text, word_shingles, words
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct (doc_id, shingle) pairs — word 3-shingles of the
+    normalized text (the same shingle definition the dedup family
+    keys on, llm/text.py:47)."""
+    norm = normalize_text(F.col(text_col))
+    return (
+        docs.select(F.col(id_col), F.explode(word_shingles(words(norm))).alias("sh"))
+        .filter(F.col("sh") != "")
+        .distinct()
+    )
+
+
+def greedy_coverage(
+    docs: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Select k documents greedily maximizing new-shingle coverage.
+
+    Output: (round, doc_id, gain, covered_total) — one row per
+    selection in pick order; stops early if no document adds
+    anything.  round is 1-based; covered_total is the running
+    distinct-shingle count after the pick.
+    """
+    spark = docs.sparkSession
+    pairs = doc_shingles(docs, text_col, id_col).localCheckpoint()
+    covered = None  # DataFrame["sh"], grows by <= |winner's shingles| per round
+    out, covered_total = [], 0
+    for rnd in range(1, k + 1):
+        remaining = (
+            pairs.join(covered, "sh", "left_anti") if covered is not None else pairs
+        )
+        top = (
+            remaining.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["gain"] == 0:
+            break
+        doc, gain = top[0][id_col], top[0]["gain"]
+        covered_total += gain
+        out.append((rnd, doc, gain, covered_total))
+        new_sh = pairs.filter(F.col(id_col) == doc).select("sh")
+        covered = (
+            new_sh if covered is None else covered.union(new_sh)
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        out, "round long, doc_id long, gain long, covered_total long"
+    )

@@ -90,3 +90,44 @@ def functional_dependency_profile(
         F.sum((F.col("_nrhs") > 1).cast("long")).cast("long").alias("n_violating_groups"),
         F.max("_nrhs").cast("long").alias("max_rhs_per_group"),
     )
+
+
+def benford_screen(df: DataFrame, cents_col: str) -> DataFrame:
+    """Benford first-digit screen over an integer-cents amount column
+    — the classic fraud/entry-error detector for financial facts
+    (Nigrini 2012); the reference's loader validates types and nulls
+    (src/etl/load.py) but never distributions.
+
+    Output, one row per leading digit 1..9 (bounded):
+    (digit, n_observed, n_total, observed_q20, expected_q20,
+    deviation_q20) where observed_q20 = n_observed * 2^20 div n_total
+    (exact integer division), expected_q20 = floor(log10(1 + 1/d) *
+    2^20 + 0.5) (irrational -> q20-safe), and deviation = observed -
+    expected (negative = under-represented).
+
+    The leading digit is taken from the DECIMAL STRING of the positive
+    cents value — exact on both engines, no float log10 on the data
+    path.  One map-side-combining aggregate to a 9-row grain; nothing
+    else.  100 TB: the aggregate is the whole cost, output constant.
+    """
+    pos = df.select(F.col(cents_col).cast("long").alias("_c")).filter(F.col("_c") > 0)
+    digits = pos.select(
+        F.expr("cast(substring(cast(_c as string), 1, 1) as int)").alias("digit")
+    )
+    per = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_observed"))
+    total = per.agg(F.sum("n_observed").cast("long").alias("n_total"))
+    return per.join(F.broadcast(total)).select(
+        "digit",
+        "n_observed",
+        "n_total",
+        F.expr("(n_observed * 1048576) div n_total").cast("long").alias("observed_q20"),
+        F.expr(
+            "cast(floor(log10(1.0 + 1.0 / digit) * 1048576 + 0.5) as bigint)"
+        ).alias("expected_q20"),
+        F.expr(
+            "(n_observed * 1048576) div n_total"
+            " - cast(floor(log10(1.0 + 1.0 / digit) * 1048576 + 0.5) as bigint)"
+        )
+        .cast("long")
+        .alias("deviation_q20"),
+    )

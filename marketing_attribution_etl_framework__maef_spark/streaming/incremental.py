@@ -308,3 +308,46 @@ class IncrementalCMS:
             .groupBy("row", "bucket")
             .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    window: str = "1 day",
+    segment_col: str = "c_mktsegment",
+) -> DataFrame:
+    """Stream-static broadcast enrichment + windowed rollup — the
+    everyday streaming verb the §2.9 set lacked: join each streaming
+    event to a SLOW dimension (here: customer -> market segment) and
+    aggregate per (event-time window, segment).
+
+    The static side is explicitly ``F.broadcast``: a stream-static
+    equi join must not shuffle the unbounded stream side; Spark
+    re-plans the broadcast per micro-batch, so a dim refresh between
+    batches is picked up (slowly-changing enrichment for free).  The
+    windowed agg carries the stream's watermark, so state is bounded
+    by (windows in flight) x (segments) regardless of stream length.
+
+    Output: (window_start, window_end, segment, n_sessions,
+    total_value_cents) — integer cents per the float policy.
+    """
+    enriched = events.filter(F.col("event_type") != "purchase").join(
+        F.broadcast(dim.select(F.col(dim_key).alias(stream_key), F.col(segment_col).alias("segment"))),
+        stream_key,
+    )
+    return (
+        enriched.groupBy(F.window("ts", window).alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("total_value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "segment",
+            "n_sessions",
+            "total_value_cents",
+        )
+    )

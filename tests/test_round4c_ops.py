@@ -445,3 +445,84 @@ def test_nb_predict_scores_are_integer_and_tie_break(spark):
     # tie-break picks "a" for both docs
     assert {r["pred_label"] for r in pred} == {"a"}
     assert all(isinstance(r["score_q20"], int) for r in pred)
+
+
+# ------------------------------------------------------------- benford
+
+
+def test_benford_screen_counts_and_masses(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import quality as dq
+    import math
+
+    # leading digits: 1,1,2,9; zero and negative rows dropped
+    df = spark.createDataFrame(
+        [(100,), (19999,), (250,), (90,), (0,), (-5,)], "cents long"
+    )
+    out = {r["digit"]: r.asDict() for r in dq.benford_screen(df, "cents").collect()}
+    assert set(out) == {1, 2, 9}
+    assert out[1]["n_observed"] == 2 and out[1]["n_total"] == 4
+    assert out[1]["observed_q20"] == (2 * 1048576) // 4
+    assert out[9]["expected_q20"] == math.floor(math.log10(1 + 1 / 9) * 1048576 + 0.5)
+    assert out[2]["deviation_q20"] == out[2]["observed_q20"] - out[2]["expected_q20"]
+
+
+# ------------------------------------------------------------ coverage
+
+
+def test_greedy_coverage_hand_computed(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import coverage as cov
+
+    # doc 1: shingles {a b c, b c d} (4 words); doc 2 subset of doc 1;
+    # doc 3 disjoint
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c"),
+            (3, "x y z w v"),
+        ],
+        "doc_id long, text string",
+    )
+    out = [(r["round"], r["doc_id"], r["gain"], r["covered_total"]) for r in
+           sorted(cov.greedy_coverage(docs, k=5).collect())]
+    # doc3 has 3 shingles -> picked first; doc1 adds 2; doc2 adds 0 -> stop
+    assert out == [(1, 3, 3, 3), (2, 1, 2, 5)]
+
+
+def test_greedy_coverage_tie_breaks_by_doc_id(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import coverage as cov
+
+    docs = spark.createDataFrame(
+        [(7, "p q r"), (4, "s t u")], "doc_id long, text string"
+    )
+    out = sorted(cov.greedy_coverage(docs, k=1).collect())
+    assert out[0]["doc_id"] == 4  # equal gain 1 -> smaller id
+
+
+# ------------------------------------------------------- stream enrich
+
+
+def test_enrich_stream_batch_semantics(spark):
+    # enrich_stream is a plain DataFrame transform: validate its
+    # semantics on a batch frame (the streaming face is exercised by
+    # the registry parity query maef_stream_enrich)
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    ev = spark.createDataFrame(
+        [
+            (1, _d("2023-01-01 05:00"), 10, "click", 2.5),
+            (2, _d("2023-01-01 07:00"), 11, "view", 1.0),
+            (3, _d("2023-01-02 05:00"), 10, "click", 4.0),
+            (4, _d("2023-01-01 09:00"), 10, "purchase", 9.9),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    dim = spark.createDataFrame([(10, "AUTO"), (11, "HOME")], "c_custkey long, c_mktsegment string")
+    out = {
+        (str(r["window_start"])[:10], r["segment"]): (r["n_sessions"], r["total_value_cents"])
+        for r in inc.enrich_stream(ev, dim, "user_id", "c_custkey").collect()
+    }
+    assert out == {
+        ("2023-01-01", "AUTO"): (1, 250),
+        ("2023-01-01", "HOME"): (1, 100),
+        ("2023-01-02", "AUTO"): (1, 400),
+    }
