@@ -39,6 +39,7 @@ from marketing_attribution_etl_framework__maef_spark.llm import quantize as qtz
 from marketing_attribution_etl_framework__maef_spark.operators import motifs as mtf
 from marketing_attribution_etl_framework__maef_spark.operators import sampling as smp
 from marketing_attribution_etl_framework__maef_spark.operators import bandit as bdt
+from marketing_attribution_etl_framework__maef_spark.operators import calibration as cal
 from marketing_attribution_etl_framework__maef_spark.operators import basket as bsk
 from marketing_attribution_etl_framework__maef_spark.operators import graph as grph
 from marketing_attribution_etl_framework__maef_spark.operators import cdc
@@ -6903,6 +6904,17 @@ def q_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cov.greedy_coverage(_docs(spark, sf_dir), k=8)
 
 
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L148: isotonic calibration of the spend->conversion curve
+    (operators/calibration.py) — PAV via the minimax closed form
+    (three bounded joins, no sequential sweep, no driver loop);
+    interval means quantized once to q20 so max/min compare identical
+    longs on both engines."""
+    return cal.spend_conversion_calibration(
+        domain.session_sources(spark, sf_dir), _journeys(spark, sf_dir)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round (VERDICT r02 finding #2).  r04 rotation
@@ -6990,6 +7002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_benford_screen": q_benford_screen,
         "maef_stream_enrich": q_stream_enrich,
         "llm_greedy_coverage": q_greedy_coverage,
+        "maef_isotonic_calibration": q_isotonic_calibration,
         # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
@@ -7531,6 +7544,43 @@ FROM sel WHERE gain > 0
 
 _ORACLE_GREEDY_COVERAGE = _greedy_coverage_oracle(8)
 
+# L148 isotonic calibration: minimax closed form over the bounded
+# bucket grid; q20-quantized interval means make max/min exact.
+_ORACLE_ISOTONIC_CALIBRATION = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+converted AS (SELECT DISTINCT session_id FROM journeys),
+outcomes AS MATERIALIZED (
+  SELECT CAST(ROUND(s.value * 100, 0) AS BIGINT) // 2500 AS bucket,
+         CASE WHEN c.session_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM sess s LEFT JOIN converted c USING (session_id)
+),
+per AS MATERIALIZED (
+  SELECT bucket AS b, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(hit) AS BIGINT) AS conv
+  FROM outcomes GROUP BY 1
+),
+pref AS MATERIALIZED (
+  SELECT b, n, conv,
+         CAST(SUM(n) OVER (ORDER BY b) AS BIGINT) AS cn,
+         CAST(SUM(conv) OVER (ORDER BY b) AS BIGINT) AS cs
+  FROM per
+),
+spans AS MATERIALIZED (
+  SELECT j.b AS j, k.b AS k,
+         ((k.cs - (j.cs - j.conv)) * 1048576) // (k.cn - (j.cn - j.n)) AS avg_q20
+  FROM pref j, pref k WHERE j.b <= k.b
+),
+mins AS MATERIALIZED (
+  SELECT s.j, p.b AS i, MIN(s.avg_q20) AS mn
+  FROM spans s JOIN per p ON s.j <= p.b AND s.k >= p.b
+  GROUP BY 1, 2
+),
+fit AS (SELECT i, CAST(MAX(mn) AS BIGINT) AS iso_rate_q20 FROM mins GROUP BY 1)
+SELECT p.b AS bucket, p.n, p.conv AS conversions,
+       (p.conv * 1048576) // p.n AS raw_rate_q20,
+       f.iso_rate_q20
+FROM per p JOIN fit f ON f.i = p.b
+"""
+
 # L136 robust stats: exact rank-based 5% trim; ties have equal cents
 # so the row_number tiebreak cannot change any emitted value.
 _ORACLE_ROBUST_STATS = f"""
@@ -7654,6 +7704,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_benford_screen": _ORACLE_BENFORD_SCREEN,
         "maef_stream_enrich": _ORACLE_STREAM_ENRICH,
         "llm_greedy_coverage": _ORACLE_GREEDY_COVERAGE,
+        "maef_isotonic_calibration": _ORACLE_ISOTONIC_CALIBRATION,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,

@@ -526,3 +526,72 @@ def test_enrich_stream_batch_semantics(spark):
         ("2023-01-01", "HOME"): (1, 100),
         ("2023-01-02", "AUTO"): (1, 400),
     }
+
+
+# ----------------------------------------------------------- isotonic
+
+
+def test_isotonic_rates_pav_parity(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import calibration as cal
+
+    # buckets with rates 0.5, 0.0, 1.0 (violator in the middle):
+    # PAV pools buckets 0,1 -> (1+0)/4 = 0.25; bucket 2 stays 1.0
+    rows = (
+        [(0, 1), (0, 1), (0, 0), (0, 0)][:2]  # bucket 0: 1 hit of 2
+        + [(0, 0)]
+        + [(1, 0), (1, 0)]
+        + [(2, 1), (2, 1)]
+    )
+    # bucket 0: hits [1,1,0] -> 2/3; bucket 1: 0/2; bucket 2: 2/2
+    df = spark.createDataFrame(rows, "bucket long, hit int")
+    out = {r["bucket"]: r.asDict() for r in cal.isotonic_rates(df).collect()}
+    # pooled(0,1) = 2/5 for both buckets; bucket 2 = 1.0
+    q = 1048576
+    assert out[0]["iso_rate_q20"] == out[1]["iso_rate_q20"] == (2 * q) // 5
+    assert out[2]["iso_rate_q20"] == q
+    assert out[0]["raw_rate_q20"] == (2 * q) // 3
+
+
+def test_isotonic_monotone_and_preserves_sorted_input(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import calibration as cal
+
+    # already-isotonic rates must come back unchanged
+    rows = [(0, 0), (0, 0), (1, 0), (1, 1), (2, 1), (2, 1)]
+    df = spark.createDataFrame(rows, "bucket long, hit int")
+    out = sorted(cal.isotonic_rates(df).collect(), key=lambda r: r["bucket"])
+    rates = [r["iso_rate_q20"] for r in out]
+    assert rates == [r["raw_rate_q20"] for r in out]
+    assert rates == sorted(rates)
+
+
+def test_isotonic_pav_equivalence_random(spark):
+    # property: minimax form == sequential PAV on integer fixtures
+    from marketing_attribution_etl_framework__maef_spark.operators import calibration as cal
+
+    seqs = [
+        [3, 1, 2, 0, 4],
+        [1, 1, 1],
+        [5, 4, 3, 2, 1],
+        [0, 2, 1, 3, 1, 5],
+    ]
+    for hits_per_bucket in seqs:
+        rows = []
+        for b, h in enumerate(hits_per_bucket):
+            rows += [(b, 1)] * h + [(b, 0)] * (5 - h)
+        df = spark.createDataFrame(rows, "bucket long, hit int")
+        got = [
+            r["iso_rate_q20"]
+            for r in sorted(cal.isotonic_rates(df).collect(), key=lambda r: r["bucket"])
+        ]
+        # sequential PAV reference on (sum, n) pools
+        pools = []  # [s, n]
+        for h in hits_per_bucket:
+            pools.append([h, 5])
+            while len(pools) > 1 and pools[-2][0] * pools[-1][1] >= pools[-1][0] * pools[-2][1]:
+                s, n = pools.pop()
+                pools[-1][0] += s
+                pools[-1][1] += n
+        expect = []
+        for s, n in pools:
+            expect += [(s * 1048576) // n] * (n // 5)
+        assert got == expect, hits_per_bucket
