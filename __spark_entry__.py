@@ -6915,6 +6915,23 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L149: CUSUM changepoint curve over daily purchase revenue
+    (operators/anomaly.py cusum_changepoint) — deviations from the
+    mean cross-multiplied by N so every term is an exact long; peak
+    |cusum| day flagged with earliest-day tie-break."""
+    from marketing_attribution_etl_framework__maef_spark.operators import anomaly as anm
+
+    return anm.cusum_changepoint(domain.events(spark, sf_dir))
+
+
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L150: hashing-trick featurizer (llm/text.py hashed_features) —
+    stateless 64-dim count vectors via the engine-portable md5 bucket
+    hash; the full sparse vector pinned per doc by vec_md5."""
+    return txt.hashed_features(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round (VERDICT r02 finding #2).  r04 rotation
@@ -7003,6 +7020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_stream_enrich": q_stream_enrich,
         "llm_greedy_coverage": q_greedy_coverage,
         "maef_isotonic_calibration": q_isotonic_calibration,
+        "maef_cusum_changepoint": q_cusum_changepoint,
+        "llm_hashed_features": q_hashed_features,
         # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
@@ -7581,6 +7600,50 @@ SELECT p.b AS bucket, p.n, p.conv AS conversions,
 FROM per p JOIN fit f ON f.i = p.b
 """
 
+# L149 CUSUM: cusum'_t = N*prefix_t - t*S, exact longs; peak by
+# (|cusum| DESC, day ASC).
+_ORACLE_CUSUM_CHANGEPOINT = """
+WITH daily AS MATERIALIZED (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(day_cents) AS BIGINT) AS s FROM daily),
+curve AS MATERIALIZED (
+  SELECT day, day_cents,
+         CAST(n * SUM(day_cents) OVER (ORDER BY day)
+              - ROW_NUMBER() OVER (ORDER BY day) * s AS BIGINT) AS cusum_scaled
+  FROM daily, tot
+),
+peak AS (SELECT day AS peak_day FROM curve ORDER BY abs(cusum_scaled) DESC, day ASC LIMIT 1)
+SELECT c.day, c.day_cents, c.cusum_scaled,
+       CAST(CASE WHEN c.day = p.peak_day THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+FROM curve c, peak p
+"""
+
+# L150 hashing-trick features: md5 bucket hash == Spark conv(md5);
+# vector pinned by the ascending "idx:cnt" string.
+_ORACLE_HASHED_FEATURES = """
+WITH nd AS MATERIALIZED (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents
+),
+terms AS MATERIALIZED (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS t FROM nd) WHERE t <> ''
+),
+cells AS MATERIALIZED (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(term || '|feat'), 1, 15) AS BIGINT) % 64 AS idx,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM terms GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_terms,
+       CAST(COUNT(*) AS BIGINT) AS nnz,
+       md5(string_agg(CAST(idx AS VARCHAR) || ':' || CAST(cnt AS VARCHAR), ' ' ORDER BY idx)) AS vec_md5
+FROM cells GROUP BY 1
+"""
+
 # L136 robust stats: exact rank-based 5% trim; ties have equal cents
 # so the row_number tiebreak cannot change any emitted value.
 _ORACLE_ROBUST_STATS = f"""
@@ -7705,6 +7768,8 @@ def oracle_sql() -> dict[str, str]:
         "maef_stream_enrich": _ORACLE_STREAM_ENRICH,
         "llm_greedy_coverage": _ORACLE_GREEDY_COVERAGE,
         "maef_isotonic_calibration": _ORACLE_ISOTONIC_CALIBRATION,
+        "maef_cusum_changepoint": _ORACLE_CUSUM_CHANGEPOINT,
+        "llm_hashed_features": _ORACLE_HASHED_FEATURES,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,

@@ -585,3 +585,56 @@ def tfidf_cosine_pairs(
         f" >= cast({cos_num * cos_num} as {dec}) * cast(norm2_a as {dec}) * cast(norm2_b as {dec})"
     )
     return out.filter(keep).select("doc_a", "doc_b", "dot", "norm2_a", "norm2_b")
+
+
+def hashed_features(
+    docs: DataFrame,
+    n_features: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick featurizer (Weinberger et al. 2009): every term
+    is bucketed by an engine-portable md5 hash into a fixed
+    n_features-dim count vector — the stateless vectorizer an
+    LLM-data or CTR pipeline uses when a vocabulary dictionary is too
+    big to ship.
+
+    Statelessness is the scale story: no vocabulary build, no
+    dictionary broadcast, one explode + one hash aggregate; two
+    documents hash identically on any cluster and any engine.  The
+    per-doc collect_list is bounded by n_features cells, never by
+    document length (counts are pre-aggregated), so no whale-doc
+    buffer risk.
+
+    Output per doc: (doc_id, n_terms, nnz, vec_md5) where n_terms is
+    the vector's L1 mass (total term count), nnz its nonzero cells,
+    and vec_md5 pins the full sparse vector as md5 of the canonical
+    "idx:cnt idx:cnt ..." string (indices ascending).  Exact integers
+    + md5 only.
+    """
+    norm = normalize_text(F.col(text_col))
+    terms = docs.select(F.col(id_col), F.explode(words(norm)).alias("term")).filter(
+        F.col("term") != ""
+    )
+    bucketed = terms.select(
+        id_col,
+        (
+            F.conv(F.substring(F.md5(F.concat(F.col("term"), F.lit("|feat"))), 1, 15), 16, 10)
+            .cast("long")
+            % n_features
+        ).alias("idx"),
+    )
+    cells = bucketed.groupBy(id_col, "idx").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return cells.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_terms"),
+        F.count(F.lit(1)).cast("long").alias("nnz"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(idx, cnt))),"
+                    " s -> concat(cast(s.idx as string), ':', cast(s.cnt as string)))"
+                ),
+            )
+        ).alias("vec_md5"),
+    )

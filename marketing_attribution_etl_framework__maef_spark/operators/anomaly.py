@@ -122,3 +122,55 @@ def mad_day_outliers(ev: DataFrame, k: int = 3) -> DataFrame:
             .alias("is_anomaly"),
         )
     )
+
+
+def cusum_changepoint(ev: DataFrame) -> DataFrame:
+    """CUSUM changepoint curve over the daily purchase-revenue series
+    — the sequential-monitoring companion to the point outliers above
+    (Page 1954): the day where the cumulative deviation from the
+    global mean peaks is the single most likely level-shift point.
+
+    Exactness: the textbook statistic sums (x_i - mean) where mean is
+    rational; multiplying through by N makes every term integral:
+
+        cusum'_t = N * prefix_t - t * S      (N days, S = total cents)
+
+    which preserves the argmax and every sign change.  All longs (at
+    ~1e9 days x 1e18 cents promote to DECIMAL(38,0); the harness grain
+    is days-in-dataset, so int64 has orders of magnitude of headroom).
+
+    Output: one row per day — (day, day_cents, cusum_scaled,
+    is_peak) with is_peak = 1 on the day maximizing |cusum'| (ties:
+    earliest day).  The per-day grain is the only data-sized
+    aggregate; the cumsum window runs on the bounded day-grain table.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("day_cents"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # bounded table (days): unpartitioned windows are fine here
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"), F.sum("day_cents").cast("long").alias("_s")
+    )
+    curve = (
+        daily.join(F.broadcast(tot))
+        .withColumn("_t", F.row_number().over(Window.orderBy("day")).cast("long"))
+        .withColumn("_pref", F.sum("day_cents").over(w).cast("long"))
+        .withColumn("cusum_scaled", (F.col("_n") * F.col("_pref") - F.col("_t") * F.col("_s")).cast("long"))
+    )
+    peak = (
+        curve.select(F.abs(F.col("cusum_scaled")).alias("_a"), "day")
+        .orderBy(F.desc("_a"), F.asc("day"))
+        .limit(1)
+        .select(F.col("day").alias("_peak_day"))
+    )
+    return curve.join(F.broadcast(peak)).select(
+        "day",
+        "day_cents",
+        "cusum_scaled",
+        (F.col("day") == F.col("_peak_day")).cast("long").alias("is_peak"),
+    )

@@ -595,3 +595,58 @@ def test_isotonic_pav_equivalence_random(spark):
         for s, n in pools:
             expect += [(s * 1048576) // n] * (n // 5)
         assert got == expect, hits_per_bucket
+
+
+# -------------------------------------------------------------- cusum
+
+
+def test_cusum_changepoint_level_shift(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import anomaly as anm
+
+    # 4 days at $1, then 4 days at $5: peak |cusum| lands on the last
+    # low day (day 4)
+    rows = []
+    eid = 0
+    for d in range(1, 9):
+        eid += 1
+        v = 1.0 if d <= 4 else 5.0
+        rows.append((eid, _d(f"2023-01-0{d} 10:00"), 1, "purchase", v))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["day"]: r.asDict() for r in anm.cusum_changepoint(ev).collect()}
+    assert len(out) == 8
+    assert out["2023-01-04"]["is_peak"] == 1
+    assert sum(r["is_peak"] for r in out.values()) == 1
+    # exact statistic: N=8, S=2400 cents; prefix(4)=400 ->
+    # 8*400 - 4*2400 = -6400
+    assert out["2023-01-04"]["cusum_scaled"] == -6400
+    # last point is always 0 by construction
+    assert out["2023-01-08"]["cusum_scaled"] == 0
+
+
+# ----------------------------------------------------- hashed features
+
+
+def test_hashed_features_exact_and_stateless(spark):
+    import hashlib
+
+    from marketing_attribution_etl_framework__maef_spark.llm import text as t
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "alpha beta alpha")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in t.hashed_features(docs).collect()}
+    # identical docs -> identical vectors
+    assert out[1]["vec_md5"] == out[2]["vec_md5"]
+    assert out[1]["n_terms"] == 3
+    # manual vector: bucket(term) = int(md5(term+'|feat')[:15], 16) % 64
+    def b(term):
+        return int(hashlib.md5((term + "|feat").encode()).hexdigest()[:15], 16) % 64
+
+    cells = {}
+    for term, cnt in [("alpha", 2), ("beta", 1)]:
+        cells[b(term)] = cells.get(b(term), 0) + cnt
+    manual = " ".join(f"{i}:{c}" for i, c in sorted(cells.items()))
+    assert out[1]["vec_md5"] == hashlib.md5(manual.encode()).hexdigest()
+    assert out[1]["nnz"] == len(cells)
