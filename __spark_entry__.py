@@ -6932,6 +6932,32 @@ def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.hashed_features(_docs(spark, sf_dir))
 
 
+def q_rel_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L151: 2-core of the co-purchase graph (operators/graph.py
+    k_core) — fixed-round peel (12 rounds, fixpoint probed <= 6 at
+    every SF; early exit at fixpoint is result-identical), oracle
+    unrolls the identical rounds."""
+    edges = bsk.basket_pairs(
+        domain.load_table(spark, sf_dir, "lineitem"), min_support=2
+    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    return grph.k_core(edges, k=2, rounds=12)
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L152: exact volume-weighted median price per return flag
+    (operators/quantiles.py weighted_median) — smallest price cents
+    whose cumulative quantity reaches half the group total; the
+    threshold is the integer cross-multiplication 2*cum >= tot."""
+    from marketing_attribution_etl_framework__maef_spark.operators import quantiles as qtl
+
+    li = domain.load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("cast(round(l_extendedprice * 100, 0) as bigint)").alias("price_cents"),
+        F.expr("cast(round(l_quantity, 0) as bigint)").alias("qty"),
+    )
+    return qtl.weighted_median(li, ["l_returnflag"], "price_cents", "qty")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round (VERDICT r02 finding #2).  r04 rotation
@@ -7022,6 +7048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_isotonic_calibration": q_isotonic_calibration,
         "maef_cusum_changepoint": q_cusum_changepoint,
         "llm_hashed_features": q_hashed_features,
+        "rel_kcore": q_rel_kcore,
+        "maef_weighted_median": q_weighted_median,
         # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
@@ -7644,6 +7672,67 @@ SELECT doc_id,
 FROM cells GROUP BY 1
 """
 
+def _kcore_oracle(k: int = 2, rounds: int = 12) -> str:
+    """Unrolled fixed-round k-core peel (MATERIALIZED per round)."""
+    ctes = [
+        """items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem
+)""",
+        """capped AS MATERIALIZED (
+  SELECT i.* FROM items i
+  JOIN (SELECT okey FROM items GROUP BY okey HAVING COUNT(*) <= 8) s USING (okey)
+)""",
+        """e0 AS MATERIALIZED (
+  SELECT a.item AS a, b.item AS b
+  FROM capped a JOIN capped b ON a.okey = b.okey AND a.item < b.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)""",
+    ]
+    for j in range(1, rounds + 1):
+        ctes.append(
+            f"""n{j} AS MATERIALIZED (
+  SELECT v FROM (SELECT a AS v FROM e{j-1} UNION ALL SELECT b FROM e{j-1})
+  GROUP BY v HAVING COUNT(*) >= {k}
+)"""
+        )
+        ctes.append(
+            f"""e{j} AS MATERIALIZED (
+  SELECT e.* FROM e{j-1} e SEMI JOIN n{j} x ON e.a = x.v SEMI JOIN n{j} y ON e.b = y.v
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+GROUP BY 1
+"""
+    )
+
+
+_ORACLE_REL_KCORE = _kcore_oracle(2, 12)
+
+# L152 weighted median: lower weighted median via the tie-order-
+# invariant min-over-passing-rows cut (2*cum >= tot).
+_ORACLE_WEIGHTED_MEDIAN = """
+WITH vals AS MATERIALIZED (
+  SELECT l_returnflag AS grp,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
+         CAST(ROUND(l_quantity, 0) AS BIGINT) AS w
+  FROM lineitem
+),
+cum AS (
+  SELECT grp, v, w,
+         CAST(SUM(w) OVER (PARTITION BY grp ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+         CAST(SUM(w) OVER (PARTITION BY grp) AS BIGINT) AS tot
+  FROM vals
+)
+SELECT grp AS l_returnflag, MIN(v) AS wmedian, MAX(tot) AS total_weight
+FROM cum WHERE 2 * c >= tot GROUP BY 1
+"""
+
 # L136 robust stats: exact rank-based 5% trim; ties have equal cents
 # so the row_number tiebreak cannot change any emitted value.
 _ORACLE_ROBUST_STATS = f"""
@@ -7770,6 +7859,8 @@ def oracle_sql() -> dict[str, str]:
         "maef_isotonic_calibration": _ORACLE_ISOTONIC_CALIBRATION,
         "maef_cusum_changepoint": _ORACLE_CUSUM_CHANGEPOINT,
         "llm_hashed_features": _ORACLE_HASHED_FEATURES,
+        "rel_kcore": _ORACLE_REL_KCORE,
+        "maef_weighted_median": _ORACLE_WEIGHTED_MEDIAN,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,

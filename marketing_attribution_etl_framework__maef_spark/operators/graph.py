@@ -101,3 +101,59 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .join(und.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
         .join(n_tri)
     )
+
+
+def k_core(edges: DataFrame, k: int = 2, rounds: int = 12, src: str = "src", dst: str = "dst") -> DataFrame:
+    """k-core decomposition by fixed-round peeling.
+
+    Repeatedly delete nodes with degree < k; what survives is the
+    k-core, the standard cohesion backbone (Seidman 1983).  Peeling is
+    inherently iterative with a DATA-DEPENDENT round count, which an
+    oracle cannot mirror — so this runs a FIXED ``rounds`` budget on
+    both engines: identical inputs + identical round count =>
+    identical outputs whether or not the fixpoint is reached, and the
+    fixpoint IS reached on the harness data (probed: <= 6 rounds for
+    k=2 at sf0.001/0.01/0.1; a pytest asserts one extra round is a
+    no-op).  At production scale the loop is the same bounded-round
+    driver pattern as connected components (llm/dedup.py), each round
+    two semi joins + one degree aggregate, localCheckpoint'd so the
+    plan does not grow.
+
+    Output: (node, core_degree) for surviving nodes — core_degree is
+    the degree WITHIN the core, >= k at fixpoint.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = und
+    n_edges = cur.count()
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("a").alias("v"))
+            .union(cur.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+            .filter(F.col("d") >= k)
+            .select("v")
+        )
+        cur = (
+            cur.join(deg.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(deg.withColumnRenamed("v", "b"), "b", "left_semi")
+            .localCheckpoint()
+        )
+        # early exit at fixpoint: further rounds are no-ops, so the
+        # result equals the full fixed-round run the oracle unrolls
+        n_next = cur.count()
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return (
+        cur.select(F.col("a").alias("node"))
+        .union(cur.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )

@@ -650,3 +650,66 @@ def test_hashed_features_exact_and_stateless(spark):
     manual = " ".join(f"{i}:{c}" for i, c in sorted(cells.items()))
     assert out[1]["vec_md5"] == hashlib.md5(manual.encode()).hexdigest()
     assert out[1]["nnz"] == len(cells)
+
+
+# -------------------------------------------------------------- k-core
+
+
+def test_k_core_peels_pendants_and_cascades(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import graph as grph
+
+    # triangle 1-2-3 plus a chain 3-4-5: 2-core = the triangle only
+    # (5 peels first, then 4 cascades)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = {r["node"]: r["core_degree"] for r in grph.k_core(edges, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_fixpoint_extra_round_noop(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import graph as grph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)], "src long, dst long"
+    )
+    a = sorted((r["node"], r["core_degree"]) for r in grph.k_core(edges, k=2, rounds=12).collect())
+    b = sorted((r["node"], r["core_degree"]) for r in grph.k_core(edges, k=2, rounds=13).collect())
+    assert a == b == [(1, 2), (2, 2), (3, 2)]
+
+
+def test_k_core_empty_when_overpeeled(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import graph as grph
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert grph.k_core(edges, k=2).count() == 0
+
+
+# ------------------------------------------------------ weighted median
+
+
+def test_weighted_median_hand_computed(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import quantiles as qtl
+
+    # group g: values 1(w=1), 2(w=1), 10(w=6): half of 8 is 4 ->
+    # first value whose cum reaches 4 is 10
+    df = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 1), ("g", 10, 6), ("h", 5, 3), ("h", 7, 3)],
+        "grp string, v long, w long",
+    )
+    out = {r["grp"]: (r["wmedian"], r["total_weight"]) for r in
+           qtl.weighted_median(df, ["grp"], "v", "w").collect()}
+    assert out["g"] == (10, 8)
+    # h: cum(5)=3, 2*3 >= 6 -> lower weighted median = 5
+    assert out["h"] == (5, 6)
+
+
+def test_weighted_median_tie_order_invariant(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import quantiles as qtl
+
+    # duplicated values with weights split across rows
+    df = spark.createDataFrame(
+        [("g", 4, 1), ("g", 4, 1), ("g", 4, 1), ("g", 9, 2)], "grp string, v long, w long"
+    )
+    out = qtl.weighted_median(df, ["grp"], "v", "w").collect()[0]
+    assert out["wmedian"] == 4 and out["total_weight"] == 5
