@@ -6958,6 +6958,37 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qtl.weighted_median(li, ["l_returnflag"], "price_cents", "qty")
 
 
+def q_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L153: gapped ordered channel-triple patterns
+    (operators/motifs.py sequence_patterns) — PrefixSpan-style
+    sequential patterns with first-occurrence collapse, so a whale
+    journey contributes |channels| rows, never k^3."""
+    return mtf.sequence_patterns(_journeys(spark, sf_dir))
+
+
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L154: GDPR pseudonymization round-trip
+    (operators/compliance.py pseudonymize) — salted md5 tokens replace
+    user ids; the query proves (a) token cardinality == user
+    cardinality per channel and (b) the separate mapping table
+    recovers every original id (n_unrecovered must be 0)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import compliance as cmp
+
+    ev = domain.events(spark, sf_dir)
+    pseudo, mapping = cmp.pseudonymize(ev)
+    rec = pseudo.join(
+        F.broadcast(mapping.withColumnRenamed("user_id", "orig").withColumnRenamed("token", "user_id")),
+        "user_id",
+        "left",
+    )
+    return rec.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_tokens"),
+        F.countDistinct("orig").cast("long").alias("n_users_recovered"),
+        F.sum(F.col("orig").isNull().cast("long")).cast("long").alias("n_unrecovered"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round (VERDICT r02 finding #2).  r04 rotation
@@ -7050,6 +7081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_hashed_features": q_hashed_features,
         "rel_kcore": q_rel_kcore,
         "maef_weighted_median": q_weighted_median,
+        "maef_sequence_patterns": q_sequence_patterns,
+        "maef_pseudonymize": q_pseudonymize,
         # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
@@ -7733,6 +7766,43 @@ SELECT grp AS l_returnflag, MIN(v) AS wmedian, MAX(tot) AS total_weight
 FROM cum WHERE 2 * c >= tot GROUP BY 1
 """
 
+# L153 gapped sequence patterns: first-occurrence collapse then two
+# ordered joins.
+_ORACLE_SEQUENCE_PATTERNS = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+firsts AS MATERIALIZED (
+  SELECT cid, ch, MIN(rn) AS r FROM (
+    SELECT conversion_id AS cid, channel_label AS ch,
+           ROW_NUMBER() OVER (PARTITION BY conversion_id
+                              ORDER BY event_ts, session_id) AS rn
+    FROM journeys
+  ) GROUP BY 1, 2
+)
+SELECT a.ch AS c1, b.ch AS c2, c.ch AS c3,
+       CAST(COUNT(*) AS BIGINT) AS n_journeys
+FROM firsts a
+JOIN firsts b ON b.cid = a.cid AND a.r < b.r
+JOIN firsts c ON c.cid = a.cid AND b.r < c.r
+GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+"""
+
+# L154 pseudonymization: token = md5('maef-pseudo-v1|' || id); the
+# mapping join must recover every id.
+_ORACLE_PSEUDONYMIZE = """
+WITH pseudo AS MATERIALIZED (
+  SELECT event_type,
+         md5('maef-pseudo-v1|' || CAST(user_id AS VARCHAR)) AS token,
+         user_id AS orig
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT orig) AS BIGINT) AS n_users_recovered,
+       CAST(SUM(CASE WHEN orig IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unrecovered
+FROM pseudo GROUP BY 1
+"""
+
 # L136 robust stats: exact rank-based 5% trim; ties have equal cents
 # so the row_number tiebreak cannot change any emitted value.
 _ORACLE_ROBUST_STATS = f"""
@@ -7861,6 +7931,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_hashed_features": _ORACLE_HASHED_FEATURES,
         "rel_kcore": _ORACLE_REL_KCORE,
         "maef_weighted_median": _ORACLE_WEIGHTED_MEDIAN,
+        "maef_sequence_patterns": _ORACLE_SEQUENCE_PATTERNS,
+        "maef_pseudonymize": _ORACLE_PSEUDONYMIZE,
         "llm_text_stats": _ORACLE_TEXT_STATS,
         "llm_lang_id": _ORACLE_LANG_ID,
         "llm_top_terms": _ORACLE_TOP_TERMS,

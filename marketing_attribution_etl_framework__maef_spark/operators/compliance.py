@@ -51,3 +51,30 @@ def purge_ledger(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def pseudonymize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    salt: str = "maef-pseudo-v1",
+) -> tuple[DataFrame, DataFrame]:
+    """GDPR Art. 4(5) pseudonymization: replace the direct identifier
+    with a salted keyed token, and emit the re-identification mapping
+    as a SEPARATE table (to be stored under separate access control —
+    that separation is what makes the data pseudonymous rather than
+    anonymous).
+
+    The token is the engine-portable md5 of (salt || id): deterministic
+    (same user -> same token, so joins/aggregations on the
+    pseudonymized table still work) and non-reversible without the
+    mapping table.  Purely columnar — no shuffle added to ``df``; the
+    mapping is one distinct-aggregate over the id column.
+
+    Returns (pseudonymized df, mapping df[user_col, token]).
+    """
+    token = F.md5(F.concat(F.lit(salt + "|"), F.col(user_col).cast("string")))
+    out = df.withColumn(user_col, token)
+    mapping = (
+        df.select(user_col).distinct().select(F.col(user_col), token.alias("token"))
+    )
+    return out, mapping

@@ -60,3 +60,53 @@ def path_motifs(
         )
         .filter(F.col("n_motif") >= min_count)
     )
+
+
+def sequence_patterns(
+    journeys: DataFrame,
+    min_count: int = 2,
+    conv_col: str = "conversion_id",
+    channel_col: str = "channel_label",
+    ts_col: str = "event_ts",
+    tiebreak_col: str = "session_id",
+) -> DataFrame:
+    """GAPPED ordered channel-triple patterns — the sequential-pattern
+    (PrefixSpan-style, Pei et al. 2001) complement to the contiguous
+    k-grams above: (a, b, c) counts for a journey if a's FIRST touch
+    precedes b's first touch precedes c's first touch, with any number
+    of other touches between them.
+
+    Whale-journey safety: positions are collapsed to the FIRST
+    occurrence per (journey, channel) before the ordering joins, so a
+    journey contributes at most |channels| rows (bounded by the
+    channel dimension) — the raw k^3 subsequence blow-up of a
+    million-touch bot journey never materializes.
+
+    Output: (c1, c2, c3, n_journeys) for patterns in >= min_count
+    journeys.  Each journey counts a pattern at most once (first-
+    occurrence semantics make the triple unique per journey).
+    """
+    w = Window.partitionBy(conv_col).orderBy(ts_col, tiebreak_col)
+    firsts = (
+        journeys.select(
+            F.col(conv_col).alias("cid"),
+            F.col(channel_col).alias("ch"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .groupBy("cid", "ch")
+        .agg(F.min("rn").alias("r"))
+    )
+    a = firsts.select("cid", F.col("ch").alias("c1"), F.col("r").alias("r1"))
+    b = firsts.select("cid", F.col("ch").alias("c2"), F.col("r").alias("r2"))
+    c = firsts.select("cid", F.col("ch").alias("c3"), F.col("r").alias("r3"))
+    triples = (
+        a.join(b, "cid")
+        .filter(F.col("r1") < F.col("r2"))
+        .join(c, "cid")
+        .filter(F.col("r2") < F.col("r3"))
+    )
+    return (
+        triples.groupBy("c1", "c2", "c3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_journeys"))
+        .filter(F.col("n_journeys") >= min_count)
+    )

@@ -713,3 +713,59 @@ def test_weighted_median_tie_order_invariant(spark):
     )
     out = qtl.weighted_median(df, ["grp"], "v", "w").collect()[0]
     assert out["wmedian"] == 4 and out["total_weight"] == 5
+
+
+# --------------------------------------------------- sequence patterns
+
+
+def test_sequence_patterns_gapped_and_first_occurrence(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import motifs as mtf
+
+    # j1: a x b y c  -> gapped (a,b,c) present; duplicate a later must
+    # not create new patterns (first-occurrence collapse)
+    rows = [
+        ("j1", "s1", _d("2023-01-01 00:00"), "a"),
+        ("j1", "s2", _d("2023-01-01 01:00"), "x"),
+        ("j1", "s3", _d("2023-01-01 02:00"), "b"),
+        ("j1", "s4", _d("2023-01-01 03:00"), "y"),
+        ("j1", "s5", _d("2023-01-01 04:00"), "c"),
+        ("j1", "s6", _d("2023-01-01 05:00"), "a"),
+        ("j2", "s7", _d("2023-01-01 00:00"), "a"),
+        ("j2", "s8", _d("2023-01-01 01:00"), "b"),
+        ("j2", "s9", _d("2023-01-01 02:00"), "c"),
+    ]
+    jny = spark.createDataFrame(
+        rows, "conversion_id string, session_id string, event_ts timestamp, channel_label string"
+    )
+    out = {
+        (r["c1"], r["c2"], r["c3"]): r["n_journeys"]
+        for r in mtf.sequence_patterns(jny, min_count=2).collect()
+    }
+    assert out == {("a", "b", "c"): 2}
+    # with min_count=1 j1 contributes C(5,3) ordered distinct triples
+    all1 = mtf.sequence_patterns(jny, min_count=1).collect()
+    from math import comb
+
+    assert sum(r["n_journeys"] for r in all1) == comb(5, 3) + comb(3, 3)
+
+
+# -------------------------------------------------------- pseudonymize
+
+
+def test_pseudonymize_roundtrip_and_separation(spark):
+    import hashlib
+
+    from marketing_attribution_etl_framework__maef_spark.operators import compliance as cmp
+
+    ev = spark.createDataFrame(
+        [(1, 10, "click"), (2, 10, "view"), (3, 20, "click")],
+        "event_id long, user_id long, event_type string",
+    )
+    pseudo, mapping = cmp.pseudonymize(ev)
+    toks = {r["user_id"] for r in pseudo.collect()}
+    assert toks == {
+        hashlib.md5(b"maef-pseudo-v1|10").hexdigest(),
+        hashlib.md5(b"maef-pseudo-v1|20").hexdigest(),
+    }
+    m = {r["token"]: r["user_id"] for r in mapping.collect()}
+    assert len(m) == 2 and set(m.values()) == {10, 20}
