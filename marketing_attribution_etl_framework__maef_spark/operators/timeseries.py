@@ -122,3 +122,151 @@ def decayed_daily_sum(ev: DataFrame, horizon_days: int = 21) -> DataFrame:
             F.sum(F.col("_ic") * weight).cast("long").alias("decay_cents_q20"),
         )
     )
+
+
+def rolling_distinct_users(ev: DataFrame, window_days: int = 7) -> DataFrame:
+    """Trailing ``window_days``-day distinct active users per day
+    (rolling DAU/WAU) — the dashboard metric the reference's
+    day-grain report (src/etl/reporting.py:57-98) cannot express
+    because COUNT(DISTINCT) does not decompose over a window frame.
+
+    Shape: collapse the raw scan to distinct (user, day) FIRST
+    (map-side combinable, output bounded by users x days), then
+    explode each observation to the ``window_days`` target days it
+    participates in, and COUNT(DISTINCT) per target day. The explode
+    factor is the window length (a constant), not the data — at
+    100 TB the shuffled volume is users x days x 7, orders of
+    magnitude below the raw event volume. Target days past the last
+    observed day are clipped by a broadcast 1-row max-day aggregate
+    (scalar-subquery lowering), never a driver collect.
+
+    Output: day (yyyy-MM-dd string), n_active (long).
+    """
+    h = int(window_days)
+    obs = (
+        ev.select(
+            F.col("user_id"),
+            F.col("ts").cast("date").alias("_d"),
+        )
+        .distinct()
+    )
+    maxd = obs.agg(F.max("_d").alias("_maxd"))
+    exploded = obs.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("_d"), F.date_add(F.col("_d"), h - 1))
+        ).alias("_target"),
+    )
+    return (
+        exploded.join(F.broadcast(maxd), exploded["_target"] <= maxd["_maxd"])
+        .groupBy(F.date_format("_target", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+def lag_autocorrelation(ev: DataFrame, lag: int = 1) -> DataFrame:
+    """Per-channel lag-``lag`` autocorrelation of the daily event
+    count — the standard seasonality screen before fitting any pacing
+    or forecast model on channel volume.
+
+    Exactness: daily counts are exact longs; every sum/product in the
+    Pearson formula is carried in DECIMAL(38,0) (daily counts reach
+    ~1e10 at 100 TB, so n*sum(x*y) overflows int64); the only float
+    op is the final r = num / sqrt(dx * dy), whose value is
+    irrational — q20-safe under the repo float policy. The lag pairs
+    come from a ROWS-frame lag over the observed day sequence (day is
+    unique per channel post-aggregation, so the order is total and
+    both engines see identical pairs).
+
+    Shape: one map-side-combinable day-grain aggregate, one window
+    over |channels| x |days| rows (calendar-bounded, not
+    data-bounded), one final per-channel aggregate. No shuffle
+    touches raw-event volume.
+
+    Output: channel, n_pairs (long), acf_q20 (long).
+    """
+    daily = (
+        ev.select(
+            F.col("event_type").alias("channel"),
+            F.col("ts").cast("date").alias("_d"),
+        )
+        .groupBy("channel", "_d")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w = Window.partitionBy("channel").orderBy("_d")
+    paired = daily.select(
+        "channel",
+        F.col("x").cast("decimal(38,0)").alias("xt"),
+        F.lag("x", lag).over(w).cast("decimal(38,0)").alias("xp"),
+    ).filter(F.col("xp").isNotNull())
+    agg = paired.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("xt") * F.col("xp")).alias("sxy"),
+        F.sum("xt").alias("sx"),
+        F.sum("xp").alias("sy"),
+        F.sum(F.col("xt") * F.col("xt")).alias("sxx"),
+        F.sum(F.col("xp") * F.col("xp")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r = num / F.sqrt(dx * dy)
+    # a constant series has zero variance on one side -> r undefined;
+    # emitting NaN would poison the value hash, so such channels drop.
+    return agg.filter((dx > F.lit(0.0)) & (dy > F.lit(0.0))).select(
+        "channel",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.floor(r * F.lit(1048576.0) + F.lit(0.5)).cast("long").alias("acf_q20"),
+    )
+
+
+def ols_trend(ev: DataFrame) -> DataFrame:
+    """Per-channel ordinary-least-squares trend of daily revenue-
+    bearing volume: slope of daily value cents against the day index
+    (days since the channel's first observed day). The one-parameter
+    'is this channel growing' fit every budget-allocation heuristic
+    starts from.
+
+    Exactness: y is exact integer cents, x an exact day index;
+    slope = (n*sum(xy) - sum(x)*sum(y)) / (n*sum(xx) - sum(x)^2) is a
+    ratio of exact DECIMAL(38,0) integers, emitted as q20 by integer
+    division (Spark DECIMAL div truncates toward zero; the oracle
+    mirrors with HUGEINT // which truncates identically — the repo's
+    cross-engine division rule). No float exists anywhere in the
+    result.
+
+    Output: channel, n_days (long), slope_cents_q20 (long).
+    """
+    daily = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(
+            F.col("event_type").alias("channel"),
+            F.col("ts").cast("date").alias("_d"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("_c"),
+        )
+        .groupBy("channel", "_d")
+        .agg(F.sum("_c").cast("long").alias("y"))
+    )
+    w = Window.partitionBy("channel")
+    idx = daily.select(
+        "channel",
+        F.datediff(F.col("_d"), F.min("_d").over(w)).cast("decimal(38,0)").alias("x"),
+        F.col("y").cast("decimal(38,0)").alias("yd"),
+    )
+    agg = idx.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x") * F.col("yd")).alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum("yd").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.filter(den != F.lit(0).cast("decimal(38,0)")).select(
+        "channel",
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            "cast((cast(n as decimal(38,0)) * sxy - sx * sy) * 1048576"
+            " div (cast(n as decimal(38,0)) * sxx - sx * sx) as bigint)"
+        ).alias("slope_cents_q20"),
+    )
