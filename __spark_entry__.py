@@ -6991,15 +6991,69 @@ def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
-    # registry entries per round (VERDICT r02 finding #2).  r04 rotation
-    # (VERDICT r03 next-steps #1): the 16 L80-L95 entries that sat behind the
-    # full window all of r03 move to the FRONT, followed by the three entries
-    # whose oracles changed this round (q20 float-policy conversion for
-    # attribution_stats/report_summary, DECIMAL overflow fix for
-    # rel_market_share) and the round-4 additions.  Everything after the
-    # "long-green" marker has a green driver row in CORRECTNESS_r01-r03.
+    # registry entries per round.  r05 rotation (VERDICT r04 next-steps #1): the
+    # 28 entries that have NEVER received a driver row (round-4b overflow +
+    # all 22 round-4c ops, positions 50-77 last round) move to the FRONT.
+    # New r05 operators land right after them (still inside the window); the
+    # remaining slots re-verify the stalest green entries (the core MAEF
+    # journeys/attribution/reporting/loader suite, last driver-checked in r02).
+    # Once CORRECTNESS_r05 lands green, EVERY registry entry has a driver row.
+    # Everything after the long-green marker has a green row in r01-r04.
     return {
-        # --- r04 gate window: the 16 driver-unseen L80-L95 entries ---
+        # --- r05 gate window part 1: the 28 never-driver-checked entries ---
+        "rel_min_cost_supplier": q_rel_min_cost_supplier,
+        "rel_important_parts": q_rel_important_parts,
+        "rel_part_promotion": q_rel_part_promotion,
+        "rel_forecast_revenue": q_rel_forecast_revenue,
+        "maef_scd2_lookup": q_scd2_lookup,
+        "rel_priority_lines": q_rel_priority_lines,
+        "maef_rfm_segments": q_rfm_segments,
+        "maef_survival_km": q_survival_km,
+        "rel_basket_pairs": q_rel_basket_pairs,
+        "maef_robust_stats": q_robust_channel_stats,
+        "llm_pack_sequences": q_pack_sequences,
+        "maef_bandit_ucb": q_bandit_ucb,
+        "rel_triangle_count": q_rel_triangle_count,
+        "maef_stratified_sample": q_stratified_sample,
+        "llm_embed_quantize": q_embed_quantize,
+        "maef_path_motifs": q_path_motifs,
+        "rel_item_recs": q_rel_item_recs,
+        "llm_nb_langid": q_nb_langid,
+        "maef_benford_screen": q_benford_screen,
+        "maef_stream_enrich": q_stream_enrich,
+        "llm_greedy_coverage": q_greedy_coverage,
+        "maef_isotonic_calibration": q_isotonic_calibration,
+        "maef_cusum_changepoint": q_cusum_changepoint,
+        "llm_hashed_features": q_hashed_features,
+        "rel_kcore": q_rel_kcore,
+        "maef_weighted_median": q_weighted_median,
+        "maef_sequence_patterns": q_sequence_patterns,
+        "maef_pseudonymize": q_pseudonymize,
+        # --- r05 additions land here (inside the window) ---
+        # --- r05 gate window part 2: stalest-green re-verify (last seen r02) ---
+        "maef_journey_entries": q_journey_entries,
+        "maef_attribution_linear": q_attribution_linear,
+        "maef_attribution_last_touch": q_attribution_last_touch,
+        "maef_attribution_first_touch": q_attribution_first_touch,
+        "maef_attribution_u_shaped": q_attribution_u_shaped,
+        "maef_attribution_time_decay": q_attribution_time_decay,
+        "maef_attribution_ihc": q_attribution_ihc,
+        "maef_attribution_ihc_redist": q_attribution_ihc_redist,
+        "maef_attribution_ihc_directional": q_attribution_ihc_directional,
+        "maef_channel_report": q_channel_report,
+        "maef_channel_report_export": q_channel_report_export,
+        "maef_channel_report_replicate": q_channel_report_replicate,
+        "maef_journey_paths": q_journey_paths,
+        "maef_chunk_assignment": q_chunk_assignment,
+        "maef_loader_roundtrip": q_loader_roundtrip,
+        "maef_loader_errors": q_loader_errors,
+        "maef_date_window": q_date_window,
+        "maef_props_stats": q_props_stats,
+        "maef_channel_rollup": q_channel_rollup,
+        "maef_channel_pivot": q_channel_pivot,
+        "maef_rolling_features": q_rolling_features,
+        "maef_cleaning": q_cleaning,
+        # --- long-green below: driver rows in CORRECTNESS_r01-r04 ---
         "maef_fill_gaps": q_fill_gaps,
         "maef_fuzzy_channels": q_fuzzy_channels,
         "llm_bloom_converters": q_bloom_converters,
@@ -7016,11 +7070,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_channel_overlap": q_channel_overlap,
         "llm_lang_confusion": q_lang_confusion,
         "maef_revenue_histogram": q_revenue_histogram,
-        # --- oracles changed in r04 => need fresh driver rows ---
         "maef_attribution_stats": q_attribution_stats,
         "maef_report_summary": q_report_summary,
         "rel_market_share": q_rel_market_share,
-        # --- round-4 additions land here (inside the window) ---
         "llm_curate_sketch": q_curate_sketch,
         "maef_sessionize_native": q_sessionize_native,
         "maef_anomaly_mad": q_anomaly_mad,
@@ -7046,44 +7098,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_orc_roundtrip": q_orc_roundtrip,
         "maef_stream_sessionize": q_stream_sessionize,
         "rel_small_quantity": q_rel_small_quantity,
-        # --- round-4b additions: last five window slots (46-50) ---
         "rel_local_volume": q_rel_local_volume,
         "rel_nation_trade": q_rel_nation_trade,
         "rel_return_culprits": q_rel_return_culprits,
         "maef_scd2_channels": q_scd2_channels,
         "rel_promo_share": q_rel_promo_share,
-        # --- round-4b overflow: first in line for the r05 window ---
         "rel_disjunctive": q_rel_disjunctive,
-        "rel_min_cost_supplier": q_rel_min_cost_supplier,
-        "rel_important_parts": q_rel_important_parts,
-        "rel_part_promotion": q_rel_part_promotion,
-        "rel_forecast_revenue": q_rel_forecast_revenue,
-        "maef_scd2_lookup": q_scd2_lookup,
-        "rel_priority_lines": q_rel_priority_lines,
-        # --- round-4c additions: r05 window with the overflow above ---
-        "maef_rfm_segments": q_rfm_segments,
-        "maef_survival_km": q_survival_km,
-        "rel_basket_pairs": q_rel_basket_pairs,
-        "maef_robust_stats": q_robust_channel_stats,
-        "llm_pack_sequences": q_pack_sequences,
-        "maef_bandit_ucb": q_bandit_ucb,
-        "rel_triangle_count": q_rel_triangle_count,
-        "maef_stratified_sample": q_stratified_sample,
-        "llm_embed_quantize": q_embed_quantize,
-        "maef_path_motifs": q_path_motifs,
-        "rel_item_recs": q_rel_item_recs,
-        "llm_nb_langid": q_nb_langid,
-        "maef_benford_screen": q_benford_screen,
-        "maef_stream_enrich": q_stream_enrich,
-        "llm_greedy_coverage": q_greedy_coverage,
-        "maef_isotonic_calibration": q_isotonic_calibration,
-        "maef_cusum_changepoint": q_cusum_changepoint,
-        "llm_hashed_features": q_hashed_features,
-        "rel_kcore": q_rel_kcore,
-        "maef_weighted_median": q_weighted_median,
-        "maef_sequence_patterns": q_sequence_patterns,
-        "maef_pseudonymize": q_pseudonymize,
-        # --- long-green below: driver rows in CORRECTNESS_r01-r03 ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
         "llm_ann_kmeans": q_ann_kmeans,
@@ -7151,29 +7171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_pack": q_pack,
         "llm_repetition": q_repetition,
         "llm_quality_gate": q_quality_gate,
-        "maef_journey_entries": q_journey_entries,
-        "maef_attribution_linear": q_attribution_linear,
-        "maef_attribution_last_touch": q_attribution_last_touch,
-        "maef_attribution_first_touch": q_attribution_first_touch,
-        "maef_attribution_u_shaped": q_attribution_u_shaped,
-        "maef_attribution_time_decay": q_attribution_time_decay,
-        "maef_attribution_ihc": q_attribution_ihc,
-        "maef_attribution_ihc_redist": q_attribution_ihc_redist,
-        "maef_attribution_ihc_directional": q_attribution_ihc_directional,
-        "maef_channel_report": q_channel_report,
-        "maef_channel_report_export": q_channel_report_export,
-        "maef_channel_report_replicate": q_channel_report_replicate,
-        "maef_journey_paths": q_journey_paths,
-        "maef_chunk_assignment": q_chunk_assignment,
-        "maef_loader_roundtrip": q_loader_roundtrip,
-        "maef_loader_errors": q_loader_errors,
-        "maef_date_window": q_date_window,
-        "maef_props_stats": q_props_stats,
-        "maef_channel_rollup": q_channel_rollup,
-        "maef_channel_pivot": q_channel_pivot,
-        "maef_rolling_features": q_rolling_features,
         "maef_stream_attribution": q_stream_attribution,
-        "maef_cleaning": q_cleaning,
         "maef_stream_windowed_volume": q_stream_windowed_volume,
         "maef_stream_journey_join": q_stream_journey_join,
         "maef_warehouse_roundtrip": q_warehouse_roundtrip,

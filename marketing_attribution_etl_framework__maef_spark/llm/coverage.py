@@ -11,14 +11,19 @@ is the standard k-round scan.
 Per round (k is small and fixed — BOUNDED driver loop per the repo
 rule; the per-round driver state is ONE row):
 
-1. gains: anti-join the (doc, shingle) table against the covered-
-   shingle set, then a hash aggregate per doc — both distributed,
-   cost O(|doc_sh|) per round;
+1. gains: a hash aggregate per doc over the LIVE (doc, shingle)
+   table — the table holds only not-yet-covered pairs, so cost is
+   O(|uncovered pairs|), which SHRINKS monotonically round over
+   round (r05, VERDICT r04 #5: previously each round re-anti-joined
+   the full table against a growing covered set, k full scans);
 2. argmax with (gain DESC, doc_id ASC) tie-break — a distributed
    top-1 (TakeOrderedAndProject, never a full sort);
-3. covered += the winner's shingles, localCheckpoint'd so the plan
-   does not grow with rounds (same device as cluster_duplicates'
-   loop state; at production scale: a staging table per round).
+3. prune: anti-join the live table against the winner's shingles and
+   localCheckpoint the survivor set — the winner's own rows vanish
+   (all its shingles are now covered), so fully-covered docs are
+   left-semi-pruned for free and the plan does not grow with rounds
+   (same device as cluster_duplicates' loop state; at production
+   scale: a staging table per round).
 
 Everything is exact set arithmetic on strings — no floats anywhere —
 so the k selections and their gains are oracle-checkable; the DuckDB
@@ -61,15 +66,12 @@ def greedy_coverage(
     distinct-shingle count after the pick.
     """
     spark = docs.sparkSession
+    # `pairs` is the LIVE uncovered (doc, shingle) set; it only shrinks.
     pairs = doc_shingles(docs, text_col, id_col).localCheckpoint()
-    covered = None  # DataFrame["sh"], grows by <= |winner's shingles| per round
     out, covered_total = [], 0
     for rnd in range(1, k + 1):
-        remaining = (
-            pairs.join(covered, "sh", "left_anti") if covered is not None else pairs
-        )
         top = (
-            remaining.groupBy(id_col)
+            pairs.groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("gain"))
             .orderBy(F.desc("gain"), F.asc(id_col))
             .limit(1)
@@ -80,10 +82,12 @@ def greedy_coverage(
         doc, gain = top[0][id_col], top[0]["gain"]
         covered_total += gain
         out.append((rnd, doc, gain, covered_total))
-        new_sh = pairs.filter(F.col(id_col) == doc).select("sh")
-        covered = (
-            new_sh if covered is None else covered.union(new_sh)
-        ).localCheckpoint()
+        # Gain of doc d next round = |shingles(d) - covered|; pruning the
+        # winner's shingles out of the live table preserves exactly that
+        # quantity, so the k selections are bit-identical to the
+        # full-anti-join formulation (oracle unchanged).
+        winner_sh = pairs.filter(F.col(id_col) == doc).select("sh")
+        pairs = pairs.join(winner_sh, "sh", "left_anti").localCheckpoint()
     return spark.createDataFrame(
         out, "round long, doc_id long, gain long, covered_total long"
     )
