@@ -6989,6 +6989,89 @@ def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.4 end-to-end DAG replay (VERDICT r04 #6): the reference's five
+    Airflow stages (dags/ihc_api_dag.py:257-307 — setup_database >>
+    transform_data >> send_data_to_api >> load_attribution_results >>
+    create_channel_report) as ONE chain against a scratch warehouse,
+    with every §5 runtime check asserted in-line:
+
+    - setup (S2): ``Warehouse.create_initial_schema`` declares the five
+      tables (db_utils.py:42-65);
+    - transform: J1 journeys via ``plans/pipeline.py``, non-empty check
+      (transform.py:264-265);
+    - attribute: the native linear model (§2.6's sanctioned replacement
+      for the API hop);
+    - load: ``merge_upsert`` into attribution_customer_journey, then the
+      loaded-row-count parity check (db_utils.py:86-102) and
+      sum(ihc) > 0 (load.py:120-123) — and the REPORT BELOW CONSUMES THE
+      LOADED PARQUET, not the in-session lineage, so the load stage is
+      inside the verified chain;
+    - report: channel_report + export, non-empty (reporting.py:104-106).
+
+    Output is the export contract, so the existing report-export oracle
+    hash-checks the whole chain: any stage dropping, duplicating or
+    corrupting a row breaks the final hash.  At 100 TB each stage
+    boundary is a parquet table exactly as here (the merge_upsert path
+    is partition-pruned dynamic overwrite); the in-line checks are one
+    cheap agg per boundary."""
+    import shutil
+
+    from marketing_attribution_etl_framework__maef_spark.plans.pipeline import AttributionPipeline, PipelineConfig
+    from marketing_attribution_etl_framework__maef_spark.sources.io import Warehouse, merge_upsert
+
+    root = os.path.join(
+        os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/maef_spark_scratch"),
+        ".wh_e2e",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+
+    pipe = AttributionPipeline(
+        spark, sf_dir, PipelineConfig(model="linear", report_mode="corrected")
+    )
+    # stage 1: setup_database
+    wh = Warehouse(spark, root)
+    wh.create_initial_schema()
+    # stage 2: transform (non-empty check, transform.py:264-265)
+    journeys = pipe.journeys()
+    if journeys.limit(1).count() == 0:
+        raise ValueError("transform produced no journey entries")
+    # stage 3: attribute (native §2.6 linear)
+    att = attr.attribute(journeys, "linear").select("conv_id", "session_id", "ihc")
+    # stage 4: load + verify (db_utils.py:86-102, load.py:120-123)
+    merge_upsert(wh, "attribution_customer_journey", att, ["conv_id", "session_id"])
+    loaded = wh.read("attribution_customer_journey")
+    checks = loaded.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("ihc").alias("total_ihc")
+    ).first()
+    if checks["n"] != att.count():
+        raise ValueError(f"load verification failed: {checks['n']} loaded")
+    if (checks["total_ihc"] or 0.0) <= 0:
+        raise ValueError("total ihc <= 0 after load")
+    # stage 5: report over the LOADED attribution table
+    rep = rpt.channel_report(
+        loaded,
+        pipe.sessions(),
+        domain.session_costs(spark, sf_dir),
+        pipe.conversions(),
+        mode="corrected",
+    )
+    out = rpt.export_report(rep)
+    if out.limit(1).count() == 0:
+        raise ValueError("channel report is empty")
+    return out.select(
+        "channel_name",
+        "date",
+        F.round("cost", 6).alias("cost"),
+        F.round("ihc", 6).alias("ihc"),
+        F.round("ihc_revenue", 6).alias("ihc_revenue"),
+        F.round("cpo", 6).alias("cpo"),
+        F.round("roas", 6).alias("roas"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r05 rotation (VERDICT r04 next-steps #1): the
@@ -7030,6 +7113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_sequence_patterns": q_sequence_patterns,
         "maef_pseudonymize": q_pseudonymize,
         # --- r05 additions land here (inside the window) ---
+        "maef_pipeline_e2e": q_pipeline_e2e,
         # --- r05 gate window part 2: stalest-green re-verify (last seen r02) ---
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
@@ -7849,6 +7933,9 @@ def oracle_sql() -> dict[str, str]:
         "maef_attribution_ihc_directional": _ORACLE_ATTR_IHC_DIR,
         "maef_channel_report": _ORACLE_REPORT,
         "maef_channel_report_export": _ORACLE_REPORT_EXPORT,
+        # e2e DAG replay returns the identical export contract; the same
+        # oracle hash-checks the whole five-stage chain
+        "maef_pipeline_e2e": _ORACLE_REPORT_EXPORT,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,
