@@ -92,7 +92,11 @@ def nb_predict(
     docs: DataFrame, model: dict, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Score every doc against every class; argmax with label-ascending
-    tie-break.  Output: (doc_id, pred_label, score_q20)."""
+    tie-break.  Output: (doc_id, pred_label, score_q20).
+
+    Overflow headroom: the per-doc BIGINT sum(tf * w_q20) holds for
+    documents up to ~2e11 tokens even at |w_q20| ~ ln(1e18-token
+    corpus) * 2^20 (tests/test_overflow_headroom.py)."""
     tf = (
         docs.select(
             F.col(id_col), F.explode(words(normalize_text(F.col(text_col)))).alias("word")

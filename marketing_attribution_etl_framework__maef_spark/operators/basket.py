@@ -43,6 +43,11 @@ def basket_pairs(
 
     Output: (item_a, item_b, pair_cnt, cnt_a, cnt_b, n_orders,
     lift_q20) for item_a < item_b and pair_cnt >= min_support.
+
+    Overflow headroom: lift_q20's widest intermediate is
+    pair_cnt * n_orders * 2^20 in DECIMAL(38,0) — safe through
+    N <= 9.8e15 orders (tests/test_overflow_headroom.py), ~10^4x a
+    100 TB orders table.
     """
     items = facts.select(
         F.col(order_col).alias("okey"), F.col(item_col).alias("item")

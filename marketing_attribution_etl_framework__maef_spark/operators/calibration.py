@@ -47,6 +47,11 @@ def isotonic_rates(
 
     Output: (bucket, n, conversions, raw_rate_q20, iso_rate_q20),
     iso_rate_q20 non-decreasing in bucket.
+
+    Overflow headroom: the span average's widest intermediate is
+    (sk - sj0) * 2^20 in BIGINT — safe through exactly
+    (2^63-1)//2^20 = 8.796e12 total conversions (bound probed tight
+    in tests/test_overflow_headroom.py).
     """
     per = outcomes.groupBy(F.col(bucket_col).alias("b")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
