@@ -67,8 +67,11 @@ def grouped_hash_rank(
         offsets.append((g, b, acc))
         acc += n
     spark = df.sparkSession
+    # ADVICE r04: the offsets schema must carry the group column's REAL
+    # type — a hardcoded string silently miscasts non-string strata.
+    gtype = df.schema[group_col].dataType.simpleString()
     off = spark.createDataFrame(
-        offsets or [("", 0, 0)], f"g string, b long, _off long"
+        offsets or [(None, 0, 0)], f"g {gtype}, b long, _off long"
     ).withColumnRenamed("g", group_col).withColumnRenamed("b", "_b")
     w = Window.partitionBy(group_col, "_b").orderBy("_h", id_col)
     return (
@@ -89,43 +92,39 @@ def stratified_sample(
     strata proportionally to stratum row counts.
 
     Output: (id, stratum, stratum_n, quota, rank) for the selected
-    rows; COUNT(*) == min(k, N) exactly.
+    rows; COUNT(*) == k exactly.  Requires k <= N (total rows): a
+    largest-remainder bump could land on an already-exhausted stratum
+    with no redistribution, so over-asking would silently fall short
+    of "all rows" — raise instead (ADVICE r04).
+
+    The apportionment runs driver-side in exact integer Python over
+    the BOUNDED |strata| count table (the repo's bounded-driver-loop
+    pattern; grouped_hash_rank collects the same grain already) —
+    bit-identical to the previous DECIMAL(38,0) SQL formula for every
+    k <= N, with no extra distributed scan.
     """
-    per = docs.groupBy(F.col(stratum_col).alias("_s")).agg(
-        F.count(F.lit(1)).cast("long").alias("stratum_n")
+    per_rows = sorted(
+        (r["_s"], r["stratum_n"])
+        for r in docs.groupBy(F.col(stratum_col).alias("_s"))
+        .agg(F.count(F.lit(1)).cast("long").alias("stratum_n"))
+        .collect()
     )
-    dec = "decimal(38,0)"
-    scaled = per.select(
-        "_s",
-        "stratum_n",
-        F.expr(
-            f"cast(cast({k} as {dec}) * cast(stratum_n as {dec})"
-            f" div sum(cast(stratum_n as {dec})) over () as bigint)"
-        ).alias("_base"),
-        F.expr(
-            f"cast(cast({k} as {dec}) * cast(stratum_n as {dec})"
-            f" % sum(cast(stratum_n as {dec})) over () as {dec})"
-        ).alias("_rem"),
-    )
-    wrk = Window.orderBy(F.desc("_rem"), F.asc("_s"))
-    left = F.lit(k).cast("long") - F.sum("_base").over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    quotas = (
-        scaled.withColumn("_rk", F.row_number().over(wrk))
-        .withColumn("_left", left)
-        .select(
-            F.col("_s").alias(stratum_col),
-            "stratum_n",
-            # a stratum cannot supply more rows than it has
-            F.least(
-                F.col("stratum_n"),
-                (
-                    F.col("_base")
-                    + F.when(F.col("_rk") <= F.col("_left"), F.lit(1)).otherwise(F.lit(0))
-                ).cast("long"),
-            ).alias("quota"),
+    total = sum(n for _, n in per_rows)
+    if k > total:
+        raise ValueError(
+            f"stratified_sample: k={k} exceeds corpus size N={total}; "
+            "exact-k apportionment requires k <= N"
         )
+    base = {s: (k * n) // total for s, n in per_rows} if total else {}
+    rem = {s: (k * n) % total for s, n in per_rows} if total else {}
+    leftover = k - sum(base.values())
+    for s, _ in sorted(per_rows, key=lambda r: (-rem[r[0]], r[0]))[:leftover]:
+        base[s] += 1
+    spark = docs.sparkSession
+    stype = docs.schema[stratum_col].dataType.simpleString()
+    quotas = spark.createDataFrame(
+        [(s, n, min(n, base[s])) for s, n in per_rows] or [(None, 0, 0)],
+        f"{stratum_col} {stype}, stratum_n long, quota long",
     )
     ranked = grouped_hash_rank(
         docs.select(id_col, stratum_col), stratum_col, id_col, "rank", n_buckets
