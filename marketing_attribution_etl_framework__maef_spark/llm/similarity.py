@@ -561,3 +561,60 @@ def semantic_dedup(
     )
     survivors = assign.join(losers, "vec_id", "left_anti").select("vec_id", "cluster")
     return survivors.unionByName(zeros)
+
+
+def random_projection(
+    embs: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection: dim 64 -> 16 with
+    a +-1 matrix derived from md5 (Achlioptas 2003 database-friendly
+    projection) — the dimensionality-reduction front-end for ANN at
+    scale (project, bucket, rerank exact on candidates).
+
+    The sign matrix is a pure function of (d, j) via the repo's
+    engine-portable md5-parity (CLAUDE.md hashing rule), materialized
+    driver-side as ``out_dim`` literal sign arrays (bounded state:
+    in_dim x out_dim values) so the projection is a per-row
+    ``zip_with`` + ordered ``aggregate`` fold — no explode, no join,
+    no shuffle until the caller aggregates.  hashlib.md5 here ==
+    SQL md5 in both engines, so the oracle rebuilds the identical
+    matrix from SQL.
+
+    Output: (vec_id, j, comp_q20) — long grain, one row per output
+    dimension; q20 absorbs fold-order vs group-sum ulp noise (sums of
+    products of "random" floats sit ~1e-16 from a boundary with
+    probability ~1e-10 per value — the ANN cosine argument).
+    """
+    import hashlib
+
+    signs = [
+        [
+            1.0 if int(hashlib.md5(f"{d}_{j}".encode()).hexdigest()[:15], 16) % 2 == 0 else -1.0
+            for d in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+    v = as_double(F.col(vec_col))
+    comps = [
+        F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(s) for s in signs[j]]), lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"_c{j}")
+        for j in range(out_dim)
+    ]
+    wide = embs.select(F.col(id_col), *comps)
+    stacked = wide.select(
+        id_col,
+        F.expr(
+            "stack({n}, {args}) as (j, comp)".format(
+                n=out_dim,
+                args=", ".join(f"cast({j} as bigint), _c{j}" for j in range(out_dim)),
+            )
+        ),
+    )
+    return stacked.select(id_col, "j", q20(F.col("comp")).alias("comp_q20"))

@@ -638,3 +638,60 @@ def hashed_features(
             )
         ).alias("vec_md5"),
     )
+
+
+def bigram_surprisal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram language-model quality score in EXACT whole-bit units —
+    the conditional-probability upgrade of ``unigram_surprisal``.
+
+    With corpus counts c(w1) (as LEFT CONTEXT, i.e. over non-final
+    positions) and c(w1,w2) (bigram) and
+    vocabulary size V, each bigram's add-1-smoothed surprisal is
+
+        floor(log2( (c(w1) + V) / (c(w1,w2) + 1) )) bits,
+
+    computed float-free as ``length(bin(x div y)) - 1`` (the
+    unigram_surprisal device: floor(log2(r)) == floor(log2(floor(r)))
+    for r >= 1 — both operands are positive and the ratio is >= 1
+    because c(w1) >= c(w1,w2)).  Repetitive texts (low conditional
+    surprisal) score low; the sum is order-independent integer
+    arithmetic, bit-stable across engines.
+
+    Output: (doc_id, n_bigrams, surprisal_bits).
+
+    Plan: one explode to (doc, w1, w2) pairs via the shifted-slice
+    zip (no per-index lambda work), corpus bigram + unigram count
+    aggregates (map-side combining), a 1-row V broadcast, two
+    dictionary joins back keyed by the gram — inverted-index cost
+    Σ tf, never all-pairs, same 100-TB shape as bm25/top_terms."""
+    norm = normalize_text(F.col(text_col))
+    ws = words(norm)
+    pairs = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+                F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    vocab = (
+        docs.select(F.explode(words(normalize_text(F.col(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+        .select("w")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    scored = (
+        pairs.join(bi, ["w1", "w2"]).join(uni, "w1").crossJoin(F.broadcast(vocab))
+    )
+    bits = F.length(F.bin(F.expr("(c1 + v) div (c12 + 1)"))) - 1
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(bits).cast("long").alias("surprisal_bits"),
+    )

@@ -1,0 +1,123 @@
+"""Experiment readouts beyond raw counts: Wilson confidence intervals
+and difference-in-differences.
+
+The A/B report (operators/reporting.py ab_lift_report) deliberately
+stops at exact counts; the two questions a growth team asks next are
+"what is the uncertainty band on each rate?" (Wilson score interval —
+the standard small-n-safe CI, Wilson 1927) and "what is the causal
+lift when the split is a before/after rollout rather than a random
+split?" (two-by-two difference-in-differences).
+
+No reference parity (the reference has no statistics layer); extends
+the §2.10 experimentation family next to L109 ab_lift.
+
+Cross-engine policy: counts are exact BIGINTs end-to-end.  The Wilson
+bound needs sqrt — an IRRATIONAL output for any non-degenerate input,
+so q20 emission is safe per the repo float rule (CLAUDE.md); both
+engines evaluate the IDENTICAL double expression tree (z literals
+written 1.96e0/3.8416e0 — e-notation parses as DOUBLE in both
+engines, where a bare decimal literal parses as DECIMAL and the two
+engines lower mixed DECIMAL arithmetic differently), and IEEE doubles
+make +,*,/ and sqrt deterministic given identical operands.  The DiD estimate stays
+rational, so it is NEVER computed in doubles: each cell mean is
+quantized to q20 via integer division first and the estimate is a
+difference of exact q20 integers.
+
+100-TB shape: everything collapses to per-group counts with map-side
+combine before any arithmetic; group cardinality is the channel/cell
+dimension, so the post-agg expressions run on bounded rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Z2_TIMES_1e4 = 38416  # z = 1.96 => z^2 = 3.8416 exactly
+
+# the shared double-expression (Spark SQL and DuckDB parse the same
+# text): n, s are BIGINT columns in scope
+_WILSON_CENTER = "((s / cast(n as double)) + 3.8416e0 / (2 * n)) / (1 + 3.8416e0 / n)"
+_WILSON_HALF = (
+    "(1.96e0 * sqrt((s / cast(n as double)) * (1 - s / cast(n as double)) / n"
+    " + 3.8416e0 / (4 * cast(n as double) * n))) / (1 + 3.8416e0 / n)"
+)
+
+
+def wilson_rates(trials: DataFrame, group_col: str = "channel") -> DataFrame:
+    """Per-group conversion rate with a 95% Wilson score interval.
+
+    ``trials``: one row per trial with ``group_col`` and 0/1 ``hit``.
+    Output: (group, n, s, lo_q20, hi_q20) with lo/hi the q20-quantized
+    interval endpoints; groups with n = 0 cannot occur (group keys come
+    from the rows themselves).
+    """
+    per = trials.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("hit").cast("long")).cast("long").alias("s"),
+    )
+    q20 = "cast(floor(({expr}) * 1048576 + 0.5e0) as bigint)"
+    return per.select(
+        F.col("g").alias(group_col),
+        "n",
+        "s",
+        F.expr(q20.format(expr=f"({_WILSON_CENTER}) - ({_WILSON_HALF})")).alias("lo_q20"),
+        F.expr(q20.format(expr=f"({_WILSON_CENTER}) + ({_WILSON_HALF})")).alias("hi_q20"),
+    )
+
+
+def did_lift(
+    assignments: DataFrame,
+    outcomes: DataFrame,
+    cutover: str,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Two-by-two difference-in-differences over a before/after
+    rollout.
+
+    ``assignments``: (user_col, treated 0/1) — one row per user.
+    ``outcomes``: (user_col, day 'yyyy-MM-dd', cents) purchase facts.
+    Cells are (treated, period >= cutover); each cell mean is the
+    exact q20 of cell_cents / cell_users, with cell_users the number
+    of ASSIGNED users in the arm (a fixed panel: users without
+    purchases count as zeros, which is why the denominator comes from
+    assignments, not outcomes).
+
+    Output: one row (t_pre_q20, t_post_q20, c_pre_q20, c_post_q20,
+    did_q20), did = (t_post - t_pre) - (c_post - c_pre), exact
+    integer arithmetic on the quantized means.
+    """
+    arm_sizes = assignments.groupBy("treated").agg(
+        F.count(F.lit(1)).cast("long").alias("arm_users")
+    )
+    cells = (
+        outcomes.join(assignments, user_col)
+        .withColumn("post", (F.col("day") >= F.lit(cutover)).cast("int"))
+        .groupBy("treated", "post")
+        .agg(F.sum("cents").cast("long").alias("cell_cents"))
+        .join(F.broadcast(arm_sizes), "treated")
+        .select(
+            "treated",
+            "post",
+            F.expr("cast(cast(cell_cents as decimal(38,0)) * 1048576 div arm_users as bigint)").alias("mean_q20"),
+        )
+    )
+    # 2x2 collapse on a bounded 4-row table
+    flat = cells.select(
+        F.sum(F.when((F.col("treated") == 1) & (F.col("post") == 0), F.col("mean_q20"))).alias("t_pre_q20"),
+        F.sum(F.when((F.col("treated") == 1) & (F.col("post") == 1), F.col("mean_q20"))).alias("t_post_q20"),
+        F.sum(F.when((F.col("treated") == 0) & (F.col("post") == 0), F.col("mean_q20"))).alias("c_pre_q20"),
+        F.sum(F.when((F.col("treated") == 0) & (F.col("post") == 1), F.col("mean_q20"))).alias("c_post_q20"),
+    )
+    return flat.select(
+        F.coalesce("t_pre_q20", F.lit(0)).cast("long").alias("t_pre_q20"),
+        F.coalesce("t_post_q20", F.lit(0)).cast("long").alias("t_post_q20"),
+        F.coalesce("c_pre_q20", F.lit(0)).cast("long").alias("c_pre_q20"),
+        F.coalesce("c_post_q20", F.lit(0)).cast("long").alias("c_post_q20"),
+        (
+            (F.coalesce("t_post_q20", F.lit(0)) - F.coalesce("t_pre_q20", F.lit(0)))
+            - (F.coalesce("c_post_q20", F.lit(0)) - F.coalesce("c_pre_q20", F.lit(0)))
+        )
+        .cast("long")
+        .alias("did_q20"),
+    )

@@ -157,3 +157,52 @@ def k_core(edges: DataFrame, k: int = 2, rounds: int = 12, src: str = "src", dst
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int = 2, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), FIXED round count, deterministic tie-break.
+
+    Every node starts with its own id as label; each round every node
+    adopts the most frequent label among its neighbors, ties broken by
+    (count DESC, label ASC), isolated opinion kept when a node has no
+    neighbors (cannot happen here — nodes come from the edge list).
+    Synchronous + fixed rounds + total-order tie-break makes the
+    result a pure function of the graph, so a DuckDB oracle can unroll
+    the same rounds (the k_core fixed-round contract above).
+
+    Output: (node, label) after ``rounds`` rounds.
+
+    100-TB shape: each round is one join (edges x labels, shuffled on
+    the node key), one (node, label) count aggregate, and one
+    per-node argmax window partitioned by node — all sharded by node;
+    loop state is localCheckpoint'd (production: staging table).
+    Degree skew (a celebrity node) is the usual salting candidate but
+    the argmax grain is (node, label), already collapsed map-side.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    both = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
+    labels = both.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint()
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(int(rounds)):
+        neigh = both.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        labels = (
+            neigh.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels

@@ -270,3 +270,105 @@ def ols_trend(ev: DataFrame) -> DataFrame:
             " div (cast(n as decimal(38,0)) * sxx - sx * sx) as bigint)"
         ).alias("slope_cents_q20"),
     )
+
+
+def ewma_forecast_backtest(ev: DataFrame, horizon_days: int = 8) -> DataFrame:
+    """One-step-ahead truncated-EWMA forecast of daily channel spend,
+    backtested against the realized next day — entirely in exact
+    integers.
+
+    The forecast for day t+1 is the dyadic half-life-1-day EWMA over
+    the last H days, normalized over the truncated window:
+
+        f(t+1) = SUM_{d=0..H-1} cents(t-d) * 2^(H-1-d)  /  (2^H - 1)
+
+    The numerator is EXACTLY ``decayed_daily_sum``'s decay column at
+    horizon H (weights are powers of two, missing days contribute 0 —
+    correct for additive spend), so the backtest error never touches
+    a float: |cents(t+1) * (2^H - 1) - num| is an exact BIGINT
+    cross-multiplication, and the per-channel MAE is emitted as q20
+    via DECIMAL(38,0) division.
+
+    Output: (channel, n_scored, mae_cents_q20) — n_scored counts days
+    with a realized next day.
+
+    100-TB shape: raw events collapse to the channel x day grain with
+    map-side combine first; everything after runs on the bounded
+    calendar grain (see decayed_daily_sum).
+    """
+    h = int(horizon_days)
+    denom = (1 << h) - 1
+    dec = decayed_daily_sum(ev, horizon_days=h).select(
+        "channel", "event_day", "cents", F.col("decay_cents_q20").alias("num")
+    )
+    nxt = dec.select(
+        # the numerator computed through day d forecasts day d+1
+        "channel",
+        F.date_format(F.date_add(F.col("event_day").cast("date"), 1), "yyyy-MM-dd").alias("event_day"),
+        F.col("num").alias("_prev_num"),
+    )
+    scored = dec.join(nxt, ["channel", "event_day"]).select(
+        "channel",
+        F.expr(
+            f"abs(cast(cents as decimal(38,0)) * {denom} - _prev_num)"
+        ).alias("_abs_scaled"),
+    )
+    return (
+        scored.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum("_abs_scaled").alias("_sae"),
+        )
+        .select(
+            "channel",
+            "n_scored",
+            F.expr(
+                f"cast(_sae * 1048576 div (cast(n_scored as decimal(38,0)) * {denom}) as bigint)"
+            ).alias("mae_cents_q20"),
+        )
+    )
+
+
+def seasonal_naive_backtest(ev: DataFrame, season_days: int = 7) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict day t's channel spend
+    with day t - season's, report exact absolute-error sums.
+
+    The prediction join is ON THE CALENDAR (p.day = t.day - season),
+    not on row offsets — a LAG over existing rows would silently skip
+    across gaps.  Output: (channel, n_scored, sum_abs_err_cents,
+    mae_cents_q20); exact integer cents throughout, MAE quantized by
+    integer division.
+    """
+    s = int(season_days)
+    daily = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(
+            F.col("event_type").alias("channel"),
+            F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("_c"),
+        )
+        .groupBy("channel", "event_day")
+        .agg(F.sum("_c").cast("long").alias("cents"))
+    )
+    past = daily.select(
+        "channel",
+        F.date_format(F.date_add(F.col("event_day").cast("date"), s), "yyyy-MM-dd").alias("event_day"),
+        F.col("cents").alias("pred"),
+    )
+    scored = daily.join(past, ["channel", "event_day"])
+    return (
+        scored.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum(F.abs(F.col("cents") - F.col("pred"))).cast("long").alias("sum_abs_err_cents"),
+        )
+        .select(
+            "channel",
+            "n_scored",
+            "sum_abs_err_cents",
+            F.expr(
+                "cast(cast(sum_abs_err_cents as decimal(38,0)) * 1048576"
+                " div n_scored as bigint)"
+            ).alias("mae_cents_q20"),
+        )
+    )
