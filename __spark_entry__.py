@@ -7099,6 +7099,199 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# round-5 additions (L155+): concentration, intervals, causal readouts,
+# forecasting backtests, grouping sets, skyline, communities, LLM mixing
+# ---------------------------------------------------------------------------
+
+
+def q_gini_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L155: exact per-channel Gini concentration of user spend
+    (operators/concentration.py gini_by_group) — grouped two-phase
+    value rank (log2-magnitude buckets, pure function of the data =>
+    cross-job stable), rank-weighted sum in DECIMAL(38,0), q20 by
+    integer division.  The oracle's single PARTITION BY window proves
+    the two-phase rank."""
+    from marketing_attribution_etl_framework__maef_spark.operators import concentration as conc
+
+    ev = domain.events(spark, sf_dir).filter(F.col("event_type") != "purchase")
+    facts = ev.select(
+        F.col("event_type").alias("channel"),
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return conc.gini_by_group(facts, "channel", "user_id", "cents")
+
+
+def q_wilson_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L156: per-channel user->purchaser conversion rate with 95%
+    Wilson score interval (operators/experiments.py wilson_rates).
+    Trials = distinct (channel, user) touches; hit = user ever
+    purchased.  The q20 endpoints are sqrt-irrational, emitted from
+    the IDENTICAL double expression both engines parse (the oracle
+    f-strings the same _WILSON_* text)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import experiments as xpr
+
+    ev = domain.events(spark, sf_dir)
+    touch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("channel"), "user_id")
+        .distinct()
+    )
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    trials = touch.join(buyers, "user_id", "left").select(
+        "channel", F.coalesce("hit", F.lit(0)).alias("hit")
+    )
+    return xpr.wilson_rates(trials, "channel")
+
+
+DID_CUTOVER = "2024-02-15"
+
+
+def q_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L157: two-by-two difference-in-differences on purchase revenue
+    (operators/experiments.py did_lift): arms from the canonical
+    salted-md5 user parity, periods split at DID_CUTOVER, each cell
+    mean quantized to exact q20 BEFORE differencing (never a double
+    subtraction)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import experiments as xpr
+
+    ev = domain.events(spark, sf_dir)
+    asg = ev.select("user_id").distinct().select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|did"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+        .cast("int")
+        .alias("treated"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return xpr.did_lift(asg, buys, cutover=DID_CUTOVER)
+
+
+def q_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L158: one-step-ahead truncated-EWMA spend forecast backtest
+    (operators/timeseries.py ewma_forecast_backtest) — dyadic weights
+    over the L99 decayed-sum numerator, so forecast error is an exact
+    integer cross-multiplication; MAE emitted as q20 via
+    DECIMAL(38,0)/HUGEINT division."""
+    from marketing_attribution_etl_framework__maef_spark.operators import timeseries as ts
+
+    return ts.ewma_forecast_backtest(domain.events(spark, sf_dir), horizon_days=8)
+
+
+def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L159: seasonal-naive (lag-7 calendar join, not row LAG)
+    forecast backtest with exact absolute-error cents
+    (operators/timeseries.py seasonal_naive_backtest)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import timeseries as ts
+
+    return ts.seasonal_naive_backtest(domain.events(spark, sf_dir), season_days=7)
+
+
+def q_rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L160: GROUPING SETS ((nation), (order year), ()) revenue
+    rollup — the third grouping surface next to CUBE (L84) and ROLLUP:
+    explicit set lists with GROUPING() disambiguation flags, exact
+    integer cents.  Both dimensions broadcast; one fact shuffle for
+    the aggregate."""
+    o = domain.load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year(F.col("o_orderdate").cast("date")).cast("long").alias("oyear"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("_cents"),
+    )
+    c = domain.load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = domain.load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+    return (
+        rev.groupingSets([["n_name"], ["oyear"], []], "n_name", "oyear")
+        .agg(
+            F.grouping("n_name").cast("long").alias("g_nation"),
+            F.grouping("oyear").cast("long").alias("g_year"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("_cents").cast("long").alias("cents"),
+        )
+    )
+
+
+def q_skyline_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L161: day-level (cost down, revenue up) skyline
+    (operators/skyline.py skyline_2d) — sort-based dominance scan on
+    the bounded calendar grain; the oracle runs the literal quadratic
+    NOT EXISTS, so parity proves the rewrite."""
+    from marketing_attribution_etl_framework__maef_spark.operators import skyline as sky
+
+    ev = domain.events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    per = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") != "purchase", cents).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("cost_cents"),
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    return sky.skyline_2d(per, "cost_cents", "rev_cents").select(
+        "day", "cost_cents", "rev_cents"
+    )
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L162: label-propagation communities (operators/graph.py
+    label_propagation, 2 synchronous rounds, (count DESC, label ASC)
+    tie-break) on the co-ordered-parts graph (the L135 basket spine,
+    support >= 2).  Fixed rounds => the oracle unrolls the identical
+    rounds (the k_core contract)."""
+    li = domain.load_table(spark, sf_dir, "lineitem")
+    edges = bsk.basket_pairs(li).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
+    return grph.label_propagation(edges, rounds=2).select(
+        F.col("node").cast("long").alias("node"), F.col("label").cast("long").alias("label")
+    )
+
+
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L163: bigram conditional-LM quality score in exact whole-bit
+    units (llm/text.py bigram_surprisal) — the add-1-smoothed
+    conditional upgrade of L6d, float-free via the
+    length(bin(x div y)) device."""
+    return txt.bigram_surprisal(_docs(spark, sf_dir))
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L164: temperature-scaled (alpha = 0.5) source mixing with
+    Hamilton-exact integer allocation (llm/curation.py
+    temperature_mix); SUM(alloc) == budget exactly."""
+    return cur.temperature_mix(_docs(spark, sf_dir), budget=1_000_000)
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L165: Johnson-Lindenstrauss sign random projection 64 -> 16
+    (llm/similarity.py random_projection) — md5-parity sign matrix as
+    bounded literal arrays, per-row zip_with/aggregate fold, no
+    shuffle before the caller's aggregate."""
+    return sim.random_projection(_embs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r05 rotation (VERDICT r04 next-steps #1): the
@@ -7141,6 +7334,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_pseudonymize": q_pseudonymize,
         # --- r05 additions land here (inside the window) ---
         "maef_pipeline_e2e": q_pipeline_e2e,
+        "maef_gini_channel": q_gini_channel,
+        "maef_wilson_rates": q_wilson_rates,
+        "maef_did_lift": q_did_lift,
+        "maef_ewma_forecast": q_ewma_forecast,
+        "maef_seasonal_naive": q_seasonal_naive,
+        "rel_grouping_sets": q_rel_grouping_sets,
+        "maef_skyline_days": q_skyline_days,
+        "rel_label_propagation": q_label_propagation,
+        "llm_bigram_surprisal": q_bigram_surprisal,
+        "llm_temperature_mix": q_temperature_mix,
+        "llm_random_projection": q_random_projection,
         # --- r05 gate window part 2: stalest-green re-verify (last seen r02) ---
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
@@ -7947,6 +8151,266 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# round-5 oracle SQL
+# ---------------------------------------------------------------------------
+
+_ORACLE_GINI_CHANNEL = """
+WITH per AS MATERIALIZED (
+  SELECT event_type AS channel, user_id AS u,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+),
+rk AS (
+  SELECT channel, cents,
+         ROW_NUMBER() OVER (PARTITION BY channel ORDER BY cents, u) AS r
+  FROM per
+),
+ag AS (
+  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         SUM(CAST(r AS HUGEINT) * cents) AS s1
+  FROM rk GROUP BY 1
+)
+SELECT channel, n_units, total_cents,
+       CASE WHEN total_cents <= 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((2 * s1 - (CAST(n_units AS HUGEINT) + 1) * total_cents)
+                      * 1048576 // (CAST(n_units AS HUGEINT) * total_cents) AS BIGINT)
+       END AS gini_q20
+FROM ag
+"""
+
+# the SAME double-expression text the Spark side evaluates
+# (operators/experiments.py) — single source of truth for the formula
+from marketing_attribution_etl_framework__maef_spark.operators.experiments import (
+    _WILSON_CENTER,
+    _WILSON_HALF,
+)
+
+_ORACLE_WILSON_RATES = f"""
+WITH touch AS MATERIALIZED (
+  SELECT DISTINCT event_type AS channel, user_id
+  FROM events WHERE event_type <> 'purchase'
+),
+buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+per AS (
+  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM touch t LEFT JOIN buyers b USING (user_id) GROUP BY 1
+)
+SELECT channel, n, s,
+       CAST(floor((({_WILSON_CENTER}) - ({_WILSON_HALF})) * 1048576 + 0.5e0) AS BIGINT) AS lo_q20,
+       CAST(floor((({_WILSON_CENTER}) + ({_WILSON_HALF})) * 1048576 + 0.5e0) AS BIGINT) AS hi_q20
+FROM per
+"""
+
+_ORACLE_DID_LIFT = f"""
+WITH asg AS MATERIALIZED (
+  SELECT user_id,
+         CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|did'), 1, 15) AS BIGINT) % 2 AS INT) AS treated
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+arm AS (SELECT treated, CAST(COUNT(*) AS BIGINT) AS arm_users FROM asg GROUP BY 1),
+buys AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+cells AS (
+  SELECT a.treated, CASE WHEN b.day >= '{DID_CUTOVER}' THEN 1 ELSE 0 END AS post,
+         CAST(SUM(b.cents) AS BIGINT) AS cell_cents
+  FROM buys b JOIN asg a USING (user_id) GROUP BY 1, 2
+),
+mq AS (
+  SELECT c.treated, c.post,
+         CAST(CAST(cell_cents AS HUGEINT) * 1048576 // arm_users AS BIGINT) AS mean_q20
+  FROM cells c JOIN arm USING (treated)
+),
+flat AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN treated = 1 AND post = 0 THEN mean_q20 END), 0) AS BIGINT) AS t_pre_q20,
+         CAST(COALESCE(SUM(CASE WHEN treated = 1 AND post = 1 THEN mean_q20 END), 0) AS BIGINT) AS t_post_q20,
+         CAST(COALESCE(SUM(CASE WHEN treated = 0 AND post = 0 THEN mean_q20 END), 0) AS BIGINT) AS c_pre_q20,
+         CAST(COALESCE(SUM(CASE WHEN treated = 0 AND post = 1 THEN mean_q20 END), 0) AS BIGINT) AS c_post_q20
+  FROM mq
+)
+SELECT *, CAST((t_post_q20 - t_pre_q20) - (c_post_q20 - c_pre_q20) AS BIGINT) AS did_q20
+FROM flat
+"""
+
+_ORACLE_EWMA_FORECAST = f"""
+WITH {_DAILY_CENTS},
+dec AS MATERIALIZED (
+  SELECT t.channel, t.event_day,
+         SUM(i.cents * (CAST(1 AS BIGINT) <<
+             (7 - date_diff('day', CAST(i.event_day AS DATE), CAST(t.event_day AS DATE))))) AS num
+  FROM daily t JOIN daily i
+    ON t.channel = i.channel
+   AND CAST(i.event_day AS DATE) <= CAST(t.event_day AS DATE)
+   AND CAST(i.event_day AS DATE) >= CAST(t.event_day AS DATE) - 7
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.channel, abs(CAST(d.cents AS HUGEINT) * 255 - p.num) AS ae
+  FROM daily d JOIN dec p
+    ON p.channel = d.channel
+   AND CAST(p.event_day AS DATE) = CAST(d.event_day AS DATE) - 1
+)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(ae) * 1048576 // (CAST(COUNT(*) AS HUGEINT) * 255) AS BIGINT) AS mae_cents_q20
+FROM scored GROUP BY 1
+"""
+
+_ORACLE_SEASONAL_NAIVE = f"""
+WITH {_DAILY_CENTS},
+scored AS (
+  SELECT d.channel, abs(d.cents - p.cents) AS ae
+  FROM daily d JOIN daily p
+    ON p.channel = d.channel
+   AND CAST(p.event_day AS DATE) = CAST(d.event_day AS DATE) - 7
+)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(ae) AS BIGINT) AS sum_abs_err_cents,
+       CAST(CAST(SUM(ae) AS HUGEINT) * 1048576 // COUNT(*) AS BIGINT) AS mae_cents_q20
+FROM scored GROUP BY 1
+"""
+
+_ORACLE_REL_GROUPING_SETS = """
+WITH rev AS MATERIALIZED (
+  SELECT n.n_name,
+         CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS oyear,
+         CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT n_name, oyear,
+       CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+       CAST(GROUPING(oyear) AS BIGINT) AS g_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM rev GROUP BY GROUPING SETS ((n_name), (oyear), ())
+"""
+
+_ORACLE_SKYLINE_DAYS = """
+WITH per AS MATERIALIZED (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(SUM(CASE WHEN event_type <> 'purchase'
+                       THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS cost_cents,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev_cents
+  FROM events GROUP BY 1
+)
+SELECT day, cost_cents, rev_cents
+FROM per p
+WHERE NOT EXISTS (
+  SELECT 1 FROM per q
+  WHERE q.cost_cents <= p.cost_cents AND q.rev_cents >= p.rev_cents
+    AND (q.cost_cents < p.cost_cents OR q.rev_cents > p.rev_cents)
+)
+"""
+
+_ORACLE_LABEL_PROPAGATION = """
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem
+),
+capped AS MATERIALIZED (
+  SELECT i.* FROM items i
+  JOIN (SELECT okey FROM items GROUP BY okey HAVING COUNT(*) <= 8) s USING (okey)
+),
+pairs AS MATERIALIZED (
+  SELECT a.item AS a, b.item AS b
+  FROM capped a JOIN capped b ON a.okey = b.okey AND a.item < b.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+bidir AS MATERIALIZED (
+  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM bidir),
+n1 AS (
+  SELECT t.a AS node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bidir t JOIN l0 l ON l.node = t.b GROUP BY 1, 2
+),
+l1 AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rk
+    FROM n1) WHERE rk = 1
+),
+n2 AS (
+  SELECT t.a AS node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bidir t JOIN l1 l ON l.node = t.b GROUP BY 1, 2
+),
+l2 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rk
+    FROM n2) WHERE rk = 1
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label FROM l2
+"""
+
+_ORACLE_BIGRAM_SURPRISAL = f"""
+WITH {_NORM_RAW},
+d AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM nd),
+pr AS MATERIALIZED (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM d, unnest(range(1, len(ws))) AS t(i)
+),
+uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM pr GROUP BY 1),
+bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM pr GROUP BY 1, 2),
+voc AS (
+  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+  FROM (SELECT unnest(ws) AS w FROM d) WHERE w <> ''
+)
+SELECT pr.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(LENGTH(bin((c1 + v) // (c12 + 1))) - 1) AS BIGINT) AS surprisal_bits
+FROM pr JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN voc
+GROUP BY 1
+"""
+
+_ORACLE_TEMPERATURE_MIX = """
+WITH per AS MATERIALIZED (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+m AS (SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS _m FROM per),
+t AS (SELECT SUM(_m) AS s FROM m),
+b AS MATERIALIZED (
+  SELECT source, n_docs, n_tokens,
+         CAST(floor(_m / t.s * 1048576 + 0.5e0) AS BIGINT) AS share_q20,
+         CAST(floor(1000000e0 * _m / t.s) AS BIGINT) AS _base,
+         1000000e0 * _m / t.s - floor(1000000e0 * _m / t.s) AS _frac
+  FROM m, t
+)
+SELECT source, n_docs, n_tokens, share_q20,
+       CAST(_base + CASE WHEN ROW_NUMBER() OVER (ORDER BY _frac DESC, source ASC)
+                              <= 1000000 - (SELECT SUM(_base) FROM b)
+                         THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM b
+"""
+
+_ORACLE_RANDOM_PROJECTION = """
+WITH s AS MATERIALIZED (
+  SELECT d, j,
+         CASE WHEN CAST('0x' || substr(md5(CAST(d AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+              THEN 1e0 ELSE -1e0 END AS sgn
+  FROM range(64) t1(d), range(16) t2(j)
+),
+e AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+p AS (SELECT vec_id, j, SUM(x * sgn) AS comp FROM e JOIN s USING (d) GROUP BY 1, 2)
+SELECT vec_id, CAST(j AS BIGINT) AS j,
+       CAST(floor(comp * 1048576 + 0.5e0) AS BIGINT) AS comp_q20
+FROM p
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "maef_journey_entries": _ORACLE_JOURNEY_ENTRIES,
@@ -7963,6 +8427,17 @@ def oracle_sql() -> dict[str, str]:
         # e2e DAG replay returns the identical export contract; the same
         # oracle hash-checks the whole five-stage chain
         "maef_pipeline_e2e": _ORACLE_REPORT_EXPORT,
+        "maef_gini_channel": _ORACLE_GINI_CHANNEL,
+        "maef_wilson_rates": _ORACLE_WILSON_RATES,
+        "maef_did_lift": _ORACLE_DID_LIFT,
+        "maef_ewma_forecast": _ORACLE_EWMA_FORECAST,
+        "maef_seasonal_naive": _ORACLE_SEASONAL_NAIVE,
+        "rel_grouping_sets": _ORACLE_REL_GROUPING_SETS,
+        "maef_skyline_days": _ORACLE_SKYLINE_DAYS,
+        "rel_label_propagation": _ORACLE_LABEL_PROPAGATION,
+        "llm_bigram_surprisal": _ORACLE_BIGRAM_SURPRISAL,
+        "llm_temperature_mix": _ORACLE_TEMPERATURE_MIX,
+        "llm_random_projection": _ORACLE_RANDOM_PROJECTION,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,

@@ -644,3 +644,73 @@ def systematic_weighted_sample(
         .filter(F.col("mult") > 0)
         .select(id_col, "source", "weight", "mult")
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    budget: int = 1_000_000,
+    alpha_sqrt: bool = True,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled corpus mixing: allocate a document budget
+    across sources proportionally to n_tokens^alpha (alpha = 0.5, the
+    multilingual-LM upsampling convention) instead of raw mass, then
+    Hamilton-apportion to exact integers.
+
+    Output: (source, n_docs, n_tokens, share_q20, alloc);
+    SUM(alloc) == budget exactly.
+
+    Cross-engine: token counts are exact BIGINTs; sqrt emits an
+    IRRATIONAL for any non-square input so the q20 share is stable
+    (repo float rule), and both engines evaluate the identical double
+    expression; the apportionment compares doubles only through
+    floor() and the remainder sort, deterministic on identical bits.
+
+    100-TB shape: one explode-free token count per row (size of the
+    split array), a per-source aggregate with map-side combine, then
+    all arithmetic on the BOUNDED |sources| table (unpartitioned
+    windows over that table are the bounded-grain pattern).
+    """
+    from marketing_attribution_etl_framework__maef_spark.llm.text import normalize_text, words
+
+    per = docs.groupBy(F.col(source_col).alias("src")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(words(normalize_text(F.col(text_col)))).cast("long"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    scaled = per.withColumn(
+        "_m",
+        F.expr("sqrt(cast(n_tokens as double))") if alpha_sqrt else F.col("n_tokens").cast("double"),
+    )
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ideal = (F.lit(float(budget)) * F.col("_m") / F.sum("_m").over(tot))
+    based = scaled.select(
+        "src",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            "cast(floor(_m / sum(_m) over () * 1048576 + 0.5e0) as bigint)"
+        ).alias("share_q20"),
+        F.floor(ideal).cast("long").alias("_base"),
+        (ideal - F.floor(ideal)).alias("_frac"),
+    )
+    wrk = Window.orderBy(F.desc("_frac"), F.asc("src"))
+    left = F.lit(budget).cast("long") - F.sum("_base").over(tot)
+    return (
+        based.withColumn("_rk", F.row_number().over(wrk))
+        .withColumn("_left", left)
+        .select(
+            F.col("src").alias(source_col),
+            "n_docs",
+            "n_tokens",
+            "share_q20",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_left"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
