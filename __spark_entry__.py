@@ -7292,6 +7292,43 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.random_projection(_embs(spark, sf_dir))
 
 
+def q_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L166: iterative-proportional-fitting (raking) calibration
+    weights (operators/raking.py rake_weights, 2 fixed rounds): a
+    deterministic md5-parity half-sample of channel x log2-cent-band
+    cells is raked to the FULL-population margins on both axes.  The
+    first row pass is exact (integer counts sum exactly in doubles);
+    later passes are rational products/quotients whose ulp noise q20
+    absorbs (the random-projection argument).  Oracle unrolls the
+    identical rounds stage by stage."""
+    from marketing_attribution_etl_framework__maef_spark.operators import raking as rak
+
+    ev = domain.events(spark, sf_dir).filter(F.col("event_type") != "purchase")
+    base = ev.select(
+        F.col("event_type").alias("r"),
+        F.expr("int(floor(log2(cast(round(value * 100, 0) as bigint) + 2)))").alias("c"),
+        "event_id",
+    )
+    samp = (
+        base.filter(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("event_id").cast("string"), F.lit("|rake"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0
+        )
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    rmarg = base.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("tr"))
+    cmarg = base.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("tc"))
+    return rak.rake_weights(samp, rmarg, cmarg, rounds=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r05 rotation (VERDICT r04 next-steps #1): the
@@ -7345,6 +7382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_bigram_surprisal": q_bigram_surprisal,
         "llm_temperature_mix": q_temperature_mix,
         "llm_random_projection": q_random_projection,
+        "maef_raking_ipf": q_raking_ipf,
         # --- r05 gate window part 2: stalest-green re-verify (last seen r02) ---
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
@@ -8411,6 +8449,47 @@ FROM p
 """
 
 
+_ORACLE_RAKING_IPF = """
+WITH base AS MATERIALIZED (
+  SELECT event_type AS r,
+         CAST(floor(log2(CAST(ROUND(value * 100, 0) AS BIGINT) + 2)) AS INT) AS c,
+         event_id
+  FROM events WHERE event_type <> 'purchase'
+),
+samp AS MATERIALIZED (
+  SELECT r, c, CAST(COUNT(*) AS BIGINT) AS m FROM base
+  WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|rake'), 1, 15) AS BIGINT) % 2 = 0
+  GROUP BY 1, 2
+),
+rmarg AS MATERIALIZED (SELECT r, CAST(COUNT(*) AS BIGINT) AS tr FROM base GROUP BY 1),
+cmarg AS MATERIALIZED (SELECT c, CAST(COUNT(*) AS BIGINT) AS tc FROM base GROUP BY 1),
+c0 AS MATERIALIZED (SELECT r, c, CAST(m AS DOUBLE) AS m, 1e0 AS w FROM samp),
+r1 AS (SELECT r, SUM(w * m) AS rs FROM c0 GROUP BY 1),
+c1 AS MATERIALIZED (
+  SELECT c0.r, c0.c, c0.m, c0.w * tr / rs AS w
+  FROM c0 JOIN r1 USING (r) JOIN rmarg USING (r)
+),
+s1 AS (SELECT c, SUM(w * m) AS cs FROM c1 GROUP BY 1),
+c2 AS MATERIALIZED (
+  SELECT c1.r, c1.c, c1.m, c1.w * tc / cs AS w
+  FROM c1 JOIN s1 USING (c) JOIN cmarg USING (c)
+),
+r2 AS (SELECT r, SUM(w * m) AS rs FROM c2 GROUP BY 1),
+c3 AS MATERIALIZED (
+  SELECT c2.r, c2.c, c2.m, c2.w * tr / rs AS w
+  FROM c2 JOIN r2 USING (r) JOIN rmarg USING (r)
+),
+s2 AS (SELECT c, SUM(w * m) AS cs FROM c3 GROUP BY 1),
+c4 AS (
+  SELECT c3.r, c3.c, c3.m, c3.w * tc / cs AS w
+  FROM c3 JOIN s2 USING (c) JOIN cmarg USING (c)
+)
+SELECT r, c, CAST(m AS BIGINT) AS m,
+       CAST(floor(w * 1048576 + 0.5e0) AS BIGINT) AS w_q20
+FROM c4
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "maef_journey_entries": _ORACLE_JOURNEY_ENTRIES,
@@ -8438,6 +8517,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_bigram_surprisal": _ORACLE_BIGRAM_SURPRISAL,
         "llm_temperature_mix": _ORACLE_TEMPERATURE_MIX,
         "llm_random_projection": _ORACLE_RANDOM_PROJECTION,
+        "maef_raking_ipf": _ORACLE_RAKING_IPF,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,

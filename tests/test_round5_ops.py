@@ -214,3 +214,24 @@ def test_stratified_sample_over_ask_raises(spark):
         stratified_sample(docs, k=7)
     ok = stratified_sample(docs, k=6)
     assert ok.count() == 6
+
+
+def test_rake_weights_hits_margins(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.raking import rake_weights
+
+    cells = spark.createDataFrame(
+        [("a", 0, 10), ("a", 1, 30), ("b", 0, 20), ("b", 1, 40)],
+        "r string, c int, m long",
+    )
+    rm = spark.createDataFrame([("a", 100), ("b", 100)], "r string, tr long")
+    cm = spark.createDataFrame([(0, 80), (1, 120)], "c int, tc long")
+    out = rake_weights(cells, rm, cm, rounds=8)  # extra rounds -> convergence
+    rows = out.collect()
+    w = {(r["r"], r["c"]): r["w_q20"] / (1 << 20) for r in rows}
+    m = {(r["r"], r["c"]): r["m"] for r in rows}
+    for rr, tr in (("a", 100), ("b", 100)):
+        got = sum(w[k] * m[k] for k in w if k[0] == rr)
+        assert abs(got - tr) < 0.5
+    for cc, tc in ((0, 80), (1, 120)):
+        got = sum(w[k] * m[k] for k in w if k[1] == cc)
+        assert abs(got - tc) < 0.5
