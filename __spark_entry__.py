@@ -7337,6 +7337,110 @@ def q_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rak.rake_weights(samp, rmarg, cmarg, rounds=2)
 
 
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L168: top-10 most frequent full journey CHANNEL paths with
+    deterministic (count DESC, path ASC) order — the report-level twin
+    of A7 journey_paths (which lists per-conversion session paths).
+    Ordered collect via array_sort(collect_list(struct)) — the A7
+    device; top-10 is a TakeOrdered, never a global sort."""
+    j = _journeys(spark, sf_dir)
+    paths = j.groupBy("conversion_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("event_ts", "session_id", "channel_label"))
+                ),
+                lambda s: s["channel_label"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_journeys"))
+        .orderBy(F.desc("n_journeys"), F.asc("path"))
+        .limit(10)
+    )
+
+
+def q_user_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L169: per-user channel-mix Shannon entropy (bits, q20).  The
+    per-user sum runs over <= |channels| rational terms; q20 absorbs
+    the summation-order ulp (the random-projection argument), and the
+    term expression text is shared verbatim with the oracle."""
+    ev = domain.events(spark, sf_dir).filter(F.col("event_type") != "purchase")
+    c = ev.groupBy("user_id", F.col("event_type").alias("ch")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = c.groupBy("user_id").agg(F.sum("c").cast("long").alias("n"))
+    term = F.expr("(c / cast(n as double)) * log2(cast(n as double) / c)")
+    return (
+        c.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.expr(
+                "cast(floor(sum((c / cast(n as double)) * log2(cast(n as double) / c))"
+                " * 1048576 + 0.5e0) as bigint)"
+            ).alias("entropy_q20"),
+        )
+    )
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L170: per-day peak concurrent sessions
+    (operators/concurrency.py peak_concurrency) — sweep line over the
+    L27 batch sessionizer's intervals, two-phase day-bucketed prefix
+    sum (bounded per-day offsets carry cross-midnight sessions); the
+    oracle runs the single global window over the same total order."""
+    from marketing_attribution_etl_framework__maef_spark.operators import concurrency as cc
+    from marketing_attribution_etl_framework__maef_spark.operators import sessions
+
+    sess = sessions.sessionize_batch(
+        domain.events(spark, sf_dir), gap_minutes=30, max_events=20
+    )
+    return cc.peak_concurrency(sess)
+
+
+def q_channel_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L171: pairwise Pearson correlation of daily channel spend —
+    cross-products accumulated EXACTLY in DECIMAL(38,0) (HUGEINT on
+    the oracle side), the final r assembled from those exact integers
+    by one identical double expression (correct-rounding integer ->
+    double conversion in both engines), emitted q20.  Day grain is
+    calendar-bounded; the pair join is |channels|^2 / 2 rows wide."""
+    ev = domain.events(spark, sf_dir).filter(F.col("event_type") != "purchase")
+    daily = ev.groupBy(
+        F.col("event_type").alias("ch"), F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("cents"))
+    a = daily.select(F.col("ch").alias("ch_a"), "day", F.col("cents").alias("xc"))
+    b = daily.select(F.col("ch").alias("ch_b"), "day", F.col("cents").alias("yc"))
+    j = a.join(b, "day").filter(F.col("ch_a") < F.col("ch_b"))
+    agg = j.groupBy("ch_a", "ch_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.expr("cast(xc as decimal(38,0))")).alias("sx"),
+        F.sum(F.expr("cast(yc as decimal(38,0))")).alias("sy"),
+        F.sum(F.expr("cast(xc as decimal(38,0)) * yc")).alias("sxy"),
+        F.sum(F.expr("cast(xc as decimal(38,0)) * xc")).alias("sxx"),
+        F.sum(F.expr("cast(yc as decimal(38,0)) * yc")).alias("syy"),
+    )
+    return (
+        agg.withColumn("num", F.expr("cast(n_days as decimal(38,0)) * sxy - sx * sy"))
+        .withColumn("d1", F.expr("cast(n_days as decimal(38,0)) * sxx - sx * sx"))
+        .withColumn("d2", F.expr("cast(n_days as decimal(38,0)) * syy - sy * sy"))
+        .filter("d1 > 0 and d2 > 0")
+        .select(
+            "ch_a",
+            "ch_b",
+            "n_days",
+            F.expr(
+                "cast(floor(cast(num as double) / sqrt(cast(d1 as double) * cast(d2 as double))"
+                " * 1048576 + 0.5e0) as bigint)"
+            ).alias("r_q20"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r05 rotation (VERDICT r04 next-steps #1): the
@@ -7391,6 +7495,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_temperature_mix": q_temperature_mix,
         "llm_random_projection": q_random_projection,
         "maef_raking_ipf": q_raking_ipf,
+        "maef_top_paths": q_top_paths,
+        "maef_user_mix_entropy": q_user_mix_entropy,
+        "maef_peak_concurrency": q_peak_concurrency,
+        "maef_channel_correlation": q_channel_correlation,
         # --- r05 gate window part 2: stalest-green re-verify (last seen r02) ---
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
@@ -8498,6 +8606,111 @@ FROM c4
 """
 
 
+_ORACLE_TOP_PATHS = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+paths AS (
+  SELECT conversion_id,
+         STRING_AGG(channel_label, '>' ORDER BY event_ts, session_id) AS path
+  FROM journeys GROUP BY 1
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_journeys
+FROM paths GROUP BY 1
+ORDER BY n_journeys DESC, path ASC
+LIMIT 10
+"""
+
+_ORACLE_USER_MIX_ENTROPY = """
+WITH c AS MATERIALIZED (
+  SELECT user_id, event_type AS ch, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+),
+tot AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1)
+SELECT c.user_id,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(floor(sum((c / CAST(n AS DOUBLE)) * log2(CAST(n AS DOUBLE) / c))
+            * 1048576 + 0.5e0) AS BIGINT) AS entropy_q20
+FROM c JOIN tot USING (user_id)
+GROUP BY 1
+"""
+
+_ORACLE_PEAK_CONCURRENCY = """
+WITH base AS (
+  SELECT user_id, ts, event_id AS tb, event_type AS channel_name
+  FROM events WHERE event_type <> 'purchase'
+),
+lagged AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, tb) AS prev_ts
+  FROM base
+),
+brk AS (
+  SELECT *, CASE WHEN prev_ts IS NULL THEN 0
+                 WHEN epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+                 THEN 1 ELSE 0 END AS b
+  FROM lagged
+),
+g AS (
+  SELECT *, SUM(b) OVER (PARTITION BY user_id ORDER BY ts, tb
+                         ROWS UNBOUNDED PRECEDING) AS gs
+  FROM brk
+),
+sub AS (
+  SELECT *, CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY user_id, gs
+                                           ORDER BY ts, tb) - 1) / 20.0)
+                 AS BIGINT) AS sb
+  FROM g
+),
+sess AS MATERIALIZED (
+  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM sub GROUP BY user_id, gs, sb
+),
+bd AS (
+  SELECT session_start AS ts, 1 AS delta, user_id AS u FROM sess
+  UNION ALL
+  SELECT session_end AS ts, -1 AS delta, user_id AS u FROM sess
+),
+cum AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, delta,
+         SUM(delta) OVER (ORDER BY ts ASC, delta DESC, u ASC
+                          ROWS UNBOUNDED PRECEDING) AS c
+  FROM bd
+)
+SELECT day, CAST(MAX(c) AS BIGINT) AS peak,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+FROM cum GROUP BY 1
+"""
+
+_ORACLE_CHANNEL_CORRELATION = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type AS ch, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+),
+j AS (
+  SELECT a.ch AS ch_a, b.ch AS ch_b, a.cents AS xc, b.cents AS yc
+  FROM daily a JOIN daily b ON a.day = b.day AND a.ch < b.ch
+),
+agg AS (
+  SELECT ch_a, ch_b, CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(CAST(xc AS HUGEINT)) AS sx, SUM(CAST(yc AS HUGEINT)) AS sy,
+         SUM(CAST(xc AS HUGEINT) * yc) AS sxy,
+         SUM(CAST(xc AS HUGEINT) * xc) AS sxx,
+         SUM(CAST(yc AS HUGEINT) * yc) AS syy
+  FROM j GROUP BY 1, 2
+),
+m AS (
+  SELECT ch_a, ch_b, n_days,
+         CAST(n_days AS HUGEINT) * sxy - sx * sy AS num,
+         CAST(n_days AS HUGEINT) * sxx - sx * sx AS d1,
+         CAST(n_days AS HUGEINT) * syy - sy * sy AS d2
+  FROM agg
+)
+SELECT ch_a, ch_b, n_days,
+       CAST(floor(CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))
+            * 1048576 + 0.5e0) AS BIGINT) AS r_q20
+FROM m WHERE d1 > 0 AND d2 > 0
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "maef_journey_entries": _ORACLE_JOURNEY_ENTRIES,
@@ -8526,6 +8739,10 @@ def oracle_sql() -> dict[str, str]:
         "llm_temperature_mix": _ORACLE_TEMPERATURE_MIX,
         "llm_random_projection": _ORACLE_RANDOM_PROJECTION,
         "maef_raking_ipf": _ORACLE_RAKING_IPF,
+        "maef_top_paths": _ORACLE_TOP_PATHS,
+        "maef_user_mix_entropy": _ORACLE_USER_MIX_ENTROPY,
+        "maef_peak_concurrency": _ORACLE_PEAK_CONCURRENCY,
+        "maef_channel_correlation": _ORACLE_CHANNEL_CORRELATION,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,

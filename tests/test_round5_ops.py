@@ -235,3 +235,79 @@ def test_rake_weights_hits_margins(spark):
     for cc, tc in ((0, 80), (1, 120)):
         got = sum(w[k] * m[k] for k in w if k[1] == cc)
         assert abs(got - tc) < 0.5
+
+
+def test_peak_concurrency_sweep(spark):
+    import datetime as dt
+
+    d = dt.datetime
+    iv = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1, 10, 0), d(2024, 1, 1, 11, 0)),
+            (2, d(2024, 1, 1, 10, 30), d(2024, 1, 1, 12, 0)),
+            (3, d(2024, 1, 1, 10, 45), d(2024, 1, 1, 10, 50)),
+            (4, d(2024, 1, 1, 23, 0), d(2024, 1, 2, 1, 0)),  # crosses midnight
+            (5, d(2024, 1, 2, 0, 30), d(2024, 1, 2, 0, 40)),
+        ],
+        "user_id long, session_start timestamp, session_end timestamp",
+    )
+    from marketing_attribution_etl_framework__maef_spark.operators.concurrency import peak_concurrency
+
+    out = {r["day"]: r for r in peak_concurrency(iv).collect()}
+    assert out["2024-01-01"]["peak"] == 3  # users 1,2,3 overlap at 10:45
+    assert out["2024-01-01"]["n_starts"] == 4
+    # day 2 carries user 4 over midnight: peak = carried 1 + user 5
+    assert out["2024-01-02"]["peak"] == 2
+    assert out["2024-01-02"]["n_starts"] == 1
+
+
+def test_peak_concurrency_zero_length_session(spark):
+    import datetime as dt
+
+    iv = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0), dt.datetime(2024, 1, 1, 10, 0))],
+        "user_id long, session_start timestamp, session_end timestamp",
+    )
+    from marketing_attribution_etl_framework__maef_spark.operators.concurrency import peak_concurrency
+
+    # closed-interval semantics: the instantaneous session still peaks at 1
+    assert peak_concurrency(iv).first()["peak"] == 1
+
+
+def test_channel_correlation_perfect(spark):
+    # construct perfectly correlated and anti-correlated channel pairs
+    import __spark_entry__ as e  # noqa: F401  (query uses domain; test the math inline)
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i, (x, y, z) in enumerate([(1, 2, 5), (2, 4, 4), (3, 6, 3), (4, 8, 2)]):
+        rows += [("a", f"2024-01-0{i+1}", x), ("b", f"2024-01-0{i+1}", y), ("c", f"2024-01-0{i+1}", z)]
+    daily = spark.createDataFrame(rows, "ch string, day string, cents long")
+    a = daily.select(F.col("ch").alias("ch_a"), "day", F.col("cents").alias("xc"))
+    b = daily.select(F.col("ch").alias("ch_b"), "day", F.col("cents").alias("yc"))
+    j = a.join(b, "day").filter(F.col("ch_a") < F.col("ch_b"))
+    agg = j.groupBy("ch_a", "ch_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.expr("cast(xc as decimal(38,0))")).alias("sx"),
+        F.sum(F.expr("cast(yc as decimal(38,0))")).alias("sy"),
+        F.sum(F.expr("cast(xc as decimal(38,0)) * yc")).alias("sxy"),
+        F.sum(F.expr("cast(xc as decimal(38,0)) * xc")).alias("sxx"),
+        F.sum(F.expr("cast(yc as decimal(38,0)) * yc")).alias("syy"),
+    )
+    out = (
+        agg.withColumn("num", F.expr("cast(n_days as decimal(38,0)) * sxy - sx * sy"))
+        .withColumn("d1", F.expr("cast(n_days as decimal(38,0)) * sxx - sx * sx"))
+        .withColumn("d2", F.expr("cast(n_days as decimal(38,0)) * syy - sy * sy"))
+        .select(
+            "ch_a",
+            "ch_b",
+            F.expr(
+                "cast(floor(cast(num as double) / sqrt(cast(d1 as double) * cast(d2 as double))"
+                " * 1048576 + 0.5e0) as bigint)"
+            ).alias("r_q20"),
+        )
+        .collect()
+    )
+    r = {(x["ch_a"], x["ch_b"]): x["r_q20"] for x in out}
+    assert r[("a", "b")] == Q          # r = +1 exactly
+    assert r[("a", "c")] == -Q         # r = -1 exactly
