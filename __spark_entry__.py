@@ -3315,69 +3315,6 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle SQL (DuckDB dialect) — same computations, same aliases
 # ---------------------------------------------------------------------------
 
-_ORACLE_JOURNEY_ENTRIES = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS}
-SELECT conversion_id, session_id,
-       strftime(event_ts, '%Y-%m-%d %H:%M:%S') AS timestamp,
-       channel_label, holder_engagement, closer_engagement,
-       CASE WHEN event_ts = conv_ts THEN 1 ELSE 0 END AS conversion,
-       impression_interaction
-FROM journeys
-"""
-
-_ORACLE_ATTR_LINEAR = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS}
-SELECT conversion_id AS conv_id, session_id,
-       1.0 / COUNT(*) OVER (PARTITION BY conversion_id) AS ihc
-FROM journeys
-"""
-
-_ORACLE_ATTR_LAST = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS}
-SELECT conversion_id AS conv_id, session_id,
-       CASE WHEN ROW_NUMBER() OVER w = COUNT(*) OVER (PARTITION BY conversion_id)
-            THEN 1.0 ELSE 0.0 END AS ihc
-FROM journeys
-WINDOW w AS (PARTITION BY conversion_id ORDER BY event_ts, session_id)
-"""
-
-_ORACLE_ATTR_FIRST = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS}
-SELECT conversion_id AS conv_id, session_id,
-       CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1.0 ELSE 0.0 END AS ihc
-FROM journeys
-WINDOW w AS (PARTITION BY conversion_id ORDER BY event_ts, session_id)
-"""
-
-_ORACLE_ATTR_U = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS}
-SELECT conversion_id AS conv_id, session_id,
-       CASE WHEN n = 1 THEN 1.0
-            WHEN n = 2 THEN 0.5
-            WHEN rn = 1 THEN 0.4
-            WHEN rn = n THEN 0.4
-            ELSE 0.2 / (n - 2) END AS ihc
-FROM (
-  SELECT conversion_id, session_id,
-         ROW_NUMBER() OVER (PARTITION BY conversion_id ORDER BY event_ts, session_id) AS rn,
-         COUNT(*) OVER (PARTITION BY conversion_id) AS n
-  FROM journeys
-)
-"""
-
-_ORACLE_ATTR_DECAY = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS},
-weighted AS (
-  SELECT conversion_id, session_id,
-         POWER(2.0, -((epoch_us(conv_ts) - epoch_us(event_ts)) / 1e6 / 86400.0) / 7.0) AS w
-  FROM journeys
-)
-SELECT conversion_id AS conv_id, session_id,
-       ROUND(CASE WHEN SUM(w) OVER (PARTITION BY conversion_id) > 0
-             THEN w / SUM(w) OVER (PARTITION BY conversion_id)
-             ELSE 1.0 / COUNT(*) OVER (PARTITION BY conversion_id) END, 6) AS ihc
-FROM weighted
-"""
 
 # shared IHC raw-weight CTEs (mirrors operators/attribution.py:attribute_ihc
 # default IHCParams: initializer 0.3 / holder 0.3 / closer 0.4)
@@ -3405,406 +3342,9 @@ ihc_raw AS (
   FROM ihc_base
 )"""
 
-_ORACLE_ATTR_IHC = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS}, {_IHC_RAW}
-SELECT conversion_id AS conv_id, session_id,
-       CAST(FLOOR((CASE WHEN SUM(raw_w) OVER pw > 0
-                        THEN raw_w / SUM(raw_w) OVER pw
-                        ELSE 1.0 / n END) * 1048576.0 + 0.5) AS BIGINT) AS ihc_q20
-FROM ihc_raw
-WINDOW pw AS (PARTITION BY conversion_id)
-"""
-
-_ORACLE_ATTR_IHC_REDIST = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS}, {_IHC_RAW},
-kept AS (
-  SELECT *, (channel_label NOT IN ('view')) AND (raw_w >= 0.05) AS keep
-  FROM ihc_raw
-),
-redist AS (
-  SELECT conversion_id, session_id, n,
-         CASE WHEN SUM(CASE WHEN keep THEN raw_w ELSE 0.0 END) OVER pw > 0
-              THEN CASE WHEN keep THEN raw_w ELSE 0.0 END
-              ELSE raw_w END AS raw2
-  FROM kept
-  WINDOW pw AS (PARTITION BY conversion_id)
-)
-SELECT conversion_id AS conv_id, session_id,
-       CAST(FLOOR((CASE WHEN SUM(raw2) OVER pw > 0
-                        THEN raw2 / SUM(raw2) OVER pw
-                        ELSE 1.0 / n END) * 1048576.0 + 0.5) AS BIGINT) AS ihc_q20
-FROM redist
-WINDOW pw AS (PARTITION BY conversion_id)
-"""
-
-_ORACLE_ATTR_IHC_DIR = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS}, {_IHC_RAW},
-dirw AS (
-  SELECT b.conversion_id, b.session_id, b.n, b.rn, r.raw_w,
-         (b.channel_label NOT IN ('view')) AS keep
-  FROM ihc_base b
-  JOIN ihc_raw r ON b.conversion_id = r.conversion_id AND b.session_id = r.session_id
-),
-stage AS (
-  SELECT *,
-         CASE WHEN keep THEN raw_w ELSE 0.0 END AS kept_w,
-         CASE WHEN NOT keep THEN raw_w ELSE 0.0 END AS lost_w
-  FROM dirw
-),
-stage2 AS (
-  SELECT *,
-         COALESCE(SUM(kept_w) OVER (PARTITION BY conversion_id ORDER BY rn
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS elig
-  FROM stage
-),
-stage3 AS (
-  SELECT *, CASE WHEN lost_w > 0 AND elig > 0 THEN lost_w / elig ELSE 0.0 END AS ratio
-  FROM stage2
-),
-stage4 AS (
-  SELECT *,
-         COALESCE(SUM(ratio) OVER (PARTITION BY conversion_id ORDER BY rn
-                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0.0) AS gainf
-  FROM stage3
-),
-final AS (
-  SELECT conversion_id, session_id, n,
-         kept_w * (1.0 + gainf)
-         + CASE WHEN lost_w > 0 AND elig <= 0 THEN lost_w ELSE 0.0 END AS raw2
-  FROM stage4
-)
-SELECT conversion_id AS conv_id, session_id,
-       CAST(FLOOR((CASE WHEN SUM(raw2) OVER pw > 0
-                        THEN raw2 / SUM(raw2) OVER pw
-                        ELSE 1.0 / n END) * 1048576.0 + 0.5) AS BIGINT) AS ihc_q20
-FROM final
-WINDOW pw AS (PARTITION BY conversion_id)
-"""
-
-_ORACLE_JOURNEY_PATHS = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS}
-SELECT conversion_id, COUNT(*) AS n_sessions,
-       string_agg(session_id, ',' ORDER BY event_ts, session_id) AS path
-FROM journeys
-GROUP BY conversion_id
-"""
-
-_ORACLE_CHUNKS = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS},
-grouped AS (
-  SELECT conversion_id, COUNT(*) AS n_sessions FROM journeys GROUP BY 1
-),
-staged AS (
-  SELECT conversion_id, n_sessions,
-         CAST(FLOOR(COALESCE(SUM(GREATEST(n_sessions, 1)) OVER
-           (ORDER BY conversion_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           / 2750) AS BIGINT) AS s_id
-  FROM grouped
-)
-SELECT conversion_id, n_sessions,
-       s_id * 2751
-         + CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY s_id ORDER BY conversion_id) - 1)
-                      / 85) AS BIGINT) AS chunk_id
-FROM staged
-"""
-
-_ORACLE_REPORT_REPLICATE = f"""
-WITH {_CONV}, {_SESS}, {_COSTS}, {_JOURNEYS},
-attribution AS (
-  SELECT conversion_id AS conv_id, session_id,
-         1.0 / COUNT(*) OVER (PARTITION BY conversion_id) AS ihc
-  FROM journeys
-),
-ar_agg AS (
-  SELECT ss.channel_name,
-         strftime(ss.event_ts, '%Y-%m-%d') AS date,
-         SUM(a.ihc) AS s_ihc,
-         SUM(c.revenue * a.ihc) AS s_rev,
-         COUNT(*) AS n_ar
-  FROM attribution a
-  JOIN sess ss ON a.session_id = ss.session_id
-  JOIN conv c ON a.conv_id = c.conv_id
-  WHERE ss.channel_name IS NOT NULL AND ss.channel_name <> ''
-  GROUP BY 1, 2
-),
-cc_agg AS (
-  SELECT COALESCE(NULLIF(ss.channel_name, ''), 'unknown') AS channel_name,
-         strftime(ss.event_ts, '%Y-%m-%d') AS date,
-         SUM(COALESCE(co.cost, 0)) AS s_cost,
-         COUNT(*) AS n_cc
-  FROM sess ss LEFT JOIN costs co ON ss.session_id = co.session_id
-  GROUP BY 1, 2
-),
-rep AS (
-  SELECT ar.channel_name, ar.date,
-         COALESCE(cc.s_cost, 0) * ar.n_ar AS cost,
-         ar.s_ihc * COALESCE(cc.n_cc, 1) AS ihc,
-         ar.s_rev * COALESCE(cc.n_cc, 1) AS ihc_revenue
-  FROM ar_agg ar LEFT JOIN cc_agg cc
-    ON ar.channel_name = cc.channel_name AND ar.date = cc.date
-  WHERE ar.channel_name <> 'unknown'
-    AND ar.date >= (SELECT MIN(strftime(conv_ts, '%Y-%m-%d')) FROM conv)
-)
-SELECT channel_name, date, ROUND(cost, 4) AS cost, ROUND(ihc, 4) AS ihc,
-       ROUND(ihc_revenue, 4) AS ihc_revenue
-FROM rep
-"""
-
-_ORACLE_LOADER_ROUNDTRIP = _ORACLE_ATTR_LINEAR  # loader must reproduce it exactly
-
-_ORACLE_DATE_WINDOW = f"""
-WITH {_CONV}, {_SESS},
-journeys AS (
-  SELECT c.conv_id AS conversion_id, c.conv_ts
-  FROM conv c JOIN sess s ON c.user_id = s.user_id
-  WHERE s.event_ts <= c.conv_ts
-    AND s.event_ts >= c.conv_ts - INTERVAL {LOOKBACK_DAYS} DAY
-    AND CAST(c.conv_ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-02-10'
-    AND CAST(s.event_ts AS DATE) BETWEEN DATE '2024-01-10' - 30 AND DATE '2024-02-10'
-)
-SELECT strftime(conv_ts, '%Y-%m-%d') AS conv_date,
-       COUNT(*) AS n_rows,
-       COUNT(DISTINCT conversion_id) AS n_convs
-FROM journeys
-GROUP BY 1
-"""
-
-_ORACLE_CLEANING = """
-WITH dirty AS (
-  SELECT CASE WHEN event_id % 7 = 0 THEN '' ELSE event_type END AS ch,
-         CASE WHEN event_id % 5 = 0 THEN CAST('NaN' AS DOUBLE)
-              WHEN event_id % 5 = 1 THEN CAST('Infinity' AS DOUBLE)
-              WHEN event_id % 5 = 2 THEN CAST('-Infinity' AS DOUBLE)
-              ELSE value END AS v
-  FROM events
-),
-cleaned AS (
-  SELECT COALESCE(NULLIF(ch, ''), 'unknown') AS channel_name,
-         CASE WHEN isnan(v) OR v = CAST('Infinity' AS DOUBLE)
-                   OR v = CAST('-Infinity' AS DOUBLE)
-              THEN 0.0 ELSE v END AS v
-  FROM dirty
-)
-SELECT channel_name, COUNT(*) AS n_rows,
-       CAST(SUM(CAST(ROUND(v * 100, 0) AS BIGINT)) AS BIGINT) AS total_value_cents
-FROM cleaned
-GROUP BY 1
-"""
-
-_ORACLE_STREAM_JOURNEY = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS}
-SELECT conversion_id, session_id FROM journeys
-"""
-
-_ORACLE_STREAM_VOLUME = """
-SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-       event_type AS channel_name,
-       CAST(COUNT(*) AS BIGINT) AS n_sessions,
-       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_value_cents
-FROM events WHERE event_type <> 'purchase'
-GROUP BY 1, 2
-"""
-
-_ORACLE_WAREHOUSE = f"""
-WITH {_CONV}, {_SESS}, {_COSTS}, {_JOURNEYS},
-cs AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-         CAST(SUM(CAST(ROUND(cost * 1000, 0) AS BIGINT)) AS BIGINT) AS metric
-  FROM costs
-),
-je AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-         CAST(SUM(CASE WHEN event_ts = conv_ts THEN 1 ELSE 0 END) AS BIGINT) AS metric
-  FROM journeys
-)
-SELECT 'parquet' AS fmt, n_rows, metric FROM cs
-UNION ALL SELECT 'csv', n_rows, metric FROM cs
-UNION ALL SELECT 'json', n_rows, metric FROM cs
-UNION ALL SELECT 'journey_json', n_rows, metric FROM je
-"""
-
-_ORACLE_ROLLING = """
-WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS es FROM events)
-SELECT event_id, user_id,
-       CAST(COUNT(*) OVER wr AS BIGINT) AS n_window,
-       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER wr AS BIGINT) AS value_cents_window,
-       CAST(COALESCE(es - LAG(es) OVER wl, -1) AS BIGINT) AS usecs_since_prev
-FROM e
-WINDOW wr AS (PARTITION BY user_id ORDER BY es
-              RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW),
-       wl AS (PARTITION BY user_id ORDER BY es, event_id)
-"""
-
-_ORACLE_ROLLUP = """
-SELECT COALESCE(channel_name, 'ALL') AS channel_name,
-       COALESCE(day, 'ALL') AS day,
-       CAST(COUNT(*) AS BIGINT) AS n_sessions,
-       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_value_cents,
-       CAST(GROUPING(channel_name) * 2 + GROUPING(day) AS BIGINT) AS gid
-FROM (SELECT event_type AS channel_name, strftime(ts, '%Y-%m-%d') AS day, value
-      FROM events WHERE event_type <> 'purchase')
-GROUP BY ROLLUP (channel_name, day)
-"""
-
-_ORACLE_PIVOT = """
-SELECT event_type AS channel_name,
-       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '01' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m01,
-       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '02' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m02,
-       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '03' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m03,
-       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '04' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m04,
-       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '05' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m05,
-       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '06' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m06,
-       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '07' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m07,
-       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '08' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m08,
-       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '09' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m09,
-       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '10' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m10,
-       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '11' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m11,
-       COALESCE(CAST(SUM(CASE WHEN strftime(ts, '%m') = '12' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT), CAST(0 AS BIGINT)) AS m12
-FROM events WHERE event_type <> 'purchase'
-GROUP BY event_type
-"""
-
-_ORACLE_PROPS_STATS = """
-WITH p AS (
-  SELECT event_type AS channel_name,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-  FROM events
-)
-SELECT channel_name,
-       CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(COUNT(k) AS BIGINT) AS n_parsed,
-       CAST(SUM(k) AS BIGINT) AS sum_k,
-       CAST(MIN(k) AS BIGINT) AS min_k,
-       CAST(MAX(k) AS BIGINT) AS max_k,
-       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
-FROM p GROUP BY channel_name
-"""
-
-_ORACLE_ATTR_STATS = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS},
-lt AS (
-  SELECT conversion_id AS conv_id, session_id,
-         CASE WHEN ROW_NUMBER() OVER w = COUNT(*) OVER (PARTITION BY conversion_id)
-              THEN 1.0 ELSE 0.0 END AS ihc
-  FROM journeys
-  WINDOW w AS (PARTITION BY conversion_id ORDER BY event_ts, session_id)
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CASE WHEN ihc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
-       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
-       CAST(SUM(CAST(FLOOR(ihc * 1048576 + 0.5) AS BIGINT)) AS BIGINT)
-         AS total_ihc_q20
-FROM lt
-"""
 
 _ASOF_TOL_US = LOOKBACK_DAYS * 86400 * 1_000_000
 
-# independent cross-check: DuckDB's NATIVE ASOF JOIN vs the Spark
-# union-and-carry window formulation — two genuinely different
-# algorithms must produce the same matches.
-_ORACLE_SESSION_ASOF = f"""
-WITH {_CONV}, {_SESS},
-s1 AS (
-  SELECT user_id, event_ts, MAX(CAST(session_id AS BIGINT)) AS sid
-  FROM sess GROUP BY user_id, event_ts
-),
-m AS (
-  SELECT c.conv_id, c.conv_ts, s.sid, s.event_ts
-  FROM conv c ASOF LEFT JOIN s1 s
-    ON c.user_id = s.user_id AND s.event_ts <= c.conv_ts
-)
-SELECT conv_id,
-       COALESCE(CASE WHEN event_ts IS NOT NULL
-             AND epoch_us(conv_ts) - epoch_us(event_ts) <= {_ASOF_TOL_US}
-            THEN CAST(sid AS VARCHAR) END, '') AS session_id,
-       COALESCE(CASE WHEN event_ts IS NOT NULL
-             AND epoch_us(conv_ts) - epoch_us(event_ts) <= {_ASOF_TOL_US}
-            THEN epoch_us(conv_ts) - epoch_us(event_ts) END, -1) AS gap_us
-FROM m
-"""
-
-_ORACLE_SESSION_ASOF_FWD = f"""
-WITH {_CONV}, {_SESS},
-c1 AS (
-  SELECT user_id, conv_ts, MAX(CAST(conv_id AS BIGINT)) AS cid
-  FROM conv GROUP BY user_id, conv_ts
-),
-m AS (
-  SELECT s.session_id, s.event_ts, c.cid, c.conv_ts
-  FROM sess s ASOF LEFT JOIN c1 c
-    ON s.user_id = c.user_id AND c.conv_ts >= s.event_ts
-)
-SELECT session_id,
-       COALESCE(CAST(cid AS VARCHAR), '') AS conv_id,
-       COALESCE(epoch_us(conv_ts) - epoch_us(event_ts), -1) AS wait_us
-FROM m
-"""
-
-_ORACLE_SESSIONIZE = """
-WITH base AS (
-  SELECT user_id, ts, event_id AS tb, event_type AS channel_name
-  FROM events WHERE event_type <> 'purchase'
-),
-lagged AS (
-  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, tb) AS prev_ts
-  FROM base
-),
-brk AS (
-  SELECT *, CASE WHEN prev_ts IS NULL THEN 0
-                 WHEN epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
-                 THEN 1 ELSE 0 END AS b
-  FROM lagged
-),
-g AS (
-  SELECT *, SUM(b) OVER (PARTITION BY user_id ORDER BY ts, tb
-                         ROWS UNBOUNDED PRECEDING) AS gs
-  FROM brk
-),
-sub AS (
-  SELECT *, CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY user_id, gs
-                                           ORDER BY ts, tb) - 1) / 20.0)
-                 AS BIGINT) AS sb
-  FROM g
-)
-SELECT user_id,
-       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       STRING_AGG(channel_name, ',' ORDER BY ts, tb) AS channels
-FROM sub GROUP BY user_id, gs, sb
-"""
-
-# L97 native session_window: pure gap sessions (no cap) — the same
-# prefix-sum SQL without the sub-split, proving the Spark-native
-# merging session aggregate against an algorithmically different
-# formulation.
-_ORACLE_SESSIONIZE_NATIVE = """
-WITH base AS (
-  SELECT user_id, ts, event_id AS tb, event_type AS channel_name
-  FROM events WHERE event_type <> 'purchase'
-),
-lagged AS (
-  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, tb) AS prev_ts
-  FROM base
-),
-brk AS (
-  SELECT *, CASE WHEN prev_ts IS NULL THEN 0
-                 WHEN epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
-                 THEN 1 ELSE 0 END AS b
-  FROM lagged
-),
-g AS (
-  SELECT *, SUM(b) OVER (PARTITION BY user_id ORDER BY ts, tb
-                         ROWS UNBOUNDED PRECEDING) AS gs
-  FROM brk
-)
-SELECT user_id,
-       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       STRING_AGG(channel_name, ',' ORDER BY ts, tb) AS channels
-FROM g GROUP BY user_id, gs
-"""
 
 # shared daily channel-revenue grain for the r04 time-series oracles
 _DAILY_CENTS = """
@@ -3814,512 +3354,11 @@ daily AS (
   FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
 )"""
 
-# L98 median/MAD outliers: PERCENTILE_DISC mirrored as the identical
-# rank-window formulation (operators/quantiles.py percentile_disc:
-# the row whose row_number equals ceil(p * n); 0.5 * n is an exact
-# binary product so ceil is deterministic in both engines).
-_ORACLE_ANOMALY_MAD = f"""
-WITH {_DAILY_CENTS},
-rmed AS (
-  SELECT channel, cents,
-         ROW_NUMBER() OVER (PARTITION BY channel ORDER BY cents) AS rn,
-         COUNT(*) OVER (PARTITION BY channel) AS n
-  FROM daily
-),
-med AS (SELECT channel, cents AS med FROM rmed WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)),
-dev AS (
-  SELECT d.channel, d.event_day, d.cents, m.med,
-         ABS(d.cents - m.med) AS dv
-  FROM daily d JOIN med m USING (channel)
-),
-rmad AS (
-  SELECT channel, dv,
-         ROW_NUMBER() OVER (PARTITION BY channel ORDER BY dv) AS rn,
-         COUNT(*) OVER (PARTITION BY channel) AS n
-  FROM dev
-),
-mad AS (SELECT channel, dv AS mad FROM rmad WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT))
-SELECT d.channel, d.event_day, d.cents,
-       CAST(d.med AS BIGINT) AS median_cents,
-       CAST(a.mad AS BIGINT) AS mad_cents,
-       CAST(CASE WHEN d.dv > 3 * a.mad THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
-FROM dev d JOIN mad a USING (channel)
-"""
-
-# L99 decayed daily sum: dyadic weights 2^(20-d) over a 21-day
-# horizon — exact integer arithmetic mirroring
-# operators/timeseries.py decayed_daily_sum.
-_ORACLE_CHANNEL_DECAY = f"""
-WITH {_DAILY_CENTS}
-SELECT t.channel, t.event_day,
-       CAST(MAX(CASE WHEN i.event_day = t.event_day THEN i.cents END) AS BIGINT) AS cents,
-       CAST(SUM(i.cents * (CAST(1 AS BIGINT) <<
-            (20 - date_diff('day', CAST(i.event_day AS DATE), CAST(t.event_day AS DATE)))))
-            AS BIGINT) AS decay_cents_q20
-FROM daily t JOIN daily i
-  ON t.channel = i.channel
- AND CAST(i.event_day AS DATE) <= CAST(t.event_day AS DATE)
- AND CAST(i.event_day AS DATE) >= CAST(t.event_day AS DATE) - 20
-GROUP BY 1, 2
-"""
-
-# L100 TPC-H Q3 shape (_REV_E4 inlined: that fragment is defined
-# further down the module)
-_ORACLE_REL_SHIPPING = """
-SELECT l.l_orderkey AS orderkey,
-       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
-                * CAST(100 - ROUND(l.l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
-       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
-       o.o_orderpriority
-FROM lineitem l
-JOIN orders o   ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-WHERE c.c_mktsegment = 'BUILDING'
-  AND CAST(o.o_orderdate AS DATE) <  DATE '1996-07-01'
-  AND CAST(l.l_shipdate  AS DATE) >  DATE '1996-07-01'
-GROUP BY 1, 3, 4
-ORDER BY revenue_e4 DESC, orderdate ASC, orderkey ASC
-LIMIT 10
-"""
-
-# L101 TPC-H Q16 shape (supplier-part pairs from lineitem; NOT IN
-# exclusion of negative-balance suppliers)
-_ORACLE_REL_PARTS_SUPPLIER = """
-SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
-       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
-FROM lineitem l
-JOIN part p ON l.l_partkey = p.p_partkey
-WHERE p.p_size IN (1, 14, 23, 36, 49)
-  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-GROUP BY 1, 2
-"""
-
-# L102 TPC-H Q18 shape
-_ORACLE_REL_BIG_SPENDERS = """
-WITH big AS (
-  SELECT l_orderkey,
-         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS total_qty
-  FROM lineitem GROUP BY 1 HAVING total_qty > 300
-)
-SELECT c.c_name,
-       o.o_orderkey AS orderkey,
-       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
-       CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS totalprice_cents,
-       b.total_qty
-FROM big b
-JOIN orders o   ON b.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-"""
-
-# L103 streaming dedup parity: the doubled-then-deduped stream must
-# reduce to the batch aggregate over the original unique events.
-_ORACLE_STREAM_DEDUP = """
-SELECT event_type AS channel_name,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
-       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
-FROM events GROUP BY 1
-"""
-
-# L111 GDPR purge ledger: per table, before/after counts under the
-# deterministic tombstone set, plus the must-be-zero remaining count.
-_ORACLE_USER_PURGE = f"""
-WITH {_CONV}, {_SESS},
-tomb AS (SELECT DISTINCT user_id FROM events WHERE user_id % 31 = 7)
-SELECT 'conversions' AS table_name,
-       CAST((SELECT COUNT(*) FROM conv) AS BIGINT) AS n_before,
-       CAST((SELECT COUNT(*) FROM conv
-             WHERE CAST(user_id AS BIGINT) NOT IN (SELECT user_id FROM tomb)) AS BIGINT) AS n_after,
-       CAST(0 AS BIGINT) AS n_tombstoned_remaining
-UNION ALL
-SELECT 'events',
-       CAST((SELECT COUNT(*) FROM events) AS BIGINT),
-       CAST((SELECT COUNT(*) FROM events
-             WHERE user_id NOT IN (SELECT user_id FROM tomb)) AS BIGINT),
-       CAST(0 AS BIGINT)
-UNION ALL
-SELECT 'session_sources',
-       CAST((SELECT COUNT(*) FROM sess) AS BIGINT),
-       CAST((SELECT COUNT(*) FROM sess
-             WHERE CAST(user_id AS BIGINT) NOT IN (SELECT user_id FROM tomb)) AS BIGINT),
-       CAST(0 AS BIGINT)
-"""
-
-# L120 TPC-H Q17 shape: decorrelated aggregate subquery + integer
-# cross-multiplied 20%-of-average predicate
-_ORACLE_REL_SMALL_QUANTITY = """
-WITH pq AS (
-  SELECT l_partkey,
-         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sq,
-         CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM lineitem GROUP BY 1
-)
-SELECT p.p_brand,
-       CAST(COUNT(*) AS BIGINT) AS n_items,
-       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents
-FROM lineitem l
-JOIN pq ON l.l_partkey = pq.l_partkey
-JOIN part p ON l.l_partkey = p.p_partkey
-WHERE CAST(ROUND(l.l_quantity, 0) AS BIGINT) * 5 * pq.cnt < pq.sq
-GROUP BY 1
-"""
-
-# L118 ORC round-trip: the oracle emits the straight summary twice —
-# the Spark side's ORC row must equal it bit for bit.
-_ORACLE_ORC_ROUNDTRIP = f"""
-WITH {_CONV}, {_SESS}, {_COSTS},
-s AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-         CAST(SUM(CAST(ROUND(cost * 1000, 0) AS BIGINT)) AS BIGINT) AS metric
-  FROM costs
-)
-SELECT 'orc' AS fmt, n_rows, metric FROM s
-UNION ALL
-SELECT 'parquet_direct', n_rows, metric FROM s
-"""
-
-# L113 TPC-H Q22 shape: anti-join + integer cross-multiplied
-# above-average predicate
-_ORACLE_REL_IDLE_CUSTOMERS = """
-WITH pos AS (SELECT * FROM customer WHERE c_acctbal > 0),
-stats AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS tot
-  FROM pos
-),
-recent AS (
-  SELECT DISTINCT o_custkey FROM orders
-  WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01'
-),
-idle AS (
-  SELECT p.* FROM pos p, stats s
-  WHERE p.c_custkey NOT IN (SELECT o_custkey FROM recent)
-    AND CAST(ROUND(p.c_acctbal * 100, 0) AS BIGINT) * s.n > s.tot
-)
-SELECT c_mktsegment,
-       CAST(COUNT(*) AS BIGINT) AS n_custs,
-       CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_cents
-FROM idle GROUP BY 1
-"""
-
-# L114 TPC-H Q10 shape: returned-item revenue top-20
-_ORACLE_REL_RETURNED_ITEMS = """
-WITH per AS (
-  SELECT o.o_custkey,
-         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
-                  * CAST(100 - ROUND(l.l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
-         CAST(COUNT(*) AS BIGINT) AS n_items
-  FROM lineitem l
-  JOIN orders o ON l.l_orderkey = o.o_orderkey
-  WHERE l.l_returnflag = 'R'
-    AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
-    AND CAST(o.o_orderdate AS DATE) <  DATE '1997-01-01'
-  GROUP BY 1
-  ORDER BY revenue_e4 DESC, o_custkey ASC
-  LIMIT 20
-)
-SELECT CAST(p.o_custkey AS BIGINT) AS custkey, c.c_name, p.revenue_e4, p.n_items
-FROM per p JOIN customer c ON p.o_custkey = c.c_custkey
-"""
-
-# L115 journey drop-off / survival curve
-_ORACLE_JOURNEY_DROPOFF = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS},
-lens AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS position
-  FROM journeys GROUP BY conversion_id
-),
-at AS (SELECT position, CAST(COUNT(*) AS BIGINT) AS n_ending FROM lens GROUP BY 1)
-SELECT a.position, a.n_ending,
-       CAST((SELECT SUM(b.n_ending) FROM at b WHERE b.position >= a.position) AS BIGINT) AS n_reaching
-FROM at a
-"""
-
-# L116 sketch merge law: the oracle builds the month histogram
-# DIRECTLY from raw values; the Spark side merges daily sketches —
-# equality proves mergeability.
-_ORACLE_SKETCH_MERGE_LAW = """
-WITH v AS (
-  SELECT event_type AS channel, strftime(ts, '%Y-%m') AS month,
-         CAST(ROUND(value * 100, 0) AS BIGINT) AS x
-  FROM events WHERE event_type <> 'purchase'
-),
-b AS (
-  SELECT channel, month, CAST((x >> g) << g AS BIGINT) AS bucket_lb
-  FROM (SELECT channel, month, x,
-               CASE WHEN x = 0 THEN 0
-                    WHEN length(printf('%b', x)) - 3 > 0
-                    THEN length(printf('%b', x)) - 3 ELSE 0 END AS g
-        FROM v)
-)
-SELECT channel, month, bucket_lb, CAST(COUNT(*) AS BIGINT) AS c
-FROM b GROUP BY 1, 2, 3
-"""
-
-# L117 per-user inactivity profile
-_ORACLE_USER_GAPS = """
-WITH g AS (
-  SELECT user_id,
-         COALESCE(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)), 0) AS gap
-  FROM events
-)
-SELECT user_id,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(MAX(gap) AS BIGINT) AS max_gap_usecs,
-       CAST(CASE WHEN MAX(gap) > 604800000000 THEN 1 ELSE 0 END AS BIGINT) AS reactivated
-FROM g GROUP BY 1
-"""
-
-# L112 bloom-pruned semi join: the sketch is semantically transparent
-# (no false negatives; false positives removed by the exact semi
-# join), so the oracle is the PLAIN semi join.
-_ORACLE_BLOOM_PRUNED_JOIN = """
-SELECT strftime(ts, '%Y-%m-%d') AS day,
-       CAST(COUNT(*) AS BIGINT) AS n_purchases,
-       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
-FROM events
-WHERE event_type = 'purchase'
-  AND user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
-GROUP BY 1
-"""
 
 # L108 time-constrained funnel: the chain carries the user's step-1
 # anchor t0 and bounds every later step to t0 + 72h (exact integer
 # microsecond comparison in both engines).
 _WF_US = 72 * 3600 * 1_000_000
-_ORACLE_WINDOW_FUNNEL = f"""
-WITH base AS (
-  SELECT user_id, event_type AS et, ts FROM events
-  WHERE event_type IN ('signup', 'view', 'click', 'purchase')
-),
-s0 AS (SELECT user_id, MIN(ts) AS t0 FROM base WHERE et = 'signup' GROUP BY user_id),
-s1 AS (
-  SELECT b.user_id, MIN(s0.t0) AS t0, MIN(b.ts) AS t1
-  FROM base b JOIN s0 ON b.user_id = s0.user_id
-  WHERE b.et = 'view' AND b.ts > s0.t0
-    AND epoch_us(b.ts) - epoch_us(s0.t0) <= {_WF_US}
-  GROUP BY b.user_id
-),
-s2 AS (
-  SELECT b.user_id, MIN(s1.t0) AS t0, MIN(b.ts) AS t2
-  FROM base b JOIN s1 ON b.user_id = s1.user_id
-  WHERE b.et = 'click' AND b.ts > s1.t1
-    AND epoch_us(b.ts) - epoch_us(s1.t0) <= {_WF_US}
-  GROUP BY b.user_id
-),
-s3 AS (
-  SELECT b.user_id, MIN(b.ts) AS t3
-  FROM base b JOIN s2 ON b.user_id = s2.user_id
-  WHERE b.et = 'purchase' AND b.ts > s2.t2
-    AND epoch_us(b.ts) - epoch_us(s2.t0) <= {_WF_US}
-  GROUP BY b.user_id
-),
-stages AS (
-  SELECT user_id, CAST(0 AS BIGINT) AS stage FROM (SELECT DISTINCT user_id FROM base)
-  UNION ALL SELECT user_id, CAST(1 AS BIGINT) FROM s0
-  UNION ALL SELECT user_id, CAST(2 AS BIGINT) FROM s1
-  UNION ALL SELECT user_id, CAST(3 AS BIGINT) FROM s2
-  UNION ALL SELECT user_id, CAST(4 AS BIGINT) FROM s3
-),
-fs AS (SELECT user_id, MAX(stage) AS funnel_stage FROM stages GROUP BY user_id),
-at AS (SELECT funnel_stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM fs GROUP BY funnel_stage)
-SELECT a.funnel_stage, a.n_users,
-       CAST((SELECT SUM(b.n_users) FROM at b WHERE b.funnel_stage >= a.funnel_stage) AS BIGINT) AS n_reached
-FROM at a
-"""
-
-# L109 A/B lift readout (canonical salted-md5 bucket; integer counts)
-_ORACLE_AB_LIFT = """
-WITH pu AS (
-  SELECT user_id,
-         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_conv,
-         SUM(CASE WHEN event_type = 'purchase'
-                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS rev
-  FROM events GROUP BY 1
-),
-v AS (
-  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|ab'), 1, 15) AS BIGINT) % 100 < 50
-              THEN 'A' ELSE 'B' END AS variant,
-         n_conv, rev
-  FROM pu
-)
-SELECT variant,
-       CAST(COUNT(*) AS BIGINT) AS n_users,
-       CAST(SUM(CASE WHEN n_conv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converters,
-       CAST(SUM(n_conv) AS BIGINT) AS n_conversions,
-       CAST(SUM(rev) AS BIGINT) AS revenue_cents,
-       CAST(SUM(CASE WHEN n_conv > 0 THEN 1 ELSE 0 END) * 1048576 // COUNT(*) AS BIGINT) AS conv_rate_q20
-FROM v GROUP BY 1
-"""
-
-# L104 assisted-conversion report over the shared journey ordering
-_ORACLE_CHANNEL_ASSISTS = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS},
-j AS (
-  SELECT conversion_id, channel_label,
-         ROW_NUMBER() OVER w = COUNT(*) OVER (PARTITION BY conversion_id) AS is_last
-  FROM journeys
-  WINDOW w AS (PARTITION BY conversion_id ORDER BY event_ts, session_id)
-)
-SELECT channel_label,
-       CAST(COUNT(DISTINCT conversion_id) AS BIGINT) AS n_touched,
-       CAST(COUNT(DISTINCT CASE WHEN is_last THEN conversion_id END) AS BIGINT) AS n_closed,
-       CAST(COUNT(DISTINCT CASE WHEN NOT is_last THEN conversion_id END) AS BIGINT) AS n_assists,
-       CAST(COUNT(DISTINCT CASE WHEN NOT is_last THEN conversion_id END) * 1048576
-            // COUNT(DISTINCT conversion_id) AS BIGINT) AS assist_ratio_q20
-FROM j GROUP BY 1
-"""
-
-# L106 journey-latency log-histogram sketch (same bucket SQL as the
-# L87 length/revenue sketches; latency in truncated integer seconds)
-_ORACLE_LATENCY_HISTOGRAM = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS},
-v AS (
-  SELECT channel_label,
-         (epoch_us(conv_ts) - epoch_us(event_ts)) // 1000000 AS x
-  FROM journeys
-),
-b AS (
-  SELECT channel_label, CAST((x >> g) << g AS BIGINT) AS bucket_lb
-  FROM (SELECT channel_label, x,
-               CASE WHEN length(printf('%b', x)) - 3 > 0
-                    THEN length(printf('%b', x)) - 3 ELSE 0 END AS g
-        FROM v)
-),
-h AS (SELECT channel_label, bucket_lb, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
-cdf AS (
-  SELECT channel_label, bucket_lb,
-         CAST(SUM(c) OVER (PARTITION BY channel_label ORDER BY bucket_lb) AS BIGINT) AS cum,
-         CAST(SUM(c) OVER (PARTITION BY channel_label) AS BIGINT) AS n
-  FROM h
-)
-SELECT channel_label,
-       CAST(MAX(n) AS BIGINT) AS n_values,
-       CAST(MIN(CASE WHEN cum * 2 >= n * 1 THEN bucket_lb END) AS BIGINT) AS p50_lb,
-       CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN bucket_lb END) AS BIGINT) AS p90_lb
-FROM cdf GROUP BY 1
-"""
-
-# L105 per-user lifetime feature vector
-_ORACLE_USER_FEATURES = """
-SELECT user_id,
-       CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
-       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
-       CAST(COUNT(DISTINCT CASE WHEN event_type <> 'purchase' THEN event_type END) AS BIGINT) AS n_channels,
-       CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS active_days,
-       CAST(SUM(CASE WHEN event_type = 'purchase'
-                     THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS revenue_cents,
-       MIN(strftime(ts, '%Y-%m-%d')) AS first_day,
-       MAX(strftime(ts, '%Y-%m-%d')) AS last_day
-FROM events GROUP BY 1
-"""
-
-# L107 Hamilton largest-remainder budget apportionment (HUGEINT ==
-# Spark's DECIMAL(38,0) for exact products; // and % truncate on
-# nonnegative values in both engines)
-_ORACLE_BUDGET_ALLOC = """
-WITH per AS (
-  SELECT event_type AS channel,
-         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
-  FROM events WHERE event_type <> 'purchase' GROUP BY 1
-),
-tot AS (SELECT CAST(SUM(CAST(value_cents AS HUGEINT)) AS HUGEINT) AS v FROM per),
-scaled AS (
-  SELECT channel, value_cents,
-         CAST(CAST(100000000 AS HUGEINT) * CAST(value_cents AS HUGEINT) // t.v AS BIGINT) AS base,
-         CAST(100000000 AS HUGEINT) * CAST(value_cents AS HUGEINT) % t.v AS rem
-  FROM per, tot t
-),
-rk AS (
-  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, channel ASC) AS rk,
-         (SELECT 100000000 - SUM(base) FROM scaled) AS leftover
-  FROM scaled
-)
-SELECT channel, value_cents,
-       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_cents
-FROM rk
-"""
-
-_ORACLE_LOADER_ERRORS = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS},
-att AS (SELECT DISTINCT conversion_id, session_id FROM journeys),
-chunks AS (
-  SELECT DISTINCT (CAST(conversion_id AS BIGINT) % 4096) AS c FROM att
-)
-SELECT 'ok' AS error_code,
-       (SELECT COUNT(*) FROM chunks)
-       + (CASE WHEN EXISTS (SELECT 1 FROM att WHERE session_id LIKE '%0')
-               THEN 1 ELSE 0 END) AS count
-UNION ALL SELECT 'status_500', CAST(2 AS BIGINT)
-UNION ALL SELECT 'missing_status', CAST(1 AS BIGINT)
-"""
-
-_ORACLE_REPORT_BODY = f"""
-WITH {_CONV}, {_SESS}, {_COSTS}, {_JOURNEYS},
-attribution AS (
-  SELECT conversion_id AS conv_id, session_id,
-         1.0 / COUNT(*) OVER (PARTITION BY conversion_id) AS ihc
-  FROM journeys
-),
-ar AS (
-  SELECT ss.channel_name,
-         strftime(ss.event_ts, '%Y-%m-%d') AS date,
-         COALESCE(SUM(a.ihc), 0) AS ihc,
-         COALESCE(SUM(c.revenue * a.ihc), 0) AS ihc_revenue
-  FROM attribution a
-  JOIN sess ss ON a.session_id = ss.session_id
-  JOIN conv c ON a.conv_id = c.conv_id
-  WHERE ss.channel_name IS NOT NULL AND ss.channel_name <> ''
-  GROUP BY 1, 2
-),
-cc AS (
-  SELECT COALESCE(NULLIF(ss.channel_name, ''), 'unknown') AS channel_name,
-         strftime(ss.event_ts, '%Y-%m-%d') AS date,
-         COALESCE(SUM(co.cost), 0) AS cost
-  FROM sess ss LEFT JOIN costs co ON ss.session_id = co.session_id
-  GROUP BY 1, 2
-),
-report AS (
-  SELECT ar.channel_name, ar.date,
-         COALESCE(cc.cost, 0) AS cost, ar.ihc, ar.ihc_revenue
-  FROM ar LEFT JOIN cc ON ar.channel_name = cc.channel_name AND ar.date = cc.date
-  WHERE ar.channel_name <> 'unknown'
-    AND ar.date >= (SELECT MIN(strftime(conv_ts, '%Y-%m-%d')) FROM conv)
-)
-"""
-
-_ORACLE_REPORT = (
-    _ORACLE_REPORT_BODY
-    + """
-SELECT channel_name, date, ROUND(cost, 6) AS cost, ROUND(ihc, 6) AS ihc,
-       ROUND(ihc_revenue, 6) AS ihc_revenue
-FROM report
-"""
-)
-
-_ORACLE_REPORT_EXPORT = (
-    _ORACLE_REPORT_BODY
-    + """
-SELECT channel_name, date, ROUND(cost, 6) AS cost, ROUND(ihc, 6) AS ihc,
-       ROUND(ihc_revenue, 6) AS ihc_revenue,
-       ROUND(CASE WHEN ihc > 0 THEN cost / ihc ELSE 0 END, 6) AS cpo,
-       ROUND(CASE WHEN cost > 0 THEN ihc_revenue / cost ELSE 0 END, 6) AS roas
-FROM report
-"""
-)
-
-_ORACLE_REPORT_SUMMARY = (
-    _ORACLE_REPORT_BODY
-    + """
-SELECT COUNT(*) AS n_rows,
-       COUNT(DISTINCT channel_name) AS n_channels,
-       COUNT(DISTINCT date) AS n_dates,
-       MIN(date) AS min_date,
-       CAST(SUM(CAST(FLOOR(ihc * 1048576 + 0.5) AS BIGINT)) AS BIGINT)
-         AS total_ihc_q20
-FROM report
-"""
-)
 
 
 # ---------------------------------------------------------------------------
@@ -4362,19 +3401,6 @@ shingled AS (
   FROM (SELECT doc_id, lang, string_split(norm, ' ') AS ws FROM nd)
 )"""
 
-_ORACLE_TEXT_STATS = f"""
-WITH {_NORM_RAW}
-SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS n_chars_raw,
-       CAST(length(norm) AS BIGINT) AS n_chars_norm,
-       CAST(len(ws) AS BIGINT) AS n_words,
-       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
-       CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
-       CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_word_len,
-       CAST(list_max(list_transform(ws, w -> length(w))) AS BIGINT) AS max_word_len,
-       (len(ws) >= 5 AND len(list_distinct(ws)) * 10 >= len(ws) * 3) AS is_quality
-FROM (SELECT doc_id, text, norm, string_split(norm, ' ') AS ws FROM nd)
-"""
 
 _LANG_LISTS = {
     "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
@@ -4393,118 +3419,6 @@ _lang_case = " ".join(
     f"WHEN s_{lang} = mx THEN '{lang}'" for lang in sorted(_LANG_LISTS)[:-1]
 )
 
-_ORACLE_LANG_ID = f"""
-WITH {_NORM_RAW},
-scores AS (
-  SELECT doc_id,
-       {_lang_score_cols}
-  FROM (SELECT doc_id, list_distinct(string_split(norm, ' ')) AS dws FROM nd)
-),
-best AS (
-  SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM scores
-)
-SELECT doc_id,
-       CASE {_lang_case} ELSE 'zh' END AS lang_guess,
-       mx AS lang_score
-FROM best
-"""
-
-_ORACLE_TOP_TERMS = f"""
-WITH {_NORM_RAW},
-ex AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM nd),
-tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
-df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM ex) GROUP BY 1),
-scored AS (
-  SELECT tf.doc_id, tf.term, tf.tf, df.df,
-         CAST(tf.tf AS DOUBLE) / df.df AS score
-  FROM tf JOIN df ON tf.term = df.term
-)
-SELECT doc_id, CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk, term, tf, df
-FROM scored
-WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, term)
-QUALIFY ROW_NUMBER() OVER w <= 3
-"""
-
-_ORACLE_UNIGRAM_SURPRISAL = f"""
-WITH {_NORM_RAW},
-ex AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM nd),
-tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_term FROM ex GROUP BY 1),
-tot AS (SELECT CAST(SUM(n_term) AS BIGINT) AS n_total FROM tf)
-SELECT ex.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_scored_words,
-       CAST(SUM(LENGTH(bin(tot.n_total // tf.n_term)) - 1) AS BIGINT) AS surprisal_bits
-FROM ex JOIN tf USING (term) CROSS JOIN tot
-GROUP BY 1
-"""
-
-_bm25_terms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
-
-_ORACLE_BM25 = f"""
-WITH {_NORM_RAW},
-d AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM nd),
-dlen AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
-totals AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
-  FROM dlen
-),
-ex AS (SELECT doc_id, dl, unnest(ws) AS term FROM dlen),
-tf AS (
-  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM ex WHERE term IN ({_bm25_terms_sql}) GROUP BY 1, 2, 3
-),
-dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-scored AS (
-  SELECT tf.doc_id,
-         ln(((t.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) + 1.0)
-         * (tf.tf * 2.2)
-         / (tf.tf + 1.2 * (0.25 + 0.75 * ((tf.dl * t.n_docs) / t.sum_dl))) AS w
-  FROM tf JOIN dfx USING (term) CROSS JOIN totals t
-),
-agg AS (
-  SELECT doc_id, SUM(w) AS score, CAST(COUNT(*) AS BIGINT) AS n_hit_terms
-  FROM scored GROUP BY 1
-),
-q AS (
-  SELECT doc_id, n_hit_terms,
-         CAST(FLOOR(score * 1048576.0 + 0.5) AS BIGINT) AS score_q20
-  FROM agg
-)
-SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk, doc_id, n_hit_terms, score_q20
-FROM q
-WINDOW w AS (ORDER BY score_q20 DESC, doc_id)
-QUALIFY ROW_NUMBER() OVER w <= 20
-"""
-
-_ORACLE_FINGERPRINT = f"""
-WITH {_NORM_RAW},
-ex AS (
-  SELECT doc_id,
-         unnest(range(1, greatest(length(norm) - 6, 2))) AS pos,
-         norm
-  FROM nd
-),
-hashed AS (
-  SELECT doc_id, pos, md5(substr(norm, CAST(pos AS INTEGER), 8)) AS h FROM ex
-),
-wmin AS (
-  SELECT doc_id, pos,
-         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-         MAX(pos) OVER (PARTITION BY doc_id) AS m
-  FROM hashed
-)
-SELECT doc_id, COUNT(DISTINCT fp) AS n_fingerprints, MIN(fp) AS min_fp
-FROM wmin
-WHERE pos <= GREATEST(m - 3, 1)
-GROUP BY doc_id
-"""
-
-_ORACLE_DEDUP_EXACT = f"""
-WITH {_AUG}, {_NORM_AUG}
-SELECT md5(norm) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-FROM nd
-GROUP BY 1
-"""
 
 _mh_cols = ",\n         ".join(
     f"MIN(md5('{s}|' || shingle)) AS h{s}" for s in range(dd.NUM_HASHES)
@@ -4548,32 +3462,6 @@ scored AS (
   JOIN sets sb ON c.doc_b = sb.doc_id
 )"""
 
-_ORACLE_DEDUP_MINHASH = f"""
-WITH {_AUG}, {_NORM_AUG}, {_SHINGLED}, {_MINHASH_CTES}
-SELECT doc_a, doc_b, inter_size, union_size
-FROM scored WHERE inter_size * 2 >= union_size * 1
-"""
-
-_ORACLE_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE {_AUG}, {_NORM_AUG}, {_SHINGLED}, {_MINHASH_CTES},
-pairs AS (
-  SELECT doc_a, doc_b FROM scored WHERE inter_size * 2 >= union_size * 1
-),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
-walk(doc_id, cluster_id) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.src, w.cluster_id
-  FROM walk w JOIN edges e ON e.dst = w.doc_id
-)
-SELECT doc_id, MIN(cluster_id) AS cluster_id
-FROM walk
-GROUP BY doc_id
-"""
 
 _sh_votes = ",\n         ".join(
     f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
@@ -4587,69 +3475,6 @@ _sh_bands = "\n  UNION ALL ".join(
     for b in range(4)
 )
 
-_ORACLE_DEDUP_SIMHASH = f"""
-WITH {_AUG}, {_NORM_AUG},
-exw AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM nd),
-hh AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM exw),
-votes AS (
-  SELECT doc_id,
-         {_sh_votes}
-  FROM hh GROUP BY doc_id
-),
-sim AS (SELECT doc_id, CAST({_sh_value} AS BIGINT) AS simhash FROM votes),
-bands AS (
-  {_sh_bands}
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
-"""
-
-_ORACLE_DEDUP_NGRAM = f"""
-WITH {_AUG}, {_NORM_AUG}, {_SHINGLED},
-sets AS (
-  SELECT doc_id, lang,
-         list_distinct(list_transform(shingles,
-           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS ds
-  FROM shingled
-),
-ex AS (
-  SELECT lang, doc_id, CAST(len(ds) AS BIGINT) AS sz, unnest(ds) AS h FROM sets
-),
-hits AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sza, b.sz AS szb,
-         COUNT(*) AS inter_size
-  FROM ex a JOIN ex b ON a.lang = b.lang AND a.h = b.h AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4
-)
-SELECT doc_a, doc_b, CAST(inter_size AS BIGINT) AS inter_size,
-       sza + szb - inter_size AS union_size
-FROM hits WHERE inter_size * 10 >= (sza + szb - inter_size) * 3
-"""
-
-_ORACLE_SCRUB_PII = f"""
-WITH pii AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 7 = 0 THEN text || '{PII_SUFFIX}' ELSE text END AS text
-  FROM documents
-),
-nd AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM pii
-),
-nm AS (
-  SELECT doc_id, norm,
-         regexp_replace(norm, '{txt.EMAIL_RE}', '<email>', 'g') AS nomail
-  FROM nd
-)
-SELECT doc_id,
-       CAST(len(regexp_extract_all(norm, '{txt.EMAIL_RE}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(nomail, '{txt.LONG_NUMBER_RE}')) AS BIGINT) AS n_long_numbers,
-       md5(regexp_replace(nomail, '{txt.LONG_NUMBER_RE}', '<number>', 'g')) AS scrub_hash
-FROM nm
-"""
 
 # word 5-shingle distinct-hash sets (mirrors llm/text.py word_shingles
 # k=5 + llm/dedup.py shingle_hash)
@@ -4662,259 +3487,11 @@ _SHINGLE5 = """
   FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws FROM {src})
 """
 
-_ORACLE_DECONTAMINATE = f"""
-WITH {_AUG},
-sha AS ({_SHINGLE5.format(src="aug")}),
-she AS ({_SHINGLE5.format(src="documents WHERE doc_id % 10 = 0")}),
-ev AS (SELECT DISTINCT unnest(ds) AS h FROM she),
-tr AS (SELECT doc_id, unnest(ds) AS h FROM sha)
-SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
-FROM tr JOIN ev ON tr.h = ev.h
-GROUP BY 1
-"""
-
-_ORACLE_REPETITION = f"""
-WITH {_NORM_RAW},
-bg AS (
-  SELECT doc_id,
-         list_transform(range(1, greatest(len(ws), 2)),
-                        i -> concat_ws(' ', ws[i], ws[i+1])) AS b
-  FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM nd)
-)
-SELECT doc_id,
-       CAST(len(b) AS BIGINT) AS n_bigrams,
-       CAST(len(list_distinct(b)) AS BIGINT) AS n_distinct_bigrams,
-       (len(b) - len(list_distinct(b))) * 5 >= len(b) AS is_repetitive
-FROM bg
-"""
-
-_ORACLE_PACK = f"""
-WITH nd AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents
-),
-st AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
-  FROM nd
-),
-c AS (
-  SELECT doc_id, n_tokens,
-         COALESCE(SUM(greatest(n_tokens, 1)) OVER
-                  (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
-  FROM st
-),
-s AS (SELECT doc_id, n_tokens, CAST(FLOOR(cumb / 512) AS BIGINT) AS s_id FROM c)
-SELECT doc_id, n_tokens,
-       CAST(s_id * 513 + FLOOR((ROW_NUMBER() OVER (PARTITION BY s_id ORDER BY doc_id) - 1) / 8) AS BIGINT) AS pack_id
-FROM s
-"""
-
-_ORACLE_CORPUS_STATS = f"""
-WITH {_NORM_RAW},
-st AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
-         CAST(len(ws) AS BIGINT) AS n_words,
-         (len(ws) >= 5 AND len(list_distinct(ws)) * 10 >= len(ws) * 3) AS is_quality,
-         ws
-  FROM (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM nd)
-),
-scores AS (
-  SELECT doc_id,
-       {_lang_score_cols}
-  FROM (SELECT doc_id, list_distinct(string_split(norm, ' ')) AS dws FROM nd)
-),
-best AS (SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM scores),
-langg AS (SELECT doc_id, CASE {_lang_case} ELSE 'zh' END AS lang_guess FROM best),
-vocab AS (
-  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab_size
-  FROM (SELECT unnest(string_split(norm, ' ')) AS w FROM nd)
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(st.n_tokens) AS BIGINT) AS total_tokens,
-       CAST(SUM(st.n_words) AS BIGINT) AS total_words,
-       CAST(SUM(CASE WHEN st.is_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
-       CAST(SUM(CASE WHEN l.lang_guess = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-       ANY_VALUE(v.vocab_size) AS vocab_size
-FROM st JOIN langg l USING (doc_id) CROSS JOIN vocab v
-"""
-
-_ORACLE_QUALITY_GATE = f"""
-WITH pii AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 7 = 0 THEN text || '{PII_SUFFIX}' ELSE text END AS text
-  FROM documents
-),
-nd AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM pii
-),
-st AS (
-  SELECT doc_id,
-         (len(ws) >= 5 AND len(list_distinct(ws)) * 10 >= len(ws) * 3) AS is_quality,
-         (len(bg) - len(list_distinct(bg))) * 5 >= len(bg) AS is_repetitive
-  FROM (
-    SELECT doc_id, ws,
-           list_transform(range(1, greatest(len(ws), 2)),
-                          i -> concat_ws(' ', ws[i], ws[i+1])) AS bg
-    FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM nd)
-  )
-),
-scores AS (
-  SELECT doc_id,
-       {_lang_score_cols}
-  FROM (SELECT doc_id, list_distinct(string_split(norm, ' ')) AS dws FROM nd)
-),
-best AS (SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM scores),
-langg AS (SELECT doc_id, CASE {_lang_case} ELSE 'zh' END AS lang_guess FROM best),
-pi AS (
-  SELECT doc_id,
-         len(regexp_extract_all(norm, '{txt.EMAIL_RE}'))
-         + len(regexp_extract_all(
-             regexp_replace(norm, '{txt.EMAIL_RE}', '<email>', 'g'),
-             '{txt.LONG_NUMBER_RE}')) AS n_pii
-  FROM nd
-),
-r AS (
-  SELECT st.doc_id,
-         concat_ws(',',
-           CASE WHEN NOT st.is_quality THEN 'low_quality' END,
-           CASE WHEN st.is_repetitive THEN 'repetitive' END,
-           CASE WHEN l.lang_guess <> 'en' THEN 'lang' END,
-           CASE WHEN p.n_pii > 0 THEN 'pii' END) AS reasons
-  FROM st JOIN langg l USING (doc_id) JOIN pi p USING (doc_id)
-)
-SELECT doc_id, reasons, reasons = '' AS passes FROM r
-"""
 
 _sample_case = " ".join(
     f"WHEN lang = '{v}' THEN {p}" for v, p in sorted(SAMPLE_PCTS.items())
 )
 
-_ORACLE_SAMPLE = f"""
-SELECT doc_id, lang
-FROM documents
-WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|sample'), 1, 15) AS BIGINT) % 100
-      < (CASE {_sample_case} ELSE 0 END)
-"""
-
-_ORACLE_CURATE = f"""
-WITH RECURSIVE {_AUG}, {_NORM_AUG},
-stq AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
-  FROM (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM nd)
-  WHERE len(ws) >= 5 AND len(list_distinct(ws)) * 10 >= len(ws) * 3
-),
-scores AS (
-  SELECT doc_id,
-       {_lang_score_cols}
-  FROM (SELECT doc_id, list_distinct(string_split(norm, ' ')) AS dws FROM nd)
-),
-best AS (
-  SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM scores
-),
-langg AS (
-  SELECT doc_id, CASE {_lang_case} ELSE 'zh' END AS lang_guess FROM best
-),
-elig AS (
-  SELECT nd.doc_id, nd.norm, l.lang_guess, s.n_tokens
-  FROM nd JOIN stq s USING (doc_id) JOIN langg l USING (doc_id)
-  WHERE l.lang_guess = 'en'
-),
-keep AS (SELECT MIN(doc_id) AS doc_id FROM elig GROUP BY md5(norm)),
-surv1 AS (SELECT e.* FROM elig e JOIN keep USING (doc_id)),
-shingled AS (
-  SELECT doc_id,
-         list_transform(range(1, greatest(len(ws) - 1, 2)),
-                        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) AS shingles
-  FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM surv1)
-),
-{_MINHASH_CTES},
-pairs AS (SELECT doc_a, doc_b FROM scored WHERE inter_size * 2 >= union_size * 1),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
-walk(doc_id, cluster_id) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.src, w.cluster_id
-  FROM walk w JOIN edges e ON e.dst = w.doc_id
-),
-losers AS (
-  SELECT doc_id FROM (SELECT doc_id, MIN(cluster_id) AS c FROM walk GROUP BY doc_id)
-  WHERE doc_id <> c
-)
-SELECT s.doc_id, s.lang_guess, s.n_tokens,
-       CASE WHEN CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT) % 100 < 90 THEN 'train'
-            WHEN CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT) % 100 < 95 THEN 'val'
-            ELSE 'test' END AS split
-FROM surv1 s LEFT JOIN losers l USING (doc_id)
-WHERE l.doc_id IS NULL
-"""
-
-# L96 sketch-gated curation: quality -> lang -> per-lang p10..p90
-# log-histogram bucket gate on n_tokens -> exact dedup -> split.
-# The bucket expression mirrors operators/quantiles.py
-# log_bucket_lower(sub_bits=2): keep the top 3 bits of the value
-# (n_tokens >= 5 under the quality gate, so the x=0 branch is moot).
-_ORACLE_CURATE_SKETCH = f"""
-WITH {_NORM_RAW},
-stq AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
-  FROM (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM nd)
-  WHERE len(ws) >= 5 AND len(list_distinct(ws)) * 10 >= len(ws) * 3
-),
-scores AS (
-  SELECT doc_id,
-       {_lang_score_cols}
-  FROM (SELECT doc_id, list_distinct(string_split(norm, ' ')) AS dws FROM nd)
-),
-best AS (SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM scores),
-langg AS (SELECT doc_id, CASE {_lang_case} ELSE 'zh' END AS lang_guess FROM best),
-base AS (
-  SELECT s.doc_id, l.lang_guess, s.n_tokens
-  FROM stq s JOIN langg l USING (doc_id)
-),
-bk AS (
-  SELECT doc_id, lang_guess, n_tokens,
-         CAST((n_tokens >> g) << g AS BIGINT) AS bucket_lb
-  FROM (SELECT *,
-               CASE WHEN length(printf('%b', n_tokens)) - 3 > 0
-                    THEN length(printf('%b', n_tokens)) - 3 ELSE 0 END AS g
-        FROM base)
-),
-h AS (SELECT lang_guess, bucket_lb, CAST(COUNT(*) AS BIGINT) AS c FROM bk GROUP BY 1, 2),
-cdf AS (
-  SELECT lang_guess, bucket_lb,
-         CAST(SUM(c) OVER (PARTITION BY lang_guess ORDER BY bucket_lb) AS BIGINT) AS cum,
-         CAST(SUM(c) OVER (PARTITION BY lang_guess) AS BIGINT) AS n
-  FROM h
-),
-bounds AS (
-  SELECT lang_guess,
-         MIN(CASE WHEN cum * 10 >= n * 1 THEN bucket_lb END) AS lo_lb,
-         MIN(CASE WHEN cum * 10 >= n * 9 THEN bucket_lb END) AS hi_lb
-  FROM cdf GROUP BY 1
-),
-gated AS (
-  SELECT bk.doc_id, bk.lang_guess, bk.n_tokens
-  FROM bk JOIN bounds USING (lang_guess)
-  WHERE bucket_lb >= lo_lb AND bucket_lb <= hi_lb
-),
-keep AS (
-  SELECT MIN(g.doc_id) AS doc_id
-  FROM gated g JOIN nd ON g.doc_id = nd.doc_id
-  GROUP BY md5(nd.norm)
-)
-SELECT g.doc_id, g.lang_guess, g.n_tokens,
-       CASE WHEN CAST('0x' || substr(md5(CAST(g.doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT) % 100 < 90 THEN 'train'
-            WHEN CAST('0x' || substr(md5(CAST(g.doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT) % 100 < 95 THEN 'val'
-            ELSE 'test' END AS split
-FROM gated g JOIN keep k ON g.doc_id = k.doc_id
-"""
 
 # pair cosine with per-vector precomputed norms (mirrors
 # llm/similarity.py _norm_vec + _pair_cos: one dot per pair)
@@ -4924,1824 +3501,14 @@ e AS (
   FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 )"""
 
-_ORACLE_ANN_TOPK = f"""
-WITH {_E_NORMED},
-q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM e WHERE vec_id % 50 = 7),
-scored AS (
-  SELECT q.query_id, e.vec_id,
-         list_dot_product(q.qv, e.v) / (q.qn * e.vn) AS cos
-  FROM e, q
-)
-SELECT query_id,
-       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
-       vec_id,
-       CAST(FLOOR(cos * 1048576.0 + 0.5) AS BIGINT) AS cos_q20
-FROM scored
-WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id)
-QUALIFY ROW_NUMBER() OVER w <= 10
-"""
-
-# L110 Reciprocal Rank Fusion of the cosine and raw-dot rankings
-# (mirrors llm/similarity.py hybrid_rrf_topk: integer-rank rationals,
-# fixed term order, q20 emit)
-_ORACLE_HYBRID_RRF = f"""
-WITH {_E_NORMED},
-q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM e WHERE vec_id % 50 = 7),
-scored AS (
-  SELECT q.query_id, e.vec_id,
-         list_dot_product(q.qv, e.v) AS d,
-         list_dot_product(q.qv, e.v) / (q.qn * e.vn) AS cos
-  FROM e, q
-),
-rk AS (
-  SELECT query_id, vec_id,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rc,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id ASC) AS rd
-  FROM scored
-),
-sc AS (
-  SELECT query_id, vec_id,
-         (CASE WHEN rc <= 20 THEN 1.0 / (60.0 + rc) ELSE 0.0 END)
-         + (CASE WHEN rd <= 20 THEN 1.0 / (60.0 + rd) ELSE 0.0 END) AS s
-  FROM rk WHERE rc <= 20 OR rd <= 20
-)
-SELECT query_id,
-       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
-       vec_id,
-       CAST(FLOOR(s * 1048576.0 + 0.5) AS BIGINT) AS rrf_q20
-FROM sc
-WINDOW w AS (PARTITION BY query_id ORDER BY s DESC, vec_id ASC)
-QUALIFY ROW_NUMBER() OVER w <= 10
-"""
-
-_ORACLE_ANN_IVF = f"""
-WITH {_E_NORMED},
-q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM e WHERE vec_id % 50 = 7),
-cents AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cn FROM e WHERE vec_id < 8),
-ascored AS (
-  SELECT e.vec_id, e.v, e.vn, c.centroid_id,
-         list_dot_product(e.v, c.cv) / (e.vn * c.cn) AS cs
-  FROM e, cents c
-),
-assign AS (
-  SELECT vec_id, v, vn, centroid_id AS cluster FROM ascored
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) = 1
-),
-qscored AS (
-  SELECT q.query_id, q.qv, q.qn, c.centroid_id,
-         list_dot_product(q.qv, c.cv) / (q.qn * c.cn) AS cs
-  FROM q, cents c
-),
-probes AS (
-  SELECT query_id, qv, qn, centroid_id AS cluster FROM qscored
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, centroid_id) <= 2
-),
-cand AS (
-  SELECT p.query_id, a.vec_id,
-         list_dot_product(p.qv, a.v) / (p.qn * a.vn) AS cos
-  FROM probes p JOIN assign a ON p.cluster = a.cluster
-)
-SELECT query_id,
-       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
-       vec_id,
-       CAST(FLOOR(cos * 1048576.0 + 0.5) AS BIGINT) AS cos_q20
-FROM cand
-WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id)
-QUALIFY ROW_NUMBER() OVER w <= 5
-"""
-
-def _kmeans_ctes(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
-    """Unrolled Lloyd iterations as CTE layers (kqv -> kc0 -> ka_i ->
-    ks_i -> kc_i). All integer math over q20 unit vectors, so every
-    layer is bit-identical to the Spark loop in
-    llm/similarity.py kmeans_centroids."""
-    parts = [
-        # WHERE vn > 0 mirrors quantized_unit_vectors' zero-vector drop
-        "kqv AS (SELECT vec_id, list_transform(v, x -> "
-        "CAST(floor(x / vn * 1048576.0 + 0.5) AS BIGINT)) AS qv FROM e WHERE vn > 0)",
-        f"kseeds AS (SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS m "
-        f"FROM kqv ORDER BY m, vec_id LIMIT {k})",
-        "kc0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY m, vec_id) - 1 AS BIGINT) "
-        "AS cluster, qv AS cq FROM kseeds)",
-    ]
-    for i in range(1, n_iter + 1):
-        parts.append(f"""ka{i} AS (
-  SELECT vec_id, qv, cluster FROM (
-    SELECT t.vec_id, t.qv, c.cluster,
-           CAST(list_dot_product(t.qv::DOUBLE[], t.qv::DOUBLE[])
-                - 2.0 * list_dot_product(t.qv::DOUBLE[], c.cq::DOUBLE[])
-                + list_dot_product(c.cq::DOUBLE[], c.cq::DOUBLE[]) AS BIGINT) AS d
-    FROM kqv t CROSS JOIN kc{i - 1} c)
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1
-)""")
-        parts.append(
-            f"kx{i} AS (SELECT cluster, p.pos, qv[p.pos + 1] AS comp FROM ka{i} "
-            f"CROSS JOIN (SELECT unnest(range(0, {dim})) AS pos) p)"
-        )
-        parts.append(
-            f"ks{i} AS (SELECT cluster, CAST(pos AS BIGINT) AS pos, "
-            f"CAST(floor(CAST(SUM(comp) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp "
-            f"FROM kx{i} GROUP BY 1, 2)"
-        )
-        parts.append(
-            f"kc{i} AS (SELECT cluster, list(comp ORDER BY pos) AS cq FROM ks{i} GROUP BY 1)"
-        )
-    return ",\n".join(parts)
-
-
-_ORACLE_ANN_KMEANS = f"""
-WITH {_E_NORMED},
-{_kmeans_ctes()}
-SELECT cluster, pos, comp FROM ks2
-"""
-
-_ORACLE_ANN_IVF_KMEANS = f"""
-WITH {_E_NORMED},
-{_kmeans_ctes()},
-cents AS (
-  SELECT cluster AS centroid_id, cq::DOUBLE[] AS cv,
-         sqrt(list_dot_product(cq::DOUBLE[], cq::DOUBLE[])) AS cn
-  FROM kc2
-),
-q AS (SELECT vec_id AS query_id, v AS qv0, vn AS qn FROM e WHERE vec_id % 50 = 7),
-ascored AS (
-  SELECT e.vec_id, e.v, e.vn, c.centroid_id,
-         list_dot_product(e.v, c.cv) / (e.vn * c.cn) AS cs
-  FROM e, cents c
-),
-assign AS (
-  SELECT vec_id, v, vn, centroid_id AS cluster FROM ascored
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) = 1
-),
-qscored AS (
-  SELECT q.query_id, q.qv0, q.qn, c.centroid_id,
-         list_dot_product(q.qv0, c.cv) / (q.qn * c.cn) AS cs
-  FROM q, cents c
-),
-probes AS (
-  SELECT query_id, qv0, qn, centroid_id AS cluster FROM qscored
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, centroid_id) <= 2
-),
-cand AS (
-  SELECT p.query_id, a.vec_id,
-         list_dot_product(p.qv0, a.v) / (p.qn * a.vn) AS cos
-  FROM probes p JOIN assign a ON p.cluster = a.cluster
-)
-SELECT query_id,
-       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
-       vec_id,
-       CAST(FLOOR(cos * 1048576.0 + 0.5) AS BIGINT) AS cos_q20
-FROM cand
-WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id)
-QUALIFY ROW_NUMBER() OVER w <= 5
-"""
-
-_ORACLE_ANN_LSH = f"""
-WITH {_E_NORMED},
-hp AS (
-  SELECT CAST(j AS INTEGER) AS plane,
-         list_transform(range(1, 65),
-           d -> CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT)
-                / CAST(576460752303423488 AS DOUBLE) - 1.0) AS h
-  FROM range(0, 6) t(j)
-),
-sk AS (
-  SELECT e.vec_id,
-         SUM(CASE WHEN list_dot_product(e.v, hp.h) >= 0
-                  THEN CAST(power(2.0, hp.plane) AS BIGINT) ELSE 0 END) AS bucket
-  FROM e, hp
-  GROUP BY e.vec_id
-),
-esk AS (SELECT e.vec_id, e.v, e.vn, sk.bucket FROM e JOIN sk ON e.vec_id = sk.vec_id),
-qsk AS (
-  SELECT vec_id AS query_id, v AS qv, vn AS qn, bucket
-  FROM esk WHERE vec_id % 50 = 7
-),
-cand AS (
-  SELECT q.query_id, c.vec_id,
-         list_dot_product(q.qv, c.v) / (q.qn * c.vn) AS cos
-  FROM qsk q JOIN esk c ON q.bucket = c.bucket
-)
-SELECT query_id,
-       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
-       vec_id,
-       CAST(FLOOR(cos * 1048576.0 + 0.5) AS BIGINT) AS cos_q20
-FROM cand
-WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id)
-QUALIFY ROW_NUMBER() OVER w <= 5
-"""
-
-_ORACLE_ANN_LSH_MULTIPROBE = f"""
-WITH {_E_NORMED},
-hp AS (
-  SELECT CAST(j AS INTEGER) AS plane,
-         list_transform(range(1, 65),
-           d -> CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT)
-                / CAST(576460752303423488 AS DOUBLE) - 1.0) AS h
-  FROM range(0, 6) t(j)
-),
-sk AS (
-  SELECT e.vec_id,
-         SUM(CASE WHEN list_dot_product(e.v, hp.h) >= 0
-                  THEN CAST(power(2.0, hp.plane) AS BIGINT) ELSE 0 END) AS bucket
-  FROM e, hp
-  GROUP BY e.vec_id
-),
-esk AS (SELECT e.vec_id, e.v, e.vn, sk.bucket FROM e JOIN sk ON e.vec_id = sk.vec_id),
-q AS (SELECT vec_id AS query_id, v AS qv0, vn AS qn FROM e WHERE vec_id % 50 = 7),
-qd AS (
-  SELECT q.query_id, hp.plane, list_dot_product(q.qv0, hp.h) AS d
-  FROM q, hp
-),
-qb AS (
-  SELECT query_id,
-         SUM(CASE WHEN d >= 0 THEN CAST(power(2.0, plane) AS BIGINT) ELSE 0 END) AS bucket
-  FROM qd GROUP BY 1
-),
-fl AS (
-  SELECT query_id, plane FROM qd
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY abs(d), plane) <= 2
-),
-pr AS (
-  SELECT query_id, bucket FROM qb
-  UNION
-  SELECT f.query_id, xor(b.bucket, CAST(power(2.0, f.plane) AS BIGINT))
-  FROM fl f JOIN qb b USING (query_id)
-),
-cand AS (
-  SELECT q.query_id, c.vec_id,
-         list_dot_product(q.qv0, c.v) / (q.qn * c.vn) AS cos
-  FROM q JOIN pr ON q.query_id = pr.query_id
-         JOIN esk c ON pr.bucket = c.bucket
-)
-SELECT query_id,
-       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
-       vec_id,
-       CAST(FLOOR(cos * 1048576.0 + 0.5) AS BIGINT) AS cos_q20
-FROM cand
-WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id)
-QUALIFY ROW_NUMBER() OVER w <= 5
-"""
-
-# SemDeDup over the augmented embeddings: reuse the unrolled-Lloyd
-# kmeans CTEs (seeded from the augmented set), assign with vn > 0,
-# within-cluster q20-cosine prune, smaller vec_id wins.
-_ORACLE_SEMDEDUP = f"""
-WITH e0 AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-  UNION ALL
-  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 1.02)
-  FROM embeddings WHERE vec_id % 25 = 0
-),
-e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e0),
-{_kmeans_ctes()},
-cents AS (
-  SELECT cluster AS centroid_id, cq::DOUBLE[] AS cv,
-         sqrt(list_dot_product(cq::DOUBLE[], cq::DOUBLE[])) AS cn
-  FROM kc2
-),
-ascored AS (
-  SELECT e.vec_id, e.v, e.vn, c.centroid_id,
-         list_dot_product(e.v, c.cv) / (e.vn * c.cn) AS cs
-  FROM e, cents c WHERE e.vn > 0
-),
-assign AS (
-  SELECT vec_id, v, vn, centroid_id AS cluster FROM ascored
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) = 1
-),
-losers AS (
-  SELECT DISTINCT b.vec_id
-  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-  WHERE CAST(FLOOR(list_dot_product(a.v, b.v) / (a.vn * b.vn) * 1048576.0 + 0.5)
-             AS BIGINT) >= 995000
-)
-SELECT s.vec_id, s.cluster FROM assign s
-LEFT JOIN losers l ON s.vec_id = l.vec_id WHERE l.vec_id IS NULL
-UNION ALL
-SELECT vec_id, CAST(-1 AS BIGINT) AS cluster FROM e WHERE vn <= 0
-"""
-
-_ORACLE_KMV = """
-WITH d AS (
-  SELECT event_type AS channel_name,
-         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-  FROM events GROUP BY 1, 2
-),
-kept AS (
-  SELECT channel_name, h FROM d
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY channel_name ORDER BY h) <= 64
-),
-ex AS (
-  SELECT event_type AS channel_name,
-         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
-  FROM events GROUP BY 1
-)
-SELECT k.channel_name, ANY_VALUE(ex.n_exact) AS n_exact,
-       CAST(COUNT(*) AS BIGINT) AS n_seen, MAX(h) AS kth_min_hash
-FROM kept k JOIN ex ON k.channel_name = ex.channel_name
-GROUP BY k.channel_name
-"""
-
-_ORACLE_VOCAB = f"""
-WITH {_NORM_RAW},
-per_doc AS (
-  SELECT doc_id, term, COUNT(*) AS m
-  FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM nd)
-  GROUP BY doc_id, term
-),
-agg AS (
-  SELECT term, CAST(SUM(m) AS BIGINT) AS tf, CAST(COUNT(*) AS BIGINT) AS df
-  FROM per_doc GROUP BY term
-)
-SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk, term, tf, df
-FROM agg
-WINDOW w AS (ORDER BY tf DESC, term)
-QUALIFY ROW_NUMBER() OVER w <= 200
-"""
-
-_ORACLE_BIGRAM_PMI = f"""
-WITH {_NORM_RAW},
-base AS (
-  SELECT string_split(norm, ' ') AS ws FROM nd
-  WHERE len(string_split(norm, ' ')) >= 2
-),
-uni AS (
-  SELECT term, CAST(COUNT(*) AS BIGINT) AS n_u
-  FROM (SELECT unnest(ws) AS term FROM base) GROUP BY term
-),
-bg AS (
-  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_ab
-  FROM (
-    SELECT unnest(list_transform(range(1, len(ws)),
-                                 i -> concat_ws(' ', ws[i], ws[i+1]))) AS bigram
-    FROM base
-  )
-  GROUP BY bigram HAVING COUNT(*) >= 5
-),
-t AS (
-  SELECT (SELECT CAST(SUM(n_u) AS BIGINT) FROM uni) AS t_u,
-         (SELECT CAST(SUM(len(ws) - 1) AS BIGINT) FROM base) AS t_b
-),
-scored AS (
-  SELECT b.bigram, b.n_ab, ua.n_u AS n_a, ub.n_u AS n_b,
-         CAST(FLOOR((ln(CAST(b.n_ab AS DOUBLE)) - ln(CAST(t.t_b AS DOUBLE))
-                     - ln(CAST(ua.n_u AS DOUBLE)) - ln(CAST(ub.n_u AS DOUBLE))
-                     + 2.0 * ln(CAST(t.t_u AS DOUBLE))) * 1048576.0 + 0.5)
-              AS BIGINT) AS pmi_q20
-  FROM bg b
-  JOIN uni ua ON ua.term = string_split(b.bigram, ' ')[1]
-  JOIN uni ub ON ub.term = string_split(b.bigram, ' ')[2]
-  CROSS JOIN t
-)
-SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
-       bigram, n_ab, n_a, n_b, pmi_q20
-FROM scored
-WINDOW w AS (ORDER BY pmi_q20 DESC, bigram)
-QUALIFY ROW_NUMBER() OVER w <= 50
-"""
-
-_ORACLE_CHUNK_DOCS = r"""
-WITH w AS (
-  SELECT doc_id,
-         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
-  FROM documents
-),
-segs AS (
-  SELECT doc_id, ws,
-         unnest(range(0, GREATEST(1, CAST(CEIL((len(ws) - 8) / 24.0) AS BIGINT)))) AS seg_idx
-  FROM w
-)
-SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
-       CAST(seg_idx * 24 AS BIGINT) AS start_tok,
-       CAST(len(ws[seg_idx*24+1 : seg_idx*24+32]) AS BIGINT) AS n_seg_tokens,
-       array_to_string(ws[seg_idx*24+1 : seg_idx*24+32], ' ') AS seg_text
-FROM segs
-"""
-
-_ORACLE_MIX_SAMPLE = r"""
-WITH per_doc AS (
-  SELECT doc_id, source,
-         CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens,
-         (len(ws) >= 5 AND len(list_distinct(ws)) * 10 >= len(ws) * 3) AS is_quality
-  FROM (
-    SELECT doc_id, source, norm, string_split(norm, ' ') AS ws
-    FROM (SELECT doc_id, source,
-                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
-          FROM documents)
-  )
-),
-ledger AS (
-  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS quality_tokens,
-         CAST(LEAST(SUM(n_tokens), 800) AS BIGINT) AS capped_tokens
-  FROM per_doc WHERE is_quality GROUP BY source
-)
-SELECT d.doc_id, d.source, d.n_tokens
-FROM per_doc d JOIN ledger l ON d.source = l.source
-WHERE d.is_quality
-  AND CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 1, 15) AS BIGINT)
-      % l.quality_tokens < l.capped_tokens
-"""
-
-_ORACLE_LENGTH_PCT = """
-WITH ranked AS (
-  SELECT source, n_chars,
-         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
-         COUNT(*) OVER (PARTITION BY source) AS n
-  FROM documents
-)
-SELECT source, p, n_chars
-FROM ranked CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75]) AS p)
-WHERE rn = CEIL(p * n)
-"""
-
-_ORACLE_SOURCE_MIX = """
-WITH per_doc AS (
-  SELECT source,
-         CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
-         (len(ws) >= 5 AND len(list_distinct(ws)) * 10 >= len(ws) * 3) AS is_quality
-  FROM (
-    SELECT source, norm, string_split(norm, ' ') AS ws
-    FROM (SELECT source,
-                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
-          FROM documents)
-  )
-)
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-       CAST(SUM(CASE WHEN is_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_docs,
-       CAST(SUM(CASE WHEN is_quality THEN n_tokens ELSE 0 END) AS BIGINT) AS quality_tokens,
-       CAST(LEAST(SUM(CASE WHEN is_quality THEN n_tokens ELSE 0 END), 50000) AS BIGINT) AS capped_tokens
-FROM per_doc GROUP BY source
-"""
-
-# duplicate 8-gram coverage over the augmented documents; shingle ids
-# are the engine-portable 60-bit md5 longs (llm/dedup.py shingle_hash)
-_ORACLE_DUP_NGRAM = f"""
-WITH {_AUG}, {_NORM_AUG},
-sh8 AS (
-  SELECT doc_id,
-         list_transform(range(1, greatest(len(ws) - 6, 2)),
-                        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
-                                            ws[i+4], ws[i+5], ws[i+6], ws[i+7])) AS shingles
-  FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM nd)
-),
-inst AS (
-  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS sh,
-         COUNT(*) AS m
-  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh8)
-  GROUP BY doc_id, sh
-),
-dfx AS (SELECT sh, COUNT(*) AS n_docs FROM inst GROUP BY sh)
-SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_shingles,
-       CAST(SUM(CASE WHEN n_docs >= 2 THEN m ELSE 0 END) AS BIGINT) AS n_dup
-FROM inst JOIN dfx USING (sh) GROUP BY doc_id
-"""
-
-_ORACLE_EMB_NEARDUP = f"""
-WITH eaug0 AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
-  UNION ALL
-  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 1.02), label
-  FROM embeddings WHERE vec_id % 25 = 0
-),
-eaug AS (
-  SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS vn FROM eaug0
-),
-pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         list_dot_product(a.v, b.v) / (a.vn * b.vn) AS cos
-  FROM eaug a JOIN eaug b ON a.label = b.label AND a.vec_id < b.vec_id
-)
-SELECT vec_a, vec_b, CAST(FLOOR(cos * 1048576.0 + 0.5) AS BIGINT) AS cos_q20
-FROM pairs WHERE cos >= 0.9
-"""
-
-_ORACLE_MM_META = """
-SELECT doc_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-            WHEN doc_id % 3 = 1 THEN 'audio/wav'
-            ELSE 'video/mp4' END AS media_type,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       sha256(text) AS sha256
-FROM documents
-"""
-
-# document text is ASCII (verified: max codepoint 121), so SQL
-# codepoints equal UTF-8 payload bytes and the Python stripe sums are
-# reproducible exactly. stripe_len = ceil(n / 8) matches stripe_sums.
-_ORACLE_MM_STRIPES = """
-WITH media AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-              WHEN doc_id % 3 = 1 THEN 'audio/wav'
-              ELSE 'video/mp4' END AS media_type,
-         text, LENGTH(text) AS n
-  FROM documents WHERE LENGTH(text) > 0
-),
-pos AS (
-  SELECT doc_id, media_type, n, text,
-         unnest(generate_series(1, n)) AS pos
-  FROM media
-)
-SELECT doc_id, media_type,
-       CAST((pos - 1) // CAST(ceil(n / 8.0) AS BIGINT) AS BIGINT) AS stripe,
-       CAST(COUNT(*) AS BIGINT) AS n_stripe_bytes,
-       CAST(SUM(unicode(substr(text, CAST(pos AS INT), 1))) AS BIGINT) AS sum_bytes
-FROM pos GROUP BY 1, 2, 3
-"""
-
-# cross-document boilerplate-segment scrub over the augmented docs:
-# fixed 8-word segments, removed when the exact segment text occurs in
-# >= 2 distinct documents; the document is rebuilt from surviving
-# segments in order and carried as (length, md5). string_agg skips the
-# NULL (removed) branches exactly as Spark's collect_list does; the
-# COALESCE('') matches Spark's array_join of an empty array.
-_ORACLE_BOILERPLATE = f"""
-WITH {_AUG}, {_NORM_AUG},
-w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM nd),
-seg0 AS (
-  SELECT doc_id,
-         list_transform(range(0, greatest((len(ws) + 7) // 8, 1)),
-             i -> struct_pack(seg_idx := i,
-                              seg_text := array_to_string(list_slice(ws, i*8+1, i*8+8), ' '))) AS segs
-  FROM w
-),
-seg AS (SELECT doc_id, unnest(segs, recursive := true) FROM seg0),
-dfx AS (SELECT seg_text, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY seg_text)
-SELECT s.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_segments,
-       CAST(SUM(CASE WHEN d.df < 2 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
-       CAST(length(COALESCE(string_agg(CASE WHEN d.df < 2 THEN s.seg_text END, ' ' ORDER BY s.seg_idx), '')) AS BIGINT) AS clean_n_chars,
-       md5(COALESCE(string_agg(CASE WHEN d.df < 2 THEN s.seg_text END, ' ' ORDER BY s.seg_idx), '')) AS clean_fp
-FROM seg s JOIN dfx d USING (seg_text)
-GROUP BY s.doc_id
-"""
-
-# incremental-ingest exact dedup: batch = planted copies (>= 100000),
-# corpus = originals; within-batch first-wins then corpus anti join
-_ORACLE_DEDUP_INCREMENTAL = f"""
-WITH {_AUG},
-bh AS (
-  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
-  FROM aug WHERE doc_id >= 100000
-),
-fw AS (SELECT content_hash, MIN(doc_id) AS doc_id FROM bh GROUP BY content_hash),
-ch AS (
-  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
-  FROM aug WHERE doc_id < 100000
-)
-SELECT doc_id, content_hash FROM fw
-WHERE content_hash NOT IN (SELECT content_hash FROM ch)
-"""
-
-# pure range-predicate join: DuckDB runs it natively (IEJoin); Spark
-# runs the bucketed decomposition — results must agree exactly
-_ORACLE_FLASH_WINDOWS = """
-WITH w AS (
-  SELECT event_id AS window_id, ts AS w_start, ts + INTERVAL 6 HOUR AS w_end
-  FROM events WHERE event_type = 'purchase' AND value > 200
-)
-SELECT w.window_id,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
-       CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
-FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
-GROUP BY w.window_id
-"""
-
-# snapshot CDC diff: per-user profile as of 2024-01-20 vs end-of-data
-_ORACLE_SNAPSHOT_DIFF = """
-WITH oldp AS (
-  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
-  FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-20' GROUP BY user_id
-),
-newp AS (
-  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
-  FROM events GROUP BY user_id
-)
-SELECT COALESCE(o.user_id, n.user_id) AS user_id,
-       CASE WHEN o.user_id IS NULL THEN 'inserted'
-            WHEN n.user_id IS NULL THEN 'deleted'
-            WHEN o.n_events <> n.n_events OR o.value_cents <> n.value_cents THEN 'updated'
-            ELSE 'unchanged' END AS change_type,
-       COALESCE(o.n_events, -1) AS old_n_events,
-       COALESCE(n.n_events, -1) AS new_n_events,
-       COALESCE(o.value_cents, -1) AS old_value_cents,
-       COALESCE(n.value_cents, -1) AS new_value_cents
-FROM oldp o FULL JOIN newp n ON o.user_id = n.user_id
-"""
-
-# ordered 3-step funnel: each step's reach is a conditional MIN over
-# events strictly after the previous step's time; stage 0 = has step
-# events but never step 1. n_reached = cumulative users at >= stage.
-_ORACLE_FUNNEL = """
-WITH base AS (
-  SELECT user_id, event_type AS et, ts FROM events
-  WHERE event_type IN ('signup', 'view', 'click', 'purchase')
-    AND CAST(ts AS DATE) < DATE '2024-01-04'
-),
-s0 AS (SELECT user_id, MIN(ts) AS t0 FROM base WHERE et = 'signup' GROUP BY user_id),
-s1 AS (
-  SELECT b.user_id, MIN(b.ts) AS t1
-  FROM base b JOIN s0 ON b.user_id = s0.user_id
-  WHERE b.et = 'view' AND b.ts > s0.t0 GROUP BY b.user_id
-),
-s2 AS (
-  SELECT b.user_id, MIN(b.ts) AS t2
-  FROM base b JOIN s1 ON b.user_id = s1.user_id
-  WHERE b.et = 'click' AND b.ts > s1.t1 GROUP BY b.user_id
-),
-s3 AS (
-  SELECT b.user_id, MIN(b.ts) AS t3
-  FROM base b JOIN s2 ON b.user_id = s2.user_id
-  WHERE b.et = 'purchase' AND b.ts > s2.t2 GROUP BY b.user_id
-),
-stages AS (
-  SELECT user_id, CAST(0 AS BIGINT) AS stage FROM (SELECT DISTINCT user_id FROM base)
-  UNION ALL SELECT user_id, CAST(1 AS BIGINT) FROM s0
-  UNION ALL SELECT user_id, CAST(2 AS BIGINT) FROM s1
-  UNION ALL SELECT user_id, CAST(3 AS BIGINT) FROM s2
-  UNION ALL SELECT user_id, CAST(4 AS BIGINT) FROM s3
-),
-fs AS (SELECT user_id, MAX(stage) AS funnel_stage FROM stages GROUP BY user_id),
-at AS (SELECT funnel_stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM fs GROUP BY funnel_stage)
-SELECT a.funnel_stage, a.n_users, CAST(SUM(b.n_users) AS BIGINT) AS n_reached
-FROM at a JOIN at b ON b.funnel_stage >= a.funnel_stage
-GROUP BY a.funnel_stage, a.n_users
-"""
-
-# cohort retention at day grain (one weekly cohort exists in the
-# 30-day test window; days discriminate)
-_ORACLE_COHORT = """
-WITH firsts AS (
-  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_period
-  FROM events GROUP BY user_id
-),
-active AS (
-  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS active_period FROM events
-)
-SELECT CAST(f.cohort_period AS VARCHAR) AS cohort_period,
-       date_diff('day', f.cohort_period, a.active_period) // 1 AS period_offset,
-       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
-FROM active a JOIN firsts f ON a.user_id = f.user_id
-GROUP BY 1, 2
-"""
-
-# per-source top-3 by q20 lexical-diversity score, total ordering
-_ORACLE_SOURCE_TOPK = """
-WITH nd AS (
-  SELECT source, doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
-  FROM documents
-),
-sc AS (
-  SELECT source, doc_id,
-         (CAST(len(list_distinct(ws)) AS BIGINT) * 1048576) // CAST(len(ws) AS BIGINT) AS score_q20
-  FROM (SELECT source, doc_id, string_split(norm, ' ') AS ws FROM nd)
-)
-SELECT source, CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk, doc_id, score_q20
-FROM sc
-WINDOW w AS (PARTITION BY source ORDER BY score_q20 DESC, doc_id)
-QUALIFY ROW_NUMBER() OVER w <= 3
-"""
-
-# ingest-time near-dup search: the full-corpus LSH candidate set
-# restricted to cross-set (corpus, batch) pairs is exactly the
-# batch-vs-corpus band join (band collision is a per-pair property)
-_ORACLE_NEARDUP_INCREMENTAL = f"""
-WITH {_AUG}, {_NORM_AUG}, {_SHINGLED}, {_MINHASH_CTES}
-SELECT doc_a, doc_b, inter_size, union_size
-FROM scored
-WHERE doc_a < 100000 AND doc_b >= 100000
-  AND inter_size * 2 >= union_size * 1
-"""
-
-def _bpe_oracle_sql(n_merges: int = 8, encode: bool = False) -> str:
-    """Unrolled-loop DuckDB twin of llm/tokenizer.py: per round, pair
-    counts over the word histogram, argmax with (count DESC, pair ASC)
-    total ordering, and greedy merge application via a ``list_reduce``
-    string fold written as the exact accumulator program the Spark
-    side runs in ``F.aggregate``. With ``encode=True`` the tail joins
-    the final word -> token-length map back to the corpus
-    (bpe_encode_counts) instead of emitting the merge table."""
-    rounds = []
-    for r in range(1, n_merges + 1):
-        prev = f"s{r - 1}"
-        rounds.append(f"""
-p{r} AS (
-  SELECT p[1] AS lhs, p[2] AS rhs, CAST(SUM(cnt) AS BIGINT) AS pair_count
-  FROM (SELECT cnt,
-               unnest(list_transform(range(1, len(syms)), i -> [syms[i], syms[i+1]])) AS p
-        FROM {prev})
-  GROUP BY 1, 2
-),
-b{r} AS (
-  SELECT lhs, rhs, lhs || rhs AS merged, pair_count
-  FROM p{r} ORDER BY pair_count DESC, lhs, rhs LIMIT 1
-),
-s{r} AS (
-  SELECT w, cnt, string_split(list_reduce(syms, (acc, x) ->
-    CASE WHEN x = b.rhs AND regexp_extract(acc, '([^ ]+)$') = b.lhs
-         THEN CASE WHEN acc = b.lhs THEN b.merged
-              ELSE left(acc, length(acc) - length(b.lhs)) || b.merged END
-         ELSE acc || ' ' || x END), ' ') AS syms
-  FROM {prev}, b{r} b
-)""")
-    if encode:
-        tail = f"""
-, final AS (SELECT w, CAST(len(syms) AS BIGINT) AS tl FROM s{n_merges}),
-exd AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM nd)
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-       CAST(SUM(tl) AS BIGINT) AS n_bpe_tokens
-FROM exd JOIN final USING (w) GROUP BY doc_id"""
-    else:
-        tail = "\n" + "\nUNION ALL\n".join(
-            f"SELECT CAST({r} AS BIGINT) AS merge_rank, lhs, rhs, merged, pair_count FROM b{r}"
-            for r in range(1, n_merges + 1)
-        )
-    head = r"""
-WITH nd AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents
-),
-wh AS (
-  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM (SELECT unnest(string_split(norm, ' ')) AS w FROM nd) GROUP BY w
-),
-s0 AS (
-  SELECT w, cnt, list_transform(range(1, length(w) + 1), i -> w[i]) AS syms FROM wh
-),"""
-    return head + ",".join(rounds) + tail
-
-
-_ORACLE_BPE = _bpe_oracle_sql(8)
-_ORACLE_BPE_ENCODE = _bpe_oracle_sql(8, encode=True)
-
-def _markov_removal_oracle_sql(horizon: int = 25) -> str:
-    """Unrolled-SQL twin of operators/markov.py removal_effects: q20
-    integer absorption probabilities under a fixed horizon, one
-    scenario row per removed channel plus '(none)'. Integer arithmetic
-    only (products then a single floor division per state per round),
-    so the recurrence is bit-equal to the driver-side Python loop."""
-    rounds = []
-    for k in range(horizon):
-        rounds.append(f"""
-p{k + 1} AS MATERIALIZED (
-  SELECT p.rm, p.s,
-         CASE WHEN p.s = '(conversion)' THEN CAST(1048576 AS BIGINT)
-              WHEN p.s = p.rm THEN CAST(0 AS BIGINT)
-              ELSE COALESCE(agg.v, 0) END AS p
-  FROM p{k} p
-  LEFT JOIN (
-    SELECT pk.rm, t.src AS s,
-           CAST(SUM(t.n * CASE WHEN t.dst = pk.rm THEN 0 ELSE pk.p END)
-                // MAX(tt.tot) AS BIGINT) AS v
-    FROM p{k} pk
-    JOIN t ON t.dst = pk.s
-    JOIN tot tt ON tt.src = t.src
-    GROUP BY pk.rm, t.src
-  ) agg ON agg.rm = p.rm AND agg.s = p.s
-)""")
-    return f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS},
-ordered AS (
-  SELECT conversion_id, channel_label,
-         LAG(channel_label) OVER w AS prev,
-         LEAD(channel_label) OVER w AS nxt
-  FROM journeys
-  WINDOW w AS (PARTITION BY conversion_id ORDER BY event_ts, session_id)
-),
-tr AS (
-  SELECT COALESCE(prev, '(start)') AS src, channel_label AS dst FROM ordered
-  UNION ALL
-  SELECT channel_label AS src, '(conversion)' AS dst FROM ordered WHERE nxt IS NULL
-),
-t AS MATERIALIZED (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2),
-tot AS MATERIALIZED (SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM t GROUP BY src),
-scen AS (
-  SELECT '(none)' AS rm
-  UNION ALL SELECT DISTINCT src FROM t WHERE src <> '(start)'
-),
-states AS (SELECT src AS s FROM t UNION SELECT dst FROM t),
-p0 AS MATERIALIZED (
-  SELECT rm, s, CAST(CASE WHEN s = '(conversion)' THEN 1048576 ELSE 0 END AS BIGINT) AS p
-  FROM scen, states
-),{",".join(rounds)},
-res AS (SELECT rm, p AS absorption_q20 FROM p{horizon} WHERE s = '(start)')
-SELECT r.rm AS removed_channel, r.absorption_q20,
-       CASE WHEN r.rm = '(none)' THEN CAST(0 AS BIGINT)
-            ELSE f.a - r.absorption_q20 END AS removal_q20
-FROM res r, (SELECT absorption_q20 AS a FROM res WHERE rm = '(none)') f
-"""
-
-
-_ORACLE_MARKOV_REMOVAL = _markov_removal_oracle_sql(25)
-
-
-def _pagerank_oracle_sql(iterations: int = 20) -> str:
-    """Unrolled-SQL twin of operators/markov.py pagerank_channels: q20
-    integer power method with per-term floors (one per inbound edge,
-    one for the pooled dangling mass). Every pr_k is referenced twice
-    per round (inbound sum + dangling sum) -> MATERIALIZED, per the
-    CLAUDE.md exponential-CTE rule."""
-    rounds = []
-    for k in range(iterations):
-        rounds.append(f"""
-pr{k + 1} AS MATERIALIZED (
-  SELECT nd.ch,
-         CAST((3 * 1048576) // (20 * nn.n)
-              + COALESCE(inb.v, 0)
-              + (17 * dang.s) // (20 * nn.n) AS BIGINT) AS p
-  FROM nodes nd
-  CROSS JOIN nn
-  LEFT JOIN (
-    SELECT t.dst AS ch,
-           CAST(SUM((17 * p.p * t.n) // (20 * d.deg)) AS BIGINT) AS v
-    FROM t JOIN pr{k} p ON p.ch = t.src JOIN deg d ON d.ch = t.src
-    GROUP BY 1
-  ) inb ON inb.ch = nd.ch
-  CROSS JOIN (
-    SELECT CAST(COALESCE(SUM(p.p), 0) AS BIGINT) AS s
-    FROM pr{k} p LEFT JOIN deg d ON d.ch = p.ch
-    WHERE d.ch IS NULL
-  ) dang
-)""")
-    return f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS},
-ordered AS (
-  SELECT conversion_id, channel_label,
-         LAG(channel_label) OVER w AS prev,
-         LEAD(channel_label) OVER w AS nxt
-  FROM journeys
-  WINDOW w AS (PARTITION BY conversion_id ORDER BY event_ts, session_id)
-),
-tr AS (
-  SELECT COALESCE(prev, '(start)') AS src, channel_label AS dst FROM ordered
-  UNION ALL
-  SELECT channel_label AS src, '(conversion)' AS dst FROM ordered WHERE nxt IS NULL
-),
-tall AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2),
-t AS MATERIALIZED (
-  SELECT * FROM tall WHERE src <> '(start)' AND dst <> '(conversion)'
-),
-nodes AS MATERIALIZED (SELECT src AS ch FROM t UNION SELECT dst FROM t),
-nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-deg AS MATERIALIZED (SELECT src AS ch, CAST(SUM(n) AS BIGINT) AS deg FROM t GROUP BY 1),
-pr0 AS MATERIALIZED (
-  SELECT ch, CAST(1048576 // nn.n AS BIGINT) AS p FROM nodes, nn
-),{",".join(rounds)}
-SELECT ch AS channel, p AS pagerank_q20 FROM pr{iterations}
-"""
-
-
-_ORACLE_PAGERANK = _pagerank_oracle_sql(20)
-
-# exact integer Shapley over the 4-channel coalition lattice;
-# weights s!(3-s)! = 6,2,2,6; denom 4! = 24
-_ORACLE_SHAPLEY = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS},
-bm AS (
-  SELECT conversion_id,
-         BIT_OR(CASE channel_label WHEN 'click' THEN 1 WHEN 'error' THEN 2
-                                   WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END) AS mask
-  FROM journeys GROUP BY 1
-),
-cnt AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_conv FROM bm GROUP BY 1),
-lattice AS (SELECT unnest(range(0, 16)) AS smask),
-v AS (
-  SELECT l.smask, CAST(COALESCE(SUM(c.n_conv), 0) AS BIGINT) AS v
-  FROM lattice l LEFT JOIN cnt c ON (c.mask & l.smask) = c.mask
-  GROUP BY 1
-),
-players AS (SELECT * FROM (VALUES ('click', 1), ('error', 2), ('signup', 4), ('view', 8)) AS t(channel, b)),
-pairs AS (
-  SELECT p.channel, a.v AS vs, b2.v AS vsb,
-         CASE bit_count(a.smask) WHEN 0 THEN 6 WHEN 1 THEN 2
-                                 WHEN 2 THEN 2 WHEN 3 THEN 6 END AS w
-  FROM players p
-  JOIN v a ON (a.smask & p.b) = 0
-  JOIN v b2 ON b2.smask = (a.smask | p.b)
-)
-SELECT channel, CAST(SUM(w * (vsb - vs)) AS BIGINT) AS phi_scaled,
-       CAST(24 AS BIGINT) AS denom
-FROM pairs GROUP BY channel
-"""
-
-# Markov-attribution transition matrix over per-conversion journeys
-_ORACLE_CHANNEL_TRANSITIONS = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS},
-ordered AS (
-  SELECT conversion_id, channel_label,
-         LAG(channel_label) OVER w AS prev,
-         LEAD(channel_label) OVER w AS nxt
-  FROM journeys
-  WINDOW w AS (PARTITION BY conversion_id ORDER BY event_ts, session_id)
-),
-tr AS (
-  SELECT COALESCE(prev, '(start)') AS src, channel_label AS dst FROM ordered
-  UNION ALL
-  SELECT channel_label AS src, '(conversion)' AS dst FROM ordered WHERE nxt IS NULL
-)
-SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2
-"""
-
-
-# co-located bucketed join: bucketing changes the PLAN, never the
-# result — the oracle is the plain join
-_ORACLE_BUCKETED_JOIN = f"""
-WITH {_CONV}, {_SESS}
-SELECT s.channel_name,
-       CAST(COUNT(*) AS BIGINT) AS n_touch,
-       CAST(SUM(CAST(ROUND(c.revenue * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
-FROM conv c JOIN sess s ON c.user_id = s.user_id
-WHERE s.event_ts <= c.conv_ts
-  AND s.event_ts >= c.conv_ts - INTERVAL {LOOKBACK_DAYS} DAY
-GROUP BY 1
-"""
-
-# Count-Min heavy hitters: md5 row hashes make the sketch cells
-# engine-portable; min over the 4 counters per probed term
-_ORACLE_CMS = r"""
-WITH nd AS (
-  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents
-),
-ex AS (SELECT unnest(string_split(norm, ' ')) AS w FROM nd),
-cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS tf FROM ex GROUP BY w),
-top AS (SELECT w, tf FROM cnt ORDER BY tf DESC, w LIMIT 10),
-rws AS (SELECT unnest(range(0, 4)) AS j),
-cms AS (
-  SELECT j, CAST('0x' || substr(md5('cms' || j || '|' || w), 1, 15) AS BIGINT) % 256 AS bucket,
-         CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM ex, rws GROUP BY 1, 2
-),
-probes AS (
-  SELECT t.w, t.tf, r.j,
-         CAST('0x' || substr(md5('cms' || r.j || '|' || t.w), 1, 15) AS BIGINT) % 256 AS bucket
-  FROM top t, rws r
-)
-SELECT p.w AS term, p.tf, CAST(MIN(c.cnt) AS BIGINT) AS cms_est
-FROM probes p JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
-GROUP BY 1, 2
-"""
-
-# batch CMS over events.user_id — the streaming parity target
-_ORACLE_STREAM_CMS = """
-WITH rws AS (SELECT unnest(range(0, 4)) AS j)
-SELECT j AS "row",
-       CAST('0x' || substr(md5('cms' || j || '|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS bucket,
-       CAST(COUNT(*) AS BIGINT) AS cnt
-FROM events, rws
-GROUP BY 1, 2
-"""
-
-# one-pass data-quality ledger; NULL predicate results count as
-# violations on both sides (COALESCE(..., TRUE))
-_ORACLE_DATA_QUALITY = """
-WITH agg AS (
-  SELECT
-    CAST(SUM(CASE WHEN COALESCE(event_id IS NULL, TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS event_id_not_null,
-    CAST(SUM(CASE WHEN COALESCE(user_id IS NULL, TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS user_id_not_null,
-    CAST(SUM(CASE WHEN COALESCE(value < 0, TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS value_nonnegative,
-    CAST(SUM(CASE WHEN COALESCE(event_type NOT IN ('click','view','signup','error','purchase'), TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS known_event_type,
-    CAST(SUM(CASE WHEN COALESCE(CAST(ts AS DATE) < DATE '2020-01-01' OR CAST(ts AS DATE) > DATE '2030-01-01', TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS ts_in_range,
-    CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS event_id_unique
-  FROM events
-)
-SELECT 'event_id_not_null' AS rule, event_id_not_null AS n_violations FROM agg
-UNION ALL SELECT 'user_id_not_null', user_id_not_null FROM agg
-UNION ALL SELECT 'value_nonnegative', value_nonnegative FROM agg
-UNION ALL SELECT 'known_event_type', known_event_type FROM agg
-UNION ALL SELECT 'ts_in_range', ts_in_range FROM agg
-UNION ALL SELECT 'event_id_unique', event_id_unique FROM agg
-"""
-
-_ORACLE_REL_PRICING = """
-SELECT l_returnflag, l_linestatus,
-       CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
-       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
-       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-                * CAST(100 - ROUND(l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
-       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-                * CAST(100 - ROUND(l_discount * 100, 0) AS BIGINT)
-                * CAST(100 + ROUND(l_tax * 100, 0) AS BIGINT)) AS BIGINT) AS sum_charge_e6
-FROM lineitem
-WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
-"""
-
-_ORACLE_REL_SEGMENT = """
-SELECT c.c_mktsegment, o.o_orderpriority,
-       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
-       CAST(COUNT(*) AS BIGINT) AS n_lines,
-       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
-                * CAST(100 - ROUND(l.l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_e4
-FROM orders o
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
-  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
-GROUP BY 1, 2
-"""
-
-# curriculum buckets: integer q20 score, histogram-CDF boundaries at
-# integer ranks (k*n + 7) // 8, ties to the lower bucket — mirrors
-# llm/curation.py curriculum_buckets step for step
-_ORACLE_CURRICULUM = """
-WITH nd AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents
-),
-sc AS (
-  SELECT doc_id,
-         (CAST(len(list_distinct(ws)) AS BIGINT) * 1048576) // CAST(len(ws) AS BIGINT) AS score,
-         CAST(len(ws) AS BIGINT) AS n_words
-  FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM nd)
-),
-tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
-hist AS (SELECT score, COUNT(*) AS c FROM sc GROUP BY score),
-cdf AS (SELECT score, SUM(c) OVER (ORDER BY score) AS cum FROM hist),
-bounds AS (
-  SELECT k, MIN(score) AS b
-  FROM (SELECT unnest(range(1, 8)) AS k) ks, cdf, tot
-  WHERE cum >= (k * n + 7) // 8
-  GROUP BY k
-),
-bk AS (
-  SELECT s.score, s.n_words,
-         CAST(1 + (SELECT COUNT(*) FROM bounds WHERE s.score > bounds.b) AS BIGINT) AS bucket
-  FROM sc s
-)
-SELECT bucket,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_words) AS BIGINT) AS sum_words,
-       MIN(score) AS min_score_q20,
-       MAX(score) AS max_score_q20
-FROM bk GROUP BY bucket
-"""
-
 
 # round-3 (L70-L79) oracles ------------------------------------------------
 
 _REV_E4 = """CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
                 * CAST(100 - ROUND(l.l_discount * 100, 0) AS BIGINT)"""
 
-_ORACLE_REL_MARKET_SHARE = f"""
-WITH per_nation AS (
-  SELECT n.n_name,
-         CAST(SUM({_REV_E4}) AS BIGINT) AS revenue_e4
-  FROM lineitem l
-  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-  JOIN nation n   ON s.s_nationkey = n.n_nationkey
-  JOIN region r   ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
-  JOIN orders o   ON l.l_orderkey = o.o_orderkey
-  WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
-    AND CAST(o.o_orderdate AS DATE) <  DATE '1998-01-01'
-  GROUP BY 1
-)
-SELECT n_name, revenue_e4,
-       -- HUGEINT, not DECIMAL: DuckDB lowers DECIMAL(38)/DECIMAL(38) to
-       -- double (precision loss near q20 boundaries); HUGEINT // is exact
-       -- truncating division, matching Spark's DECIMAL(38,0) div.
-       CAST((CAST(revenue_e4 AS HUGEINT) * 1048576)
-            // (SELECT CAST(SUM(CAST(revenue_e4 AS HUGEINT)) AS HUGEINT)
-                FROM per_nation) AS BIGINT) AS share_q20
-FROM per_nation
-"""
-
-_ORACLE_REL_CUSTDIST = """
-WITH pc AS (
-  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
-  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-  GROUP BY 1
-)
-SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM pc GROUP BY 1
-"""
-
-_ORACLE_REL_TOP_SUPPLIER = f"""
-WITH ps AS (
-  SELECT l.l_suppkey, CAST(SUM({_REV_E4}) AS BIGINT) AS revenue_e4
-  FROM lineitem l
-  WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
-    AND CAST(l.l_shipdate AS DATE) <  DATE '1996-04-01'
-  GROUP BY 1
-)
-SELECT s.s_suppkey, s.s_name, ps.revenue_e4
-FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey
-WHERE ps.revenue_e4 = (SELECT MAX(revenue_e4) FROM ps)
-"""
-
-_ORACLE_REL_ORDER_PRIORITY = """
-SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
-FROM orders o
-WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
-  AND CAST(o.o_orderdate AS DATE) <  DATE '1996-07-01'
-  AND EXISTS (SELECT 1 FROM lineitem l
-              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
-GROUP BY 1
-"""
-
-_ORACLE_REL_NATION_MARGIN = f"""
-SELECT n.n_name,
-       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
-       CAST(SUM({_REV_E4}) AS BIGINT) AS revenue_e4
-FROM lineitem l
-JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-JOIN nation n   ON s.s_nationkey = n.n_nationkey
-JOIN orders o   ON l.l_orderkey = o.o_orderkey
-GROUP BY 1, 2
-"""
-
-# HLL registers: 60-bit md5 hash -> register = h % 256, payload
-# w = h // 256 (52 bits), rho = 53 - bit_length(w) (53 when w = 0);
-# bit_length via binary string rendering — no floating log2.
-_ORACLE_HLL = """
-WITH h AS (
-  SELECT event_type AS channel,
-         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
-  FROM events
-),
-mr AS (
-  SELECT channel, hv % 256 AS reg,
-         MAX(CASE WHEN hv // 256 = 0 THEN 53
-                  ELSE 53 - length(printf('%b', hv // 256)) END) AS rho
-  FROM h GROUP BY 1, 2
-),
-agg AS (
-  SELECT channel,
-         CAST(COUNT(*) AS BIGINT) AS n_registers_hit,
-         CAST(SUM(rho) AS BIGINT) AS sum_rho,
-         CAST(CAST(SUM(CAST(1 AS BIGINT) << (53 - rho)) AS BIGINT)
-              + (256 - CAST(COUNT(*) AS BIGINT)) * (CAST(1 AS BIGINT) << 53)
-              AS BIGINT) AS harmonic_s53
-  FROM mr GROUP BY 1
-),
-ex AS (
-  SELECT event_type AS channel,
-         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
-  FROM events GROUP BY 1
-)
-SELECT a.channel, a.n_registers_hit, a.sum_rho, a.harmonic_s53, ex.exact_distinct
-FROM agg a JOIN ex ON a.channel = ex.channel
-"""
-
-# z^2 > 4 by integer cross-multiplication — sqrt never computed
-_ORACLE_ANOMALY = """
-WITH d AS (
-  SELECT event_type AS channel, strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_day,
-         CAST(COUNT(*) AS BIGINT) AS n_events
-  FROM events GROUP BY 1, 2
-),
-s AS (
-  SELECT channel, CAST(COUNT(*) AS BIGINT) AS d_days,
-         CAST(SUM(n_events) AS BIGINT) AS s_sum,
-         CAST(SUM(n_events * n_events) AS BIGINT) AS q_sum
-  FROM d GROUP BY 1
-)
-SELECT d.channel, d.event_day, d.n_events,
-       CAST((d.n_events * s.d_days - s.s_sum)
-            * (d.n_events * s.d_days - s.s_sum) * (s.d_days - 1) AS BIGINT) AS z2_num,
-       CAST(4 * s.d_days * (s.d_days * s.q_sum - s.s_sum * s.s_sum) AS BIGINT) AS z2_den,
-       CAST(CASE WHEN (d.n_events * s.d_days - s.s_sum)
-                      * (d.n_events * s.d_days - s.s_sum) * (s.d_days - 1)
-                    > 4 * s.d_days * (s.d_days * s.q_sum - s.s_sum * s.s_sum)
-                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
-FROM d JOIN s ON d.channel = s.channel
-"""
-
-# single-window formulation of the two-phase prefix sum: total order
-# (h % 256, h, doc_id) = Spark's (bucket offsets, within-bucket order)
-_ORACLE_WEIGHTED_SAMPLE = """
-WITH w AS (
-  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
-         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|wsamp'), 1, 15) AS BIGINT) AS h
-  FROM documents
-),
-t AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM w),
-c AS (
-  SELECT doc_id, source, weight,
-         CAST(SUM(weight) OVER (ORDER BY h % 256, h, doc_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c_hi
-  FROM w
-)
-SELECT doc_id, source, weight,
-       CAST((c_hi * 25) // t.tw - ((c_hi - weight) * 25) // t.tw AS BIGINT) AS mult
-FROM c, t
-WHERE (c_hi * 25) // t.tw - ((c_hi - weight) * 25) // t.tw > 0
-"""
-
-_ORACLE_DORMANT = """
-WITH win AS (
-  SELECT * FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-28'
-),
-buyers AS (
-  SELECT DISTINCT user_id FROM win WHERE event_type = 'purchase'
-),
-d AS (
-  SELECT e.user_id, e.event_type, e.ts, e.event_id
-  FROM win e LEFT JOIN buyers b ON e.user_id = b.user_id
-  WHERE e.event_type <> 'purchase' AND b.user_id IS NULL
-),
-r AS (
-  SELECT user_id, event_type,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
-         COUNT(*) OVER (PARTITION BY user_id) AS ns
-  FROM d
-)
-SELECT event_type AS last_channel,
-       CAST(COUNT(*) AS BIGINT) AS n_users,
-       CAST(SUM(ns) AS BIGINT) AS n_sessions
-FROM r WHERE rn = 1 GROUP BY 1
-"""
-
-_ORACLE_CONTAINMENT = f"""
-WITH {_AUG}, {_NORM_AUG}, {_SHINGLED},
-sets AS (
-  SELECT doc_id, lang,
-         list_distinct(list_transform(shingles,
-           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS ds
-  FROM shingled
-),
-ex AS (
-  SELECT lang, doc_id, CAST(len(ds) AS BIGINT) AS sz, unnest(ds) AS h FROM sets
-),
-hits AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sza, b.sz AS szb,
-         CAST(COUNT(*) AS BIGINT) AS inter_size
-  FROM ex a JOIN ex b ON a.lang = b.lang AND a.h = b.h AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4
-)
-SELECT doc_a, doc_b, inter_size,
-       sza AS size_a, szb AS size_b,
-       CAST(CASE WHEN inter_size * 5 >= sza * 4 THEN 1 ELSE 0 END AS BIGINT) AS contained_a,
-       CAST(CASE WHEN inter_size * 5 >= szb * 4 THEN 1 ELSE 0 END AS BIGINT) AS contained_b
-FROM hits
-WHERE (CASE WHEN inter_size * 5 >= sza * 4 THEN 1 ELSE 0 END
-       + CASE WHEN inter_size * 5 >= szb * 4 THEN 1 ELSE 0 END) > 0
-"""
-
-
-_ORACLE_REVENUE_HISTOGRAM = """
-WITH v AS (
-  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_day,
-         CAST(ROUND(value * 100, 0) AS BIGINT) AS x
-  FROM events WHERE event_type = 'purchase'
-),
-b AS (
-  SELECT event_day, CAST((x >> g) << g AS BIGINT) AS bucket_lb
-  FROM (SELECT event_day, x,
-               CASE WHEN length(printf('%b', x)) - 3 > 0
-                    THEN length(printf('%b', x)) - 3 ELSE 0 END AS g
-        FROM v)
-),
-h AS (SELECT event_day, bucket_lb, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
-cdf AS (
-  SELECT event_day, bucket_lb,
-         CAST(SUM(c) OVER (PARTITION BY event_day ORDER BY bucket_lb) AS BIGINT) AS cum,
-         CAST(SUM(c) OVER (PARTITION BY event_day) AS BIGINT) AS n
-  FROM h
-)
-SELECT event_day,
-       CAST(MAX(n) AS BIGINT) AS n_values,
-       CAST(MIN(CASE WHEN cum * 2 >= n * 1 THEN bucket_lb END) AS BIGINT) AS p50_lb,
-       CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN bucket_lb END) AS BIGINT) AS p90_lb
-FROM cdf GROUP BY event_day
-"""
-
-_ORACLE_CHANNEL_OVERLAP = """
-WITH cu AS (
-  SELECT DISTINCT event_type AS channel, user_id
-  FROM events WHERE event_type <> 'purchase'
-),
-sizes AS (SELECT channel, CAST(COUNT(*) AS BIGINT) AS sz FROM cu GROUP BY 1),
-pairs AS (
-  SELECT a.channel AS chan_a, b.channel AS chan_b,
-         CAST(COUNT(*) AS BIGINT) AS n_common
-  FROM cu a JOIN cu b ON a.user_id = b.user_id AND a.channel < b.channel
-  GROUP BY 1, 2
-)
-SELECT p.chan_a, p.chan_b, p.n_common,
-       sa.sz AS size_a, sb.sz AS size_b
-FROM pairs p
-JOIN sizes sa ON sa.channel = p.chan_a
-JOIN sizes sb ON sb.channel = p.chan_b
-"""
-
-_ORACLE_LANG_CONFUSION = f"""
-WITH {_NORM_RAW},
-scores AS (
-  SELECT doc_id, lang AS declared,
-       {{lang_score_cols}}
-  FROM (SELECT doc_id, lang, list_distinct(string_split(norm, ' ')) AS dws FROM nd)
-),
-best AS (
-  SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM scores
-)
-SELECT declared,
-       CASE {{lang_case}} ELSE 'zh' END AS guessed,
-       CAST(COUNT(*) AS BIGINT) AS n_docs
-FROM best GROUP BY 1, 2
-""".replace("{lang_score_cols}", _lang_score_cols).replace("{lang_case}", _lang_case)
-
-# model comparison: per-row q20 weights (bit-identical to the
-# individually-oracled model queries) summed as exact integers
-_ORACLE_MODEL_COMPARISON = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS},
-base AS (
-  SELECT conversion_id, session_id, channel_label,
-         ROW_NUMBER() OVER w AS rn,
-         COUNT(*) OVER (PARTITION BY conversion_id) AS n
-  FROM journeys
-  WINDOW w AS (PARTITION BY conversion_id ORDER BY event_ts, session_id)
-),
-weights AS (
-  SELECT 'linear' AS model, channel_label, 1.0 / n AS ihc FROM base
-  UNION ALL
-  SELECT 'first_touch', channel_label, CASE WHEN rn = 1 THEN 1.0 ELSE 0.0 END FROM base
-  UNION ALL
-  SELECT 'last_touch', channel_label, CASE WHEN rn = n THEN 1.0 ELSE 0.0 END FROM base
-  UNION ALL
-  SELECT 'u_shaped', channel_label,
-         CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
-              WHEN rn = 1 THEN 0.4 WHEN rn = n THEN 0.4
-              ELSE 0.2 / (n - 2) END FROM base
-)
-SELECT model, channel_label,
-       CAST(SUM(CAST(FLOOR(ihc * 1048576 + 0.5) AS BIGINT)) AS BIGINT) AS credit_q20,
-       CAST(COUNT(*) AS BIGINT) AS n_touches
-FROM weights GROUP BY 1, 2
-"""
-
-# TF-IDF cosine pairs: whole-bit idf, stopword prune at df*10 > N,
-# threshold 25*dot^2 >= 9*na2*nb2 in HUGEINT (dot^2 exceeds BIGINT)
-_ORACLE_TFIDF_PAIRS = f"""
-WITH {_AUG}, {_NORM_AUG},
-ex AS (
-  SELECT lang, doc_id, unnest(string_split(norm, ' ')) AS term FROM nd
-),
-tf AS (
-  SELECT lang, doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM ex GROUP BY 1, 2, 3
-),
-nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM aug),
-dfq AS (
-  SELECT term, CAST(length(printf('%b', n // df)) AS BIGINT) AS ibits
-  FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), nt
-  WHERE df * 10 <= n
-),
-w AS (
-  SELECT t.lang, t.doc_id, t.term, CAST(t.tf * d.ibits AS BIGINT) AS w
-  FROM tf t JOIN dfq d ON t.term = d.term
-),
-norms AS (
-  SELECT lang, doc_id, CAST(SUM(w * w) AS BIGINT) AS norm2 FROM w GROUP BY 1, 2
-),
-dots AS (
-  SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(SUM(a.w * b.w) AS BIGINT) AS dot
-  FROM w a JOIN w b ON a.lang = b.lang AND a.term = b.term AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3
-)
-SELECT d.doc_a, d.doc_b, d.dot, na.norm2 AS norm2_a, nb.norm2 AS norm2_b
-FROM dots d
-JOIN norms na ON na.lang = d.lang AND na.doc_id = d.doc_a
-JOIN norms nb ON nb.lang = d.lang AND nb.doc_id = d.doc_b
-WHERE CAST(25 AS HUGEINT) * d.dot * d.dot
-      >= CAST(9 AS HUGEINT) * na.norm2 * nb.norm2
-"""
-
-_ORACLE_REL_MONTHLY_GROWTH = """
-WITH m AS (
-  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
-         CAST(COUNT(*) AS BIGINT) AS n_orders,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
-  FROM orders GROUP BY 1, 2
-)
-SELECT o_orderpriority, month, n_orders, revenue_cents,
-       CAST(revenue_cents - LAG(revenue_cents) OVER (
-         PARTITION BY o_orderpriority ORDER BY month) AS BIGINT) AS mom_delta_cents
-FROM m
-"""
-
-_ORACLE_CHANNEL_CUBE = """
-WITH sess AS (
-  SELECT event_type AS channel_name, strftime(ts, '%m') AS month,
-         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events WHERE event_type <> 'purchase'
-)
-SELECT COALESCE(channel_name, 'ALL') AS channel_name,
-       COALESCE(month, 'ALL') AS month,
-       CAST(COUNT(*) AS BIGINT) AS n_sessions,
-       CAST(SUM(c) AS BIGINT) AS cents,
-       CAST(GROUPING(channel_name) * 2 + GROUPING(month) AS BIGINT) AS gid
-FROM sess
-GROUP BY CUBE (channel_name, month)
-"""
-
-_ORACLE_FD_PROFILE = """
-WITH a AS (SELECT event_id, COUNT(DISTINCT user_id) AS nr FROM events GROUP BY 1),
-     b AS (SELECT user_id, COUNT(DISTINCT event_type) AS nr FROM events GROUP BY 1)
-SELECT 'event_id->user_id' AS dep,
-       CAST(COUNT(*) AS BIGINT) AS n_groups,
-       CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
-       CAST(MAX(nr) AS BIGINT) AS max_rhs_per_group
-FROM a
-UNION ALL
-SELECT 'user_id->event_type',
-       CAST(COUNT(*) AS BIGINT),
-       CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT),
-       CAST(MAX(nr) AS BIGINT)
-FROM b
-"""
-
-# log-histogram buckets: keep the top 3 bits (sub_bits = 2) —
-# g = max(bitlen(x) - 3, 0), bucket_lb = (x >> g) << g
-_ORACLE_LENGTH_HISTOGRAM = """
-WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
-b AS (
-  SELECT source, CAST((x >> g) << g AS BIGINT) AS bucket_lb
-  FROM (SELECT source, x,
-               CASE WHEN length(printf('%b', x)) - 3 > 0
-                    THEN length(printf('%b', x)) - 3 ELSE 0 END AS g
-        FROM v)
-),
-h AS (SELECT source, bucket_lb, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
-cdf AS (
-  SELECT source, bucket_lb,
-         CAST(SUM(c) OVER (PARTITION BY source ORDER BY bucket_lb) AS BIGINT) AS cum,
-         CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
-  FROM h
-)
-SELECT source,
-       CAST(MAX(n) AS BIGINT) AS n_values,
-       CAST(MIN(CASE WHEN cum * 2 >= n * 1 THEN bucket_lb END) AS BIGINT) AS p50_lb,
-       CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN bucket_lb END) AS BIGINT) AS p90_lb
-FROM cdf GROUP BY source
-"""
-
-_ORACLE_CHANNEL_UNPIVOT = """
-WITH sess AS (
-  SELECT event_type AS channel_name, strftime(ts, '%m') AS month,
-         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
-  FROM events WHERE event_type <> 'purchase'
-),
-universe AS (
-  SELECT c.channel_name, lpad(CAST(m.m AS VARCHAR), 2, '0') AS month
-  FROM (SELECT DISTINCT channel_name FROM sess) c,
-       (SELECT unnest(range(1, 13)) AS m) m
-)
-SELECT u.channel_name, u.month,
-       CAST(COALESCE(SUM(s.cents), 0) AS BIGINT) AS cents
-FROM universe u LEFT JOIN sess s
-  ON u.channel_name = s.channel_name AND u.month = s.month
-GROUP BY 1, 2
-"""
-
-_ORACLE_AUDIENCE_SETOPS = """
-WITH click AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
-     vw    AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
-SELECT 'click_and_view' AS audience,
-       CAST((SELECT COUNT(*) FROM click WHERE user_id IN (SELECT user_id FROM vw)) AS BIGINT) AS n_users
-UNION ALL
-SELECT 'click_not_view',
-       CAST((SELECT COUNT(*) FROM click WHERE user_id NOT IN (SELECT user_id FROM vw)) AS BIGINT)
-UNION ALL
-SELECT 'view_not_click',
-       CAST((SELECT COUNT(*) FROM vw WHERE user_id NOT IN (SELECT user_id FROM click)) AS BIGINT)
-UNION ALL
-SELECT 'click_or_view',
-       CAST((SELECT COUNT(DISTINCT user_id) FROM (SELECT user_id FROM click UNION SELECT user_id FROM vw)) AS BIGINT)
-"""
-
-# IVM parity: the incrementally-maintained aggregate must equal a
-# from-scratch recompute over the final fact set (old rows minus the
-# event_id % 97 retractions, plus everything on/after the cutoff).
-_ORACLE_IVM_REPORT = """
-SELECT event_type AS channel,
-       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
-FROM events
-WHERE CAST(ts AS DATE) >= DATE '2024-01-20' OR event_id % 97 <> 0
-GROUP BY 1, 2
-"""
-
-# Bloom: positions = md5_60('bloom{j}|' || v) % 8192, j = 0..3;
-# word = p div 62, bit = p % 62 (62-bit words: DuckDB raises on a
-# shift into the sign bit); build = BIT_OR of 1<<bit per word.
-_ORACLE_BLOOM_CONVERTERS = """
-WITH buyers AS (
-  SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events
-  WHERE event_type = 'purchase'
-),
-positions AS (
-  SELECT CAST('0x' || substr(md5('bloom' || j || '|' || v), 1, 15) AS BIGINT) % 8192 AS p
-  FROM buyers, (SELECT unnest(range(0, 4)) AS j)
-),
-bloom AS (
-  SELECT p // 62 AS word_idx, bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INTEGER)) AS bits
-  FROM positions GROUP BY 1
-),
-sess AS (
-  SELECT DISTINCT event_type AS channel, CAST(user_id AS VARCHAR) AS v
-  FROM events WHERE event_type <> 'purchase'
-),
-probe AS (
-  SELECT s.channel, s.v,
-         CAST('0x' || substr(md5('bloom' || j.j || '|' || s.v), 1, 15) AS BIGINT) % 8192 AS p
-  FROM sess s, (SELECT unnest(range(0, 4)) AS j) j
-),
-hits AS (
-  SELECT pr.channel, pr.v,
-         CASE WHEN COUNT(*) FILTER (WHERE
-           (COALESCE(b.bits, 0) & (CAST(1 AS BIGINT) << CAST(pr.p % 62 AS INTEGER)))
-             = (CAST(1 AS BIGINT) << CAST(pr.p % 62 AS INTEGER))) = 4
-         THEN 1 ELSE 0 END AS might_contain
-  FROM probe pr LEFT JOIN bloom b ON pr.p // 62 = b.word_idx
-  GROUP BY 1, 2
-),
-flagged AS (
-  SELECT e.event_type AS channel, CAST(e.user_id AS VARCHAR) AS v,
-         h.might_contain,
-         CASE WHEN bu.v IS NULL THEN 0 ELSE 1 END AS is_buyer
-  FROM events e
-  JOIN hits h ON h.channel = e.event_type AND h.v = CAST(e.user_id AS VARCHAR)
-  LEFT JOIN buyers bu ON bu.v = CAST(e.user_id AS VARCHAR)
-  WHERE e.event_type <> 'purchase'
-)
-SELECT channel,
-       CAST(COUNT(*) AS BIGINT) AS n_sessions,
-       CAST(SUM(might_contain) AS BIGINT) AS bloom_hits,
-       CAST(SUM(is_buyer) AS BIGINT) AS exact_hits
-FROM flagged GROUP BY 1
-"""
-
-_ORACLE_FILL_GAPS = """
-WITH spine AS (
-  SELECT ch.channel, strftime(dd.d, '%Y-%m-%d') AS day
-  FROM (SELECT DISTINCT event_type AS channel FROM events
-        WHERE event_type <> 'purchase') ch,
-       (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
-                                      INTERVAL 1 DAY)) AS d) dd
-),
-daily AS (
-  SELECT event_type AS channel,
-         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-         CAST(COUNT(*) AS BIGINT) AS n_raw,
-         CAST(MAX(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS max_cents_raw
-  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
-)
-SELECT s.channel, s.day,
-       COALESCE(d.n_raw, 0) AS n_sessions,
-       CAST(last_value(d.max_cents_raw IGNORE NULLS) OVER (
-         PARTITION BY s.channel ORDER BY s.day
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS max_cents
-FROM spine s LEFT JOIN daily d ON s.channel = d.channel AND s.day = d.day
-"""
-
-_ORACLE_FUZZY_CHANNELS = """
-WITH canon AS (SELECT DISTINCT event_type AS channel FROM events),
-variants AS (
-  SELECT channel || 'x' AS dirty FROM canon
-  UNION SELECT substr(channel, 2) FROM canon
-  UNION SELECT 'zz' || channel FROM canon
-  UNION SELECT 'qqqqqqqq'
-),
-scored AS (
-  SELECT v.dirty, c.channel AS canonical,
-         CAST(levenshtein(v.dirty, c.channel) AS BIGINT) AS distance
-  FROM variants v JOIN canon c
-    ON abs(length(v.dirty) - length(c.channel)) <= 2
-  WHERE levenshtein(v.dirty, c.channel) <= 2
-)
-SELECT dirty, canonical, distance FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty
-            ORDER BY distance, canonical) AS rn
-  FROM scored
-) WHERE rn = 1
-"""
-
 
 # round-4b (L121-L130) oracles ----------------------------------------------
-
-_ORACLE_REL_LOCAL_VOLUME = f"""
-SELECT n.n_name,
-       CAST(COUNT(*) AS BIGINT) AS n_lines,
-       CAST(SUM({_REV_E4}) AS BIGINT) AS revenue_e4
-FROM lineitem l
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-JOIN nation n   ON s.s_nationkey = n.n_nationkey
-JOIN region r   ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
-JOIN orders o   ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
-WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
-  AND CAST(o.o_orderdate AS DATE) <  DATE '1998-01-01'
-GROUP BY 1
-"""
-
-_ORACLE_REL_NATION_TRADE = f"""
-SELECT ns.n_name AS supp_nation,
-       nc.n_name AS cust_nation,
-       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-       CAST(COUNT(*) AS BIGINT) AS n_lines,
-       CAST(SUM({_REV_E4}) AS BIGINT) AS revenue_e4
-FROM lineitem l
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
-JOIN orders o   ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
-WHERE ns.n_name IN ('NATION_3', 'NATION_8')
-  AND nc.n_name IN ('NATION_3', 'NATION_8')
-  AND ns.n_name <> nc.n_name
-GROUP BY 1, 2, 3
-"""
-
-_ORACLE_REL_PROMO_SHARE = f"""
-WITH a AS (
-  SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_E4} ELSE 0 END) AS BIGINT)
-           AS promo_rev_e4,
-         CAST(SUM({_REV_E4}) AS BIGINT) AS total_rev_e4
-  FROM lineitem l
-  JOIN part p ON l.l_partkey = p.p_partkey
-  WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-09-01'
-    AND CAST(l.l_shipdate AS DATE) <  DATE '1996-10-01'
-)
-SELECT promo_rev_e4, total_rev_e4,
-       CAST((CAST(promo_rev_e4 AS HUGEINT) * 1048576)
-            // CAST(total_rev_e4 AS HUGEINT) AS BIGINT) AS promo_share_q20
-FROM a
-"""
-
-_ORACLE_REL_DISJUNCTIVE = f"""
-SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
-       CAST(SUM({_REV_E4}) AS BIGINT) AS revenue_e4
-FROM lineitem l
-JOIN part p ON l.l_partkey = p.p_partkey
-WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
-        AND CAST(ROUND(l.l_quantity, 0) AS BIGINT) BETWEEN 1 AND 15)
-   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 5 AND 20
-        AND CAST(ROUND(l.l_quantity, 0) AS BIGINT) BETWEEN 10 AND 30)
-   OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 15 AND 50
-        AND CAST(ROUND(l.l_quantity, 0) AS BIGINT) BETWEEN 25 AND 50)
-"""
-
-# EXISTS / NOT-EXISTS written literally here; the Spark side runs the
-# decorrelated per-order aggregate — the parity check proves the rewrite.
-_ORACLE_REL_RETURN_CULPRITS = """
-SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
-FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R') l1
-JOIN orders o   ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
-JOIN supplier s ON s.s_suppkey = l1.l_suppkey
-JOIN nation n   ON s.s_nationkey = n.n_nationkey
-JOIN region r   ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
-WHERE EXISTS (SELECT 1 FROM lineitem l2
-              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-                    AND l3.l_returnflag = 'R')
-GROUP BY 1
-"""
-
-# offers referenced twice (per-part min + join back) => MATERIALIZED, per
-# the CLAUDE.md DuckDB CTE-inlining rule.
-_ORACLE_REL_MIN_COST_SUPPLIER = """
-WITH offers AS MATERIALIZED (
-  SELECT p.p_partkey, p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
-         s.s_name, n.n_name,
-         CAST(MIN(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS cost_cents
-  FROM lineitem l
-  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-  JOIN nation n   ON s.s_nationkey = n.n_nationkey
-  JOIN region r   ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
-  JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_size <= 10
-  GROUP BY 1, 2, 3, 4, 5
-)
-SELECT o.p_partkey, o.p_brand, o.p_size, o.s_name, o.n_name, o.cost_cents
-FROM offers o
-WHERE o.cost_cents = (SELECT MIN(o2.cost_cents) FROM offers o2
-                      WHERE o2.p_partkey = o.p_partkey)
-"""
-
-_ORACLE_REL_IMPORTANT_PARTS = f"""
-WITH v AS MATERIALIZED (
-  SELECT l.l_partkey AS partkey,
-         CAST(SUM({_REV_E4}) AS BIGINT) AS value_e4
-  FROM lineitem l
-  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-  JOIN nation n   ON s.s_nationkey = n.n_nationkey
-  JOIN region r   ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
-  GROUP BY 1
-)
-SELECT partkey, value_e4 FROM v
-WHERE CAST(value_e4 AS HUGEINT) * (SELECT COUNT(*) FROM v) * 2
-      > (SELECT SUM(CAST(value_e4 AS HUGEINT)) FROM v) * 3
-"""
-
-_ORACLE_REL_PART_PROMOTION = """
-WITH q AS MATERIALIZED (
-  SELECT l.l_suppkey, l.l_partkey,
-         CAST(SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) AS HUGEINT) AS sq
-  FROM lineitem l
-  JOIN part p ON l.l_partkey = p.p_partkey
-  WHERE p.p_name LIKE '%rod%' AND year(l.l_shipdate) = 1997
-  GROUP BY 1, 2
-)
-SELECT s.s_name, n.n_name
-FROM supplier s
-JOIN nation n ON s.s_nationkey = n.n_nationkey
-WHERE s.s_suppkey IN (
-  SELECT l_suppkey FROM q
-  WHERE sq * (SELECT COUNT(*) FROM q) > (SELECT SUM(sq) FROM q) * 2)
-"""
-
-_ORACLE_REL_FORECAST_REVENUE = """
-SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
-       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
-                * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS discount_rev_e4
-FROM lineitem
-WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
-  AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
-  AND CAST(ROUND(l_quantity, 0) AS BIGINT) < 24
-  AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) IN (5, 6, 7)
-"""
-
-_ORACLE_SCD2_CHANNELS = f"""
-WITH {_SESS},
-m AS (
-  SELECT user_id, session_id, channel_name, event_ts,
-         CASE WHEN lag(channel_name) OVER (PARTITION BY user_id
-                ORDER BY event_ts, session_id) IS DISTINCT FROM channel_name
-              THEN 1 ELSE 0 END AS chg
-  FROM sess
-),
-v AS (
-  SELECT user_id, channel_name, event_ts,
-         SUM(chg) OVER (PARTITION BY user_id ORDER BY event_ts, session_id
-                        ROWS UNBOUNDED PRECEDING) AS version
-  FROM m
-),
-runs AS (
-  SELECT user_id, CAST(version AS BIGINT) AS version, channel_name,
-         CAST(MIN(epoch_us(event_ts)) AS BIGINT) AS valid_from_us,
-         CAST(COUNT(*) AS BIGINT) AS n_events
-  FROM v GROUP BY 1, 2, 3
-)
-SELECT user_id, version, channel_name, valid_from_us,
-       COALESCE(CAST(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) AS BIGINT),
-                CAST(-1 AS BIGINT)) AS valid_to_us,
-       CAST(CASE WHEN lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) IS NULL
-                 THEN 1 ELSE 0 END AS BIGINT) AS is_current,
-       n_events
-FROM runs
-"""
-
-_ORACLE_REL_PRIORITY_LINES = """
-SELECT l.l_returnflag,
-       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-FROM lineitem l
-JOIN orders o ON l.l_orderkey = o.o_orderkey
-WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
-  AND CAST(l.l_shipdate AS DATE) <  DATE '1997-01-01'
-GROUP BY 1
-"""
-
-_ORACLE_SCD2_LOOKUP = f"""
-WITH {_CONV}, {_SESS},
-m AS (
-  SELECT user_id, session_id, channel_name, event_ts,
-         CASE WHEN lag(channel_name) OVER (PARTITION BY user_id
-                ORDER BY event_ts, session_id) IS DISTINCT FROM channel_name
-              THEN 1 ELSE 0 END AS chg
-  FROM sess
-),
-v AS (
-  SELECT user_id, channel_name, event_ts,
-         SUM(chg) OVER (PARTITION BY user_id ORDER BY event_ts, session_id
-                        ROWS UNBOUNDED PRECEDING) AS version
-  FROM m
-),
-runs AS (
-  SELECT user_id, CAST(version AS BIGINT) AS version, channel_name,
-         CAST(MIN(epoch_us(event_ts)) AS BIGINT) AS valid_from_us
-  FROM v GROUP BY 1, 2, 3
-),
-dim AS (
-  SELECT user_id, version, channel_name, valid_from_us,
-         COALESCE(CAST(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) AS BIGINT),
-                  CAST(-1 AS BIGINT)) AS valid_to_us
-  FROM runs
-)
-SELECT c.conv_id, c.user_id, d.version, d.channel_name
-FROM conv c
-JOIN dim d ON c.user_id = d.user_id
-WHERE d.valid_from_us <= epoch_us(c.conv_ts)
-  AND (d.valid_to_us = -1 OR epoch_us(c.conv_ts) < d.valid_to_us)
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -7650,396 +4417,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# L133 RFM segmentation: quintile = 1 + (5*(rank-1)) // n over the
-# (metric, custkey) total order — the two-phase Spark rank equals the
-# oracle's single ROW_NUMBER because the rank depends only on the
-# total order, not the partitioning.  Recency is inverted (n+1-rank)
-# so score 5 = most recent on every axis.
-_ORACLE_RFM_SEGMENTS = """
-WITH per_cust AS MATERIALIZED (
-  SELECT o_custkey AS custkey,
-         MAX(CAST(o_orderdate AS DATE)) AS last_d,
-         CAST(COUNT(*) AS BIGINT) AS frequency,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS monetary_cents
-  FROM orders GROUP BY 1
-),
-anch AS (SELECT MAX(last_d) AS a FROM per_cust),
-base AS (
-  SELECT custkey, frequency, monetary_cents,
-         CAST(date_diff('day', last_d, a) AS BIGINT) AS recency_days,
-         CAST(COUNT(*) OVER () AS BIGINT) AS n
-  FROM per_cust, anch
-),
-ranked AS (
-  SELECT *,
-         ROW_NUMBER() OVER (ORDER BY recency_days, custkey) AS rr,
-         ROW_NUMBER() OVER (ORDER BY frequency, custkey)    AS rf,
-         ROW_NUMBER() OVER (ORDER BY monetary_cents, custkey) AS rm
-  FROM base
-)
-SELECT custkey, recency_days, frequency, monetary_cents,
-       CAST(1 + (5 * ((n + 1 - rr) - 1)) // n AS INTEGER) AS r_score,
-       CAST(1 + (5 * (rf - 1)) // n AS INTEGER)           AS f_score,
-       CAST(1 + (5 * (rm - 1)) // n AS INTEGER)           AS m_score
-FROM ranked
-"""
-
-# L134 survival analysis: the KM recurrence is replayed with WITH
-# RECURSIVE over the materialized risk table — every step is integer
-# (truncating //), so it is bit-identical to the Spark driver loop.
-_ORACLE_SURVIVAL_KM = """
-WITH RECURSIVE durs AS MATERIALIZED (
-  SELECT user_id,
-         CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
-              THEN CAST(date_diff('day', CAST(MIN(ts) AS DATE),
-                        CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS DATE)) AS BIGINT)
-              ELSE CAST(date_diff('day', CAST(MIN(ts) AS DATE),
-                        CAST(MAX(ts) AS DATE)) AS BIGINT) END AS offset_days,
-         CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
-              THEN 1 ELSE 0 END AS event
-  FROM events GROUP BY user_id
-),
-day AS MATERIALIZED (
-  SELECT offset_days,
-         CAST(SUM(event) AS BIGINT) AS n_conv,
-         CAST(SUM(1 - event) AS BIGINT) AS n_censored
-  FROM durs GROUP BY 1
-),
-tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM durs),
-risk AS MATERIALIZED (
-  SELECT offset_days, n_conv, n_censored,
-         CAST(n - COALESCE(SUM(n_conv + n_censored) OVER (
-             ORDER BY offset_days ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS BIGINT) AS n_risk,
-         ROW_NUMBER() OVER (ORDER BY offset_days) AS rn
-  FROM day, tot
-),
-km(rn, s) AS (
-  SELECT CAST(0 AS BIGINT), CAST(1000000000 AS BIGINT)
-  UNION ALL
-  SELECT r.rn, km.s * (r.n_risk - r.n_conv) // r.n_risk
-  FROM km JOIN risk r ON r.rn = km.rn + 1
-)
-SELECT r.offset_days, r.n_risk, r.n_conv, r.n_censored,
-       CAST((r.n_conv * 1048576) // r.n_risk AS BIGINT) AS hazard_q20,
-       CAST(k.s AS BIGINT) AS survival_e9
-FROM risk r JOIN km k ON k.rn = r.rn
-"""
-
-# L135 basket pairs: lift_q20 = pair*n*2^20 // (cnt_a*cnt_b) in
-# HUGEINT — truncating, matching Spark DECIMAL(38,0) div.
-_ORACLE_REL_BASKET_PAIRS = """
-WITH items AS MATERIALIZED (
-  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem
-),
-capped AS MATERIALIZED (
-  SELECT i.* FROM items i
-  JOIN (SELECT okey FROM items GROUP BY okey HAVING COUNT(*) <= 8) s USING (okey)
-),
-tot AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM capped),
-sup AS MATERIALIZED (
-  SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM capped GROUP BY 1
-),
-pairs AS (
-  SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS pair_cnt
-  FROM capped a JOIN capped b ON a.okey = b.okey AND a.item < b.item
-  GROUP BY 1, 2 HAVING COUNT(*) >= 2
-)
-SELECT p.item_a, p.item_b, p.pair_cnt,
-       sa.cnt AS cnt_a, sb.cnt AS cnt_b, t.n_orders,
-       CAST(CAST(p.pair_cnt AS HUGEINT) * t.n_orders * 1048576
-            // (CAST(sa.cnt AS HUGEINT) * sb.cnt) AS BIGINT) AS lift_q20
-FROM pairs p
-JOIN sup sa ON sa.item = p.item_a
-JOIN sup sb ON sb.item = p.item_b, tot t
-"""
-
-# L137 sequence packing: the two-phase Spark prefix sum equals the
-# oracle's single window over the same (bucket, hash, id) total
-# order; all integer.
-_ORACLE_PACK_SEQUENCES = """
-WITH base AS MATERIALIZED (
-  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
-         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|pack'), 1, 15) AS BIGINT) AS h
-  FROM documents WHERE n_chars > 0
-),
-ordered AS (
-  SELECT doc_id, w,
-         CAST(COALESCE(SUM(w) OVER (
-             ORDER BY h % 256, h, doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
-  FROM base
-)
-SELECT doc_id, w AS n_chars, off AS "offset",
-       CAST(off // 4096 AS BIGINT) AS seq_first,
-       CAST((off + w - 1) // 4096 AS BIGINT) AS seq_last,
-       CAST((off + w - 1) // 4096 - off // 4096 + 1 AS BIGINT) AS n_seqs
-FROM ordered
-"""
-
-# L138 UCB1: integer evidence columns; the index is irrational
-# (sqrt/ln) so q20 per the float policy.
-_ORACLE_BANDIT_UCB = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS},
-converted AS (SELECT DISTINCT session_id FROM journeys),
-arm AS (
-  SELECT s.channel_name,
-         CAST(COUNT(*) AS BIGINT) AS plays,
-         CAST(SUM(CASE WHEN c.session_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reward_sum
-  FROM sess s LEFT JOIN converted c USING (session_id)
-  GROUP BY 1
-),
-tot AS (SELECT CAST(SUM(plays) AS BIGINT) AS n_total FROM arm)
-SELECT channel_name, plays, reward_sum, n_total,
-       CAST(FLOOR((CAST(reward_sum AS DOUBLE) / plays
-            + sqrt(2.0 * ln(CAST(n_total AS DOUBLE)) / plays)) * 1048576 + 0.5) AS BIGINT)
-         AS ucb_q20
-FROM arm, tot
-"""
-
-# L139 triangle count: naive a<b<c three-way join over the same
-# canonical (min, max) edge set the Spark side orients — the count is
-# orientation-invariant, so the oracle needn't mirror the plan.
-_ORACLE_REL_TRIANGLE_COUNT = """
-WITH items AS MATERIALIZED (
-  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem
-),
-capped AS MATERIALIZED (
-  SELECT i.* FROM items i
-  JOIN (SELECT okey FROM items GROUP BY okey HAVING COUNT(*) <= 8) s USING (okey)
-),
-edges AS MATERIALIZED (
-  SELECT a.item AS a, b.item AS b
-  FROM capped a JOIN capped b ON a.okey = b.okey AND a.item < b.item
-  GROUP BY 1, 2 HAVING COUNT(*) >= 2
-),
-nodes AS (
-  SELECT DISTINCT v FROM (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
-),
-tri AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS t
-  FROM edges e1
-  JOIN edges e2 ON e2.a = e1.b
-  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
-)
-SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
-       CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
-       (SELECT t FROM tri) AS n_triangles
-"""
-
-# L140 stratified sample: Hamilton quotas in HUGEINT (== Spark
-# DECIMAL(38,0) div/%), selection by the same (bucket, hash, id)
-# order the grouped two-phase rank uses.
-_ORACLE_STRATIFIED_SAMPLE = """
-WITH per AS MATERIALIZED (
-  SELECT source AS s, CAST(COUNT(*) AS BIGINT) AS stratum_n FROM documents GROUP BY 1
-),
-tots AS (SELECT CAST(SUM(stratum_n) AS HUGEINT) AS tot FROM per),
-scaled AS (
-  SELECT s, stratum_n,
-         CAST(CAST(137 AS HUGEINT) * stratum_n // tot AS BIGINT) AS base,
-         CAST(137 AS HUGEINT) * stratum_n % tot AS rem
-  FROM per, tots
-),
-quotas AS (
-  SELECT s AS source, stratum_n,
-         LEAST(stratum_n,
-               base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, s ASC)
-                                <= 137 - SUM(base) OVER () THEN 1 ELSE 0 END) AS quota
-  FROM scaled
-),
-ranked AS (
-  SELECT doc_id, source,
-         ROW_NUMBER() OVER (PARTITION BY source ORDER BY
-             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|strat'), 1, 15) AS BIGINT) % 64,
-             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|strat'), 1, 15) AS BIGINT),
-             doc_id) AS rank
-  FROM documents
-)
-SELECT r.doc_id, r.source, q.stratum_n, CAST(q.quota AS BIGINT) AS quota,
-       CAST(r.rank AS BIGINT) AS rank
-FROM ranked r JOIN quotas q USING (source)
-WHERE r.rank <= q.quota
-"""
-
-# L141 embedding quantization: generate_subscripts is 1-based and
-# posexplode 0-based — irrelevant cross-engine, the join is within
-# one engine; the code VALUES and their dim order are what the
-# string_agg/md5 pins.
-_ORACLE_EMBED_QUANTIZE = """
-WITH ex AS MATERIALIZED (
-  SELECT vec_id,
-         CAST(unnest(embedding) AS DOUBLE) AS x,
-         generate_subscripts(embedding, 1) AS d
-  FROM embeddings
-),
-stats AS MATERIALIZED (
-  SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY d
-),
-codes AS (
-  SELECT e.vec_id, e.d,
-         CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
-              ELSE CAST(FLOOR((e.x - s.mn) / (s.mx - s.mn) * 255.0 + 0.5) AS BIGINT) END AS c
-  FROM ex e JOIN stats s USING (d)
-)
-SELECT vec_id,
-       CAST(COUNT(*) AS BIGINT) AS n_dims,
-       CAST(SUM(c) AS BIGINT) AS code_sum,
-       CAST(MIN(c) AS BIGINT) AS code_min,
-       CAST(MAX(c) AS BIGINT) AS code_max,
-       md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY d)) AS codes_md5
-FROM codes GROUP BY vec_id
-"""
-
-# L142 path motifs: consecutive-triple stitch via rn equi-joins.
-_ORACLE_PATH_MOTIFS = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS},
-base AS MATERIALIZED (
-  SELECT conversion_id AS cid, channel_label AS ch,
-         ROW_NUMBER() OVER (PARTITION BY conversion_id
-                            ORDER BY event_ts, session_id) AS rn
-  FROM journeys
-)
-SELECT b1.ch AS c1, b2.ch AS c2, b3.ch AS c3,
-       CAST(COUNT(*) AS BIGINT) AS n_motif,
-       CAST(COUNT(DISTINCT b1.cid) AS BIGINT) AS n_journeys
-FROM base b1
-JOIN base b2 ON b2.cid = b1.cid AND b2.rn = b1.rn + 1
-JOIN base b3 ON b3.cid = b1.cid AND b3.rn = b1.rn + 2
-GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
-"""
-
-# L143 item recommendations: basket CTEs + symmetrize + deterministic
-# per-item top-3 window.
-_ORACLE_REL_ITEM_RECS = """
-WITH items AS MATERIALIZED (
-  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem
-),
-capped AS MATERIALIZED (
-  SELECT i.* FROM items i
-  JOIN (SELECT okey FROM items GROUP BY okey HAVING COUNT(*) <= 8) s USING (okey)
-),
-tot AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM capped),
-sup AS MATERIALIZED (
-  SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM capped GROUP BY 1
-),
-pairs AS (
-  SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS pair_cnt
-  FROM capped a JOIN capped b ON a.okey = b.okey AND a.item < b.item
-  GROUP BY 1, 2 HAVING COUNT(*) >= 2
-),
-enriched AS MATERIALIZED (
-  SELECT p.item_a, p.item_b, p.pair_cnt,
-         CAST(CAST(p.pair_cnt AS HUGEINT) * t.n_orders * 1048576
-              // (CAST(sa.cnt AS HUGEINT) * sb.cnt) AS BIGINT) AS lift_q20
-  FROM pairs p
-  JOIN sup sa ON sa.item = p.item_a
-  JOIN sup sb ON sb.item = p.item_b, tot t
-),
-sym AS (
-  SELECT item_a AS item, item_b AS rec, pair_cnt, lift_q20 FROM enriched
-  UNION ALL
-  SELECT item_b, item_a, pair_cnt, lift_q20 FROM enriched
-)
-SELECT item, rec, CAST(rk AS BIGINT) AS rank, pair_cnt, lift_q20
-FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY item
-          ORDER BY lift_q20 DESC, pair_cnt DESC, rec ASC) AS rk FROM sym)
-WHERE rk <= 3
-"""
-
-# L144 NB language ID: counts exact; ln quantized to q20 at the same
-# points as the Spark plan; scoring is integer sums -> bit-stable
-# argmax.
-_ORACLE_NB_LANGID = """
-WITH nd AS MATERIALIZED (
-  SELECT doc_id, lang, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
-  FROM documents
-),
-toksf AS MATERIALIZED (
-  SELECT doc_id, lang, w AS word
-  FROM (SELECT doc_id, lang, unnest(string_split(norm, ' ')) AS w FROM nd)
-  WHERE w <> ''
-),
-counts AS MATERIALIZED (
-  SELECT lang AS label, word, CAST(COUNT(*) AS BIGINT) AS c FROM toksf GROUP BY 1, 2
-),
-tot AS MATERIALIZED (SELECT label, CAST(SUM(c) AS BIGINT) AS tot FROM counts GROUP BY 1),
-vocab AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM counts),
-ndocs AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_l FROM documents GROUP BY 1),
-nall AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-classes AS MATERIALIZED (
-  SELECT d.label,
-         CAST(FLOOR(ln(CAST(d.n_l AS DOUBLE) / a.n) * 1048576 + 0.5) AS BIGINT) AS prior_q20,
-         CAST(FLOOR(ln(1.0 / (t.tot + vv.v)) * 1048576 + 0.5) AS BIGINT) AS unseen_q20
-  FROM ndocs d JOIN tot t ON t.label = d.label, nall a, vocab vv
-),
-weights AS MATERIALIZED (
-  SELECT c.label, c.word,
-         CAST(FLOOR(ln(CAST(c.c + 1 AS DOUBLE) / (t.tot + vv.v)) * 1048576 + 0.5) AS BIGINT) AS w_q20
-  FROM counts c JOIN tot t ON t.label = c.label, vocab vv
-),
-tf AS MATERIALIZED (
-  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM toksf GROUP BY 1, 2
-),
-doc_tot AS MATERIALIZED (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_total FROM tf GROUP BY 1),
-matched AS MATERIALIZED (
-  SELECT t.doc_id, w.label,
-         CAST(SUM(t.tf * w.w_q20) AS BIGINT) AS w_matched,
-         CAST(SUM(t.tf) AS BIGINT) AS tf_matched
-  FROM tf t JOIN weights w USING (word) GROUP BY 1, 2
-),
-scored AS (
-  SELECT dt.doc_id, c.label,
-         c.prior_q20 + COALESCE(m.w_matched, 0)
-           + (dt.tf_total - COALESCE(m.tf_matched, 0)) * c.unseen_q20 AS score_q20
-  FROM doc_tot dt CROSS JOIN classes c
-  LEFT JOIN matched m ON m.doc_id = dt.doc_id AND m.label = c.label
-),
-pred AS (
-  SELECT doc_id, label AS pred_label
-  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-            ORDER BY score_q20 DESC, label ASC) AS rk FROM scored)
-  WHERE rk = 1
-)
-SELECT d.lang, p.pred_label, CAST(COUNT(*) AS BIGINT) AS n_docs
-FROM documents d JOIN pred p USING (doc_id)
-GROUP BY 1, 2
-"""
-
-# L145 Benford screen: digit from the decimal string (exact), masses
-# in q20.
-_ORACLE_BENFORD_SCREEN = """
-WITH pos AS (
-  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders
-  WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) > 0
-),
-per AS MATERIALIZED (
-  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
-         CAST(COUNT(*) AS BIGINT) AS n_observed
-  FROM pos GROUP BY 1
-),
-tot AS (SELECT CAST(SUM(n_observed) AS BIGINT) AS n_total FROM per)
-SELECT digit, n_observed, n_total,
-       (n_observed * 1048576) // n_total AS observed_q20,
-       CAST(FLOOR(log10(1.0 + 1.0 / digit) * 1048576 + 0.5) AS BIGINT) AS expected_q20,
-       (n_observed * 1048576) // n_total
-         - CAST(FLOOR(log10(1.0 + 1.0 / digit) * 1048576 + 0.5) AS BIGINT) AS deviation_q20
-FROM per, tot
-"""
-
-# L146 stream-static enrich parity: Spark's window('1 day') buckets
-# are epoch-aligned UTC days == date_trunc('day').
-_ORACLE_STREAM_ENRICH = """
-SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
-       c.c_mktsegment AS segment,
-       CAST(COUNT(*) AS BIGINT) AS n_sessions,
-       CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS total_value_cents
-FROM events e JOIN customer c ON e.user_id = c.c_custkey
-WHERE e.event_type <> 'purchase'
-GROUP BY 1, 2
-"""
-
-
 def _greedy_coverage_oracle(k: int = 8) -> str:
     """Unrolled k-round greedy-coverage oracle (markov/BPE unrolled-
     loop precedent: every round MATERIALIZED so DuckDB cannot inline
@@ -8089,89 +4466,6 @@ FROM sel WHERE gain > 0
     )
 
 
-_ORACLE_GREEDY_COVERAGE = _greedy_coverage_oracle(8)
-
-# L148 isotonic calibration: minimax closed form over the bounded
-# bucket grid; q20-quantized interval means make max/min exact.
-_ORACLE_ISOTONIC_CALIBRATION = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS},
-converted AS (SELECT DISTINCT session_id FROM journeys),
-outcomes AS MATERIALIZED (
-  SELECT CAST(ROUND(s.value * 100, 0) AS BIGINT) // 2500 AS bucket,
-         CASE WHEN c.session_id IS NOT NULL THEN 1 ELSE 0 END AS hit
-  FROM sess s LEFT JOIN converted c USING (session_id)
-),
-per AS MATERIALIZED (
-  SELECT bucket AS b, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(hit) AS BIGINT) AS conv
-  FROM outcomes GROUP BY 1
-),
-pref AS MATERIALIZED (
-  SELECT b, n, conv,
-         CAST(SUM(n) OVER (ORDER BY b) AS BIGINT) AS cn,
-         CAST(SUM(conv) OVER (ORDER BY b) AS BIGINT) AS cs
-  FROM per
-),
-spans AS MATERIALIZED (
-  SELECT j.b AS j, k.b AS k,
-         ((k.cs - (j.cs - j.conv)) * 1048576) // (k.cn - (j.cn - j.n)) AS avg_q20
-  FROM pref j, pref k WHERE j.b <= k.b
-),
-mins AS MATERIALIZED (
-  SELECT s.j, p.b AS i, MIN(s.avg_q20) AS mn
-  FROM spans s JOIN per p ON s.j <= p.b AND s.k >= p.b
-  GROUP BY 1, 2
-),
-fit AS (SELECT i, CAST(MAX(mn) AS BIGINT) AS iso_rate_q20 FROM mins GROUP BY 1)
-SELECT p.b AS bucket, p.n, p.conv AS conversions,
-       (p.conv * 1048576) // p.n AS raw_rate_q20,
-       f.iso_rate_q20
-FROM per p JOIN fit f ON f.i = p.b
-"""
-
-# L149 CUSUM: cusum'_t = N*prefix_t - t*S, exact longs; peak by
-# (|cusum| DESC, day ASC).
-_ORACLE_CUSUM_CHANGEPOINT = """
-WITH daily AS MATERIALIZED (
-  SELECT strftime(ts, '%Y-%m-%d') AS day,
-         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS day_cents
-  FROM events WHERE event_type = 'purchase' GROUP BY 1
-),
-tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(day_cents) AS BIGINT) AS s FROM daily),
-curve AS MATERIALIZED (
-  SELECT day, day_cents,
-         CAST(n * SUM(day_cents) OVER (ORDER BY day)
-              - ROW_NUMBER() OVER (ORDER BY day) * s AS BIGINT) AS cusum_scaled
-  FROM daily, tot
-),
-peak AS (SELECT day AS peak_day FROM curve ORDER BY abs(cusum_scaled) DESC, day ASC LIMIT 1)
-SELECT c.day, c.day_cents, c.cusum_scaled,
-       CAST(CASE WHEN c.day = p.peak_day THEN 1 ELSE 0 END AS BIGINT) AS is_peak
-FROM curve c, peak p
-"""
-
-# L150 hashing-trick features: md5 bucket hash == Spark conv(md5);
-# vector pinned by the ascending "idx:cnt" string.
-_ORACLE_HASHED_FEATURES = """
-WITH nd AS MATERIALIZED (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents
-),
-terms AS MATERIALIZED (
-  SELECT doc_id, t AS term
-  FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS t FROM nd) WHERE t <> ''
-),
-cells AS MATERIALIZED (
-  SELECT doc_id,
-         CAST('0x' || substr(md5(term || '|feat'), 1, 15) AS BIGINT) % 64 AS idx,
-         CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM terms GROUP BY 1, 2
-)
-SELECT doc_id,
-       CAST(SUM(cnt) AS BIGINT) AS n_terms,
-       CAST(COUNT(*) AS BIGINT) AS nnz,
-       md5(string_agg(CAST(idx AS VARCHAR) || ':' || CAST(cnt AS VARCHAR), ' ' ORDER BY idx)) AS vec_md5
-FROM cells GROUP BY 1
-"""
-
 def _kcore_oracle(k: int = 2, rounds: int = 12) -> str:
     """Unrolled fixed-round k-core peel (MATERIALIZED per round)."""
     ctes = [
@@ -8211,710 +4505,20 @@ GROUP BY 1
     )
 
 
-_ORACLE_REL_KCORE = _kcore_oracle(2, 12)
-
-# L152 weighted median: lower weighted median via the tie-order-
-# invariant min-over-passing-rows cut (2*cum >= tot).
-_ORACLE_WEIGHTED_MEDIAN = """
-WITH vals AS MATERIALIZED (
-  SELECT l_returnflag AS grp,
-         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
-         CAST(ROUND(l_quantity, 0) AS BIGINT) AS w
-  FROM lineitem
-),
-cum AS (
-  SELECT grp, v, w,
-         CAST(SUM(w) OVER (PARTITION BY grp ORDER BY v
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
-         CAST(SUM(w) OVER (PARTITION BY grp) AS BIGINT) AS tot
-  FROM vals
-)
-SELECT grp AS l_returnflag, MIN(v) AS wmedian, MAX(tot) AS total_weight
-FROM cum WHERE 2 * c >= tot GROUP BY 1
-"""
-
-# L153 gapped sequence patterns: first-occurrence collapse then two
-# ordered joins.
-_ORACLE_SEQUENCE_PATTERNS = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS},
-firsts AS MATERIALIZED (
-  SELECT cid, ch, MIN(rn) AS r FROM (
-    SELECT conversion_id AS cid, channel_label AS ch,
-           ROW_NUMBER() OVER (PARTITION BY conversion_id
-                              ORDER BY event_ts, session_id) AS rn
-    FROM journeys
-  ) GROUP BY 1, 2
-)
-SELECT a.ch AS c1, b.ch AS c2, c.ch AS c3,
-       CAST(COUNT(*) AS BIGINT) AS n_journeys
-FROM firsts a
-JOIN firsts b ON b.cid = a.cid AND a.r < b.r
-JOIN firsts c ON c.cid = a.cid AND b.r < c.r
-GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
-"""
-
-# L154 pseudonymization: token = md5('maef-pseudo-v1|' || id); the
-# mapping join must recover every id.
-_ORACLE_PSEUDONYMIZE = """
-WITH pseudo AS MATERIALIZED (
-  SELECT event_type,
-         md5('maef-pseudo-v1|' || CAST(user_id AS VARCHAR)) AS token,
-         user_id AS orig
-  FROM events
-)
-SELECT event_type,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(COUNT(DISTINCT token) AS BIGINT) AS n_tokens,
-       CAST(COUNT(DISTINCT orig) AS BIGINT) AS n_users_recovered,
-       CAST(SUM(CASE WHEN orig IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unrecovered
-FROM pseudo GROUP BY 1
-"""
-
-# L136 robust stats: exact rank-based 5% trim; ties have equal cents
-# so the row_number tiebreak cannot change any emitted value.
-_ORACLE_ROBUST_STATS = f"""
-WITH {_SESS},
-vals AS MATERIALIZED (
-  SELECT channel_name AS grp,
-         CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
-         session_id AS tb
-  FROM sess
-),
-ranked AS (
-  SELECT grp, v,
-         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, tb) AS rn,
-         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
-  FROM vals
-),
-sized AS (SELECT *, (5 * n) // 100 AS k FROM ranked),
-agg AS (
-  SELECT grp AS channel_name,
-         MAX(n) AS n,
-         CAST(MAX(k) AS BIGINT) AS k_trimmed,
-         CAST(SUM(v) AS BIGINT) AS raw_sum_cents,
-         CAST(SUM(CASE WHEN rn > k AND rn <= n - k THEN v END) AS BIGINT) AS trimmed_sum_cents,
-         MAX(CASE WHEN rn = k + 1 THEN v END) AS lo_clip_cents,
-         MAX(CASE WHEN rn = n - k THEN v END) AS hi_clip_cents
-  FROM sized GROUP BY 1
-)
-SELECT channel_name, n, k_trimmed, raw_sum_cents, trimmed_sum_cents,
-       CAST(trimmed_sum_cents + k_trimmed * (lo_clip_cents + hi_clip_cents) AS BIGINT)
-         AS winsorized_sum_cents,
-       lo_clip_cents, hi_clip_cents
-FROM agg
-"""
-
-
 # ---------------------------------------------------------------------------
 # round-5 oracle SQL
 # ---------------------------------------------------------------------------
 
-_ORACLE_GINI_CHANNEL = """
-WITH per AS MATERIALIZED (
-  SELECT event_type AS channel, user_id AS u,
-         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
-  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
-),
-rk AS (
-  SELECT channel, cents,
-         ROW_NUMBER() OVER (PARTITION BY channel ORDER BY cents, u) AS r
-  FROM per
-),
-ag AS (
-  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_units,
-         CAST(SUM(cents) AS BIGINT) AS total_cents,
-         SUM(CAST(r AS HUGEINT) * cents) AS s1
-  FROM rk GROUP BY 1
-)
-SELECT channel, n_units, total_cents,
-       CASE WHEN total_cents <= 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST((2 * s1 - (CAST(n_units AS HUGEINT) + 1) * total_cents)
-                      * 1048576 // (CAST(n_units AS HUGEINT) * total_cents) AS BIGINT)
-       END AS gini_q20
-FROM ag
-"""
-
-# the SAME double-expression text the Spark side evaluates
-# (operators/experiments.py) — single source of truth for the formula
-from marketing_attribution_etl_framework__maef_spark.operators.experiments import (
-    _WILSON_CENTER,
-    _WILSON_HALF,
-)
-
-_ORACLE_WILSON_RATES = f"""
-WITH touch AS MATERIALIZED (
-  SELECT DISTINCT event_type AS channel, user_id
-  FROM events WHERE event_type <> 'purchase'
-),
-buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
-per AS (
-  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s
-  FROM touch t LEFT JOIN buyers b USING (user_id) GROUP BY 1
-)
-SELECT channel, n, s,
-       CAST(floor((({_WILSON_CENTER}) - ({_WILSON_HALF})) * 1048576 + 0.5e0) AS BIGINT) AS lo_q20,
-       CAST(floor((({_WILSON_CENTER}) + ({_WILSON_HALF})) * 1048576 + 0.5e0) AS BIGINT) AS hi_q20
-FROM per
-"""
-
-_ORACLE_DID_LIFT = f"""
-WITH asg AS MATERIALIZED (
-  SELECT user_id,
-         CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|did'), 1, 15) AS BIGINT) % 2 AS INT) AS treated
-  FROM (SELECT DISTINCT user_id FROM events)
-),
-arm AS (SELECT treated, CAST(COUNT(*) AS BIGINT) AS arm_users FROM asg GROUP BY 1),
-buys AS (
-  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
-         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
-  FROM events WHERE event_type = 'purchase'
-),
-cells AS (
-  SELECT a.treated, CASE WHEN b.day >= '{DID_CUTOVER}' THEN 1 ELSE 0 END AS post,
-         CAST(SUM(b.cents) AS BIGINT) AS cell_cents
-  FROM buys b JOIN asg a USING (user_id) GROUP BY 1, 2
-),
-mq AS (
-  SELECT c.treated, c.post,
-         CAST(CAST(cell_cents AS HUGEINT) * 1048576 // arm_users AS BIGINT) AS mean_q20
-  FROM cells c JOIN arm USING (treated)
-),
-flat AS (
-  SELECT CAST(COALESCE(SUM(CASE WHEN treated = 1 AND post = 0 THEN mean_q20 END), 0) AS BIGINT) AS t_pre_q20,
-         CAST(COALESCE(SUM(CASE WHEN treated = 1 AND post = 1 THEN mean_q20 END), 0) AS BIGINT) AS t_post_q20,
-         CAST(COALESCE(SUM(CASE WHEN treated = 0 AND post = 0 THEN mean_q20 END), 0) AS BIGINT) AS c_pre_q20,
-         CAST(COALESCE(SUM(CASE WHEN treated = 0 AND post = 1 THEN mean_q20 END), 0) AS BIGINT) AS c_post_q20
-  FROM mq
-)
-SELECT *, CAST((t_post_q20 - t_pre_q20) - (c_post_q20 - c_pre_q20) AS BIGINT) AS did_q20
-FROM flat
-"""
-
-_ORACLE_EWMA_FORECAST = f"""
-WITH {_DAILY_CENTS},
-dec AS MATERIALIZED (
-  SELECT t.channel, t.event_day,
-         SUM(i.cents * (CAST(1 AS BIGINT) <<
-             (7 - date_diff('day', CAST(i.event_day AS DATE), CAST(t.event_day AS DATE))))) AS num
-  FROM daily t JOIN daily i
-    ON t.channel = i.channel
-   AND CAST(i.event_day AS DATE) <= CAST(t.event_day AS DATE)
-   AND CAST(i.event_day AS DATE) >= CAST(t.event_day AS DATE) - 7
-  GROUP BY 1, 2
-),
-scored AS (
-  SELECT d.channel, abs(CAST(d.cents AS HUGEINT) * 255 - p.num) AS ae
-  FROM daily d JOIN dec p
-    ON p.channel = d.channel
-   AND CAST(p.event_day AS DATE) = CAST(d.event_day AS DATE) - 1
-)
-SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_scored,
-       CAST(SUM(ae) * 1048576 // (CAST(COUNT(*) AS HUGEINT) * 255) AS BIGINT) AS mae_cents_q20
-FROM scored GROUP BY 1
-"""
-
-_ORACLE_SEASONAL_NAIVE = f"""
-WITH {_DAILY_CENTS},
-scored AS (
-  SELECT d.channel, abs(d.cents - p.cents) AS ae
-  FROM daily d JOIN daily p
-    ON p.channel = d.channel
-   AND CAST(p.event_day AS DATE) = CAST(d.event_day AS DATE) - 7
-)
-SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_scored,
-       CAST(SUM(ae) AS BIGINT) AS sum_abs_err_cents,
-       CAST(CAST(SUM(ae) AS HUGEINT) * 1048576 // COUNT(*) AS BIGINT) AS mae_cents_q20
-FROM scored GROUP BY 1
-"""
-
-_ORACLE_REL_GROUPING_SETS = """
-WITH rev AS MATERIALIZED (
-  SELECT n.n_name,
-         CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS oyear,
-         CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
-  FROM orders o
-  JOIN customer c ON o.o_custkey = c.c_custkey
-  JOIN nation n ON c.c_nationkey = n.n_nationkey
-)
-SELECT n_name, oyear,
-       CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
-       CAST(GROUPING(oyear) AS BIGINT) AS g_year,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(cents) AS BIGINT) AS cents
-FROM rev GROUP BY GROUPING SETS ((n_name), (oyear), ())
-"""
-
-_ORACLE_SKYLINE_DAYS = """
-WITH per AS MATERIALIZED (
-  SELECT strftime(ts, '%Y-%m-%d') AS day,
-         CAST(SUM(CASE WHEN event_type <> 'purchase'
-                       THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS cost_cents,
-         CAST(SUM(CASE WHEN event_type = 'purchase'
-                       THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev_cents
-  FROM events GROUP BY 1
-)
-SELECT day, cost_cents, rev_cents
-FROM per p
-WHERE NOT EXISTS (
-  SELECT 1 FROM per q
-  WHERE q.cost_cents <= p.cost_cents AND q.rev_cents >= p.rev_cents
-    AND (q.cost_cents < p.cost_cents OR q.rev_cents > p.rev_cents)
-)
-"""
-
-_ORACLE_LABEL_PROPAGATION = """
-WITH items AS MATERIALIZED (
-  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem
-),
-capped AS MATERIALIZED (
-  SELECT i.* FROM items i
-  JOIN (SELECT okey FROM items GROUP BY okey HAVING COUNT(*) <= 8) s USING (okey)
-),
-pairs AS MATERIALIZED (
-  SELECT a.item AS a, b.item AS b
-  FROM capped a JOIN capped b ON a.okey = b.okey AND a.item < b.item
-  GROUP BY 1, 2 HAVING COUNT(*) >= 2
-),
-bidir AS MATERIALIZED (
-  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
-),
-l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM bidir),
-n1 AS (
-  SELECT t.a AS node, l.label, CAST(COUNT(*) AS BIGINT) AS c
-  FROM bidir t JOIN l0 l ON l.node = t.b GROUP BY 1, 2
-),
-l1 AS MATERIALIZED (
-  SELECT node, label FROM (
-    SELECT node, label,
-           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rk
-    FROM n1) WHERE rk = 1
-),
-n2 AS (
-  SELECT t.a AS node, l.label, CAST(COUNT(*) AS BIGINT) AS c
-  FROM bidir t JOIN l1 l ON l.node = t.b GROUP BY 1, 2
-),
-l2 AS (
-  SELECT node, label FROM (
-    SELECT node, label,
-           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rk
-    FROM n2) WHERE rk = 1
-)
-SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label FROM l2
-"""
-
-_ORACLE_BIGRAM_SURPRISAL = f"""
-WITH {_NORM_RAW},
-d AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM nd),
-pr AS MATERIALIZED (
-  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
-  FROM d, unnest(range(1, len(ws))) AS t(i)
-),
-uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM pr GROUP BY 1),
-bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM pr GROUP BY 1, 2),
-voc AS (
-  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
-  FROM (SELECT unnest(ws) AS w FROM d) WHERE w <> ''
-)
-SELECT pr.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       CAST(SUM(LENGTH(bin((c1 + v) // (c12 + 1))) - 1) AS BIGINT) AS surprisal_bits
-FROM pr JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN voc
-GROUP BY 1
-"""
-
-_ORACLE_TEMPERATURE_MIX = """
-WITH per AS MATERIALIZED (
-  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY 1
-),
-m AS (SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS _m FROM per),
-t AS (SELECT SUM(_m) AS s FROM m),
-b AS MATERIALIZED (
-  SELECT source, n_docs, n_tokens,
-         CAST(floor(_m / t.s * 1048576 + 0.5e0) AS BIGINT) AS share_q20,
-         CAST(floor(1000000e0 * _m / t.s) AS BIGINT) AS _base,
-         1000000e0 * _m / t.s - floor(1000000e0 * _m / t.s) AS _frac
-  FROM m, t
-)
-SELECT source, n_docs, n_tokens, share_q20,
-       CAST(_base + CASE WHEN ROW_NUMBER() OVER (ORDER BY _frac DESC, source ASC)
-                              <= 1000000 - (SELECT SUM(_base) FROM b)
-                         THEN 1 ELSE 0 END AS BIGINT) AS alloc
-FROM b
-"""
-
-_ORACLE_RANDOM_PROJECTION = """
-WITH s AS MATERIALIZED (
-  SELECT d, j,
-         CASE WHEN CAST('0x' || substr(md5(CAST(d AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
-              THEN 1e0 ELSE -1e0 END AS sgn
-  FROM range(64) t1(d), range(16) t2(j)
-),
-e AS (
-  SELECT vec_id,
-         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
-         CAST(unnest(embedding) AS DOUBLE) AS x
-  FROM embeddings
-),
-p AS (SELECT vec_id, j, SUM(x * sgn) AS comp FROM e JOIN s USING (d) GROUP BY 1, 2)
-SELECT vec_id, CAST(j AS BIGINT) AS j,
-       CAST(floor(comp * 1048576 + 0.5e0) AS BIGINT) AS comp_q20
-FROM p
-"""
-
-
-_ORACLE_RAKING_IPF = """
-WITH base AS MATERIALIZED (
-  SELECT event_type AS r,
-         CAST(floor(log2(CAST(ROUND(value * 100, 0) AS BIGINT) + 2)) AS INT) AS c,
-         event_id
-  FROM events WHERE event_type <> 'purchase'
-),
-samp AS MATERIALIZED (
-  SELECT r, c, CAST(COUNT(*) AS BIGINT) AS m FROM base
-  WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|rake'), 1, 15) AS BIGINT) % 2 = 0
-  GROUP BY 1, 2
-),
-rmarg AS MATERIALIZED (SELECT r, CAST(COUNT(*) AS BIGINT) AS tr FROM base GROUP BY 1),
-cmarg AS MATERIALIZED (SELECT c, CAST(COUNT(*) AS BIGINT) AS tc FROM base GROUP BY 1),
-c0 AS MATERIALIZED (SELECT r, c, CAST(m AS DOUBLE) AS m, 1e0 AS w FROM samp),
-r1 AS (SELECT r, SUM(w * m) AS rs FROM c0 GROUP BY 1),
-c1 AS MATERIALIZED (
-  SELECT c0.r, c0.c, c0.m, c0.w * tr / rs AS w
-  FROM c0 JOIN r1 USING (r) JOIN rmarg USING (r)
-),
-s1 AS (SELECT c, SUM(w * m) AS cs FROM c1 GROUP BY 1),
-c2 AS MATERIALIZED (
-  SELECT c1.r, c1.c, c1.m, c1.w * tc / cs AS w
-  FROM c1 JOIN s1 USING (c) JOIN cmarg USING (c)
-),
-r2 AS (SELECT r, SUM(w * m) AS rs FROM c2 GROUP BY 1),
-c3 AS MATERIALIZED (
-  SELECT c2.r, c2.c, c2.m, c2.w * tr / rs AS w
-  FROM c2 JOIN r2 USING (r) JOIN rmarg USING (r)
-),
-s2 AS (SELECT c, SUM(w * m) AS cs FROM c3 GROUP BY 1),
-c4 AS (
-  SELECT c3.r, c3.c, c3.m, c3.w * tc / cs AS w
-  FROM c3 JOIN s2 USING (c) JOIN cmarg USING (c)
-)
-SELECT r, c, CAST(m AS BIGINT) AS m,
-       CAST(floor(w * 1048576 + 0.5e0) AS BIGINT) AS w_q20
-FROM c4
-"""
-
-
-_ORACLE_TOP_PATHS = f"""
-WITH {_CONV}, {_SESS}, {_JOURNEYS},
-paths AS (
-  SELECT conversion_id,
-         STRING_AGG(channel_label, '>' ORDER BY event_ts, session_id) AS path
-  FROM journeys GROUP BY 1
-)
-SELECT path, CAST(COUNT(*) AS BIGINT) AS n_journeys
-FROM paths GROUP BY 1
-ORDER BY n_journeys DESC, path ASC
-LIMIT 10
-"""
-
-_ORACLE_USER_MIX_ENTROPY = """
-WITH c AS MATERIALIZED (
-  SELECT user_id, event_type AS ch, CAST(COUNT(*) AS BIGINT) AS c
-  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
-),
-tot AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1)
-SELECT c.user_id,
-       CAST(MAX(n) AS BIGINT) AS n_events,
-       CAST(floor(sum((c / CAST(n AS DOUBLE)) * log2(CAST(n AS DOUBLE) / c))
-            * 1048576 + 0.5e0) AS BIGINT) AS entropy_q20
-FROM c JOIN tot USING (user_id)
-GROUP BY 1
-"""
-
-_ORACLE_PEAK_CONCURRENCY = """
-WITH base AS (
-  SELECT user_id, ts, event_id AS tb, event_type AS channel_name
-  FROM events WHERE event_type <> 'purchase'
-),
-lagged AS (
-  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, tb) AS prev_ts
-  FROM base
-),
-brk AS (
-  SELECT *, CASE WHEN prev_ts IS NULL THEN 0
-                 WHEN epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
-                 THEN 1 ELSE 0 END AS b
-  FROM lagged
-),
-g AS (
-  SELECT *, SUM(b) OVER (PARTITION BY user_id ORDER BY ts, tb
-                         ROWS UNBOUNDED PRECEDING) AS gs
-  FROM brk
-),
-sub AS (
-  SELECT *, CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY user_id, gs
-                                           ORDER BY ts, tb) - 1) / 20.0)
-                 AS BIGINT) AS sb
-  FROM g
-),
-sess AS MATERIALIZED (
-  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end
-  FROM sub GROUP BY user_id, gs, sb
-),
-bd AS (
-  SELECT session_start AS ts, 1 AS delta, user_id AS u FROM sess
-  UNION ALL
-  SELECT session_end AS ts, -1 AS delta, user_id AS u FROM sess
-),
-cum AS (
-  SELECT strftime(ts, '%Y-%m-%d') AS day, delta,
-         SUM(delta) OVER (ORDER BY ts ASC, delta DESC, u ASC
-                          ROWS UNBOUNDED PRECEDING) AS c
-  FROM bd
-)
-SELECT day, CAST(MAX(c) AS BIGINT) AS peak,
-       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
-FROM cum GROUP BY 1
-"""
-
-_ORACLE_CHANNEL_CORRELATION = """
-WITH daily AS MATERIALIZED (
-  SELECT event_type AS ch, strftime(ts, '%Y-%m-%d') AS day,
-         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
-  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
-),
-j AS (
-  SELECT a.ch AS ch_a, b.ch AS ch_b, a.cents AS xc, b.cents AS yc
-  FROM daily a JOIN daily b ON a.day = b.day AND a.ch < b.ch
-),
-agg AS (
-  SELECT ch_a, ch_b, CAST(COUNT(*) AS BIGINT) AS n_days,
-         SUM(CAST(xc AS HUGEINT)) AS sx, SUM(CAST(yc AS HUGEINT)) AS sy,
-         SUM(CAST(xc AS HUGEINT) * yc) AS sxy,
-         SUM(CAST(xc AS HUGEINT) * xc) AS sxx,
-         SUM(CAST(yc AS HUGEINT) * yc) AS syy
-  FROM j GROUP BY 1, 2
-),
-m AS (
-  SELECT ch_a, ch_b, n_days,
-         CAST(n_days AS HUGEINT) * sxy - sx * sy AS num,
-         CAST(n_days AS HUGEINT) * sxx - sx * sx AS d1,
-         CAST(n_days AS HUGEINT) * syy - sy * sy AS d2
-  FROM agg
-)
-SELECT ch_a, ch_b, n_days,
-       CAST(floor(CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))
-            * 1048576 + 0.5e0) AS BIGINT) AS r_q20
-FROM m WHERE d1 > 0 AND d2 > 0
-"""
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
-        "maef_journey_entries": _ORACLE_JOURNEY_ENTRIES,
-        "maef_attribution_linear": _ORACLE_ATTR_LINEAR,
-        "maef_attribution_last_touch": _ORACLE_ATTR_LAST,
-        "maef_attribution_first_touch": _ORACLE_ATTR_FIRST,
-        "maef_attribution_u_shaped": _ORACLE_ATTR_U,
-        "maef_attribution_time_decay": _ORACLE_ATTR_DECAY,
-        "maef_attribution_ihc": _ORACLE_ATTR_IHC,
-        "maef_attribution_ihc_redist": _ORACLE_ATTR_IHC_REDIST,
-        "maef_attribution_ihc_directional": _ORACLE_ATTR_IHC_DIR,
-        "maef_channel_report": _ORACLE_REPORT,
-        "maef_channel_report_export": _ORACLE_REPORT_EXPORT,
-        # e2e DAG replay returns the identical export contract; the same
-        # oracle hash-checks the whole five-stage chain
-        "maef_pipeline_e2e": _ORACLE_REPORT_EXPORT,
-        "maef_gini_channel": _ORACLE_GINI_CHANNEL,
-        "maef_wilson_rates": _ORACLE_WILSON_RATES,
-        "maef_did_lift": _ORACLE_DID_LIFT,
-        "maef_ewma_forecast": _ORACLE_EWMA_FORECAST,
-        "maef_seasonal_naive": _ORACLE_SEASONAL_NAIVE,
-        "rel_grouping_sets": _ORACLE_REL_GROUPING_SETS,
-        "maef_skyline_days": _ORACLE_SKYLINE_DAYS,
-        "rel_label_propagation": _ORACLE_LABEL_PROPAGATION,
-        "llm_bigram_surprisal": _ORACLE_BIGRAM_SURPRISAL,
-        "llm_temperature_mix": _ORACLE_TEMPERATURE_MIX,
-        "llm_random_projection": _ORACLE_RANDOM_PROJECTION,
-        "maef_raking_ipf": _ORACLE_RAKING_IPF,
-        "maef_top_paths": _ORACLE_TOP_PATHS,
-        "maef_user_mix_entropy": _ORACLE_USER_MIX_ENTROPY,
-        "maef_peak_concurrency": _ORACLE_PEAK_CONCURRENCY,
-        "maef_channel_correlation": _ORACLE_CHANNEL_CORRELATION,
-        "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
-        "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
-        "maef_chunk_assignment": _ORACLE_CHUNKS,
-        "maef_report_summary": _ORACLE_REPORT_SUMMARY,
-        "maef_loader_roundtrip": _ORACLE_LOADER_ROUNDTRIP,
-        "maef_loader_errors": _ORACLE_LOADER_ERRORS,
-        "maef_date_window": _ORACLE_DATE_WINDOW,
-        # streaming/batch parity: the incremental streaming run over a
-        # static input must equal the batch linear attribution exactly
-        "maef_stream_attribution": _ORACLE_ATTR_LINEAR,
-        "maef_cleaning": _ORACLE_CLEANING,
-        "maef_attribution_stats": _ORACLE_ATTR_STATS,
-        "maef_props_stats": _ORACLE_PROPS_STATS,
-        "maef_channel_rollup": _ORACLE_ROLLUP,
-        "maef_channel_pivot": _ORACLE_PIVOT,
-        "maef_rolling_features": _ORACLE_ROLLING,
-        "maef_stream_windowed_volume": _ORACLE_STREAM_VOLUME,
-        "maef_stream_journey_join": _ORACLE_STREAM_JOURNEY,
-        "maef_warehouse_roundtrip": _ORACLE_WAREHOUSE,
-        "maef_session_asof": _ORACLE_SESSION_ASOF,
-        "maef_session_asof_forward": _ORACLE_SESSION_ASOF_FWD,
-        "maef_sessionize_batch": _ORACLE_SESSIONIZE,
-        "maef_sessionize_native": _ORACLE_SESSIONIZE_NATIVE,
-        "maef_anomaly_mad": _ORACLE_ANOMALY_MAD,
-        "maef_channel_decay": _ORACLE_CHANNEL_DECAY,
-        "rel_shipping_priority": _ORACLE_REL_SHIPPING,
-        "rel_parts_supplier": _ORACLE_REL_PARTS_SUPPLIER,
-        "rel_big_spenders": _ORACLE_REL_BIG_SPENDERS,
-        "maef_stream_dedup": _ORACLE_STREAM_DEDUP,
-        "maef_channel_assists": _ORACLE_CHANNEL_ASSISTS,
-        "maef_user_features": _ORACLE_USER_FEATURES,
-        "maef_latency_histogram": _ORACLE_LATENCY_HISTOGRAM,
-        "maef_budget_allocation": _ORACLE_BUDGET_ALLOC,
-        "maef_window_funnel": _ORACLE_WINDOW_FUNNEL,
-        "maef_ab_lift": _ORACLE_AB_LIFT,
-        "llm_hybrid_rrf": _ORACLE_HYBRID_RRF,
-        "maef_user_purge": _ORACLE_USER_PURGE,
-        "maef_bloom_pruned_join": _ORACLE_BLOOM_PRUNED_JOIN,
-        "rel_idle_customers": _ORACLE_REL_IDLE_CUSTOMERS,
-        "rel_returned_items": _ORACLE_REL_RETURNED_ITEMS,
-        "maef_journey_dropoff": _ORACLE_JOURNEY_DROPOFF,
-        "maef_sketch_merge_law": _ORACLE_SKETCH_MERGE_LAW,
-        "maef_user_gaps": _ORACLE_USER_GAPS,
-        "maef_orc_roundtrip": _ORACLE_ORC_ROUNDTRIP,
-        # streaming/batch parity: streaming session_window over static
-        # input must equal the batch prefix-sum gap-session SQL
-        "maef_stream_sessionize": _ORACLE_SESSIONIZE_NATIVE,
-        "rel_small_quantity": _ORACLE_REL_SMALL_QUANTITY,
-        "rel_local_volume": _ORACLE_REL_LOCAL_VOLUME,
-        "rel_nation_trade": _ORACLE_REL_NATION_TRADE,
-        "rel_return_culprits": _ORACLE_REL_RETURN_CULPRITS,
-        "maef_scd2_channels": _ORACLE_SCD2_CHANNELS,
-        "rel_promo_share": _ORACLE_REL_PROMO_SHARE,
-        "rel_disjunctive": _ORACLE_REL_DISJUNCTIVE,
-        "rel_min_cost_supplier": _ORACLE_REL_MIN_COST_SUPPLIER,
-        "rel_important_parts": _ORACLE_REL_IMPORTANT_PARTS,
-        "rel_part_promotion": _ORACLE_REL_PART_PROMOTION,
-        "rel_forecast_revenue": _ORACLE_REL_FORECAST_REVENUE,
-        "maef_scd2_lookup": _ORACLE_SCD2_LOOKUP,
-        "rel_priority_lines": _ORACLE_REL_PRIORITY_LINES,
-        "maef_rfm_segments": _ORACLE_RFM_SEGMENTS,
-        "maef_survival_km": _ORACLE_SURVIVAL_KM,
-        "rel_basket_pairs": _ORACLE_REL_BASKET_PAIRS,
-        "maef_robust_stats": _ORACLE_ROBUST_STATS,
-        "llm_pack_sequences": _ORACLE_PACK_SEQUENCES,
-        "maef_bandit_ucb": _ORACLE_BANDIT_UCB,
-        "rel_triangle_count": _ORACLE_REL_TRIANGLE_COUNT,
-        "maef_stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
-        "llm_embed_quantize": _ORACLE_EMBED_QUANTIZE,
-        "maef_path_motifs": _ORACLE_PATH_MOTIFS,
-        "rel_item_recs": _ORACLE_REL_ITEM_RECS,
-        "llm_nb_langid": _ORACLE_NB_LANGID,
-        "maef_benford_screen": _ORACLE_BENFORD_SCREEN,
-        "maef_stream_enrich": _ORACLE_STREAM_ENRICH,
-        "llm_greedy_coverage": _ORACLE_GREEDY_COVERAGE,
-        "maef_isotonic_calibration": _ORACLE_ISOTONIC_CALIBRATION,
-        "maef_cusum_changepoint": _ORACLE_CUSUM_CHANGEPOINT,
-        "llm_hashed_features": _ORACLE_HASHED_FEATURES,
-        "rel_kcore": _ORACLE_REL_KCORE,
-        "maef_weighted_median": _ORACLE_WEIGHTED_MEDIAN,
-        "maef_sequence_patterns": _ORACLE_SEQUENCE_PATTERNS,
-        "maef_pseudonymize": _ORACLE_PSEUDONYMIZE,
-        "llm_text_stats": _ORACLE_TEXT_STATS,
-        "llm_lang_id": _ORACLE_LANG_ID,
-        "llm_top_terms": _ORACLE_TOP_TERMS,
-        "llm_unigram_surprisal": _ORACLE_UNIGRAM_SURPRISAL,
-        "llm_bm25_topk": _ORACLE_BM25,
-        "llm_fingerprint": _ORACLE_FINGERPRINT,
-        "llm_dedup_exact": _ORACLE_DEDUP_EXACT,
-        "llm_dedup_minhash": _ORACLE_DEDUP_MINHASH,
-        "llm_dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
-        "llm_dedup_simhash": _ORACLE_DEDUP_SIMHASH,
-        "llm_dedup_ngram_jaccard": _ORACLE_DEDUP_NGRAM,
-        "llm_curate": _ORACLE_CURATE,
-        "llm_curate_sketch": _ORACLE_CURATE_SKETCH,
-        "llm_sample": _ORACLE_SAMPLE,
-        "llm_scrub_pii": _ORACLE_SCRUB_PII,
-        "llm_decontaminate": _ORACLE_DECONTAMINATE,
-        "llm_pack": _ORACLE_PACK,
-        "llm_repetition": _ORACLE_REPETITION,
-        "llm_corpus_stats": _ORACLE_CORPUS_STATS,
-        "llm_boilerplate_scrub": _ORACLE_BOILERPLATE,
-        "llm_dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
-        "maef_flash_windows": _ORACLE_FLASH_WINDOWS,
-        "maef_snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
-        "llm_curriculum": _ORACLE_CURRICULUM,
-        "maef_funnel": _ORACLE_FUNNEL,
-        "maef_cohort_retention": _ORACLE_COHORT,
-        "llm_source_topk": _ORACLE_SOURCE_TOPK,
-        "llm_neardup_incremental": _ORACLE_NEARDUP_INCREMENTAL,
-        "llm_bpe_merges": _ORACLE_BPE,
-        "llm_bpe_encode": _ORACLE_BPE_ENCODE,
-        "maef_channel_transitions": _ORACLE_CHANNEL_TRANSITIONS,
-        "maef_markov_removal": _ORACLE_MARKOV_REMOVAL,
-        "rel_pricing_summary": _ORACLE_REL_PRICING,
-        "rel_segment_priority": _ORACLE_REL_SEGMENT,
-        "maef_bucketed_join": _ORACLE_BUCKETED_JOIN,
-        "llm_cms_heavy_hitters": _ORACLE_CMS,
-        "maef_stream_cms": _ORACLE_STREAM_CMS,
-        "maef_data_quality": _ORACLE_DATA_QUALITY,
-        "maef_shapley": _ORACLE_SHAPLEY,
-        "llm_quality_gate": _ORACLE_QUALITY_GATE,
-        "llm_ann_topk": _ORACLE_ANN_TOPK,
-        "llm_ann_ivf": _ORACLE_ANN_IVF,
-        "llm_ann_kmeans": _ORACLE_ANN_KMEANS,
-        "llm_ann_ivf_kmeans": _ORACLE_ANN_IVF_KMEANS,
-        "llm_ann_lsh": _ORACLE_ANN_LSH,
-        "llm_ann_lsh_multiprobe": _ORACLE_ANN_LSH_MULTIPROBE,
-        "llm_embedding_neardup": _ORACLE_EMB_NEARDUP,
-        "llm_semdedup": _ORACLE_SEMDEDUP,
-        "llm_dup_ngram_coverage": _ORACLE_DUP_NGRAM,
-        "llm_kmv_users": _ORACLE_KMV,
-        "llm_source_mix": _ORACLE_SOURCE_MIX,
-        "llm_mix_sample": _ORACLE_MIX_SAMPLE,
-        "llm_length_percentiles": _ORACLE_LENGTH_PCT,
-        "llm_chunk_documents": _ORACLE_CHUNK_DOCS,
-        "llm_vocabulary": _ORACLE_VOCAB,
-        "llm_bigram_pmi": _ORACLE_BIGRAM_PMI,
-        "rel_market_share": _ORACLE_REL_MARKET_SHARE,
-        "rel_customer_distribution": _ORACLE_REL_CUSTDIST,
-        "rel_top_supplier": _ORACLE_REL_TOP_SUPPLIER,
-        "rel_order_priority": _ORACLE_REL_ORDER_PRIORITY,
-        "rel_nation_margin": _ORACLE_REL_NATION_MARGIN,
-        "llm_hll_users": _ORACLE_HLL,
-        "maef_anomaly_days": _ORACLE_ANOMALY,
-        "llm_weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
-        "maef_dormant_users": _ORACLE_DORMANT,
-        "llm_containment": _ORACLE_CONTAINMENT,
-        "maef_fill_gaps": _ORACLE_FILL_GAPS,
-        "maef_fuzzy_channels": _ORACLE_FUZZY_CHANNELS,
-        "llm_bloom_converters": _ORACLE_BLOOM_CONVERTERS,
-        "maef_ivm_report": _ORACLE_IVM_REPORT,
-        "maef_channel_unpivot": _ORACLE_CHANNEL_UNPIVOT,
-        "maef_audience_setops": _ORACLE_AUDIENCE_SETOPS,
-        "maef_pagerank_channels": _ORACLE_PAGERANK,
-        "llm_length_histogram": _ORACLE_LENGTH_HISTOGRAM,
-        "maef_channel_cube": _ORACLE_CHANNEL_CUBE,
-        "maef_fd_profile": _ORACLE_FD_PROFILE,
-        "rel_monthly_growth": _ORACLE_REL_MONTHLY_GROWTH,
-        "llm_tfidf_pairs": _ORACLE_TFIDF_PAIRS,
-        "maef_model_comparison": _ORACLE_MODEL_COMPARISON,
-        "maef_channel_overlap": _ORACLE_CHANNEL_OVERLAP,
-        "llm_lang_confusion": _ORACLE_LANG_CONFUSION,
-        "maef_revenue_histogram": _ORACLE_REVENUE_HISTOGRAM,
-        "llm_multimodal_meta": _ORACLE_MM_META,
-        # the mapInPandas path IS value-checked via the exact-integer
-        # stripe summary (same Arrow plumbing, no float output):
-        "llm_multimodal_stripes": _ORACLE_MM_STRIPES,
-        # llm_multimodal_features: intentionally no oracle — Python
-        # (mapInPandas) feature extraction is not ANSI-SQL expressible;
-        # the driver records a rows-only check for it.
-    }
+    """Driver contract: DuckDB oracle per query.  The strings live in
+    ``oracles.py`` (VERDICT r04 #7 split); imported lazily so the
+    oracle module can import this module's shared fragments back
+    without a cycle."""
+    from oracles import oracle_sql as _oracles_impl
+
+    return _oracles_impl()
 
 
 # Registry hygiene (VERDICT r03 #4): every queries() entry must have an
