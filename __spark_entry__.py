@@ -4208,6 +4208,63 @@ def q_channel_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L172: per-source BPE tokenizer fertility (tokens per word) —
+    the mixing-report statistic tokenizer teams watch per domain.
+    Reuses the L57 learned merges (cached per application) and the
+    vocabulary-folded encode (llm/tokenizer.py bpe_encode_counts);
+    fertility is exact: sum(tokens) * 2^20 div sum(words) in
+    DECIMAL(38,0)."""
+    rules = [(r[1], r[2]) for r in _bpe_rules(spark, sf_dir)]
+    enc = tok.bpe_encode_counts(_docs(spark, sf_dir), rules)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        enc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_bpe_tokens",
+            F.expr(
+                "cast(cast(n_bpe_tokens as decimal(38,0)) * 1048576 div n_words as bigint)"
+            ).alias("fertility_q20"),
+        )
+    )
+
+
+def q_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L173: top-5 signature terms per source by integer tf-idf — tf
+    exact, idf as the exact-bits floor(log2(S div df)) (the L6d
+    device, so terms present in every source score 0), rank window
+    per source with (score DESC, tf DESC, term ASC) total order."""
+    d = _docs(spark, sf_dir)
+    ex = d.select(
+        "source", F.explode(txt.words(txt.normalize_text(F.col("text")))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = ex.groupBy("source", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    s_tot = d.select("source").distinct().agg(F.count(F.lit(1)).cast("long").alias("s"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(s_tot))
+        .withColumn("score", F.expr("tf * (length(bin(s div df)) - 1)").cast("long"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("source").orderBy(
+        F.desc("score"), F.desc("tf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "rnk", "term", "tf", "df", "score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r05 rotation (VERDICT r04 next-steps #1): the
@@ -4266,6 +4323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_user_mix_entropy": q_user_mix_entropy,
         "maef_peak_concurrency": q_peak_concurrency,
         "maef_channel_correlation": q_channel_correlation,
+        "llm_tokenizer_fertility": q_tokenizer_fertility,
+        "llm_source_signature_terms": q_source_signature_terms,
         # --- r05 gate window part 2: stalest-green re-verify (last seen r02) ---
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,

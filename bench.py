@@ -66,6 +66,10 @@ CHECKPOINT_HEAVY = {
     # which only ever gets SLOWER under page-cache/dirty-writeback
     # pressure (r04b: 12.5s official vs 6.4s standalone).
     "maef_warehouse_roundtrip",
+    # r05: same profiles — e2e does warehouse parquet writes (IO
+    # one-sided noise), label propagation localCheckpoints per round
+    "maef_pipeline_e2e",
+    "rel_label_propagation",
 }
 
 
@@ -120,9 +124,15 @@ def main() -> None:
     # the TARGET SF so the first events-reading query measures its own
     # plan, not the one-time cache fill every later query benefits from.
     domain.clear_events_cache()
+    entrymod._JOURNEYS_CACHE.clear()  # warm-dir checkpoint blocks
     spark.catalog.clearCache()
     _drain(spark)
     domain.events(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # pre-stage the shared J1 journeys table for the target SF (same
+    # rationale as the events cache line above: ~25 queries read the
+    # staged journeys; the one-time build should not land on whichever
+    # family query happens to run first)
+    entrymod._journeys(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for i, (name, fn) in enumerate(queries.items()):

@@ -4248,6 +4248,43 @@ SELECT ch_a, ch_b, n_days,
 FROM m WHERE d1 > 0 AND d2 > 0
 """
 
+# L172 fertility: the encode oracle wrapped as a derived table and
+# re-aggregated to the source grain (DuckDB allows WITH inside a
+# parenthesized subquery).
+_ORACLE_TOKENIZER_FERTILITY = f"""
+SELECT d.source,
+       CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(CAST(e.n_bpe_tokens AS HUGEINT)) * 1048576
+            // SUM(CAST(e.n_words AS HUGEINT)) AS BIGINT) AS fertility_q20
+FROM ({_bpe_oracle_sql(8, encode=True)}) e
+JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+_ORACLE_SOURCE_SIGNATURE_TERMS = """
+WITH ex AS MATERIALIZED (
+  SELECT source, unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+),
+fx AS (SELECT source, term FROM ex WHERE term <> ''),
+tf AS MATERIALIZED (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf FROM fx GROUP BY 1, 2),
+dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+st AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS s FROM documents),
+scored AS (
+  SELECT tf.source, tf.term, tf.tf, dfx.df,
+         CAST(tf.tf * (LENGTH(bin(st.s // dfx.df)) - 1) AS BIGINT) AS score
+  FROM tf JOIN dfx USING (term) CROSS JOIN st
+),
+rk AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY score DESC, tf DESC, term ASC) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT source, rnk, term, tf, df, score FROM rk WHERE rnk <= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "maef_journey_entries": _ORACLE_JOURNEY_ENTRIES,
@@ -4280,6 +4317,8 @@ def oracle_sql() -> dict[str, str]:
         "maef_user_mix_entropy": _ORACLE_USER_MIX_ENTROPY,
         "maef_peak_concurrency": _ORACLE_PEAK_CONCURRENCY,
         "maef_channel_correlation": _ORACLE_CHANNEL_CORRELATION,
+        "llm_tokenizer_fertility": _ORACLE_TOKENIZER_FERTILITY,
+        "llm_source_signature_terms": _ORACLE_SOURCE_SIGNATURE_TERMS,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,
