@@ -70,6 +70,8 @@ CHECKPOINT_HEAVY = {
     # one-sided noise), label propagation localCheckpoints per round
     "maef_pipeline_e2e",
     "rel_label_propagation",
+    "maef_peak_concurrency",
+    "maef_raking_ipf",
 }
 
 
