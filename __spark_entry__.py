@@ -4265,6 +4265,77 @@ def q_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L174: ROLLUP (nation, order year) revenue — completes the
+    grouping-surface triple next to CUBE (L84) and GROUPING SETS
+    (L160): hierarchical subtotals (nation, year) -> (nation) -> (),
+    GROUPING() flags disambiguating the NULL levels, exact cents."""
+    o = domain.load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year(F.col("o_orderdate").cast("date")).cast("long").alias("oyear"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("_cents"),
+    )
+    c = domain.load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = domain.load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+    return rev.rollup("n_name", "oyear").agg(
+        F.grouping("n_name").cast("long").alias("g_nation"),
+        F.grouping("oyear").cast("long").alias("g_year"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("_cents").cast("long").alias("cents"),
+    )
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L175: cohort LTV curve — cumulative purchase revenue per
+    (signup-day cohort, day offset), the revenue twin of the L54
+    retention matrix.  Exact integer cents; the cumulative window
+    partitions by cohort over the calendar-bounded offset grain."""
+    ev = domain.events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_period")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("buy_day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    per = (
+        buys.join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort_period"),
+            F.datediff("buy_day", "cohort_period").cast("long").alias("period_offset"),
+        )
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = (
+        _W.partitionBy("cohort_period")
+        .orderBy("period_offset")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    return per.select(
+        F.col("cohort_period").cast("string").alias("cohort_period"),
+        "period_offset",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+    )
+
+
+def q_ct_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L176: Cavnar-Trenkle character-trigram rank-profile language ID
+    (llm/classify.py ct_char_profiles + ct_predict) — the third,
+    method-distinct lang-ID next to the stopword heuristic (L2) and
+    multinomial NB (L144): out-of-place rank distance, all exact
+    integers, argmin with (score, lang) total order."""
+    d = _docs(spark, sf_dir)
+    prof = cls.ct_char_profiles(d)
+    return cls.ct_predict(d, prof)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r05 rotation (VERDICT r04 next-steps #1): the
@@ -4325,6 +4396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_channel_correlation": q_channel_correlation,
         "llm_tokenizer_fertility": q_tokenizer_fertility,
         "llm_source_signature_terms": q_source_signature_terms,
+        "rel_rollup": q_rel_rollup,
+        "maef_cohort_ltv": q_cohort_ltv,
+        "llm_ct_langid": q_ct_langid,
         # --- r05 gate window part 2: stalest-green re-verify (last seen r02) ---
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,

@@ -153,3 +153,80 @@ def nb_confusion(
         .groupBy("lang", "pred_label")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+CT_PROFILE_K = 15
+
+
+def ct_char_profiles(docs: DataFrame, label_col: str = "lang", text_col: str = "text") -> DataFrame:
+    """Cavnar-Trenkle (1994) character-trigram rank profiles per
+    language: top-K trigrams by (count DESC, gram ASC), rank 1..K.
+    Exact integers; the (count, gram) total order makes ranks
+    deterministic cross-engine."""
+    tri = docs.select(
+        F.col(label_col).alias("lang"), normalize_text(F.col(text_col)).alias("norm")
+    ).select(
+        "lang",
+        F.explode(
+            F.expr(
+                "case when length(norm) >= 3 then"
+                " transform(sequence(1, length(norm) - 2), i -> substr(norm, i, 3))"
+                " else cast(array() as array<string>) end"
+            )
+        ).alias("g"),
+    )
+    counts = tri.groupBy("lang", "g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
+    return (
+        counts.withColumn("lrank", F.row_number().over(w).cast("long"))
+        .filter(F.col("lrank") <= CT_PROFILE_K)
+        .select("lang", "g", "lrank")
+    )
+
+
+def ct_predict(docs: DataFrame, profiles: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Out-of-place classification: each doc's top-K trigram profile is
+    compared to every language profile; score = sum over the doc's
+    grams of |doc_rank - lang_rank|, missing grams costing K.  Predict
+    argmin with (score ASC, lang ASC) tie-break.
+
+    Output: (doc_id, pred_lang, score).  The doc x lang fan-out is
+    K x |languages| rows per doc — bounded by the label dimension, the
+    same shape as nb_predict."""
+    k = CT_PROFILE_K
+    tri = docs.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("norm")
+    ).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "case when length(norm) >= 3 then"
+                " transform(sequence(1, length(norm) - 2), i -> substr(norm, i, 3))"
+                " else cast(array() as array<string>) end"
+            )
+        ).alias("g"),
+    )
+    dcounts = tri.groupBy(id_col, "g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wd = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("g"))
+    dprof = (
+        dcounts.withColumn("drank", F.row_number().over(wd).cast("long"))
+        .filter(F.col("drank") <= k)
+        .select(id_col, "g", "drank")
+    )
+    langs = profiles.select("lang").distinct()
+    scored = (
+        dprof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(profiles), ["lang", "g"], "left")
+        .groupBy(id_col, "lang")
+        .agg(
+            F.sum(F.coalesce(F.abs(F.col("drank") - F.col("lrank")), F.lit(k)))
+            .cast("long")
+            .alias("score")
+        )
+    )
+    wp = Window.partitionBy(id_col).orderBy(F.asc("score"), F.asc("lang"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(wp))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, F.col("lang").alias("pred_lang"), "score")
+    )

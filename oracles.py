@@ -4285,6 +4285,82 @@ SELECT source, rnk, term, tf, df, score FROM rk WHERE rnk <= 5
 """
 
 
+_ORACLE_REL_ROLLUP = """
+WITH rev AS MATERIALIZED (
+  SELECT n.n_name,
+         CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS oyear,
+         CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT n_name, oyear,
+       CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+       CAST(GROUPING(oyear) AS BIGINT) AS g_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM rev GROUP BY ROLLUP (n_name, oyear)
+"""
+
+_ORACLE_COHORT_LTV = """
+WITH firsts AS MATERIALIZED (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_period
+  FROM events GROUP BY user_id
+),
+buys AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS buy_day,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+per AS MATERIALIZED (
+  SELECT f.cohort_period,
+         CAST(date_diff('day', f.cohort_period, b.buy_day) AS BIGINT) AS period_offset,
+         CAST(SUM(b.cents) AS BIGINT) AS cents
+  FROM buys b JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT CAST(cohort_period AS VARCHAR) AS cohort_period, period_offset, cents,
+       CAST(SUM(cents) OVER (PARTITION BY cohort_period ORDER BY period_offset
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM per
+"""
+
+
+_ORACLE_CT_LANGID = """
+WITH nd AS (
+  SELECT doc_id, lang, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+),
+tri AS MATERIALIZED (
+  SELECT doc_id, lang, substring(norm, CAST(i AS INT), 3) AS g
+  FROM nd, unnest(range(1, greatest(length(norm) - 1, 1))) AS t(i)
+),
+lc AS (SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c FROM tri GROUP BY 1, 2),
+lp AS MATERIALIZED (
+  SELECT lang, g, lrank FROM (
+    SELECT lang, g, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, g ASC) AS BIGINT) AS lrank
+    FROM lc) WHERE lrank <= 15
+),
+dc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM tri GROUP BY 1, 2),
+dp AS MATERIALIZED (
+  SELECT doc_id, g, drank FROM (
+    SELECT doc_id, g, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS BIGINT) AS drank
+    FROM dc) WHERE drank <= 15
+),
+langs AS (SELECT DISTINCT lang FROM lp),
+scored AS (
+  SELECT d.doc_id, l.lang,
+         CAST(SUM(COALESCE(abs(d.drank - p.lrank), 15)) AS BIGINT) AS score
+  FROM dp d CROSS JOIN langs l
+  LEFT JOIN lp p ON p.lang = l.lang AND p.g = d.g
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang AS pred_lang, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score ASC, lang ASC) AS rk
+  FROM scored) WHERE rk = 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "maef_journey_entries": _ORACLE_JOURNEY_ENTRIES,
@@ -4319,6 +4395,9 @@ def oracle_sql() -> dict[str, str]:
         "maef_channel_correlation": _ORACLE_CHANNEL_CORRELATION,
         "llm_tokenizer_fertility": _ORACLE_TOKENIZER_FERTILITY,
         "llm_source_signature_terms": _ORACLE_SOURCE_SIGNATURE_TERMS,
+        "rel_rollup": _ORACLE_REL_ROLLUP,
+        "maef_cohort_ltv": _ORACLE_COHORT_LTV,
+        "llm_ct_langid": _ORACLE_CT_LANGID,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,

@@ -356,3 +356,23 @@ def test_source_signature_terms_idf_zero_for_common(spark):
     rows = {(r["source"], r["term"]): r["score"] for r in scored.collect()}
     assert rows[("s0", "common")] == 0
     assert rows[("s0", "rare0")] == 1  # tf=1 * floor(log2(2/1))=1
+
+
+def test_ct_langid_separates_clear_profiles(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm.classify import ct_char_profiles, ct_predict
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa bbbb aaaa bbbb", "x"),
+            (2, "aaaa bbbb aaaa", "x"),
+            (3, "zzzz yyyy zzzz yyyy", "y"),
+            (4, "zzzz yyyy zzzz", "y"),
+            (5, "", "x"),  # empty text: no trigrams, no prediction row
+        ],
+        "doc_id long, text string, lang string",
+    )
+    prof = ct_char_profiles(docs)
+    pred = {r["doc_id"]: r["pred_lang"] for r in ct_predict(docs, prof).collect()}
+    assert pred[1] == "x" and pred[2] == "x"
+    assert pred[3] == "y" and pred[4] == "y"
+    assert 5 not in pred
