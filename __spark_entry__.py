@@ -4340,12 +4340,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r05 rotation (VERDICT r04 next-steps #1): the
     # 28 entries that have NEVER received a driver row (round-4b overflow +
-    # all 22 round-4c ops, positions 50-77 last round) move to the FRONT.
-    # New r05 operators land right after them (still inside the window); the
-    # remaining slots re-verify the stalest green entries (the core MAEF
-    # journeys/attribution/reporting/loader suite, last driver-checked in r02).
-    # Once CORRECTNESS_r05 lands green, EVERY registry entry has a driver row.
-    # Everything after the long-green marker has a green row in r01-r04.
+    # all 22 round-4c ops, positions 50-77 last round) lead, followed by the
+    # 22 r05 additions — exactly filling the 50-slot window (zero stale-fill;
+    # any r05 operator added beyond these sits after the long-green marker as
+    # the documented r06 queue).  Once CORRECTNESS_r05 lands green, EVERY
+    # entry registered before this round has a driver row.  Everything after
+    # the long-green marker has a green row in r01-r04.
     return {
         # --- r05 gate window part 1: the 28 never-driver-checked entries ---
         "rel_min_cost_supplier": q_rel_min_cost_supplier,
@@ -4399,7 +4399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rollup": q_rel_rollup,
         "maef_cohort_ltv": q_cohort_ltv,
         "llm_ct_langid": q_ct_langid,
-        # --- r05 gate window part 2: stalest-green re-verify (last seen r02) ---
+        # --- long-green below (r06 queue starts here): rows in r01-r04 ---
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,
@@ -4422,7 +4422,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_channel_pivot": q_channel_pivot,
         "maef_rolling_features": q_rolling_features,
         "maef_cleaning": q_cleaning,
-        # --- long-green below: driver rows in CORRECTNESS_r01-r04 ---
         "maef_fill_gaps": q_fill_gaps,
         "maef_fuzzy_channels": q_fuzzy_channels,
         "llm_bloom_converters": q_bloom_converters,
