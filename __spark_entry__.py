@@ -4336,6 +4336,16 @@ def q_ct_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cls.ct_predict(d, prof)
 
 
+def q_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L177: two-stage ANN over int8 codes (llm/quantize.py
+    ann_int8_rerank) — candidates by exact integer L2 on the compact
+    codes (the ADC baseline), exact q20-cosine rerank of 12
+    candidates to top-5.  The production scale path: full float
+    vectors are read only for candidate rows."""
+    e = _embs(spark, sf_dir)
+    return qtz.ann_int8_rerank(e, e.filter(F.col("vec_id") % 50 == 7), k_cand=12, k_out=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r05 rotation (VERDICT r04 next-steps #1): the
@@ -4400,6 +4410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_cohort_ltv": q_cohort_ltv,
         "llm_ct_langid": q_ct_langid,
         # --- long-green below (r06 queue starts here): rows in r01-r04 ---
+        "llm_ann_int8_rerank": q_ann_int8_rerank,
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,

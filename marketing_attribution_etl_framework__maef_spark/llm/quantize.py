@@ -55,19 +55,16 @@ def calibrate_minmax(embs: DataFrame, vec_col: str = "embedding") -> tuple[list,
     return mn, mx
 
 
-def quantize_int8(
+def int8_codes(
     embs: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
-    """Scalar-quantize every vector to 0..255 codes.
-
-    Output: (vec_id, n_dims, code_sum, code_min, code_max,
-    codes_md5) — integer summaries plus the md5 pin of the whole code
-    array in dimension order.
-    """
+    """(id, codes array<bigint>) — the raw 0..255 code vectors, the
+    compact representation ANN searches over at scale (shared by the
+    L141 summary pin and the L177 code-distance search)."""
     mn, mx = calibrate_minmax(embs, vec_col)
     mn_arr = F.array(*[F.lit(float(v)).cast("double") for v in mn])
     mx_arr = F.array(*[F.lit(float(v)).cast("double") for v in mx])
-    coded = (
+    return (
         embs.withColumn("_mn", mn_arr)
         .withColumn("_mx", mx_arr)
         .select(
@@ -82,6 +79,18 @@ def quantize_int8(
             ).alias("codes"),
         )
     )
+
+
+def quantize_int8(
+    embs: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Scalar-quantize every vector to 0..255 codes.
+
+    Output: (vec_id, n_dims, code_sum, code_min, code_max,
+    codes_md5) — integer summaries plus the md5 pin of the whole code
+    array in dimension order.
+    """
+    coded = int8_codes(embs, vec_col, id_col)
     return coded.select(
         id_col,
         F.size("codes").cast("long").alias("n_dims"),
@@ -91,4 +100,69 @@ def quantize_int8(
         F.md5(F.concat_ws(",", F.expr("transform(codes, c -> CAST(c AS STRING))"))).alias(
             "codes_md5"
         ),
+    )
+
+
+def ann_int8_rerank(
+    embs: DataFrame,
+    queries: DataFrame,
+    k_cand: int = 12,
+    k_out: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage ANN over compact codes: candidate generation by EXACT
+    integer L2 distance on the int8 codes, then exact q20-cosine
+    rerank of the k_cand survivors — the production shape for search
+    at 100 TB (codes are 4 bytes/dim smaller than float32; the full
+    vectors are touched only for k_cand rows per query).
+
+    Candidate stage: sum((qc - cc)^2) over the zip_with'd code arrays
+    — a BIGINT, order-independent, so the (d2 ASC, vec_id ASC) top-k
+    is deterministic.  Rerank: the repo's q20 cosine on the original
+    float vectors.  Output: (query_id, rnk, vec_id, cos_q20).
+
+    Scale note: this is the ADC BASELINE (brute over codes); compose
+    with the IVF/LSH bucketing (llm/similarity.py) to cut the
+    candidate scan — the rerank contract is unchanged.
+    """
+    from marketing_attribution_etl_framework__maef_spark.llm.similarity import as_double, cosine, q20
+
+    codes = int8_codes(embs, vec_col, id_col).localCheckpoint()
+    qc = queries.select(F.col(id_col).alias("query_id")).join(
+        codes.select(F.col(id_col).alias("query_id"), F.col("codes").alias("qcodes")),
+        "query_id",
+    )
+    pairs = qc.crossJoin(codes.select(F.col(id_col).alias("cand_id"), "codes")).filter(
+        F.col("query_id") != F.col("cand_id")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qcodes, codes, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    from pyspark.sql import Window as _W
+
+    wc = _W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cand_id"))
+    cands = (
+        pairs.select("query_id", "cand_id", d2.alias("d2"))
+        .withColumn("_rk", F.row_number().over(wc))
+        .filter(F.col("_rk") <= k_cand)
+        .select("query_id", "cand_id")
+    )
+    qv = embs.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = embs.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    rer = (
+        cands.join(qv, "query_id")
+        .join(cv, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            q20(cosine(as_double(F.col("qv")), as_double(F.col("cv")))).alias("cos_q20"),
+        )
+    )
+    wr = _W.partitionBy("query_id").orderBy(F.desc("cos_q20"), F.asc("cand_id"))
+    return (
+        rer.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= k_out)
+        .select("query_id", "rnk", F.col("cand_id").alias("vec_id"), "cos_q20")
     )

@@ -4361,6 +4361,52 @@ SELECT doc_id, lang AS pred_lang, score FROM (
 """
 
 
+_ORACLE_ANN_INT8_RERANK = """
+WITH ex AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+),
+stats AS MATERIALIZED (
+  SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY d
+),
+cl AS MATERIALIZED (
+  SELECT vec_id, list(CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
+              ELSE CAST(FLOOR((e.x - s.mn) / (s.mx - s.mn) * 255.0 + 0.5) AS BIGINT) END
+              ORDER BY e.d) AS codes
+  FROM ex e JOIN stats s USING (d) GROUP BY vec_id
+),
+q AS (SELECT vec_id AS query_id, codes AS qcodes FROM cl WHERE vec_id % 50 = 7),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         CAST(list_dot_product(q.qcodes, q.qcodes) + list_dot_product(c.codes, c.codes)
+              - 2 * list_dot_product(q.qcodes, c.codes) AS BIGINT) AS d2
+  FROM q, cl c WHERE q.query_id <> c.vec_id
+),
+cands AS MATERIALIZED (
+  SELECT query_id, cand_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, cand_id ASC) AS rk
+    FROM pairs) WHERE rk <= 12
+),
+ev AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+rer AS (
+  SELECT c.query_id, c.cand_id,
+         CAST(FLOOR(list_dot_product(qe.v, ce.v)
+              / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v)))
+              * 1048576.0 + 0.5) AS BIGINT) AS cos_q20
+  FROM cands c
+  JOIN ev qe ON qe.vec_id = c.query_id
+  JOIN ev ce ON ce.vec_id = c.cand_id
+)
+SELECT query_id, CAST(rk AS BIGINT) AS rnk, cand_id AS vec_id, cos_q20 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_q20 DESC, cand_id ASC) AS rk
+  FROM rer) WHERE rk <= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "maef_journey_entries": _ORACLE_JOURNEY_ENTRIES,
@@ -4398,6 +4444,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_rollup": _ORACLE_REL_ROLLUP,
         "maef_cohort_ltv": _ORACLE_COHORT_LTV,
         "llm_ct_langid": _ORACLE_CT_LANGID,
+        "llm_ann_int8_rerank": _ORACLE_ANN_INT8_RERANK,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,
