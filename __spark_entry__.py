@@ -4346,6 +4346,75 @@ def q_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qtz.ann_int8_rerank(e, e.filter(F.col("vec_id") % 50 == 7), k_cand=12, k_out=5)
 
 
+def q_stream_topk_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L178: streaming windowed top-k — Structured Streaming 6-hour
+    tumbling per-channel volume (streaming/incremental.py
+    windowed_channel_volume), ranked top-3 per window batch-side on
+    the sink (the streaming-preagg + serving-rank split every
+    leaderboard pipeline uses; state stays the bounded windowed agg).
+    Spark window() buckets are epoch-aligned; 6h divides 24h so the
+    oracle's day-anchored bucket arithmetic lands identically."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+    vol = inc.windowed_channel_volume(ev.withWatermark("ts", "1 hour"), window="6 hours")
+    name = "stream_topk_channels"
+    q = (
+        vol.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("window_start").orderBy(
+        F.desc("total_value_cents"), F.asc("channel_name")
+    )
+    out = (
+        spark.table(name)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "rnk",
+            "channel_name",
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.col("total_value_cents").cast("long").alias("total_value_cents"),
+        )
+        .localCheckpoint()
+    )
+    spark.catalog.dropTempView(name)
+    return out
+
+
+def q_user_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L179: GDPR subject-access export — the third compliance verb
+    next to purge (L111) and pseudonymization (L154): for a
+    deterministic user subset, bundle the user's complete event
+    history with a canonical order pin (md5 of the ts-ordered event-id
+    list) so the export is verifiable without shipping the rows
+    through the hash gate.  Per-user bundles are bounded by user
+    activity (the A7 ordered-collect contract)."""
+    ev = domain.events(spark, sf_dir).filter(F.col("user_id") % 97 == 3)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("total_cents"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id"))),
+                    lambda s: s["event_id"].cast("string"),
+                ),
+            )
+        ).alias("bundle_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r05 rotation (VERDICT r04 next-steps #1): the
@@ -4411,6 +4480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ct_langid": q_ct_langid,
         # --- long-green below (r06 queue starts here): rows in r01-r04 ---
         "llm_ann_int8_rerank": q_ann_int8_rerank,
+        "maef_stream_topk_channels": q_stream_topk_channels,
+        "maef_user_export": q_user_export,
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,

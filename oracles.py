@@ -4407,6 +4407,36 @@ SELECT query_id, CAST(rk AS BIGINT) AS rnk, cand_id AS vec_id, cos_q20 FROM (
 """
 
 
+_ORACLE_STREAM_TOPK = """
+WITH vol AS MATERIALIZED (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+           + to_hours(6 * (CAST(extract(hour FROM ts) AS INT) // 6)) AS window_start,
+         event_type AS channel_name,
+         CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_value_cents
+  FROM events WHERE event_type <> 'purchase'
+  GROUP BY 1, 2
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(rk AS BIGINT) AS rnk, channel_name, n_sessions, total_value_cents
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+             ORDER BY total_value_cents DESC, channel_name ASC) AS rk
+  FROM vol) WHERE rk <= 3
+"""
+
+_ORACLE_USER_EXPORT = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
+       md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id)) AS bundle_md5
+FROM events WHERE user_id % 97 = 3
+GROUP BY user_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "maef_journey_entries": _ORACLE_JOURNEY_ENTRIES,
@@ -4445,6 +4475,8 @@ def oracle_sql() -> dict[str, str]:
         "maef_cohort_ltv": _ORACLE_COHORT_LTV,
         "llm_ct_langid": _ORACLE_CT_LANGID,
         "llm_ann_int8_rerank": _ORACLE_ANN_INT8_RERANK,
+        "maef_stream_topk_channels": _ORACLE_STREAM_TOPK,
+        "maef_user_export": _ORACLE_USER_EXPORT,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,
