@@ -136,6 +136,27 @@ def _journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_BASKET_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared L135 basket spine (co-ordered part pairs, support
+    >= 2), localCheckpoint'd once per (application, sf_dir): five
+    registry queries (basket pairs, item recs, triangle count, k-core,
+    label propagation) re-derived the same capped-basket self-join
+    (~3 s each at sf0.1).  Same contract as _JOURNEYS_CACHE; at
+    production scale this is the staged co-occurrence table."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key not in _BASKET_CACHE:
+        for stale in [k for k in _BASKET_CACHE if k[0] != app_id]:
+            _BASKET_CACHE.pop(stale, None)
+        _BASKET_CACHE[key] = bsk.basket_pairs(
+            domain.load_table(spark, sf_dir, "lineitem"), min_support=2
+        ).localCheckpoint()
+    return _BASKET_CACHE[key]
+
+
 def q_journey_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 + P1 + P4 + W2: the journey-construction join and the 8-field
     JSON contract projection."""
@@ -3548,7 +3569,7 @@ def q_rel_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     k=2 co-occurrence support + exact q20 lift over size-capped
     baskets; the within-basket self-join shape the reference's star
     joins never exercise."""
-    return bsk.basket_pairs(domain.load_table(spark, sf_dir, "lineitem"))
+    return _basket_pairs(spark, sf_dir)
 
 
 def q_robust_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3589,9 +3610,9 @@ def q_rel_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-ordered orientation bounds the wedge join at O(m^1.5); the
     oracle verifies with the naive a<b<c three-way join (the count is
     orientation-invariant)."""
-    edges = bsk.basket_pairs(
-        domain.load_table(spark, sf_dir, "lineitem"), min_support=2
-    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    edges = _basket_pairs(spark, sf_dir).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
     return grph.triangle_count(edges)
 
 
@@ -3623,9 +3644,7 @@ def q_rel_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L143: item-item top-3 recommendations (operators/basket.py
     recommend_items) — symmetrized co-purchase pairs cut per item by
     the deterministic (lift_q20, pair_cnt, rec) order."""
-    return bsk.recommend_items(
-        bsk.basket_pairs(domain.load_table(spark, sf_dir, "lineitem"))
-    )
+    return bsk.recommend_items(_basket_pairs(spark, sf_dir))
 
 
 def q_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3723,9 +3742,9 @@ def q_rel_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_core) — fixed-round peel (12 rounds, fixpoint probed <= 6 at
     every SF; early exit at fixpoint is result-identical), oracle
     unrolls the identical rounds."""
-    edges = bsk.basket_pairs(
-        domain.load_table(spark, sf_dir, "lineitem"), min_support=2
-    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    edges = _basket_pairs(spark, sf_dir).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
     return grph.k_core(edges, k=2, rounds=12)
 
 
@@ -4035,8 +4054,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break) on the co-ordered-parts graph (the L135 basket spine,
     support >= 2).  Fixed rounds => the oracle unrolls the identical
     rounds (the k_core contract)."""
-    li = domain.load_table(spark, sf_dir, "lineitem")
-    edges = bsk.basket_pairs(li).select(
+    edges = _basket_pairs(spark, sf_dir).select(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     )
     return grph.label_propagation(edges, rounds=2).select(
