@@ -376,3 +376,17 @@ def test_ct_langid_separates_clear_profiles(spark):
     assert pred[1] == "x" and pred[2] == "x"
     assert pred[3] == "y" and pred[4] == "y"
     assert 5 not in pred
+
+
+def test_ann_int8_rerank_finds_duplicate_vector(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm.quantize import ann_int8_rerank
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    rows.append((100, list(rows[3][1])))  # exact duplicate of vec 3
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ann_int8_rerank(embs, embs.filter(F.col("vec_id") == 100), k_cand=5, k_out=3)
+    top = out.filter(F.col("rnk") == 1).first()
+    assert top["vec_id"] == 3  # the duplicate is the nearest neighbor
+    assert top["cos_q20"] == 1 << 20  # cosine exactly 1
