@@ -4433,6 +4433,88 @@ def q_user_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L180: attribution uncertainty via DETERMINISTIC bootstrap — 8
+    md5-parity half-resamples of the conversion population, linear
+    credit re-aggregated per (channel, resample), then per-channel
+    min/max/mean of the resample credit (q20).  Replaces the RNG
+    bootstrap with a hash resample so both engines draw the identical
+    samples; one journeys scan fans out x8 via a replicate explode
+    (bounded constant), never 8 passes."""
+    j = _journeys(spark, sf_dir)
+    w = attr.attribute_linear(j).join(
+        j.select(
+            F.col("conversion_id").alias("conv_id"), "session_id", "channel_label"
+        ).distinct(),
+        ["conv_id", "session_id"],
+    )
+    reps = w.select(
+        "conv_id",
+        "channel_label",
+        F.col("ihc"),
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("r"),
+    ).filter(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("conv_id"), F.lit("|bs"), F.col("r").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    per = reps.groupBy("channel_label", "r").agg(
+        F.sum(F.floor(F.col("ihc") * 1048576 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("credit_q20")
+    )
+    return per.groupBy("channel_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_resamples"),
+        F.min("credit_q20").cast("long").alias("min_q20"),
+        F.max("credit_q20").cast("long").alias("max_q20"),
+        F.expr("cast(sum(credit_q20) div count(1) as bigint)").alias("mean_q20"),
+    )
+
+
+def q_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L181: corpus drift screen — top-10 terms by EXACT integer
+    cross-multiplied frequency divergence between the even and odd
+    doc-id halves: score = |cnt_a * N_b - cnt_b * N_a| (the
+    denominator-free two-sample proportion gap).  The data-ops early
+    warning for a poisoned/shifted ingest batch; all BIGINT/DECIMAL,
+    deterministic top-10 by (score DESC, term ASC)."""
+    d = _docs(spark, sf_dir).withColumn("half", (F.col("doc_id") % 2).cast("int"))
+    ex = d.select(
+        "half", F.explode(txt.words(txt.normalize_text(F.col("text")))).alias("term")
+    ).filter(F.col("term") != "")
+    cnt = ex.groupBy("term").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("cnt_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("cnt_b"),
+    )
+    tot = ex.groupBy().agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "cnt_a",
+            "cnt_b",
+            F.expr(
+                "cast(abs(cast(cnt_a as decimal(38,0)) * nb"
+                " - cast(cnt_b as decimal(38,0)) * na) as decimal(38,0))"
+            ).alias("_score"),
+        )
+        .orderBy(F.desc("_score"), F.asc("term"))
+        .limit(10)
+        .select("term", "cnt_a", "cnt_b", F.expr("cast(_score as bigint)").alias("drift_score"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r05 rotation (VERDICT r04 next-steps #1): the
@@ -4500,6 +4582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ann_int8_rerank": q_ann_int8_rerank,
         "maef_stream_topk_channels": q_stream_topk_channels,
         "maef_user_export": q_user_export,
+        "maef_attribution_bootstrap": q_attribution_bootstrap,
+        "llm_term_drift": q_term_drift,
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,

@@ -4437,6 +4437,57 @@ GROUP BY user_id
 """
 
 
+_ORACLE_ATTRIBUTION_BOOTSTRAP = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+lin AS (
+  SELECT conversion_id AS conv_id, session_id, channel_label,
+         1.0 / COUNT(*) OVER (PARTITION BY conversion_id) AS ihc
+  FROM journeys
+),
+reps AS (
+  SELECT l.conv_id, l.channel_label, l.ihc, t.r
+  FROM lin l, unnest(range(0, 8)) AS t(r)
+  WHERE CAST('0x' || substr(md5(l.conv_id || '|bs' || CAST(t.r AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+),
+per AS (
+  SELECT channel_label, r,
+         CAST(SUM(CAST(floor(ihc * 1048576 + 0.5) AS BIGINT)) AS BIGINT) AS credit_q20
+  FROM reps GROUP BY 1, 2
+)
+SELECT channel_label,
+       CAST(COUNT(*) AS BIGINT) AS n_resamples,
+       CAST(MIN(credit_q20) AS BIGINT) AS min_q20,
+       CAST(MAX(credit_q20) AS BIGINT) AS max_q20,
+       CAST(CAST(SUM(credit_q20) AS HUGEINT) // COUNT(*) AS BIGINT) AS mean_q20
+FROM per GROUP BY 1
+"""
+
+_ORACLE_TERM_DRIFT = """
+WITH ex AS MATERIALIZED (
+  SELECT CAST(doc_id % 2 AS INT) AS half,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+),
+fx AS (SELECT half, term FROM ex WHERE term <> ''),
+cnt AS (
+  SELECT term,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+  FROM fx GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM fx
+)
+SELECT term, cnt_a, cnt_b,
+       CAST(abs(CAST(cnt_a AS HUGEINT) * nb - CAST(cnt_b AS HUGEINT) * na) AS BIGINT) AS drift_score
+FROM cnt, tot
+ORDER BY abs(CAST(cnt_a AS HUGEINT) * nb - CAST(cnt_b AS HUGEINT) * na) DESC, term ASC
+LIMIT 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "maef_journey_entries": _ORACLE_JOURNEY_ENTRIES,
@@ -4477,6 +4528,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_ann_int8_rerank": _ORACLE_ANN_INT8_RERANK,
         "maef_stream_topk_channels": _ORACLE_STREAM_TOPK,
         "maef_user_export": _ORACLE_USER_EXPORT,
+        "maef_attribution_bootstrap": _ORACLE_ATTRIBUTION_BOOTSTRAP,
+        "llm_term_drift": _ORACLE_TERM_DRIFT,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,
