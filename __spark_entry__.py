@@ -4515,6 +4515,32 @@ def q_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L182: trailing-7-day channel revenue via a RANGE window frame —
+    the range-frame surface (RANGE BETWEEN 6 PRECEDING) the repo's
+    other rollers express as ROWS frames or calendar joins: ordering
+    by the integer day index makes the frame gap-correct (a missing
+    day narrows the window, where a ROWS frame would silently reach
+    back too far).  Exact cents; day grain bounded per channel."""
+    ev = domain.events(spark, sf_dir).filter(F.col("event_type") != "purchase")
+    daily = ev.groupBy(
+        F.col("event_type").alias("channel"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("cents"))
+    idx = daily.withColumn(
+        "_d", F.datediff(F.col("event_day").cast("date"), F.lit("2024-01-01").cast("date"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("channel").orderBy("_d").rangeBetween(-6, 0)
+    return idx.select(
+        "channel",
+        "event_day",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("trailing7_cents"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r05 rotation (VERDICT r04 next-steps #1): the
@@ -4584,6 +4610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_user_export": q_user_export,
         "maef_attribution_bootstrap": q_attribution_bootstrap,
         "llm_term_drift": q_term_drift,
+        "maef_trailing_week_revenue": q_trailing_week_revenue,
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,

@@ -4488,6 +4488,24 @@ LIMIT 10
 """
 
 
+_ORACLE_TRAILING_WEEK = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type AS channel, strftime(ts, '%Y-%m-%d') AS event_day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+),
+idx AS (
+  SELECT *, date_diff('day', DATE '2024-01-01', CAST(event_day AS DATE)) AS d
+  FROM daily
+)
+SELECT channel, event_day, cents,
+       CAST(SUM(cents) OVER (PARTITION BY channel ORDER BY d
+                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS trailing7_cents
+FROM idx
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "maef_journey_entries": _ORACLE_JOURNEY_ENTRIES,
@@ -4530,6 +4548,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_user_export": _ORACLE_USER_EXPORT,
         "maef_attribution_bootstrap": _ORACLE_ATTRIBUTION_BOOTSTRAP,
         "llm_term_drift": _ORACLE_TERM_DRIFT,
+        "maef_trailing_week_revenue": _ORACLE_TRAILING_WEEK,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,
