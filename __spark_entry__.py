@@ -1465,13 +1465,32 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ENCODE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared BPE encode table (doc_id, n_words, n_bpe_tokens),
+    localCheckpoint'd once per (application, sf_dir): the vocabulary
+    merge-fold feeds both L58 and the L172 fertility report (~2 s each
+    at sf0.1).  Same cache contract as _JOURNEYS_CACHE."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key not in _BPE_ENCODE_CACHE:
+        for stale in [k for k in _BPE_ENCODE_CACHE if k[0] != app_id]:
+            _BPE_ENCODE_CACHE.pop(stale, None)
+        rules = [(r[1], r[2]) for r in _bpe_rules(spark, sf_dir)]
+        _BPE_ENCODE_CACHE[key] = tok.bpe_encode_counts(
+            _docs(spark, sf_dir), rules
+        ).localCheckpoint()
+    return _BPE_ENCODE_CACHE[key]
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L58: BPE tokenization counts (llm/tokenizer.py
     bpe_encode_counts): the 8 learned merges applied to the
     distinct-word table, joined back to the corpus for exact per-doc
     token counts."""
-    rules = [(r[1], r[2]) for r in _bpe_rules(spark, sf_dir)]
-    return tok.bpe_encode_counts(_docs(spark, sf_dir), rules)
+    return _bpe_encode(spark, sf_dir)
 
 
 def q_channel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4233,8 +4252,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-folded encode (llm/tokenizer.py bpe_encode_counts);
     fertility is exact: sum(tokens) * 2^20 div sum(words) in
     DECIMAL(38,0)."""
-    rules = [(r[1], r[2]) for r in _bpe_rules(spark, sf_dir)]
-    enc = tok.bpe_encode_counts(_docs(spark, sf_dir), rules)
+    enc = _bpe_encode(spark, sf_dir)
     src = _docs(spark, sf_dir).select("doc_id", "source")
     return (
         enc.join(src, "doc_id")
