@@ -4877,6 +4877,13 @@ def oracle_sql() -> dict[str, str]:
     ``oracles.py`` (VERDICT r04 #7 split); imported lazily so the
     oracle module can import this module's shared fragments back
     without a cycle."""
+    import sys
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    if repo_dir not in sys.path:
+        # the driver may import this module by file path without the
+        # repo root on sys.path; the sibling oracles module needs it
+        sys.path.insert(0, repo_dir)
     from oracles import oracle_sql as _oracles_impl
 
     return _oracles_impl()
