@@ -136,6 +136,7 @@ def main() -> None:
     # family query happens to run first)
     entrymod._journeys(spark, sf_dir).write.format("noop").mode("overwrite").save()
     entrymod._basket_pairs(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    entrymod._bpe_encode(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for i, (name, fn) in enumerate(queries.items()):
