@@ -4559,6 +4559,102 @@ def q_trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L183: corpus Zipf rank-frequency slope — integer OLS over
+    (bits(rank), bits(freq)) with the exact-bits log2 device, the
+    corpus-health statistic (natural text ~ -1; templated/spam
+    corpora flatten).  Rank comes from the grouped two-phase value
+    rank (log2-magnitude buckets) so the vocabulary is never sorted
+    in one task; slope in q20 via DECIMAL(38,0)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import concentration as conc
+
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select(F.explode(txt.words(txt.normalize_text(F.col("text")))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    ranked = conc.grouped_value_rank(
+        tf.withColumn("g", F.lit("all")), "g", "freq", "term", "r_asc"
+    )
+    v = tf.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    pts = ranked.crossJoin(F.broadcast(v)).select(
+        (F.length(F.bin(F.col("v") + 1 - F.col("r_asc"))) - 1).cast("long").alias("x"),
+        (F.length(F.bin("freq")) - 1).cast("long").alias("y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.expr("cast(x as decimal(38,0))")).alias("sx"),
+        F.sum(F.expr("cast(y as decimal(38,0))")).alias("sy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+    )
+    return agg.select(
+        "n_terms",
+        F.expr(
+            "cast((cast(n_terms as decimal(38,0)) * sxy - sx * sy) * 1048576"
+            " div (cast(n_terms as decimal(38,0)) * sxx - sx * sx) as bigint)"
+        ).alias("slope_q20"),
+    )
+
+
+def q_frequency_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L184: frequency-capping simulation — at most 3 impressions per
+    (user, channel, day), overflow suppressed: per channel, served /
+    suppressed counts and affected users.  One (user, channel, day)
+    partitioned rank window in (ts, event_id) order; exact integers.
+    The pacing readout ad servers compute before committing a cap."""
+    ev = domain.events(spark, sf_dir).filter(F.col("event_type") != "purchase")
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(
+        "user_id", "event_type", F.date_format("ts", "yyyy-MM-dd")
+    ).orderBy("ts", "event_id")
+    ranked = ev.withColumn("_rn", F.row_number().over(w))
+    return ranked.groupBy(F.col("event_type").alias("channel")).agg(
+        F.sum((F.col("_rn") <= 3).cast("long")).cast("long").alias("served"),
+        F.sum((F.col("_rn") > 3).cast("long")).cast("long").alias("suppressed"),
+        F.countDistinct(F.when(F.col("_rn") > 3, F.col("user_id")))
+        .cast("long")
+        .alias("affected_users"),
+    )
+
+
+def q_adstock_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L185: media-mix response — Hill saturation share of the L99
+    decayed (adstock) spend, half-max at the channel's own mean:
+    share = (x*n)^2 / ((x*n)^2 + S^2), components EXACT in
+    DECIMAL(38,0), the final rational assembled by ONE identical
+    double expression (per-row scalar — no aggregation order anywhere)
+    and emitted q20.  The diminishing-returns curve every budget
+    optimizer feeds on."""
+    from marketing_attribution_etl_framework__maef_spark.operators import timeseries as ts
+
+    dec = ts.decayed_daily_sum(domain.events(spark, sf_dir), horizon_days=8)
+    per_ch = dec.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("decay_cents_q20").cast("long").alias("s_total"),
+    )
+    j = dec.join(F.broadcast(per_ch), "channel").select(
+        "channel",
+        "event_day",
+        F.expr(
+            "cast(cast(decay_cents_q20 as decimal(38,0)) * n_days as decimal(38,0))"
+        ).alias("xn"),
+        F.expr("cast(s_total as decimal(38,0))").alias("s"),
+    )
+    return j.select(
+        "channel",
+        "event_day",
+        F.expr(
+            "cast(floor(cast(xn * xn as double)"
+            " / (cast(xn * xn as double) + cast(s * s as double))"
+            " * 1048576 + 0.5e0) as bigint)"
+        ).alias("hill_share_q20"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r05 rotation (VERDICT r04 next-steps #1): the
@@ -4629,6 +4725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_attribution_bootstrap": q_attribution_bootstrap,
         "llm_term_drift": q_term_drift,
         "maef_trailing_week_revenue": q_trailing_week_revenue,
+        "llm_zipf_slope": q_zipf_slope,
+        "maef_frequency_capping": q_frequency_capping,
+        "maef_adstock_hill": q_adstock_hill,
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,

@@ -4506,6 +4506,73 @@ FROM idx
 """
 
 
+_ORACLE_ZIPF_SLOPE = f"""
+WITH {_NORM_RAW},
+ex AS (SELECT unnest(string_split(norm, ' ')) AS term FROM nd),
+tf AS MATERIALIZED (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM ex WHERE term <> '' GROUP BY 1
+),
+vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM tf),
+rk AS (
+  SELECT freq, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term DESC) AS BIGINT) AS r_desc
+  FROM tf
+),
+pts AS (
+  SELECT CAST(LENGTH(bin(r_desc)) - 1 AS BIGINT) AS x,
+         CAST(LENGTH(bin(freq)) - 1 AS BIGINT) AS y
+  FROM rk
+),
+ag AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy, SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM pts
+)
+SELECT n_terms,
+       CAST((CAST(n_terms AS HUGEINT) * sxy - sx * sy) * 1048576
+            // (CAST(n_terms AS HUGEINT) * sxx - sx * sx) AS BIGINT) AS slope_q20
+FROM ag
+"""
+
+_ORACLE_FREQUENCY_CAPPING = """
+WITH ranked AS MATERIALIZED (
+  SELECT event_type, user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type, strftime(ts, '%Y-%m-%d')
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type <> 'purchase'
+)
+SELECT event_type AS channel,
+       CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS served,
+       CAST(SUM(CASE WHEN rn > 3 THEN 1 ELSE 0 END) AS BIGINT) AS suppressed,
+       CAST(COUNT(DISTINCT CASE WHEN rn > 3 THEN user_id END) AS BIGINT) AS affected_users
+FROM ranked GROUP BY 1
+"""
+
+_ORACLE_ADSTOCK_HILL = f"""
+WITH {_DAILY_CENTS},
+dec AS MATERIALIZED (
+  SELECT t.channel, t.event_day,
+         CAST(SUM(i.cents * (CAST(1 AS BIGINT) <<
+             (7 - date_diff('day', CAST(i.event_day AS DATE), CAST(t.event_day AS DATE))))) AS BIGINT) AS x
+  FROM daily t JOIN daily i
+    ON t.channel = i.channel
+   AND CAST(i.event_day AS DATE) <= CAST(t.event_day AS DATE)
+   AND CAST(i.event_day AS DATE) >= CAST(t.event_day AS DATE) - 7
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(x) AS BIGINT) AS s_total
+  FROM dec GROUP BY 1
+)
+SELECT d.channel, d.event_day,
+       CAST(floor(CAST(CAST(d.x AS HUGEINT) * p.n_days * (CAST(d.x AS HUGEINT) * p.n_days) AS DOUBLE)
+            / (CAST(CAST(d.x AS HUGEINT) * p.n_days * (CAST(d.x AS HUGEINT) * p.n_days) AS DOUBLE)
+               + CAST(CAST(p.s_total AS HUGEINT) * p.s_total AS DOUBLE))
+            * 1048576 + 0.5e0) AS BIGINT) AS hill_share_q20
+FROM dec d JOIN per p USING (channel)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "maef_journey_entries": _ORACLE_JOURNEY_ENTRIES,
@@ -4549,6 +4616,9 @@ def oracle_sql() -> dict[str, str]:
         "maef_attribution_bootstrap": _ORACLE_ATTRIBUTION_BOOTSTRAP,
         "llm_term_drift": _ORACLE_TERM_DRIFT,
         "maef_trailing_week_revenue": _ORACLE_TRAILING_WEEK,
+        "llm_zipf_slope": _ORACLE_ZIPF_SLOPE,
+        "maef_frequency_capping": _ORACLE_FREQUENCY_CAPPING,
+        "maef_adstock_hill": _ORACLE_ADSTOCK_HILL,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,
