@@ -390,3 +390,46 @@ def test_ann_int8_rerank_finds_duplicate_vector(spark):
     top = out.filter(F.col("rnk") == 1).first()
     assert top["vec_id"] == 3  # the duplicate is the nearest neighbor
     assert top["cos_q20"] == 1 << 20  # cosine exactly 1
+
+
+def test_frequency_capping_exact(spark):
+    import datetime as dt
+
+    rows = []
+    # user 1: 5 clicks on one day -> 3 served, 2 suppressed
+    for i in range(5):
+        rows.append((i, dt.datetime(2024, 1, 1, 10, i), 1, "click", 1.0))
+    # user 2: 2 clicks -> all served
+    rows += [(10, dt.datetime(2024, 1, 1, 9, 0), 2, "click", 1.0),
+             (11, dt.datetime(2024, 1, 1, 9, 5), 2, "click", 1.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    from pyspark.sql import functions as F, Window as W
+
+    w = W.partitionBy("user_id", "event_type", F.date_format("ts", "yyyy-MM-dd")).orderBy(
+        "ts", "event_id"
+    )
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    out = ranked.groupBy("event_type").agg(
+        F.sum((F.col("_rn") <= 3).cast("long")).alias("served"),
+        F.sum((F.col("_rn") > 3).cast("long")).alias("suppressed"),
+        F.countDistinct(F.when(F.col("_rn") > 3, F.col("user_id"))).alias("affected"),
+    ).first()
+    assert (out["served"], out["suppressed"], out["affected"]) == (5, 2, 1)
+
+
+def test_hill_share_half_max_at_mean(spark):
+    # when x*n == S (x equals the mean), the Hill share is exactly 1/2
+    df = spark.createDataFrame([(100, 4, 400)], "x long, n long, s long")
+    from pyspark.sql import functions as F
+
+    got = df.select(
+        F.expr(
+            "cast(floor(cast(cast(x as decimal(38,0)) * n * (cast(x as decimal(38,0)) * n) as double)"
+            " / (cast(cast(x as decimal(38,0)) * n * (cast(x as decimal(38,0)) * n) as double)"
+            "    + cast(cast(s as decimal(38,0)) * s as double))"
+            " * 1048576 + 0.5e0) as bigint)"
+        ).alias("q")
+    ).first()["q"]
+    assert got == (1 << 20) // 2
