@@ -72,6 +72,11 @@ CHECKPOINT_HEAVY = {
     "rel_label_propagation",
     "maef_peak_concurrency",
     "maef_raking_ipf",
+    # r06: PQ localCheckpoints the subvector table + per-round codebooks;
+    # the partitioned sink is single-writer parquet IO (one-sided noise,
+    # same profile as warehouse_roundtrip)
+    "llm_ann_pq",
+    "maef_partitioned_sink",
 }
 
 

@@ -740,3 +740,43 @@ def duplicate_ngram_coverage(
             .alias("n_dup"),
         )
     )
+
+
+def cross_source_dup_matrix(docs: DataFrame, prefix_words: int = 5) -> DataFrame:
+    """Source-pair duplication matrix over the OPENING-PREFIX
+    fingerprint: md5 of the first ``prefix_words`` normalized words.
+    Documents sharing an opening are template/syndication suspects —
+    the corpus-governance view (which source is re-publishing which)
+    that decides dedup ORDER and licensing priority before the global
+    collapse runs.  The prefix key (not the full content md5) is
+    deliberate: it catches re-publications whose tails diverge, the
+    common syndication shape exact dedup misses.
+
+    Output: (source_a, source_b, shared_contents, contents_a,
+    contents_b).  Scale: distinct (source, prefix-md5) first (the
+    same shuffle exact dedup pays), then a fingerprint-keyed
+    self-join — per-fingerprint fanout bounded by |sources|^2, never
+    a source cross product over rows.
+    """
+    sc_ = docs.select(
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(words(normalize_text(F.col("text"))), 1, prefix_words)
+            )
+        ).alias("_ch"),
+    ).distinct()
+    sizes = sc_.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    a = sc_.select(F.col("source").alias("source_a"), "_ch")
+    b = sc_.select(F.col("source").alias("source_b"), "_ch")
+    pairs = (
+        a.join(b, "_ch")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_contents"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("_n").alias("contents_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("_n").alias("contents_b"))
+    return pairs.join(F.broadcast(sa), "source_a").join(F.broadcast(sb), "source_b").select(
+        "source_a", "source_b", "shared_contents", "contents_a", "contents_b"
+    )

@@ -695,3 +695,50 @@ def bigram_surprisal(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum(bits).cast("long").alias("surprisal_bits"),
     )
+
+
+def hapax_docs(docs: DataFrame, top_n: int = 20) -> DataFrame:
+    """Documents ranked by hapax legomena — terms whose DOCUMENT
+    frequency is exactly 1 (they appear in no other document).  A high
+    hapax count flags vocabulary-novel documents (specialist content
+    worth keeping) or garbage (OCR noise, random strings) — either
+    way, the docs a curation pass should look at first.
+
+    Output: top ``top_n`` by (n_hapax DESC, doc_id ASC) —
+    (doc_id, n_hapax, n_terms, hapax_ratio_q20), the ratio an exact
+    integer q20 of the rational n_hapax/n_terms:
+    (2*2^20*h + n) div (2*n).
+
+    Scale: distinct (doc, term) + a term-grain df aggregate (the
+    inverted-index shuffle every tf-idf op already pays); the hapax
+    join is term-keyed, and the final top-n is a TakeOrdered over the
+    bounded per-doc grain.
+    """
+    dt = (
+        docs.select(
+            "doc_id", F.explode(words(normalize_text(F.col("text")))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    df_ = dt.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    per = (
+        dt.join(df_, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum((F.col("_df") == 1).cast("long")).cast("long").alias("n_hapax"),
+        )
+    )
+    return (
+        per.orderBy(F.desc("n_hapax"), F.asc("doc_id"))
+        .limit(top_n)
+        .select(
+            "doc_id",
+            "n_hapax",
+            "n_terms",
+            F.expr("(2097152 * n_hapax + n_terms) div (2 * n_terms)")
+            .cast("long")
+            .alias("hapax_ratio_q20"),
+        )
+    )

@@ -80,7 +80,18 @@ def peak_concurrency(
     cum = b.join(F.broadcast(off), "day").withColumn(
         "_cum", F.sum("delta").over(w) + F.col("_off")
     )
+    # Closed-interval measurement at an END boundary happens BEFORE the
+    # decrement: an instant whose only boundaries are ends (e.g. the
+    # first boundary after midnight, with carried sessions) must still
+    # count the ending sessions.  Each end row therefore contributes
+    # the candidate (_cum + 1) — its pre-decrement value; for the first
+    # of several ends at one instant that IS the true instantaneous
+    # concurrency, later ones give smaller values (harmless).  Start
+    # rows contribute _cum as before.  (Latent bug found by the
+    # hypothesis brute-force law in r06: sweep said 2 where the closed
+    # definition says 3 when a day's first boundary is an end.)
+    cand = F.col("_cum") + F.when(F.col("delta") == -1, 1).otherwise(0)
     return cum.groupBy("day").agg(
-        F.max("_cum").cast("long").alias("peak"),
+        F.max(cand).cast("long").alias("peak"),
         F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).cast("long").alias("n_starts"),
     )

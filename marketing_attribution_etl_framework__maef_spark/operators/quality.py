@@ -131,3 +131,55 @@ def benford_screen(df: DataFrame, cents_col: str) -> DataFrame:
         .cast("long")
         .alias("deviation_q20"),
     )
+
+
+def ivt_screen(
+    events: DataFrame,
+    window_us: int = 86_400_000_000 - 1,
+    max_burst: int = 6,
+) -> DataFrame:
+    """Invalid-traffic (bot) screen: flag users whose event burst in
+    ANY trailing 24h window exceeds ``max_burst``, and report the
+    flagged share per channel.
+
+    Output: (channel, total_events, bot_events, bot_users) — the
+    pre-attribution hygiene readout every paid-media report needs
+    (IAB IVT filtering); bot_events is the volume attribution would
+    mis-credit if the screen were skipped.
+
+    The burst is a RANGE frame over the integer microsecond index
+    (timestampdiff from a fixed origin — NTZ-legal per the repo ts
+    rule; RANGE offsets are shift-invariant so the origin choice is
+    free).  Count over a range frame is order-independent within equal
+    timestamps, so the flag is deterministic.
+
+    100-TB shape: one (user) partitioned window pass + a per-user MAX
+    (both map-side combinable after the user shuffle), then one
+    broadcast-joinable bot-user set only if small — here it is joined
+    as a plain hash join because the flagged population is unbounded.
+    """
+    ev = events.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.expr("timestampdiff(MICROSECOND, timestamp'2024-01-01 00:00:00', ts)")
+        .cast("long")
+        .alias("_u"),
+    )
+    from pyspark.sql import Window as _W
+
+    wb = _W.partitionBy("user_id").orderBy("_u").rangeBetween(-window_us, 0)
+    bots = (
+        ev.withColumn("_c", F.count(F.lit(1)).over(wb))
+        .groupBy("user_id")
+        .agg(F.max("_c").alias("_mb"))
+        .filter(F.col("_mb") > max_burst)
+        .select("user_id", F.lit(1).alias("_bot"))
+    )
+    j = ev.join(bots, "user_id", "left")
+    return j.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("total_events"),
+        F.sum(F.coalesce(F.col("_bot"), F.lit(0))).cast("long").alias("bot_events"),
+        F.countDistinct(F.when(F.col("_bot") == 1, F.col("user_id")))
+        .cast("long")
+        .alias("bot_users"),
+    )

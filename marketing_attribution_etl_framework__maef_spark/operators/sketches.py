@@ -320,3 +320,82 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("word_idx")
         .agg(F.bit_or("bits").alias("bits"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV theta intersection (audience overlap)
+# ---------------------------------------------------------------------------
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise group-overlap estimate from the KMV sketches — the
+    theta-sketch intersection (Dasgupta et al., "Theta-Sketch
+    Framework", 2016): for groups A, B with kth-min thresholds
+    theta_A, theta_B (= 2^60, i.e. "everything kept", when the sketch
+    holds fewer than k hashes and is exact),
+
+        theta  = min(theta_A, theta_B)
+        common = |{h in kept_A  ∩  kept_B : h < theta}|
+        est    = common * 2^60 div theta        (exact when both exact)
+
+    Every quantity is integer (the md5 hash space is [0, 2^60)), so
+    the estimate is engine-portable without any float.  Output per
+    unordered pair (a < b): (channel_a, channel_b, n_seen_a, n_seen_b,
+    common, est_overlap).
+
+    100-TB shape: this is WHY sketches exist — the exact overlap needs
+    a users x groups^2 self-join, the sketch version joins two
+    <= k-element arrays per group pair (groups^2 bounded rows, always
+    broadcast).  Sketches stay mergeable across days/partitions
+    (kmv_sketch), so the overlap matrix refreshes from stored sketches
+    without rescanning the corpus.
+    """
+    sk = kmv_sketch(df, [group_col], value_col, k=k)
+    cap = F.lit(1 << 60).cast("long")
+    side = sk.select(
+        F.col(group_col).alias("g"),
+        F.col("n_seen"),
+        F.when(F.col("n_seen") >= k, F.col("kth_min_hash")).otherwise(cap).alias("theta"),
+        F.col("minhashes"),
+    )
+    a = side.select(
+        F.col("g").alias("channel_a"),
+        F.col("n_seen").alias("n_seen_a"),
+        F.col("theta").alias("_ta"),
+        F.col("minhashes").alias("_ma"),
+    )
+    b = side.select(
+        F.col("g").alias("channel_b"),
+        F.col("n_seen").alias("n_seen_b"),
+        F.col("theta").alias("_tb"),
+        F.col("minhashes").alias("_mb"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("channel_a") < F.col("channel_b"))
+    theta = F.least(F.col("_ta"), F.col("_tb"))
+    common = F.size(
+        F.filter(
+            F.array_intersect("_ma", "_mb"), lambda h: h < theta
+        )
+    ).cast("long")
+    return pairs.select(
+        "channel_a",
+        "channel_b",
+        "n_seen_a",
+        "n_seen_b",
+        common.alias("common"),
+        theta.alias("_theta"),
+    ).select(
+        "channel_a",
+        "channel_b",
+        "n_seen_a",
+        "n_seen_b",
+        "common",
+        F.expr(
+            f"cast(cast(common as decimal(38,0)) * {1 << 60} div _theta as bigint)"
+        ).alias("est_overlap"),
+    )

@@ -4212,7 +4212,8 @@ cum AS (
                           ROWS UNBOUNDED PRECEDING) AS c
   FROM bd
 )
-SELECT day, CAST(MAX(c) AS BIGINT) AS peak,
+SELECT day,
+       CAST(MAX(c + CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS peak,
        CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
 FROM cum GROUP BY 1
 """
@@ -4573,6 +4574,320 @@ FROM dec d JOIN per p USING (channel)
 """
 
 
+# --- r06 additions (L186-L193) -------------------------------------------
+
+_ORACLE_REACH_CURVE = """
+WITH first AS (
+  SELECT event_type AS channel, user_id, MIN(strftime(ts, '%Y-%m-%d')) AS event_day
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+),
+daily AS (
+  SELECT channel, event_day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM first GROUP BY 1, 2
+)
+SELECT channel, event_day, new_users,
+       CAST(SUM(new_users) OVER (PARTITION BY channel ORDER BY event_day) AS BIGINT) AS cum_reach
+FROM daily
+"""
+
+_ORACLE_CONVERSION_LAG = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+per AS (
+  SELECT conversion_id, MIN(event_ts) AS first_ts, MAX(conv_ts) AS cts,
+         MAX(revenue) AS revenue
+  FROM journeys GROUP BY 1
+)
+SELECT CAST(length(printf('%b', epoch_us(cts) - epoch_us(first_ts) + 1)) - 1 AS BIGINT) AS lag_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(CAST(ROUND(revenue * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM per GROUP BY 1
+"""
+
+_ORACLE_POSITION_CREDIT = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+ranked AS (
+  SELECT conversion_id,
+         ROW_NUMBER() OVER (PARTITION BY conversion_id
+                            ORDER BY event_ts DESC, session_id DESC) AS p,
+         COUNT(*) OVER (PARTITION BY conversion_id) AS len
+  FROM journeys
+)
+SELECT CAST(LEAST(p, 9) AS BIGINT) AS position,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM((2097152 + len) // (2 * len)) AS BIGINT) AS credit_q20
+FROM ranked GROUP BY 1
+"""
+
+_ORACLE_VOLUME_RESPONSE = """
+WITH x AS (
+  SELECT event_type AS channel, strftime(ts, '%Y-%m-%d') AS event_day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+),
+y AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS event_day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+pts AS (
+  SELECT x.channel, x.x, COALESCE(y.y, 0) AS y
+  FROM x LEFT JOIN y USING (event_day)
+),
+m AS (
+  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy, SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT channel, n_days,
+       CAST((CAST(n_days AS HUGEINT) * sxy - sx * sy) * 1048576
+            // (CAST(n_days AS HUGEINT) * sxx - sx * sx) AS BIGINT) AS slope_q20
+FROM m WHERE CAST(n_days AS HUGEINT) * sxx - sx * sx <> 0
+"""
+
+_ORACLE_KMV_OVERLAP = """
+WITH dh AS (
+  SELECT DISTINCT event_type AS channel,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events WHERE event_type <> 'purchase'
+),
+kept AS (
+  SELECT channel, h FROM (
+    SELECT channel, h, ROW_NUMBER() OVER (PARTITION BY channel ORDER BY h) AS rn FROM dh
+  ) WHERE rn <= 64
+),
+sk AS (
+  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_seen, MAX(h) AS kth,
+         list(h ORDER BY h) AS mh
+  FROM kept GROUP BY 1
+),
+side AS (
+  SELECT channel, n_seen,
+         CASE WHEN n_seen >= 64 THEN kth
+              ELSE CAST(1152921504606846976 AS BIGINT) END AS theta, mh
+  FROM sk
+),
+pairs AS (
+  SELECT a.channel AS channel_a, b.channel AS channel_b,
+         a.n_seen AS n_seen_a, b.n_seen AS n_seen_b,
+         LEAST(a.theta, b.theta) AS theta,
+         CAST(len(list_filter(list_intersect(a.mh, b.mh),
+                              x -> x < LEAST(a.theta, b.theta))) AS BIGINT) AS common
+  FROM side a, side b WHERE a.channel < b.channel
+)
+SELECT channel_a, channel_b, n_seen_a, n_seen_b, common,
+       CAST(CAST(common AS HUGEINT) * 1152921504606846976 // theta AS BIGINT) AS est_overlap
+FROM pairs
+"""
+
+
+def _pq_ctes(m: int = 4, sub: int = 16, k: int = 8) -> str:
+    """Unrolled PQ pipeline mirroring llm/pq.py: q20 sub-vectors ->
+    per-subspace seeds -> ONE Lloyd round -> codes -> per-query ADC
+    tables -> candidate scan.  All distances exact integers (q20
+    component magnitudes keep every dot < 2^46, exact in the DOUBLE
+    list_dot_product before the BIGINT cast)."""
+    d2 = (
+        "CAST(list_dot_product(p.sv::DOUBLE[], p.sv::DOUBLE[])"
+        " - 2.0 * list_dot_product(p.sv::DOUBLE[], c.cq::DOUBLE[])"
+        " + list_dot_product(c.cq::DOUBLE[], c.cq::DOUBLE[]) AS BIGINT)"
+    )
+    dq = (
+        "CAST(list_dot_product(q.sv::DOUBLE[], q.sv::DOUBLE[])"
+        " - 2.0 * list_dot_product(q.sv::DOUBLE[], c.cq::DOUBLE[])"
+        " + list_dot_product(c.cq::DOUBLE[], c.cq::DOUBLE[]) AS BIGINT)"
+    )
+    return f"""kqv AS MATERIALIZED (
+  SELECT vec_id, list_transform(v, x -> CAST(floor(x / vn * 1048576.0 + 0.5) AS BIGINT)) AS qv
+  FROM e WHERE vn > 0
+),
+psub AS MATERIALIZED (
+  SELECT vec_id, CAST(ss.s AS BIGINT) AS s,
+         list_slice(qv, ss.s * {sub} + 1, ss.s * {sub} + {sub}) AS sv
+  FROM kqv CROSS JOIN (SELECT unnest(range(0, {m})) AS s) ss
+),
+pc0 AS MATERIALIZED (
+  SELECT s, CAST(rn - 1 AS BIGINT) AS cluster, sv AS cq FROM (
+    SELECT s, sv, ROW_NUMBER() OVER (PARTITION BY s
+      ORDER BY md5(CAST(vec_id AS VARCHAR) || '|pq' || CAST(s AS VARCHAR)), vec_id) AS rn
+    FROM psub) WHERE rn <= {k}
+),
+pa1 AS MATERIALIZED (
+  SELECT vec_id, s, sv, cluster FROM (
+    SELECT p.vec_id, p.s, p.sv, c.cluster, {d2} AS d
+    FROM psub p JOIN pc0 c ON p.s = c.s)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cluster) = 1
+),
+ps1 AS (
+  SELECT s, cluster, CAST(pp.pos AS BIGINT) AS pos,
+         CAST(floor(CAST(SUM(sv[pp.pos + 1]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
+  FROM pa1 CROSS JOIN (SELECT unnest(range(0, {sub})) AS pos) pp
+  GROUP BY 1, 2, 3
+),
+pc1 AS MATERIALIZED (
+  SELECT s, cluster, list(comp ORDER BY pos) AS cq FROM ps1 GROUP BY 1, 2
+),
+pcodes AS MATERIALIZED (
+  SELECT vec_id, s, cluster AS code FROM (
+    SELECT p.vec_id, p.s, c.cluster, {d2} AS d
+    FROM psub p JOIN pc1 c ON p.s = c.s)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cluster) = 1
+),
+pq_q AS (SELECT vec_id AS query_id, s, sv FROM psub WHERE vec_id % 50 = 7),
+pdtab AS MATERIALIZED (
+  SELECT q.query_id, q.s, c.cluster AS code, {dq} AS d
+  FROM pq_q q JOIN pc1 c ON q.s = c.s
+),
+padc AS (
+  SELECT d.query_id, p.vec_id, CAST(SUM(d.d) AS BIGINT) AS adc
+  FROM pcodes p JOIN pdtab d ON p.s = d.s AND p.code = d.code
+  WHERE p.vec_id <> d.query_id GROUP BY 1, 2
+),
+pcand AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk
+    FROM padc) WHERE rk <= 12
+)"""
+
+
+_ORACLE_ANN_PQ = f"""
+WITH {_E_NORMED},
+{_pq_ctes()},
+ev2 AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+rer AS (
+  SELECT c.query_id, c.vec_id,
+         CAST(FLOOR(list_dot_product(qe.v, ce.v)
+              / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v)))
+              * 1048576.0 + 0.5) AS BIGINT) AS cos_q20
+  FROM pcand c
+  JOIN ev2 qe ON qe.vec_id = c.query_id
+  JOIN ev2 ce ON ce.vec_id = c.vec_id
+)
+SELECT query_id, CAST(rk AS BIGINT) AS rnk, vec_id, cos_q20 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_q20 DESC, vec_id ASC) AS rk
+  FROM rer) WHERE rk <= 5
+"""
+
+_ORACLE_TRAIN_VAL_SPLIT = """
+WITH d AS MATERIALIZED (
+  SELECT source,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT) % 20 >= 19 THEN 'test'
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT) % 20 >= 18 THEN 'val'
+              ELSE 'train' END AS split,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ch,
+         CAST(len(list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                              x -> x <> '')) AS BIGINT) AS tok
+  FROM documents
+),
+leaked AS (
+  SELECT ch, 1 AS leak FROM (
+    SELECT ch, COUNT(DISTINCT split) AS ns FROM d GROUP BY 1) WHERE ns > 1
+)
+SELECT d.source, d.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(COALESCE(leak, 0)) AS BIGINT) AS leaked_docs
+FROM d LEFT JOIN leaked USING (ch)
+GROUP BY 1, 2
+"""
+
+_ORACLE_PARTITIONED_SINK = """
+WITH s AS MATERIALIZED (
+  SELECT strftime(ts, '%Y-%m-%d') AS event_day, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'click' GROUP BY 1
+)
+SELECT 'partition_dir' AS surface, event_day, n_rows, cents FROM s
+UNION ALL
+SELECT 'pruned_filter' AS surface, event_day, n_rows, cents FROM s
+"""
+
+
+_ORACLE_IVT_SCREEN = """
+WITH ev AS MATERIALIZED (
+  SELECT user_id, event_type AS channel, epoch_us(ts) AS u
+  FROM events WHERE event_type <> 'purchase'
+),
+bursts AS (
+  SELECT user_id, MAX(c) AS mb FROM (
+    SELECT user_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY u
+                          RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW) AS c
+    FROM ev) GROUP BY 1
+),
+bots AS (SELECT user_id, 1 AS bot FROM bursts WHERE mb > 6)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS total_events,
+       CAST(SUM(COALESCE(bot, 0)) AS BIGINT) AS bot_events,
+       CAST(COUNT(DISTINCT CASE WHEN bot = 1 THEN ev.user_id END) AS BIGINT) AS bot_users
+FROM ev LEFT JOIN bots ON ev.user_id = bots.user_id
+GROUP BY 1
+"""
+
+_ORACLE_CHANNEL_SYNERGY = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+cc AS MATERIALIZED (
+  SELECT DISTINCT conversion_id, channel_label AS channel FROM journeys
+),
+tot AS (SELECT CAST(COUNT(DISTINCT conversion_id) AS BIGINT) AS n_total FROM cc),
+per AS (SELECT channel, CAST(COUNT(*) AS BIGINT) AS n FROM cc GROUP BY 1),
+pairs AS (
+  SELECT a.channel AS channel_a, b.channel AS channel_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM cc a JOIN cc b ON a.conversion_id = b.conversion_id
+  WHERE a.channel < b.channel GROUP BY 1, 2
+)
+SELECT p.channel_a, p.channel_b, p.n_both,
+       pa.n AS n_a, pb.n AS n_b, t.n_total,
+       CAST(CAST(p.n_both AS HUGEINT) * t.n_total * 1048576
+            // (CAST(pa.n AS HUGEINT) * pb.n) AS BIGINT) AS lift_q20
+FROM pairs p
+JOIN per pa ON pa.channel = p.channel_a
+JOIN per pb ON pb.channel = p.channel_b
+CROSS JOIN tot t
+"""
+
+_ORACLE_CROSS_SOURCE_DUP = """
+WITH sc AS MATERIALIZED (
+  SELECT DISTINCT source,
+         md5(array_to_string(list_slice(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), 1, 5), ' ')) AS ch
+  FROM documents
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sc GROUP BY 1),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_contents
+  FROM sc a JOIN sc b ON a.ch = b.ch
+  WHERE a.source < b.source GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.shared_contents,
+       sa.n AS contents_a, sb.n AS contents_b
+FROM pairs p
+JOIN sizes sa ON sa.source = p.source_a
+JOIN sizes sb ON sb.source = p.source_b
+"""
+
+_ORACLE_HAPAX_DOCS = """
+WITH dt AS MATERIALIZED (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+    FROM documents)
+),
+dt2 AS (SELECT doc_id, term FROM dt WHERE term <> ''),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt2 GROUP BY 1),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM dt2 JOIN dfq USING (term) GROUP BY 1
+)
+SELECT doc_id, n_hapax, n_terms,
+       CAST((2097152 * n_hapax + n_terms) // (2 * n_terms) AS BIGINT) AS hapax_ratio_q20
+FROM per ORDER BY n_hapax DESC, doc_id ASC LIMIT 20
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "maef_journey_entries": _ORACLE_JOURNEY_ENTRIES,
@@ -4619,6 +4934,18 @@ def oracle_sql() -> dict[str, str]:
         "llm_zipf_slope": _ORACLE_ZIPF_SLOPE,
         "maef_frequency_capping": _ORACLE_FREQUENCY_CAPPING,
         "maef_adstock_hill": _ORACLE_ADSTOCK_HILL,
+        "maef_reach_curve": _ORACLE_REACH_CURVE,
+        "maef_conversion_lag": _ORACLE_CONVERSION_LAG,
+        "maef_position_credit": _ORACLE_POSITION_CREDIT,
+        "maef_volume_response_ols": _ORACLE_VOLUME_RESPONSE,
+        "maef_kmv_overlap": _ORACLE_KMV_OVERLAP,
+        "llm_ann_pq": _ORACLE_ANN_PQ,
+        "llm_train_val_split": _ORACLE_TRAIN_VAL_SPLIT,
+        "maef_partitioned_sink": _ORACLE_PARTITIONED_SINK,
+        "maef_ivt_screen": _ORACLE_IVT_SCREEN,
+        "maef_channel_synergy": _ORACLE_CHANNEL_SYNERGY,
+        "llm_cross_source_dup": _ORACLE_CROSS_SOURCE_DUP,
+        "llm_hapax_docs": _ORACLE_HAPAX_DOCS,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,
