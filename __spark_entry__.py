@@ -49,6 +49,9 @@ from marketing_attribution_etl_framework__maef_spark.operators import intervals 
 from marketing_attribution_etl_framework__maef_spark.operators import topk as tk
 from marketing_attribution_etl_framework__maef_spark.operators import journeys as jny
 from marketing_attribution_etl_framework__maef_spark.operators import markov as mkv
+from marketing_attribution_etl_framework__maef_spark.operators import planning as pln
+from marketing_attribution_etl_framework__maef_spark.llm import diverse as dvs
+from marketing_attribution_etl_framework__maef_spark.llm import embquality as emq
 from marketing_attribution_etl_framework__maef_spark.operators import shapley as shp
 from marketing_attribution_etl_framework__maef_spark.operators import loader as ldr
 from marketing_attribution_etl_framework__maef_spark.operators import reporting as rpt
@@ -4799,6 +4802,72 @@ def q_hapax_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.hapax_docs(_docs(spark, sf_dir))
 
 
+def q_dayparting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L198: (day-of-week x hour) session/conversion/revenue grid —
+    exact integer epoch-day dow, the flight-scheduling heatmap
+    (operators/planning.py dayparting)."""
+    return pln.dayparting(domain.events(spark, sf_dir))
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L199: daily new-vs-returning audience split with revenue
+    attribution to each cohort (operators/planning.py
+    new_vs_returning)."""
+    return pln.new_vs_returning(domain.events(spark, sf_dir))
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L200: Mann-Kendall S statistic + tie-corrected 18*Var per
+    channel over daily session counts — the integer trend test
+    (operators/planning.py mann_kendall_trend)."""
+    return pln.mann_kendall_trend(domain.events(spark, sf_dir))
+
+
+def q_leadlag_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L201: lagged spend->revenue covariance numerators over the dense
+    day spine, lags 0..7 (operators/planning.py leadlag_response)."""
+    return pln.leadlag_response(domain.events(spark, sf_dir))
+
+
+def q_budget_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L202: month-to-date spend pacing vs the linear target by exact
+    integer cross-multiplication (operators/planning.py
+    budget_pacing)."""
+    return pln.budget_pacing(domain.events(spark, sf_dir))
+
+
+def q_word_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L203: per-doc unigram inverse-Simpson diversity, exact integer
+    q20 — the non-adjacent repetition screen (llm/text.py
+    word_simpson)."""
+    return txt.word_simpson(_docs(spark, sf_dir))
+
+
+def q_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L204: greedy MMR diverse top-5 over q20 unit vectors, integer
+    dot products end to end (llm/diverse.py mmr_select)."""
+    return dvs.mmr_select(_embs(spark, sf_dir), k=5)
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L205: Theil-Sen robust trend slope per channel — exact lower
+    median over pairwise slopes, signed integer q20 output
+    (operators/planning.py theil_sen_slope)."""
+    return pln.theil_sen_slope(domain.events(spark, sf_dir))
+
+
+def q_mix_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L206: two-regressor media-mix OLS per channel pair via exact
+    integer Cramer's rule (operators/planning.py mix_response_ols2)."""
+    return pln.mix_response_ols2(domain.events(spark, sf_dir))
+
+
+def q_norm_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L207: embedding norm MAD screen — integer median/MAD over q20
+    norms, k*MAD outlier band (llm/embquality.py norm_band_screen)."""
+    return emq.norm_band_screen(_embs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r05 rotation (VERDICT r04 next-steps #1): the
@@ -4885,6 +4954,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_channel_synergy": q_channel_synergy,
         "llm_cross_source_dup": q_cross_source_dup,
         "llm_hapax_docs": q_hapax_docs,
+        # --- round-5-rerun additions (driver-unchecked; queue for next window) ---
+        "maef_dayparting": q_dayparting,
+        "maef_new_vs_returning": q_new_vs_returning,
+        "maef_mann_kendall": q_mann_kendall,
+        "maef_leadlag_response": q_leadlag_response,
+        "maef_budget_pacing": q_budget_pacing,
+        "llm_word_simpson": q_word_simpson,
+        "llm_mmr_diverse": q_mmr_diverse,
+        "maef_theil_sen": q_theil_sen,
+        "maef_mix_ols2": q_mix_ols2,
+        "llm_norm_band": q_norm_band,
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,

@@ -742,3 +742,53 @@ def hapax_docs(docs: DataFrame, top_n: int = 20) -> DataFrame:
             .alias("hapax_ratio_q20"),
         )
     )
+
+
+def word_simpson(docs: DataFrame) -> DataFrame:
+    """Per-document unigram Simpson diversity — the repetition screen
+    that catches template spam the bigram repetition ratio (L47)
+    misses when the repeats are non-adjacent.
+
+    For word counts c over a doc of n words, collision mass is the
+    RATIONAL sum(c^2)/n^2, and the inverse-Simpson "effective
+    vocabulary size" n^2/sum(c^2) is emitted as an exact q20 via the
+    integer half-up device floor(a/b + 1/2) = (2a + b) div (2b) —
+    no float division, no log, so there is no cross-engine coin flip
+    at all (unlike float entropy, whose libm log2 differs per engine).
+
+    Output: (doc_id, n_words, n_distinct_words, sum_sq,
+    inv_simpson_q20).  Widest integer: 2 * n^2 * 2^20 needs
+    n <= ~2.1e6 words/doc for BIGINT; computed in DECIMAL(38,0) so the
+    real bound is n <= ~3e8 — documented per the overflow-headroom
+    rule.
+
+    Scale: per-document explode + two-level count — both aggregates
+    are keyed by doc_id (map-side combinable), no cross-document
+    state.
+    """
+    counts = (
+        docs.select(
+            "doc_id", F.explode(words(normalize_text(F.col("text")))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+            F.sum(F.expr("c * c")).cast("long").alias("sum_sq"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct_words",
+            "sum_sq",
+            F.expr(
+                "cast((2 * cast(n_words as decimal(38,0)) * n_words * 1048576"
+                " + sum_sq) div (2 * cast(sum_sq as decimal(38,0))) as bigint)"
+            ).alias("inv_simpson_q20"),
+        )
+    )

@@ -4888,6 +4888,308 @@ FROM per ORDER BY n_hapax DESC, doc_id ASC LIMIT 20
 """
 
 
+# L198 dayparting: exact integer epoch-day dow ((date - epoch + 4) % 7,
+# 0 = Sunday) — never a locale-dependent dayname().
+_ORACLE_DAYPARTING = """
+SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-01' + 4) % 7 AS BIGINT) AS dow,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_conversions,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS revenue_cents
+FROM events GROUP BY 1, 2
+"""
+
+_ORACLE_NEW_VS_RETURNING = """
+WITH fu AS MATERIALIZED (
+  SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS first_day FROM events GROUP BY 1
+),
+act AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS event_day, user_id FROM events
+),
+pur AS MATERIALIZED (
+  SELECT strftime(ts, '%Y-%m-%d') AS event_day, user_id,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT a.event_day,
+       CAST(SUM(CASE WHEN a.event_day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new_users,
+       CAST(SUM(CASE WHEN a.event_day <> f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning_users,
+       CAST(SUM(CASE WHEN a.event_day = f.first_day THEN COALESCE(p.cents, 0) ELSE 0 END) AS BIGINT) AS new_revenue_cents,
+       CAST(SUM(CASE WHEN a.event_day <> f.first_day THEN COALESCE(p.cents, 0) ELSE 0 END) AS BIGINT) AS returning_revenue_cents
+FROM act a JOIN fu f USING (user_id)
+LEFT JOIN pur p ON p.event_day = a.event_day AND p.user_id = a.user_id
+GROUP BY 1
+"""
+
+_ORACLE_MANN_KENDALL = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type AS channel, strftime(ts, '%Y-%m-%d') AS event_day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+),
+s AS (
+  SELECT a.channel,
+         CAST(SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b ON a.channel = b.channel AND a.event_day < b.event_day
+  GROUP BY 1
+),
+n AS (SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+ties AS (
+  SELECT channel, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+  FROM (SELECT channel, x, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT n.channel, n.n_days,
+       CAST(COALESCE(s.s_stat, 0) AS BIGINT) AS s_stat,
+       CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie_sum AS BIGINT) AS var18
+FROM n LEFT JOIN s ON n.channel = s.channel JOIN ties ON n.channel = ties.channel
+"""
+
+_ORACLE_LEADLAG = """
+WITH bounds AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+spine AS MATERIALIZED (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d FROM bounds
+),
+chans AS (SELECT DISTINCT event_type AS channel FROM events WHERE event_type <> 'purchase'),
+x AS MATERIALIZED (
+  SELECT event_type AS channel, strftime(ts, '%Y-%m-%d') AS event_day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+),
+y AS MATERIALIZED (
+  SELECT strftime(ts, '%Y-%m-%d') AS event_day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+grid AS MATERIALIZED (
+  SELECT c.channel, CAST(s.d - DATE '1970-01-01' AS BIGINT) AS i,
+         COALESCE(x.x, 0) AS x, COALESCE(y.y, 0) AS y
+  FROM spine s CROSS JOIN chans c
+  LEFT JOIN x ON x.channel = c.channel AND x.event_day = strftime(s.d, '%Y-%m-%d')
+  LEFT JOIN y ON y.event_day = strftime(s.d, '%Y-%m-%d')
+),
+lags AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS lag)
+SELECT gx.channel, l.lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(CAST(COUNT(*) AS HUGEINT) * SUM(CAST(gx.x AS HUGEINT) * gy.y)
+            - SUM(CAST(gx.x AS HUGEINT)) * SUM(CAST(gy.y AS HUGEINT)) AS BIGINT) AS cov_num
+FROM grid gx CROSS JOIN lags l
+JOIN grid gy ON gy.channel = gx.channel AND gy.i = gx.i + l.lag
+GROUP BY 1, 2
+"""
+
+_ORACLE_BUDGET_PACING = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type AS channel, strftime(ts, '%Y-%m-%d') AS event_day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS spend_milli
+  FROM events WHERE event_type IN ('click', 'signup') GROUP BY 1, 2
+),
+w AS (
+  SELECT channel, substr(event_day, 1, 7) AS month, event_day, spend_milli,
+         CAST(SUM(spend_milli) OVER (PARTITION BY channel, substr(event_day, 1, 7)
+              ORDER BY event_day) AS BIGINT) AS cum_milli,
+         CAST(SUM(spend_milli) OVER (PARTITION BY channel, substr(event_day, 1, 7))
+              AS BIGINT) AS month_milli,
+         CAST(EXTRACT(day FROM CAST(event_day AS DATE)) AS BIGINT) AS day_of_month,
+         CAST(EXTRACT(day FROM last_day(CAST(event_day AS DATE))) AS BIGINT) AS days_in_month
+  FROM daily
+)
+SELECT *, CASE WHEN cum_milli * days_in_month > month_milli * day_of_month THEN CAST(1 AS BIGINT)
+               WHEN cum_milli * days_in_month < month_milli * day_of_month THEN CAST(-1 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS pace_flag
+FROM w
+"""
+
+# L203 word Simpson diversity: half-up rounding entirely in HUGEINT —
+# floor(a/b + 1/2) = (2a + b) // (2b), matching Spark DECIMAL(38,0) div.
+_ORACLE_WORD_SIMPSON = """
+WITH counts AS (
+  SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id,
+               unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+       CAST(SUM(c * c) AS BIGINT) AS sum_sq,
+       CAST((2 * CAST(SUM(c) AS HUGEINT) * SUM(c) * 1048576 + SUM(c * c))
+            // (2 * CAST(SUM(c * c) AS HUGEINT)) AS BIGINT) AS inv_simpson_q20
+FROM counts GROUP BY 1
+"""
+
+
+def _mmr_oracle(k: int = 5) -> str:
+    """Unrolled k-round MMR selection (greedy-coverage unrolled-loop
+    precedent: every round MATERIALIZED).  Integer dots over the q20
+    unit vectors are exact in DOUBLE (components <= 2^20, 64 dims ->
+    sums < 2^47), so list_dot_product + CAST is bit-exact."""
+    idot_q = "CAST(list_dot_product(c.qv::DOUBLE[], (SELECT qv FROM qvec)::DOUBLE[]) AS BIGINT)"
+    ctes = [
+        _E_NORMED.strip(),
+        """q AS MATERIALIZED (
+  SELECT vec_id, list_transform(v, x -> CAST(floor(x / vn * 1048576.0 + 0.5) AS BIGINT)) AS qv
+  FROM e WHERE vn > 0
+)""",
+        "qid AS (SELECT MIN(vec_id) AS id FROM q)",
+        "qvec AS MATERIALIZED (SELECT qv FROM q WHERE vec_id = (SELECT id FROM qid))",
+        f"""cand AS MATERIALIZED (
+  SELECT c.vec_id, c.qv, {idot_q} AS rel
+  FROM q c WHERE c.vec_id <> (SELECT id FROM qid)
+)""",
+    ]
+    for j in range(1, k + 1):
+        if j == 1:
+            ctes.append(
+                """r1 AS MATERIALIZED (
+  SELECT CAST(1 AS BIGINT) AS round, vec_id, qv, rel, rel AS score
+  FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1
+)"""
+            )
+        else:
+            pens = ", ".join(
+                f"CAST(list_dot_product(c.qv::DOUBLE[], (SELECT qv FROM r{i})::DOUBLE[]) AS BIGINT)"
+                for i in range(1, j)
+            )
+            pen = pens if j == 2 else f"GREATEST({pens})"
+            excl = " UNION ALL ".join(f"SELECT vec_id FROM r{i}" for i in range(1, j))
+            ctes.append(
+                f"""r{j} AS MATERIALIZED (
+  SELECT CAST({j} AS BIGINT) AS round, vec_id, qv, rel, score FROM (
+    SELECT c.vec_id, c.qv, c.rel, c.rel - ({pen}) AS score
+    FROM cand c WHERE c.vec_id NOT IN ({excl})
+  ) ORDER BY score DESC, vec_id ASC LIMIT 1
+)"""
+            )
+    sel = " UNION ALL ".join(f"SELECT * FROM r{j}" for j in range(1, k + 1))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT round, vec_id, rel AS rel_idot, score AS mmr_score
+FROM ({sel})
+"""
+    )
+
+
+_ORACLE_MMR_DIVERSE = _mmr_oracle(5)
+
+# L205 Theil-Sen: lower median over pairwise slopes; the double
+# division is one IEEE op (identical both engines), the integer
+# tiebreak totalizes the order, the emitted slope is the exact signed
+# half-away-from-zero q20 of the chosen pair's rational dy/dx.
+_ORACLE_THEIL_SEN = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type AS channel, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+),
+pairs AS MATERIALIZED (
+  SELECT a.channel, CAST(b.x - a.x AS BIGINT) AS dy, CAST(b.d - a.d AS BIGINT) AS dx,
+         a.d AS d1, b.d AS d2
+  FROM daily a JOIN daily b ON a.channel = b.channel AND a.d < b.d
+),
+ranked AS (
+  SELECT channel, dy, dx,
+         ROW_NUMBER() OVER (PARTITION BY channel
+             ORDER BY CAST(dy AS DOUBLE) / dx, dy, dx, d1, d2) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY channel) AS BIGINT) AS n_pairs
+  FROM pairs
+)
+SELECT channel, n_pairs, dy, dx,
+       CAST(CASE WHEN dy >= 0 THEN (2 * dy * 1048576 + dx) // (2 * dx)
+                 ELSE -((2 * (-dy) * 1048576 + dx) // (2 * dx)) END AS BIGINT) AS slope_q20
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+"""
+
+_ORACLE_MIX_OLS2 = """
+WITH bounds AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+spine AS MATERIALIZED (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d FROM bounds
+),
+chans AS (SELECT DISTINCT event_type AS channel FROM events WHERE event_type <> 'purchase'),
+x AS MATERIALIZED (
+  SELECT event_type AS channel, strftime(ts, '%Y-%m-%d') AS event_day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+),
+y AS MATERIALIZED (
+  SELECT strftime(ts, '%Y-%m-%d') AS event_day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+grid AS MATERIALIZED (
+  SELECT c.channel, strftime(s.d, '%Y-%m-%d') AS event_day,
+         COALESCE(x.x, 0) AS x, COALESCE(y.y, 0) AS y
+  FROM spine s CROSS JOIN chans c
+  LEFT JOIN x ON x.channel = c.channel AND x.event_day = strftime(s.d, '%Y-%m-%d')
+  LEFT JOIN y ON y.event_day = strftime(s.d, '%Y-%m-%d')
+),
+m AS MATERIALIZED (
+  SELECT a.channel AS channel_a, b.channel AS channel_b,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(CAST(a.x AS HUGEINT)) AS sa, SUM(CAST(b.x AS HUGEINT)) AS sb,
+         SUM(CAST(a.y AS HUGEINT)) AS sy,
+         SUM(CAST(a.x AS HUGEINT) * a.x) AS saa, SUM(CAST(b.x AS HUGEINT) * b.x) AS sbb,
+         SUM(CAST(a.x AS HUGEINT) * b.x) AS sab, SUM(CAST(a.x AS HUGEINT) * a.y) AS say,
+         SUM(CAST(b.x AS HUGEINT) * a.y) AS sby
+  FROM grid a JOIN grid b ON a.event_day = b.event_day AND a.channel < b.channel
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT channel_a, channel_b, n_days,
+         CAST(n_days AS HUGEINT) * saa - sa * sa AS caa,
+         CAST(n_days AS HUGEINT) * sbb - sb * sb AS cbb,
+         CAST(n_days AS HUGEINT) * sab - sa * sb AS cab,
+         CAST(n_days AS HUGEINT) * say - sa * sy AS cay,
+         CAST(n_days AS HUGEINT) * sby - sb * sy AS cby
+  FROM m
+),
+d AS (
+  SELECT *, caa * cbb - cab * cab AS det,
+         cay * cbb - cby * cab AS b1n, cby * caa - cay * cab AS b2n
+  FROM c
+)
+SELECT channel_a, channel_b, n_days, CAST(det AS VARCHAR) AS det_str,
+       CAST(CASE WHEN b1n >= 0 THEN (2 * b1n * 1048576 + det) // (2 * det)
+                 ELSE -((2 * (-b1n) * 1048576 + det) // (2 * det)) END AS BIGINT) AS b1_q20,
+       CAST(CASE WHEN b2n >= 0 THEN (2 * b2n * 1048576 + det) // (2 * det)
+                 ELSE -((2 * (-b2n) * 1048576 + det) // (2 * det)) END AS BIGINT) AS b2_q20
+FROM d WHERE det <> 0
+"""
+
+_ORACLE_NORM_BAND = f"""
+WITH {_E_NORMED.strip()},
+nqt AS MATERIALIZED (
+  SELECT vec_id, CAST(FLOOR(vn * 1048576.0 + 0.5) AS BIGINT) AS nq FROM e
+),
+nz AS MATERIALIZED (SELECT nq FROM nqt WHERE nq > 0),
+hist AS (SELECT nq AS v, CAST(COUNT(*) AS BIGINT) AS c FROM nz GROUP BY 1),
+med AS MATERIALIZED (
+  SELECT CAST(MIN(v) AS BIGINT) AS median_nq FROM (
+    SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n FROM hist)
+  WHERE 2 * cum >= n
+),
+dev AS MATERIALIZED (
+  SELECT nq, abs(nq - (SELECT median_nq FROM med)) AS dv FROM nz
+),
+dhist AS (SELECT dv AS v, CAST(COUNT(*) AS BIGINT) AS c FROM dev GROUP BY 1),
+mad AS MATERIALIZED (
+  SELECT CAST(MIN(v) AS BIGINT) AS mad_nq FROM (
+    SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n FROM dhist)
+  WHERE 2 * cum >= n
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nqt) AS n_vecs,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN nq <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM nqt) AS n_zero,
+       (SELECT median_nq FROM med) AS median_nq,
+       (SELECT mad_nq FROM mad) AS mad_nq,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN nq - (SELECT median_nq FROM med)
+                < -3 * (SELECT mad_nq FROM mad) THEN 1 ELSE 0 END), 0) AS BIGINT) FROM nz) AS n_low,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN nq - (SELECT median_nq FROM med)
+                > 3 * (SELECT mad_nq FROM mad) THEN 1 ELSE 0 END), 0) AS BIGINT) FROM nz) AS n_high
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "maef_journey_entries": _ORACLE_JOURNEY_ENTRIES,
@@ -4946,6 +5248,16 @@ def oracle_sql() -> dict[str, str]:
         "maef_channel_synergy": _ORACLE_CHANNEL_SYNERGY,
         "llm_cross_source_dup": _ORACLE_CROSS_SOURCE_DUP,
         "llm_hapax_docs": _ORACLE_HAPAX_DOCS,
+        "maef_dayparting": _ORACLE_DAYPARTING,
+        "maef_new_vs_returning": _ORACLE_NEW_VS_RETURNING,
+        "maef_mann_kendall": _ORACLE_MANN_KENDALL,
+        "maef_leadlag_response": _ORACLE_LEADLAG,
+        "maef_budget_pacing": _ORACLE_BUDGET_PACING,
+        "llm_word_simpson": _ORACLE_WORD_SIMPSON,
+        "llm_mmr_diverse": _ORACLE_MMR_DIVERSE,
+        "maef_theil_sen": _ORACLE_THEIL_SEN,
+        "maef_mix_ols2": _ORACLE_MIX_OLS2,
+        "llm_norm_band": _ORACLE_NORM_BAND,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,

@@ -1,0 +1,239 @@
+"""Round-5-rerun operator unit tests on handmade fixtures: planning
+diagnostics (dayparting, new-vs-returning, Mann-Kendall, lead-lag,
+budget pacing), the Simpson diversity screen, and MMR diverse
+selection."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from marketing_attribution_etl_framework__maef_spark.llm.diverse import mmr_select
+from marketing_attribution_etl_framework__maef_spark.llm.text import word_simpson
+from marketing_attribution_etl_framework__maef_spark.operators.planning import (
+    budget_pacing,
+    dayparting,
+    leadlag_response,
+    mann_kendall_trend,
+    new_vs_returning,
+)
+
+Q = 1 << 20
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_dayparting_grid_is_exact(spark):
+    # 2024-01-01 was a Monday -> dow 1; 2024-01-07 a Sunday -> dow 0
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01 09:30:00", 1, "click", 1.0),
+            (2, "2024-01-01 09:45:00", 2, "view", 1.0),
+            (3, "2024-01-01 09:50:00", 3, "purchase", 12.34),
+            (4, "2024-01-07 23:10:00", 4, "click", 1.0),
+        ],
+    )
+    out = {(r["dow"], r["hour"]): r for r in dayparting(ev).collect()}
+    assert out[(1, 9)]["n_sessions"] == 2
+    assert out[(1, 9)]["n_conversions"] == 1
+    assert out[(1, 9)]["revenue_cents"] == 1234
+    assert out[(0, 23)]["n_sessions"] == 1 and out[(0, 23)]["n_conversions"] == 0
+
+
+def test_new_vs_returning_split(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-02 10:00:00", 1, "purchase", 10.0),  # returning buyer
+            (3, "2024-01-02 11:00:00", 2, "purchase", 5.0),  # new-that-day buyer
+        ],
+    )
+    out = {r["event_day"]: r for r in new_vs_returning(ev).collect()}
+    d1, d2 = out["2024-01-01"], out["2024-01-02"]
+    assert d1["n_new_users"] == 1 and d1["n_returning_users"] == 0
+    assert d2["n_new_users"] == 1 and d2["n_returning_users"] == 1
+    assert d2["new_revenue_cents"] == 500
+    assert d2["returning_revenue_cents"] == 1000
+
+
+def test_mann_kendall_monotone_and_ties(spark):
+    # channel "up": sessions 1,2,3 on three days -> S = 3, no ties:
+    # var18 = 3*2*11 = 66.  channel "flat": 1,1 -> S = 0, one tie group
+    # t=2: var18 = 2*1*9 - 2*1*9 = 0.
+    rows = []
+    eid = 0
+    for day, n in [("01", 1), ("02", 2), ("03", 3)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"2024-01-{day} 10:00:00", eid, "up", 1.0))
+    for day in ["01", "02"]:
+        eid += 1
+        rows.append((eid, f"2024-01-{day} 10:00:00", eid, "flat", 1.0))
+    out = {r["channel"]: r for r in mann_kendall_trend(_events(spark, rows)).collect()}
+    assert out["up"]["s_stat"] == 3 and out["up"]["var18"] == 66
+    assert out["flat"]["s_stat"] == 0 and out["flat"]["var18"] == 0
+
+
+def test_leadlag_peaks_at_true_lag(spark):
+    # x = sessions for channel c on days 0..3: 1,3,1,1
+    # y = revenue cents, x shifted by 2: day 2 spikes when day 0 spiked...
+    # build y = 100 * x(d-2): days 2..5 -> 100,300,100,100; only days
+    # 2,3 lie inside the spine if we bound the spine with events.
+    rows, eid = [], 0
+    xs = {0: 1, 1: 3, 2: 1, 3: 1}
+    for d, n in xs.items():
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"2024-01-0{d + 1} 10:00:00", eid, "c", 1.0))
+    for d in [2, 3]:
+        eid += 1
+        rows.append(
+            (eid, f"2024-01-0{d + 1} 10:00:00", eid, "purchase", float(xs[d - 2]))
+        )
+    out = {
+        r["lag"]: r for r in leadlag_response(_events(spark, rows)).collect()
+        if r["channel"] == "c"
+    }
+    # brute-force expected covariance numerators on the 4-day spine
+    x = [1, 3, 1, 1]
+    y = [0, 0, 100, 300]
+    for lag in range(4):
+        pairs = [(x[i], y[i + lag]) for i in range(4 - lag)]
+        n = len(pairs)
+        exp = n * sum(a * b for a, b in pairs) - sum(a for a, _ in pairs) * sum(
+            b for _, b in pairs
+        )
+        assert out[lag]["cov_num"] == exp, lag
+    # the shift-by-2 construction makes lag 2 the (strictly) largest
+    assert out[2]["cov_num"] > max(out[0]["cov_num"], out[1]["cov_num"], out[3]["cov_num"])
+
+
+def test_budget_pacing_flags(spark):
+    # Jan (31 days): spend 10.00 on day 1 and 10.00 on day 31.
+    # day 1: cum 1000, target 2000*1/31 -> 1000*31 > 2000*1 -> +1
+    # day 31: cum == total -> flag 0
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 100.0),
+            (2, "2024-01-31 10:00:00", 2, "click", 100.0),
+        ],
+    )
+    out = {r["event_day"]: r for r in budget_pacing(ev).collect()}
+    d1, d31 = out["2024-01-01"], out["2024-01-31"]
+    assert d1["cum_milli"] == 10000 and d1["month_milli"] == 20000
+    assert d1["days_in_month"] == 31 and d1["pace_flag"] == 1
+    assert d31["pace_flag"] == 0
+
+
+def test_word_simpson_exact_half_up(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "x y z")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in word_simpson(docs).collect()}
+    # doc 1: n=3, counts {a:2, b:1}, sum_sq=5 -> inv = round(9*2^20/5)
+    assert out[1]["n_words"] == 3 and out[1]["sum_sq"] == 5
+    assert out[1]["inv_simpson_q20"] == (2 * 9 * Q + 5) // 10
+    # doc 2: all distinct -> inv-Simpson == n exactly
+    assert out[2]["inv_simpson_q20"] == 3 * Q
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    # query = vec 0 (smallest id). vec 1 and 2 nearly parallel to the
+    # query (redundant pair); vec 3 less relevant but orthogonal to 1.
+    # Pure relevance top-2 = {1, 2}; MMR must pick 1 then 3.
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.14, 0.0]),
+            (2, [0.99, 0.141, 0.0]),
+            (3, [0.5, 0.0, 0.86]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    picks = [r["vec_id"] for r in mmr_select(embs, k=2).orderBy("round").collect()]
+    assert picks[0] in (1, 2)  # highest relevance first
+    assert picks[1] == 3  # diversity beats the redundant twin
+    # scores are integers and round-2 score reflects the penalty
+    rows = mmr_select(embs, k=2).collect()
+    assert all(isinstance(r["mmr_score"], int) for r in rows)
+
+
+def test_theil_sen_exact_median_slope(spark):
+    # channel "c" daily counts: d1:1, d2:2, d3:4 -> slopes 1, 3/2, 2
+    # lower median = 3/2 -> dy=3, dx=2, q20 = round(1.5 * 2^20)
+    from marketing_attribution_etl_framework__maef_spark.operators.planning import theil_sen_slope
+
+    rows, eid = [], 0
+    for day, n in [("01", 1), ("02", 2), ("03", 4)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"2024-01-{day} 10:00:00", eid, "c", 1.0))
+    out = theil_sen_slope(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_pairs"] == 3 and (r["dy"], r["dx"]) == (3, 2)
+    assert r["slope_q20"] == (2 * 3 * Q + 2) // 4  # round(1.5 * 2^20)
+
+
+def test_theil_sen_negative_slope_rounds_away_from_zero(spark):
+    # decreasing series 4,2,1 -> slopes -2, -3/2, -1; median -3/2
+    from marketing_attribution_etl_framework__maef_spark.operators.planning import theil_sen_slope
+
+    rows, eid = [], 0
+    for day, n in [("01", 4), ("02", 2), ("03", 1)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"2024-01-{day} 10:00:00", eid, "c", 1.0))
+    r = theil_sen_slope(_events(spark, rows)).collect()[0]
+    assert (r["dy"], r["dx"]) == (-3, 2)
+    assert r["slope_q20"] == -((2 * 3 * Q + 2) // 4)
+
+
+def test_mix_ols2_recovers_exact_plane(spark):
+    # construct y = 3*xa + 5*xb exactly (no intercept, no noise):
+    # Cramer must return b1 = 3, b2 = 5 exactly in q20.
+    from marketing_attribution_etl_framework__maef_spark.operators.planning import mix_response_ols2
+
+    rows, eid = [], 0
+    xa = [1, 2, 3, 5]
+    xb = [2, 1, 4, 3]
+    for d in range(4):
+        for _ in range(xa[d]):
+            eid += 1
+            rows.append((eid, f"2024-01-0{d + 1} 10:00:00", eid, "a", 1.0))
+        for _ in range(xb[d]):
+            eid += 1
+            rows.append((eid, f"2024-01-0{d + 1} 10:00:00", eid, "b", 1.0))
+        eid += 1
+        # y in cents: value*100 == 3*xa + 5*xb
+        rows.append(
+            (eid, f"2024-01-0{d + 1} 11:00:00", eid, "purchase",
+             (3 * xa[d] + 5 * xb[d]) / 100.0)
+        )
+    out = mix_response_ols2(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["channel_a"], r["channel_b"]) == ("a", "b")
+    assert r["b1_q20"] == 3 * Q and r["b2_q20"] == 5 * Q
+
+
+def test_norm_band_flags_outlier(spark):
+    # 7 unit-norm vectors + one 10x norm -> median q20(1), mad small,
+    # the big one flagged high; plus one all-zero vector counted as zero
+    from marketing_attribution_etl_framework__maef_spark.llm.embquality import norm_band_screen
+
+    rows = [(i, [1.0, 0.0]) for i in range(7)]
+    rows.append((7, [10.0, 0.0]))
+    rows.append((8, [0.0, 0.0]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = norm_band_screen(embs).collect()[0]
+    assert r["n_vecs"] == 9 and r["n_zero"] == 1
+    assert r["median_nq"] == Q  # q20 of norm 1.0
+    assert r["mad_nq"] == 0
+    assert r["n_high"] == 1 and r["n_low"] == 0
