@@ -4849,6 +4849,42 @@ def q_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dvs.mmr_select(_embs(spark, sf_dir), k=5)
 
 
+def q_stream_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L208: STREAMING cumulative reach — the L186 reach curve
+    recomputed by Structured Streaming and hash-checked against the
+    same batch oracle.  The stream aggregates min(ts) per
+    (channel, user) in complete mode (min is order-independent, so the
+    result is exact regardless of micro-batch boundaries — unlike a
+    streaming dropDuplicates, which keeps an arbitrary first row);
+    the bounded serving-side turns first-touch days into the daily
+    new-user counts and running reach.  Production note: the
+    (channel, user) state grain is exactly the reach state any engine
+    must carry; bound it with a watermark TTL (reach horizon) on a
+    real cluster.  Streaming state partitions are sized by the
+    stream-jj rule (8, restored after)."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+        first = inc.first_touch_state(ev)
+        name = "stream_reach_sink"
+        q = (
+            first.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = inc.reach_from_first_touch(spark.table(name)).localCheckpoint()
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L205: Theil-Sen robust trend slope per channel — exact lower
     median over pairwise slopes, signed integer q20 output
@@ -4965,6 +5001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_theil_sen": q_theil_sen,
         "maef_mix_ols2": q_mix_ols2,
         "llm_norm_band": q_norm_band,
+        "maef_stream_reach": q_stream_reach,
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,

@@ -77,6 +77,12 @@ CHECKPOINT_HEAVY = {
     # same profile as warehouse_roundtrip)
     "llm_ann_pq",
     "maef_partitioned_sink",
+    # r05-rerun: MMR runs 5 sequential rounds off a localCheckpoint'd
+    # candidate table; norm_band checkpoints the nonzero-norm table;
+    # stream_reach materializes streaming state + localCheckpoints
+    "llm_mmr_diverse",
+    "llm_norm_band",
+    "maef_stream_reach",
 }
 
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -100,6 +100,41 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
     passes it, so state is bounded by the lateness window, not the
     stream length). Keys default to the event primary key."""
     return events.dropDuplicatesWithinWatermark(keys or ["event_id"])
+
+
+def first_touch_state(events: DataFrame) -> DataFrame:
+    """Streaming (channel, user) first-touch table: min(ts) per key in
+    complete/update mode.  min is ORDER-INDEPENDENT, so the state is
+    exact no matter how micro-batches slice the stream — the property
+    a streaming dropDuplicates('channel','user') does NOT have (it
+    keeps whichever row a batch saw first).  This is precisely the
+    state any engine must carry to answer reach; on a real cluster,
+    bound it with a watermark TTL at the reach horizon."""
+    return (
+        events.filter(F.col("event_type") != "purchase")
+        .groupBy(F.col("event_type").alias("channel"), F.col("user_id"))
+        .agg(F.min("ts").alias("first_ts"))
+    )
+
+
+def reach_from_first_touch(first: DataFrame) -> DataFrame:
+    """Serving-side: first-touch state -> the L186 reach curve
+    (channel, event_day, new_users, cum_reach).  Runs batch-side on
+    the bounded (channel x day) grain after the streaming agg."""
+    daily = first.groupBy(
+        "channel", F.date_format("first_ts", "yyyy-MM-dd").alias("event_day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("new_users"))
+    w = (
+        Window.partitionBy("channel")
+        .orderBy("event_day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "channel",
+        "event_day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_reach"),
+    )
 
 
 def windowed_channel_volume(events: DataFrame, window: str = "1 day") -> DataFrame:

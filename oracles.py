@@ -5258,6 +5258,9 @@ def oracle_sql() -> dict[str, str]:
         "maef_theil_sen": _ORACLE_THEIL_SEN,
         "maef_mix_ols2": _ORACLE_MIX_OLS2,
         "llm_norm_band": _ORACLE_NORM_BAND,
+        # streaming reach parity: the stream must reproduce the batch
+        # reach curve exactly (min-agg is micro-batch-order-free)
+        "maef_stream_reach": _ORACLE_REACH_CURVE,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,

@@ -330,3 +330,38 @@ def test_fake_features_batch_matches_scalar_decode():
     got = mm._fake_features_batch(payloads)
     for p, v in zip(payloads, got):
         assert list(v) == mm.decode_payload(p, "x", fake=True)
+
+
+def test_stream_reach_exact_across_microbatch_splits(spark, sf_dir, tmp_path):
+    """first_touch_state is min-aggregated, so the reach curve must be
+    BIT-IDENTICAL no matter how micro-batches slice the stream — the
+    property a streaming dropDuplicates does not have.  Run with
+    maxFilesPerTrigger=1 over a 2-file time split and compare to the
+    batch reach curve."""
+    from marketing_attribution_etl_framework__maef_spark.operators.media import reach_curve
+    from marketing_attribution_etl_framework__maef_spark.streaming.incremental import (
+        first_touch_state,
+        reach_from_first_touch,
+    )
+
+    src = _stage_stream_files(spark, sf_dir, str(tmp_path))
+    events = stream_events(spark, src, max_files_per_trigger=1)
+    q = (
+        first_touch_state(events)
+        .writeStream.format("memory")
+        .queryName("ft_reach_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["channel"], r["event_day"]): (r["new_users"], r["cum_reach"])
+        for r in reach_from_first_touch(spark.table("ft_reach_test")).collect()
+    }
+    spark.catalog.dropTempView("ft_reach_test")
+    want = {
+        (r["channel"], r["event_day"]): (r["new_users"], r["cum_reach"])
+        for r in reach_curve(domain.load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want and len(want) > 0
