@@ -4885,6 +4885,22 @@ def q_stream_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L209: per-entry-channel bounce rate over 30-min gap sessions —
+    exact q20 of bounces/sessions (operators/sessions.py
+    bounce_rate)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import sessions as sess
+
+    return sess.bounce_rate(domain.events(spark, sf_dir))
+
+
+def q_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L210: nearest-centroid label purity over q20 unit vectors —
+    exact integer centroids + dots, IEEE-identical cosine key
+    (llm/embquality.py label_purity)."""
+    return emq.label_purity(_embs(spark, sf_dir))
+
+
 def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L205: Theil-Sen robust trend slope per channel — exact lower
     median over pairwise slopes, signed integer q20 output
@@ -5002,6 +5018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_mix_ols2": q_mix_ols2,
         "llm_norm_band": q_norm_band,
         "maef_stream_reach": q_stream_reach,
+        "maef_bounce_rate": q_bounce_rate,
+        "llm_label_purity": q_label_purity,
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,

@@ -86,3 +86,96 @@ def norm_band_screen(embeddings: DataFrame, k_mad: int = 3) -> DataFrame:
         .crossJoin(F.broadcast(agg))
         .select("n_vecs", "n_zero", "median_nq", "mad_nq", "n_low", "n_high")
     )
+
+
+def label_purity(embeddings: DataFrame) -> DataFrame:
+    """Nearest-centroid label purity — the supervised-data quality
+    screen: build the per-label centroid of the q20 unit vectors, then
+    classify every vector to its nearest centroid by cosine and report
+    per-label accuracy.  Low purity = mislabeled or inseparable
+    classes; the readout that decides whether a labeled corpus is
+    trainable before anyone trains on it.
+
+    Arithmetic: centroid components are EXACT floor(sum/count) via the
+    pmod device ((s - pmod(s, c)) div c — s-pmod(s,c) is divisible, so
+    truncating div == floor in both engines, negatives included); dot
+    products against centroids are exact integers (components <= 2^20,
+    sums < 2^53); the comparison key cosine = idot / sqrt(|c|^2) is
+    two IEEE ops on identical integers, tie-broken by label.  Output
+    purity is the exact q20 of n_correct/n_vecs.
+
+    Output: (label, n_vecs, n_correct, purity_q20).
+
+    Scale: one posexplode aggregate for centroids (bounded reduce:
+    labels x dims); centroids are BOUNDED driver state (the k-means /
+    MMR pattern) turned into literal arrays, so classification is a
+    single corpus scan with |labels| integer dots per row — no join,
+    no shuffle beyond the final bounded label aggregate.
+    """
+    from marketing_attribution_etl_framework__maef_spark.llm.similarity import (
+        idot,
+        quantized_unit_vectors,
+    )
+
+    spark = embeddings.sparkSession
+    qv = quantized_unit_vectors(embeddings).join(
+        embeddings.select("vec_id", "label"), "vec_id"
+    )
+    ex = qv.select("label", F.posexplode("qv").alias("pos", "comp"))
+    cent_rows = (
+        ex.groupBy("label", "pos")
+        .agg(F.sum("comp").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            "label",
+            "pos",
+            F.expr("(s - pmod(s, c)) div c").cast("long").alias("comp"),
+        )
+        .collect()
+    )
+    cents: dict[int, list[int]] = {}
+    for r in cent_rows:
+        cents.setdefault(int(r["label"]), [0] * 0)
+    for lbl in cents:
+        comps = sorted(
+            ((r["pos"], r["comp"]) for r in cent_rows if r["label"] == lbl)
+        )
+        cents[lbl] = [int(c) for _, c in comps]
+    scored = qv.select(
+        "vec_id",
+        "label",
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        (
+                            -idot(
+                                F.array(*[F.lit(x) for x in comps]), F.col("qv")
+                            ).cast("double")
+                            # sqrt on the exact integer-valued double:
+                            # correctly-rounded IEEE in both engines
+                            / F.sqrt(F.lit(float(sum(x * x for x in comps))))
+                        ).alias("negcos"),
+                        F.lit(lbl).cast("long").alias("cand"),
+                    )
+                    for lbl, comps in sorted(cents.items())
+                ]
+            )
+        )[0]["cand"].alias("pred"),
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum((F.col("pred") == F.col("label")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_vecs",
+            "n_correct",
+            F.expr(
+                "cast((2 * n_correct * 1048576 + n_vecs) div (2 * n_vecs) as bigint)"
+            ).alias("purity_q20"),
+        )
+    )

@@ -130,3 +130,60 @@ def sessionize_native(
         )
         .drop("session_window")
     )
+
+
+def bounce_rate(
+    events: DataFrame,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-entry-channel bounce rate over gap sessions: the share of
+    sessions containing exactly ONE event, keyed by the channel of the
+    session's first event — the engagement readout next to the
+    sessionizers above.
+
+    Gap semantics match sessionize_batch/session_window (closed
+    interval: diff <= gap merges).  Output: (entry_channel,
+    n_sessions, n_bounces, bounce_q20) with the rate the exact q20 of
+    the rational bounces/sessions via (2a+b) div (2b) — no float.
+
+    Scale: one user-keyed window scan (the W2 sessionization shuffle),
+    one (user, session) aggregate, one bounded channel aggregate.
+    """
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_prev", F.lag("ts").over(w))
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.expr("timestampdiff(MICROSECOND, _prev, ts)") <= F.lit(gap_us)),
+                0,
+            ).otherwise(1),
+        )
+        .withColumn("_g", F.sum("_brk").over(w))
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("user_id", "_g").orderBy("ts", "event_id")
+        ))
+    )
+    per_session = marked.groupBy("user_id", "_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_events"),
+        F.max(F.when(F.col("_rn") == 1, F.col("event_type"))).alias("entry_channel"),
+    )
+    return (
+        per_session.groupBy("entry_channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum((F.col("_n_events") == 1).cast("long")).cast("long").alias("n_bounces"),
+        )
+        .select(
+            "entry_channel",
+            "n_sessions",
+            "n_bounces",
+            F.expr(
+                "cast((2 * n_bounces * 1048576 + n_sessions)"
+                " div (2 * n_sessions) as bigint)"
+            ).alias("bounce_q20"),
+        )
+    )

@@ -5190,6 +5190,86 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nqt) AS n_vecs,
 """
 
 
+# L209 bounce rate: gap sessions with the closed-interval merge rule
+# (diff <= gap joins — the session_window semantics pin).
+_ORACLE_BOUNCE_RATE = """
+WITH marked AS MATERIALIZED (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('microsecond', LAG(ts) OVER w, ts) <= 1800000000
+              THEN 0 ELSE 1 END AS brk,
+         ROW_NUMBER() OVER w AS ord
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+grouped AS MATERIALIZED (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, g, CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(CASE WHEN rn = 1 THEN event_type END) AS entry_channel
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, g
+                                     ORDER BY ts, event_id) AS rn
+        FROM grouped)
+  GROUP BY 1, 2
+)
+SELECT entry_channel,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       CAST((2 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1048576 + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS bounce_q20
+FROM per_session GROUP BY 1
+"""
+
+# L210 label purity: exact integer centroids via the pmod floor-div
+# device; classification key = idot/sqrt(cn2), two IEEE ops on
+# identical integers; tie-break by candidate label.
+_ORACLE_LABEL_PURITY = f"""
+WITH {_E_NORMED.strip()},
+q AS MATERIALIZED (
+  SELECT vec_id, list_transform(v, x -> CAST(floor(x / vn * 1048576.0 + 0.5) AS BIGINT)) AS qv
+  FROM e WHERE vn > 0
+),
+qx AS MATERIALIZED (
+  SELECT q.vec_id, emb.label, unnest(q.qv) AS comp, generate_subscripts(q.qv, 1) AS pos
+  FROM q JOIN embeddings emb USING (vec_id)
+),
+cent AS MATERIALIZED (
+  SELECT label, pos,
+         CAST((s - (((s % c) + c) % c)) // c AS BIGINT) AS comp
+  FROM (SELECT label, pos, CAST(SUM(comp) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM qx GROUP BY 1, 2)
+),
+cn AS MATERIALIZED (
+  SELECT label, CAST(SUM(comp * comp) AS BIGINT) AS cn2 FROM cent GROUP BY 1
+),
+scores AS MATERIALIZED (
+  SELECT v.vec_id, v.label, c.label AS cand,
+         CAST(SUM(v.comp * c.comp) AS BIGINT) AS ido
+  FROM qx v JOIN cent c USING (pos)
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT vec_id, label, cand AS pred FROM (
+    SELECT s.*, ROW_NUMBER() OVER (
+      PARTITION BY vec_id
+      ORDER BY -(CAST(s.ido AS DOUBLE) / sqrt(CAST(n.cn2 AS DOUBLE))) ASC, s.cand ASC
+    ) AS rk
+    FROM scores s JOIN cn n ON s.cand = n.label)
+  WHERE rk = 1
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST((2 * SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) * 1048576 + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS purity_q20
+FROM pred GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "maef_journey_entries": _ORACLE_JOURNEY_ENTRIES,
@@ -5261,6 +5341,8 @@ def oracle_sql() -> dict[str, str]:
         # streaming reach parity: the stream must reproduce the batch
         # reach curve exactly (min-agg is micro-batch-order-free)
         "maef_stream_reach": _ORACLE_REACH_CURVE,
+        "maef_bounce_rate": _ORACLE_BOUNCE_RATE,
+        "llm_label_purity": _ORACLE_LABEL_PURITY,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,

@@ -237,3 +237,47 @@ def test_norm_band_flags_outlier(spark):
     assert r["median_nq"] == Q  # q20 of norm 1.0
     assert r["mad_nq"] == 0
     assert r["n_high"] == 1 and r["n_low"] == 0
+
+
+def test_bounce_rate_gap_boundary_and_entry_channel(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.sessions import bounce_rate
+
+    ev = _events(
+        spark,
+        [
+            # user 1: two events exactly 30 min apart -> SAME session
+            # (closed interval), entry = click, 2 events -> not a bounce
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:30:00", 1, "view", 1.0),
+            # 30 min + 1 us later -> NEW session, single event -> bounce
+            (3, "2024-01-01 11:00:00.000001", 1, "view", 1.0),
+            # user 2: one event -> bounce, entry = signup
+            (4, "2024-01-01 09:00:00", 2, "signup", 1.0),
+        ],
+    )
+    out = {r["entry_channel"]: r for r in bounce_rate(ev).collect()}
+    assert out["click"]["n_sessions"] == 1 and out["click"]["n_bounces"] == 0
+    assert out["view"]["n_sessions"] == 1 and out["view"]["n_bounces"] == 1
+    assert out["view"]["bounce_q20"] == Q
+    assert out["signup"]["bounce_q20"] == Q
+
+
+def test_label_purity_separable_clusters(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm.embquality import label_purity
+
+    # two clean clusters on orthogonal axes + one mislabeled vector
+    rows = []
+    for i in range(4):
+        rows.append((i, [1.0, 0.05 * i, 0.0], 0))
+    for i in range(4, 8):
+        rows.append((i, [0.0, 0.05 * (i - 4), 1.0], 1))
+    rows.append((8, [1.0, 0.0, 0.0], 1))  # label-1 vector sitting in cluster 0
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r for r in label_purity(embs).collect()}
+    assert out[0]["n_vecs"] == 5 - 1 and out[0]["n_correct"] == 4
+    assert out[0]["purity_q20"] == Q
+    # the mislabeled vector drags label 1 purity to 4/5
+    assert out[1]["n_vecs"] == 5 and out[1]["n_correct"] == 4
+    assert out[1]["purity_q20"] == (2 * 4 * Q + 5) // 10
