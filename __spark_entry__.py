@@ -4885,6 +4885,13 @@ def q_stream_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def q_reach_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L211: greedy reach-maximizing 3-channel portfolio — submodular
+    max-coverage at the channel->user grain, live-set pruned per round
+    (operators/planning.py reach_frontier)."""
+    return pln.reach_frontier(domain.events(spark, sf_dir), k=3)
+
+
 def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L209: per-entry-channel bounce rate over 30-min gap sessions —
     exact q20 of bounces/sessions (operators/sessions.py
@@ -5020,6 +5027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_stream_reach": q_stream_reach,
         "maef_bounce_rate": q_bounce_rate,
         "llm_label_purity": q_label_purity,
+        "maef_reach_frontier": q_reach_frontier,
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,

@@ -503,3 +503,48 @@ def mix_response_ols2(events: DataFrame) -> DataFrame:
         F.expr(qdev.format(num="cay * cbb - cby * cab")).cast("long").alias("b1_q20"),
         F.expr(qdev.format(num="cby * caa - cay * cab")).cast("long").alias("b2_q20"),
     )
+
+
+def reach_frontier(events: DataFrame, k: int = 3) -> DataFrame:
+    """Greedy reach-maximizing channel portfolio: pick k channels one
+    at a time, each maximizing the count of NOT-yet-reached users —
+    the media-plan "which k channels buy the most incremental reach"
+    question (submodular max-coverage, same (1 - 1/e) greedy as
+    llm/coverage.py, at the channel->user grain).
+
+    Output: (round, channel, gain, covered_total) in pick order;
+    stops early when no channel adds reach.
+
+    Scale: the live (channel, user) table is distinct-projected once
+    (bounded by channels x users) and only SHRINKS — each round
+    anti-joins out the winner's users, so fully-covered channels
+    disappear for free and the loop state is localCheckpoint'd
+    (greedy_coverage's pruning device).  Driver state per round is
+    one row; k is bounded by the channel dimension.
+    """
+    spark = events.sparkSession
+    pairs = (
+        events.filter(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("channel"), "user_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    out, covered_total = [], 0
+    for rnd in range(1, k + 1):
+        top = (
+            pairs.groupBy("channel")
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("channel"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["gain"] == 0:
+            break
+        ch, gain = top[0]["channel"], top[0]["gain"]
+        covered_total += gain
+        out.append((rnd, ch, int(gain), covered_total))
+        winner_users = pairs.filter(F.col("channel") == ch).select("user_id")
+        pairs = pairs.join(winner_users, "user_id", "left_anti").localCheckpoint()
+    return spark.createDataFrame(
+        out, "round long, channel string, gain long, covered_total long"
+    )

@@ -5270,6 +5270,49 @@ FROM pred GROUP BY 1
 """
 
 
+def _reach_frontier_oracle(k: int = 3) -> str:
+    """Unrolled k-round greedy reach maximization (the
+    _greedy_coverage_oracle shape at the channel->user grain)."""
+    ctes = [
+        """pairs AS MATERIALIZED (
+  SELECT DISTINCT event_type AS channel, user_id
+  FROM events WHERE event_type <> 'purchase'
+)"""
+    ]
+    prev = None
+    for j in range(1, k + 1):
+        src = (
+            "pairs"
+            if prev is None
+            else f"(SELECT p.* FROM pairs p ANTI JOIN {prev} USING (user_id))"
+        )
+        ctes.append(
+            f"""r{j} AS MATERIALIZED (
+  SELECT CAST({j} AS BIGINT) AS round, channel, CAST(COUNT(*) AS BIGINT) AS gain
+  FROM {src} GROUP BY channel ORDER BY gain DESC, channel ASC LIMIT 1
+)"""
+        )
+        new_u = f"SELECT user_id FROM pairs WHERE channel = (SELECT channel FROM r{j})"
+        cov = new_u if prev is None else f"SELECT user_id FROM {prev} UNION {new_u}"
+        ctes.append(f"c{j} AS MATERIALIZED ({cov})")
+        prev = f"c{j}"
+    sel = " UNION ALL ".join(f"SELECT * FROM r{j}" for j in range(1, k + 1))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+sel AS ({sel})
+SELECT round, channel, gain,
+       CAST(SUM(gain) OVER (ORDER BY round
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS covered_total
+FROM sel WHERE gain > 0
+"""
+    )
+
+
+_ORACLE_REACH_FRONTIER = _reach_frontier_oracle(3)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "maef_journey_entries": _ORACLE_JOURNEY_ENTRIES,
@@ -5343,6 +5386,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_stream_reach": _ORACLE_REACH_CURVE,
         "maef_bounce_rate": _ORACLE_BOUNCE_RATE,
         "llm_label_purity": _ORACLE_LABEL_PURITY,
+        "maef_reach_frontier": _ORACLE_REACH_FRONTIER,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,

@@ -281,3 +281,19 @@ def test_label_purity_separable_clusters(spark):
     # the mislabeled vector drags label 1 purity to 4/5
     assert out[1]["n_vecs"] == 5 and out[1]["n_correct"] == 4
     assert out[1]["purity_q20"] == (2 * 4 * Q + 5) // 10
+
+
+def test_reach_frontier_greedy_picks_incremental(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.planning import reach_frontier
+
+    # a: users 1-4; b: users 1-3 + 5,6 (5 users, best first pick);
+    # c: users 7 only.  Greedy: b (5), then a adds {4} -> tie with c
+    # {7} at gain 1 -> 'a' wins alphabetically, then c.
+    rows, eid = [], 0
+    for ch, users in [("a", [1, 2, 3, 4]), ("b", [1, 2, 3, 5, 6]), ("c", [7])]:
+        for u in users:
+            eid += 1
+            rows.append((eid, "2024-01-01 10:00:00", u, ch, 1.0))
+    out = [(r["round"], r["channel"], r["gain"], r["covered_total"])
+           for r in reach_frontier(_events(spark, rows), k=3).orderBy("round").collect()]
+    assert out == [(1, "b", 5, 5), (2, "a", 1, 6), (3, "c", 1, 7)]
