@@ -4885,6 +4885,14 @@ def q_stream_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def q_markov2_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L212: second-order Markov removal-effect attribution — pair
+    states 'prev|cur', component-membership removal, same truncated-
+    horizon q20 integer recurrence as the first-order chain
+    (operators/markov.py removal_effects_order2)."""
+    return mkv.removal_effects_order2(_journeys(spark, sf_dir))
+
+
 def q_reach_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L211: greedy reach-maximizing 3-channel portfolio — submodular
     max-coverage at the channel->user grain, live-set pruned per round
@@ -5028,6 +5036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_bounce_rate": q_bounce_rate,
         "llm_label_purity": q_label_purity,
         "maef_reach_frontier": q_reach_frontier,
+        "maef_markov2_removal": q_markov2_removal,
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,

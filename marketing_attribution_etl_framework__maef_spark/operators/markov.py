@@ -191,3 +191,110 @@ def pagerank_channels(
     return journeys.sparkSession.createDataFrame(
         rows, "channel string, pagerank_q20 long"
     )
+
+
+def pair_transitions(
+    journeys: DataFrame,
+    part_col: str = "conversion_id",
+    channel_col: str = "channel_label",
+    order_cols: tuple[str, str] = ("event_ts", "session_id"),
+) -> DataFrame:
+    """Second-order transition counts: states are the last TWO
+    channels encoded ``prev|cur`` ('^' pads the first touch), plus
+    (start)/(conversion).  Output: (src, dst, n).
+
+    Edges per ordered journey c1..cn:
+    (start) -> '^|c1';  'c_{i-1}|c_i' -> 'c_i|c_{i+1}';
+    last pair state -> (conversion).
+    """
+    w = Window.partitionBy(part_col).orderBy(*[F.asc(c) for c in order_cols])
+    ordered = journeys.select(
+        F.col(part_col),
+        F.col(channel_col).alias("_ch"),
+        F.lag(channel_col).over(w).alias("_prev"),
+        F.lead(channel_col).over(w).alias("_next"),
+    ).withColumn(
+        "_state", F.concat_ws("|", F.coalesce(F.col("_prev"), F.lit("^")), F.col("_ch"))
+    )
+    starts = ordered.filter(F.col("_prev").isNull()).select(
+        F.lit(START).alias("src"), F.col("_state").alias("dst")
+    )
+    steps = ordered.filter(F.col("_next").isNotNull()).select(
+        F.col("_state").alias("src"),
+        F.concat_ws("|", F.col("_ch"), F.col("_next")).alias("dst"),
+    )
+    finals = ordered.filter(F.col("_next").isNull()).select(
+        F.col("_state").alias("src"), F.lit(CONVERSION).alias("dst")
+    )
+    return (
+        starts.unionByName(steps)
+        .unionByName(finals)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def removal_effects_order2(
+    journeys: DataFrame,
+    horizon: int = 25,
+    part_col: str = "conversion_id",
+    channel_col: str = "channel_label",
+    order_cols: tuple[str, str] = ("event_ts", "session_id"),
+) -> DataFrame:
+    """Second-order Markov removal-effect attribution: the removal
+    test erases every PAIR STATE containing the channel (both the
+    memory and the current position), capturing the path dependence a
+    first-order chain cannot ("view->click converts; click->view does
+    not").  Same truncated-horizon integer q20 recurrence, same
+    bounded-collect pattern — the pair-state matrix is
+    (|channels|^2 + |channels| + 2) rows REGARDLESS of input scale.
+
+    Output: (removed_channel, absorption_q20, removal_q20) with
+    '(none)' for the full chain — the schema of removal_effects
+    (operators/markov.py:61), one model order up.
+    """
+    trans = pair_transitions(journeys, part_col, channel_col, order_cols).collect()
+    edges: dict[str, list[tuple[str, int]]] = {}
+    for r in trans:
+        edges.setdefault(r["src"], []).append((r["dst"], r["n"]))
+    channels = sorted(
+        {
+            c
+            for s in edges
+            if s not in (START, CONVERSION)
+            for c in s.split("|")
+            if c != "^"
+        }
+        | {
+            c
+            for outs in edges.values()
+            for d, _ in outs
+            if d not in (START, CONVERSION)
+            for c in d.split("|")
+            if c != "^"
+        }
+    )
+
+    def hit(state: str, removed: str | None) -> bool:
+        if removed is None or state in (START, CONVERSION):
+            return False
+        return removed in state.split("|")
+
+    def absorb(removed: str | None) -> int:
+        p = {CONVERSION: Q20}
+        for _ in range(horizon):
+            nxt = {CONVERSION: Q20}
+            for s, outs in edges.items():
+                if hit(s, removed):
+                    continue
+                tot = sum(n for _, n in outs)
+                num = sum(n * p.get(d, 0) for d, n in outs if not hit(d, removed))
+                nxt[s] = num // tot
+            p = nxt
+        return p.get(START, 0)
+
+    full = absorb(None)
+    rows = [("(none)", full, 0)] + [(c, absorb(c), full - absorb(c)) for c in channels]
+    return journeys.sparkSession.createDataFrame(
+        rows, "removed_channel string, absorption_q20 long, removal_q20 long"
+    )

@@ -5313,6 +5313,73 @@ FROM sel WHERE gain > 0
 _ORACLE_REACH_FRONTIER = _reach_frontier_oracle(3)
 
 
+def _markov2_removal_oracle_sql(horizon: int = 25) -> str:
+    """Unrolled-SQL twin of operators/markov.py removal_effects_order2:
+    the first-order oracle's scenario recurrence with pair states and a
+    component-membership removal test (list_contains over the '|'
+    split — channel names never contain '|', '(start)'/'(conversion)'
+    never match a channel)."""
+    rounds = []
+    for k in range(horizon):
+        rounds.append(f"""
+q{k + 1} AS MATERIALIZED (
+  SELECT p.rm, p.s,
+         CASE WHEN p.s = '(conversion)' THEN CAST(1048576 AS BIGINT)
+              WHEN list_contains(string_split(p.s, '|'), p.rm) THEN CAST(0 AS BIGINT)
+              ELSE COALESCE(agg.v, 0) END AS p
+  FROM q{k} p
+  LEFT JOIN (
+    SELECT pk.rm, t2.src AS s,
+           CAST(SUM(t2.n * CASE WHEN list_contains(string_split(t2.dst, '|'), pk.rm)
+                                THEN 0 ELSE pk.p END)
+                // MAX(tt.tot) AS BIGINT) AS v
+    FROM q{k} pk
+    JOIN t2 ON t2.dst = pk.s
+    JOIN tot2 tt ON tt.src = t2.src
+    GROUP BY pk.rm, t2.src
+  ) agg ON agg.rm = p.rm AND agg.s = p.s
+)""")
+    return f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+ordered AS (
+  SELECT conversion_id, channel_label,
+         LAG(channel_label) OVER w AS prev,
+         LEAD(channel_label) OVER w AS nxt
+  FROM journeys
+  WINDOW w AS (PARTITION BY conversion_id ORDER BY event_ts, session_id)
+),
+st AS (
+  SELECT *, concat_ws('|', COALESCE(prev, '^'), channel_label) AS state FROM ordered
+),
+tr AS (
+  SELECT '(start)' AS src, state AS dst FROM st WHERE prev IS NULL
+  UNION ALL
+  SELECT state AS src, concat_ws('|', channel_label, nxt) AS dst FROM st WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT state AS src, '(conversion)' AS dst FROM st WHERE nxt IS NULL
+),
+t2 AS MATERIALIZED (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2),
+tot2 AS MATERIALIZED (SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM t2 GROUP BY src),
+scen AS (
+  SELECT '(none)' AS rm
+  UNION ALL SELECT DISTINCT channel_label FROM journeys
+),
+states AS (SELECT src AS s FROM t2 UNION SELECT dst FROM t2),
+q0 AS MATERIALIZED (
+  SELECT rm, s, CAST(CASE WHEN s = '(conversion)' THEN 1048576 ELSE 0 END AS BIGINT) AS p
+  FROM scen, states
+),{",".join(rounds)},
+res AS (SELECT rm, p AS absorption_q20 FROM q{horizon} WHERE s = '(start)')
+SELECT r.rm AS removed_channel, r.absorption_q20,
+       CASE WHEN r.rm = '(none)' THEN CAST(0 AS BIGINT)
+            ELSE f.a - r.absorption_q20 END AS removal_q20
+FROM res r, (SELECT absorption_q20 AS a FROM res WHERE rm = '(none)') f
+"""
+
+
+_ORACLE_MARKOV2_REMOVAL = _markov2_removal_oracle_sql(25)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "maef_journey_entries": _ORACLE_JOURNEY_ENTRIES,
@@ -5387,6 +5454,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_bounce_rate": _ORACLE_BOUNCE_RATE,
         "llm_label_purity": _ORACLE_LABEL_PURITY,
         "maef_reach_frontier": _ORACLE_REACH_FRONTIER,
+        "maef_markov2_removal": _ORACLE_MARKOV2_REMOVAL,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,

@@ -297,3 +297,28 @@ def test_reach_frontier_greedy_picks_incremental(spark):
     out = [(r["round"], r["channel"], r["gain"], r["covered_total"])
            for r in reach_frontier(_events(spark, rows), k=3).orderBy("round").collect()]
     assert out == [(1, "b", 5, 5), (2, "a", 1, 6), (3, "c", 1, 7)]
+
+
+def test_markov2_deterministic_pair_paths(spark):
+    """Two converting journeys a->b and b->a: first-order sees cycles
+    (a->b and b->a both exist), but every PAIR state is deterministic,
+    so second-order absorption is exactly 1 and removing either
+    channel kills every path."""
+    from marketing_attribution_etl_framework__maef_spark.operators.markov import (
+        removal_effects_order2,
+    )
+
+    j = spark.createDataFrame(
+        [
+            ("c1", "s1", "2024-01-01 10:00:00", "a"),
+            ("c1", "s2", "2024-01-01 10:05:00", "b"),
+            ("c2", "s3", "2024-01-01 11:00:00", "b"),
+            ("c2", "s4", "2024-01-01 11:05:00", "a"),
+        ],
+        "conversion_id string, session_id string, event_ts string, channel_label string",
+    ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+    out = {r["removed_channel"]: r for r in removal_effects_order2(j).collect()}
+    assert out["(none)"]["absorption_q20"] == Q
+    for ch in ("a", "b"):
+        assert out[ch]["absorption_q20"] == 0
+        assert out[ch]["removal_q20"] == Q
