@@ -4885,6 +4885,15 @@ def q_stream_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def q_adstock_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L213: best-fit dyadic adstock decay per channel — exact
+    cross-multiplied weight-normalized covariance ranking over the
+    dense day spine (operators/timeseries.py adstock_decay_fit)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import timeseries as tsr
+
+    return tsr.adstock_decay_fit(domain.events(spark, sf_dir))
+
+
 def q_markov2_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L212: second-order Markov removal-effect attribution — pair
     states 'prev|cur', component-membership removal, same truncated-
@@ -5037,6 +5046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_label_purity": q_label_purity,
         "maef_reach_frontier": q_reach_frontier,
         "maef_markov2_removal": q_markov2_removal,
+        "maef_adstock_decay_fit": q_adstock_decay_fit,
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,

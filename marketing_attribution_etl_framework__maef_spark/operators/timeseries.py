@@ -372,3 +372,130 @@ def seasonal_naive_backtest(ev: DataFrame, season_days: int = 7) -> DataFrame:
             ).alias("mae_cents_q20"),
         )
     )
+
+
+def adstock_decay_fit(
+    ev: DataFrame, halflives: tuple[int, ...] = (1, 2, 3), horizon_days: int = 8
+) -> DataFrame:
+    """Best-fit dyadic adstock decay per channel — exact-integer model
+    selection: for each half-life m (decay 1/2^m) build the truncated
+    adstocked spend over the DENSE day spine,
+
+        a_m(t) = SUM_{d=0..H-1} cents(t-d) * 2^(m*(H-1-d)),
+
+    compute the integer covariance numerator of a_m against total
+    daily purchase cents, and pick per channel the m maximizing the
+    weight-normalized covariance cov_m / W_m (W_m = the integer weight
+    sum) by EXACT cross-multiplication cov_a * W_b vs cov_b * W_a —
+    no float ever ranks the candidates.  Ties break to the smaller m.
+
+    Output: (channel, halflife_m, w_sum, cov_num_str, is_best) — one
+    row per (channel, m); cov_num exceeds BIGINT at scale so it ships
+    as a decimal string.
+
+    The candidate compare runs driver-side over the BOUNDED
+    (channels x |halflives|) moment table (the markov/k-means
+    bounded-collect pattern); the oracle ranks the same moments with a
+    pairwise NOT-EXISTS cross-multiplication.  Widest integer:
+    cov * W ~ 1e24 * 2.4e6 ~ 1e30 at the documented SF bound — inside
+    DECIMAL(38,0)/HUGEINT (overflow-headroom rule).
+
+    Scale: raw events collapse to (channel, day) map-side; the H-range
+    join and the moment reduce run on the bounded calendar grain (the
+    decayed_daily_sum device); the argmax is bounded driver state.
+    """
+    h = int(horizon_days)
+    day = F.date_format("ts", "yyyy-MM-dd")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("_d0"), F.max(F.to_date("ts")).alias("_d1")
+    )
+    spine = bounds.select(F.explode(F.sequence("_d0", "_d1")).alias("_d"))
+    channels = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("channel"))
+        .distinct()
+    )
+    x = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy(F.col("event_type").alias("_xch"), day.alias("_xday"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("_xc"))
+    )
+    y = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(day.alias("_yday"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("_yc"))
+    )
+    grid = (
+        spine.crossJoin(F.broadcast(channels))
+        .join(
+            x,
+            (F.col("channel") == F.col("_xch"))
+            & (F.date_format("_d", "yyyy-MM-dd") == F.col("_xday")),
+            "left",
+        )
+        .join(
+            F.broadcast(y),
+            F.date_format("_d", "yyyy-MM-dd") == F.col("_yday"),
+            "left",
+        )
+        .select(
+            "channel",
+            F.col("_d").alias("d"),
+            F.coalesce(F.col("_xc"), F.lit(0)).cast("long").alias("cents"),
+            F.coalesce(F.col("_yc"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    t = grid.select("channel", "d", "y")
+    i = grid.select(
+        F.col("channel").alias("_ch"), F.col("d").alias("_id"), F.col("cents").alias("_ic")
+    )
+    joined = t.join(
+        i,
+        (F.col("channel") == F.col("_ch"))
+        & (F.col("_id") <= F.col("d"))
+        & (F.col("_id") >= F.date_sub(F.col("d"), h - 1)),
+    )
+    acols = [
+        F.sum(
+            F.col("_ic")
+            * F.expr(f"shiftleft(cast(1 as bigint), {m} * ({h - 1} - datediff(d, _id)))")
+        )
+        .cast("long")
+        .alias(f"a{m}")
+        for m in halflives
+    ]
+    per_day = joined.groupBy("channel", "d").agg(
+        F.max("y").cast("long").alias("y"), *acols
+    )
+    mom = per_day.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("cast(y as decimal(38,0))")).alias("sy"),
+        *[
+            F.sum(F.expr(f"cast(a{m} as decimal(38,0))")).alias(f"sa{m}")
+            for m in halflives
+        ],
+        *[
+            F.sum(F.expr(f"cast(a{m} as decimal(38,0)) * y")).alias(f"say{m}")
+            for m in halflives
+        ],
+    )
+    rows = mom.collect()  # bounded: one row per channel
+    out = []
+    for r in rows:
+        n, sy = int(r["n"]), int(r["sy"])
+        cands = []
+        for m in halflives:
+            w = ((1 << (m * h)) - 1) // ((1 << m) - 1)
+            cov = n * int(r[f"say{m}"]) - int(r[f"sa{m}"]) * sy
+            cands.append((m, w, cov))
+        best = cands[0]
+        for c in cands[1:]:
+            # c beats best iff cov_c / w_c > cov_best / w_best (exact)
+            if c[2] * best[1] > best[2] * c[1]:
+                best = c
+        for m, w, cov in cands:
+            out.append((r["channel"], m, w, str(cov), 1 if m == best[0] else 0))
+    return ev.sparkSession.createDataFrame(
+        out,
+        "channel string, halflife_m long, w_sum long, cov_num_str string, is_best long",
+    )

@@ -5379,6 +5379,62 @@ FROM res r, (SELECT absorption_q20 AS a FROM res WHERE rm = '(none)') f
 
 _ORACLE_MARKOV2_REMOVAL = _markov2_removal_oracle_sql(25)
 
+# L213 adstock decay fit: candidate ranking by exact cross-multiplied
+# weight-normalized covariance (cov_a * W_b vs cov_b * W_a) — ties to
+# the smaller half-life, mirroring the Spark driver loop's strict >.
+_ORACLE_ADSTOCK_DECAY_FIT = """
+WITH bounds AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+spine AS MATERIALIZED (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d FROM bounds
+),
+chans AS (SELECT DISTINCT event_type AS channel FROM events WHERE event_type <> 'purchase'),
+x AS MATERIALIZED (
+  SELECT event_type AS channel, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+),
+y AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS yc
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+grid AS MATERIALIZED (
+  SELECT c.channel, s.d, COALESCE(x.cents, 0) AS cents, COALESCE(y.yc, 0) AS y
+  FROM spine s CROSS JOIN chans c
+  LEFT JOIN x ON x.channel = c.channel AND x.d = s.d
+  LEFT JOIN y ON y.d = s.d
+),
+ms AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS m),
+ad AS MATERIALIZED (
+  SELECT t.channel, t.d, mm.m, MAX(t.y) AS y,
+         CAST(SUM(i.cents * (CAST(1 AS BIGINT) << (mm.m * (7 - (t.d - i.d))))) AS BIGINT) AS a
+  FROM grid t
+  JOIN grid i ON i.channel = t.channel AND i.d <= t.d AND i.d >= t.d - 7
+  CROSS JOIN ms mm
+  GROUP BY 1, 2, 3
+),
+mom AS MATERIALIZED (
+  SELECT channel, m, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(a AS HUGEINT)) AS sa,
+         SUM(CAST(a AS HUGEINT) * y) AS say
+  FROM ad GROUP BY 1, 2
+),
+cov AS MATERIALIZED (
+  SELECT channel, m,
+         ((CAST(1 AS BIGINT) << (m * 8)) - 1) // ((CAST(1 AS BIGINT) << m) - 1) AS w,
+         CAST(n AS HUGEINT) * say - sa * sy AS cv
+  FROM mom
+)
+SELECT c.channel, c.m AS halflife_m, CAST(c.w AS BIGINT) AS w_sum,
+       CAST(c.cv AS VARCHAR) AS cov_num_str,
+       CAST(CASE WHEN NOT EXISTS (
+         SELECT 1 FROM cov b WHERE b.channel = c.channel AND b.m <> c.m
+           AND (b.cv * c.w > c.cv * b.w OR (b.cv * c.w = c.cv * b.w AND b.m < c.m))
+       ) THEN 1 ELSE 0 END AS BIGINT) AS is_best
+FROM cov c
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -5455,6 +5511,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_label_purity": _ORACLE_LABEL_PURITY,
         "maef_reach_frontier": _ORACLE_REACH_FRONTIER,
         "maef_markov2_removal": _ORACLE_MARKOV2_REMOVAL,
+        "maef_adstock_decay_fit": _ORACLE_ADSTOCK_DECAY_FIT,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,

@@ -322,3 +322,37 @@ def test_markov2_deterministic_pair_paths(spark):
     for ch in ("a", "b"):
         assert out[ch]["absorption_q20"] == 0
         assert out[ch]["removal_q20"] == Q
+
+
+def test_adstock_decay_fit_matches_bruteforce(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.timeseries import (
+        adstock_decay_fit,
+    )
+
+    # channel c: spend spike on day 1 then quiet; purchases decay
+    # roughly geometrically after the spike
+    x = [5, 0, 0, 2, 0, 0]
+    yv = [0, 8, 4, 2, 1, 1]
+    rows, eid = [], 0
+    for d in range(6):
+        for _ in range(x[d]):
+            eid += 1
+            rows.append((eid, f"2024-01-0{d + 1} 10:00:00", eid, "c", 1.0))
+        if yv[d]:
+            eid += 1
+            rows.append((eid, f"2024-01-0{d + 1} 11:00:00", eid, "purchase", float(yv[d])))
+    out = {r["halflife_m"]: r for r in adstock_decay_fit(_events(spark, rows)).collect()}
+    assert len(out) == 3 and sum(r["is_best"] for r in out.values()) == 1
+    # brute-force the exact covariance numerators (cents)
+    cents = [v * 100 for v in x]
+    ycents = [v * 100 for v in yv]
+    h = 8
+    for m in (1, 2, 3):
+        a = [
+            sum(cents[t - d] * (1 << (m * (h - 1 - d))) for d in range(h) if 0 <= t - d)
+            for t in range(6)
+        ]
+        n = 6
+        cov = n * sum(ai * yi for ai, yi in zip(a, ycents)) - sum(a) * sum(ycents)
+        assert out[m]["cov_num_str"] == str(cov), m
+        assert out[m]["w_sum"] == ((1 << (m * h)) - 1) // ((1 << m) - 1)
