@@ -4885,6 +4885,13 @@ def q_stream_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L214: survivorship policy over near-dup clusters — longest raw
+    text wins, ties to smallest doc_id (llm/dedup.py
+    dedup_survivors)."""
+    return dd.dedup_survivors(_aug_docs(spark, sf_dir))
+
+
 def q_adstock_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L213: best-fit dyadic adstock decay per channel — exact
     cross-multiplied weight-normalized covariance ranking over the
@@ -5047,6 +5054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_reach_frontier": q_reach_frontier,
         "maef_markov2_removal": q_markov2_removal,
         "maef_adstock_decay_fit": q_adstock_decay_fit,
+        "llm_dedup_survivors": q_dedup_survivors,
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,

@@ -83,6 +83,8 @@ CHECKPOINT_HEAVY = {
     "llm_mmr_diverse",
     "llm_norm_band",
     "maef_stream_reach",
+    # survivorship reruns the full minhash + CC pipeline (checkpointed)
+    "llm_dedup_survivors",
 }
 
 

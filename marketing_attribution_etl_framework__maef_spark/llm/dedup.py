@@ -780,3 +780,35 @@ def cross_source_dup_matrix(docs: DataFrame, prefix_words: int = 5) -> DataFrame
     return pairs.join(F.broadcast(sa), "source_a").join(F.broadcast(sb), "source_b").select(
         "source_a", "source_b", "shared_contents", "contents_a", "contents_b"
     )
+
+
+def dedup_survivors(docs: DataFrame) -> DataFrame:
+    """Survivorship policy over near-dup clusters: for every clustered
+    document, WHICH copy survives — the curation step after
+    cluster_duplicates answers "what is duplicated".  Survivor = the
+    longest raw text, ties to the smallest doc_id (prefer the fullest
+    copy; the min-id cluster label is a graph artifact, not a policy).
+
+    Output: (doc_id, cluster_id, survivor_id, is_survivor, n_chars)
+    for every doc that appears in a near-dup pair.
+
+    Scale: rides the LSH pair graph (never the corpus); the ranking is
+    one window over the cluster grain, bounded by cluster sizes.
+    """
+    pairs = minhash_dedup_pairs(docs)
+    clusters = cluster_duplicates(pairs)
+    lens = docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+    j = clusters.join(lens, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    surv = (
+        j.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("cluster_id", F.col("doc_id").alias("survivor_id"))
+    )
+    return j.join(surv, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "survivor_id",
+        (F.col("doc_id") == F.col("survivor_id")).cast("long").alias("is_survivor"),
+        "n_chars",
+    )

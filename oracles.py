@@ -5379,6 +5379,36 @@ FROM res r, (SELECT absorption_q20 AS a FROM res WHERE rm = '(none)') f
 
 _ORACLE_MARKOV2_REMOVAL = _markov2_removal_oracle_sql(25)
 
+# L214 survivorship: the dedup_clusters recursive-CTE oracle with the
+# final projection swapped for the longest-text-wins policy (string
+# surgery on the shared prefix; asserted to have matched).
+_DC_TAIL = """
+SELECT doc_id, MIN(cluster_id) AS cluster_id
+FROM walk
+GROUP BY doc_id
+"""
+_ORACLE_DEDUP_SURVIVORS = _ORACLE_DEDUP_CLUSTERS.replace(
+    _DC_TAIL,
+    """,
+cl AS (SELECT doc_id, MIN(cluster_id) AS cluster_id FROM walk GROUP BY doc_id),
+lens AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM aug),
+j AS (SELECT c.doc_id, c.cluster_id, l.n_chars FROM cl c JOIN lens l USING (doc_id)),
+surv AS (
+  SELECT cluster_id, doc_id AS survivor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                 ORDER BY n_chars DESC, doc_id ASC) AS rk
+    FROM j) WHERE rk = 1
+)
+SELECT j.doc_id, j.cluster_id, s.survivor_id,
+       CAST(CASE WHEN j.doc_id = s.survivor_id THEN 1 ELSE 0 END AS BIGINT) AS is_survivor,
+       j.n_chars
+FROM j JOIN surv s USING (cluster_id)
+""",
+)
+assert _ORACLE_DEDUP_SURVIVORS != _ORACLE_DEDUP_CLUSTERS, "survivor tail splice failed"
+# splice point is after walk's closing paren: ')\n,' is valid only if the
+# replacement starts by extending the WITH list — it does (leading comma).
+
 # L213 adstock decay fit: candidate ranking by exact cross-multiplied
 # weight-normalized covariance (cov_a * W_b vs cov_b * W_a) — ties to
 # the smaller half-life, mirroring the Spark driver loop's strict >.
@@ -5512,6 +5542,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_reach_frontier": _ORACLE_REACH_FRONTIER,
         "maef_markov2_removal": _ORACLE_MARKOV2_REMOVAL,
         "maef_adstock_decay_fit": _ORACLE_ADSTOCK_DECAY_FIT,
+        "llm_dedup_survivors": _ORACLE_DEDUP_SURVIVORS,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,

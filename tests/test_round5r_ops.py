@@ -356,3 +356,31 @@ def test_adstock_decay_fit_matches_bruteforce(spark):
         cov = n * sum(ai * yi for ai, yi in zip(a, ycents)) - sum(a) * sum(ycents)
         assert out[m]["cov_num_str"] == str(cov), m
         assert out[m]["w_sum"] == ((1 << (m * h)) - 1) // ((1 << m) - 1)
+
+
+def test_dedup_survivors_longest_wins(spark):
+    """Survivor = longest text, ties to smallest doc_id — NOT the
+    min-id cluster label (doc 2 below is longer than the label doc)."""
+    from marketing_attribution_etl_framework__maef_spark.llm.dedup import (
+        cluster_duplicates,
+        dedup_survivors,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " iota kappa"),  # near-dup of 1, longer -> survivor
+            (7, "totally different words entirely unrelated content here okay"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_survivors(docs).collect()}
+    # docs 1 and 2 cluster together (labelled by min id 1); 2 survives
+    assert set(out) == {1, 2}
+    assert out[1]["cluster_id"] == 1 and out[2]["cluster_id"] == 1
+    assert out[1]["survivor_id"] == 2 and out[2]["survivor_id"] == 2
+    assert out[2]["is_survivor"] == 1 and out[1]["is_survivor"] == 0
+    # sanity: survivor id differs from the cluster label
+    assert out[1]["survivor_id"] != out[1]["cluster_id"]
+    _ = cluster_duplicates  # imported to assert the module pairing exists
