@@ -4885,6 +4885,15 @@ def q_stream_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def q_lookback_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L215: attribution-lookback sensitivity — linear credit mass per
+    channel under 7/14/30-day windows derived from the one staged
+    journeys table (operators/media.py lookback_sensitivity)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import media as med
+
+    return med.lookback_sensitivity(_journeys(spark, sf_dir))
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L214: survivorship policy over near-dup clusters — longest raw
     text wins, ties to smallest doc_id (llm/dedup.py
@@ -5055,6 +5064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_markov2_removal": q_markov2_removal,
         "maef_adstock_decay_fit": q_adstock_decay_fit,
         "llm_dedup_survivors": q_dedup_survivors,
+        "maef_lookback_sensitivity": q_lookback_sensitivity,
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,

@@ -263,3 +263,54 @@ def channel_synergy(journeys: DataFrame) -> DataFrame:
             ).alias("lift_q20"),
         )
     )
+
+
+def lookback_sensitivity(
+    journeys: DataFrame, lookbacks: tuple[int, ...] = (7, 14, 30)
+) -> DataFrame:
+    """Attribution-lookback sensitivity: linear-model credit mass per
+    channel under several lookback windows at once — the reference
+    hardcodes 30 days (`src/etl/transform.py:129-141`); this measures
+    what that choice does to each channel's credit.
+
+    Because a shorter lookback KEEPS A SUBSET of the 30-day journey
+    rows (event_ts >= conv_ts - L), all windows derive from the ONE
+    staged journeys table by an exact integer-microsecond filter —
+    no re-join per window.  Per-touch credit is the exact q20 of the
+    rational 1/len via (2*2^20 + len) div (2*len), with len counted
+    WITHIN each lookback.
+
+    Output: (lookback_days, channel, n_conversions, n_touches,
+    credit_q20).
+
+    Scale: one explode by |lookbacks| (a bounded constant) over the
+    journeys grain, one window per (conversion, lookback), one bounded
+    channel aggregate — the W2 attribution shape with one extra
+    bounded dimension.
+    """
+    lbs = F.explode(
+        F.array(*[F.lit(int(x)) for x in lookbacks])
+    ).alias("lookback_days")
+    x = journeys.select(
+        "conversion_id", "channel_label", "event_ts", "conv_ts", lbs
+    ).filter(
+        F.expr("timestampdiff(MICROSECOND, event_ts, conv_ts)")
+        <= F.col("lookback_days").cast("long") * F.lit(86400000000)
+    )
+    n = Window.partitionBy("conversion_id", "lookback_days")
+    sized = x.select(
+        F.col("lookback_days").cast("long").alias("lookback_days"),
+        F.col("channel_label").alias("channel"),
+        "conversion_id",
+        F.count(F.lit(1)).over(n).cast("long").alias("_len"),
+    )
+    return (
+        sized.groupBy("lookback_days", "channel")
+        .agg(
+            F.countDistinct("conversion_id").cast("long").alias("n_conversions"),
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum(F.expr("(2097152 + _len) div (2 * _len)"))
+            .cast("long")
+            .alias("credit_q20"),
+        )
+    )

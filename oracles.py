@@ -5379,6 +5379,28 @@ FROM res r, (SELECT absorption_q20 AS a FROM res WHERE rm = '(none)') f
 
 _ORACLE_MARKOV2_REMOVAL = _markov2_removal_oracle_sql(25)
 
+# L215 lookback sensitivity: every window is a subset filter of the
+# 30-day journeys (exact integer-microsecond bound), linear credit per
+# (conversion, lookback) via the 1/len half-up device.
+_ORACLE_LOOKBACK_SENSITIVITY = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+lbs AS (SELECT CAST(unnest([7, 14, 30]) AS BIGINT) AS lookback_days),
+x AS (
+  SELECT l.lookback_days, j.channel_label AS channel, j.conversion_id
+  FROM journeys j CROSS JOIN lbs l
+  WHERE date_diff('microsecond', j.event_ts, j.conv_ts) <= l.lookback_days * 86400000000
+),
+sized AS (
+  SELECT *, CAST(COUNT(*) OVER (PARTITION BY conversion_id, lookback_days) AS BIGINT) AS n
+  FROM x
+)
+SELECT lookback_days, channel,
+       CAST(COUNT(DISTINCT conversion_id) AS BIGINT) AS n_conversions,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM((2097152 + n) // (2 * n)) AS BIGINT) AS credit_q20
+FROM sized GROUP BY 1, 2
+"""
+
 # L214 survivorship: the dedup_clusters recursive-CTE oracle with the
 # final projection swapped for the longest-text-wins policy (string
 # surgery on the shared prefix; asserted to have matched).
@@ -5543,6 +5565,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_markov2_removal": _ORACLE_MARKOV2_REMOVAL,
         "maef_adstock_decay_fit": _ORACLE_ADSTOCK_DECAY_FIT,
         "llm_dedup_survivors": _ORACLE_DEDUP_SURVIVORS,
+        "maef_lookback_sensitivity": _ORACLE_LOOKBACK_SENSITIVITY,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,

@@ -384,3 +384,35 @@ def test_dedup_survivors_longest_wins(spark):
     # sanity: survivor id differs from the cluster label
     assert out[1]["survivor_id"] != out[1]["cluster_id"]
     _ = cluster_duplicates  # imported to assert the module pairing exists
+
+
+def test_lookback_sensitivity_subset_filter(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.media import (
+        lookback_sensitivity,
+    )
+
+    # conversion with touches at 1, 10, and 20 days before: the 7-day
+    # window keeps 1 touch (credit 1), 14-day keeps 2 (1/2 each),
+    # 30-day keeps 3 (1/3 each)
+    j = spark.createDataFrame(
+        [
+            ("c1", "s1", "2024-01-30 12:00:00", "2024-01-29 12:00:00", "a"),
+            ("c1", "s2", "2024-01-30 12:00:00", "2024-01-20 12:00:00", "b"),
+            ("c1", "s3", "2024-01-30 12:00:00", "2024-01-10 12:00:00", "a"),
+        ],
+        "conversion_id string, session_id string, conv_ts string, event_ts string, channel_label string",
+    ).withColumn("conv_ts", F.col("conv_ts").cast("timestamp")).withColumn(
+        "event_ts", F.col("event_ts").cast("timestamp")
+    )
+    out = {
+        (r["lookback_days"], r["channel"]): r
+        for r in lookback_sensitivity(j).collect()
+    }
+    assert out[(7, "a")]["credit_q20"] == Q and (7, "b") not in out
+    half = (2 * Q + 2) // 4
+    assert out[(14, "a")]["credit_q20"] == half
+    assert out[(14, "b")]["credit_q20"] == half
+    third = (2 * Q + 3) // 6
+    assert out[(30, "a")]["credit_q20"] == 2 * third
+    assert out[(30, "b")]["credit_q20"] == third
+    assert out[(30, "a")]["n_conversions"] == 1 and out[(30, "a")]["n_touches"] == 2
