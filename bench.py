@@ -85,6 +85,8 @@ CHECKPOINT_HEAVY = {
     "maef_stream_reach",
     # survivorship reruns the full minhash + CC pipeline (checkpointed)
     "llm_dedup_survivors",
+    # label purity checkpoints the labeled quantized vectors
+    "llm_label_purity",
 }
 
 

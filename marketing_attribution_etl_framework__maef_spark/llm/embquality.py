@@ -118,8 +118,14 @@ def label_purity(embeddings: DataFrame) -> DataFrame:
     )
 
     spark = embeddings.sparkSession
-    qv = quantized_unit_vectors(embeddings).join(
-        embeddings.select("vec_id", "label"), "vec_id"
+    # localCheckpoint: the centroid collect AND the scoring scan both
+    # read this lineage — without the pin the quantization (explode +
+    # norm fold) runs twice (measured 4.4 s at sf0.1; the raking/loop
+    # -state rule applied to a two-consumer lineage)
+    qv = (
+        quantized_unit_vectors(embeddings)
+        .join(embeddings.select("vec_id", "label"), "vec_id")
+        .localCheckpoint()
     )
     ex = qv.select("label", F.posexplode("qv").alias("pos", "comp"))
     cent_rows = (
