@@ -4885,6 +4885,22 @@ def q_stream_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L216: sample-ratio-mismatch guardrail on the canonical 50/50
+    split — chi-square vs 3.8416 decided by exact integer
+    cross-multiplication (operators/experiments.py srm_check)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import experiments as xpr
+
+    return xpr.srm_check(domain.events(spark, sf_dir))
+
+
+def q_saturation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L217: corpus saturation curve — novel 3-shingles by doc-id
+    decile, the dedup-ROI readout (llm/coverage.py
+    saturation_curve)."""
+    return cov.saturation_curve(_docs(spark, sf_dir))
+
+
 def q_lookback_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L215: attribution-lookback sensitivity — linear credit mass per
     channel under 7/14/30-day windows derived from the one staged
@@ -5065,6 +5081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_adstock_decay_fit": q_adstock_decay_fit,
         "llm_dedup_survivors": q_dedup_survivors,
         "maef_lookback_sensitivity": q_lookback_sensitivity,
+        "maef_srm_check": q_srm_check,
+        "llm_saturation_curve": q_saturation_curve,
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,

@@ -91,3 +91,52 @@ def greedy_coverage(
     return spark.createDataFrame(
         out, "round long, doc_id long, gain long, covered_total long"
     )
+
+
+def saturation_curve(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Corpus saturation curve: novel-shingle contribution by doc-id
+    decile — "how fast does new data stop adding new content", the
+    dedup-ROI readout that tells a data buyer when a source is mined
+    out.
+
+    A shingle is NOVEL in the decile of the smallest doc_id containing
+    it (deterministic: ids, not arrival order).  Output per decile:
+    (bucket, n_docs, novel_shingles, distinct_mentions) — mentions =
+    distinct (doc, shingle) pairs whose doc falls in the bucket.
+
+    Scale: the shingle first-occurrence is one min-aggregate over the
+    inverted (shingle -> doc) grain (the same shuffle every dedup op
+    pays); bucketing is a pure integer function of doc_id against a
+    broadcast 1-row max.
+    """
+    pairs = doc_shingles(docs)
+    mx = docs.agg(F.max("doc_id").cast("long").alias("_mx"))
+    first = pairs.groupBy("sh").agg(F.min("doc_id").alias("_fd"))
+    novel = (
+        first.crossJoin(F.broadcast(mx))
+        .select(F.expr(f"least({n_buckets - 1}, _fd * {n_buckets} div (_mx + 1))").cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("novel_shingles"))
+    )
+    mentions = (
+        pairs.crossJoin(F.broadcast(mx))
+        .select(F.expr(f"least({n_buckets - 1}, doc_id * {n_buckets} div (_mx + 1))").cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("distinct_mentions"))
+    )
+    ndocs = (
+        docs.crossJoin(F.broadcast(mx))
+        .select(F.expr(f"least({n_buckets - 1}, doc_id * {n_buckets} div (_mx + 1))").cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return (
+        ndocs.join(novel, "bucket", "left")
+        .join(mentions, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            F.coalesce(F.col("novel_shingles"), F.lit(0)).cast("long").alias("novel_shingles"),
+            F.coalesce(F.col("distinct_mentions"), F.lit(0)).cast("long").alias("distinct_mentions"),
+        )
+    )

@@ -121,3 +121,51 @@ def did_lift(
         .cast("long")
         .alias("did_q20"),
     )
+
+
+def srm_check(events: DataFrame, salt: str = "ab") -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the 50/50 experiment split:
+    the FIRST check an experimentation platform runs before any lift
+    readout (a skewed split invalidates the experiment regardless of
+    the metric).  chi-square with df=1 against the 0.95 critical value
+    3.8416, decided by EXACT integer cross-multiplication:
+
+        srm_flag = (n_a - n_b)^2 * 10000  >  38416 * (n_a + n_b)
+
+    (3.8416 = 38416/10000 exactly, so no float enters the decision —
+    the e-notation literal rule taken one step further).
+
+    Output: 1 row (n_users, n_a, n_b, chi2_num, chi2_den, srm_flag).
+
+    Scale: one distinct-user aggregate with a conditional count —
+    map-side combinable, constant reduce.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|" + salt))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    per_user = events.select("user_id", bucket.alias("_b")).distinct()
+    agg = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum((F.col("_b") < 50).cast("long")).cast("long").alias("n_a"),
+        F.sum((F.col("_b") >= 50).cast("long")).cast("long").alias("n_b"),
+    )
+    d = F.col("n_a") - F.col("n_b")
+    return agg.select(
+        "n_users",
+        "n_a",
+        "n_b",
+        (d * d).cast("long").alias("chi2_num"),
+        (F.col("n_a") + F.col("n_b")).cast("long").alias("chi2_den"),
+        (d * d * F.lit(10000) > F.lit(38416) * (F.col("n_a") + F.col("n_b")))
+        .cast("long")
+        .alias("srm_flag"),
+    )

@@ -5379,6 +5379,66 @@ FROM res r, (SELECT absorption_q20 AS a FROM res WHERE rm = '(none)') f
 
 _ORACLE_MARKOV2_REMOVAL = _markov2_removal_oracle_sql(25)
 
+# L216 SRM guardrail: canonical salted-md5 bucket, chi-square vs
+# 3.8416 = 38416/10000 decided in exact integers.
+_ORACLE_SRM_CHECK = """
+WITH pu AS (
+  SELECT DISTINCT user_id,
+         (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|ab'), 1, 15) AS BIGINT) % 100) AS b
+  FROM events
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN b < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN b >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM pu
+)
+SELECT n_users, n_a, n_b,
+       CAST((n_a - n_b) * (n_a - n_b) AS BIGINT) AS chi2_num,
+       CAST(n_a + n_b AS BIGINT) AS chi2_den,
+       CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 10000 > 38416 * (n_a + n_b)
+            THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM a
+"""
+
+# L217 saturation curve: shingle first-occurrence decile (shingle CTE
+# shape identical to the greedy-coverage oracle's pairs).
+_ORACLE_SATURATION_CURVE = """
+WITH nd AS MATERIALIZED (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(ws) - 1, 2)),
+                  i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+    FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM nd)
+  ) WHERE sh <> ''
+),
+mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mxid FROM documents),
+first AS MATERIALIZED (SELECT sh, MIN(doc_id) AS fd FROM pairs GROUP BY sh),
+novel AS (
+  SELECT CAST(least(9, fd * 10 // (mxid + 1)) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS novel_shingles
+  FROM first, mx GROUP BY 1
+),
+mentions AS (
+  SELECT CAST(least(9, doc_id * 10 // (mxid + 1)) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS distinct_mentions
+  FROM pairs, mx GROUP BY 1
+),
+nd2 AS (
+  SELECT CAST(least(9, doc_id * 10 // (mxid + 1)) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents, mx GROUP BY 1
+)
+SELECT n.bucket, n.n_docs,
+       CAST(COALESCE(v.novel_shingles, 0) AS BIGINT) AS novel_shingles,
+       CAST(COALESCE(m.distinct_mentions, 0) AS BIGINT) AS distinct_mentions
+FROM nd2 n LEFT JOIN novel v USING (bucket) LEFT JOIN mentions m USING (bucket)
+"""
+
 # L215 lookback sensitivity: every window is a subset filter of the
 # 30-day journeys (exact integer-microsecond bound), linear credit per
 # (conversion, lookback) via the 1/len half-up device.
@@ -5566,6 +5626,8 @@ def oracle_sql() -> dict[str, str]:
         "maef_adstock_decay_fit": _ORACLE_ADSTOCK_DECAY_FIT,
         "llm_dedup_survivors": _ORACLE_DEDUP_SURVIVORS,
         "maef_lookback_sensitivity": _ORACLE_LOOKBACK_SENSITIVITY,
+        "maef_srm_check": _ORACLE_SRM_CHECK,
+        "llm_saturation_curve": _ORACLE_SATURATION_CURVE,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,

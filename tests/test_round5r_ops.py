@@ -416,3 +416,29 @@ def test_lookback_sensitivity_subset_filter(spark):
     assert out[(30, "a")]["credit_q20"] == 2 * third
     assert out[(30, "b")]["credit_q20"] == third
     assert out[(30, "a")]["n_conversions"] == 1 and out[(30, "a")]["n_touches"] == 2
+
+
+def test_srm_check_exact_decision(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.experiments import srm_check
+
+    ev = _events(spark, [(i, "2024-01-01 10:00:00", i, "click", 1.0) for i in range(40)])
+    r = srm_check(ev).collect()[0]
+    assert r["n_users"] == 40 and r["n_a"] + r["n_b"] == 40
+    d = r["n_a"] - r["n_b"]
+    assert r["chi2_num"] == d * d and r["chi2_den"] == 40
+    assert r["srm_flag"] == (1 if d * d * 10000 > 38416 * 40 else 0)
+
+
+def test_saturation_curve_novelty_assignment(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm.coverage import saturation_curve
+
+    # doc 0 and doc 9 share the same text: all shingles are novel in
+    # bucket 0; doc 9's mentions land in bucket 9 with 0 novelty
+    text = "one two three four five"
+    docs = spark.createDataFrame(
+        [(0, text), (9, text)], "doc_id long, text string"
+    )
+    out = {r["bucket"]: r for r in saturation_curve(docs).collect()}
+    assert out[0]["novel_shingles"] == 3 and out[0]["distinct_mentions"] == 3
+    assert out[9]["novel_shingles"] == 0 and out[9]["distinct_mentions"] == 3
+    assert out[0]["n_docs"] == 1 and out[9]["n_docs"] == 1
