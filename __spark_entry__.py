@@ -4885,6 +4885,51 @@ def q_stream_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def q_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L218: month-over-month price/volume revenue decomposition —
+    both effects scaled by n_prev so the split stays exact-integer
+    (operators/timeseries.py revenue_decomposition)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import timeseries as tsr
+
+    return tsr.revenue_decomposition(domain.events(spark, sf_dir))
+
+
+def q_stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L219: STREAMING sample-ratio-mismatch guardrail — the streaming
+    twin of L216: distinct users accumulate as per-user state
+    (order-independent count agg), the SRM readout runs serving-side;
+    hash-checked against the same batch oracle."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+    from marketing_attribution_etl_framework__maef_spark.operators import experiments as xpr
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+        users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("_n"))
+        name = "stream_srm_sink"
+        q = (
+            users.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # serving-side: the batch SRM readout over the user state table
+        # (one synthetic event row per user feeds the same operator)
+        state = spark.table(name).select(
+            "user_id",
+            F.lit("state").alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+        out = xpr.srm_check(state).localCheckpoint()
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L216: sample-ratio-mismatch guardrail on the canonical 50/50
     split — chi-square vs 3.8416 decided by exact integer
@@ -5083,6 +5128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_lookback_sensitivity": q_lookback_sensitivity,
         "maef_srm_check": q_srm_check,
         "llm_saturation_curve": q_saturation_curve,
+        "maef_revenue_decomposition": q_revenue_decomposition,
+        "maef_stream_srm": q_stream_srm,
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,

@@ -87,6 +87,8 @@ CHECKPOINT_HEAVY = {
     "llm_dedup_survivors",
     # label purity checkpoints the labeled quantized vectors
     "llm_label_purity",
+    # streaming state materialization + serving-side checkpoint
+    "maef_stream_srm",
 }
 
 

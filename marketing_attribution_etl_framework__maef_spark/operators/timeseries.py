@@ -499,3 +499,57 @@ def adstock_decay_fit(
         out,
         "channel string, halflife_m long, w_sum long, cov_num_str string, is_best long",
     )
+
+
+def revenue_decomposition(ev: DataFrame) -> DataFrame:
+    """Month-over-month price/volume decomposition of purchase revenue
+    — the FP&A "did we sell more, or at higher value?" split, kept
+    EXACT by scaling both effects by n_prev so no rational average
+    ever materializes:
+
+        price_num  = R_cur * n_prev - n_cur * R_prev
+        volume_num = (n_cur - n_prev) * R_prev
+        price_num + volume_num = n_prev * (R_cur - R_prev)   (identity)
+
+    (R = exact revenue cents, n = order count; divide both by n_prev
+    downstream to read cents.)  Output per month with a predecessor:
+    (month, n_orders, rev_cents, n_prev, rev_prev_cents, volume_num,
+    price_num).
+
+    Scale: one month-grain aggregate (map-side combinable) and a LAG
+    over the bounded calendar grain.
+    """
+    monthly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+        )
+    )
+    w = Window.orderBy("month")
+    lagged = monthly.select(
+        "month",
+        "n_orders",
+        "rev_cents",
+        F.lag("n_orders").over(w).cast("long").alias("n_prev"),
+        F.lag("rev_cents").over(w).cast("long").alias("rev_prev_cents"),
+    ).filter(F.col("n_prev").isNotNull())
+    return lagged.select(
+        "month",
+        "n_orders",
+        "rev_cents",
+        "n_prev",
+        "rev_prev_cents",
+        ((F.col("n_orders") - F.col("n_prev")) * F.col("rev_prev_cents"))
+        .cast("long")
+        .alias("volume_num"),
+        (
+            F.col("rev_cents") * F.col("n_prev")
+            - F.col("n_orders") * F.col("rev_prev_cents")
+        )
+        .cast("long")
+        .alias("price_num"),
+    )

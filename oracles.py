@@ -5401,6 +5401,29 @@ SELECT n_users, n_a, n_b,
 FROM a
 """
 
+# L218 revenue decomposition: price/volume split scaled by n_prev so
+# both effects are integers; identity vol+price = n_prev * dR.
+_ORACLE_REVENUE_DECOMPOSITION = """
+WITH monthly AS MATERIALIZED (
+  SELECT strftime(ts, '%Y-%m') AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+lagged AS (
+  SELECT month, n_orders, rev_cents,
+         LAG(n_orders) OVER (ORDER BY month) AS n_prev,
+         LAG(rev_cents) OVER (ORDER BY month) AS rev_prev_cents
+  FROM monthly
+)
+SELECT month, n_orders, rev_cents,
+       CAST(n_prev AS BIGINT) AS n_prev,
+       CAST(rev_prev_cents AS BIGINT) AS rev_prev_cents,
+       CAST((n_orders - n_prev) * rev_prev_cents AS BIGINT) AS volume_num,
+       CAST(rev_cents * n_prev - n_orders * rev_prev_cents AS BIGINT) AS price_num
+FROM lagged WHERE n_prev IS NOT NULL
+"""
+
 # L217 saturation curve: shingle first-occurrence decile (shingle CTE
 # shape identical to the greedy-coverage oracle's pairs).
 _ORACLE_SATURATION_CURVE = """
@@ -5628,6 +5651,10 @@ def oracle_sql() -> dict[str, str]:
         "maef_lookback_sensitivity": _ORACLE_LOOKBACK_SENSITIVITY,
         "maef_srm_check": _ORACLE_SRM_CHECK,
         "llm_saturation_curve": _ORACLE_SATURATION_CURVE,
+        "maef_revenue_decomposition": _ORACLE_REVENUE_DECOMPOSITION,
+        # streaming SRM parity: the stream must reproduce the batch
+        # SRM readout exactly (user-count state is order-independent)
+        "maef_stream_srm": _ORACLE_SRM_CHECK,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,

@@ -442,3 +442,31 @@ def test_saturation_curve_novelty_assignment(spark):
     assert out[0]["novel_shingles"] == 3 and out[0]["distinct_mentions"] == 3
     assert out[9]["novel_shingles"] == 0 and out[9]["distinct_mentions"] == 3
     assert out[0]["n_docs"] == 1 and out[9]["n_docs"] == 1
+
+
+def test_revenue_decomposition_identity(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.timeseries import (
+        revenue_decomposition,
+    )
+
+    # Jan: 2 orders, 10.00 + 20.00; Feb: 3 orders, 10.00 each
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-05 10:00:00", 1, "purchase", 10.0),
+            (2, "2024-01-15 10:00:00", 2, "purchase", 20.0),
+            (3, "2024-02-05 10:00:00", 3, "purchase", 10.0),
+            (4, "2024-02-10 10:00:00", 4, "purchase", 10.0),
+            (5, "2024-02-20 10:00:00", 5, "purchase", 10.0),
+        ],
+    )
+    out = revenue_decomposition(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["month"] == "2024-02" and r["n_prev"] == 2 and r["n_orders"] == 3
+    # volume: (3-2)*3000 = 3000; price: 3000*2 - 3*3000 = -3000
+    assert r["volume_num"] == 3000 and r["price_num"] == -3000
+    # identity: vol + price == n_prev * (R_cur - R_prev) = 2 * 0
+    assert r["volume_num"] + r["price_num"] == r["n_prev"] * (
+        r["rev_cents"] - r["rev_prev_cents"]
+    )
