@@ -89,6 +89,10 @@ CHECKPOINT_HEAVY = {
     "llm_label_purity",
     # streaming state materialization + serving-side checkpoint
     "maef_stream_srm",
+    # not heavy itself (1.5-2.6 s standalone) but sits downstream of
+    # the survivors double-run and measured 13 s in-suite — the same
+    # one-sided victim profile as maef_shapley (r04b)
+    "maef_lookback_sensitivity",
 }
 
 
