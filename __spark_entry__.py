@@ -4885,6 +4885,20 @@ def q_stream_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L220: MinHash estimator calibration — signature-position
+    agreement vs exact Jaccard per LSH candidate pair, bucketed by the
+    estimate (llm/dedup.py minhash_accuracy)."""
+    return dd.minhash_accuracy(_aug_docs(spark, sf_dir))
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L221: per-channel overdispersion screen — sample variance vs
+    mean in exact integers (operators/planning.py
+    burstiness_screen)."""
+    return pln.burstiness_screen(domain.events(spark, sf_dir))
+
+
 def q_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L218: month-over-month price/volume revenue decomposition —
     both effects scaled by n_prev so the split stays exact-integer
@@ -5130,6 +5144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_saturation_curve": q_saturation_curve,
         "maef_revenue_decomposition": q_revenue_decomposition,
         "maef_stream_srm": q_stream_srm,
+        "llm_minhash_accuracy": q_minhash_accuracy,
+        "maef_burstiness": q_burstiness,
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,

@@ -812,3 +812,67 @@ def dedup_survivors(docs: DataFrame) -> DataFrame:
         (F.col("doc_id") == F.col("survivor_id")).cast("long").alias("is_survivor"),
         "n_chars",
     )
+
+
+def minhash_accuracy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """MinHash estimator calibration audit: for every LSH candidate
+    pair, how many of the ``num_hashes`` signature positions agree
+    (the MinHash Jaccard estimate, numerator of est/12) vs the EXACT
+    intersection/union — bucketed by the estimate so the readout is
+    "at estimate level e, what is the true Jaccard mass".  The audit
+    that says whether the banded-LSH dedup can be trusted at the
+    chosen (bands, rows) operating point, with zero floats.
+
+    Output: (est_matches, n_pairs, sum_inter, sum_union).
+
+    Scale: identical candidate pipeline to minhash_dedup_pairs
+    (banded LSH, checkpointed candidates, left-semi-pruned exact
+    verify); the signature re-join is two hash joins on doc id; the
+    output is bounded by num_hashes + 1 rows.
+    """
+    norm = normalize_text(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col), F.explode(word_shingles(words(norm), k)).alias("shingle")
+    )
+    sigs = minhash_signatures(exploded, id_col, "shingle", num_hashes)
+    cands = candidate_pairs(
+        lsh_bands(sigs, id_col, bands, rows_per_band), id_col
+    ).localCheckpoint()
+    ids = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .unionByName(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sets = shingle_sets(docs.join(ids, id_col, "left_semi"), text_col, id_col, k)
+    scored = verify_jaccard(cands, sets, id_col)
+    sa = sigs.select(
+        F.col(id_col).alias("doc_a"), *[F.col(f"h{i}").alias(f"_ha{i}") for i in range(num_hashes)]
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("doc_b"), *[F.col(f"h{i}").alias(f"_hb{i}") for i in range(num_hashes)]
+    )
+    est = reduce(
+        add,
+        [
+            (F.col(f"_ha{i}") == F.col(f"_hb{i}")).cast("long")
+            for i in range(num_hashes)
+        ],
+    )
+    joined = (
+        scored.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(est.alias("est_matches"), "inter_size", "union_size")
+    )
+    return joined.groupBy("est_matches").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("inter_size").cast("long").alias("sum_inter"),
+        F.sum("union_size").cast("long").alias("sum_union"),
+    )

@@ -548,3 +548,48 @@ def reach_frontier(events: DataFrame, k: int = 3) -> DataFrame:
     return spark.createDataFrame(
         out, "round long, channel string, gain long, covered_total long"
     )
+
+
+def burstiness_screen(events: DataFrame) -> DataFrame:
+    """Overdispersion (burstiness) screen per channel: is the daily
+    session-count variance above Poisson (variance > mean)?  Bursty
+    channels (bot flights, batched imports) fail Poisson and need the
+    IVT screen; the test is exact-integer:
+
+        var_num  = n * sum(x^2) - (sum x)^2        (n^2 * (n-1)/n ... scaled)
+        bursty   = var_num > (n - 1) * sum(x)      (== sample var > mean)
+
+    Output: (channel, n_days, total_sessions, var_num, bursty_flag).
+    Widest integer n * sum(x^2) ~ 10^4 * 10^4 * (10^7)^2 = 10^22 —
+    assembled in DECIMAL(38,0), emitted BIGINT at the documented SF
+    bound.
+
+    Scale: one daily aggregate (map-side), one bounded channel reduce.
+    """
+    daily = (
+        events.filter(F.col("event_type") != "purchase")
+        .groupBy(
+            F.col("event_type").alias("channel"),
+            F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    m = daily.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.expr("cast(x as decimal(38,0))")).alias("_sx"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("_sxx"),
+    )
+    return m.select(
+        "channel",
+        "n_days",
+        F.col("_sx").cast("long").alias("total_sessions"),
+        F.expr("cast(cast(n_days as decimal(38,0)) * _sxx - _sx * _sx as bigint)").alias(
+            "var_num"
+        ),
+        (
+            F.expr("cast(n_days as decimal(38,0)) * _sxx - _sx * _sx")
+            > F.expr("(cast(n_days as decimal(38,0)) - 1) * _sx")
+        )
+        .cast("long")
+        .alias("bursty_flag"),
+    )

@@ -5401,6 +5401,47 @@ SELECT n_users, n_a, n_b,
 FROM a
 """
 
+# L220 minhash calibration audit: signature-position agreement vs the
+# exact intersection/union, bucketed by the estimate — all integers.
+_mh_est = " + ".join(
+    f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(dd.NUM_HASHES)
+)
+_ORACLE_MINHASH_ACCURACY = f"""
+WITH {_AUG}, {_NORM_AUG}, {_SHINGLED}, {_MINHASH_CTES},
+est AS (
+  SELECT c.doc_a, c.doc_b, CAST({_mh_est} AS BIGINT) AS est_matches
+  FROM cand c
+  JOIN sig a ON c.doc_a = a.doc_id
+  JOIN sig b ON c.doc_b = b.doc_id
+)
+SELECT e.est_matches,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(s.inter_size) AS BIGINT) AS sum_inter,
+       CAST(SUM(s.union_size) AS BIGINT) AS sum_union
+FROM est e JOIN scored s ON e.doc_a = s.doc_a AND e.doc_b = s.doc_b
+GROUP BY 1
+"""
+
+# L221 burstiness: sample variance vs mean in exact integers.
+_ORACLE_BURSTINESS = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type AS channel, strftime(ts, '%Y-%m-%d') AS event_day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+),
+m AS (
+  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT channel, n_days,
+       CAST(sx AS BIGINT) AS total_sessions,
+       CAST(CAST(n_days AS HUGEINT) * sxx - sx * sx AS BIGINT) AS var_num,
+       CAST(CASE WHEN CAST(n_days AS HUGEINT) * sxx - sx * sx > (n_days - 1) * sx
+            THEN 1 ELSE 0 END AS BIGINT) AS bursty_flag
+FROM m
+"""
+
 # L218 revenue decomposition: price/volume split scaled by n_prev so
 # both effects are integers; identity vol+price = n_prev * dR.
 _ORACLE_REVENUE_DECOMPOSITION = """
@@ -5655,6 +5696,8 @@ def oracle_sql() -> dict[str, str]:
         # streaming SRM parity: the stream must reproduce the batch
         # SRM readout exactly (user-count state is order-independent)
         "maef_stream_srm": _ORACLE_SRM_CHECK,
+        "llm_minhash_accuracy": _ORACLE_MINHASH_ACCURACY,
+        "maef_burstiness": _ORACLE_BURSTINESS,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,

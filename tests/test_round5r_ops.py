@@ -470,3 +470,42 @@ def test_revenue_decomposition_identity(spark):
     assert r["volume_num"] + r["price_num"] == r["n_prev"] * (
         r["rev_cents"] - r["rev_prev_cents"]
     )
+
+
+def test_minhash_accuracy_exact_duplicates_bucket(spark):
+    """Two identical docs agree on ALL 12 signature positions and have
+    exact Jaccard 1 — they must land in the est_matches=12 bucket with
+    sum_inter == sum_union."""
+    from marketing_attribution_etl_framework__maef_spark.llm.dedup import minhash_accuracy
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally different unrelated words here now")],
+        "doc_id long, text string",
+    )
+    out = {r["est_matches"]: r for r in minhash_accuracy(docs).collect()}
+    assert 12 in out
+    r = out[12]
+    assert r["n_pairs"] >= 1 and r["sum_inter"] == r["sum_union"]
+
+
+def test_burstiness_flags_overdispersion(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators.planning import (
+        burstiness_screen,
+    )
+
+    rows, eid = [], 0
+    # channel "flat": 2,2,2 -> variance 0 < mean -> not bursty
+    for d, n in [("01", 2), ("02", 2), ("03", 2)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"2024-01-{d} 10:00:00", eid, "flat", 1.0))
+    # channel "burst": 1,1,10 -> var 27 > mean 4 -> bursty
+    for d, n in [("01", 1), ("02", 1), ("03", 10)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"2024-01-{d} 10:00:00", eid, "burst", 1.0))
+    out = {r["channel"]: r for r in burstiness_screen(_events(spark, rows)).collect()}
+    assert out["flat"]["bursty_flag"] == 0 and out["flat"]["var_num"] == 0
+    # var_num = n*sxx - sx^2 = 3*102 - 144 = 162 > (n-1)*sx = 24
+    assert out["burst"]["var_num"] == 162 and out["burst"]["bursty_flag"] == 1
