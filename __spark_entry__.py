@@ -4885,6 +4885,16 @@ def q_stream_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def q_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L222: CUPED variance-reduced experiment readout — pooled
+    regression adjustment carried as exact cross-multiplied integer
+    numerators, theta never materializes (operators/experiments.py
+    cuped_adjusted_lift)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import experiments as xpr
+
+    return xpr.cuped_adjusted_lift(domain.events(spark, sf_dir), cutover=DID_CUTOVER)
+
+
 def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L220: MinHash estimator calibration — signature-position
     agreement vs exact Jaccard per LSH candidate pair, bucketed by the
@@ -5146,6 +5156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_stream_srm": q_stream_srm,
         "llm_minhash_accuracy": q_minhash_accuracy,
         "maef_burstiness": q_burstiness,
+        "maef_cuped_lift": q_cuped_lift,
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,

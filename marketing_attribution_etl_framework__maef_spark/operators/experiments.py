@@ -169,3 +169,99 @@ def srm_check(events: DataFrame, salt: str = "ab") -> DataFrame:
         .cast("long")
         .alias("srm_flag"),
     )
+
+
+def cuped_adjusted_lift(events: DataFrame, cutover: str, salt: str = "ab") -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013) in
+    EXACT integers: per user, pre-period activity x (event count
+    before the cutover) and post-period revenue y (purchase cents at
+    or after it); variants from the canonical salted-md5 bucket; the
+    pooled regression adjustment theta = Sxy/Sxx never materializes —
+    the adjusted mean difference
+
+        (ybar_A - ybar_B) - theta * (xbar_A - xbar_B)
+
+    is emitted as the cross-multiplied integer NUMERATOR
+
+        adj_num = (sy_a*n_b - sy_b*n_a) * Sxx - (sx_a*n_b - sx_b*n_a) * Sxy
+
+    over the positive denominator n_a*n_b*Sxx, so its SIGN is the
+    adjusted lift's sign and ratios of adj_num across runs are exact.
+    Sxy/Sxx are the n-scaled pooled moments (integers).
+
+    Output: 1 row (n_a, n_b, sx_a, sx_b, sy_a, sy_b, sxx_str, sxy_str,
+    adj_num_str, adj_sign) — wide integers ship as decimal strings
+    (adj_num ~ 1e24 at the documented SF bound, inside
+    DECIMAL(38,0)/HUGEINT).
+
+    Scale: ONE user-grain aggregate over raw events (map-side
+    combinable conditional sums), then constant-size moment algebra.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|" + salt))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    cut = F.lit(cutover).cast("date")
+    pre = F.col("ts").cast("date") < cut
+    is_buy = F.col("event_type") == "purchase"
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.sum(pre.cast("long")).cast("long").alias("x"),
+            F.sum(
+                F.when(
+                    (~pre) & is_buy, F.round(F.col("value") * 100, 0).cast("long")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select("user_id", "x", "y")
+        .withColumn("_b", bucket)
+        .withColumn("_a", (F.col("_b") < 50).cast("long"))
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_a").cast("long").alias("n_a"),
+        F.sum(F.expr("cast(x as decimal(38,0))")).alias("sx"),
+        F.sum(F.expr("cast(y as decimal(38,0))")).alias("sy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx_raw"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * y")).alias("sxy_raw"),
+        F.sum(F.expr("cast(_a as decimal(38,0)) * x")).alias("sx_a"),
+        F.sum(F.expr("cast(_a as decimal(38,0)) * y")).alias("sy_a"),
+    )
+    c = m.select(
+        "n",
+        "n_a",
+        (F.col("n") - F.col("n_a")).cast("long").alias("n_b"),
+        F.col("sx_a").cast("long").alias("sx_a"),
+        (F.col("sx") - F.col("sx_a")).cast("long").alias("sx_b"),
+        F.col("sy_a").cast("long").alias("sy_a"),
+        (F.col("sy") - F.col("sy_a")).cast("long").alias("sy_b"),
+        F.expr("cast(n as decimal(38,0)) * sxx_raw - sx * sx").alias("_sxx"),
+        F.expr("cast(n as decimal(38,0)) * sxy_raw - sx * sy").alias("_sxy"),
+    )
+    adj = F.expr(
+        "(cast(sy_a as decimal(38,0)) * n_b - cast(sy_b as decimal(38,0)) * n_a) * _sxx"
+        " - (cast(sx_a as decimal(38,0)) * n_b - cast(sx_b as decimal(38,0)) * n_a) * _sxy"
+    )
+    return c.select(
+        "n_a",
+        "n_b",
+        "sx_a",
+        "sx_b",
+        "sy_a",
+        "sy_b",
+        F.col("_sxx").cast("string").alias("sxx_str"),
+        F.col("_sxy").cast("string").alias("sxy_str"),
+        adj.cast("string").alias("adj_num_str"),
+        F.when(adj > 0, 1).when(adj < 0, -1).otherwise(0).cast("long").alias("adj_sign"),
+    )

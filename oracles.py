@@ -5401,6 +5401,45 @@ SELECT n_users, n_a, n_b,
 FROM a
 """
 
+# L222 CUPED: cross-multiplied adjusted-lift numerator, theta never
+# materializes; wide integers ship as decimal strings.
+_ORACLE_CUPED = f"""
+WITH pu AS MATERIALIZED (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '{DID_CUTOVER}' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '{DID_CUTOVER}' AND event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+         CASE WHEN (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|ab'), 1, 15) AS BIGINT)
+                    % 100) < 50 THEN 1 ELSE 0 END AS a
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(a) AS BIGINT) AS n_a,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx_raw, SUM(CAST(x AS HUGEINT) * y) AS sxy_raw,
+         SUM(CAST(a AS HUGEINT) * x) AS sx_a, SUM(CAST(a AS HUGEINT) * y) AS sy_a
+  FROM pu
+),
+c AS (
+  SELECT n, n_a, n - n_a AS n_b, sx_a, sx - sx_a AS sx_b, sy_a, sy - sy_a AS sy_b,
+         CAST(n AS HUGEINT) * sxx_raw - sx * sx AS sxx,
+         CAST(n AS HUGEINT) * sxy_raw - sx * sy AS sxy
+  FROM m
+),
+f AS (
+  SELECT *,
+         (sy_a * n_b - sy_b * n_a) * sxx - (sx_a * n_b - sx_b * n_a) * sxy AS adj
+  FROM c
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(sx_a AS BIGINT) AS sx_a, CAST(sx_b AS BIGINT) AS sx_b,
+       CAST(sy_a AS BIGINT) AS sy_a, CAST(sy_b AS BIGINT) AS sy_b,
+       CAST(sxx AS VARCHAR) AS sxx_str, CAST(sxy AS VARCHAR) AS sxy_str,
+       CAST(adj AS VARCHAR) AS adj_num_str,
+       CAST(CASE WHEN adj > 0 THEN 1 WHEN adj < 0 THEN -1 ELSE 0 END AS BIGINT) AS adj_sign
+FROM f
+"""
+
 # L220 minhash calibration audit: signature-position agreement vs the
 # exact intersection/union, bucketed by the estimate — all integers.
 _mh_est = " + ".join(
@@ -5698,6 +5737,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_stream_srm": _ORACLE_SRM_CHECK,
         "llm_minhash_accuracy": _ORACLE_MINHASH_ACCURACY,
         "maef_burstiness": _ORACLE_BURSTINESS,
+        "maef_cuped_lift": _ORACLE_CUPED,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,

@@ -509,3 +509,58 @@ def test_burstiness_flags_overdispersion(spark):
     assert out["flat"]["bursty_flag"] == 0 and out["flat"]["var_num"] == 0
     # var_num = n*sxx - sx^2 = 3*102 - 144 = 162 > (n-1)*sx = 24
     assert out["burst"]["var_num"] == 162 and out["burst"]["bursty_flag"] == 1
+
+
+def test_cuped_brute_force_numerators(spark):
+    from fractions import Fraction
+
+    from marketing_attribution_etl_framework__maef_spark.operators.experiments import (
+        cuped_adjusted_lift,
+    )
+
+    # 4 users with known pre-activity and post revenue; variant from
+    # the same md5 bucket the operator uses — recompute it here
+    import hashlib
+
+    def bucket(u):
+        return int(hashlib.md5(f"{u}|ab".encode()).hexdigest()[:15], 16) % 100
+
+    users = {1: (2, 10.0), 2: (1, 3.0), 3: (4, 20.0), 4: (0, 0.0)}
+    rows, eid = [], 0
+    for u, (x, yv) in users.items():
+        for _ in range(x):  # pre-cutover events
+            eid += 1
+            rows.append((eid, "2024-02-01 10:00:00", u, "click", 1.0))
+        if yv:
+            eid += 1
+            rows.append((eid, "2024-03-01 10:00:00", u, "purchase", yv))
+        else:  # keep the user visible post-cutover with a non-purchase
+            eid += 1
+            rows.append((eid, "2024-03-01 10:00:00", u, "view", 1.0))
+    r = cuped_adjusted_lift(_events(spark, rows), cutover="2024-02-15").collect()[0]
+    # brute force (note: users with yv=0 get an extra post view event;
+    # x counts only pre-cutover events)
+    xs = {u: x for u, (x, _) in users.items()}
+    ys = {u: int(yv * 100) for u, (_, yv) in users.items()}
+    a = {u for u in users if bucket(u) < 50}
+    n, n_a = len(users), len(a)
+    sx, sy = sum(xs.values()), sum(ys.values())
+    sxx = n * sum(v * v for v in xs.values()) - sx * sx
+    sxy = n * sum(xs[u] * ys[u] for u in users) - sx * sy
+    sy_a = sum(ys[u] for u in a)
+    sx_a = sum(xs[u] for u in a)
+    n_b = n - n_a
+    adj = (sy_a * n_b - (sy - sy_a) * n_a) * sxx - (sx_a * n_b - (sx - sx_a) * n_a) * sxy
+    assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+    assert r["sxx_str"] == str(sxx) and r["sxy_str"] == str(sxy)
+    assert r["adj_num_str"] == str(adj)
+    assert r["adj_sign"] == (1 if adj > 0 else -1 if adj < 0 else 0)
+    # the identity: theta = sxy/sxx; adjusted diff sign must flip when
+    # we conceptually remove the adjustment only if signs differ — just
+    # pin the Fraction arithmetic agrees with the emitted numerator
+    if sxx:
+        theta = Fraction(sxy, sxx)
+        lhs = Fraction(sy_a, n_a) - Fraction(sy - sy_a, n_b) - theta * (
+            Fraction(sx_a, n_a) - Fraction(sx - sx_a, n_b)
+        )
+        assert (lhs > 0) == (adj > 0) and (lhs < 0) == (adj < 0)
