@@ -4885,6 +4885,12 @@ def q_stream_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L223: duplicate-cluster size histogram — the one-look dedup
+    report (llm/dedup.py dup_cluster_sizes)."""
+    return dd.dup_cluster_sizes(_aug_docs(spark, sf_dir))
+
+
 def q_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L222: CUPED variance-reduced experiment readout — pooled
     regression adjustment carried as exact cross-multiplied integer
@@ -5157,6 +5163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_minhash_accuracy": q_minhash_accuracy,
         "maef_burstiness": q_burstiness,
         "maef_cuped_lift": q_cuped_lift,
+        "llm_dup_cluster_sizes": q_dup_cluster_sizes,
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,

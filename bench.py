@@ -89,6 +89,8 @@ CHECKPOINT_HEAVY = {
     "llm_label_purity",
     # streaming state materialization + serving-side checkpoint
     "maef_stream_srm",
+    # cluster-size histogram reruns minhash + CC (checkpointed)
+    "llm_dup_cluster_sizes",
     # not heavy itself (1.5-2.6 s standalone) but sits downstream of
     # the survivors double-run and measured 13 s in-suite — the same
     # one-sided victim profile as maef_shapley (r04b)

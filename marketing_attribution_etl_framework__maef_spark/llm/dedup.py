@@ -876,3 +876,29 @@ def minhash_accuracy(
         F.sum("inter_size").cast("long").alias("sum_inter"),
         F.sum("union_size").cast("long").alias("sum_union"),
     )
+
+
+def dup_cluster_sizes(docs: DataFrame) -> DataFrame:
+    """Duplicate-cluster size histogram — the one-look dedup report
+    ("how much of the corpus is pairwise noise vs mass duplication"):
+    cluster the near-dup pairs, then count clusters per size.
+
+    Output: (cluster_size, n_clusters, n_docs) with n_docs =
+    cluster_size * n_clusters (the doc mass in that size class).
+
+    Scale: rides the pair graph (never the corpus); two bounded
+    aggregates after clustering.
+    """
+    clusters = cluster_duplicates(minhash_dedup_pairs(docs))
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        )
+    )

@@ -5591,6 +5591,20 @@ FROM j JOIN surv s USING (cluster_id)
 """,
 )
 assert _ORACLE_DEDUP_SURVIVORS != _ORACLE_DEDUP_CLUSTERS, "survivor tail splice failed"
+
+# L223 cluster-size histogram: the same splice device — clusters CTE +
+# a double aggregate.
+_ORACLE_DUP_CLUSTER_SIZES = _ORACLE_DEDUP_CLUSTERS.replace(
+    _DC_TAIL,
+    """,
+cl AS (SELECT doc_id, MIN(cluster_id) AS cluster_id FROM walk GROUP BY doc_id),
+sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM cl GROUP BY 1)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1
+""",
+)
+assert _ORACLE_DUP_CLUSTER_SIZES != _ORACLE_DEDUP_CLUSTERS, "sizes tail splice failed"
 # splice point is after walk's closing paren: ')\n,' is valid only if the
 # replacement starts by extending the WITH list — it does (leading comma).
 
@@ -5738,6 +5752,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_minhash_accuracy": _ORACLE_MINHASH_ACCURACY,
         "maef_burstiness": _ORACLE_BURSTINESS,
         "maef_cuped_lift": _ORACLE_CUPED,
+        "llm_dup_cluster_sizes": _ORACLE_DUP_CLUSTER_SIZES,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,

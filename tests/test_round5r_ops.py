@@ -564,3 +564,21 @@ def test_cuped_brute_force_numerators(spark):
             Fraction(sx_a, n_a) - Fraction(sx - sx_a, n_b)
         )
         assert (lhs > 0) == (adj > 0) and (lhs < 0) == (adj < 0)
+
+
+def test_dup_cluster_sizes_histogram(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm.dedup import dup_cluster_sizes
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " iota"),
+            (3, base + " kappa"),  # 1,2,3 -> one cluster of 3
+            (7, "unrelated totally different content words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["cluster_size"]: r for r in dup_cluster_sizes(docs).collect()}
+    assert out[3]["n_clusters"] == 1 and out[3]["n_docs"] == 3
+    assert set(out) == {3}  # the singleton never enters the pair graph
