@@ -65,13 +65,16 @@ def mmr_select(embeddings: DataFrame, k: int = 5) -> DataFrame:
             score = (F.col("rel") - pen).alias("mmr_score")
         else:
             score = F.col("rel").alias("mmr_score")
-        top = (
+        rows_top = (
             cand.filter(~F.col("vec_id").isin([vid for vid, _ in selected]))
             .select("vec_id", "qv", "rel", score)
             .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows_top:  # k exceeded the candidate pool: stop early
+            break
+        top = rows_top[0]
         selected.append((top["vec_id"], list(top["qv"])))
         rows.append((j, int(top["vec_id"]), int(top["rel"]), int(top["mmr_score"])))
     return spark.createDataFrame(

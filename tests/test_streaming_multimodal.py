@@ -365,3 +365,28 @@ def test_stream_reach_exact_across_microbatch_splits(spark, sf_dir, tmp_path):
         for r in reach_curve(domain.load_table(spark, sf_dir, "events")).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_srm_state_is_microbatch_order_free(spark, sf_dir, tmp_path):
+    """The streaming SRM's per-user state is a count aggregate —
+    order-independent — so the user SET it yields must equal the batch
+    distinct-user set under any micro-batch slicing."""
+    src = _stage_stream_files(spark, sf_dir, str(tmp_path))
+    events = stream_events(spark, src, max_files_per_trigger=1)
+    q = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .writeStream.format("memory")
+        .queryName("srm_state_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["user_id"] for r in spark.table("srm_state_test").collect()}
+    spark.catalog.dropTempView("srm_state_test")
+    want = {
+        r["user_id"]
+        for r in domain.load_table(spark, sf_dir, "events").select("user_id").distinct().collect()
+    }
+    assert got == want and len(want) > 0
