@@ -4885,6 +4885,22 @@ def q_stream_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L224: video frame-sampling plumbing, value-checked — evenly
+    spaced byte-window frames over the binary payload
+    (llm/multimodal.py sample_frames), carried as (md5, length) so the
+    DuckDB oracle hash-compares the slicing end to end (document text
+    is ASCII, so SQL substr == payload byte slices)."""
+    media = mm.attach_binary(_docs(spark, sf_dir))
+    fr = mm.sample_frames(media, n_frames=4, frame_bytes=16)
+    return fr.select(
+        "doc_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.md5("frame").alias("frame_md5"),
+        F.octet_length("frame").cast("long").alias("frame_len"),
+    )
+
+
 def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L223: duplicate-cluster size histogram — the one-look dedup
     report (llm/dedup.py dup_cluster_sizes)."""
@@ -5164,6 +5180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_burstiness": q_burstiness,
         "maef_cuped_lift": q_cuped_lift,
         "llm_dup_cluster_sizes": q_dup_cluster_sizes,
+        "llm_multimodal_frames": q_multimodal_frames,
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,

@@ -5401,6 +5401,26 @@ SELECT n_users, n_a, n_b,
 FROM a
 """
 
+# L224 frame sampling: evenly spaced byte windows; the offset double
+# product is one IEEE multiply in both engines, FLOOR mirrors Spark's
+# positive long cast; ASCII text makes SQL substr == payload bytes.
+_ORACLE_MM_FRAMES = """
+WITH media AS (
+  SELECT doc_id, text, LENGTH(text) AS n
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+         CAST(FLOOR(i * greatest((n - 16) / 4.0, 0)) AS BIGINT) + 1 AS off,
+         text
+  FROM media, (SELECT unnest(range(0, 4)) AS i) ii
+)
+SELECT doc_id, frame_no,
+       md5(substr(text, CAST(off AS INT), 16)) AS frame_md5,
+       CAST(LENGTH(substr(text, CAST(off AS INT), 16)) AS BIGINT) AS frame_len
+FROM fr
+"""
+
 # L222 CUPED: cross-multiplied adjusted-lift numerator, theta never
 # materializes; wide integers ship as decimal strings.
 _ORACLE_CUPED = f"""
@@ -5753,6 +5773,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_burstiness": _ORACLE_BURSTINESS,
         "maef_cuped_lift": _ORACLE_CUPED,
         "llm_dup_cluster_sizes": _ORACLE_DUP_CLUSTER_SIZES,
+        "llm_multimodal_frames": _ORACLE_MM_FRAMES,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,
