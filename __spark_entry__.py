@@ -4885,6 +4885,39 @@ def q_stream_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def q_mde_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L225: experiment power planning — MDE^2 as an exact rational
+    (z constant as 784896256/10^8; SRM device), plus the q20 half-up
+    (operators/experiments.py mde_components)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import experiments as xpr
+
+    return xpr.mde_components(domain.events(spark, sf_dir))
+
+
+def q_conversion_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L226: conversion velocity — exact PERCENTILE_DISC(0.5/0.9) of
+    the first-touch->conversion lag (integer microseconds) per
+    first-touch channel, reusing the exact rank-window percentile
+    kernel (operators/quantiles.py percentile_disc)."""
+    from pyspark.sql import Window as _W
+
+    from marketing_attribution_etl_framework__maef_spark.operators import quantiles as qtl
+
+    j = _journeys(spark, sf_dir)
+    w = _W.partitionBy("conversion_id").orderBy("event_ts", "session_id")
+    firsts = (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("channel_label").alias("channel"),
+            F.expr("timestampdiff(MICROSECOND, event_ts, conv_ts)")
+            .cast("long")
+            .alias("lag_us"),
+        )
+    )
+    return qtl.percentile_disc(firsts, ["channel"], "lag_us", [0.5, 0.9])
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L224: video frame-sampling plumbing, value-checked — evenly
     spaced byte-window frames over the binary payload
@@ -5181,6 +5214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_cuped_lift": q_cuped_lift,
         "llm_dup_cluster_sizes": q_dup_cluster_sizes,
         "llm_multimodal_frames": q_multimodal_frames,
+        "maef_mde_components": q_mde_components,
+        "maef_conversion_velocity": q_conversion_velocity,
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,

@@ -265,3 +265,71 @@ def cuped_adjusted_lift(events: DataFrame, cutover: str, salt: str = "ab") -> Da
         adj.cast("string").alias("adj_num_str"),
         F.when(adj > 0, 1).when(adj < 0, -1).otherwise(0).cast("long").alias("adj_sign"),
     )
+
+
+def mde_components(events: DataFrame, salt: str = "ab") -> DataFrame:
+    """Experiment power planning: the minimum-detectable-effect (MDE)
+    of the 50/50 conversion-rate test as an EXACT RATIONAL —
+
+        mde^2 = (z_{a/2} + z_b)^2 * 2 * p(1-p) * (1/n_a + 1/n_b)
+
+    with alpha=.05 / power=.8, so (1.96 + 0.8416)^2 = 2.8016^2 =
+    784896256/10^8 exactly (the SRM device: the z constant enters as
+    an exact rational, never a float).  With p = c/n:
+
+        mde2_num = 784896256 * 2 * c * (n-c) * (n_a + n_b)
+        mde2_den = 10^8 * n^2 * n_a * n_b
+
+    Output: 1 row (n_users, n_a, n_b, n_converters, mde2_num_str,
+    mde2_den_str, mde2_q20) — the q20 is the exact half-up of the
+    rational; take a square root downstream to read the MDE itself.
+
+    Scale: one distinct-user aggregate with conditional counts.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|" + salt))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    per_user = events.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("_cv")
+    ).withColumn("_a", (bucket < 50).cast("long"))
+    agg = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("_a").cast("long").alias("n_a"),
+        F.sum("_cv").cast("long").alias("n_converters"),
+    ).select(
+        "n_users",
+        "n_a",
+        (F.col("n_users") - F.col("n_a")).cast("long").alias("n_b"),
+        "n_converters",
+    )
+    num = F.expr(
+        "cast(784896256 as decimal(38,0)) * 2 * n_converters"
+        " * (n_users - n_converters) * (n_a + n_b)"
+    )
+    den = F.expr(
+        "cast(100000000 as decimal(38,0)) * n_users * n_users * n_a * n_b"
+    )
+    return agg.select(
+        "n_users",
+        "n_a",
+        "n_b",
+        "n_converters",
+        num.cast("string").alias("mde2_num_str"),
+        den.cast("string").alias("mde2_den_str"),
+        F.expr(
+            "cast((2 * cast(784896256 as decimal(38,0)) * 2 * n_converters"
+            " * (n_users - n_converters) * (n_a + n_b) * 1048576"
+            " + cast(100000000 as decimal(38,0)) * n_users * n_users * n_a * n_b)"
+            " div (2 * cast(100000000 as decimal(38,0)) * n_users * n_users * n_a * n_b)"
+            " as bigint)"
+        ).alias("mde2_q20"),
+    )

@@ -5401,6 +5401,59 @@ SELECT n_users, n_a, n_b,
 FROM a
 """
 
+# L225 MDE planning: the z constant enters as the exact rational
+# 784896256/10^8 (= 2.8016^2); everything else is counts.
+_ORACLE_MDE = """
+WITH pu AS MATERIALIZED (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cv,
+         CASE WHEN (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|ab'), 1, 15) AS BIGINT)
+                    % 100) < 50 THEN 1 ELSE 0 END AS a
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(a) AS BIGINT) AS n_a,
+         CAST(SUM(cv) AS BIGINT) AS n_converters
+  FROM pu
+),
+f AS (
+  SELECT n_users, n_a, n_users - n_a AS n_b, n_converters,
+         CAST(784896256 AS HUGEINT) * 2 * n_converters
+           * (n_users - n_converters) * n_users AS num,
+         CAST(100000000 AS HUGEINT) * n_users * n_users
+           * n_a * (n_users - n_a) AS den
+  FROM m
+)
+SELECT n_users, n_a, n_b, n_converters,
+       CAST(num AS VARCHAR) AS mde2_num_str,
+       CAST(den AS VARCHAR) AS mde2_den_str,
+       CAST((2 * num * 1048576 + den) // (2 * den) AS BIGINT) AS mde2_q20
+FROM f
+"""
+
+# L226 conversion velocity: exact PERCENTILE_DISC over the first-touch
+# lag per channel (rank == ceil(p * n), the quantiles-kernel contract).
+_ORACLE_CONVERSION_VELOCITY = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+firsts AS (
+  SELECT channel_label AS channel,
+         CAST(date_diff('microsecond', event_ts, conv_ts) AS BIGINT) AS lag_us
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY conversion_id
+                                     ORDER BY event_ts, session_id) AS rn
+        FROM journeys)
+  WHERE rn = 1
+),
+ranked AS (
+  SELECT channel, lag_us,
+         ROW_NUMBER() OVER (PARTITION BY channel ORDER BY lag_us) AS rn,
+         COUNT(*) OVER (PARTITION BY channel) AS n
+  FROM firsts
+)
+SELECT channel, p, lag_us
+FROM ranked, (SELECT unnest([0.5e0, 0.9e0]) AS p) pp
+WHERE rn = CAST(ceil(p * n) AS BIGINT)
+"""
+
 # L224 frame sampling: evenly spaced byte windows; the offset double
 # product is one IEEE multiply in both engines, FLOOR mirrors Spark's
 # positive long cast; ASCII text makes SQL substr == payload bytes.
@@ -5774,6 +5827,8 @@ def oracle_sql() -> dict[str, str]:
         "maef_cuped_lift": _ORACLE_CUPED,
         "llm_dup_cluster_sizes": _ORACLE_DUP_CLUSTER_SIZES,
         "llm_multimodal_frames": _ORACLE_MM_FRAMES,
+        "maef_mde_components": _ORACLE_MDE,
+        "maef_conversion_velocity": _ORACLE_CONVERSION_VELOCITY,
         "maef_channel_report_replicate": _ORACLE_REPORT_REPLICATE,
         "maef_journey_paths": _ORACLE_JOURNEY_PATHS,
         "maef_chunk_assignment": _ORACLE_CHUNKS,

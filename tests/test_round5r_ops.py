@@ -582,3 +582,47 @@ def test_dup_cluster_sizes_histogram(spark):
     out = {r["cluster_size"]: r for r in dup_cluster_sizes(docs).collect()}
     assert out[3]["n_clusters"] == 1 and out[3]["n_docs"] == 3
     assert set(out) == {3}  # the singleton never enters the pair graph
+
+
+def test_mde_components_exact_rational(spark):
+    import hashlib
+
+    from marketing_attribution_etl_framework__maef_spark.operators.experiments import (
+        mde_components,
+    )
+
+    # 6 users, 2 converters
+    rows, eid = [], 0
+    for u in range(1, 7):
+        eid += 1
+        rows.append((eid, "2024-01-01 10:00:00", u, "click", 1.0))
+    for u in (2, 5):
+        eid += 1
+        rows.append((eid, "2024-01-02 10:00:00", u, "purchase", 5.0))
+    r = mde_components(_events(spark, rows)).collect()[0]
+    n, c = 6, 2
+    n_a = sum(
+        1
+        for u in range(1, 7)
+        if int(hashlib.md5(f"{u}|ab".encode()).hexdigest()[:15], 16) % 100 < 50
+    )
+    n_b = n - n_a
+    num = 784896256 * 2 * c * (n - c) * (n_a + n_b)
+    den = 100000000 * n * n * n_a * n_b
+    assert (r["n_users"], r["n_a"], r["n_b"], r["n_converters"]) == (n, n_a, n_b, c)
+    assert r["mde2_num_str"] == str(num) and r["mde2_den_str"] == str(den)
+    assert r["mde2_q20"] == (2 * num * (1 << 20) + den) // (2 * den)
+
+
+def test_conversion_velocity_exact_percentiles(spark):
+    """p50/p90 of the first-touch lag per channel on a handmade set of
+    5 conversions with known lags."""
+    from marketing_attribution_etl_framework__maef_spark.operators import quantiles as qtl
+
+    lags = [10, 20, 30, 40, 50]
+    df = spark.createDataFrame(
+        [("c", v) for v in lags], "channel string, lag_us long"
+    )
+    out = {r["p"]: r["lag_us"] for r in qtl.percentile_disc(df, ["channel"], "lag_us", [0.5, 0.9]).collect()}
+    # ceil(0.5*5)=3 -> 30; ceil(0.9*5)=5 -> 50
+    assert out[0.5] == 30 and out[0.9] == 50
