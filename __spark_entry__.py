@@ -5102,68 +5102,16 @@ def q_norm_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
-    # registry entries per round.  r05 rotation (VERDICT r04 next-steps #1): the
-    # 28 entries that have NEVER received a driver row (round-4b overflow +
-    # all 22 round-4c ops, positions 50-77 last round) lead, followed by the
-    # 22 r05 additions — exactly filling the 50-slot window (zero stale-fill;
-    # any r05 operator added beyond these sits after the long-green marker as
-    # the documented r06 queue).  Once CORRECTNESS_r05 lands green, EVERY
-    # entry registered before this round has a driver row.  Everything after
-    # the long-green marker has a green row in r01-r04.
+    # registry entries per round.  r06 rotation (VERDICT r05 next-steps #1):
+    # the 50 entries that have NEVER received a driver row fill the window
+    # EXACTLY, oldest first — the 9-entry r05-era queue, the 12 late-r05
+    # additions, then the 29 round-5-rerun additions.  No stale-fill.  Once
+    # CORRECTNESS_r06 lands green, EVERY entry registered before this round
+    # has a driver row.  The freshly-green r05 window rotates directly behind
+    # them; any r06 additions land after the r07-queue marker (they must NOT
+    # jump the queue this round).  Everything after has a green row r01-r05.
     return {
-        # --- r05 gate window part 1: the 28 never-driver-checked entries ---
-        "rel_min_cost_supplier": q_rel_min_cost_supplier,
-        "rel_important_parts": q_rel_important_parts,
-        "rel_part_promotion": q_rel_part_promotion,
-        "rel_forecast_revenue": q_rel_forecast_revenue,
-        "maef_scd2_lookup": q_scd2_lookup,
-        "rel_priority_lines": q_rel_priority_lines,
-        "maef_rfm_segments": q_rfm_segments,
-        "maef_survival_km": q_survival_km,
-        "rel_basket_pairs": q_rel_basket_pairs,
-        "maef_robust_stats": q_robust_channel_stats,
-        "llm_pack_sequences": q_pack_sequences,
-        "maef_bandit_ucb": q_bandit_ucb,
-        "rel_triangle_count": q_rel_triangle_count,
-        "maef_stratified_sample": q_stratified_sample,
-        "llm_embed_quantize": q_embed_quantize,
-        "maef_path_motifs": q_path_motifs,
-        "rel_item_recs": q_rel_item_recs,
-        "llm_nb_langid": q_nb_langid,
-        "maef_benford_screen": q_benford_screen,
-        "maef_stream_enrich": q_stream_enrich,
-        "llm_greedy_coverage": q_greedy_coverage,
-        "maef_isotonic_calibration": q_isotonic_calibration,
-        "maef_cusum_changepoint": q_cusum_changepoint,
-        "llm_hashed_features": q_hashed_features,
-        "rel_kcore": q_rel_kcore,
-        "maef_weighted_median": q_weighted_median,
-        "maef_sequence_patterns": q_sequence_patterns,
-        "maef_pseudonymize": q_pseudonymize,
-        # --- r05 additions land here (inside the window) ---
-        "maef_pipeline_e2e": q_pipeline_e2e,
-        "maef_gini_channel": q_gini_channel,
-        "maef_wilson_rates": q_wilson_rates,
-        "maef_did_lift": q_did_lift,
-        "maef_ewma_forecast": q_ewma_forecast,
-        "maef_seasonal_naive": q_seasonal_naive,
-        "rel_grouping_sets": q_rel_grouping_sets,
-        "maef_skyline_days": q_skyline_days,
-        "rel_label_propagation": q_label_propagation,
-        "llm_bigram_surprisal": q_bigram_surprisal,
-        "llm_temperature_mix": q_temperature_mix,
-        "llm_random_projection": q_random_projection,
-        "maef_raking_ipf": q_raking_ipf,
-        "maef_top_paths": q_top_paths,
-        "maef_user_mix_entropy": q_user_mix_entropy,
-        "maef_peak_concurrency": q_peak_concurrency,
-        "maef_channel_correlation": q_channel_correlation,
-        "llm_tokenizer_fertility": q_tokenizer_fertility,
-        "llm_source_signature_terms": q_source_signature_terms,
-        "rel_rollup": q_rel_rollup,
-        "maef_cohort_ltv": q_cohort_ltv,
-        "llm_ct_langid": q_ct_langid,
-        # --- long-green below (r06 queue starts here): rows in r01-r04 ---
+        # --- r06 gate window part 1: the 9-entry r05-era queue ---
         "llm_ann_int8_rerank": q_ann_int8_rerank,
         "maef_stream_topk_channels": q_stream_topk_channels,
         "maef_user_export": q_user_export,
@@ -5173,7 +5121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_zipf_slope": q_zipf_slope,
         "maef_frequency_capping": q_frequency_capping,
         "maef_adstock_hill": q_adstock_hill,
-        # --- r06 additions (driver-unchecked; lead the r07 window) ---
+        # --- r06 gate window part 2: the 12 late-r05 additions ---
         "maef_reach_curve": q_reach_curve,
         "maef_conversion_lag": q_conversion_lag,
         "maef_position_credit": q_position_credit,
@@ -5186,7 +5134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_channel_synergy": q_channel_synergy,
         "llm_cross_source_dup": q_cross_source_dup,
         "llm_hapax_docs": q_hapax_docs,
-        # --- round-5-rerun additions (driver-unchecked; queue for next window) ---
+        # --- r06 gate window part 3: the 29 round-5-rerun additions ---
         "maef_dayparting": q_dayparting,
         "maef_new_vs_returning": q_new_vs_returning,
         "maef_mann_kendall": q_mann_kendall,
@@ -5216,6 +5164,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_multimodal_frames": q_multimodal_frames,
         "maef_mde_components": q_mde_components,
         "maef_conversion_velocity": q_conversion_velocity,
+        # --- r06 additions land BELOW (r07 queue; driver-unchecked) ---
+        # --- freshly-green r05 window (CORRECTNESS_r05, 50/50) rotates here ---
+        "rel_min_cost_supplier": q_rel_min_cost_supplier,
+        "rel_important_parts": q_rel_important_parts,
+        "rel_part_promotion": q_rel_part_promotion,
+        "rel_forecast_revenue": q_rel_forecast_revenue,
+        "maef_scd2_lookup": q_scd2_lookup,
+        "rel_priority_lines": q_rel_priority_lines,
+        "maef_rfm_segments": q_rfm_segments,
+        "maef_survival_km": q_survival_km,
+        "rel_basket_pairs": q_rel_basket_pairs,
+        "maef_robust_stats": q_robust_channel_stats,
+        "llm_pack_sequences": q_pack_sequences,
+        "maef_bandit_ucb": q_bandit_ucb,
+        "rel_triangle_count": q_rel_triangle_count,
+        "maef_stratified_sample": q_stratified_sample,
+        "llm_embed_quantize": q_embed_quantize,
+        "maef_path_motifs": q_path_motifs,
+        "rel_item_recs": q_rel_item_recs,
+        "llm_nb_langid": q_nb_langid,
+        "maef_benford_screen": q_benford_screen,
+        "maef_stream_enrich": q_stream_enrich,
+        "llm_greedy_coverage": q_greedy_coverage,
+        "maef_isotonic_calibration": q_isotonic_calibration,
+        "maef_cusum_changepoint": q_cusum_changepoint,
+        "llm_hashed_features": q_hashed_features,
+        "rel_kcore": q_rel_kcore,
+        "maef_weighted_median": q_weighted_median,
+        "maef_sequence_patterns": q_sequence_patterns,
+        "maef_pseudonymize": q_pseudonymize,
+        "maef_pipeline_e2e": q_pipeline_e2e,
+        "maef_gini_channel": q_gini_channel,
+        "maef_wilson_rates": q_wilson_rates,
+        "maef_did_lift": q_did_lift,
+        "maef_ewma_forecast": q_ewma_forecast,
+        "maef_seasonal_naive": q_seasonal_naive,
+        "rel_grouping_sets": q_rel_grouping_sets,
+        "maef_skyline_days": q_skyline_days,
+        "rel_label_propagation": q_label_propagation,
+        "llm_bigram_surprisal": q_bigram_surprisal,
+        "llm_temperature_mix": q_temperature_mix,
+        "llm_random_projection": q_random_projection,
+        "maef_raking_ipf": q_raking_ipf,
+        "maef_top_paths": q_top_paths,
+        "maef_user_mix_entropy": q_user_mix_entropy,
+        "maef_peak_concurrency": q_peak_concurrency,
+        "maef_channel_correlation": q_channel_correlation,
+        "llm_tokenizer_fertility": q_tokenizer_fertility,
+        "llm_source_signature_terms": q_source_signature_terms,
+        "rel_rollup": q_rel_rollup,
+        "maef_cohort_ltv": q_cohort_ltv,
+        "llm_ct_langid": q_ct_langid,
+        # --- long-green below: rows in r01-r04 ---
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,
