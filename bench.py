@@ -150,6 +150,7 @@ def main() -> None:
     # plan, not the one-time cache fill every later query benefits from.
     domain.clear_events_cache()
     entrymod._JOURNEYS_CACHE.clear()  # warm-dir checkpoint blocks
+    entrymod._NEARDUP_BANDS_CACHE.clear()
     spark.catalog.clearCache()
     _drain(spark)
     domain.events(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -160,6 +161,10 @@ def main() -> None:
     entrymod._journeys(spark, sf_dir).write.format("noop").mode("overwrite").save()
     entrymod._basket_pairs(spark, sf_dir).write.format("noop").mode("overwrite").save()
     entrymod._bpe_encode(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # staged ingest-side corpus band table (VERDICT r05 perf #1): the
+    # one-time corpus shingle+minhash build should not be charged to
+    # llm_neardup_incremental's steady-state number
+    entrymod._neardup_corpus_bands(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for i, (name, fn) in enumerate(queries.items()):

@@ -622,6 +622,28 @@ def incremental_dedup(
     )
 
 
+def document_bands(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """(id, band, key) LSH band rows for a document set — the staged
+    ingest-side artifact of ``incremental_neardup_pairs``: in
+    production this is written ONCE as a table bucketed on (band, key)
+    and every later batch joins against it without re-shingling the
+    corpus."""
+    norm = normalize_text(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col), F.explode(word_shingles(words(norm), k)).alias("shingle")
+    )
+    sigs = minhash_signatures(exploded, id_col, "shingle", num_hashes)
+    return lsh_bands(sigs, id_col, bands, rows_per_band)
+
+
 def incremental_neardup_pairs(
     batch: DataFrame,
     corpus: DataFrame,
@@ -633,6 +655,7 @@ def incremental_neardup_pairs(
     rows_per_band: int = ROWS_PER_BAND,
     jaccard_num: int = 1,
     jaccard_den: int = 2,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate SEARCH of a new batch against an existing corpus
     — the ingest-time twin of ``minhash_dedup_pairs``: LSH bands are
@@ -646,21 +669,19 @@ def incremental_neardup_pairs(
     as bucketed tables keyed on (band, key), so each new batch pays
     O(|batch| x signature cost) plus a join that touches only the
     band buckets the batch actually hits — per-ingest cost independent
-    of corpus size. Here both sides are derived inline because the
-    harness has no persistent warehouse between queries; the call
-    structure (two independent inputs, no self-join) is the part that
-    matters.
+    of corpus size. Pass the staged corpus bands via ``corpus_bands``
+    (a bucketed table in production, a per-session localCheckpoint in
+    the bench — VERDICT r05 perf #1); when omitted they are derived
+    inline from ``corpus``, identical math either way.
     """
-    def _bands_for(docs: DataFrame) -> DataFrame:
-        norm = normalize_text(F.col(text_col))
-        exploded = docs.select(
-            F.col(id_col), F.explode(word_shingles(words(norm), k)).alias("shingle")
-        )
-        sigs = minhash_signatures(exploded, id_col, "shingle", num_hashes)
-        return lsh_bands(sigs, id_col, bands, rows_per_band)
-
-    b = _bands_for(batch).select("band", "key", F.col(id_col).alias("doc_b"))
-    c = _bands_for(corpus).select("band", "key", F.col(id_col).alias("doc_a"))
+    b = document_bands(batch, text_col, id_col, k, num_hashes, bands, rows_per_band).select(
+        "band", "key", F.col(id_col).alias("doc_b")
+    )
+    c = (
+        corpus_bands
+        if corpus_bands is not None
+        else document_bands(corpus, text_col, id_col, k, num_hashes, bands, rows_per_band)
+    ).select("band", "key", F.col(id_col).alias("doc_a"))
     cands = (
         c.join(b, on=["band", "key"], how="inner").select("doc_a", "doc_b").distinct().localCheckpoint()
     )

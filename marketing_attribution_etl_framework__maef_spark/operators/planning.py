@@ -339,12 +339,22 @@ def theil_sen_slope(events: DataFrame) -> DataFrame:
     off the outlier days that wreck the OLS slope (volume_response /
     ols_trend).
 
-    Median selection is the repo's exact lower-median device: order
-    pairs by (slope-as-double, dy, dx, d1, d2) — the double division
-    is ONE IEEE op both engines perform identically, and the integer
-    tiebreak makes the order total — then take row (n+1) div 2.  The
-    reported slope is the exact q20 of the chosen pair's RATIONAL
-    dy/dx via the signed half-away-from-zero integer device
+    Median selection orders pairs by (slope-as-double, dy, dx, d1,
+    d2) and takes row (n+1) div 2.  The double-keyed order is PART OF
+    THIS OPERATOR'S DEFINITION (ADVICE r05): the division is ONE IEEE
+    op both engines perform identically, so the order is total and
+    cross-engine deterministic — but two distinct rationals that
+    collide in double (possible above ~2^53 in |dy| or between
+    near-equal slopes differing past the 53rd bit) are ordered by the
+    integer tiebreak rather than exact value, so the selected "lower
+    median" may then sit one adjacent element off the true rational
+    median.  At the daily-count grain (|dy| < 2^40ish) collisions
+    require genuinely equal slopes, where the tiebreak is harmless;
+    callers needing the exact rational median at extreme magnitudes
+    should sort by integer cross-multiplication instead (O(n^2)
+    comparator — not windowable, hence not the default).  The
+    reported slope IS exact: q20 of the chosen pair's RATIONAL dy/dx
+    via the signed half-away-from-zero integer device
     (+-(2*|dy|*2^20 + dx) div (2*dx)) — no float in the output.
 
     Output: (channel, n_pairs, dy, dx, slope_q20).
@@ -394,7 +404,7 @@ def theil_sen_slope(events: DataFrame) -> DataFrame:
     )
 
 
-def mix_response_ols2(events: DataFrame) -> DataFrame:
+def mix_response_ols2(events: DataFrame, emit_q20: bool = True) -> DataFrame:
     """Two-regressor media-mix OLS per channel PAIR: for every
     unordered pair (a, b), fit daily purchase cents on both channels'
     daily session volumes (with intercept) over the dense day spine,
@@ -409,13 +419,28 @@ def mix_response_ols2(events: DataFrame) -> DataFrame:
     once channel b is controlled for" — single-regressor slopes
     (volume_response_ols) double-count correlated flights.
 
-    Widest intermediate: (Cay*Cbb)*2^20 — at <=10^4 days, <=10^6
-    sessions/day, <=10^9 cents/day that is ~10^(13+10+6) = 10^29,
-    inside DECIMAL(38,0)/HUGEINT (overflow-headroom rule: the sf bound
-    is documented, not assumed).
+    Headroom (ADVICE r05 corrected derivation): with D days, X max
+    sessions/day, Y max purchase cents/day the moments bound as
+    |caa|,|cbb|,|cab| <= D^2*X^2 and |cay|,|cby| <= D^2*X*Y, so the
+    widest q20-path intermediate 2*|cay*cbb - cby*cab|*2^20 + det is
+    <= ~2^22 * D^4*X^3*Y.  DECIMAL(38,0)/HUGEINT therefore require
 
-    Output: (channel_a, channel_b, n_days, det, b1_q20, b2_q20);
-    collinear pairs (det = 0) drop out.
+        D^4 * X^3 * Y  <=  ~2.4e31
+
+    e.g. one year (D=365, D^4~1.8e10) at X=1e4 sessions/day leaves
+    Y <= ~1.3e9 cents/day ($13M/day) — fine for a single property,
+    NOT fine for 10^4 days x 10^6 sessions x 10^9 cents (that needs
+    ~1e49).  Beyond the bound, call with ``emit_q20=False``: the
+    coefficients ship as exact decimal strings (b1_num_str,
+    b2_num_str over det_str — the cuped_adjusted_lift adj_num_str
+    device), whose widest value is the numerator itself (~D^4*X^3*Y,
+    no 2^21 blow-up) and which Spark computes in DECIMAL(38,0) up to
+    ~1e38 — consumers divide at whatever precision they need.
+
+    Output (emit_q20=True):  (channel_a, channel_b, n_days, det_str,
+    b1_q20, b2_q20); (emit_q20=False): (channel_a, channel_b, n_days,
+    det_str, b1_num_str, b2_num_str).  Collinear pairs (det = 0) drop
+    out.
 
     Scale: raw events reduce to the (channel x day) grain map-side;
     the pair join and the 9-moment reduce run on that bounded grain.
@@ -491,11 +516,23 @@ def mix_response_ols2(events: DataFrame) -> DataFrame:
         F.expr("cast(n_days as decimal(38,0)) * say - sa * sy").alias("cay"),
         F.expr("cast(n_days as decimal(38,0)) * sby - sb * sy").alias("cby"),
     ).withColumn("det", F.expr("caa * cbb - cab * cab"))
+    kept = c.filter(F.col("det") != 0)
+    if not emit_q20:
+        # beyond-headroom scale path: exact numerators as strings, no
+        # 2^21 q20 blow-up (see docstring derivation)
+        return kept.select(
+            "channel_a",
+            "channel_b",
+            "n_days",
+            F.col("det").cast("decimal(38,0)").cast("string").alias("det_str"),
+            F.expr("cay * cbb - cby * cab").cast("string").alias("b1_num_str"),
+            F.expr("cby * caa - cay * cab").cast("string").alias("b2_num_str"),
+        )
     qdev = (
         "case when {num} >= 0 then (2 * ({num}) * 1048576 + det) div (2 * det)"
         " else -((2 * (-({num})) * 1048576 + det) div (2 * det)) end"
     )
-    return c.filter(F.col("det") != 0).select(
+    return kept.select(
         "channel_a",
         "channel_b",
         "n_days",

@@ -142,9 +142,13 @@ def bounce_rate(
     sessionizers above.
 
     Gap semantics match sessionize_batch/session_window (closed
-    interval: diff <= gap merges).  Output: (entry_channel,
-    n_sessions, n_bounces, bounce_q20) with the rate the exact q20 of
-    the rational bounces/sessions via (2a+b) div (2b) — no float.
+    interval: diff <= gap merges), and — ADVICE r05 — so does the
+    event population: purchases are filtered out BEFORE sessionizing,
+    exactly like the sessionizers this claims equivalence with, so a
+    purchase row can neither extend a session, flip its bounce flag,
+    nor appear as entry_channel.  Output: (entry_channel, n_sessions,
+    n_bounces, bounce_q20) with the rate the exact q20 of the
+    rational bounces/sessions via (2a+b) div (2b) — no float.
 
     Scale: one user-keyed window scan (the W2 sessionization shuffle),
     one (user, session) aggregate, one bounded channel aggregate.
@@ -152,7 +156,8 @@ def bounce_rate(
     gap_us = int(gap_minutes) * 60 * 1_000_000
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = (
-        events.select("user_id", "ts", "event_id", "event_type")
+        events.filter(F.col("event_type") != "purchase")
+        .select("user_id", "ts", "event_id", "event_type")
         .withColumn("_prev", F.lag("ts").over(w))
         .withColumn(
             "_brk",

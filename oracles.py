@@ -4362,8 +4362,9 @@ SELECT doc_id, lang AS pred_lang, score FROM (
 """
 
 
-_ORACLE_ANN_INT8_RERANK = """
-WITH ex AS MATERIALIZED (
+_ORACLE_ANN_INT8_RERANK = f"""
+WITH {_E_NORMED},
+ex AS MATERIALIZED (
   SELECT vec_id,
          CAST(unnest(embedding) AS DOUBLE) AS x,
          generate_subscripts(embedding, 1) AS d
@@ -4378,12 +4379,35 @@ cl AS MATERIALIZED (
               ORDER BY e.d) AS codes
   FROM ex e JOIN stats s USING (d) GROUP BY vec_id
 ),
-q AS (SELECT vec_id AS query_id, codes AS qcodes FROM cl WHERE vec_id % 50 = 7),
+cents AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cn FROM e WHERE vec_id < 8),
+ascored AS (
+  SELECT e.vec_id, c.centroid_id,
+         list_dot_product(e.v, c.cv) / (e.vn * c.cn) AS cs
+  FROM e, cents c
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, centroid_id AS cluster FROM ascored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) = 1
+),
+qscored AS (
+  SELECT q.query_id, c.centroid_id,
+         list_dot_product(q.qv, c.cv) / (q.qn * c.cn) AS cs
+  FROM (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM e WHERE vec_id % 50 = 7) q,
+       cents c
+),
+probes AS MATERIALIZED (
+  SELECT query_id, centroid_id AS cluster FROM qscored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, centroid_id) <= 2
+),
 pairs AS (
-  SELECT q.query_id, c.vec_id AS cand_id,
-         CAST(list_dot_product(q.qcodes, q.qcodes) + list_dot_product(c.codes, c.codes)
-              - 2 * list_dot_product(q.qcodes, c.codes) AS BIGINT) AS d2
-  FROM q, cl c WHERE q.query_id <> c.vec_id
+  SELECT p.query_id, a.vec_id AS cand_id,
+         CAST(list_dot_product(qc.codes, qc.codes) + list_dot_product(cc.codes, cc.codes)
+              - 2 * list_dot_product(qc.codes, cc.codes) AS BIGINT) AS d2
+  FROM probes p
+  JOIN assign a ON p.cluster = a.cluster
+  JOIN cl qc ON qc.vec_id = p.query_id
+  JOIN cl cc ON cc.vec_id = a.vec_id
+  WHERE p.query_id <> a.vec_id
 ),
 cands AS MATERIALIZED (
   SELECT query_id, cand_id FROM (
@@ -4409,7 +4433,8 @@ SELECT query_id, CAST(rk AS BIGINT) AS rnk, cand_id AS vec_id, cos_q20 FROM (
 
 
 _ORACLE_STREAM_TOPK = """
-WITH vol AS MATERIALIZED (
+WITH wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events),
+vol AS MATERIALIZED (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
            + to_hours(6 * (CAST(extract(hour FROM ts) AS INT) // 6)) AS window_start,
          event_type AS channel_name,
@@ -4423,7 +4448,12 @@ SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
              ORDER BY total_value_cents DESC, channel_name ASC) AS rk
-  FROM vol) WHERE rk <= 3
+  FROM vol
+  -- append-mode watermark eviction: only CLOSED windows are emitted
+  -- (window_end <= max ts - 1h, closed comparison pinned by
+  -- test_stream_topk_append_boundary)
+  WHERE window_start + INTERVAL 6 HOUR <= (SELECT w FROM wm)
+) WHERE rk <= 3
 """
 
 _ORACLE_USER_EXPORT = """
@@ -5199,7 +5229,9 @@ WITH marked AS MATERIALIZED (
                 OR date_diff('microsecond', LAG(ts) OVER w, ts) <= 1800000000
               THEN 0 ELSE 1 END AS brk,
          ROW_NUMBER() OVER w AS ord
-  FROM events
+  -- purchases are excluded BEFORE sessionizing (ADVICE r05), matching
+  -- sessionize_batch/sessionize_native's event population
+  FROM events WHERE event_type <> 'purchase'
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 grouped AS MATERIALIZED (
