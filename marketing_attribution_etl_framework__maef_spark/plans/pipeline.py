@@ -91,6 +91,70 @@ class AttributionPipeline:
     def export(self) -> DataFrame:
         return rpt.export_report(self.report())
 
+    # -- staged execution with per-stage restartability --------------------
+    STAGES = ("journeys", "attribution", "report")
+
+    def run_staged(self, warehouse: str, resume_from: str = "journeys") -> DataFrame:
+        """Task-granular execution against a scratch warehouse — the
+        reference's per-task retry semantics (``dags/ihc_api_dag.py:
+        40-54,87``: every Airflow task re-reads its inputs from the
+        SQLite handoff, so any task can be re-run alone).  Each stage
+        WRITES its output as a parquet table and downstream stages
+        READ the staged table, never the in-session lineage, so:
+
+        - killing the run between stages loses only the in-flight
+          stage (upstream tables survive on disk),
+        - ``resume_from="attribution"`` / ``"report"`` re-runs ONLY
+          that suffix over the checkpointed upstream outputs, and
+        - re-running a stage is idempotent (mode("overwrite") — the
+          MERGE-style exactly-once story is sources/io.py's
+          merge_upsert; here the unit of retry is the whole stage,
+          exactly like the reference's task).
+
+        Runtime checks are the same three as run_with_checks, applied
+        to the STAGED tables (a resume re-validates what it reads).
+        At 100 TB this is the shape you actually run: stage tables on
+        object storage, orchestrated retries at stage granularity, no
+        lineage longer than one stage — pinned by
+        tests/test_round6b_ops.py::test_pipeline_stage_restartability.
+        """
+        import os
+
+        order = {name: i for i, name in enumerate(self.STAGES)}
+        if resume_from not in order:
+            raise ValueError(f"resume_from must be one of {self.STAGES}")
+        start = order[resume_from]
+        jpath = os.path.join(warehouse, "journeys")
+        apath = os.path.join(warehouse, "attribution")
+        rpath = os.path.join(warehouse, "report")
+
+        if start <= 0:
+            self.journeys().write.mode("overwrite").parquet(jpath)
+        journeys = self.spark.read.parquet(jpath)
+        if journeys.limit(1).count() == 0:
+            raise ValueError("transform produced no journey entries")  # transform.py:264-265
+
+        if start <= 1:
+            attr.attribute(journeys, self.cfg.model).write.mode("overwrite").parquet(apath)
+        attribution = self.spark.read.parquet(apath)
+        total = attribution.agg(F.sum("ihc")).first()[0] or 0.0
+        if total <= 0:
+            raise ValueError("total ihc <= 0")  # load.py:120-123
+
+        if start <= 2:
+            report = rpt.channel_report(
+                attribution,
+                self.sessions(),
+                domain.session_costs(self.spark, self.sf_dir),
+                self.conversions(),
+                mode=self.cfg.report_mode,
+            )
+            rpt.export_report(report).write.mode("overwrite").parquet(rpath)
+        out = self.spark.read.parquet(rpath)
+        if out.limit(1).count() == 0:
+            raise ValueError("channel report is empty")  # reporting.py:104-106
+        return out
+
     # -- runtime verification (SURVEY §5) ----------------------------------
     def run_with_checks(self) -> DataFrame:
         journeys = self.journeys()

@@ -68,3 +68,55 @@ def test_ann_int8_ivf_rerank_matches_baseline_on_probed_bucket(spark):
     # probe=ALL centroids -> candidate set == corpus -> identical to baseline
     base = ann_int8_rerank(embs, qs, k_cand=5, k_out=3)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_pipeline_stage_restartability(spark, sf_dir, tmp_path):
+    """VERDICT r05 #5: the reference re-runs any Airflow task from its
+    file/DB handoff (dags/ihc_api_dag.py:40-54,87).  Pin the rebuild's
+    equivalent: run the staged pipeline end-to-end, then (a) resume
+    from the attribution stage and (b) resume from the report stage
+    over the checkpointed upstream tables — the final export must be
+    byte-identical, and upstream stage tables must NOT be rewritten."""
+    import os
+
+    from marketing_attribution_etl_framework__maef_spark.plans.pipeline import (
+        AttributionPipeline,
+        PipelineConfig,
+    )
+
+    wh = str(tmp_path / "warehouse")
+    pipe = AttributionPipeline(spark, sf_dir, PipelineConfig(model="linear"))
+
+    def _rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    full = _rows(pipe.run_staged(wh, resume_from="journeys"))
+    assert len(full) > 0
+
+    def _sig(stage):
+        d = os.path.join(wh, stage)
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    j_sig, a_sig = _sig("journeys"), _sig("attribution")
+
+    # (a) kill-and-retry at the attribution task: journeys table reused
+    resumed_a = _rows(pipe.run_staged(wh, resume_from="attribution"))
+    assert resumed_a == full
+    assert _sig("journeys") == j_sig  # upstream untouched
+
+    # (b) kill-and-retry at the report task: journeys + attribution reused
+    a_sig = _sig("attribution")
+    resumed_r = _rows(pipe.run_staged(wh, resume_from="report"))
+    assert resumed_r == full
+    assert _sig("journeys") == j_sig and _sig("attribution") == a_sig
+
+    # a bogus stage name is an error, not a silent full re-run
+    try:
+        pipe.run_staged(wh, resume_from="nope")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
