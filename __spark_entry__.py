@@ -5143,6 +5143,77 @@ def q_norm_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emq.norm_band_screen(_embs(spark, sf_dir))
 
 
+def q_next_best_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L227: next-best-channel greedy policy — Laplace-smoothed argmax
+    next step per source state over the first-order transition matrix
+    (operators/markov.py next_best_channel)."""
+    return mkv.next_best_channel(_journeys(spark, sf_dir))
+
+
+def q_interpurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L228: inter-purchase cadence — consecutive purchase gaps in
+    exact microseconds, segmented by lifetime purchase count, p50/p90
+    from the mergeable log-histogram sketch (operators/survival.py
+    interpurchase_cadence)."""
+    return surv.interpurchase_cadence(domain.events(spark, sf_dir))
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L229: Holt level+trend forecast of daily channel spend — dyadic
+    alpha=beta=1/4 integer q20 recursion over the dense day spine,
+    one-step backtest MAE (operators/timeseries.py
+    holt_linear_forecast; bounded channel x day driver state)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import timeseries as ts
+
+    return ts.holt_linear_forecast(domain.events(spark, sf_dir))
+
+
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L230: arrival-order shingle novelty per document over the
+    augmented corpus — inverted index shingle -> min(doc_id)
+    (llm/dedup.py doc_novelty)."""
+    return dd.doc_novelty(_aug_docs(spark, sf_dir))
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L231: content-defined chunking dedup report per source —
+    rolling 3-word-window hash boundaries (mod 8), md5 chunk store
+    dedup ratio (llm/dedup.py cdc_chunk_stats)."""
+    return dd.cdc_chunk_stats(_docs(spark, sf_dir))
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L232: cluster-conditional embedding outliers — worst cosine
+    decile per IVF cluster against the 8 fixed centroids, rank cut by
+    integer cross-multiplication (llm/embquality.py
+    centroid_distance_outliers)."""
+    e = _embs(spark, sf_dir)
+    return emq.centroid_distance_outliers(e, e.filter(F.col("vec_id") < 8))
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L233: recall@5 audit of the IVF index vs exact brute-force
+    ground truth on the query sample — the ANN calibration twin of
+    llm_minhash_accuracy (llm/similarity.py ann_recall_audit)."""
+    e = _embs(spark, sf_dir)
+    return sim.ann_recall_audit(
+        e,
+        e.filter(F.col("vec_id") % 50 == 7),
+        e.filter(F.col("vec_id") < 8),
+        k=5,
+        probe=2,
+    )
+
+
+def q_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L234: day-of-week seasonal index per channel — pure-integer
+    days-since-Monday mod 7, exact cents, DECIMAL(38,0) div
+    (operators/timeseries.py dow_seasonal_index)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import timeseries as ts
+
+    return ts.dow_seasonal_index(domain.events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r06 rotation (VERDICT r05 next-steps #1):
@@ -5208,6 +5279,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_mde_components": q_mde_components,
         "maef_conversion_velocity": q_conversion_velocity,
         # --- r06 additions land BELOW (r07 queue; driver-unchecked) ---
+        "maef_next_best_channel": q_next_best_channel,
+        "maef_interpurchase": q_interpurchase,
+        "maef_holt_forecast": q_holt_forecast,
+        "llm_doc_novelty": q_doc_novelty,
+        "llm_cdc_chunks": q_cdc_chunks,
+        "llm_embedding_outliers": q_embedding_outliers,
+        "llm_ann_recall": q_ann_recall,
+        "maef_dow_index": q_dow_index,
         # --- freshly-green r05 window (CORRECTNESS_r05, 50/50) rotates here ---
         "rel_min_cost_supplier": q_rel_min_cost_supplier,
         "rel_important_parts": q_rel_important_parts,

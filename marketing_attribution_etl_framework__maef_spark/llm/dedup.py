@@ -923,3 +923,150 @@ def dup_cluster_sizes(docs: DataFrame) -> DataFrame:
             (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
         )
     )
+
+
+def doc_novelty(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Arrival-order novelty per document: the fraction of a doc's
+    distinct 5-word shingles that appear for the FIRST time in this
+    doc, ownership decided by min(doc_id) over the whole corpus.
+
+    This is the ingestion-time curation signal ("how much of this
+    batch is genuinely new text") that complements
+    duplicate_ngram_coverage: coverage asks "is this shingle shared by
+    anyone", novelty asks "who said it first" — the difference matters
+    when deciding which copy of near-identical docs to keep in an
+    append-only corpus ordered by crawl time (doc_id here).
+
+    Shape: inverted index shingle -> min(doc_id), joined back on the
+    60-bit shingle hash — one groupBy and one equi-join on a
+    high-cardinality key (cost O(total shingles), hash-partitioned),
+    never doc x doc.  novelty_q20 is the half-up integer device on
+    nonnegative counts.  Short docs still emit their one whole-text
+    shingle (word_shingles contract), so every doc gets a row.
+
+    Output: (doc_id, n_shingles, n_novel, novelty_q20).
+    """
+    ss = shingle_sets(docs, text_col=text_col, id_col=id_col, k=5)
+    ex = ss.select(F.col(id_col), F.explode("shingle_set").alias("s"))
+    first = ex.groupBy("s").agg(F.min(id_col).alias("_fd"))
+    return (
+        ex.join(first, "s")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("_fd") == F.col(id_col), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            F.expr(
+                "(2 * n_novel * 1048576 + n_shingles) div (2 * n_shingles)"
+            )
+            .cast("long")
+            .alias("novelty_q20"),
+        )
+    )
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    w: int = 3,
+    modulus: int = 8,
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup report per source: split
+    every document at positions where the rolling w-word window's
+    60-bit hash is ~ 0 (mod modulus), hash each chunk, and report the
+    chunk-level duplication per source.
+
+    CDC is THE dedup primitive fixed-width blocking misses: because
+    boundaries are functions of local CONTENT, an insertion near a
+    doc's head shifts no downstream boundary, so shared tails still
+    dedup — the trick rsync/LBFS-style storage dedup and training-data
+    near-dup both lean on.  Word grain keeps the whole device in exact
+    engine-portable integers (the md5 shingle_hash), no byte-level
+    Rabin state.
+
+    Boundary rule: cut AFTER word j (1-based) iff the w-gram ENDING at
+    j hashes to 0 mod `modulus` and j < n_words — the last word never
+    opens an empty chunk; expected chunk length = `modulus` words.
+    Chunks are rebuilt with shifted-slice bounds arithmetic (array
+    subscripts stay Spark-side; the oracle mirrors with 1-based list
+    ops), hashed with md5, and deduped corpus-wide WITHIN source.
+
+    All per-doc work is HOF-local (no explode until the final chunk
+    unnest); the corpus-wide distinct is one hash aggregate on the
+    chunk hash — the 100-TB shape (chunk store keyed by content hash).
+
+    Output: (source, n_chunks, n_distinct_chunks, dup_chunk_ratio_q20)
+    where dup ratio = 1 - distinct/total in q20.
+    """
+    from marketing_attribution_etl_framework__maef_spark.llm.text import (
+        normalize_text,
+        word_shingles,
+        words,
+    )
+
+    ws = words(normalize_text(F.col(text_col)))
+    d = docs.select("source", ws.alias("_ws")).withColumn(
+        "_n", F.size("_ws")
+    )
+    # w-grams STARTING at i (1-based i in 1.._n-w+1) end at i+w-1; keep
+    # ends strictly before _n.  Short docs (<w words) yield the single
+    # whole-text shingle whose end index w-1+1-1 clamps out -> no cuts.
+    sh = word_shingles(F.col("_ws"), w)
+    d = d.withColumn(
+        "_cuts",
+        F.filter(
+            F.transform(
+                sh,
+                lambda s, i: F.when(
+                    (shingle_hash(s) % modulus == 0) & (i + w < F.col("_n")),
+                    i + w,  # 0-based start i covers 1-based words i+1..i+w
+                ).otherwise(F.lit(None)),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    ).withColumn(
+        "_bounds",
+        F.concat(F.array(F.lit(0)), F.col("_cuts"), F.array(F.col("_n"))),
+    )
+    chunks = d.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_bounds") - 1),
+                lambda j: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.slice(
+                            F.col("_ws"),
+                            F.get("_bounds", j - 1) + 1,
+                            F.get("_bounds", j) - F.get("_bounds", j - 1),
+                        ),
+                    )
+                ),
+            )
+        ).alias("chunk_md5"),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.countDistinct("chunk_md5").cast("long").alias("n_distinct_chunks"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_distinct_chunks",
+            F.expr(
+                "(2 * (n_chunks - n_distinct_chunks) * 1048576 + n_chunks)"
+                " div (2 * n_chunks)"
+            )
+            .cast("long")
+            .alias("dup_chunk_ratio_q20"),
+        )
+    )

@@ -185,3 +185,52 @@ def label_purity(embeddings: DataFrame) -> DataFrame:
             ).alias("purity_q20"),
         )
     )
+
+
+def centroid_distance_outliers(
+    embeddings: DataFrame, centroids: DataFrame, decile_cut: int = 1
+) -> DataFrame:
+    """Cluster-conditional embedding outlier screen: assign every
+    vector to its nearest centroid (max cosine — llm/similarity.py
+    ivf_assign, the same assignment the IVF index uses), then flag the
+    vectors in each cluster's WORST cosine decile(s) — the points the
+    cluster claims but barely fits, i.e. mislabeled / off-manifold /
+    encoder-glitch candidates that a global norm band
+    (norm_band_screen) cannot see because their norms are normal.
+
+    The cut is rank-based, not threshold-based: per cluster, rank by
+    (cosine asc, vec_id asc) and keep rnk * 10 <= decile_cut * n — an
+    integer cross-multiplication, no percentile float.  Rank-based
+    cuts adapt per cluster (a tight cluster and a diffuse one both
+    yield their own worst 10%), which is what a triage queue wants.
+
+    Scale: the centroid table is broadcast (bounded k); the only
+    data-scaled ops are one window partitioned by vec_id over k
+    candidate rows (the assignment) and one window partitioned by
+    cluster (the rank).  The per-cluster rank window shards on k
+    partitions — at 100 TB use the log-histogram cut instead of the
+    exact rank for the decile; k here is the operator's contract.
+
+    Output: (cluster, vec_id, cos_q20, rnk) — outlier rows only.
+    """
+    from marketing_attribution_etl_framework__maef_spark.llm.similarity import (
+        _pair_cos,
+        ivf_assign,
+    )
+
+    assign = ivf_assign(embeddings, centroids)
+    cents = _norm_vec(centroids, "vec_id", "embedding", "centroid_id", "_c")
+    scored = (
+        assign.join(
+            F.broadcast(cents), assign["cluster"] == cents["centroid_id"]
+        )
+        .select("vec_id", "cluster", _pair_cos("_v", "_c").alias("_cs"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.asc("_cs"), F.asc("vec_id"))
+    n = Window.partitionBy("cluster")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn("_n", F.count(F.lit(1)).over(n))
+        .filter(F.col("rnk") * 10 <= F.lit(int(decile_cut)) * F.col("_n"))
+        .select("cluster", "vec_id", q20(F.col("_cs")).alias("cos_q20"), "rnk")
+    )

@@ -618,3 +618,52 @@ def random_projection(
         ),
     )
     return stacked.select(id_col, "j", q20(F.col("comp")).alias("comp_q20"))
+
+
+def ann_recall_audit(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    probe: int = 2,
+) -> DataFrame:
+    """Recall@k audit of the IVF index against exact brute-force
+    ground truth, per query — the ANN twin of the MinHash estimator
+    calibration (llm/dedup.py minhash_accuracy): before trusting a
+    bucketed index at scale, measure what its pruning actually costs
+    on a query sample.
+
+    Both rankings are deterministic (cosine desc, vec_id tie-break),
+    so recall is an exact integer: |ivf_topk ∩ brute_topk| via a
+    left-semi-style join on (query_id, vec_id).  recall_q20 is the
+    half-up device over (hits, k).
+
+    Scale: this runs on a QUERY SAMPLE (the ground truth is a brute
+    scan per query — that is the audit's price, paid on q queries, not
+    the corpus); the IVF side prunes normally.  Output:
+    (query_id, n_hits, recall_q20), one row per query — queries whose
+    probed buckets miss everything still appear (hits 0) because the
+    truth side is the spine.
+    """
+    truth = brute_topk(corpus, queries, k).select(
+        "query_id", F.col("vec_id").alias("_tv")
+    )
+    approx = ivf_topk(corpus, queries, centroids, k=k, probe=probe).select(
+        "query_id", F.col("vec_id").alias("_av"), F.lit(1).alias("_hit")
+    )
+    joined = truth.join(
+        approx,
+        (truth["query_id"] == approx["query_id"]) & (truth["_tv"] == approx["_av"]),
+        "left",
+    ).select(truth["query_id"], "_hit")
+    return (
+        joined.groupBy("query_id")
+        .agg(F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"(2 * n_hits * 1048576 + {k}) div (2 * {k})")
+            .cast("long")
+            .alias("recall_q20"),
+        )
+    )

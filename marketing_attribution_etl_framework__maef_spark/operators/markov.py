@@ -298,3 +298,58 @@ def removal_effects_order2(
     return journeys.sparkSession.createDataFrame(
         rows, "removed_channel string, absorption_q20 long, removal_q20 long"
     )
+
+
+def next_best_channel(
+    journeys: DataFrame,
+    part_col: str = "conversion_id",
+    channel_col: str = "channel_label",
+    order_cols: tuple[str, str] = ("event_ts", "session_id"),
+) -> DataFrame:
+    """Next-best-channel recommendation: for every source state in the
+    first-order chain (including ``(start)``), the argmax next step
+    with a Laplace-smoothed transition probability.
+
+    This is the serving-side companion to the removal-effect models —
+    "a user just came through paid_search: which channel converts the
+    path most often next?" — the greedy policy over the same
+    transition matrix ``channel_transitions`` already produces.
+
+    Probability is add-one smoothed over the GLOBAL destination
+    vocabulary V (so unseen edges are never certain-zero and every
+    src's distribution sums to one): p = (n+1) / (n_total + V), emitted
+    q20 via the half-away-from-zero integer device on nonnegative
+    counts.  Argmax ties break on destination name ascending, so the
+    pick is total and cross-engine deterministic.
+
+    Scale: the matrix is bounded by (channels + 2)^2 regardless of
+    input rows (CLAUDE.md bounded-state rule); the only data-scaled
+    work is the shared journey window scan.  V is a 1-row broadcast
+    crossJoin (the J6 scalar-subquery shape).
+
+    Reference: extends the attribution family beyond the reference's
+    external IHC API (/root/reference/src/api/ihc_api.py) — no native
+    model exists there.
+    """
+    t = channel_transitions(journeys, part_col, channel_col, order_cols)
+    vocab = t.agg(F.countDistinct("dst").cast("long").alias("n_dst"))
+    tot = t.groupBy("src").agg(F.sum("n").cast("long").alias("n_total"))
+    w = Window.partitionBy("src").orderBy(F.desc("n"), F.asc("dst"))
+    best = t.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return (
+        best.join(tot, "src")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "src",
+            F.col("dst").alias("best_next"),
+            F.col("n").cast("long").alias("n_best"),
+            "n_total",
+            "n_dst",
+            F.expr(
+                f"(2 * (n + 1) * {Q20} + (n_total + n_dst))"
+                " div (2 * (n_total + n_dst))"
+            )
+            .cast("long")
+            .alias("prob_q20"),
+        )
+    )

@@ -134,3 +134,69 @@ def kaplan_meier(hazard: DataFrame) -> DataFrame:
         "offset_days long, n_risk long, n_conv long, n_censored long, "
         "hazard_q20 long, survival_e9 long",
     )
+
+
+def interpurchase_cadence(events: DataFrame) -> DataFrame:
+    """Inter-purchase cadence report: the distribution of consecutive
+    purchase-to-purchase gaps, segmented by how committed the buyer is
+    (2-3 / 4-5 / 6+ lifetime purchases).
+
+    The retention companion to kaplan_meier: KM asks "how long to the
+    FIRST conversion", this asks "once buying, on what rhythm" — the
+    number a replenishment-reminder or churn-risk screen compares the
+    current silence against ("this user's segment re-buys at a p50 of
+    9 days; they have been quiet for 30").
+
+    Gaps are exact integer microseconds (``timestampdiff`` — never a
+    raw numeric cast on the NTZ-drifting ts column, CLAUDE.md).
+    Quantiles come from the mergeable base-2 log-histogram sketch
+    (operators/quantiles.py log_histogram + histogram_quantile_bounds,
+    sub_bits=2), NOT percentile_disc: the segment key has cardinality
+    3, so an exact rank window would drag every gap row through three
+    partitions — the histogram is map-side combinable and bounded at
+    ~256 rows per segment at ANY scale, which is the 100-TB shape.
+    Answers are bucket lower bounds (relative error <= 2^-2),
+    deterministic integers on both engines.
+
+    Output: (cadence_bucket, n_users, n_gaps, p50_gap_lb, p90_gap_lb)
+    — gap units microseconds.
+
+    Reference scope: the reference stops at conversion rows
+    (/root/reference/src/etl/transform.py); repeat-purchase cadence is
+    part of the extended reporting layer.
+    """
+    from marketing_attribution_etl_framework__maef_spark.operators import quantiles as qtl
+
+    p = events.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        p.select("user_id", "ts", "event_id")
+        .withColumn("_prev", F.lag("ts").over(w))
+        .withColumn(
+            "_np", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+        )
+    )
+    gaps = g.filter(F.col("_prev").isNotNull()).select(
+        "user_id",
+        F.when(F.col("_np") >= 6, F.lit("6+"))
+        .when(F.col("_np") >= 4, F.lit("4-5"))
+        .otherwise(F.lit("2-3"))
+        .alias("cadence_bucket"),
+        F.expr("timestampdiff(MICROSECOND, _prev, ts)").cast("long").alias("gap_us"),
+    )
+    hist = qtl.log_histogram(gaps, ["cadence_bucket"], "gap_us", sub_bits=2)
+    q = qtl.histogram_quantile_bounds(
+        hist,
+        ["cadence_bucket"],
+        [("p50_gap_lb", 1, 2), ("p90_gap_lb", 9, 10)],
+    )
+    users = gaps.groupBy("cadence_bucket").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    return q.join(users, "cadence_bucket").select(
+        "cadence_bucket",
+        "n_users",
+        F.col("n_values").alias("n_gaps"),
+        "p50_gap_lb",
+        "p90_gap_lb",
+    )

@@ -553,3 +553,140 @@ def revenue_decomposition(ev: DataFrame) -> DataFrame:
         .cast("long")
         .alias("price_num"),
     )
+
+
+def _tdiv(a: int, d: int) -> int:
+    """Truncating integer division (SQL semantics). Python ``//``
+    floors, which differs on negatives; Spark long `div` and DuckDB
+    HUGEINT ``//`` both truncate — mirror them exactly."""
+    return -((-a) // d) if a < 0 else a // d
+
+
+def holt_linear_forecast(ev: DataFrame) -> DataFrame:
+    """Holt double-exponential (level + additive trend) forecast of
+    daily channel spend, in exact q20 integer cents end to end.
+
+    EWMA (ewma_forecast_backtest) forgets trend: a channel ramping
+    +10%/day is under-forecast every single day.  Holt carries a trend
+    state; with dyadic alpha = beta = 1/4 the recursion stays in
+    integers:
+
+        L_t = (2^20 y_t + 3 (L_{t-1} + B_{t-1})) div 4
+        B_t = ((L_t - L_{t-1}) + 3 B_{t-1})      div 4
+
+    over the DENSE day spine (missing channel-days are genuine zero
+    spend — spend is additive), init L_1 = 2^20 y_1,
+    B_1 = 2^20 (y_2 - y_1); div is TRUNCATING on both engines
+    (_tdiv / Spark `div` / DuckDB HUGEINT //), so every state value is
+    bit-reproducible.  One-step backtest: f_t = L_{t-1} + B_{t-1},
+    MAE = sum|2^20 y_t - f_t| div (n-1), accumulated in unbounded
+    Python ints and emitted q20.
+
+    Driver-side loop is legitimate bounded state (CLAUDE.md rule): the
+    collected table is the channel x day GRAIN (bounded by calendar
+    span and channel vocabulary, not input rows); raw events reduce
+    map-side first.  The DuckDB oracle replays the identical
+    recurrence with WITH RECURSIVE over the same materialized spine.
+
+    Headroom: |L|,|B| <= ~2^20 * max daily cents, so longs hold to
+    ~2^42 cents/day (~$40 B/channel/day); MAE divides before emitting.
+
+    Output: (channel, n_days, level_cents_q20, trend_cents_q20,
+    fc1_cents_q20, fc7_cents_q20, mae_onestep_cents_q20).
+    """
+    daily = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy(
+            F.col("event_type").alias("channel"),
+            F.col("ts").cast("date").alias("d"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y"))
+    )
+    # dense spine: every channel spans the GLOBAL [min(d), max(d)]
+    rows = daily.collect()
+    if not rows:
+        return ev.sparkSession.createDataFrame(
+            [],
+            "channel string, n_days long, level_cents_q20 long, "
+            "trend_cents_q20 long, fc1_cents_q20 long, fc7_cents_q20 long, "
+            "mae_onestep_cents_q20 long",
+        )
+    d0 = min(r["d"] for r in rows)
+    d1 = max(r["d"] for r in rows)
+    n = (d1 - d0).days + 1
+    series: dict[str, list[int]] = {}
+    for r in rows:
+        series.setdefault(r["channel"], [0] * n)[(r["d"] - d0).days] = int(r["y"])
+    Q = 1 << 20
+    out = []
+    for ch in sorted(series):
+        ys = series[ch]
+        lev = Q * ys[0]
+        tr = Q * (ys[1] - ys[0]) if n >= 2 else 0
+        sae = 0
+        for t in range(1, n):
+            f = lev + tr
+            sae += abs(Q * ys[t] - f)
+            lev_new = _tdiv(Q * ys[t] + 3 * f, 4)
+            tr = _tdiv((lev_new - lev) + 3 * tr, 4)
+            lev = lev_new
+        mae = _tdiv(sae, n - 1) if n >= 2 else 0
+        out.append((ch, n, lev, tr, lev + tr, lev + 7 * tr, mae))
+    return ev.sparkSession.createDataFrame(
+        out,
+        "channel string, n_days long, level_cents_q20 long, "
+        "trend_cents_q20 long, fc1_cents_q20 long, fc7_cents_q20 long, "
+        "mae_onestep_cents_q20 long",
+    )
+
+
+def dow_seasonal_index(ev: DataFrame) -> DataFrame:
+    """Day-of-week seasonal index per channel: how each weekday's
+    session value compares to the channel's flat-week expectation —
+    index = 7 * dow_cents / total_cents in q20 (1.0 = no seasonality).
+
+    The weekly companion to the hour-grain dayparting grid
+    (operators/planning.py): pacing and bid schedulers consume exactly
+    this shape.  Day-of-week is PURE INTEGER arithmetic — days since
+    Monday 1970-01-05 mod 7 (0 = Monday) — because Spark's
+    ``dayofweek`` (1 = Sunday) and DuckDB's (0 = Sunday) disagree;
+    datediff-mod is identical in both engines and NTZ/LTZ-agnostic
+    (date-literal compare rule, CLAUDE.md).
+
+    Exact integer cents; the index division is DECIMAL(38,0) `div`
+    (≡ DuckDB HUGEINT `//`), headroom 7 * cents * 2^20 < 10^38 for any
+    conceivable channel.  Output: (channel, dow, n_sessions, cents,
+    index_q20), bounded at channels x 7 rows — reduce-side trivial,
+    map-side combined.
+    """
+    per = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy(
+            F.col("event_type").alias("channel"),
+            (
+                F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05").cast("date"))
+                % 7
+            )
+            .cast("long")
+            .alias("dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        )
+    )
+    # the total-per-channel window runs over the bounded channel x 7
+    # grain (post-aggregate), not over raw rows
+    per = per.withColumn(
+        "_total", F.sum("cents").over(Window.partitionBy("channel"))
+    )
+    return per.select(
+        "channel",
+        "dow",
+        "n_sessions",
+        "cents",
+        F.expr(
+            "cast((7 * cast(cents as decimal(38,0)) * 1048576)"
+            " div cast(_total as decimal(38,0)) as bigint)"
+        ).alias("index_q20"),
+    )

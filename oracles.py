@@ -5770,8 +5770,291 @@ FROM cov c
 """
 
 
+# --- r06 additions (operators/markov.py next_best_channel) ---
+# Laplace-smoothed argmax next step per source state; all-integer
+# smoothing device, BIGINT headroom (counts x 2^21 << 2^63)
+_ORACLE_NEXT_BEST_CHANNEL = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+ordered AS (
+  SELECT conversion_id, channel_label,
+         LAG(channel_label) OVER w AS prev,
+         LEAD(channel_label) OVER w AS nxt
+  FROM journeys
+  WINDOW w AS (PARTITION BY conversion_id ORDER BY event_ts, session_id)
+),
+tr AS (
+  SELECT COALESCE(prev, '(start)') AS src, channel_label AS dst FROM ordered
+  UNION ALL
+  SELECT channel_label AS src, '(conversion)' AS dst FROM ordered WHERE nxt IS NULL
+),
+t AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2),
+v AS (SELECT CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_dst FROM t),
+tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_total FROM t GROUP BY 1),
+best AS (
+  SELECT src, dst, n FROM t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY n DESC, dst) = 1
+)
+SELECT b.src, b.dst AS best_next, b.n AS n_best, tt.n_total, v.n_dst,
+       CAST((2 * (b.n + 1) * 1048576 + (tt.n_total + v.n_dst))
+            // (2 * (tt.n_total + v.n_dst)) AS BIGINT) AS prob_q20
+FROM best b JOIN tot tt USING (src), v
+"""
+
+# operators/survival.py interpurchase_cadence: purchase-gap log-histogram
+# quantiles per lifetime-purchase segment (same bucket SQL as the L106
+# latency sketch; gaps in exact integer microseconds)
+_ORACLE_INTERPURCHASE = """
+WITH p AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER w AS prev,
+         COUNT(*) OVER (PARTITION BY user_id) AS np
+  FROM events WHERE event_type = 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+gaps AS (
+  SELECT user_id,
+         CASE WHEN np >= 6 THEN '6+' WHEN np >= 4 THEN '4-5' ELSE '2-3' END AS cadence_bucket,
+         epoch_us(ts) - epoch_us(prev) AS x
+  FROM p WHERE prev IS NOT NULL
+),
+b AS (
+  SELECT user_id, cadence_bucket, CAST((x >> g) << g AS BIGINT) AS bucket_lb
+  FROM (SELECT user_id, cadence_bucket, x,
+               CASE WHEN length(printf('%b', x)) - 3 > 0
+                    THEN length(printf('%b', x)) - 3 ELSE 0 END AS g
+        FROM gaps)
+),
+h AS (SELECT cadence_bucket, bucket_lb, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+cdf AS (
+  SELECT cadence_bucket, bucket_lb,
+         CAST(SUM(c) OVER (PARTITION BY cadence_bucket ORDER BY bucket_lb) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY cadence_bucket) AS BIGINT) AS n
+  FROM h
+),
+q AS (
+  SELECT cadence_bucket,
+         CAST(MAX(n) AS BIGINT) AS n_gaps,
+         CAST(MIN(CASE WHEN cum * 2 >= n * 1 THEN bucket_lb END) AS BIGINT) AS p50_gap_lb,
+         CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN bucket_lb END) AS BIGINT) AS p90_gap_lb
+  FROM cdf GROUP BY 1
+),
+u AS (SELECT cadence_bucket, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM gaps GROUP BY 1)
+SELECT q.cadence_bucket, u.n_users, q.n_gaps, q.p50_gap_lb, q.p90_gap_lb
+FROM q JOIN u USING (cadence_bucket)
+"""
+
+# operators/timeseries.py holt_linear_forecast: the identical integer
+# q20 recurrence replayed with WITH RECURSIVE over the materialized
+# dense spine (CLAUDE.md: recursive chains rooted at parquet views must
+# materialize); HUGEINT // truncates exactly like the Spark-side _tdiv
+_ORACLE_HOLT_FORECAST = """
+WITH RECURSIVE
+daily AS MATERIALIZED (
+  SELECT event_type AS channel, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+),
+span AS MATERIALIZED (
+  SELECT MIN(d) AS d0, datediff('day', MIN(d), MAX(d)) AS nmax FROM daily
+),
+spine AS MATERIALIZED (
+  SELECT c.channel, CAST(r.rn AS BIGINT) AS rn, COALESCE(dl.y, 0) AS y
+  FROM (SELECT DISTINCT channel FROM daily) c
+  CROSS JOIN span sp
+  CROSS JOIN LATERAL (SELECT UNNEST(generate_series(0, sp.nmax)) AS rn) r
+  LEFT JOIN daily dl ON dl.channel = c.channel AND dl.d = sp.d0 + CAST(r.rn AS INTEGER)
+),
+rec AS (
+  SELECT s.channel, CAST(1 AS BIGINT) AS t,
+         CAST(1048576 AS HUGEINT) * s.y AS lev,
+         COALESCE(CAST(1048576 AS HUGEINT) * (s2.y - s.y), CAST(0 AS HUGEINT)) AS tr,
+         CAST(0 AS HUGEINT) AS sae
+  FROM spine s LEFT JOIN spine s2 ON s2.channel = s.channel AND s2.rn = 1
+  WHERE s.rn = 0
+  UNION ALL
+  SELECT channel, t, lev2 AS lev,
+         ((lev2 - lev) + 3 * tr) // 4 AS tr,
+         sae2 AS sae
+  FROM (
+    SELECT r.channel, r.t + 1 AS t, r.lev AS lev, r.tr AS tr,
+           (CAST(1048576 AS HUGEINT) * d.y + 3 * (r.lev + r.tr)) // 4 AS lev2,
+           r.sae + abs(CAST(1048576 AS HUGEINT) * d.y - (r.lev + r.tr)) AS sae2
+    FROM rec r JOIN spine d ON d.channel = r.channel AND d.rn = r.t
+  )
+)
+SELECT channel,
+       CAST((SELECT nmax FROM span) + 1 AS BIGINT) AS n_days,
+       CAST(lev AS BIGINT) AS level_cents_q20,
+       CAST(tr AS BIGINT) AS trend_cents_q20,
+       CAST(lev + tr AS BIGINT) AS fc1_cents_q20,
+       CAST(lev + 7 * tr AS BIGINT) AS fc7_cents_q20,
+       CAST(CASE WHEN (SELECT nmax FROM span) >= 1
+                 THEN sae // (SELECT CAST(nmax AS HUGEINT) FROM span)
+                 ELSE 0 END AS BIGINT) AS mae_onestep_cents_q20
+FROM rec WHERE t = (SELECT nmax FROM span) + 1
+"""
+
+# llm/dedup.py doc_novelty: shingle -> min(doc_id) inverted index over
+# the augmented corpus; counts are distinct-shingle counts (the
+# _SHINGLE5 sets are list_distinct, matching shingle_sets)
+_ORACLE_DOC_NOVELTY = f"""
+WITH {_AUG},
+sh AS ({_SHINGLE5.format(src="aug")}),
+ex AS (SELECT doc_id, unnest(ds) AS s FROM sh),
+f AS (SELECT s, MIN(doc_id) AS fd FROM ex GROUP BY 1)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST((2 * SUM(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END) * 1048576 + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS novelty_q20
+FROM ex e JOIN f USING (s) GROUP BY 1
+"""
+
+# llm/dedup.py cdc_chunk_stats: rolling 3-word-window boundaries
+# (60-bit md5 hash = 0 mod 8, never at the last word), chunks rebuilt
+# by 1-based list_slice between consecutive bounds, md5 chunk store
+_ORACLE_CDC_CHUNKS = r"""
+WITH d AS (
+  SELECT source,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+),
+d2 AS (SELECT source, ws, len(ws) AS n FROM d),
+cuts AS (
+  SELECT source, ws, n,
+         list_filter(
+           list_transform(range(1, greatest(n - 1, 2)),
+             i -> CASE WHEN CAST('0x' || substr(md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2])), 1, 15) AS BIGINT) % 8 = 0
+                        AND i + 2 < n
+                       THEN i + 2 END),
+           x -> x IS NOT NULL) AS cuts
+  FROM d2
+),
+b3 AS (
+  SELECT source, ws,
+         list_concat(list_concat([CAST(0 AS BIGINT)], cuts), [CAST(n AS BIGINT)]) AS bounds
+  FROM cuts
+),
+ch AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(bounds)),
+           j -> md5(array_to_string(list_slice(ws, bounds[j] + 1, bounds[j + 1]), ' ')))) AS chunk_md5
+  FROM b3
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT chunk_md5) AS BIGINT) AS n_distinct_chunks,
+       CAST((2 * (COUNT(*) - COUNT(DISTINCT chunk_md5)) * 1048576 + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS dup_chunk_ratio_q20
+FROM ch GROUP BY 1
+"""
+
+# llm/embquality.py centroid_distance_outliers: ivf_assign's exact
+# assignment SQL (same as _ORACLE_ANN_IVF) + per-cluster worst-decile
+# rank cut by integer cross-multiplication
+_ORACLE_EMBEDDING_OUTLIERS = f"""
+WITH {_E_NORMED},
+cents AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cn FROM e WHERE vec_id < 8),
+ascored AS (
+  SELECT e.vec_id, e.v, e.vn, c.centroid_id,
+         list_dot_product(e.v, c.cv) / (e.vn * c.cn) AS cs
+  FROM e, cents c
+),
+assign AS (
+  SELECT vec_id, v, vn, centroid_id AS cluster FROM ascored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) = 1
+),
+scored AS (
+  SELECT a.cluster, a.vec_id,
+         list_dot_product(a.v, c.cv) / (a.vn * c.cn) AS cs
+  FROM assign a JOIN cents c ON a.cluster = c.centroid_id
+),
+r AS (
+  SELECT cluster, vec_id, cs,
+         CAST(ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY cs ASC, vec_id) AS BIGINT) AS rnk,
+         COUNT(*) OVER (PARTITION BY cluster) AS n
+  FROM scored
+)
+SELECT cluster, vec_id,
+       CAST(FLOOR(cs * 1048576.0 + 0.5) AS BIGINT) AS cos_q20,
+       rnk
+FROM r WHERE rnk * 10 <= 1 * n
+"""
+
+
+# llm/similarity.py ann_recall_audit: brute truth spine LEFT JOIN the
+# IVF result (the cand/assign CTEs are _ORACLE_ANN_IVF's verbatim)
+_ORACLE_ANN_RECALL = f"""
+WITH {_E_NORMED},
+q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM e WHERE vec_id % 50 = 7),
+truth AS (
+  SELECT q.query_id, e.vec_id
+  FROM q, e
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.query_id
+    ORDER BY list_dot_product(q.qv, e.v) / (q.qn * e.vn) DESC, e.vec_id) <= 5
+),
+cents AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cn FROM e WHERE vec_id < 8),
+ascored AS (
+  SELECT e.vec_id, e.v, e.vn, c.centroid_id,
+         list_dot_product(e.v, c.cv) / (e.vn * c.cn) AS cs
+  FROM e, cents c
+),
+assign AS (
+  SELECT vec_id, v, vn, centroid_id AS cluster FROM ascored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) = 1
+),
+qscored AS (
+  SELECT q.query_id, q.qv, q.qn, c.centroid_id,
+         list_dot_product(q.qv, c.cv) / (q.qn * c.cn) AS cs
+  FROM q, cents c
+),
+probes AS (
+  SELECT query_id, qv, qn, centroid_id AS cluster FROM qscored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, centroid_id) <= 2
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, a.vec_id,
+           list_dot_product(p.qv, a.v) / (p.qn * a.vn) AS cos
+    FROM probes p JOIN assign a ON p.cluster = a.cluster
+  )
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 5
+)
+SELECT t.query_id,
+       CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+       CAST((2 * COUNT(a.vec_id) * 1048576 + 5) // 10 AS BIGINT) AS recall_q20
+FROM truth t LEFT JOIN approx a ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+GROUP BY 1
+"""
+
+# operators/timeseries.py dow_seasonal_index: days-since-Monday mod 7
+# (engine-neutral dow), exact cents, HUGEINT // == DECIMAL(38,0) div
+_ORACLE_DOW_INDEX = """
+WITH per AS (
+  SELECT event_type AS channel,
+         CAST(datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7 AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+),
+t AS (SELECT channel, CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS total FROM per GROUP BY 1)
+SELECT p.channel, p.dow, p.n_sessions, p.cents,
+       CAST((7 * CAST(p.cents AS HUGEINT) * 1048576) // t.total AS BIGINT) AS index_q20
+FROM per p JOIN t USING (channel)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "maef_next_best_channel": _ORACLE_NEXT_BEST_CHANNEL,
+        "llm_ann_recall": _ORACLE_ANN_RECALL,
+        "maef_dow_index": _ORACLE_DOW_INDEX,
+        "maef_interpurchase": _ORACLE_INTERPURCHASE,
+        "maef_holt_forecast": _ORACLE_HOLT_FORECAST,
+        "llm_doc_novelty": _ORACLE_DOC_NOVELTY,
+        "llm_cdc_chunks": _ORACLE_CDC_CHUNKS,
+        "llm_embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,
         "maef_journey_entries": _ORACLE_JOURNEY_ENTRIES,
         "maef_attribution_linear": _ORACLE_ATTR_LINEAR,
         "maef_attribution_last_touch": _ORACLE_ATTR_LAST,
