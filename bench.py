@@ -85,6 +85,9 @@ CHECKPOINT_HEAVY = {
     "maef_stream_reach",
     # survivorship reruns the full minhash + CC pipeline (checkpointed)
     "llm_dedup_survivors",
+    # r06: greedy coverage localCheckpoints the shrinking live table
+    # every round (8 rounds; floor ~3.6 s, spikes to ~6 s under debris)
+    "llm_greedy_coverage",
     # label purity checkpoints the labeled quantized vectors
     "llm_label_purity",
     # streaming state materialization + serving-side checkpoint

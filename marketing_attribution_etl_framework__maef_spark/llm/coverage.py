@@ -67,27 +67,43 @@ def greedy_coverage(
     """
     spark = docs.sparkSession
     # `pairs` is the LIVE uncovered (doc, shingle) set; it only shrinks.
-    pairs = doc_shingles(docs, text_col, id_col).localCheckpoint()
+    # Sized to its actual row count before the loop (CLAUDE.md
+    # iterative-loop rule): the per-round jobs are LATENCY-bound (16
+    # tiny sequential jobs), so fewer partitions = fewer tasks per
+    # round.  Two alternatives measured SLOWER at sf0.1: a driver-held
+    # covered set pruned via per-round broadcast anti-join (6.3-6.9 s —
+    # per-round createDataFrame/broadcast round-trips) and a literal
+    # isin() In-set predicate (8.2-9.5 s — hundreds of string literals
+    # serialized into every task's plan per round); the shrink-chain
+    # with per-round localCheckpoint stays the fastest shape.
+    pairs = (
+        doc_shingles(docs, text_col, id_col).repartition(4).localCheckpoint()
+    )
     out, covered_total = [], 0
-    for rnd in range(1, k + 1):
-        top = (
-            pairs.groupBy(id_col)
-            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
-            .orderBy(F.desc("gain"), F.asc(id_col))
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["gain"] == 0:
-            break
-        doc, gain = top[0][id_col], top[0]["gain"]
-        covered_total += gain
-        out.append((rnd, doc, gain, covered_total))
-        # Gain of doc d next round = |shingles(d) - covered|; pruning the
-        # winner's shingles out of the live table preserves exactly that
-        # quantity, so the k selections are bit-identical to the
-        # full-anti-join formulation (oracle unchanged).
-        winner_sh = pairs.filter(F.col(id_col) == doc).select("sh")
-        pairs = pairs.join(winner_sh, "sh", "left_anti").localCheckpoint()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for rnd in range(1, k + 1):
+            top = (
+                pairs.groupBy(id_col)
+                .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+                .orderBy(F.desc("gain"), F.asc(id_col))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["gain"] == 0:
+                break
+            doc, gain = top[0][id_col], top[0]["gain"]
+            covered_total += gain
+            out.append((rnd, doc, gain, covered_total))
+            # Gain of doc d next round = |shingles(d) - covered|; pruning
+            # the winner's shingles out of the live table preserves exactly
+            # that quantity, so the k selections are bit-identical to the
+            # full-anti-join formulation (oracle unchanged).
+            winner_sh = pairs.filter(F.col(id_col) == doc).select("sh")
+            pairs = pairs.join(winner_sh, "sh", "left_anti").localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.createDataFrame(
         out, "round long, doc_id long, gain long, covered_total long"
     )

@@ -937,20 +937,38 @@ def doc_novelty(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     when deciding which copy of near-identical docs to keep in an
     append-only corpus ordered by crawl time (doc_id here).
 
-    Shape: inverted index shingle -> min(doc_id), joined back on the
-    60-bit shingle hash — one groupBy and one equi-join on a
-    high-cardinality key (cost O(total shingles), hash-partitioned),
-    never doc x doc.  novelty_q20 is the half-up integer device on
-    nonnegative counts.  Short docs still emit their one whole-text
-    shingle (word_shingles contract), so every doc gets a row.
+    Shape (the duplicate_ngram_coverage pattern, measured fastest):
+    explode RAW hashed shingles (no interpreted array_distinct in the
+    HOF), dedupe to (doc, shingle) pairs with one map-side-combinable
+    hash aggregate, then min(doc_id) as a FRAMELESS WINDOW over the
+    shingle partitioning — one exchange on the 60-bit shingle key,
+    never doc x doc, ONE lineage (a groupBy+join-back form measured
+    6.1 s at sf0.1; this form ~2 s).  novelty_q20 is the half-up
+    integer device on nonnegative counts.  Short docs still emit
+    their one whole-text shingle (word_shingles contract), so every
+    doc gets a row.
 
     Output: (doc_id, n_shingles, n_novel, novelty_q20).
     """
-    ss = shingle_sets(docs, text_col=text_col, id_col=id_col, k=5)
-    ex = ss.select(F.col(id_col), F.explode("shingle_set").alias("s"))
-    first = ex.groupBy("s").agg(F.min(id_col).alias("_fd"))
+    from pyspark.sql import Window
+
+    from marketing_attribution_etl_framework__maef_spark.llm.text import (
+        normalize_text,
+        word_shingles,
+        words,
+    )
+
+    sh = word_shingles(words(normalize_text(F.col(text_col))), 5)
+    ex = (
+        docs.select(
+            F.col(id_col), F.explode(F.transform(sh, shingle_hash)).alias("s")
+        )
+        .groupBy(id_col, "s")
+        .agg(F.count(F.lit(1)).alias("_m"))  # dedupe to distinct pairs
+        .drop("_m")
+    )
     return (
-        ex.join(first, "s")
+        ex.withColumn("_fd", F.min(id_col).over(Window.partitionBy("s")))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
