@@ -5214,6 +5214,26 @@ def q_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.dow_seasonal_index(domain.events(spark, sf_dir))
 
 
+def q_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L235: chi-square channel-mix drift monitor — this week's
+    traffic composition vs last week's, exact-rational cell
+    contributions in q20, new channels flagged with NULL contribution
+    (operators/experiments.py mix_drift_chi2)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import experiments as xpr
+
+    return xpr.mix_drift_chi2(domain.events(spark, sf_dir))
+
+
+def q_forecast_topdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L236: top-down coherent channel forecast — Holt one-step total
+    apportioned across channels by trailing-week shares with Hamilton
+    largest-remainder, so SUM(per-channel) == total forecast exactly
+    (operators/timeseries.py forecast_topdown)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import timeseries as ts
+
+    return ts.forecast_topdown(domain.events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r06 rotation (VERDICT r05 next-steps #1):
@@ -5287,6 +5307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_embedding_outliers": q_embedding_outliers,
         "llm_ann_recall": q_ann_recall,
         "maef_dow_index": q_dow_index,
+        "maef_mix_drift": q_mix_drift,
+        "maef_forecast_topdown": q_forecast_topdown,
         # --- freshly-green r05 window (CORRECTNESS_r05, 50/50) rotates here ---
         "rel_min_cost_supplier": q_rel_min_cost_supplier,
         "rel_important_parts": q_rel_important_parts,

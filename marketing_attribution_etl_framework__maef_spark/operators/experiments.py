@@ -333,3 +333,71 @@ def mde_components(events: DataFrame, salt: str = "ab") -> DataFrame:
             " as bigint)"
         ).alias("mde2_q20"),
     )
+
+
+def mix_drift_chi2(events: DataFrame) -> DataFrame:
+    """Chi-square channel-mix drift monitor: is THIS week's traffic
+    mix across channels consistent with LAST week's?  The k-cell
+    generalization of the 2-arm SRM check (srm_check) — the standard
+    pipeline-health alarm for "a channel's tracking broke / a bot
+    flood shifted the mix" that a per-channel volume alert misses
+    because it has no notion of composition.
+
+    Windows are anchored to the data's own max event date D: current =
+    (D-7, D], baseline = (D-14, D-7] — self-anchoring so the monitor
+    needs no wall clock (replayable, oracle-checkable).
+
+    Per channel i with baseline count m_i (m = SUM m_i, baseline-
+    present channels only) and current count o_i (n = SUM o_i over the
+    same channels):
+
+        contrib_i = (o_i - n*m_i/m)^2 / (n*m_i/m)
+                  = (o_i*m - n*m_i)^2 / (n*m_i*m)    -- exact rational
+
+    emitted q20 via the half-up device in DECIMAL(38,0) (== oracle
+    HUGEINT).  Headroom: |o*m - n*m_i| <= 2*n*m, so the squared
+    numerator times 2^21 stays under 10^38 for weekly cell counts up
+    to ~10^7; beyond that, pre-aggregate to a coarser unit (the
+    monitor's resolution, not its math, is the limit).  Channels that
+    are NEW this week (no baseline mass) cannot enter the chi-square;
+    they are emitted with n_base = 0 and a NULL contribution — the
+    alarm for them is their very existence.  Sum the contributions
+    against chi2_{k-1} downstream; the operator stays decision-free.
+
+    Scale: two map-side-combining aggregates to the channel grain;
+    everything after runs on bounded rows.  Output: (channel, n_cur,
+    n_base, chi2_contrib_q20).
+    """
+    sess = events.filter(F.col("event_type") != "purchase")
+    mx = sess.agg(F.max(F.col("ts").cast("date")).alias("_mx"))
+    d = sess.crossJoin(F.broadcast(mx)).select(
+        F.col("event_type").alias("channel"),
+        F.datediff(F.col("_mx"), F.col("ts").cast("date")).alias("_age"),
+    )
+    per = d.filter(F.col("_age") < 14).groupBy("channel").agg(
+        F.sum(F.when(F.col("_age") < 7, 1).otherwise(0)).cast("long").alias("n_cur"),
+        F.sum(F.when(F.col("_age") >= 7, 1).otherwise(0)).cast("long").alias("n_base"),
+    )
+    dec = "decimal(38,0)"
+    # totals over the BASELINE-PRESENT cells only (the chi-square's
+    # sample space); new channels are excluded from n and m
+    w = "(partition by (case when n_base > 0 then 1 else 0 end))"
+    per = per.withColumn(
+        "_n",
+        F.expr(f"sum(case when n_base > 0 then n_cur else 0 end) over {w}"),
+    ).withColumn(
+        "_m",
+        F.expr(f"sum(case when n_base > 0 then n_base else 0 end) over {w}"),
+    )
+    num = f"(cast(n_cur as {dec}) * _m - cast(_n as {dec}) * n_base)"
+    den = f"(cast(_n as {dec}) * n_base * _m)"
+    return per.select(
+        "channel",
+        "n_cur",
+        "n_base",
+        F.expr(
+            f"case when n_base > 0 and _n > 0 then"
+            f" cast((2 * {num} * {num} * 1048576 + {den}) div (2 * {den}) as bigint)"
+            f" end"
+        ).alias("chi2_contrib_q20"),
+    )

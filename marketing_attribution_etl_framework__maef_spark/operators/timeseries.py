@@ -562,6 +562,26 @@ def _tdiv(a: int, d: int) -> int:
     return -((-a) // d) if a < 0 else a // d
 
 
+def _holt_state(ys: list[int]) -> tuple[int, int, int]:
+    """The Holt alpha=beta=1/4 integer q20 recursion over one dense
+    series — (final level, final trend, one-step MAE), all q20 cents.
+    Shared by holt_linear_forecast (per channel) and forecast_topdown
+    (the total series)."""
+    q = 1 << 20
+    n = len(ys)
+    lev = q * ys[0]
+    tr = q * (ys[1] - ys[0]) if n >= 2 else 0
+    sae = 0
+    for t in range(1, n):
+        f = lev + tr
+        sae += abs(q * ys[t] - f)
+        lev_new = _tdiv(q * ys[t] + 3 * f, 4)
+        tr = _tdiv((lev_new - lev) + 3 * tr, 4)
+        lev = lev_new
+    mae = _tdiv(sae, n - 1) if n >= 2 else 0
+    return lev, tr, mae
+
+
 def holt_linear_forecast(ev: DataFrame) -> DataFrame:
     """Holt double-exponential (level + additive trend) forecast of
     daily channel spend, in exact q20 integer cents end to end.
@@ -617,20 +637,9 @@ def holt_linear_forecast(ev: DataFrame) -> DataFrame:
     series: dict[str, list[int]] = {}
     for r in rows:
         series.setdefault(r["channel"], [0] * n)[(r["d"] - d0).days] = int(r["y"])
-    Q = 1 << 20
     out = []
     for ch in sorted(series):
-        ys = series[ch]
-        lev = Q * ys[0]
-        tr = Q * (ys[1] - ys[0]) if n >= 2 else 0
-        sae = 0
-        for t in range(1, n):
-            f = lev + tr
-            sae += abs(Q * ys[t] - f)
-            lev_new = _tdiv(Q * ys[t] + 3 * f, 4)
-            tr = _tdiv((lev_new - lev) + 3 * tr, 4)
-            lev = lev_new
-        mae = _tdiv(sae, n - 1) if n >= 2 else 0
+        lev, tr, mae = _holt_state(series[ch])
         out.append((ch, n, lev, tr, lev + tr, lev + 7 * tr, mae))
     return ev.sparkSession.createDataFrame(
         out,
@@ -689,4 +698,99 @@ def dow_seasonal_index(ev: DataFrame) -> DataFrame:
             "cast((7 * cast(cents as decimal(38,0)) * 1048576)"
             " div cast(_total as decimal(38,0)) as bigint)"
         ).alias("index_q20"),
+    )
+
+
+def forecast_topdown(ev: DataFrame) -> DataFrame:
+    """Top-down coherent channel forecast: Holt-forecast TOTAL daily
+    spend one step ahead, then apportion it across channels by their
+    trailing-7-day spend shares with Hamilton's largest-remainder
+    method — so the per-channel forecasts SUM EXACTLY to the total
+    forecast (the coherence property independent per-channel forecasts
+    violate, and the reason hierarchical forecasting exists; this is
+    Hyndman's "top-down by historical proportions" made integer-exact).
+
+    Pipeline: (1) dense total daily series -> _holt_state (bounded
+    driver recursion, same contract as holt_linear_forecast), forecast
+    F = max(level + trend, 0) q20 cents (a negative extrapolated total
+    apportions as zero); (2) trailing shares = each channel's cents in
+    the last 7 spine days, one map-side-combining aggregate to the
+    channel grain; (3) Hamilton: base_i = F * c_i div C, the F - sum
+    leftover units go one each to the largest remainders, ties
+    alphabetically (the budget_allocation device, DECIMAL(38,0) ==
+    oracle HUGEINT).  If the trailing week is all-zero the allocation
+    is zero rows' worth — every channel gets 0.
+
+    Output: (channel, trail_cents, alloc_fc1_cents_q20); the invariant
+    SUM(alloc) = F is oracle-checked implicitly (same integers both
+    engines).
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y"))
+    )
+    rows = daily.collect()
+    if not rows:
+        return ev.sparkSession.createDataFrame(
+            [], "channel string, trail_cents long, alloc_fc1_cents_q20 long"
+        )
+    d0 = min(r["d"] for r in rows)
+    d1 = max(r["d"] for r in rows)
+    n = (d1 - d0).days + 1
+    ys = [0] * n
+    for r in rows:
+        ys[(r["d"] - d0).days] = int(r["y"])
+    lev, tr, _ = _holt_state(ys)
+    fc = max(lev + tr, 0)
+
+    trail = (
+        ev.filter(F.col("event_type") != "purchase")
+        .filter(
+            F.datediff(F.lit(d1.isoformat()).cast("date"), F.col("ts").cast("date"))
+            < 7
+        )
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("trail_cents")
+        )
+    )
+    dec = "decimal(38,0)"
+    tot = f"sum(cast(trail_cents as {dec})) over ()"
+    scaled = trail.select(
+        "channel",
+        "trail_cents",
+        F.expr(
+            f"cast(case when {tot} = 0 then 0 else cast({fc} as {dec})"
+            f" * cast(trail_cents as {dec}) div {tot} end as bigint)"
+        ).alias("_base"),
+        F.expr(
+            f"cast(case when {tot} = 0 then 0 else cast({fc} as {dec})"
+            f" * cast(trail_cents as {dec}) % {tot} end as {dec})"
+        ).alias("_rem"),
+    )
+    w = Window.orderBy(F.desc("_rem"), F.asc("channel"))
+    anyrow = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    leftover = (
+        F.when(F.sum("trail_cents").over(anyrow) == 0, F.lit(0))
+        .otherwise(F.lit(fc).cast("long") - F.sum("_base").over(anyrow))
+        .cast("long")
+    )
+    return (
+        scaled.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_left", leftover)
+        .select(
+            "channel",
+            "trail_cents",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_left"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("alloc_fc1_cents_q20"),
+        )
     )

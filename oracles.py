@@ -6045,11 +6045,110 @@ FROM per p JOIN t USING (channel)
 """
 
 
+# operators/experiments.py mix_drift_chi2: k-cell composition drift,
+# exact-rational chi-square contributions over self-anchored weekly
+# windows; totals over baseline-present cells only
+_ORACLE_MIX_DRIFT = """
+WITH mx AS (
+  SELECT MAX(CAST(ts AS DATE)) AS mxd FROM events WHERE event_type <> 'purchase'
+),
+d AS (
+  SELECT event_type AS channel,
+         datediff('day', CAST(ts AS DATE), (SELECT mxd FROM mx)) AS age
+  FROM events WHERE event_type <> 'purchase'
+),
+per AS (
+  SELECT channel,
+         CAST(SUM(CASE WHEN age < 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+         CAST(SUM(CASE WHEN age >= 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_base
+  FROM d WHERE age < 14 GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN n_base > 0 THEN n_cur ELSE 0 END) AS HUGEINT) AS n,
+         CAST(SUM(CASE WHEN n_base > 0 THEN n_base ELSE 0 END) AS HUGEINT) AS m
+  FROM per
+)
+SELECT p.channel, p.n_cur, p.n_base,
+       CASE WHEN p.n_base > 0 AND t.n > 0 THEN
+         CAST((2 * (p.n_cur * t.m - t.n * p.n_base) * (p.n_cur * t.m - t.n * p.n_base) * 1048576
+               + (t.n * p.n_base * t.m))
+              // (2 * (t.n * p.n_base * t.m)) AS BIGINT)
+       END AS chi2_contrib_q20
+FROM per p, tot t
+"""
+
+# operators/timeseries.py forecast_topdown: the holt recursion on the
+# TOTAL spine (single series), then Hamilton largest-remainder over
+# trailing-7-day channel shares — SUM(alloc) == forecast exactly
+_ORACLE_FORECAST_TOPDOWN = """
+WITH RECURSIVE
+daily AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1
+),
+span AS MATERIALIZED (
+  SELECT MIN(d) AS d0, MAX(d) AS d1, datediff('day', MIN(d), MAX(d)) AS nmax FROM daily
+),
+spine AS MATERIALIZED (
+  SELECT CAST(r.rn AS BIGINT) AS rn, COALESCE(dl.y, 0) AS y
+  FROM span sp
+  CROSS JOIN LATERAL (SELECT UNNEST(generate_series(0, sp.nmax)) AS rn) r
+  LEFT JOIN daily dl ON dl.d = sp.d0 + CAST(r.rn AS INTEGER)
+),
+rec AS (
+  SELECT CAST(1 AS BIGINT) AS t,
+         CAST(1048576 AS HUGEINT) * s.y AS lev,
+         COALESCE(CAST(1048576 AS HUGEINT) * (s2.y - s.y), CAST(0 AS HUGEINT)) AS tr
+  FROM spine s LEFT JOIN spine s2 ON s2.rn = 1
+  WHERE s.rn = 0
+  UNION ALL
+  SELECT t, lev2 AS lev, ((lev2 - lev) + 3 * tr) // 4 AS tr
+  FROM (
+    SELECT r.t + 1 AS t, r.lev AS lev, r.tr AS tr,
+           (CAST(1048576 AS HUGEINT) * d.y + 3 * (r.lev + r.tr)) // 4 AS lev2
+    FROM rec r JOIN spine d ON d.rn = r.t
+  )
+),
+fc AS (
+  SELECT greatest(lev + tr, CAST(0 AS HUGEINT)) AS f
+  FROM rec WHERE t = (SELECT nmax FROM span) + 1
+),
+trail AS (
+  SELECT event_type AS channel,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS trail_cents
+  FROM events, span sp
+  WHERE event_type <> 'purchase'
+    AND datediff('day', CAST(ts AS DATE), sp.d1) < 7
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(CAST(trail_cents AS HUGEINT)) AS HUGEINT) AS c FROM trail),
+scaled AS (
+  SELECT t.channel, t.trail_cents,
+         CASE WHEN tt.c = 0 THEN CAST(0 AS HUGEINT)
+              ELSE (SELECT f FROM fc) * CAST(t.trail_cents AS HUGEINT) // tt.c END AS base,
+         CASE WHEN tt.c = 0 THEN CAST(0 AS HUGEINT)
+              ELSE (SELECT f FROM fc) * CAST(t.trail_cents AS HUGEINT) % tt.c END AS rem
+  FROM trail t, tot tt
+),
+lft AS (
+  SELECT CASE WHEN (SELECT c FROM tot) = 0 THEN CAST(0 AS HUGEINT)
+              ELSE (SELECT f FROM fc) - (SELECT SUM(base) FROM scaled) END AS leftover
+)
+SELECT s.channel, s.trail_cents,
+       CAST(s.base + CASE WHEN CAST(ROW_NUMBER() OVER (ORDER BY s.rem DESC, s.channel) AS HUGEINT)
+                               <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_fc1_cents_q20
+FROM scaled s, lft l
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "maef_next_best_channel": _ORACLE_NEXT_BEST_CHANNEL,
         "llm_ann_recall": _ORACLE_ANN_RECALL,
         "maef_dow_index": _ORACLE_DOW_INDEX,
+        "maef_mix_drift": _ORACLE_MIX_DRIFT,
+        "maef_forecast_topdown": _ORACLE_FORECAST_TOPDOWN,
         "maef_interpurchase": _ORACLE_INTERPURCHASE,
         "maef_holt_forecast": _ORACLE_HOLT_FORECAST,
         "llm_doc_novelty": _ORACLE_DOC_NOVELTY,

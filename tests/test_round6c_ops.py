@@ -258,3 +258,79 @@ def test_dow_seasonal_index_integer_dow(spark):
     # 7 * 200 / 400 = 3.5 flat-week multiples, exactly representable
     assert out[0]["index_q20"] == 7 * 200 * Q20 // 400
     assert out[1]["index_q20"] == 7 * 200 * Q20 // 400
+
+
+def test_mix_drift_chi2_cells(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import experiments as xpr
+
+    rows, eid = [], 0
+    D = dt.datetime(2024, 1, 20, 12)
+
+    def add(channel, age, n):
+        nonlocal eid
+        for _ in range(n):
+            rows.append((eid, D - dt.timedelta(days=age), eid, channel, 1.0))
+            eid += 1
+
+    add("a", 0, 6)   # current
+    add("a", 8, 3)   # baseline
+    add("b", 2, 2)   # current
+    add("b", 9, 9)   # baseline
+    add("c", 1, 5)   # NEW channel: current only
+    add("d", 13, 4)  # stale channel: baseline only
+    add("a", 20, 99)  # outside both windows -> ignored
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["channel"]: r for r in xpr.mix_drift_chi2(ev).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    # baseline-present cells: a (6,3), b (2,9), d (0,4) -> n=8, m=16
+    n, m = 8, 16
+    for ch, (o, b) in {"a": (6, 3), "b": (2, 9), "d": (0, 4)}.items():
+        assert out[ch]["n_cur"] == o and out[ch]["n_base"] == b
+        num = (o * m - n * b) ** 2
+        den = n * b * m
+        assert out[ch]["chi2_contrib_q20"] == (2 * num * Q20 + den) // (2 * den)
+    # new channel: counted, not chi-squared
+    assert out["c"]["n_cur"] == 5 and out["c"]["n_base"] == 0
+    assert out["c"]["chi2_contrib_q20"] is None
+
+
+def test_forecast_topdown_coherence_and_hamilton(spark):
+    rows, eid = [], 0
+    # 3 days of total spend: day1 a=1.00; day2 a=2.00,b=1.00; day3 a=2.00,b=3.00
+    plan = [
+        (1, [("a", 1.00)]),
+        (2, [("a", 2.00), ("b", 1.00)]),
+        (3, [("a", 2.00), ("b", 3.00)]),
+    ]
+    for day, items in plan:
+        for ch, v in items:
+            rows.append((eid, dt.datetime(2024, 1, day, 12), eid, ch, v))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["channel"]: r for r in tsr.forecast_topdown(ev).collect()}
+    # expected F from the Holt replica over total cents [100, 300, 500]
+    ys = [100, 300, 500]
+    lev, tr = Q20 * ys[0], Q20 * (ys[1] - ys[0])
+    for t in range(1, 3):
+        f = lev + tr
+        lev_new = _tdiv(Q20 * ys[t] + 3 * f, 4)
+        tr = _tdiv((lev_new - lev) + 3 * tr, 4)
+        lev = lev_new
+    F_q20 = max(lev + tr, 0)
+    # trailing 7 days covers everything: a=500c, b=400c
+    ca, cb, C = 500, 400, 900
+    base_a, base_b = F_q20 * ca // C, F_q20 * cb // C
+    rem_a, rem_b = F_q20 * ca % C, F_q20 * cb % C
+    left = F_q20 - base_a - base_b
+    alloc = {"a": base_a, "b": base_b}
+    for ch in sorted(alloc, key=lambda c: (-(rem_a if c == "a" else rem_b), c))[:left]:
+        alloc[ch] += 1
+    assert out["a"]["trail_cents"] == 500 and out["b"]["trail_cents"] == 400
+    assert out["a"]["alloc_fc1_cents_q20"] == alloc["a"]
+    assert out["b"]["alloc_fc1_cents_q20"] == alloc["b"]
+    # the coherence invariant: allocations sum EXACTLY to the forecast
+    assert out["a"]["alloc_fc1_cents_q20"] + out["b"]["alloc_fc1_cents_q20"] == F_q20
