@@ -5234,6 +5234,22 @@ def q_forecast_topdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.forecast_topdown(domain.events(spark, sf_dir))
 
 
+def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L237: Pareto top-decile revenue share per channel — the
+    right-tail companion to the Gini (L155), same grouped two-phase
+    rank kernel, decile cut by integer cross-multiplication
+    (operators/concentration.py top_decile_share)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import concentration as conc
+
+    ev = domain.events(spark, sf_dir).filter(F.col("event_type") != "purchase")
+    facts = ev.select(
+        F.col("event_type").alias("channel"),
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return conc.top_decile_share(facts, "channel", "user_id", "cents")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r06 rotation (VERDICT r05 next-steps #1):
@@ -5309,6 +5325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_dow_index": q_dow_index,
         "maef_mix_drift": q_mix_drift,
         "maef_forecast_topdown": q_forecast_topdown,
+        "maef_pareto_share": q_pareto_share,
         # --- freshly-green r05 window (CORRECTNESS_r05, 50/50) rotates here ---
         "rel_min_cost_supplier": q_rel_min_cost_supplier,
         "rel_important_parts": q_rel_important_parts,

@@ -123,3 +123,59 @@ def gini_by_group(
             .alias("gini_q20"),
         )
     )
+
+
+def top_decile_share(
+    facts: DataFrame,
+    group_col: str,
+    unit_col: str,
+    cents_col: str,
+) -> DataFrame:
+    """Pareto ("80/20") readout per group: what share of the cents do
+    the TOP-DECILE units hold?  Gini (gini_by_group) summarizes the
+    whole Lorenz curve in one number; buyers and CRM teams act on the
+    curve's right tail — "our top 10% of customers are X% of revenue"
+    — which this emits as exact integers.
+
+    A unit is top-decile iff its ascending (value, id) rank satisfies
+    rank * 10 > 9 * n — pure integer cross-multiplication, no
+    percentile float; the (value, id) order pins boundary ties
+    deterministically on both engines.  Ranks come from the grouped
+    two-phase scan (grouped_value_rank), so no group is ever sorted in
+    one task (the same 100-TB argument as Gini).
+
+    Output: (group, n_units, total_cents, top_users, top_cents,
+    share_q20) with share = top_cents / total_cents in q20 half-up;
+    zero-total groups emit share 0.
+    """
+    per_unit = facts.groupBy(
+        F.col(group_col), F.col(unit_col).alias("_u")
+    ).agg(F.sum(cents_col).cast("long").alias("_x"))
+    ranked = grouped_value_rank(per_unit, group_col, "_x", "_u", out_col="_r")
+    n = Window.partitionBy(group_col)
+    top = F.col("_r") * 10 > 9 * F.count(F.lit(1)).over(n)
+    agg = (
+        ranked.withColumn("_top", top)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum("_x").cast("long").alias("total_cents"),
+            F.sum(F.when(F.col("_top"), 1).otherwise(0)).cast("long").alias("top_users"),
+            F.sum(F.when(F.col("_top"), F.col("_x")).otherwise(0))
+            .cast("long")
+            .alias("top_cents"),
+        )
+    )
+    dec = "decimal(38,0)"
+    return agg.select(
+        group_col,
+        "n_units",
+        "total_cents",
+        "top_users",
+        "top_cents",
+        F.expr(
+            f"case when total_cents = 0 then 0 else"
+            f" cast((2 * cast(top_cents as {dec}) * 1048576 + total_cents)"
+            f" div (2 * cast(total_cents as {dec})) as bigint) end"
+        ).alias("share_q20"),
+    )

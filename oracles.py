@@ -6045,6 +6045,36 @@ FROM per p JOIN t USING (channel)
 """
 
 
+# operators/concentration.py top_decile_share: the oracle's single
+# PARTITION BY rank window proves the grouped two-phase scan (same
+# device as the gini oracle); decile cut r*10 > 9*n
+_ORACLE_PARETO_SHARE = """
+WITH per AS MATERIALIZED (
+  SELECT event_type AS channel, user_id AS u,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+),
+rk AS (
+  SELECT channel, cents,
+         ROW_NUMBER() OVER (PARTITION BY channel ORDER BY cents, u) AS r,
+         COUNT(*) OVER (PARTITION BY channel) AS n
+  FROM per
+),
+ag AS (
+  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         CAST(SUM(CASE WHEN r * 10 > 9 * n THEN 1 ELSE 0 END) AS BIGINT) AS top_users,
+         CAST(SUM(CASE WHEN r * 10 > 9 * n THEN cents ELSE 0 END) AS BIGINT) AS top_cents
+  FROM rk GROUP BY 1
+)
+SELECT channel, n_units, total_cents, top_users, top_cents,
+       CASE WHEN total_cents = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((2 * CAST(top_cents AS HUGEINT) * 1048576 + total_cents)
+                      // (2 * CAST(total_cents AS HUGEINT)) AS BIGINT)
+       END AS share_q20
+FROM ag
+"""
+
 # operators/experiments.py mix_drift_chi2: k-cell composition drift,
 # exact-rational chi-square contributions over self-anchored weekly
 # windows; totals over baseline-present cells only
@@ -6149,6 +6179,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_dow_index": _ORACLE_DOW_INDEX,
         "maef_mix_drift": _ORACLE_MIX_DRIFT,
         "maef_forecast_topdown": _ORACLE_FORECAST_TOPDOWN,
+        "maef_pareto_share": _ORACLE_PARETO_SHARE,
         "maef_interpurchase": _ORACLE_INTERPURCHASE,
         "maef_holt_forecast": _ORACLE_HOLT_FORECAST,
         "llm_doc_novelty": _ORACLE_DOC_NOVELTY,

@@ -334,3 +334,16 @@ def test_forecast_topdown_coherence_and_hamilton(spark):
     assert out["b"]["alloc_fc1_cents_q20"] == alloc["b"]
     # the coherence invariant: allocations sum EXACTLY to the forecast
     assert out["a"]["alloc_fc1_cents_q20"] + out["b"]["alloc_fc1_cents_q20"] == F_q20
+
+
+def test_top_decile_share_whale(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import concentration as conc
+
+    # 10 users: nine spend 100c, one whale spends 9100c -> whale is the
+    # top decile (rank 10; 10*10 > 9*10) holding 9100/10000 of revenue
+    rows = [("a", u, 100) for u in range(9)] + [("a", 9, 9100)]
+    facts = spark.createDataFrame(rows, "channel string, user_id long, cents long")
+    r = conc.top_decile_share(facts, "channel", "user_id", "cents").collect()[0]
+    assert r["n_units"] == 10 and r["total_cents"] == 10000
+    assert r["top_users"] == 1 and r["top_cents"] == 9100
+    assert r["share_q20"] == (2 * 9100 * Q20 + 10000) // (2 * 10000)
