@@ -5250,6 +5250,15 @@ def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conc.top_decile_share(facts, "channel", "user_id", "cents")
 
 
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L238: longest consecutive-active-day streak histogram — the
+    islands-and-gaps day_number - row_number() device
+    (operators/sessions.py activity_streaks)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import sessions as sess
+
+    return sess.activity_streaks(domain.events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r06 rotation (VERDICT r05 next-steps #1):
@@ -5326,6 +5335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_mix_drift": q_mix_drift,
         "maef_forecast_topdown": q_forecast_topdown,
         "maef_pareto_share": q_pareto_share,
+        "maef_activity_streaks": q_activity_streaks,
         # --- freshly-green r05 window (CORRECTNESS_r05, 50/50) rotates here ---
         "rel_min_cost_supplier": q_rel_min_cost_supplier,
         "rel_important_parts": q_rel_important_parts,

@@ -192,3 +192,49 @@ def bounce_rate(
             ).alias("bounce_q20"),
         )
     )
+
+
+def activity_streaks(events: DataFrame) -> DataFrame:
+    """Longest consecutive-active-day streak per user, rolled up to a
+    corpus histogram — the engagement-loyalty readout (the thing a
+    "7-day streak" product mechanic measures), and the one classic SQL
+    device the repo had not yet exercised: islands-and-gaps via
+    ``day_number - row_number()``.
+
+    Per user, distinct active days sorted ascending; consecutive days
+    share the constant ``datediff(day, epoch) - row_number()`` (each
+    +1 day also advances the row number by 1), so one groupBy on that
+    difference yields the islands, a max picks the longest, and the
+    final rollup is bounded by the streak-length range.
+
+    All integers (days since 1970-01-01 — the engine-neutral anchor,
+    same device as dow_seasonal_index), total (day) order per user, so
+    both engines compute identical islands.
+
+    Scale: raw events collapse to distinct (user, day) map-side first
+    (the rolling_distinct_users reduction); two shuffles on user_id,
+    one on the bounded streak-length key.
+
+    Output: (streak_days, n_users) — each user counted once at their
+    LONGEST streak.
+    """
+    days = (
+        events.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("_dn"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("_dn")
+    islands = days.withColumn("_grp", F.col("_dn") - F.row_number().over(w))
+    longest = (
+        islands.groupBy("user_id", "_grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("_len"))
+        .groupBy("user_id")
+        .agg(F.max("_len").alias("streak_days"))
+    )
+    return longest.groupBy("streak_days").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )

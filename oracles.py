@@ -6045,6 +6045,28 @@ FROM per p JOIN t USING (channel)
 """
 
 
+# operators/sessions.py activity_streaks: islands-and-gaps via
+# day_number - row_number(); engine-neutral epoch-day integers
+_ORACLE_ACTIVITY_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn
+  FROM events
+),
+isl AS (
+  SELECT user_id, dn,
+         dn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dn) AS grp
+  FROM days
+),
+longest AS (
+  SELECT user_id, CAST(MAX(len) AS BIGINT) AS streak_days
+  FROM (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len FROM isl GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT streak_days, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM longest GROUP BY 1
+"""
+
 # operators/concentration.py top_decile_share: the oracle's single
 # PARTITION BY rank window proves the grouped two-phase scan (same
 # device as the gini oracle); decile cut r*10 > 9*n
@@ -6180,6 +6202,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_mix_drift": _ORACLE_MIX_DRIFT,
         "maef_forecast_topdown": _ORACLE_FORECAST_TOPDOWN,
         "maef_pareto_share": _ORACLE_PARETO_SHARE,
+        "maef_activity_streaks": _ORACLE_ACTIVITY_STREAKS,
         "maef_interpurchase": _ORACLE_INTERPURCHASE,
         "maef_holt_forecast": _ORACLE_HOLT_FORECAST,
         "llm_doc_novelty": _ORACLE_DOC_NOVELTY,

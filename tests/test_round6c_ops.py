@@ -347,3 +347,21 @@ def test_top_decile_share_whale(spark):
     assert r["n_units"] == 10 and r["total_cents"] == 10000
     assert r["top_users"] == 1 and r["top_cents"] == 9100
     assert r["share_q20"] == (2 * 9100 * Q20 + 10000) // (2 * 10000)
+
+
+def test_activity_streaks_islands(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import sessions as sess
+
+    rows, eid = [], 0
+    # u1 active Jan 1,2,3 + Jan 10          -> longest 3
+    # u2 active Jan 5 (twice: dedup to one) -> longest 1
+    # u3 active Jan 1,2 + Jan 4,5,6,7       -> longest 4
+    for u, days in [(1, [1, 2, 3, 10]), (2, [5, 5]), (3, [1, 2, 4, 5, 6, 7])]:
+        for day in days:
+            rows.append((eid, dt.datetime(2024, 1, day, 9 + eid % 3), u, "a", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["streak_days"]: r["n_users"] for r in sess.activity_streaks(ev).collect()}
+    assert out == {3: 1, 1: 1, 4: 1}
