@@ -5259,6 +5259,13 @@ def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.activity_streaks(domain.events(spark, sf_dir))
 
 
+def q_cdc_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L239: chunk-level cross-source contamination matrix — distinct
+    CDC chunks shared per source pair, the shift-proof upgrade of the
+    prefix matrix (llm/dedup.py cdc_cross_source)."""
+    return dd.cdc_cross_source(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r06 rotation (VERDICT r05 next-steps #1):
@@ -5336,6 +5343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_forecast_topdown": q_forecast_topdown,
         "maef_pareto_share": q_pareto_share,
         "maef_activity_streaks": q_activity_streaks,
+        "llm_cdc_cross_source": q_cdc_cross_source,
         # --- freshly-green r05 window (CORRECTNESS_r05, 50/50) rotates here ---
         "rel_min_cost_supplier": q_rel_min_cost_supplier,
         "rel_important_parts": q_rel_important_parts,

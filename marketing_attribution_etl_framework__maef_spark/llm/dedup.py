@@ -989,6 +989,96 @@ def doc_novelty(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def cdc_chunk_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    w: int = 3,
+    modulus: int = 8,
+) -> DataFrame:
+    """The CDC chunk store: (source, chunk_md5) rows, one per chunk of
+    every document — the shared kernel under cdc_chunk_stats (per-
+    source dedup ratio) and cdc_cross_source (contamination matrix).
+    Boundary device documented on cdc_chunk_stats; all per-doc work is
+    HOF-local, the only explode is the final chunk unnest.
+    """
+    from marketing_attribution_etl_framework__maef_spark.llm.text import (
+        normalize_text,
+        word_shingles,
+        words,
+    )
+
+    ws = words(normalize_text(F.col(text_col)))
+    d = docs.select("source", ws.alias("_ws")).withColumn("_n", F.size("_ws"))
+    # w-grams STARTING at i (1-based i in 1.._n-w+1) end at i+w-1; keep
+    # ends strictly before _n.  Short docs (<w words) yield the single
+    # whole-text shingle whose end index w-1+1-1 clamps out -> no cuts.
+    sh = word_shingles(F.col("_ws"), w)
+    d = d.withColumn(
+        "_cuts",
+        F.filter(
+            F.transform(
+                sh,
+                lambda s, i: F.when(
+                    (shingle_hash(s) % modulus == 0) & (i + w < F.col("_n")),
+                    i + w,  # 0-based start i covers 1-based words i+1..i+w
+                ).otherwise(F.lit(None)),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    ).withColumn(
+        "_bounds",
+        F.concat(F.array(F.lit(0)), F.col("_cuts"), F.array(F.col("_n"))),
+    )
+    return d.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_bounds") - 1),
+                lambda j: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.slice(
+                            F.col("_ws"),
+                            F.get("_bounds", j - 1) + 1,
+                            F.get("_bounds", j) - F.get("_bounds", j - 1),
+                        ),
+                    )
+                ),
+            )
+        ).alias("chunk_md5"),
+    )
+
+
+def cdc_cross_source(
+    docs: DataFrame,
+    text_col: str = "text",
+    w: int = 3,
+    modulus: int = 8,
+) -> DataFrame:
+    """Chunk-level cross-source contamination matrix: for every
+    unordered source pair (a < b), how many DISTINCT CDC chunks they
+    share — the shift-proof upgrade of the prefix-based
+    cross_source_dup_matrix (a doc syndicated with a new byline still
+    collides chunk-for-chunk past the first boundary).
+
+    Shape: the chunk store collapses to distinct (source, chunk) pairs
+    (map-side combinable), then an inverted-index self-join on
+    chunk_md5 with a < b — cost sum over chunks of df², where df is a
+    chunk's source count (bounded by |sources|), never corpus².
+
+    Output: (source_a, source_b, shared_chunks).
+    """
+    pairs = cdc_chunk_table(docs, text_col=text_col, w=w, modulus=modulus).distinct()
+    a = pairs.select(F.col("source").alias("source_a"), "chunk_md5")
+    b = pairs.select(F.col("source").alias("source_b"), "chunk_md5")
+    return (
+        a.join(b, "chunk_md5")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_chunks"))
+    )
+
+
 def cdc_chunk_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -1022,54 +1112,7 @@ def cdc_chunk_stats(
     Output: (source, n_chunks, n_distinct_chunks, dup_chunk_ratio_q20)
     where dup ratio = 1 - distinct/total in q20.
     """
-    from marketing_attribution_etl_framework__maef_spark.llm.text import (
-        normalize_text,
-        word_shingles,
-        words,
-    )
-
-    ws = words(normalize_text(F.col(text_col)))
-    d = docs.select("source", ws.alias("_ws")).withColumn(
-        "_n", F.size("_ws")
-    )
-    # w-grams STARTING at i (1-based i in 1.._n-w+1) end at i+w-1; keep
-    # ends strictly before _n.  Short docs (<w words) yield the single
-    # whole-text shingle whose end index w-1+1-1 clamps out -> no cuts.
-    sh = word_shingles(F.col("_ws"), w)
-    d = d.withColumn(
-        "_cuts",
-        F.filter(
-            F.transform(
-                sh,
-                lambda s, i: F.when(
-                    (shingle_hash(s) % modulus == 0) & (i + w < F.col("_n")),
-                    i + w,  # 0-based start i covers 1-based words i+1..i+w
-                ).otherwise(F.lit(None)),
-            ),
-            lambda x: x.isNotNull(),
-        ),
-    ).withColumn(
-        "_bounds",
-        F.concat(F.array(F.lit(0)), F.col("_cuts"), F.array(F.col("_n"))),
-    )
-    chunks = d.select(
-        "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("_bounds") - 1),
-                lambda j: F.md5(
-                    F.concat_ws(
-                        " ",
-                        F.slice(
-                            F.col("_ws"),
-                            F.get("_bounds", j - 1) + 1,
-                            F.get("_bounds", j) - F.get("_bounds", j - 1),
-                        ),
-                    )
-                ),
-            )
-        ).alias("chunk_md5"),
-    )
+    chunks = cdc_chunk_table(docs, text_col=text_col, w=w, modulus=modulus)
     return (
         chunks.groupBy("source")
         .agg(

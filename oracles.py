@@ -5910,11 +5910,11 @@ SELECT e.doc_id,
 FROM ex e JOIN f USING (s) GROUP BY 1
 """
 
-# llm/dedup.py cdc_chunk_stats: rolling 3-word-window boundaries
+# llm/dedup.py cdc_chunk_table: rolling 3-word-window boundaries
 # (60-bit md5 hash = 0 mod 8, never at the last word), chunks rebuilt
-# by 1-based list_slice between consecutive bounds, md5 chunk store
-_ORACLE_CDC_CHUNKS = r"""
-WITH d AS (
+# by 1-based list_slice between consecutive bounds, md5 chunk store —
+# the shared CTE chain under both CDC oracles
+_CDC_CHUNK_CTES = r"""d AS (
   SELECT source,
          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
   FROM documents
@@ -5940,13 +5940,27 @@ ch AS (
          unnest(list_transform(range(1, len(bounds)),
            j -> md5(array_to_string(list_slice(ws, bounds[j] + 1, bounds[j + 1]), ' ')))) AS chunk_md5
   FROM b3
-)
+)"""
+
+_ORACLE_CDC_CHUNKS = f"""
+WITH {_CDC_CHUNK_CTES}
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_chunks,
        CAST(COUNT(DISTINCT chunk_md5) AS BIGINT) AS n_distinct_chunks,
        CAST((2 * (COUNT(*) - COUNT(DISTINCT chunk_md5)) * 1048576 + COUNT(*))
             // (2 * COUNT(*)) AS BIGINT) AS dup_chunk_ratio_q20
 FROM ch GROUP BY 1
+"""
+
+# llm/dedup.py cdc_cross_source: distinct (source, chunk) pairs
+# self-joined on the chunk hash, a < b
+_ORACLE_CDC_CROSS_SOURCE = f"""
+WITH {_CDC_CHUNK_CTES},
+p AS (SELECT DISTINCT source, chunk_md5 FROM ch)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_chunks
+FROM p a JOIN p b ON a.chunk_md5 = b.chunk_md5 AND a.source < b.source
+GROUP BY 1, 2
 """
 
 # llm/embquality.py centroid_distance_outliers: ivf_assign's exact
@@ -6203,6 +6217,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_forecast_topdown": _ORACLE_FORECAST_TOPDOWN,
         "maef_pareto_share": _ORACLE_PARETO_SHARE,
         "maef_activity_streaks": _ORACLE_ACTIVITY_STREAKS,
+        "llm_cdc_cross_source": _ORACLE_CDC_CROSS_SOURCE,
         "maef_interpurchase": _ORACLE_INTERPURCHASE,
         "maef_holt_forecast": _ORACLE_HOLT_FORECAST,
         "llm_doc_novelty": _ORACLE_DOC_NOVELTY,

@@ -365,3 +365,22 @@ def test_activity_streaks_islands(spark):
     )
     out = {r["streak_days"]: r["n_users"] for r in sess.activity_streaks(ev).collect()}
     assert out == {3: 1, 1: 1, 4: 1}
+
+
+def test_cdc_cross_source_shared_tail(spark):
+    words = [f"q{i * 11 % 29}z{i}" for i in range(40)]
+    t1 = " ".join(words)
+    t2 = " ".join(["syndicated", "byline"] + words)  # same body, new head
+    t3 = "totally different text with no shared content at all"
+    docs = spark.createDataFrame(
+        [(1, t1, "sA"), (2, t2, "sB"), (3, t3, "sC")],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["source_a"], r["source_b"]): r["shared_chunks"]
+           for r in dd.cdc_cross_source(docs).collect()}
+    exp1, exp2 = set(_cdc_expected(t1)), set(_cdc_expected(t2))
+    shared = len(exp1 & exp2)
+    if len(exp1) > 1:  # interior cut exists -> the tail realigns
+        assert shared > 0
+        assert out[("sA", "sB")] == shared
+    assert ("sA", "sC") not in out and ("sB", "sC") not in out
