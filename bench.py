@@ -88,6 +88,10 @@ CHECKPOINT_HEAVY = {
     # r06: greedy coverage localCheckpoints the shrinking live table
     # every round (8 rounds; floor ~3.6 s, spikes to ~6 s under debris)
     "llm_greedy_coverage",
+    # r06: stream-stream join state-store commits show the same
+    # one-sided noise (4.7 s vs 9.5 s across final solo runs on
+    # identical code); record the min of two
+    "maef_stream_journey_join",
     # label purity checkpoints the labeled quantized vectors
     "llm_label_purity",
     # streaming state materialization + serving-side checkpoint
