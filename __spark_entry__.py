@@ -5266,6 +5266,16 @@ def q_cdc_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.cdc_cross_source(_docs(spark, sf_dir))
 
 
+def q_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L240: weekday-stratified median/MAD revenue anomaly flags —
+    seasonal adjustment by conditioning the robust statistics on the
+    (channel, dow) cell, exact integers end to end
+    (operators/anomaly.py dow_mad_outliers)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import anomaly as anm
+
+    return anm.dow_mad_outliers(domain.events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r06 rotation (VERDICT r05 next-steps #1):
@@ -5344,6 +5354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_pareto_share": q_pareto_share,
         "maef_activity_streaks": q_activity_streaks,
         "llm_cdc_cross_source": q_cdc_cross_source,
+        "maef_dow_anomaly": q_dow_anomaly,
         # --- freshly-green r05 window (CORRECTNESS_r05, 50/50) rotates here ---
         "rel_min_cost_supplier": q_rel_min_cost_supplier,
         "rel_important_parts": q_rel_important_parts,

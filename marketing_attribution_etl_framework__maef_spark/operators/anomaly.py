@@ -174,3 +174,72 @@ def cusum_changepoint(ev: DataFrame) -> DataFrame:
         "cusum_scaled",
         (F.col("day") == F.col("_peak_day")).cast("long").alias("is_peak"),
     )
+
+
+def dow_mad_outliers(ev: DataFrame, k: int = 3) -> DataFrame:
+    """Weekday-stratified median/MAD outlier flags: each (channel,
+    day)'s revenue is compared against the median and MAD of the SAME
+    WEEKDAY's history for that channel — |cents − med_dow| > k·MAD_dow.
+
+    Why stratify: a channel with a strong weekly cycle (retail
+    weekends, B2B weekdays) makes the unconditional screen
+    (mad_day_outliers) fire every Saturday and mask true weekday
+    anomalies — a Saturday is anomalous only relative to other
+    Saturdays.  This is seasonal adjustment done exactly: no seasonal
+    index division, just conditioning the robust statistics on the
+    cycle position.
+
+    Day-of-week is the engine-neutral days-since-Monday-1970-01-05
+    mod 7 (dow_seasonal_index device).  Same exact-integer
+    median/MAD/inequality stack as mad_day_outliers, with the rank
+    windows over the (channel, dow) grain — still bounded by the
+    calendar, never raw events.
+
+    Output: (channel, event_day, dow, cents, median_cents, mad_cents,
+    is_anomaly).
+    """
+    from marketing_attribution_etl_framework__maef_spark.operators.quantiles import percentile_disc
+
+    daily = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(
+            F.col("event_type").alias("channel"),
+            F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("_c"),
+        )
+        .groupBy("channel", "event_day")
+        .agg(F.sum("_c").cast("long").alias("cents"))
+        .withColumn(
+            "dow",
+            (
+                F.datediff(
+                    F.col("event_day").cast("date"),
+                    F.lit("1970-01-05").cast("date"),
+                )
+                % 7
+            ).cast("long"),
+        )
+    )
+    med = percentile_disc(daily, ["channel", "dow"], "cents", [0.5]).select(
+        "channel", "dow", F.col("cents").alias("_med")
+    )
+    dev = daily.join(F.broadcast(med), ["channel", "dow"]).withColumn(
+        "_dev", F.abs(F.col("cents") - F.col("_med")).cast("long")
+    )
+    mad = percentile_disc(
+        dev.select("channel", "dow", "_dev"), ["channel", "dow"], "_dev", [0.5]
+    ).select("channel", "dow", F.col("_dev").alias("_mad"))
+    return (
+        dev.join(F.broadcast(mad), ["channel", "dow"])
+        .select(
+            "channel",
+            "event_day",
+            "dow",
+            "cents",
+            F.col("_med").alias("median_cents"),
+            F.col("_mad").alias("mad_cents"),
+            (F.col("_dev") > F.lit(int(k)).cast("long") * F.col("_mad"))
+            .cast("long")
+            .alias("is_anomaly"),
+        )
+    )

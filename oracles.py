@@ -6059,6 +6059,41 @@ FROM per p JOIN t USING (channel)
 """
 
 
+# operators/anomaly.py dow_mad_outliers: the L-anomaly MAD stack
+# conditioned on the engine-neutral (channel, dow) cell
+_ORACLE_DOW_ANOMALY = f"""
+WITH {_DAILY_CENTS},
+dd AS (
+  SELECT channel, event_day, cents,
+         CAST(datediff('day', DATE '1970-01-05', CAST(event_day AS DATE)) % 7 AS BIGINT) AS dow
+  FROM daily
+),
+rmed AS (
+  SELECT channel, dow, cents,
+         ROW_NUMBER() OVER (PARTITION BY channel, dow ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY channel, dow) AS n
+  FROM dd
+),
+med AS (SELECT channel, dow, cents AS med FROM rmed WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)),
+dev AS (
+  SELECT d.channel, d.event_day, d.dow, d.cents, m.med,
+         ABS(d.cents - m.med) AS dv
+  FROM dd d JOIN med m USING (channel, dow)
+),
+rmad AS (
+  SELECT channel, dow, dv,
+         ROW_NUMBER() OVER (PARTITION BY channel, dow ORDER BY dv) AS rn,
+         COUNT(*) OVER (PARTITION BY channel, dow) AS n
+  FROM dev
+),
+mad AS (SELECT channel, dow, dv AS mad FROM rmad WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT))
+SELECT d.channel, d.event_day, d.dow, d.cents,
+       CAST(d.med AS BIGINT) AS median_cents,
+       CAST(a.mad AS BIGINT) AS mad_cents,
+       CAST(CASE WHEN d.dv > 3 * a.mad THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM dev d JOIN mad a USING (channel, dow)
+"""
+
 # operators/sessions.py activity_streaks: islands-and-gaps via
 # day_number - row_number(); engine-neutral epoch-day integers
 _ORACLE_ACTIVITY_STREAKS = """
@@ -6218,6 +6253,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_pareto_share": _ORACLE_PARETO_SHARE,
         "maef_activity_streaks": _ORACLE_ACTIVITY_STREAKS,
         "llm_cdc_cross_source": _ORACLE_CDC_CROSS_SOURCE,
+        "maef_dow_anomaly": _ORACLE_DOW_ANOMALY,
         "maef_interpurchase": _ORACLE_INTERPURCHASE,
         "maef_holt_forecast": _ORACLE_HOLT_FORECAST,
         "llm_doc_novelty": _ORACLE_DOC_NOVELTY,

@@ -384,3 +384,27 @@ def test_cdc_cross_source_shared_tail(spark):
         assert shared > 0
         assert out[("sA", "sB")] == shared
     assert ("sA", "sC") not in out and ("sB", "sC") not in out
+
+
+def test_dow_mad_outliers_weekday_stratified(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import anomaly as anm
+
+    rows, eid = [], 0
+    # channel 'a': Mondays (Jan 1/8/15/22/29 2024) at 100c except one
+    # 1000c spike; Saturdays (Jan 6/13/20/27) at 900c — high but NORMAL
+    # for Saturdays.  The unconditional screen would flag Saturdays;
+    # the stratified one flags only the Monday spike.
+    for day, cents in [(1, 100), (8, 100), (15, 1000), (22, 100), (29, 100),
+                       (6, 900), (13, 900), (20, 900), (27, 900)]:
+        rows.append((eid, dt.datetime(2024, 1, day, 12), eid, "a", cents / 100.0))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["event_day"]: r for r in anm.dow_mad_outliers(ev).collect()}
+    # Mondays: med=100, deviations (0,0,900,0,0) -> MAD=0; spike flagged
+    assert out["2024-01-15"]["dow"] == 0 and out["2024-01-15"]["is_anomaly"] == 1
+    assert out["2024-01-08"]["is_anomaly"] == 0
+    # Saturdays: med=900, all deviations 0 -> no flags
+    for d in ("2024-01-06", "2024-01-13", "2024-01-20", "2024-01-27"):
+        assert out[d]["dow"] == 5 and out[d]["is_anomaly"] == 0
