@@ -5276,6 +5276,20 @@ def q_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anm.dow_mad_outliers(domain.events(spark, sf_dir))
 
 
+def q_cac_payback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L241: CAC payback month per channel — cumulative last-touch
+    revenue vs cumulative acquisition cost, cents-vs-mils compared by
+    integer cross-multiplication (operators/reporting.py
+    cac_payback)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import reporting as rpt
+
+    return rpt.cac_payback(
+        _journeys(spark, sf_dir),
+        domain.session_sources(spark, sf_dir),
+        domain.session_costs(spark, sf_dir),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r06 rotation (VERDICT r05 next-steps #1):
@@ -5355,6 +5369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_activity_streaks": q_activity_streaks,
         "llm_cdc_cross_source": q_cdc_cross_source,
         "maef_dow_anomaly": q_dow_anomaly,
+        "maef_cac_payback": q_cac_payback,
         # --- freshly-green r05 window (CORRECTNESS_r05, 50/50) rotates here ---
         "rel_min_cost_supplier": q_rel_min_cost_supplier,
         "rel_important_parts": q_rel_important_parts,

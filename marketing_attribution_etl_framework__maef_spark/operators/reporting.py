@@ -410,3 +410,90 @@ def budget_allocation(sessions: DataFrame, budget_cents: int = 100_000_000) -> D
             .alias("alloc_cents"),
         )
     )
+
+
+def cac_payback(
+    journeys: DataFrame, sessions: DataFrame, costs: DataFrame
+) -> DataFrame:
+    """CAC payback per channel: the first month in which cumulative
+    last-touch attributed revenue covers cumulative acquisition cost —
+    the FP&A readout that turns the channel report's monthly CPO/ROAS
+    into a break-even DATE ("paid search pays back in month 3").
+
+    Monthly revenue = last-touch credit (the same (event_ts,
+    session_id)-ordered last row the attribution family uses) of each
+    conversion's revenue, bucketed by conversion month.  Monthly cost
+    = the session_costs subset joined back to its session's channel
+    and month.  Both monthly ledgers window-cumsum per channel over
+    the 'yyyy-MM' string order (lexicographic == chronological), and
+    payback is the MIN month where
+
+        cum_rev_cents * 10 >= cum_cost_mils
+
+    — revenue in exact cents, cost in exact mils (3-decimal
+    granularity per the repo money rule), compared by integer
+    cross-multiplication, never a float division.  Channels that never
+    break even emit NULL.
+
+    Scale: both ledgers are map-side-combining aggregates to the
+    channel x month grain; the cumsum windows run on that bounded
+    table.  Output: (channel, payback_month, n_months,
+    total_rev_cents, total_cost_mils).
+    """
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("conversion_id").orderBy(
+        F.desc("event_ts"), F.desc("session_id")
+    )
+    rev = (
+        journeys.withColumn("_rn", F.row_number().over(wl))
+        .filter(F.col("_rn") == 1)
+        .groupBy(
+            F.col("channel_label").alias("channel"),
+            F.date_format("conv_ts", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("revenue") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    cost = (
+        costs.join(
+            sessions.select("session_id", "channel_name", "event_ts"), "session_id"
+        )
+        .groupBy(
+            F.col("channel_name").alias("channel"),
+            F.date_format("event_ts", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("cost") * 1000, 0).cast("long"))
+            .cast("long")
+            .alias("cost_mils")
+        )
+    )
+    m = (
+        rev.join(cost, ["channel", "month"], "full_outer")
+        .select(
+            "channel",
+            "month",
+            F.coalesce("rev_cents", F.lit(0)).cast("long").alias("rev_cents"),
+            F.coalesce("cost_mils", F.lit(0)).cast("long").alias("cost_mils"),
+        )
+    )
+    w = (
+        Window.partitionBy("channel")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = m.withColumn("_cr", F.sum("rev_cents").over(w)).withColumn(
+        "_cc", F.sum("cost_mils").over(w)
+    )
+    return cum.groupBy("channel").agg(
+        F.min(
+            F.when(F.col("_cr") * 10 >= F.col("_cc"), F.col("month"))
+        ).alias("payback_month"),
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.max("_cr").cast("long").alias("total_rev_cents"),
+        F.max("_cc").cast("long").alias("total_cost_mils"),
+    )

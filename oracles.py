@@ -6059,6 +6059,50 @@ FROM per p JOIN t USING (channel)
 """
 
 
+# operators/reporting.py cac_payback: cumulative last-touch revenue
+# cents vs cumulative cost mils, break-even month by integer
+# cross-multiplication (x10), lexicographic yyyy-MM == chronological
+_ORACLE_CAC_PAYBACK = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS}, {_COSTS},
+lt AS (
+  SELECT conversion_id, channel_label, conv_ts, revenue,
+         ROW_NUMBER() OVER (PARTITION BY conversion_id
+                            ORDER BY event_ts DESC, session_id DESC) AS rn
+  FROM journeys
+),
+rev AS (
+  SELECT channel_label AS channel, strftime(conv_ts, '%Y-%m') AS month,
+         CAST(SUM(CAST(ROUND(revenue * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lt WHERE rn = 1 GROUP BY 1, 2
+),
+co AS (
+  SELECT s.channel_name AS channel, strftime(s.event_ts, '%Y-%m') AS month,
+         CAST(SUM(CAST(ROUND(c.cost * 1000, 0) AS BIGINT)) AS BIGINT) AS cost_mils
+  FROM costs c JOIN sess s ON c.session_id = s.session_id GROUP BY 1, 2
+),
+m AS (
+  SELECT COALESCE(r.channel, c.channel) AS channel,
+         COALESCE(r.month, c.month) AS month,
+         COALESCE(r.rev_cents, 0) AS rev_cents,
+         COALESCE(c.cost_mils, 0) AS cost_mils
+  FROM rev r FULL OUTER JOIN co c ON r.channel = c.channel AND r.month = c.month
+),
+cum AS (
+  SELECT channel, month,
+         CAST(SUM(rev_cents) OVER wmo AS BIGINT) AS cr,
+         CAST(SUM(cost_mils) OVER wmo AS BIGINT) AS cc
+  FROM m
+  WINDOW wmo AS (PARTITION BY channel ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT channel,
+       MIN(CASE WHEN cr * 10 >= cc THEN month END) AS payback_month,
+       CAST(COUNT(*) AS BIGINT) AS n_months,
+       CAST(MAX(cr) AS BIGINT) AS total_rev_cents,
+       CAST(MAX(cc) AS BIGINT) AS total_cost_mils
+FROM cum GROUP BY 1
+"""
+
 # operators/anomaly.py dow_mad_outliers: the L-anomaly MAD stack
 # conditioned on the engine-neutral (channel, dow) cell
 _ORACLE_DOW_ANOMALY = f"""
@@ -6254,6 +6298,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_activity_streaks": _ORACLE_ACTIVITY_STREAKS,
         "llm_cdc_cross_source": _ORACLE_CDC_CROSS_SOURCE,
         "maef_dow_anomaly": _ORACLE_DOW_ANOMALY,
+        "maef_cac_payback": _ORACLE_CAC_PAYBACK,
         "maef_interpurchase": _ORACLE_INTERPURCHASE,
         "maef_holt_forecast": _ORACLE_HOLT_FORECAST,
         "llm_doc_novelty": _ORACLE_DOC_NOVELTY,

@@ -408,3 +408,36 @@ def test_dow_mad_outliers_weekday_stratified(spark):
     # Saturdays: med=900, all deviations 0 -> no flags
     for d in ("2024-01-06", "2024-01-13", "2024-01-20", "2024-01-27"):
         assert out[d]["dow"] == 5 and out[d]["is_anomaly"] == 0
+
+
+def test_cac_payback_breakeven_month(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import reporting as rpt
+
+    # channel 'a': cost 5.000 in Jan + 5.000 in Feb; last-touch revenue
+    # 4.00 in Jan, 7.00 in Feb -> cum Jan 400c vs 5000mil (no),
+    # cum Feb 1100c vs 10000mil (1100*10 >= 10000 -> YES Feb)
+    j = spark.createDataFrame(
+        [
+            ("c1", "s1", dt.datetime(2024, 1, 15), dt.datetime(2024, 1, 14), "a", 4.00),
+            ("c2", "s2", dt.datetime(2024, 2, 15), dt.datetime(2024, 2, 14), "a", 7.00),
+            # multi-touch: earlier touch on channel b must NOT get credit
+            ("c2", "s0", dt.datetime(2024, 2, 15), dt.datetime(2024, 2, 13), "b", 7.00),
+        ],
+        "conversion_id string, session_id string, conv_ts timestamp, "
+        "event_ts timestamp, channel_label string, revenue double",
+    )
+    sess = spark.createDataFrame(
+        [
+            ("k1", "a", dt.datetime(2024, 1, 10)),
+            ("k2", "a", dt.datetime(2024, 2, 10)),
+        ],
+        "session_id string, channel_name string, event_ts timestamp",
+    )
+    costs = spark.createDataFrame(
+        [("k1", 5.0), ("k2", 5.0)], "session_id string, cost double"
+    )
+    out = {r["channel"]: r for r in rpt.cac_payback(j, sess, costs).collect()}
+    assert out["a"]["payback_month"] == "2024-02"
+    assert out["a"]["total_rev_cents"] == 1100 and out["a"]["total_cost_mils"] == 10000
+    # channel b: a touch but never the last one -> no revenue, no cost rows
+    assert "b" not in out or out["b"]["total_rev_cents"] == 0
