@@ -5290,6 +5290,44 @@ def q_cac_payback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L242: STREAMING channel-mix drift — the streaming twin of L235:
+    1-day tumbling windows, APPEND mode (the 1 h watermark evicts each
+    closed day; state bounded by open windows, never the calendar), the
+    chi-square readout serving-side over the emitted daily counts
+    (operators/experiments.py mix_drift_chi2_from_daily).  Emission
+    boundary: a day is emitted iff day_end <= max(ts) - 1h (the closed
+    comparison pinned by test_stream_topk_append_boundary), which the
+    oracle mirrors with the same max-ts CTE."""
+    from marketing_attribution_etl_framework__maef_spark.operators import experiments as xpr
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+        vol = inc.windowed_channel_volume(ev.withWatermark("ts", "1 hour"), window="1 day")
+        name = "stream_mix_drift_sink"
+        q = (
+            vol.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        daily = spark.table(name).select(
+            F.col("channel_name").alias("channel"),
+            F.col("window_start").cast("date").alias("d"),
+            F.col("n_sessions").cast("long").alias("n"),
+        )
+        out = xpr.mix_drift_chi2_from_daily(daily).localCheckpoint()
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r06 rotation (VERDICT r05 next-steps #1):
@@ -5370,6 +5408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_cdc_cross_source": q_cdc_cross_source,
         "maef_dow_anomaly": q_dow_anomaly,
         "maef_cac_payback": q_cac_payback,
+        "maef_stream_mix_drift": q_stream_mix_drift,
         # --- freshly-green r05 window (CORRECTNESS_r05, 50/50) rotates here ---
         "rel_min_cost_supplier": q_rel_min_cost_supplier,
         "rel_important_parts": q_rel_important_parts,

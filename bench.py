@@ -92,6 +92,9 @@ CHECKPOINT_HEAVY = {
     # one-sided noise (4.7 s vs 9.5 s across final solo runs on
     # identical code); record the min of two
     "maef_stream_journey_join",
+    # r06: streaming run + serving-side localCheckpoint (stream_srm's
+    # noise profile)
+    "maef_stream_mix_drift",
     # label purity checkpoints the labeled quantized vectors
     "llm_label_purity",
     # streaming state materialization + serving-side checkpoint

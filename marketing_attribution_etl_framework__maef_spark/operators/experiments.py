@@ -369,14 +369,27 @@ def mix_drift_chi2(events: DataFrame) -> DataFrame:
     n_base, chi2_contrib_q20).
     """
     sess = events.filter(F.col("event_type") != "purchase")
-    mx = sess.agg(F.max(F.col("ts").cast("date")).alias("_mx"))
-    d = sess.crossJoin(F.broadcast(mx)).select(
+    daily = sess.groupBy(
         F.col("event_type").alias("channel"),
-        F.datediff(F.col("_mx"), F.col("ts").cast("date")).alias("_age"),
+        F.col("ts").cast("date").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return mix_drift_chi2_from_daily(daily)
+
+
+def mix_drift_chi2_from_daily(daily: DataFrame) -> DataFrame:
+    """The mix-drift chi-square over a pre-aggregated (channel, d, n)
+    daily count table — the entry point the streaming twin feeds with
+    its closed daily windows (mix_drift_chi2 reduces raw events to
+    this grain first; results identical)."""
+    mx = daily.agg(F.max("d").alias("_mx"))
+    d = daily.crossJoin(F.broadcast(mx)).select(
+        "channel",
+        F.datediff(F.col("_mx"), F.col("d")).alias("_age"),
+        "n",
     )
     per = d.filter(F.col("_age") < 14).groupBy("channel").agg(
-        F.sum(F.when(F.col("_age") < 7, 1).otherwise(0)).cast("long").alias("n_cur"),
-        F.sum(F.when(F.col("_age") >= 7, 1).otherwise(0)).cast("long").alias("n_base"),
+        F.sum(F.when(F.col("_age") < 7, F.col("n")).otherwise(0)).cast("long").alias("n_cur"),
+        F.sum(F.when(F.col("_age") >= 7, F.col("n")).otherwise(0)).cast("long").alias("n_base"),
     )
     dec = "decimal(38,0)"
     # totals over the BASELINE-PRESENT cells only (the chi-square's

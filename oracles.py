@@ -6059,6 +6059,44 @@ FROM per p JOIN t USING (channel)
 """
 
 
+# streaming mix-drift twin: daily counts restricted to CLOSED windows
+# (day_end <= max ts - 1h, the stream_topk emission boundary), then
+# the L235 chi-square anchored at the max EMITTED day
+_ORACLE_STREAM_MIX_DRIFT = """
+WITH wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events),
+daily AS MATERIALIZED (
+  SELECT event_type AS channel, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type <> 'purchase'
+  GROUP BY 1, 2
+),
+emitted AS (
+  SELECT * FROM daily
+  WHERE CAST(d AS TIMESTAMP) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+),
+mx AS (SELECT MAX(d) AS mxd FROM emitted),
+per AS (
+  SELECT channel,
+         CAST(SUM(CASE WHEN datediff('day', d, (SELECT mxd FROM mx)) < 7 THEN n ELSE 0 END) AS BIGINT) AS n_cur,
+         CAST(SUM(CASE WHEN datediff('day', d, (SELECT mxd FROM mx)) >= 7 THEN n ELSE 0 END) AS BIGINT) AS n_base
+  FROM emitted
+  WHERE datediff('day', d, (SELECT mxd FROM mx)) < 14
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN n_base > 0 THEN n_cur ELSE 0 END) AS HUGEINT) AS n,
+         CAST(SUM(CASE WHEN n_base > 0 THEN n_base ELSE 0 END) AS HUGEINT) AS m
+  FROM per
+)
+SELECT p.channel, p.n_cur, p.n_base,
+       CASE WHEN p.n_base > 0 AND t.n > 0 THEN
+         CAST((2 * (p.n_cur * t.m - t.n * p.n_base) * (p.n_cur * t.m - t.n * p.n_base) * 1048576
+               + (t.n * p.n_base * t.m))
+              // (2 * (t.n * p.n_base * t.m)) AS BIGINT)
+       END AS chi2_contrib_q20
+FROM per p, tot t
+"""
+
 # operators/reporting.py cac_payback: cumulative last-touch revenue
 # cents vs cumulative cost mils, break-even month by integer
 # cross-multiplication (x10), lexicographic yyyy-MM == chronological
@@ -6299,6 +6337,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_cdc_cross_source": _ORACLE_CDC_CROSS_SOURCE,
         "maef_dow_anomaly": _ORACLE_DOW_ANOMALY,
         "maef_cac_payback": _ORACLE_CAC_PAYBACK,
+        "maef_stream_mix_drift": _ORACLE_STREAM_MIX_DRIFT,
         "maef_interpurchase": _ORACLE_INTERPURCHASE,
         "maef_holt_forecast": _ORACLE_HOLT_FORECAST,
         "llm_doc_novelty": _ORACLE_DOC_NOVELTY,
