@@ -5330,16 +5330,74 @@ def q_stream_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
-    # registry entries per round.  r06 rotation (VERDICT r05 next-steps #1):
-    # the 50 entries that have NEVER received a driver row fill the window
-    # EXACTLY, oldest first — the 9-entry r05-era queue, the 12 late-r05
-    # additions, then the 29 round-5-rerun additions.  No stale-fill.  Once
-    # CORRECTNESS_r06 lands green, EVERY entry registered before this round
-    # has a driver row.  The freshly-green r05 window rotates directly behind
-    # them; any r06 additions land after the r07-queue marker (they must NOT
-    # jump the queue this round).  Everything after has a green row r01-r05.
+    # registry entries per round.  r07 rotation (VERDICT r06 next-steps #1):
+    # positions 0-15 are the 16 r06 additions that have never received a
+    # driver row (maef_next_best_channel .. maef_stream_mix_drift, oldest
+    # first); positions 16-49 back-fill with the 34 STALEST greens — the
+    # r02-checked core suite (journey/attribution/report/loader/chunking),
+    # whose driver rows are four rounds old, re-verified under the current
+    # oracle text.  Any r07-session additions land after the r08-queue
+    # marker (they must NOT jump the window this round).  The freshly-green
+    # r06 window (CORRECTNESS_r06 50/50) rotates directly behind the marker,
+    # then the r05-green window, then the remaining long-green entries.
     return {
-        # --- r06 gate window part 1: the 9-entry r05-era queue ---
+        # --- r07 gate window part 1 (positions 0-15): the 16 r06 additions,
+        # never driver-checked (VERDICT r06 next-steps #1), oldest first ---
+        "maef_next_best_channel": q_next_best_channel,
+        "maef_interpurchase": q_interpurchase,
+        "maef_holt_forecast": q_holt_forecast,
+        "llm_doc_novelty": q_doc_novelty,
+        "llm_cdc_chunks": q_cdc_chunks,
+        "llm_embedding_outliers": q_embedding_outliers,
+        "llm_ann_recall": q_ann_recall,
+        "maef_dow_index": q_dow_index,
+        "maef_mix_drift": q_mix_drift,
+        "maef_forecast_topdown": q_forecast_topdown,
+        "maef_pareto_share": q_pareto_share,
+        "maef_activity_streaks": q_activity_streaks,
+        "llm_cdc_cross_source": q_cdc_cross_source,
+        "maef_dow_anomaly": q_dow_anomaly,
+        "maef_cac_payback": q_cac_payback,
+        "maef_stream_mix_drift": q_stream_mix_drift,
+        # --- r07 gate window part 2 (positions 16-49): the 34 stalest greens
+        # (r02-era core suite, driver rows four rounds old) re-verified under
+        # the current oracle text ---
+        "maef_journey_entries": q_journey_entries,
+        "maef_attribution_linear": q_attribution_linear,
+        "maef_attribution_last_touch": q_attribution_last_touch,
+        "maef_attribution_first_touch": q_attribution_first_touch,
+        "maef_attribution_u_shaped": q_attribution_u_shaped,
+        "maef_attribution_time_decay": q_attribution_time_decay,
+        "maef_attribution_ihc": q_attribution_ihc,
+        "maef_attribution_ihc_redist": q_attribution_ihc_redist,
+        "maef_attribution_ihc_directional": q_attribution_ihc_directional,
+        "maef_channel_report": q_channel_report,
+        "maef_channel_report_export": q_channel_report_export,
+        "maef_channel_report_replicate": q_channel_report_replicate,
+        "maef_journey_paths": q_journey_paths,
+        "maef_chunk_assignment": q_chunk_assignment,
+        "maef_loader_roundtrip": q_loader_roundtrip,
+        "maef_loader_errors": q_loader_errors,
+        "maef_date_window": q_date_window,
+        "maef_props_stats": q_props_stats,
+        "maef_channel_rollup": q_channel_rollup,
+        "maef_channel_pivot": q_channel_pivot,
+        "maef_rolling_features": q_rolling_features,
+        "maef_cleaning": q_cleaning,
+        "maef_fill_gaps": q_fill_gaps,
+        "maef_fuzzy_channels": q_fuzzy_channels,
+        "llm_bloom_converters": q_bloom_converters,
+        "maef_ivm_report": q_ivm_report,
+        "maef_channel_unpivot": q_channel_unpivot,
+        "maef_audience_setops": q_audience_setops,
+        "maef_pagerank_channels": q_pagerank_channels,
+        "llm_length_histogram": q_length_histogram,
+        "maef_channel_cube": q_channel_cube,
+        "maef_fd_profile": q_fd_profile,
+        "rel_monthly_growth": q_rel_monthly_growth,
+        "llm_tfidf_pairs": q_tfidf_pairs,
+        # --- r07 additions land BELOW (r08 queue; driver-unchecked) ---
+        # --- freshly-green r06 window (CORRECTNESS_r06, 50/50) rotates here ---
         "llm_ann_int8_rerank": q_ann_int8_rerank,
         "maef_stream_topk_channels": q_stream_topk_channels,
         "maef_user_export": q_user_export,
@@ -5349,7 +5407,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_zipf_slope": q_zipf_slope,
         "maef_frequency_capping": q_frequency_capping,
         "maef_adstock_hill": q_adstock_hill,
-        # --- r06 gate window part 2: the 12 late-r05 additions ---
         "maef_reach_curve": q_reach_curve,
         "maef_conversion_lag": q_conversion_lag,
         "maef_position_credit": q_position_credit,
@@ -5362,7 +5419,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_channel_synergy": q_channel_synergy,
         "llm_cross_source_dup": q_cross_source_dup,
         "llm_hapax_docs": q_hapax_docs,
-        # --- r06 gate window part 3: the 29 round-5-rerun additions ---
         "maef_dayparting": q_dayparting,
         "maef_new_vs_returning": q_new_vs_returning,
         "maef_mann_kendall": q_mann_kendall,
@@ -5392,24 +5448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_multimodal_frames": q_multimodal_frames,
         "maef_mde_components": q_mde_components,
         "maef_conversion_velocity": q_conversion_velocity,
-        # --- r06 additions land BELOW (r07 queue; driver-unchecked) ---
-        "maef_next_best_channel": q_next_best_channel,
-        "maef_interpurchase": q_interpurchase,
-        "maef_holt_forecast": q_holt_forecast,
-        "llm_doc_novelty": q_doc_novelty,
-        "llm_cdc_chunks": q_cdc_chunks,
-        "llm_embedding_outliers": q_embedding_outliers,
-        "llm_ann_recall": q_ann_recall,
-        "maef_dow_index": q_dow_index,
-        "maef_mix_drift": q_mix_drift,
-        "maef_forecast_topdown": q_forecast_topdown,
-        "maef_pareto_share": q_pareto_share,
-        "maef_activity_streaks": q_activity_streaks,
-        "llm_cdc_cross_source": q_cdc_cross_source,
-        "maef_dow_anomaly": q_dow_anomaly,
-        "maef_cac_payback": q_cac_payback,
-        "maef_stream_mix_drift": q_stream_mix_drift,
-        # --- freshly-green r05 window (CORRECTNESS_r05, 50/50) rotates here ---
+        # --- r05-green window (CORRECTNESS_r05, 50/50) ---
         "rel_min_cost_supplier": q_rel_min_cost_supplier,
         "rel_important_parts": q_rel_important_parts,
         "rel_part_promotion": q_rel_part_promotion,
@@ -5461,40 +5500,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_cohort_ltv": q_cohort_ltv,
         "llm_ct_langid": q_ct_langid,
         # --- long-green below: rows in r01-r04 ---
-        "maef_journey_entries": q_journey_entries,
-        "maef_attribution_linear": q_attribution_linear,
-        "maef_attribution_last_touch": q_attribution_last_touch,
-        "maef_attribution_first_touch": q_attribution_first_touch,
-        "maef_attribution_u_shaped": q_attribution_u_shaped,
-        "maef_attribution_time_decay": q_attribution_time_decay,
-        "maef_attribution_ihc": q_attribution_ihc,
-        "maef_attribution_ihc_redist": q_attribution_ihc_redist,
-        "maef_attribution_ihc_directional": q_attribution_ihc_directional,
-        "maef_channel_report": q_channel_report,
-        "maef_channel_report_export": q_channel_report_export,
-        "maef_channel_report_replicate": q_channel_report_replicate,
-        "maef_journey_paths": q_journey_paths,
-        "maef_chunk_assignment": q_chunk_assignment,
-        "maef_loader_roundtrip": q_loader_roundtrip,
-        "maef_loader_errors": q_loader_errors,
-        "maef_date_window": q_date_window,
-        "maef_props_stats": q_props_stats,
-        "maef_channel_rollup": q_channel_rollup,
-        "maef_channel_pivot": q_channel_pivot,
-        "maef_rolling_features": q_rolling_features,
-        "maef_cleaning": q_cleaning,
-        "maef_fill_gaps": q_fill_gaps,
-        "maef_fuzzy_channels": q_fuzzy_channels,
-        "llm_bloom_converters": q_bloom_converters,
-        "maef_ivm_report": q_ivm_report,
-        "maef_channel_unpivot": q_channel_unpivot,
-        "maef_audience_setops": q_audience_setops,
-        "maef_pagerank_channels": q_pagerank_channels,
-        "llm_length_histogram": q_length_histogram,
-        "maef_channel_cube": q_channel_cube,
-        "maef_fd_profile": q_fd_profile,
-        "rel_monthly_growth": q_rel_monthly_growth,
-        "llm_tfidf_pairs": q_tfidf_pairs,
         "maef_model_comparison": q_model_comparison,
         "maef_channel_overlap": q_channel_overlap,
         "llm_lang_confusion": q_lang_confusion,

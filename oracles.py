@@ -6054,7 +6054,8 @@ WITH per AS (
 ),
 t AS (SELECT channel, CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS total FROM per GROUP BY 1)
 SELECT p.channel, p.dow, p.n_sessions, p.cents,
-       CAST((7 * CAST(p.cents AS HUGEINT) * 1048576) // t.total AS BIGINT) AS index_q20
+       CAST(CASE WHEN t.total = 0 THEN 0
+            ELSE (7 * CAST(p.cents AS HUGEINT) * 1048576) // t.total END AS BIGINT) AS index_q20
 FROM per p JOIN t USING (channel)
 """
 

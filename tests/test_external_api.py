@@ -160,3 +160,6 @@ def test_conv_type_id_env_parity():
     assert resolve_conv_type_id({"CONV_TYPE_ID": "a"}) == "a"
     assert resolve_conv_type_id({"Conv_Type_Id": "b"}) == "b"
     assert resolve_conv_type_id({"CONV_TYPE_ID": "a", "Conv_Type_Id": "b"}) == "a"
+    # key-presence, not truthiness: an EMPTY all-caps value still wins
+    # (ADVICE r06 #2)
+    assert resolve_conv_type_id({"CONV_TYPE_ID": "", "Conv_Type_Id": "b"}) == ""

@@ -260,6 +260,21 @@ def test_dow_seasonal_index_integer_dow(spark):
     assert out[1]["index_q20"] == 7 * 200 * Q20 // 400
 
 
+def test_dow_seasonal_index_zero_cents_channel(spark):
+    """ADVICE r06 #1: a channel whose summed value rounds to 0 cents
+    must emit index_q20 = 0, not throw on DECIMAL div-by-zero."""
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 9), 1, "a", 0.0),
+        (1, dt.datetime(2024, 1, 2, 9), 2, "a", 0.001),  # rounds to 0 cents
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["dow"]: r for r in tsr.dow_seasonal_index(ev).collect()}
+    assert set(out) == {0, 1}
+    assert all(r["cents"] == 0 and r["index_q20"] == 0 for r in out.values())
+
+
 def test_mix_drift_chi2_cells(spark):
     from marketing_attribution_etl_framework__maef_spark.operators import experiments as xpr
 
