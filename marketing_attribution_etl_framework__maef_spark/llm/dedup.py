@@ -803,7 +803,11 @@ def cross_source_dup_matrix(docs: DataFrame, prefix_words: int = 5) -> DataFrame
     )
 
 
-def dedup_survivors(docs: DataFrame) -> DataFrame:
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
     """Survivorship policy over near-dup clusters: for every clustered
     document, WHICH copy survives — the curation step after
     cluster_duplicates answers "what is duplicated".  Survivor = the
@@ -815,9 +819,15 @@ def dedup_survivors(docs: DataFrame) -> DataFrame:
 
     Scale: rides the LSH pair graph (never the corpus); the ranking is
     one window over the cluster grain, bounded by cluster sizes.
+    ``pairs``/``clusters`` may be precomputed (the production shape:
+    the pair store and its connected-components table are maintained
+    once at ingest and every downstream policy reads them, never
+    re-shingling the corpus).
     """
-    pairs = minhash_dedup_pairs(docs)
-    clusters = cluster_duplicates(pairs)
+    if clusters is None:
+        clusters = cluster_duplicates(
+            minhash_dedup_pairs(docs) if pairs is None else pairs
+        )
     lens = docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
     j = clusters.join(lens, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
@@ -899,7 +909,11 @@ def minhash_accuracy(
     )
 
 
-def dup_cluster_sizes(docs: DataFrame) -> DataFrame:
+def dup_cluster_sizes(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
     """Duplicate-cluster size histogram — the one-look dedup report
     ("how much of the corpus is pairwise noise vs mass duplication"):
     cluster the near-dup pairs, then count clusters per size.
@@ -908,9 +922,13 @@ def dup_cluster_sizes(docs: DataFrame) -> DataFrame:
     cluster_size * n_clusters (the doc mass in that size class).
 
     Scale: rides the pair graph (never the corpus); two bounded
-    aggregates after clustering.
+    aggregates after clustering.  ``pairs``/``clusters`` may be
+    precomputed (pair-store reuse, see dedup_survivors).
     """
-    clusters = cluster_duplicates(minhash_dedup_pairs(docs))
+    if clusters is None:
+        clusters = cluster_duplicates(
+            minhash_dedup_pairs(docs) if pairs is None else pairs
+        )
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )

@@ -238,6 +238,39 @@ def test_curate_corpus(spark):
     # split is a pure function of doc_id — rerun gives identical labels
     again = {r.doc_id: r.split for r in cur.curate_corpus(docs).collect()}
     assert again == {d: r.split for d, r in got.items()}
+    # pair-store reuse path (r07): passing the precomputed WHOLE-corpus
+    # pair table must be result-identical to the inline computation —
+    # signatures/band keys/verify are per-doc functions, so pairs over
+    # the gated survivors == corpus pairs restricted to survivor ids
+    from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd
+
+    staged = {
+        r.doc_id: (r.lang_guess, r.n_tokens, r.split)
+        for r in cur.curate_corpus(
+            docs, corpus_pairs=dd.minhash_dedup_pairs(docs)
+        ).collect()
+    }
+    assert staged == {d: (r.lang_guess, r.n_tokens, r.split) for d, r in got.items()}
+
+
+def test_pair_store_reuse_parity(spark):
+    """dedup_survivors / dup_cluster_sizes with a precomputed pair
+    table equal their inline forms (r07 pair-store refactor)."""
+    from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd
+
+    en = "the quick brown fox jumps of the lazy dog and it runs to town"
+    docs = spark.createDataFrame(
+        [(1, en), (2, en + " extra tail words"), (3, en + " extra tail words longer"),
+         (4, "a completely different document about graphs and trees")],
+        "doc_id long, text string",
+    )
+    pairs = dd.minhash_dedup_pairs(docs)
+    clusters = dd.cluster_duplicates(pairs)
+    for fn in (dd.dedup_survivors, dd.dup_cluster_sizes):
+        inline = sorted(map(tuple, fn(docs).collect()))
+        staged = sorted(map(tuple, fn(docs, pairs=pairs).collect()))
+        staged2 = sorted(map(tuple, fn(docs, clusters=clusters).collect()))
+        assert inline == staged == staged2 and inline
 
 
 def test_repetition_stats(spark):
