@@ -5262,6 +5262,104 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cdc_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L244: STREAMING CDC chunk-store maintenance — the ingest-time
+    twin of the L231/L239 family, completing it the way L103 completed
+    L8.  Documents stream in (file source, one file per micro-batch);
+    each batch's cdc_doc_chunks are reduced to per-chunk (owner,
+    count) parts via ``foreachBatch``; the live store re-aggregates
+    the parts under the associative+commutative chunk-store merge law
+    (owner = min (doc_id, source), occurrences = sum), so the final
+    state is independent of micro-batch slicing — which is exactly
+    what lets a static-input availableNow run be oracle-gated against
+    the batch chunk table.
+
+    Serving output: per OWNER source — how many distinct chunks this
+    source contributed first (by min doc_id) and how many corpus-wide
+    occurrences those chunks have: (source, owned_chunks,
+    owned_occurrences, dup_pull_q20) with dup_pull = occurrences /
+    owned (mean copies per owned chunk, the source's dedup gravity).
+
+    State: parquet parts bounded by distinct chunks x batches,
+    compactable to the distinct-chunk count at any time; no per-key
+    streaming state, no watermark (streaming/incremental.py
+    IncrementalChunkStore docstring has the scale argument)."""
+    import shutil
+
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".stream_tmp",
+        "cdc_store_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    drv = inc.IncrementalChunkStore(spark, root)
+    docs = inc.stream_documents(spark, f"{sf_dir}/documents.parquet")
+    drv.start(docs).awaitTermination()
+    out = (
+        drv.store()
+        .groupBy(F.col("owner_source").alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("owned_chunks"),
+            F.sum("n_occurrences").cast("long").alias("owned_occurrences"),
+        )
+        .select(
+            "source",
+            "owned_chunks",
+            "owned_occurrences",
+            F.expr(
+                "cast((2 * owned_occurrences * 1048576 + owned_chunks)"
+                " div (2 * owned_chunks) as bigint)"
+            ).alias("dup_pull_q20"),
+        )
+        .localCheckpoint()
+    )
+    return out
+
+
+def q_ann_recall_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L243: ANN recall DRIFT monitor — the L233 recall@5 audit run
+    independently over the even and odd vec_id ingest halves of the
+    corpus (the L181 term-drift split applied to the index): as a
+    corpus grows or shifts, IVF recall decays when new mass lands off
+    the trained centroids, and this is the per-ingest-batch guardrail
+    that catches it before serving quality does.  Queries and
+    centroids are FIXED (the full-corpus sample / first-8 seed), only
+    the searched corpus varies, so the two halves are comparable.
+
+    Output: one row per half — (half, n_queries, sum_hits,
+    recall_q20), recall = sum_hits/(5*n_queries) via the half-up q20
+    device on exact integers.  Scale: two audits on a bounded query
+    sample; each side prunes via IVF as in L233 — the brute truth
+    spine is the audit's price, paid on q queries, never corpus².
+    """
+    e = _embs(spark, sf_dir)
+    qs = e.filter(F.col("vec_id") % 50 == 7)
+    cents = e.filter(F.col("vec_id") < 8)
+    parts = []
+    for h in (0, 1):
+        aud = sim.ann_recall_audit(
+            e.filter(F.col("vec_id") % 2 == h), qs, cents, k=5, probe=2
+        )
+        parts.append(
+            aud.agg(
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+                F.sum("n_hits").cast("long").alias("sum_hits"),
+            ).select(
+                F.lit(h).cast("long").alias("half"),
+                "n_queries",
+                "sum_hits",
+                F.expr(
+                    "cast(case when n_queries = 0 then 0 else"
+                    " (2 * sum_hits * 1048576 + 5 * n_queries)"
+                    " div (2 * 5 * n_queries) end as bigint)"
+                ).alias("recall_q20"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
 def q_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L234: day-of-week seasonal index per channel — pure-integer
     days-since-Monday mod 7, exact cents, DECIMAL(38,0) div
@@ -5454,6 +5552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_monthly_growth": q_rel_monthly_growth,
         "llm_tfidf_pairs": q_tfidf_pairs,
         # --- r07 additions land BELOW (r08 queue; driver-unchecked) ---
+        "llm_ann_recall_drift": q_ann_recall_drift,
+        "llm_stream_cdc_store": q_stream_cdc_store,
         # --- freshly-green r06 window (CORRECTNESS_r06, 50/50) rotates here ---
         "llm_ann_int8_rerank": q_ann_int8_rerank,
         "maef_stream_topk_channels": q_stream_topk_channels,

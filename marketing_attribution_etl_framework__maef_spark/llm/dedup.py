@@ -1007,16 +1007,19 @@ def doc_novelty(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def cdc_chunk_table(
+def cdc_doc_chunks(
     docs: DataFrame,
     text_col: str = "text",
     w: int = 3,
     modulus: int = 8,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """The CDC chunk store: (source, chunk_md5) rows, one per chunk of
-    every document — the shared kernel under cdc_chunk_stats (per-
-    source dedup ratio) and cdc_cross_source (contamination matrix).
-    Boundary device documented on cdc_chunk_stats; all per-doc work is
+    """The per-document CDC chunk table: (doc_id, source, chunk_md5)
+    rows, one per chunk of every document — the shared kernel under
+    cdc_chunk_stats (per-source dedup ratio), cdc_cross_source
+    (contamination matrix) and the streaming chunk-store maintenance
+    twin (streaming/incremental.py IncrementalChunkStore).  Boundary
+    device documented on cdc_chunk_stats; all per-doc work is
     HOF-local, the only explode is the final chunk unnest.
     """
     from marketing_attribution_etl_framework__maef_spark.llm.text import (
@@ -1026,7 +1029,9 @@ def cdc_chunk_table(
     )
 
     ws = words(normalize_text(F.col(text_col)))
-    d = docs.select("source", ws.alias("_ws")).withColumn("_n", F.size("_ws"))
+    d = docs.select(F.col(id_col), "source", ws.alias("_ws")).withColumn(
+        "_n", F.size("_ws")
+    )
     # w-grams STARTING at i (1-based i in 1.._n-w+1) end at i+w-1; keep
     # ends strictly before _n.  Short docs (<w words) yield the single
     # whole-text shingle whose end index w-1+1-1 clamps out -> no cuts.
@@ -1048,6 +1053,7 @@ def cdc_chunk_table(
         F.concat(F.array(F.lit(0)), F.col("_cuts"), F.array(F.col("_n"))),
     )
     return d.select(
+        F.col(id_col),
         "source",
         F.explode(
             F.transform(
@@ -1064,6 +1070,19 @@ def cdc_chunk_table(
                 ),
             )
         ).alias("chunk_md5"),
+    )
+
+
+def cdc_chunk_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    w: int = 3,
+    modulus: int = 8,
+) -> DataFrame:
+    """(source, chunk_md5) projection of cdc_doc_chunks — the original
+    shared kernel shape; Catalyst prunes the doc id."""
+    return cdc_doc_chunks(docs, text_col=text_col, w=w, modulus=modulus).select(
+        "source", "chunk_md5"
     )
 
 

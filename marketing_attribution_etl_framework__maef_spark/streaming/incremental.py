@@ -60,6 +60,29 @@ def stream_events(
     return reader.parquet(path).withWatermark("ts", watermark)
 
 
+def stream_documents(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Streaming read of documents-shaped parquet files — the intake
+    side of the ingest-time chunk-store / dedup twins.  Documents have
+    no event time, so there is no watermark; the downstream consumers
+    (IncrementalChunkStore) are order-independent by construction."""
+    if path.endswith(".parquet") and not os.path.isdir(path):
+        # FileStreamSource requires a directory/glob source path (see
+        # stream_events_nanos): rewrite the single-file layout as a
+        # glob anchored at the parent directory.
+        path = os.path.join(
+            os.path.dirname(path),
+            os.path.basename(path).replace(".parquet", "*.parquet"),
+        )
+    reader = spark.readStream.schema(schemas.DOCUMENTS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
 def stream_events_nanos(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -342,6 +365,83 @@ class IncrementalCMS:
             self.spark.read.parquet(self._parts())
             .groupBy("row", "bucket")
             .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+
+
+class IncrementalChunkStore:
+    """Streaming maintenance of the CDC chunk store (llm/dedup.py
+    cdc_doc_chunks) — the ingest-time face of the L231/L239 family,
+    the way maef_stream_dedup is L8's: documents arrive as a stream,
+    each micro-batch's chunks are aggregated to per-chunk
+    (owner, occurrence-count) parts, and the live store is the
+    re-aggregate of the parts under the chunk-store MERGE LAW:
+
+        owner(chunk)       = MIN over batches of (doc_id, source)
+        occurrences(chunk) = SUM over batches
+
+    Both reducers are associative AND commutative, so the final store
+    is independent of how the file source slices the stream into
+    micro-batches — that order-independence is what makes the parity
+    oracle exact (same device as IncrementalCMS's cellwise sum; a
+    first-writer-wins store would depend on batch order and could
+    never be oracle-gated).
+
+    Scale: no per-key streaming state and no watermark — parts are
+    parquet appends keyed by chunk_md5, compactable to the distinct
+    chunk count at any time by rewriting the aggregated table; the
+    serving aggregate shuffles once on the 128-bit chunk hash.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, w: int = 3, modulus: int = 8):
+        from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd
+
+        self.spark = spark
+        self.root = root
+        self.w = w
+        self.modulus = modulus
+        self._dd = dd
+        os.makedirs(root, exist_ok=True)
+
+    def _parts(self) -> str:
+        return os.path.join(self.root, "chunk_parts")
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        chunks = self._dd.cdc_doc_chunks(batch_df, w=self.w, modulus=self.modulus)
+        part = chunks.groupBy("chunk_md5").agg(
+            F.min(F.struct("doc_id", "source")).alias("_o"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        part.select(
+            "chunk_md5",
+            F.col("_o.doc_id").alias("owner_doc"),
+            F.col("_o.source").alias("owner_source"),
+            "n_occurrences",
+        ).write.mode("append").parquet(self._parts())
+
+    def start(self, docs: DataFrame, checkpoint: str | None = None):
+        writer = (
+            docs.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint or os.path.join(self.root, "_ckpt"))
+            .trigger(availableNow=True)
+        )
+        return writer.start()
+
+    def store(self) -> DataFrame:
+        """The live chunk store: one row per distinct chunk with its
+        corpus-wide owner and total occurrence count."""
+        return (
+            self.spark.read.parquet(self._parts())
+            .groupBy("chunk_md5")
+            .agg(
+                F.min(F.struct("owner_doc", "owner_source")).alias("_o"),
+                F.sum("n_occurrences").cast("long").alias("n_occurrences"),
+            )
+            .select(
+                "chunk_md5",
+                F.col("_o.owner_doc").alias("owner_doc"),
+                F.col("_o.owner_source").alias("owner_source"),
+                "n_occurrences",
+            )
         )
 
 

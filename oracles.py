@@ -5915,13 +5915,13 @@ FROM ex e JOIN f USING (s) GROUP BY 1
 # by 1-based list_slice between consecutive bounds, md5 chunk store —
 # the shared CTE chain under both CDC oracles
 _CDC_CHUNK_CTES = r"""d AS (
-  SELECT source,
+  SELECT doc_id, source,
          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
   FROM documents
 ),
-d2 AS (SELECT source, ws, len(ws) AS n FROM d),
+d2 AS (SELECT doc_id, source, ws, len(ws) AS n FROM d),
 cuts AS (
-  SELECT source, ws, n,
+  SELECT doc_id, source, ws, n,
          list_filter(
            list_transform(range(1, greatest(n - 1, 2)),
              i -> CASE WHEN CAST('0x' || substr(md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2])), 1, 15) AS BIGINT) % 8 = 0
@@ -5931,12 +5931,12 @@ cuts AS (
   FROM d2
 ),
 b3 AS (
-  SELECT source, ws,
+  SELECT doc_id, source, ws,
          list_concat(list_concat([CAST(0 AS BIGINT)], cuts), [CAST(n AS BIGINT)]) AS bounds
   FROM cuts
 ),
 ch AS (
-  SELECT source,
+  SELECT doc_id, source,
          unnest(list_transform(range(1, len(bounds)),
            j -> md5(array_to_string(list_slice(ws, bounds[j] + 1, bounds[j + 1]), ' ')))) AS chunk_md5
   FROM b3
@@ -5962,6 +5962,28 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM p a JOIN p b ON a.chunk_md5 = b.chunk_md5 AND a.source < b.source
 GROUP BY 1, 2
 """
+
+# streaming/incremental.py IncrementalChunkStore +
+# __spark_entry__.q_stream_cdc_store: the chunk store's merge law is
+# order-independent (owner = min (doc_id, source), occurrences = sum),
+# so the batch chunk table aggregated the same way IS the final
+# streaming state — ownership per chunk, then per-owner-source rollup
+_ORACLE_STREAM_CDC_STORE = f"""
+WITH {_CDC_CHUNK_CTES},
+store AS (
+  SELECT chunk_md5,
+         MIN(doc_id) AS owner_doc,
+         arg_min(source, doc_id) AS owner_source,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM ch GROUP BY 1
+)
+SELECT owner_source AS source,
+       CAST(COUNT(*) AS BIGINT) AS owned_chunks,
+       CAST(SUM(n_occurrences) AS BIGINT) AS owned_occurrences,
+       CAST((2 * SUM(n_occurrences) * 1048576 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS dup_pull_q20
+FROM store GROUP BY 1
+"""
+
 
 # llm/embquality.py centroid_distance_outliers: ivf_assign's exact
 # assignment SQL (same as _ORACLE_ANN_IVF) + per-cluster worst-decile
@@ -6041,6 +6063,92 @@ SELECT t.query_id,
 FROM truth t LEFT JOIN approx a ON t.query_id = a.query_id AND t.vec_id = a.vec_id
 GROUP BY 1
 """
+
+# llm_ann_recall_drift: the L233 recall audit per even/odd vec_id
+# ingest half — queries and centroids fixed from the FULL corpus, only
+# the searched side varies (truth spine and IVF both restricted to the
+# half); per-half aggregate with the half-up q20 device
+_ORACLE_ANN_RECALL_DRIFT = """
+WITH """ + _E_NORMED + """,
+q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM e WHERE vec_id % 50 = 7),
+cents AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cn FROM e WHERE vec_id < 8),
+h0 AS (
+  SELECT CAST(0 AS BIGINT) AS half,
+         CAST(COUNT(*) AS BIGINT) AS n_queries,
+         CAST(SUM(n_hits) AS BIGINT) AS sum_hits
+  FROM (
+    SELECT t.query_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits
+    FROM (
+      SELECT q.query_id, s.vec_id
+      FROM q, e s WHERE s.vec_id % 2 = 0
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY list_dot_product(q.qv, s.v) / (q.qn * s.vn) DESC, s.vec_id) <= 5
+    ) t
+    LEFT JOIN (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, a2.vec_id,
+               list_dot_product(p.qv, a2.v) / (p.qn * a2.vn) AS cos
+        FROM (
+          SELECT q.query_id, q.qv, q.qn, c.centroid_id AS cluster
+          FROM q, cents c
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY q.query_id
+            ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC, c.centroid_id) <= 2
+        ) p
+        JOIN (
+          SELECT s.vec_id, s.v, s.vn, c.centroid_id AS cluster
+          FROM e s, cents c WHERE s.vec_id % 2 = 0
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id
+            ORDER BY list_dot_product(s.v, c.cv) / (s.vn * c.cn) DESC, c.centroid_id) = 1
+        ) a2 ON p.cluster = a2.cluster
+      )
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 5
+    ) a ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+    GROUP BY 1
+  )
+),
+h1 AS (
+  SELECT CAST(1 AS BIGINT) AS half,
+         CAST(COUNT(*) AS BIGINT) AS n_queries,
+         CAST(SUM(n_hits) AS BIGINT) AS sum_hits
+  FROM (
+    SELECT t.query_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits
+    FROM (
+      SELECT q.query_id, s.vec_id
+      FROM q, e s WHERE s.vec_id % 2 = 1
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY list_dot_product(q.qv, s.v) / (q.qn * s.vn) DESC, s.vec_id) <= 5
+    ) t
+    LEFT JOIN (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, a2.vec_id,
+               list_dot_product(p.qv, a2.v) / (p.qn * a2.vn) AS cos
+        FROM (
+          SELECT q.query_id, q.qv, q.qn, c.centroid_id AS cluster
+          FROM q, cents c
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY q.query_id
+            ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC, c.centroid_id) <= 2
+        ) p
+        JOIN (
+          SELECT s.vec_id, s.v, s.vn, c.centroid_id AS cluster
+          FROM e s, cents c WHERE s.vec_id % 2 = 1
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id
+            ORDER BY list_dot_product(s.v, c.cv) / (s.vn * c.cn) DESC, c.centroid_id) = 1
+        ) a2 ON p.cluster = a2.cluster
+      )
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 5
+    ) a ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+    GROUP BY 1
+  )
+)
+SELECT half, n_queries, sum_hits,
+       CAST(CASE WHEN n_queries = 0 THEN 0
+            ELSE (2 * sum_hits * 1048576 + 5 * n_queries) // (2 * 5 * n_queries)
+            END AS BIGINT) AS recall_q20
+FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1)
+"""
+
 
 # operators/timeseries.py dow_seasonal_index: days-since-Monday mod 7
 # (engine-neutral dow), exact cents, HUGEINT // == DECIMAL(38,0) div
@@ -6330,6 +6438,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "maef_next_best_channel": _ORACLE_NEXT_BEST_CHANNEL,
         "llm_ann_recall": _ORACLE_ANN_RECALL,
+        "llm_ann_recall_drift": _ORACLE_ANN_RECALL_DRIFT,
+        "llm_stream_cdc_store": _ORACLE_STREAM_CDC_STORE,
         "maef_dow_index": _ORACLE_DOW_INDEX,
         "maef_mix_drift": _ORACLE_MIX_DRIFT,
         "maef_forecast_topdown": _ORACLE_FORECAST_TOPDOWN,

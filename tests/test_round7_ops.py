@@ -1,0 +1,102 @@
+"""Round-7 operator pins: streaming CDC chunk-store maintenance
+(merge-law parity with the batch chunk table, multi-batch forced) and
+the ANN recall-drift split — each on a handmade fixture with the
+expected answer derived by hand or by the batch twin."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from marketing_attribution_etl_framework__maef_spark import schemas
+from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd
+from marketing_attribution_etl_framework__maef_spark.llm import similarity as sim
+from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+Q20 = 1 << 20
+
+
+def test_incremental_chunk_store_matches_batch(spark, tmp_path):
+    """The streamed store must equal the batch chunk table aggregated
+    under the same merge law, regardless of micro-batch slicing —
+    forced here by writing each source to its OWN parquet file and
+    streaming with maxFilesPerTrigger=1 (one batch per file)."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "web", 10),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "web", 10),
+        (3, "totally different words compose this other document body here", "en", "book", 10),
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "book", 10),
+    ]
+    docs = spark.createDataFrame(rows, schemas.DOCUMENTS)
+    src_dir = os.path.join(str(tmp_path), "docs")
+    # one file per source -> at least 2 micro-batches
+    docs.filter(F.col("source") == "web").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "part_web")
+    )
+    docs.filter(F.col("source") == "book").coalesce(1).write.mode("append").parquet(
+        os.path.join(src_dir, "part_book")
+    )
+    root = os.path.join(str(tmp_path), "store")
+    shutil.rmtree(root, ignore_errors=True)
+    drv = inc.IncrementalChunkStore(spark, root)
+    stream = inc.stream_documents(spark, os.path.join(src_dir, "*", "*.parquet"))
+    drv.start(stream).awaitTermination()
+    got = sorted(map(tuple, drv.store().collect()))
+
+    # batch twin: same merge law over the full chunk table
+    want = sorted(
+        map(
+            tuple,
+            dd.cdc_doc_chunks(docs)
+            .groupBy("chunk_md5")
+            .agg(
+                F.min(F.struct("doc_id", "source")).alias("_o"),
+                F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            )
+            .select(
+                "chunk_md5",
+                F.col("_o.doc_id").alias("owner_doc"),
+                F.col("_o.source").alias("owner_source"),
+                "n_occurrences",
+            )
+            .collect(),
+        )
+    )
+    assert got == want and got
+    # ownership sanity: every chunk of doc 2/4 (copies of doc 1) is
+    # owned by doc 1 / source web
+    owners = {r[0]: (r[1], r[2], r[3]) for r in got}
+    copy_chunks = {
+        r["chunk_md5"]
+        for r in dd.cdc_doc_chunks(docs).filter(F.col("doc_id") == 2).collect()
+    }
+    for c in copy_chunks:
+        assert owners[c][0] == 1 and owners[c][1] == "web" and owners[c][2] >= 3
+
+
+def test_ann_recall_drift_split(spark):
+    """Even half contains the exact neighbors of the query, odd half
+    only weaker ones: recall@k must be perfect on half 0 and the
+    audit must still emit a row for half 1."""
+    rows = [
+        (0, [1.0, 0.0]),  # centroid seed (vec_id < 2 used as cents here)
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),   # even: close to query
+        (4, [0.8, 0.2]),   # even: close
+        (3, [0.1, 0.9]),   # odd: far
+        (5, [0.2, 0.8]),   # odd: far
+        (7, [1.0, 0.05]),  # the query itself (odd)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = e.filter(F.col("vec_id") == 7)
+    cents = e.filter(F.col("vec_id") < 2)
+    halves = {}
+    for h in (0, 1):
+        aud = sim.ann_recall_audit(
+            e.filter(F.col("vec_id") % 2 == h), qs, cents, k=2, probe=2
+        ).collect()
+        halves[h] = {r["query_id"]: r["n_hits"] for r in aud}
+    # probe=2 covers both clusters -> approx == truth on both halves
+    assert halves[0] == {7: 2} and halves[1] == {7: 2}
