@@ -5318,6 +5318,19 @@ def q_stream_cdc_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L245: top principal direction of the embedding cloud by exact-
+    integer power iteration over the q20 Gram matrix — the encoder
+    drift screen (llm/embquality.py principal_direction; 6 fixed
+    rounds, L-infinity renormalization, sign pinned by the first
+    nonzero component).  The Gram pass is the only corpus-width scan;
+    the d x d iteration is bounded driver state, mirrored by the
+    oracle as unrolled MATERIALIZED rounds."""
+    from marketing_attribution_etl_framework__maef_spark.llm import embquality as emq
+
+    return emq.principal_direction(_embs(spark, sf_dir), rounds=6)
+
+
 def q_ann_recall_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L243: ANN recall DRIFT monitor — the L233 recall@5 audit run
     independently over the even and odd vec_id ingest halves of the
@@ -5554,6 +5567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r07 additions land BELOW (r08 queue; driver-unchecked) ---
         "llm_ann_recall_drift": q_ann_recall_drift,
         "llm_stream_cdc_store": q_stream_cdc_store,
+        "llm_embedding_pca": q_embedding_pca,
         # --- freshly-green r06 window (CORRECTNESS_r06, 50/50) rotates here ---
         "llm_ann_int8_rerank": q_ann_int8_rerank,
         "maef_stream_topk_channels": q_stream_topk_channels,

@@ -234,3 +234,75 @@ def centroid_distance_outliers(
         .filter(F.col("rnk") * 10 <= F.lit(int(decile_cut)) * F.col("_n"))
         .select("cluster", "vec_id", q20(F.col("_cs")).alias("cos_q20"), "rnk")
     )
+
+
+def principal_direction(embeddings: DataFrame, rounds: int = 6) -> DataFrame:
+    """Top principal direction of the embedding cloud by EXACT-INTEGER
+    power iteration over the q20 Gram matrix — the one-look encoder
+    drift screen PCA gives: a collapsed embedding space (rank loss, a
+    stuck dimension, a normalization regression) moves the dominant
+    direction long before downstream retrieval metrics notice.
+
+    Device (everything after quantization is integer-exact in both
+    engines):
+
+    1. q20 unit vectors (similarity.quantized_unit_vectors — zero
+       vectors dropped, components <= 2^20);
+    2. Gram A[i][j] = SUM over vectors of qv[i]*qv[j] — one posexplode
+       + self-join on vec_id + map-side-combining groupBy(i, j); the
+       reduce side is d^2 rows.  Exact in BIGINT for n*2^40 < 2^63,
+       i.e. up to ~8e6 vectors per run — beyond that, shard the corpus
+       and sum the (mergeable!) Gram matrices, which is also the
+       100-TB shape: A is the only corpus-width pass, d^2 integers
+       travel, never vectors;
+    3. power iteration v_{r+1} = (A v_r) * 2^20 div max|A v_r| for a
+       FIXED ``rounds`` (determinism needs identical arithmetic, not
+       convergence) with division truncating toward zero (Spark
+       DECIMAL(38,0) div == DuckDB HUGEINT //); the d x d state is
+       driver-bounded (CLAUDE.md bounded-loop rule), mirrored by the
+       oracle as unrolled MATERIALIZED CTE rounds;
+    4. sign fixed by the first nonzero component (negate if negative).
+
+    Output: (pos, comp_q20), d rows, 1-based pos — the q20 components
+    of the L-infinity-normalized dominant eigenvector estimate.
+    """
+    from pyspark.sql import SparkSession
+
+    from marketing_attribution_etl_framework__maef_spark.llm.similarity import (
+        quantized_unit_vectors,
+    )
+
+    q = quantized_unit_vectors(embeddings)
+    ex = q.select(
+        "vec_id", F.posexplode("qv").alias("_p", "_x")
+    ).select("vec_id", (F.col("_p") + 1).alias("i"), F.col("_x").alias("x"))
+    ey = ex.select("vec_id", F.col("i").alias("j"), F.col("x").alias("y"))
+    gram_rows = (
+        ex.join(ey, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("x") * F.col("y")).cast("long").alias("a"))
+        .collect()
+    )
+    spark = SparkSession.getActiveSession()
+    if not gram_rows:
+        return spark.createDataFrame([], "pos long, comp_q20 long")
+    d = max(r["i"] for r in gram_rows)
+    A = {(r["i"], r["j"]): int(r["a"]) for r in gram_rows}
+    Q = 1 << 20
+
+    def tdiv(a: int, b: int) -> int:
+        # truncate toward zero (Spark DECIMAL div / DuckDB HUGEINT //)
+        s = -1 if (a < 0) != (b < 0) else 1
+        return s * (abs(a) // abs(b))
+
+    v = [Q] * d
+    for _ in range(rounds):
+        u = [sum(A.get((i + 1, j + 1), 0) * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in u)
+        v = [0] * d if m == 0 else [tdiv(x * Q, m) for x in u]
+    lead = next((x for x in v if x != 0), 0)
+    if lead < 0:
+        v = [-x for x in v]
+    return spark.createDataFrame(
+        [(i + 1, v[i]) for i in range(d)], "pos long, comp_q20 long"
+    )

@@ -5105,6 +5105,59 @@ FROM ({sel})
 
 _ORACLE_MMR_DIVERSE = _mmr_oracle(5)
 
+
+def _pca_oracle(rounds: int = 6) -> str:
+    """Unrolled integer power iteration over the q20 Gram matrix
+    (llm/embquality.py principal_direction) — every round
+    MATERIALIZED per the unrolled-loop rule; HUGEINT throughout,
+    division truncating toward zero (// on HUGEINT, the Spark
+    DECIMAL(38,0)-div twin)."""
+    ctes = [
+        _E_NORMED.strip(),
+        """q AS MATERIALIZED (
+  SELECT vec_id, list_transform(v, x -> CAST(floor(x / vn * 1048576.0 + 0.5) AS BIGINT)) AS qv
+  FROM e WHERE vn > 0
+)""",
+        """ex AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM q
+)""",
+        """gm AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS a
+  FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2
+)""",
+        "v0 AS MATERIALIZED (SELECT DISTINCT i, CAST(1048576 AS HUGEINT) AS val FROM ex)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""u{r} AS MATERIALIZED (
+  SELECT gm.i, CAST(SUM(gm.a * v.val) AS HUGEINT) AS uv
+  FROM gm JOIN v{r-1} v ON gm.j = v.i GROUP BY 1
+)"""
+        )
+        ctes.append(f"m{r} AS MATERIALIZED (SELECT MAX(ABS(uv)) AS m FROM u{r})")
+        ctes.append(
+            f"""v{r} AS MATERIALIZED (
+  SELECT i, CASE WHEN (SELECT m FROM m{r}) = 0 THEN CAST(0 AS HUGEINT)
+            ELSE (uv * 1048576) // (SELECT m FROM m{r}) END AS val
+  FROM u{r}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+sg AS (SELECT CASE WHEN COALESCE(
+         (SELECT val FROM v{rounds} WHERE val <> 0 ORDER BY i LIMIT 1), 0) < 0
+       THEN -1 ELSE 1 END AS s)
+SELECT CAST(i AS BIGINT) AS pos,
+       CAST(val * (SELECT s FROM sg) AS BIGINT) AS comp_q20
+FROM v{rounds}
+"""
+    )
+
+
+_ORACLE_EMBEDDING_PCA = _pca_oracle(6)
+
 # L205 Theil-Sen: lower median over pairwise slopes; the double
 # division is one IEEE op (identical both engines), the integer
 # tiebreak totalizes the order, the emitted slope is the exact signed
@@ -6440,6 +6493,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_ann_recall": _ORACLE_ANN_RECALL,
         "llm_ann_recall_drift": _ORACLE_ANN_RECALL_DRIFT,
         "llm_stream_cdc_store": _ORACLE_STREAM_CDC_STORE,
+        "llm_embedding_pca": _ORACLE_EMBEDDING_PCA,
         "maef_dow_index": _ORACLE_DOW_INDEX,
         "maef_mix_drift": _ORACLE_MIX_DRIFT,
         "maef_forecast_topdown": _ORACLE_FORECAST_TOPDOWN,
