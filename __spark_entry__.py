@@ -5318,6 +5318,69 @@ def q_stream_cdc_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_share_of_voice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L246: weekly channel share-of-voice + week-over-week share
+    delta — integer epoch-Monday weeks, exact cents, half-up q20
+    share with zero-total guard, delta vs previous observed week
+    (operators/planning.py share_of_voice)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import planning as pln
+
+    return pln.share_of_voice(domain.events(spark, sf_dir))
+
+
+def q_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L247: length-distribution drift screen — L87 log-histogram
+    buckets of normalized char lengths, L235 exact-rational chi-square
+    between even/odd doc_id ingest halves (llm/text.py length_drift)."""
+    return txt.length_drift(_docs(spark, sf_dir))
+
+
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L248: SimHash operating-point audit — Hamming-distance
+    histogram of ALL byte-band candidate pairs over the augmented
+    corpus (llm/dedup.py simhash_hamming_histogram)."""
+    return dd.simhash_hamming_histogram(_aug_docs(spark, sf_dir))
+
+
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L249: STREAMING first-occurrence funnel — per-user min(ts) per
+    step as the streaming state (order-independent, the stream_reach
+    device), stage = longest strictly-increasing first-touch prefix,
+    stage counts + cumulative reach serving-side.  Semantics are the
+    STRICT first-occurrence funnel — deliberately different from the
+    batch L53 earliest-completion funnel, because first-occurrence is
+    the variant whose state is a commutative min and therefore
+    streamable with bounded per-user state
+    (streaming/incremental.py funnel_first_touch_state docstring).
+    State partitions sized by the stream-jj rule (8, restored)."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+        state = inc.funnel_first_touch_state(ev, FUNNEL_STEPS)
+        name = "stream_funnel_sink"
+        q = (
+            state.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = inc.funnel_from_first_touch(
+            spark.table(name), len(FUNNEL_STEPS)
+        ).localCheckpoint()
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L245: top principal direction of the embedding cloud by exact-
     integer power iteration over the q20 Gram matrix — the encoder
@@ -5568,6 +5631,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ann_recall_drift": q_ann_recall_drift,
         "llm_stream_cdc_store": q_stream_cdc_store,
         "llm_embedding_pca": q_embedding_pca,
+        "maef_share_of_voice": q_share_of_voice,
+        "llm_length_drift": q_length_drift,
+        "llm_simhash_hamming": q_simhash_hamming,
+        "maef_stream_funnel": q_stream_funnel,
         # --- freshly-green r06 window (CORRECTNESS_r06, 50/50) rotates here ---
         "llm_ann_int8_rerank": q_ann_int8_rerank,
         "maef_stream_topk_channels": q_stream_topk_channels,

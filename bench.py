@@ -102,6 +102,9 @@ CHECKPOINT_HEAVY = {
     # r06: streaming run + serving-side localCheckpoint (stream_srm's
     # noise profile)
     "maef_stream_mix_drift",
+    # r07: windowed top-k state-store commits showed the one-sided
+    # profile too (2.7 s r06 vs 10.5 s r07 on identical code)
+    "maef_stream_topk_channels",
     # label purity checkpoints the labeled quantized vectors
     "llm_label_purity",
     # streaming state materialization + serving-side checkpoint

@@ -1168,3 +1168,34 @@ def cdc_chunk_stats(
             .alias("dup_chunk_ratio_q20"),
         )
     )
+
+
+def simhash_hamming_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash operating-point audit — the L220 calibration twin for
+    L11: the Hamming-distance histogram of ALL byte-band candidate
+    pairs (threshold lifted to ``bits``), answering "at the chosen
+    banding, what distance mass does the verify stage actually see" —
+    the curve that says whether max_hamming=6 cuts signal or noise.
+
+    Candidates still come only from band-bucket collisions (never
+    all-pairs; pairs beyond the pigeonhole reach of the banding are
+    invisible by design and the histogram is explicitly the CANDIDATE
+    distance distribution).  Output: (hamming, n_pairs), bounded at
+    bits+1 rows; one bounded aggregate over the pair table.
+    """
+    return (
+        simhash_pairs(
+            simhash(docs, text_col, id_col, bits),
+            id_col,
+            max_hamming=bits,
+            bands=bands,
+        )
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

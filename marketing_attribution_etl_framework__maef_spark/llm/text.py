@@ -792,3 +792,58 @@ def word_simpson(docs: DataFrame) -> DataFrame:
             ).alias("inv_simpson_q20"),
         )
     )
+
+
+def length_drift(docs: DataFrame, sub_bits: int = 2, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length-distribution drift screen: normalized-text char lengths
+    bucketed by the L87 log-histogram device, then the L235 exact-
+    rational chi-square per bucket between the even (baseline) and odd
+    (current) doc_id ingest halves — the data-ops alarm for a
+    truncation bug or a source-mix shift that term-level drift (L181)
+    can miss when the vocabulary is stable but documents shrink.
+
+    Buckets NEW in the current half (no baseline mass) are emitted
+    with a NULL contribution — their existence is the alarm (the
+    mix_drift_chi2 convention).  Headroom mirrors mix_drift_chi2: the
+    squared numerator times 2^21 stays in DECIMAL(38,0)/HUGEINT while
+    the two half totals stay under ~6e7 documents.
+
+    Output: (bucket_lb, n_base, n_cur, chi2_contrib_q20) — bounded at
+    ~64 * 2^sub_bits rows; one map-side-combining aggregate over the
+    corpus, then frameless windows on the bounded bucket grain.
+    """
+    from marketing_attribution_etl_framework__maef_spark.operators.quantiles import (
+        log_bucket_lower,
+    )
+
+    n = docs.select(
+        (F.col(id_col) % 2).alias("_h"),
+        F.length(normalize_text(F.col(text_col))).cast("long").alias("_len"),
+    )
+    per = (
+        n.select(log_bucket_lower("_len", sub_bits).alias("bucket_lb"), "_h")
+        .groupBy("bucket_lb")
+        .agg(
+            F.sum(F.when(F.col("_h") == 0, 1).otherwise(0)).cast("long").alias("n_base"),
+            F.sum(F.when(F.col("_h") == 1, 1).otherwise(0)).cast("long").alias("n_cur"),
+        )
+    )
+    dec = "decimal(38,0)"
+    w = "(partition by (case when n_base > 0 then 1 else 0 end))"
+    per = per.withColumn(
+        "_n", F.expr(f"sum(case when n_base > 0 then n_cur else 0 end) over {w}")
+    ).withColumn(
+        "_m", F.expr(f"sum(case when n_base > 0 then n_base else 0 end) over {w}")
+    )
+    num = f"(cast(n_cur as {dec}) * _m - cast(_n as {dec}) * n_base)"
+    den = f"(cast(_n as {dec}) * n_base * _m)"
+    return per.select(
+        "bucket_lb",
+        "n_base",
+        "n_cur",
+        F.expr(
+            f"case when n_base > 0 and _n > 0 then"
+            f" cast((2 * {num} * {num} * 1048576 + {den}) div (2 * {den}) as bigint)"
+            f" end"
+        ).alias("chi2_contrib_q20"),
+    )

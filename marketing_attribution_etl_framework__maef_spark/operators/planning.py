@@ -630,3 +630,51 @@ def burstiness_screen(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("bursty_flag"),
     )
+
+
+def share_of_voice(ev: DataFrame) -> DataFrame:
+    """Weekly channel share-of-voice with week-over-week share delta —
+    the budget-steering readout the reference's channel report
+    (``src/etl/reporting.py:57-98``) implies but never rolls up to the
+    weekly-mix grain.
+
+    Weeks are integer weeks since the epoch Monday (datediff from
+    1970-01-05 ``div`` 7 — engine-portable and NTZ/LTZ-agnostic, the
+    dow_seasonal_index device).  Exact integer cents; share is the
+    half-up q20 device with a zero-total guard; delta compares a
+    channel's share against its previous OBSERVED week (a channel dark
+    for a week sees the gap across it), NULL for the first week.
+
+    Output: (week, channel, n_sessions, cents, share_q20, delta_q20)
+    — bounded at channels x weeks; two map-side-combining aggregates
+    plus two frameless/ordered windows on the bounded grain.
+    """
+    sess = ev.filter(F.col("event_type") != "purchase")
+    per = sess.groupBy(
+        F.expr(
+            "cast(datediff(cast(ts as date), cast('1970-01-05' as date))"
+            " div 7 as long)"
+        ).alias("week"),
+        F.col("event_type").alias("channel"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+    )
+    per = per.withColumn("_tot", F.sum("cents").over(Window.partitionBy("week")))
+    per = per.withColumn(
+        "share_q20",
+        F.expr(
+            "cast(case when _tot = 0 then 0 else"
+            " (2 * cast(cents as decimal(38,0)) * 1048576 + _tot)"
+            " div (2 * cast(_tot as decimal(38,0))) end as bigint)"
+        ),
+    )
+    w = Window.partitionBy("channel").orderBy("week")
+    return per.select(
+        "week",
+        "channel",
+        "n_sessions",
+        "cents",
+        "share_q20",
+        (F.col("share_q20") - F.lag("share_q20").over(w)).cast("long").alias("delta_q20"),
+    )

@@ -486,3 +486,53 @@ def enrich_stream(
             "total_value_cents",
         )
     )
+
+
+def funnel_first_touch_state(events: DataFrame, steps: list[str]) -> DataFrame:
+    """Streaming per-user funnel state: min(ts) per funnel step — the
+    only per-user state a FIRST-OCCURRENCE funnel needs, and (being a
+    min) order-independent across micro-batches, which is what makes
+    the twin oracle-gatable (the first_touch_state device applied to
+    funnel steps).  One streaming aggregate keyed by user."""
+    aggs = [
+        F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t{i}")
+        for i, s in enumerate(steps)
+    ]
+    return events.filter(F.col("event_type").isin(list(steps))).groupBy(
+        "user_id"
+    ).agg(*aggs)
+
+
+def funnel_from_first_touch(state: DataFrame, n_steps: int) -> DataFrame:
+    """Serving side: first-touch funnel state -> stage counts.
+
+    Stage semantics are STRICT FIRST-OCCURRENCE: a user completes k
+    stages iff first(step_1) < first(step_2) < ... < first(step_k) —
+    deliberately stricter than the batch L53 funnel (which may advance
+    on a LATER step-i event when the first one precedes step i-1);
+    first-occurrence is the semantics whose state is a commutative min
+    and therefore computable by a streaming aggregate with bounded
+    per-user state.  The difference is documented, not hidden: this is
+    the streaming-native funnel, L53 is the batch one.
+
+    Output: (funnel_stage, n_users, n_reached) — n_reached(s) = users
+    at stage >= s, via a range self-join on the bounded stage grain.
+    """
+    stage = F.lit(0).cast("long")
+    cond = None
+    for i in range(n_steps):
+        c = F.col(f"t{i}").isNotNull()
+        if i > 0:
+            c = c & (F.col(f"t{i}") > F.col(f"t{i-1}"))
+        cond = c if cond is None else (cond & c)
+        stage = stage + cond.cast("long")
+    per = state.select(stage.alias("funnel_stage"))
+    at = per.groupBy("funnel_stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    b = at.select(F.col("funnel_stage").alias("_s2"), F.col("n_users").alias("_n2"))
+    return (
+        at.join(b, F.col("_s2") >= F.col("funnel_stage"))
+        .groupBy("funnel_stage", "n_users")
+        .agg(F.sum("_n2").cast("long").alias("n_reached"))
+    )

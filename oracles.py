@@ -5158,6 +5158,124 @@ FROM v{rounds}
 
 _ORACLE_EMBEDDING_PCA = _pca_oracle(6)
 
+
+# operators/planning.py share_of_voice: integer epoch-Monday weeks,
+# exact cents, half-up q20 share, LAG delta vs previous observed week
+_ORACLE_SHARE_OF_VOICE = """
+WITH per AS (
+  SELECT datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7 AS week,
+         event_type AS channel,
+         CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+),
+t AS (SELECT week, CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS tot FROM per GROUP BY 1),
+s AS (
+  SELECT p.week, p.channel, p.n_sessions, p.cents,
+         CAST(CASE WHEN t.tot = 0 THEN 0
+              ELSE (2 * CAST(p.cents AS HUGEINT) * 1048576 + t.tot) // (2 * t.tot)
+              END AS BIGINT) AS share_q20
+  FROM per p JOIN t USING (week)
+)
+SELECT CAST(week AS BIGINT) AS week, channel, n_sessions, cents, share_q20,
+       CAST(share_q20 - LAG(share_q20) OVER (PARTITION BY channel ORDER BY week) AS BIGINT) AS delta_q20
+FROM s
+"""
+
+
+# llm/text.py length_drift: L87 log buckets of normalized char length,
+# L235 chi-square between even/odd doc_id halves (HUGEINT, baseline-
+# present totals only, NULL contribution for new buckets)
+_ORACLE_LENGTH_DRIFT = r"""
+WITH v AS (
+  SELECT doc_id % 2 AS h,
+         CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS x
+  FROM documents
+),
+b AS (
+  SELECT h, CAST((x >> g) << g AS BIGINT) AS bucket_lb
+  FROM (SELECT h, x,
+               CASE WHEN length(printf('%b', x)) - 3 > 0
+                    THEN length(printf('%b', x)) - 3 ELSE 0 END AS g
+        FROM v)
+),
+per AS (
+  SELECT bucket_lb,
+         CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM b GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN n_base > 0 THEN n_cur ELSE 0 END) AS HUGEINT) AS n,
+         CAST(SUM(CASE WHEN n_base > 0 THEN n_base ELSE 0 END) AS HUGEINT) AS m
+  FROM per
+)
+SELECT p.bucket_lb, p.n_base, p.n_cur,
+       CASE WHEN p.n_base > 0 AND t.n > 0 THEN
+         CAST((2 * (p.n_cur * t.m - t.n * p.n_base) * (p.n_cur * t.m - t.n * p.n_base) * 1048576
+               + (t.n * p.n_base * t.m))
+              // (2 * (t.n * p.n_base * t.m)) AS BIGINT)
+       END AS chi2_contrib_q20
+FROM per p, tot t
+"""
+
+
+# llm/dedup.py simhash_hamming_histogram: the L11 pair pipeline with
+# the Hamming threshold lifted to the full 32 bits, then the histogram
+_ORACLE_SIMHASH_HAMMING = f"""
+WITH {_AUG}, {_NORM_AUG},
+exw AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM nd),
+hh AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM exw),
+votes AS (
+  SELECT doc_id,
+         {_sh_votes}
+  FROM hh GROUP BY doc_id
+),
+sim AS (SELECT doc_id, CAST({_sh_value} AS BIGINT) AS simhash FROM votes),
+bands AS (
+  {_sh_bands}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY 1
+"""
+
+
+# streaming funnel: strict first-occurrence stages from per-user step
+# minima (order-independent state == this batch SQL, the parity basis)
+_ORACLE_STREAM_FUNNEL = """
+WITH st AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+  FROM events WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+  GROUP BY 1
+),
+per AS (
+  SELECT (CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0 THEN 1 ELSE 0 END
+        + CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                AND t2 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END
+        + CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                AND t2 IS NOT NULL AND t2 > t1
+                AND t3 IS NOT NULL AND t3 > t2 THEN 1 ELSE 0 END) AS stage
+  FROM st
+),
+at AS (
+  SELECT CAST(stage AS BIGINT) AS funnel_stage,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM per GROUP BY 1
+)
+SELECT a.funnel_stage, a.n_users, CAST(SUM(b.n_users) AS BIGINT) AS n_reached
+FROM at a JOIN at b ON b.funnel_stage >= a.funnel_stage
+GROUP BY 1, 2
+"""
+
 # L205 Theil-Sen: lower median over pairwise slopes; the double
 # division is one IEEE op (identical both engines), the integer
 # tiebreak totalizes the order, the emitted slope is the exact signed
@@ -6494,6 +6612,10 @@ def oracle_sql() -> dict[str, str]:
         "llm_ann_recall_drift": _ORACLE_ANN_RECALL_DRIFT,
         "llm_stream_cdc_store": _ORACLE_STREAM_CDC_STORE,
         "llm_embedding_pca": _ORACLE_EMBEDDING_PCA,
+        "maef_share_of_voice": _ORACLE_SHARE_OF_VOICE,
+        "llm_length_drift": _ORACLE_LENGTH_DRIFT,
+        "llm_simhash_hamming": _ORACLE_SIMHASH_HAMMING,
+        "maef_stream_funnel": _ORACLE_STREAM_FUNNEL,
         "maef_dow_index": _ORACLE_DOW_INDEX,
         "maef_mix_drift": _ORACLE_MIX_DRIFT,
         "maef_forecast_topdown": _ORACLE_FORECAST_TOPDOWN,

@@ -142,3 +142,109 @@ def test_principal_direction_integer_power_iteration(spark):
     if next((x for x in v if x != 0), 0) < 0:
         v = [-x for x in v]
     assert got == {1: v[0], 2: v[1]}
+
+
+def test_share_of_voice_weekly_shares(spark):
+    import datetime as dt
+
+    from marketing_attribution_etl_framework__maef_spark.operators import planning as pln
+
+    # week of 2024-01-01 (Mon) and week of 2024-01-08
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 9), 1, "a", 3.0),
+        (1, dt.datetime(2024, 1, 2, 9), 2, "b", 1.0),
+        (2, dt.datetime(2024, 1, 8, 9), 3, "a", 1.0),
+        (3, dt.datetime(2024, 1, 9, 9), 4, "b", 3.0),
+        (4, dt.datetime(2024, 1, 8, 9), 5, "purchase", 9.0),  # excluded
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {(r["week"], r["channel"]): r for r in pln.share_of_voice(ev).collect()}
+    w1 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 5)).days // 7
+    assert set(out) == {(w1, "a"), (w1, "b"), (w1 + 1, "a"), (w1 + 1, "b")}
+    q = lambda c, t: (2 * c * Q20 + t) // (2 * t)
+    assert out[(w1, "a")]["share_q20"] == q(300, 400)
+    assert out[(w1, "a")]["delta_q20"] is None  # first observed week
+    assert out[(w1 + 1, "a")]["share_q20"] == q(100, 400)
+    assert out[(w1 + 1, "a")]["delta_q20"] == q(100, 400) - q(300, 400)
+
+
+def test_length_drift_chi2_buckets(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import text as txt
+
+    # even ids (baseline): 4 docs of norm length 5; odd ids (current):
+    # 2 of length 5, 2 of length 33 (different log bucket)
+    rows = (
+        [(2 * i, "abcde") for i in range(4)]
+        + [(2 * i + 1, "abcde") for i in range(2)]
+        + [(2 * i + 1, "x" * 33) for i in range(2, 4)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bucket_lb"]: r for r in txt.length_drift(docs).collect()}
+    b5 = 5  # values below 2^(sub_bits+1)=8 are their own bucket
+    b33 = 32  # 33 -> keep top 3 bits -> 32
+    assert set(out) == {b5, b33}
+    assert out[b5]["n_base"] == 4 and out[b5]["n_cur"] == 2
+    # new bucket: NULL contribution, its existence is the alarm
+    assert out[b33]["n_base"] == 0 and out[b33]["chi2_contrib_q20"] is None
+    # chi2 for the baseline-present bucket: o=2, m_i=4, n=2, m=4 ->
+    # (2*4 - 2*4)^2 / ... = 0
+    assert out[b5]["chi2_contrib_q20"] == 0
+
+
+def test_simhash_hamming_histogram_counts(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd2
+
+    en = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(1, en), (2, en), (3, en + " tail"), (4, "entirely different other words")],
+        "doc_id long, text string",
+    )
+    hist = {r["hamming"]: r["n_pairs"] for r in dd2.simhash_hamming_histogram(docs).collect()}
+    # identical docs -> at least the (1,2) pair at distance 0
+    assert hist.get(0, 0) >= 1
+    # histogram mass equals the candidate pair count at threshold=bits
+    pairs = dd2.simhash_pairs(dd2.simhash(docs), max_hamming=32)
+    assert sum(hist.values()) == pairs.count()
+
+
+def test_stream_funnel_first_occurrence_semantics(spark, tmp_path):
+    import datetime as dt
+
+    from marketing_attribution_etl_framework__maef_spark import schemas
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    t = lambda m: dt.datetime(2024, 1, 1, 9, m)
+    rows = [
+        # u1 completes signup -> view strictly in first-occurrence order
+        (0, t(0), 1, "signup", 0.0, None),
+        (1, t(1), 1, "view", 0.0, None),
+        # u2: first view BEFORE first signup -> stage stops at 1
+        (2, t(0), 2, "view", 0.0, None),
+        (3, t(1), 2, "signup", 0.0, None),
+        (4, t(2), 2, "view", 0.0, None),  # a later view exists, still stage 1
+        # u3: click only -> has step events but never step 1 -> stage 0
+        (5, t(0), 3, "click", 0.0, None),
+    ]
+    ev = spark.createDataFrame(rows, schemas.EVENTS)
+    p = os.path.join(str(tmp_path), "ev")
+    ev.coalesce(1).write.mode("overwrite").parquet(p)
+    stream = inc.stream_events_nanos(spark, os.path.join(p, "*.parquet"))
+    state = inc.funnel_first_touch_state(stream, ["signup", "view", "click", "purchase"])
+    name = "t_stream_funnel"
+    q = (
+        state.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {
+        r["funnel_stage"]: (r["n_users"], r["n_reached"])
+        for r in inc.funnel_from_first_touch(spark.table(name), 4).collect()
+    }
+    spark.catalog.dropTempView(name)
+    # u3 stage 0, u2 stage 1, u1 stage 2
+    assert out == {0: (1, 3), 1: (1, 2), 2: (1, 1)}
