@@ -5411,29 +5411,13 @@ def q_ann_recall_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine is the audit's price, paid on q queries, never corpus².
     """
     e = _embs(spark, sf_dir)
-    qs = e.filter(F.col("vec_id") % 50 == 7)
-    cents = e.filter(F.col("vec_id") < 8)
-    parts = []
-    for h in (0, 1):
-        aud = sim.ann_recall_audit(
-            e.filter(F.col("vec_id") % 2 == h), qs, cents, k=5, probe=2
-        )
-        parts.append(
-            aud.agg(
-                F.count(F.lit(1)).cast("long").alias("n_queries"),
-                F.sum("n_hits").cast("long").alias("sum_hits"),
-            ).select(
-                F.lit(h).cast("long").alias("half"),
-                "n_queries",
-                "sum_hits",
-                F.expr(
-                    "cast(case when n_queries = 0 then 0 else"
-                    " (2 * sum_hits * 1048576 + 5 * n_queries)"
-                    " div (2 * 5 * n_queries) end as bigint)"
-                ).alias("recall_q20"),
-            )
-        )
-    return parts[0].unionByName(parts[1])
+    return sim.ann_recall_drift(
+        e,
+        e.filter(F.col("vec_id") % 50 == 7),
+        e.filter(F.col("vec_id") < 8),
+        k=5,
+        probe=2,
+    )
 
 
 def q_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
