@@ -5318,6 +5318,17 @@ def q_stream_cdc_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L250: additive Holt-Winters (level + trend + 7-slot dow season)
+    channel spend forecast — the seasonal upgrade of L229, dyadic
+    alpha=beta=gamma=1/4 so the whole recursion is exact q20 integers;
+    the oracle replays it with a LIST-typed season state in WITH
+    RECURSIVE (operators/timeseries.py holt_winters_forecast)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import timeseries as tsr
+
+    return tsr.holt_winters_forecast(domain.events(spark, sf_dir))
+
+
 def q_share_of_voice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L246: weekly channel share-of-voice + week-over-week share
     delta — integer epoch-Monday weeks, exact cents, half-up q20
@@ -5619,6 +5630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_length_drift": q_length_drift,
         "llm_simhash_hamming": q_simhash_hamming,
         "maef_stream_funnel": q_stream_funnel,
+        "maef_holt_winters": q_holt_winters,
         # --- freshly-green r06 window (CORRECTNESS_r06, 50/50) rotates here ---
         "llm_ann_int8_rerank": q_ann_int8_rerank,
         "maef_stream_topk_channels": q_stream_topk_channels,

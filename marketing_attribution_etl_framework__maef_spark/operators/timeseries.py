@@ -795,3 +795,90 @@ def forecast_topdown(ev: DataFrame) -> DataFrame:
             .alias("alloc_fc1_cents_q20"),
         )
     )
+
+
+def _hw_state(ys: list[int], m: int = 7) -> tuple[int, int, list[int], int]:
+    """Additive Holt-Winters alpha=beta=gamma=1/4 integer q20 recursion
+    over one dense series — (level, trend, season list, one-step MAE),
+    all q20 cents.  Init: level = first-season mean, trend = 0,
+    seasonals = first-week deviations; recursion starts at t = m.
+    Requires len(ys) > m (the init week plus at least one step)."""
+    q = 1 << 20
+    n = len(ys)
+    lev = _tdiv(sum(q * y for y in ys[:m]), m)
+    s = [q * ys[j] - lev for j in range(m)]
+    tr = 0
+    sae = 0
+    for t in range(m, n):
+        slot = t % m
+        f = lev + tr + s[slot]
+        sae += abs(q * ys[t] - f)
+        lev2 = _tdiv(q * ys[t] - s[slot] + 3 * (lev + tr), 4)
+        tr = _tdiv((lev2 - lev) + 3 * tr, 4)
+        s[slot] = _tdiv(q * ys[t] - lev2 + 3 * s[slot], 4)
+        lev = lev2
+    mae = _tdiv(sae, n - m) if n > m else 0
+    return lev, tr, s, mae
+
+
+def holt_winters_forecast(ev: DataFrame, m: int = 7) -> DataFrame:
+    """Additive Holt-Winters (level + trend + day-of-week seasonality)
+    forecast of daily channel spend in exact q20 integer cents — the
+    seasonal upgrade of holt_linear_forecast: Holt under-forecasts
+    every Monday and over-forecasts every Sunday on retail-shaped
+    traffic; the 7-slot seasonal state absorbs exactly that.
+
+    Dyadic alpha = beta = gamma = 1/4 keeps the whole recursion in
+    integers (truncating div on both engines):
+
+        L_t = (2^20 y_t - S_{t-m} + 3 (L_{t-1} + B_{t-1})) div 4
+        B_t = ((L_t - L_{t-1}) + 3 B_{t-1})                 div 4
+        S_t = (2^20 y_t - L_t + 3 S_{t-m})                  div 4
+
+    over the dense global day spine (missing days are genuine zero
+    spend), initialized from the first season: L = mean of week 1,
+    B = 0, S_j = 2^20 y_j - L.  One-step backtest runs t = m..n-1 with
+    f_t = L_{t-1} + B_{t-1} + S_{t-m}.  Requires a spine longer than
+    one season (n > m) — shorter inputs raise, mirroring the oracle's
+    assumption.
+
+    Driver-side loop is bounded state (channel x day grain, the
+    holt_linear_forecast precedent); the oracle replays the identical
+    recurrence with a LIST-typed season state in WITH RECURSIVE.
+    Headroom: |L|,|B|,|S| <= ~2^21 * max daily cents — longs hold to
+    ~2^41 cents/day per channel.
+
+    Output: (channel, n_days, level_cents_q20, trend_cents_q20,
+    snext_cents_q20, fc1_cents_q20, mae_hw_cents_q20) where snext is
+    the season slot the next day lands on and fc1 = L + B + snext.
+    """
+    daily = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy(
+            F.col("event_type").alias("channel"),
+            F.col("ts").cast("date").alias("d"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y"))
+    )
+    rows = daily.collect()
+    schema = (
+        "channel string, n_days long, level_cents_q20 long, "
+        "trend_cents_q20 long, snext_cents_q20 long, fc1_cents_q20 long, "
+        "mae_hw_cents_q20 long"
+    )
+    if not rows:
+        return ev.sparkSession.createDataFrame([], schema)
+    d0 = min(r["d"] for r in rows)
+    d1 = max(r["d"] for r in rows)
+    n = (d1 - d0).days + 1
+    if n <= m:
+        raise ValueError(f"holt_winters_forecast needs > {m} spine days, got {n}")
+    series: dict[str, list[int]] = {}
+    for r in rows:
+        series.setdefault(r["channel"], [0] * n)[(r["d"] - d0).days] = int(r["y"])
+    out = []
+    for ch in sorted(series):
+        lev, tr, s, mae = _hw_state(series[ch], m)
+        snext = s[n % m]
+        out.append((ch, n, lev, tr, snext, lev + tr + snext, mae))
+    return ev.sparkSession.createDataFrame(out, schema)

@@ -5244,6 +5244,75 @@ SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY 1
 """
 
 
+# operators/timeseries.py holt_winters_forecast: the holt recursion
+# upgraded with a LIST-typed 7-slot season state; init = first-week
+# mean level / zero trend / deviation seasonals, recursion from t=7;
+# slot indexing is rn % 7 (1-based list access slot+1); // truncates
+# like _tdiv
+_ORACLE_HOLT_WINTERS = """
+WITH RECURSIVE
+daily AS MATERIALIZED (
+  SELECT event_type AS channel, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+),
+span AS MATERIALIZED (
+  SELECT MIN(d) AS d0, datediff('day', MIN(d), MAX(d)) AS nmax FROM daily
+),
+spine AS MATERIALIZED (
+  SELECT c.channel, CAST(r.rn AS BIGINT) AS rn, COALESCE(dl.y, 0) AS y
+  FROM (SELECT DISTINCT channel FROM daily) c
+  CROSS JOIN span sp
+  CROSS JOIN LATERAL (SELECT UNNEST(generate_series(0, sp.nmax)) AS rn) r
+  LEFT JOIN daily dl ON dl.channel = c.channel AND dl.d = sp.d0 + CAST(r.rn AS INTEGER)
+),
+init AS MATERIALIZED (
+  SELECT channel,
+         CAST(SUM(CASE WHEN rn < 7 THEN CAST(1048576 AS HUGEINT) * y ELSE 0 END) // 7 AS HUGEINT) AS lev
+  FROM spine GROUP BY 1
+),
+s0 AS MATERIALIZED (
+  SELECT s.channel,
+         list(CAST(1048576 AS HUGEINT) * s.y - i.lev ORDER BY s.rn) AS sl
+  FROM spine s JOIN init i USING (channel)
+  WHERE s.rn < 7 GROUP BY 1
+),
+rec AS (
+  SELECT i.channel, CAST(7 AS BIGINT) AS t, i.lev AS lev,
+         CAST(0 AS HUGEINT) AS tr, s0.sl AS sl, CAST(0 AS HUGEINT) AS sae
+  FROM init i JOIN s0 USING (channel)
+  UNION ALL
+  SELECT channel, t, lev2 AS lev,
+         ((lev2 - lev) + 3 * tr) // 4 AS tr,
+         list_transform(range(1, 8),
+           i -> CASE WHEN i = slot + 1
+                     THEN (qy - lev2 + 3 * sl[slot + 1]) // 4
+                     ELSE sl[i] END) AS sl,
+         sae2 AS sae
+  FROM (
+    SELECT r.channel, r.t + 1 AS t, r.lev AS lev, r.tr AS tr, r.sl AS sl,
+           CAST(r.t % 7 AS BIGINT) AS slot,
+           CAST(1048576 AS HUGEINT) * d.y AS qy,
+           (CAST(1048576 AS HUGEINT) * d.y - r.sl[CAST(r.t % 7 AS BIGINT) + 1]
+            + 3 * (r.lev + r.tr)) // 4 AS lev2,
+           r.sae + abs(CAST(1048576 AS HUGEINT) * d.y
+                       - (r.lev + r.tr + r.sl[CAST(r.t % 7 AS BIGINT) + 1])) AS sae2
+    FROM rec r JOIN spine d ON d.channel = r.channel AND d.rn = r.t
+  )
+)
+SELECT channel,
+       CAST((SELECT nmax FROM span) + 1 AS BIGINT) AS n_days,
+       CAST(lev AS BIGINT) AS level_cents_q20,
+       CAST(tr AS BIGINT) AS trend_cents_q20,
+       CAST(sl[CAST(((SELECT nmax FROM span) + 1) % 7 AS BIGINT) + 1] AS BIGINT) AS snext_cents_q20,
+       CAST(lev + tr + sl[CAST(((SELECT nmax FROM span) + 1) % 7 AS BIGINT) + 1] AS BIGINT) AS fc1_cents_q20,
+       CAST(CASE WHEN (SELECT nmax FROM span) >= 7
+                 THEN sae // (CAST((SELECT nmax FROM span) AS HUGEINT) + 1 - 7)
+                 ELSE 0 END AS BIGINT) AS mae_hw_cents_q20
+FROM rec WHERE t = (SELECT nmax FROM span) + 1
+"""
+
+
 # streaming funnel: strict first-occurrence stages from per-user step
 # minima (order-independent state == this batch SQL, the parity basis)
 _ORACLE_STREAM_FUNNEL = """
@@ -6616,6 +6685,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_length_drift": _ORACLE_LENGTH_DRIFT,
         "llm_simhash_hamming": _ORACLE_SIMHASH_HAMMING,
         "maef_stream_funnel": _ORACLE_STREAM_FUNNEL,
+        "maef_holt_winters": _ORACLE_HOLT_WINTERS,
         "maef_dow_index": _ORACLE_DOW_INDEX,
         "maef_mix_drift": _ORACLE_MIX_DRIFT,
         "maef_forecast_topdown": _ORACLE_FORECAST_TOPDOWN,

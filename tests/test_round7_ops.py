@@ -248,3 +248,54 @@ def test_stream_funnel_first_occurrence_semantics(spark, tmp_path):
     spark.catalog.dropTempView(name)
     # u3 stage 0, u2 stage 1, u1 stage 2
     assert out == {0: (1, 3), 1: (1, 2), 2: (1, 1)}
+
+
+def test_holt_winters_integer_recursion(spark):
+    import datetime as dt
+
+    from marketing_attribution_etl_framework__maef_spark.operators import timeseries as tsr
+
+    # 10 days, one channel, weekly pattern 100/200 cents alternating
+    ys = [1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0, 2.0]
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i, 12), i, "a", ys[i]) for i in range(10)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = tsr.holt_winters_forecast(ev).collect()[0]
+
+    # in-test integer replica of the documented recursion
+    q = 1 << 20
+    cents = [int(round(v * 100)) for v in ys]
+
+    def tdiv(a, b):
+        s = -1 if (a < 0) != (b < 0) else 1
+        return s * (abs(a) // abs(b))
+
+    lev = tdiv(sum(q * y for y in cents[:7]), 7)
+    s = [q * cents[j] - lev for j in range(7)]
+    tr, sae = 0, 0
+    for t in range(7, 10):
+        slot = t % 7
+        f = lev + tr + s[slot]
+        sae += abs(q * cents[t] - f)
+        lev2 = tdiv(q * cents[t] - s[slot] + 3 * (lev + tr), 4)
+        tr = tdiv((lev2 - lev) + 3 * tr, 4)
+        s[slot] = tdiv(q * cents[t] - lev2 + 3 * s[slot], 4)
+        lev = lev2
+    assert got["n_days"] == 10
+    assert got["level_cents_q20"] == lev
+    assert got["trend_cents_q20"] == tr
+    assert got["snext_cents_q20"] == s[10 % 7]
+    assert got["fc1_cents_q20"] == lev + tr + s[10 % 7]
+    assert got["mae_hw_cents_q20"] == tdiv(sae, 3)
+
+    # shorter than one season + 1 raises (documented contract)
+    short = spark.createDataFrame(
+        rows[:5], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        tsr.holt_winters_forecast(short)
