@@ -5318,6 +5318,21 @@ def q_stream_cdc_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L252: per-source OOV rate vs the corpus-wide top-1000 term
+    vocabulary — deterministic (count DESC, term ASC) cut, broadcast
+    vocab, exact integer counts (llm/text.py oov_rate)."""
+    return txt.oov_rate(_docs(spark, sf_dir))
+
+
+def q_markov_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L251: expected touches-to-conversion per starting state over
+    the journey Markov chain — truncated-horizon q20 integer
+    recurrence on the bounded transition matrix, the planning twin of
+    L60 (operators/markov.py expected_path_length)."""
+    return mkv.expected_path_length(_journeys(spark, sf_dir))
+
+
 def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L250: additive Holt-Winters (level + trend + 7-slot dow season)
     channel spend forecast — the seasonal upgrade of L229, dyadic
@@ -5631,6 +5646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_simhash_hamming": q_simhash_hamming,
         "maef_stream_funnel": q_stream_funnel,
         "maef_holt_winters": q_holt_winters,
+        "maef_markov_path_length": q_markov_path_length,
+        "llm_oov_rate": q_oov_rate,
         # --- freshly-green r06 window (CORRECTNESS_r06, 50/50) rotates here ---
         "llm_ann_int8_rerank": q_ann_int8_rerank,
         "maef_stream_topk_channels": q_stream_topk_channels,

@@ -847,3 +847,56 @@ def length_drift(docs: DataFrame, sub_bits: int = 2, text_col: str = "text", id_
             f" end"
         ).alias("chi2_contrib_q20"),
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus-wide
+    top-``vocab_size`` term vocabulary — the first question a
+    fixed-vocabulary tokenizer or classifier asks of a new source
+    ("how much of this text does my vocab even cover"), and the
+    cheap complement of BPE fertility (L172): fertility measures
+    subword blow-up, OOV measures outright misses.
+
+    Vocabulary selection is a TOTAL order (count DESC, term ASC), so
+    the top-V cut is deterministic in both engines.  The vocab is
+    bounded (V rows) and broadcast; the per-source rollup is one
+    map-side-combining aggregate over the exploded tokens.  oov_q20
+    is the half-up device on exact integer counts.
+
+    Output: (source, n_tokens, n_oov, oov_q20).
+    """
+    ex = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(words(normalize_text(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    vocab = (
+        ex.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= vocab_size)
+        .select("term", F.lit(1).alias("_in"))
+    )
+    return (
+        ex.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr(
+                "cast((2 * n_oov * 1048576 + n_tokens) div (2 * n_tokens) as bigint)"
+            ).alias("oov_q20"),
+        )
+    )

@@ -353,3 +353,55 @@ def next_best_channel(
             .alias("prob_q20"),
         )
     )
+
+
+def expected_path_length(
+    journeys: DataFrame,
+    horizon: int = 25,
+    part_col: str = "conversion_id",
+    channel_col: str = "channel_label",
+    order_cols: tuple[str, str] = ("event_ts", "session_id"),
+) -> DataFrame:
+    """Expected touches-to-conversion per starting state over the
+    journey Markov chain — the planning twin of removal_effects: where
+    removal asks "how much conversion mass does channel c carry",
+    this asks "how LONG is the road from c", the number budget pacing
+    and frequency-capping decisions key on.
+
+    e_r(s) = E[min(T, r)] with T the hitting time of (conversion):
+
+        e_0(s) = 0;  e_r(conversion) = 0
+        e_r(s)  = 2^20 + floor(sum_j n(s->j) e_{r-1}(j) / sum_j n(s->j))
+
+    — the same truncated-horizon q20 integer recurrence as
+    removal_effects (horizon is part of the definition, so the value
+    is exact; no convergence tolerance to disagree on), same bounded
+    (channels + 2)^2 driver matrix, same unrolled-SQL oracle twin.
+
+    Output: (state, exp_steps_q20) for (start) and every channel.
+    """
+    trans = channel_transitions(journeys, part_col, channel_col, order_cols).collect()
+    edges: dict[str, list[tuple[str, int]]] = {}
+    for r in trans:
+        edges.setdefault(r["src"], []).append((r["dst"], r["n"]))
+    states = sorted(
+        {s for s in edges} | {d for outs in edges.values() for d, _ in outs}
+    )
+    e = {s: 0 for s in states}
+    for _ in range(horizon):
+        nxt = {}
+        for s in states:
+            if s == CONVERSION:
+                nxt[s] = 0
+                continue
+            outs = edges.get(s, [])
+            if not outs:
+                nxt[s] = Q20
+                continue
+            tot = sum(n for _, n in outs)
+            nxt[s] = Q20 + sum(n * e[d] for d, n in outs) // tot
+        e = nxt
+    rows = [(s, e[s]) for s in states if s != CONVERSION]
+    return journeys.sparkSession.createDataFrame(
+        rows, "state string, exp_steps_q20 long"
+    )

@@ -2292,6 +2292,78 @@ FROM res r, (SELECT absorption_q20 AS a FROM res WHERE rm = '(none)') f
 
 _ORACLE_MARKOV_REMOVAL = _markov_removal_oracle_sql(25)
 
+
+def _markov_path_length_oracle_sql(horizon: int = 25) -> str:
+    """Unrolled-SQL twin of operators/markov.py expected_path_length:
+    truncated-horizon expected steps in q20 integers, one e{k} CTE per
+    round on the bounded transition matrix (the removal-effects oracle
+    shape without the removal scenarios)."""
+    rounds = []
+    for k in range(horizon):
+        rounds.append(f"""
+e{k + 1} AS MATERIALIZED (
+  SELECT st.s,
+         CASE WHEN st.s = '(conversion)' THEN CAST(0 AS BIGINT)
+              WHEN agg.v IS NULL AND tt.tot IS NULL THEN CAST(1048576 AS BIGINT)
+              ELSE CAST(1048576 AS BIGINT) + COALESCE(agg.v, 0) END AS e
+  FROM states st
+  LEFT JOIN tot tt ON tt.src = st.s
+  LEFT JOIN (
+    SELECT t.src AS s, CAST(SUM(t.n * ek.e) // MAX(tt2.tot) AS BIGINT) AS v
+    FROM e{k} ek
+    JOIN t ON t.dst = ek.s
+    JOIN tot tt2 ON tt2.src = t.src
+    GROUP BY t.src
+  ) agg ON agg.s = st.s
+)""")
+    return f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+ordered AS (
+  SELECT conversion_id, channel_label,
+         LAG(channel_label) OVER w AS prev,
+         LEAD(channel_label) OVER w AS nxt
+  FROM journeys
+  WINDOW w AS (PARTITION BY conversion_id ORDER BY event_ts, session_id)
+),
+tr AS (
+  SELECT COALESCE(prev, '(start)') AS src, channel_label AS dst FROM ordered
+  UNION ALL
+  SELECT channel_label AS src, '(conversion)' AS dst FROM ordered WHERE nxt IS NULL
+),
+t AS MATERIALIZED (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2),
+tot AS MATERIALIZED (SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM t GROUP BY src),
+states AS (SELECT src AS s FROM t UNION SELECT dst FROM t),
+e0 AS MATERIALIZED (SELECT s, CAST(0 AS BIGINT) AS e FROM states),{",".join(rounds)}
+SELECT s AS state, e AS exp_steps_q20 FROM e{horizon} WHERE s <> '(conversion)'
+"""
+
+
+_ORACLE_MARKOV_PATH_LENGTH = _markov_path_length_oracle_sql(25)
+
+
+# llm/text.py oov_rate: top-1000 vocabulary under the (count DESC,
+# term ASC) total order, per-source OOV rollup, half-up q20
+_ORACLE_OOV_RATE = r"""
+WITH ex AS (
+  SELECT source,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+),
+ex2 AS (SELECT source, term FROM ex WHERE term <> ''),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS cnt FROM ex2 GROUP BY 1
+  ) QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) <= 1000
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST((2 * SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1048576 + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS oov_q20
+FROM ex2 e LEFT JOIN vocab v USING (term)
+GROUP BY 1
+"""
+
 def _pagerank_oracle_sql(iterations: int = 20) -> str:
     """Unrolled-SQL twin of operators/markov.py pagerank_channels: q20
     integer power method with per-term floors (one per inbound edge,
@@ -6686,6 +6758,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_simhash_hamming": _ORACLE_SIMHASH_HAMMING,
         "maef_stream_funnel": _ORACLE_STREAM_FUNNEL,
         "maef_holt_winters": _ORACLE_HOLT_WINTERS,
+        "maef_markov_path_length": _ORACLE_MARKOV_PATH_LENGTH,
+        "llm_oov_rate": _ORACLE_OOV_RATE,
         "maef_dow_index": _ORACLE_DOW_INDEX,
         "maef_mix_drift": _ORACLE_MIX_DRIFT,
         "maef_forecast_topdown": _ORACLE_FORECAST_TOPDOWN,

@@ -299,3 +299,42 @@ def test_holt_winters_integer_recursion(spark):
 
     with pytest.raises(ValueError):
         tsr.holt_winters_forecast(short)
+
+
+def test_markov_path_length_two_step_chain(spark):
+    import datetime as dt
+
+    from marketing_attribution_etl_framework__maef_spark.operators import markov as mkv
+
+    # two conversions: c1 = a -> b -> conv, c2 = a -> conv
+    rows = []
+    for cid, chans in [("c1", ["a", "b"]), ("c2", ["a"])]:
+        for i, ch in enumerate(chans):
+            rows.append((cid, f"s{cid}{i}", ch, dt.datetime(2024, 1, 1, 9 + i)))
+    j = spark.createDataFrame(
+        rows, "conversion_id string, session_id string, channel_label string, event_ts timestamp"
+    )
+    out = {r["state"]: r["exp_steps_q20"] for r in mkv.expected_path_length(j, horizon=25).collect()}
+    Q = 1 << 20
+    # chain: start->a (2), a->b (1), a->conv (1), b->conv (1)
+    # e(b) = 1; e(a) = 1 + (1*e(b) + 1*0)/2 = 1.5; e(start) = 1 + e(a) = 2.5
+    assert out["b"] == Q
+    assert out["a"] == Q + Q // 2
+    assert out["(start)"] == Q + out["a"]
+
+
+def test_oov_rate_against_small_vocab(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import text as txt
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa bb", "web"),
+            (2, "aa cc", "book"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    # vocab_size=2 -> vocab = {aa (3), bb (1, ties to cc broken by term asc)}
+    out = {r["source"]: r for r in txt.oov_rate(docs, vocab_size=2).collect()}
+    assert out["web"]["n_tokens"] == 3 and out["web"]["n_oov"] == 0
+    assert out["book"]["n_tokens"] == 2 and out["book"]["n_oov"] == 1  # cc OOV
+    assert out["book"]["oov_q20"] == (2 * 1 * Q20 + 2) // 4
