@@ -5318,6 +5318,23 @@ def q_stream_cdc_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L254: additive dow-seasonal profile with the trend removed
+    (centered 7-day MA, x7-scaled integer residuals, full windows
+    only, sign-aware half-up q20) — the STL-lite twin of L234
+    (operators/timeseries.py seasonal_decomposition)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import timeseries as tsr
+
+    return tsr.seasonal_decomposition(domain.events(spark, sf_dir))
+
+
+def q_dup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L253: near-dup pair-graph degree histogram — hub-document
+    screen over the staged pair store (llm/dedup.py
+    dup_degree_histogram)."""
+    return dd.dup_degree_histogram(_minhash_pairs(spark, sf_dir))
+
+
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L252: per-source OOV rate vs the corpus-wide top-1000 term
     vocabulary — deterministic (count DESC, term ASC) cut, broadcast
@@ -5648,6 +5665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_holt_winters": q_holt_winters,
         "maef_markov_path_length": q_markov_path_length,
         "llm_oov_rate": q_oov_rate,
+        "llm_dup_degree_hist": q_dup_degree_hist,
+        "maef_seasonal_decomposition": q_seasonal_decomposition,
         # --- freshly-green r06 window (CORRECTNESS_r06, 50/50) rotates here ---
         "llm_ann_int8_rerank": q_ann_int8_rerank,
         "maef_stream_topk_channels": q_stream_topk_channels,

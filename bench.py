@@ -105,6 +105,16 @@ CHECKPOINT_HEAVY = {
     # r07: windowed top-k state-store commits showed the one-sided
     # profile too (2.7 s r06 vs 10.5 s r07 on identical code)
     "maef_stream_topk_channels",
+    # r07 additions with the checkpoint/streaming noise profile:
+    # tfidf localCheckpoints its weights table (in-set criteria all
+    # along, just never listed); cdc_store is foreachBatch + parquet
+    # parts; stream_funnel is complete-mode state; pca and the fused
+    # recall drift are latency-bound driver/collect shapes
+    "llm_tfidf_pairs",
+    "llm_stream_cdc_store",
+    "maef_stream_funnel",
+    "llm_embedding_pca",
+    "llm_ann_recall_drift",
     # label purity checkpoints the labeled quantized vectors
     "llm_label_purity",
     # streaming state materialization + serving-side checkpoint

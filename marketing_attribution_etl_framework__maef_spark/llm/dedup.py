@@ -1199,3 +1199,21 @@ def simhash_hamming_histogram(
         .groupBy("hamming")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+def dup_degree_histogram(pairs: DataFrame) -> DataFrame:
+    """Near-dup pair-graph degree histogram: how many documents have
+    exactly d verified near-dup neighbors — the graph-shape complement
+    of the cluster-SIZE histogram (L223): a heavy tail here means hub
+    documents (boilerplate cores) that survivorship policies must
+    handle before clustering, which cluster sizes alone cannot show.
+
+    Rides the (staged) pair table only — degree = count per endpoint
+    over the symmetrized pairs, then one bounded aggregate.  Output:
+    (degree, n_docs).
+    """
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))

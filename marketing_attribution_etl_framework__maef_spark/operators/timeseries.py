@@ -882,3 +882,84 @@ def holt_winters_forecast(ev: DataFrame, m: int = 7) -> DataFrame:
         snext = s[n % m]
         out.append((ch, n, lev, tr, snext, lev + tr + snext, mae))
     return ev.sparkSession.createDataFrame(out, schema)
+
+
+def seasonal_decomposition(ev: DataFrame) -> DataFrame:
+    """Additive dow-seasonal profile of daily channel spend with the
+    TREND REMOVED first — the STL-lite answer to "is Monday really
+    +30%, or is the series just ramping": a centered 7-day moving
+    average is the trend, the detrended residual is averaged per
+    day-of-week.  dow_seasonal_index (L234) is the multiplicative,
+    trend-naive cousin; this one survives a ramp.
+
+    Everything is exact integers until the final q20: the residual is
+    scaled by 7 (detr_x7 = 7*cents - sum of the centered 7-day window)
+    so the moving average never divides; only FULL windows contribute
+    (the first/last 3 spine days are edge-dropped, standard STL
+    practice); dow = days-since-epoch-Monday mod 7 (the
+    dow_seasonal_index device).  seasonal_q20 is a SIGN-AWARE half-up
+    of sum_detr_x7 / (7 * n_days) in q20 cents (the plain half-up
+    device assumes nonnegative numerators; residuals are signed).
+
+    Scale: one map-side-combining aggregate to the channel x day
+    grain; the spine is generated ON the executors (channels x days,
+    bounded by calendar); one 7-row window per channel; the output is
+    channels x 7 rows.
+
+    Output: (channel, dow, n_days, sum_detr_x7, seasonal_q20).
+    """
+    daily = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy(
+            F.col("event_type").alias("channel"),
+            F.col("ts").cast("date").alias("d"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    )
+    span = daily.groupBy().agg(F.min("d").alias("_d0"), F.max("d").alias("_d1"))
+    spine = (
+        daily.select("channel")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "channel",
+            F.explode(
+                F.sequence(F.col("_d0"), F.col("_d1"), F.expr("interval 1 day"))
+            ).alias("d"),
+        )
+    )
+    dense = spine.join(daily, ["channel", "d"], "left").select(
+        "channel", "d", F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias("cents")
+    )
+    w7 = Window.partitionBy("channel").orderBy("d").rowsBetween(-3, 3)
+    full = (
+        dense.withColumn("_ma7sum", F.sum("cents").over(w7))
+        .withColumn("_wn", F.count(F.lit(1)).over(w7))
+        .filter(F.col("_wn") == 7)
+        .select(
+            "channel",
+            (
+                F.datediff(F.col("d"), F.lit("1970-01-05").cast("date")) % 7
+            )
+            .cast("long")
+            .alias("dow"),
+            (F.lit(7) * F.col("cents") - F.col("_ma7sum")).alias("_detr"),
+        )
+    )
+    per = full.groupBy("channel", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("_detr").cast("long").alias("sum_detr_x7"),
+    )
+    return per.select(
+        "channel",
+        "dow",
+        "n_days",
+        "sum_detr_x7",
+        F.expr(
+            "cast(case when sum_detr_x7 >= 0 then"
+            " (2 * cast(sum_detr_x7 as decimal(38,0)) * 1048576 + 7 * n_days)"
+            " div (2 * 7 * cast(n_days as decimal(38,0)))"
+            " else -((2 * cast(-sum_detr_x7 as decimal(38,0)) * 1048576 + 7 * n_days)"
+            " div (2 * 7 * cast(n_days as decimal(38,0)))) end as bigint)"
+        ).alias("seasonal_q20"),
+    )

@@ -1145,6 +1145,20 @@ SELECT doc_a, doc_b, inter_size, union_size
 FROM scored WHERE inter_size * 2 >= union_size * 1
 """
 
+# llm/dedup.py dup_degree_histogram over the verified pair table
+_ORACLE_DUP_DEGREE_HIST = f"""
+WITH {_AUG}, {_NORM_AUG}, {_SHINGLED}, {_MINHASH_CTES},
+pairs AS (
+  SELECT doc_a, doc_b FROM scored WHERE inter_size * 2 >= union_size * 1
+),
+deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)
+  GROUP BY 1
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs FROM deg GROUP BY 1
+"""
+
 _ORACLE_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE {_AUG}, {_NORM_AUG}, {_SHINGLED}, {_MINHASH_CTES},
 pairs AS (
@@ -2339,6 +2353,57 @@ SELECT s AS state, e AS exp_steps_q20 FROM e{horizon} WHERE s <> '(conversion)'
 
 
 _ORACLE_MARKOV_PATH_LENGTH = _markov_path_length_oracle_sql(25)
+
+
+# operators/timeseries.py seasonal_decomposition: dense spine window
+# sum (ROWS 3 PRECEDING..3 FOLLOWING), x7 residuals, full windows,
+# sign-aware half-up q20
+_ORACLE_SEASONAL_DECOMPOSITION = """
+WITH daily AS (
+  SELECT event_type AS channel, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+),
+span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+spine AS (
+  SELECT c.channel, CAST(g.d AS DATE) AS d
+  FROM (SELECT DISTINCT channel FROM daily) c
+  CROSS JOIN span sp
+  CROSS JOIN LATERAL (SELECT UNNEST(generate_series(sp.d0, sp.d1, INTERVAL 1 DAY)) AS d) g
+),
+dense AS (
+  SELECT s.channel, s.d, COALESCE(dl.cents, 0) AS cents
+  FROM spine s LEFT JOIN daily dl ON dl.channel = s.channel AND dl.d = s.d
+),
+win AS (
+  SELECT channel, d, cents,
+         SUM(cents) OVER w AS ma7sum,
+         COUNT(*) OVER w AS wn
+  FROM dense
+  WINDOW w AS (PARTITION BY channel ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+full_w AS (
+  SELECT channel,
+         CAST(datediff('day', DATE '1970-01-05', d) % 7 AS BIGINT) AS dow,
+         7 * cents - ma7sum AS detr
+  FROM win WHERE wn = 7
+),
+per AS (
+  SELECT channel, dow,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(detr) AS BIGINT) AS sum_detr_x7
+  FROM full_w GROUP BY 1, 2
+)
+SELECT channel, dow, n_days, sum_detr_x7,
+       CAST(CASE WHEN sum_detr_x7 >= 0 THEN
+              (2 * CAST(sum_detr_x7 AS HUGEINT) * 1048576 + 7 * n_days)
+              // (2 * 7 * CAST(n_days AS HUGEINT))
+            ELSE
+              -((2 * CAST(-sum_detr_x7 AS HUGEINT) * 1048576 + 7 * n_days)
+              // (2 * 7 * CAST(n_days AS HUGEINT)))
+            END AS BIGINT) AS seasonal_q20
+FROM per
+"""
 
 
 # llm/text.py oov_rate: top-1000 vocabulary under the (count DESC,
@@ -6760,6 +6825,8 @@ def oracle_sql() -> dict[str, str]:
         "maef_holt_winters": _ORACLE_HOLT_WINTERS,
         "maef_markov_path_length": _ORACLE_MARKOV_PATH_LENGTH,
         "llm_oov_rate": _ORACLE_OOV_RATE,
+        "llm_dup_degree_hist": _ORACLE_DUP_DEGREE_HIST,
+        "maef_seasonal_decomposition": _ORACLE_SEASONAL_DECOMPOSITION,
         "maef_dow_index": _ORACLE_DOW_INDEX,
         "maef_mix_drift": _ORACLE_MIX_DRIFT,
         "maef_forecast_topdown": _ORACLE_FORECAST_TOPDOWN,

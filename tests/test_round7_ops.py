@@ -338,3 +338,36 @@ def test_oov_rate_against_small_vocab(spark):
     assert out["web"]["n_tokens"] == 3 and out["web"]["n_oov"] == 0
     assert out["book"]["n_tokens"] == 2 and out["book"]["n_oov"] == 1  # cc OOV
     assert out["book"]["oov_q20"] == (2 * 1 * Q20 + 2) // 4
+
+
+def test_seasonal_decomposition_removes_ramp(spark):
+    import datetime as dt
+
+    from marketing_attribution_etl_framework__maef_spark.operators import timeseries as tsr
+
+    # a pure linear ramp (+100 cents/day, 21 days): after the centered
+    # MA detrend the residuals are exactly zero, so every dow seasonal
+    # is 0 — the property the trend-naive L234 index does NOT have
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i, 12), i, "a", float(i + 1))
+        for i in range(21)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = tsr.seasonal_decomposition(ev).collect()
+    assert len(out) == 7  # one per dow, edges dropped
+    assert all(r["sum_detr_x7"] == 0 and r["seasonal_q20"] == 0 for r in out)
+    # 21 days - 6 edge days = 15 full windows
+    assert sum(r["n_days"] for r in out) == 15
+
+
+def test_dup_degree_histogram_counts(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd2
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    out = {r["degree"]: r["n_docs"] for r in dd2.dup_degree_histogram(pairs).collect()}
+    # 1,2,3 have degree 2 each; 4,5 degree 1
+    assert out == {2: 3, 1: 2}
