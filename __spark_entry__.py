@@ -5318,6 +5318,15 @@ def q_stream_cdc_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_multimodal_waveform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L255: audio waveform stats via mapInPandas — PCM-like signed
+    re-centered bytes, total/peak amplitude + zero-crossing count in
+    exact integers, the value-checked audio twin of L25b/L224
+    (llm/multimodal.py waveform_stats)."""
+    media = mm.attach_binary(_docs(spark, sf_dir))
+    return mm.waveform_stats(media)
+
+
 def q_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L254: additive dow-seasonal profile with the trend removed
     (centered 7-day MA, x7-scaled integer residuals, full windows
@@ -5667,6 +5676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_oov_rate": q_oov_rate,
         "llm_dup_degree_hist": q_dup_degree_hist,
         "maef_seasonal_decomposition": q_seasonal_decomposition,
+        "llm_multimodal_waveform": q_multimodal_waveform,
         # --- freshly-green r06 window (CORRECTNESS_r06, 50/50) rotates here ---
         "llm_ann_int8_rerank": q_ann_int8_rerank,
         "maef_stream_topk_channels": q_stream_topk_channels,

@@ -308,3 +308,62 @@ def sample_frames(
         "frame_no",
         F.expr(f"substr(payload, CAST(off AS INT), {frame_bytes})").alias("frame"),
     )
+
+
+_WAVEFORM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("sum_abs", T.LongType(), False),
+        T.StructField("peak_abs", T.LongType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+    ]
+)
+
+
+def waveform_stats(media: DataFrame, center: int = 64) -> DataFrame:
+    """Audio-clip waveform statistics via ``mapInPandas`` — the audio
+    twin of stripe_sums (L25b) and frame sampling (L224): the payload
+    is read as a PCM-like stream of unsigned bytes re-centered at
+    ``center`` (real audio decode needs codecs this container lacks;
+    the byte interpretation keeps the Arrow plumbing, batch shape and
+    per-clip loop REAL while staying oracle-checkable), and the
+    Python side computes the standard clip screens — total/peak
+    amplitude and zero-crossing count (consecutive NONZERO samples of
+    opposite sign; zeros are skipped, the textbook ZCR convention).
+
+    Exact integers end to end, so the DuckDB oracle can replay the
+    byte arithmetic with codepoints + a LAG window and hash-compare
+    the whole mapInPandas path.
+
+    Scale: one Arrow-batched pass, payload never returns to the JVM,
+    output is one bounded row per clip.
+    """
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                sum_abs = 0
+                peak = 0
+                zc = 0
+                prev = 0
+                for x in b:
+                    s = x - center
+                    a = -s if s < 0 else s
+                    sum_abs += a
+                    if a > peak:
+                        peak = a
+                    if s != 0:
+                        if prev != 0 and (s < 0) != (prev < 0):
+                            zc += 1
+                        prev = s
+                rows.append((int(doc_id), len(b), sum_abs, peak, zc))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sum_abs", "peak_abs", "zero_crossings"],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(batches, _WAVEFORM_SCHEMA)

@@ -2020,6 +2020,39 @@ SELECT doc_id, media_type,
 FROM pos GROUP BY 1, 2, 3
 """
 
+# llm/multimodal.py waveform_stats: codepoint samples re-centered at
+# 64, LAG window over the NONZERO sample sequence for zero crossings
+_ORACLE_MM_WAVEFORM = """
+WITH media AS (
+  SELECT doc_id, text, LENGTH(text) AS n FROM documents WHERE LENGTH(text) > 0
+),
+pos AS (
+  SELECT doc_id, n,
+         unicode(substr(text, CAST(p AS INT), 1)) - 64 AS s,
+         p
+  FROM (SELECT doc_id, n, text, unnest(generate_series(1, n)) AS p FROM media)
+),
+amp AS (
+  SELECT doc_id,
+         CAST(MAX(n) AS BIGINT) AS n_samples,
+         CAST(SUM(abs(s)) AS BIGINT) AS sum_abs,
+         CAST(MAX(abs(s)) AS BIGINT) AS peak_abs
+  FROM pos GROUP BY 1
+),
+nz AS (
+  SELECT doc_id, s, LAG(s) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+  FROM pos WHERE s <> 0
+),
+zc AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN prev IS NOT NULL AND (s < 0) <> (prev < 0) THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+  FROM nz GROUP BY 1
+)
+SELECT a.doc_id, a.n_samples, a.sum_abs, a.peak_abs,
+       COALESCE(z.zero_crossings, 0) AS zero_crossings
+FROM amp a LEFT JOIN zc z USING (doc_id)
+"""
+
 # cross-document boilerplate-segment scrub over the augmented docs:
 # fixed 8-word segments, removed when the exact segment text occurs in
 # >= 2 distinct documents; the document is rebuilt from surviving
@@ -6827,6 +6860,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_oov_rate": _ORACLE_OOV_RATE,
         "llm_dup_degree_hist": _ORACLE_DUP_DEGREE_HIST,
         "maef_seasonal_decomposition": _ORACLE_SEASONAL_DECOMPOSITION,
+        "llm_multimodal_waveform": _ORACLE_MM_WAVEFORM,
         "maef_dow_index": _ORACLE_DOW_INDEX,
         "maef_mix_drift": _ORACLE_MIX_DRIFT,
         "maef_forecast_topdown": _ORACLE_FORECAST_TOPDOWN,

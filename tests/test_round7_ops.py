@@ -371,3 +371,24 @@ def test_dup_degree_histogram_counts(spark):
     out = {r["degree"]: r["n_docs"] for r in dd2.dup_degree_histogram(pairs).collect()}
     # 1,2,3 have degree 2 each; 4,5 degree 1
     assert out == {2: 3, 1: 2}
+
+
+def test_waveform_stats_mapinpandas(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import multimodal as mm
+
+    docs = spark.createDataFrame(
+        # '@' is exactly center (64) -> zero sample, skipped for ZCR;
+        # 'A'=65 (+1), '?'=63 (-1): alternation crosses zero
+        [(1, "A?A?@A"), (2, "@@@")],
+        "doc_id long, text string",
+    )
+    media = mm.attach_binary(docs)
+    out = {r["doc_id"]: r for r in mm.waveform_stats(media).collect()}
+    r1 = out[1]
+    assert r1["n_samples"] == 6
+    assert r1["sum_abs"] == 5  # five +-1 samples, one zero
+    assert r1["peak_abs"] == 1
+    # nonzero sequence +1,-1,+1,-1,+1 -> 4 crossings (zero skipped)
+    assert r1["zero_crossings"] == 4
+    r2 = out[2]
+    assert r2["sum_abs"] == 0 and r2["peak_abs"] == 0 and r2["zero_crossings"] == 0
