@@ -5318,6 +5318,25 @@ def q_stream_cdc_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_matched_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L257: exact-cell matched exposure lift — pre-period behavior
+    cells (log-bucketed session count x pre-buyer flag), treated =
+    post-period 'click' exposure, per-cell exact-rational outcome gap
+    as sign-aware half-up q20; unmatched cells emit NULL lift
+    (operators/experiments.py matched_lift)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import experiments as xpr
+
+    return xpr.matched_lift(domain.events(spark, sf_dir))
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L256: Jaccard operating-point sweep over the staged verified
+    pair store — one bounded aggregate, integer cross-multiplied
+    ladder from the build threshold up (llm/dedup.py
+    dedup_threshold_sweep)."""
+    return dd.dedup_threshold_sweep(_minhash_pairs(spark, sf_dir))
+
+
 def q_multimodal_waveform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L255: audio waveform stats via mapInPandas — PCM-like signed
     re-centered bytes, total/peak amplitude + zero-crossing count in
@@ -5677,6 +5696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dup_degree_hist": q_dup_degree_hist,
         "maef_seasonal_decomposition": q_seasonal_decomposition,
         "llm_multimodal_waveform": q_multimodal_waveform,
+        "llm_dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "maef_matched_lift": q_matched_lift,
         # --- freshly-green r06 window (CORRECTNESS_r06, 50/50) rotates here ---
         "llm_ann_int8_rerank": q_ann_int8_rerank,
         "maef_stream_topk_channels": q_stream_topk_channels,

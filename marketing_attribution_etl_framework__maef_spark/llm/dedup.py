@@ -1217,3 +1217,42 @@ def dup_degree_histogram(pairs: DataFrame) -> DataFrame:
     )
     deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+THRESHOLD_SWEEP = ((1, 2), (3, 5), (7, 10), (4, 5), (9, 10))
+
+
+def dedup_threshold_sweep(pairs: DataFrame) -> DataFrame:
+    """Verified-pair counts at a ladder of Jaccard thresholds — the
+    operating-point sweep that says where the near-dup knee sits
+    before anyone commits to a threshold: every pair in the (staged)
+    verified table carries exact (inter, union) integers, so each
+    ladder step is one integer cross-multiplication and the whole
+    sweep is a single bounded aggregate over the pair store (never
+    re-shingles, never re-verifies).
+
+    The ladder starts at the store's own build threshold (1/2) —
+    counts below it are unknowable from the store by construction.
+    Output: (threshold_num, threshold_den, n_pairs).
+    """
+    aggs = [
+        F.sum(
+            (F.col("inter_size") * F.lit(den) >= F.col("union_size") * F.lit(num)).cast(
+                "long"
+            )
+        ).alias(f"_t{num}_{den}")
+        for num, den in THRESHOLD_SWEEP
+    ]
+    one = pairs.agg(*aggs)
+    parts = [
+        one.select(
+            F.lit(num).cast("long").alias("threshold_num"),
+            F.lit(den).cast("long").alias("threshold_den"),
+            F.coalesce(F.col(f"_t{num}_{den}"), F.lit(0)).cast("long").alias("n_pairs"),
+        )
+        for num, den in THRESHOLD_SWEEP
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

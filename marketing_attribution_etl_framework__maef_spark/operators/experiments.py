@@ -416,3 +416,98 @@ def mix_drift_chi2_from_daily(daily: DataFrame) -> DataFrame:
             f" end"
         ).alias("chi2_contrib_q20"),
     )
+
+
+def matched_lift(events: DataFrame, channel: str = "click") -> DataFrame:
+    """Exact-cell matched exposure lift — the observational causal
+    screen between a raw exposed-vs-not comparison (confounded) and a
+    full experiment (L109/L222): users are matched on PRE-period
+    behavior cells and the treated-minus-control outcome gap is read
+    within each cell, so selection on past activity cannot masquerade
+    as lift.
+
+    Windows: the calendar is split at its midpoint (pre = first half,
+    post = rest).  Covariate cell = (log-bucket of pre-period session
+    count — the L87 bucket device — , pre-period purchaser flag).
+    Treated = exposed to ``channel`` in the POST period; outcome =
+    post-period purchase cents.
+
+    Per cell the gap is the exact rational (st*nc - sc*nt)/(nt*nc) in
+    cents, emitted as a sign-aware half-up q20; cells missing either
+    arm emit NULL lift (the unmatched-support report — silently
+    dropping them would overstate coverage).  Everything else is
+    integer.  DECIMAL(38,0) headroom: |st|,|sc| < 1e16 cents and
+    counts < 1e9 keep the cross product under 1e38.
+
+    Scale: two map-side-combining aggregates (user grain, then cell
+    grain); output bounded by ~64*4 cells x 2.
+
+    Output: (cell_sessions_lb, pre_buyer, n_treated, n_control,
+    treated_cents, control_cents, lift_cents_q20).
+    """
+    from marketing_attribution_etl_framework__maef_spark.operators.quantiles import (
+        log_bucket_lower,
+    )
+
+    span = events.groupBy().agg(
+        F.min(F.col("ts").cast("date")).alias("_d0"),
+        F.max(F.col("ts").cast("date")).alias("_d1"),
+    )
+    ev = events.crossJoin(F.broadcast(span)).withColumn(
+        "_pre",
+        F.datediff(F.col("ts").cast("date"), F.col("_d0")) * 2
+        <= F.datediff(F.col("_d1"), F.col("_d0")),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("_pre") & (F.col("event_type") != "purchase"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("pre_sessions"),
+        F.max(
+            F.when(F.col("_pre") & (F.col("event_type") == "purchase"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("pre_buyer"),
+        F.max(
+            F.when(~F.col("_pre") & (F.col("event_type") == F.lit(channel)), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("_treated"),
+        F.sum(
+            F.when(
+                ~F.col("_pre") & (F.col("event_type") == "purchase"),
+                F.round(F.col("value") * 100, 0).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("post_cents"),
+    )
+    cells = per_user.groupBy(
+        log_bucket_lower("pre_sessions", 2).alias("cell_sessions_lb"),
+        "pre_buyer",
+    ).agg(
+        F.sum("_treated").cast("long").alias("n_treated"),
+        F.sum(1 - F.col("_treated")).cast("long").alias("n_control"),
+        F.sum(F.col("_treated") * F.col("post_cents")).cast("long").alias("treated_cents"),
+        F.sum((1 - F.col("_treated")) * F.col("post_cents"))
+        .cast("long")
+        .alias("control_cents"),
+    )
+    dec = "decimal(38,0)"
+    num = f"(cast(treated_cents as {dec}) * n_control - cast(control_cents as {dec}) * n_treated)"
+    den = f"(cast(n_treated as {dec}) * n_control)"
+    return cells.select(
+        "cell_sessions_lb",
+        "pre_buyer",
+        "n_treated",
+        "n_control",
+        "treated_cents",
+        "control_cents",
+        F.expr(
+            f"case when n_treated > 0 and n_control > 0 then"
+            f" cast(case when {num} >= 0 then (2 * {num} * 1048576 + {den}) div (2 * {den})"
+            f" else -((2 * -{num} * 1048576 + {den}) div (2 * {den})) end as bigint)"
+            f" end"
+        ).alias("lift_cents_q20"),
+    )

@@ -1145,6 +1145,23 @@ SELECT doc_a, doc_b, inter_size, union_size
 FROM scored WHERE inter_size * 2 >= union_size * 1
 """
 
+# llm/dedup.py dedup_threshold_sweep over the verified pair table
+_ORACLE_DEDUP_THRESHOLD_SWEEP = f"""
+WITH {_AUG}, {_NORM_AUG}, {_SHINGLED}, {_MINHASH_CTES},
+pairs AS (
+  SELECT inter_size, union_size FROM scored WHERE inter_size * 2 >= union_size * 1
+),
+ladder AS (
+  SELECT * FROM (VALUES (1, 2), (3, 5), (7, 10), (4, 5), (9, 10)) AS t(num, den)
+)
+SELECT CAST(l.num AS BIGINT) AS threshold_num,
+       CAST(l.den AS BIGINT) AS threshold_den,
+       CAST(COALESCE(SUM(CASE WHEN p.inter_size * l.den >= p.union_size * l.num
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+FROM ladder l LEFT JOIN pairs p ON TRUE
+GROUP BY 1, 2
+"""
+
 # llm/dedup.py dup_degree_histogram over the verified pair table
 _ORACLE_DUP_DEGREE_HIST = f"""
 WITH {_AUG}, {_NORM_AUG}, {_SHINGLED}, {_MINHASH_CTES},
@@ -2019,6 +2036,57 @@ SELECT doc_id, media_type,
        CAST(SUM(unicode(substr(text, CAST(pos AS INT), 1))) AS BIGINT) AS sum_bytes
 FROM pos GROUP BY 1, 2, 3
 """
+
+# operators/experiments.py matched_lift: midpoint calendar split,
+# per-user pre/post rollup, exact-cell match, sign-aware half-up q20
+_ORACLE_MATCHED_LIFT = """
+WITH span AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+),
+ev AS (
+  SELECT user_id, event_type, value,
+         datediff('day', (SELECT d0 FROM span), CAST(ts AS DATE)) * 2
+           <= datediff('day', (SELECT d0 FROM span), (SELECT d1 FROM span)) AS pre
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN pre AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pre_sessions,
+         CAST(MAX(CASE WHEN pre AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pre_buyer,
+         CAST(MAX(CASE WHEN NOT pre AND event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS treated,
+         CAST(SUM(CASE WHEN NOT pre AND event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS post_cents
+  FROM ev GROUP BY 1
+),
+bucketed AS (
+  SELECT CAST((pre_sessions >> g) << g AS BIGINT) AS cell_sessions_lb,
+         pre_buyer, treated, post_cents
+  FROM (SELECT *,
+               CASE WHEN length(printf('%b', pre_sessions)) - 3 > 0
+                    THEN length(printf('%b', pre_sessions)) - 3 ELSE 0 END AS g
+        FROM per_user)
+),
+cells AS (
+  SELECT cell_sessions_lb, pre_buyer,
+         CAST(SUM(treated) AS BIGINT) AS n_treated,
+         CAST(SUM(1 - treated) AS BIGINT) AS n_control,
+         CAST(SUM(treated * post_cents) AS BIGINT) AS treated_cents,
+         CAST(SUM((1 - treated) * post_cents) AS BIGINT) AS control_cents
+  FROM bucketed GROUP BY 1, 2
+)
+SELECT cell_sessions_lb, pre_buyer, n_treated, n_control, treated_cents, control_cents,
+       CASE WHEN n_treated > 0 AND n_control > 0 THEN
+         CAST(CASE WHEN nm >= 0 THEN (2 * nm * 1048576 + dn) // (2 * dn)
+                   ELSE -((2 * -nm * 1048576 + dn) // (2 * dn)) END AS BIGINT)
+       END AS lift_cents_q20
+FROM (
+  SELECT *,
+         CAST(treated_cents AS HUGEINT) * n_control - CAST(control_cents AS HUGEINT) * n_treated AS nm,
+         CAST(n_treated AS HUGEINT) * n_control AS dn
+  FROM cells
+)
+"""
+
 
 # llm/multimodal.py waveform_stats: codepoint samples re-centered at
 # 64, LAG window over the NONZERO sample sequence for zero crossings
@@ -6859,6 +6927,8 @@ def oracle_sql() -> dict[str, str]:
         "maef_markov_path_length": _ORACLE_MARKOV_PATH_LENGTH,
         "llm_oov_rate": _ORACLE_OOV_RATE,
         "llm_dup_degree_hist": _ORACLE_DUP_DEGREE_HIST,
+        "llm_dedup_threshold_sweep": _ORACLE_DEDUP_THRESHOLD_SWEEP,
+        "maef_matched_lift": _ORACLE_MATCHED_LIFT,
         "maef_seasonal_decomposition": _ORACLE_SEASONAL_DECOMPOSITION,
         "llm_multimodal_waveform": _ORACLE_MM_WAVEFORM,
         "maef_dow_index": _ORACLE_DOW_INDEX,

@@ -392,3 +392,42 @@ def test_waveform_stats_mapinpandas(spark):
     assert r1["zero_crossings"] == 4
     r2 = out[2]
     assert r2["sum_abs"] == 0 and r2["peak_abs"] == 0 and r2["zero_crossings"] == 0
+
+
+def test_dedup_threshold_sweep_ladder(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd2
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 5, 10), (1, 3, 9, 10), (2, 3, 10, 10)],
+        "doc_a long, doc_b long, inter_size long, union_size long",
+    )
+    out = {
+        (r["threshold_num"], r["threshold_den"]): r["n_pairs"]
+        for r in dd2.dedup_threshold_sweep(pairs).collect()
+    }
+    assert out[(1, 2)] == 3 and out[(4, 5)] == 2 and out[(9, 10)] == 2
+    assert out[(3, 5)] == 2 and out[(7, 10)] == 2
+
+
+def test_matched_lift_cells(spark):
+    import datetime as dt
+
+    from marketing_attribution_etl_framework__maef_spark.operators import experiments as xpr
+
+    pre = dt.datetime(2024, 1, 1, 9)
+    post = dt.datetime(2024, 1, 10, 9)
+    rows = [
+        # users 1,2: one pre session each (cell 1, non-buyer);
+        # 1 clicks post and buys 3.00; 2 doesn't click, buys 1.00
+        (0, pre, 1, "view", 0.0), (1, post, 1, "click", 0.0), (2, post, 1, "purchase", 3.0),
+        (3, pre, 2, "view", 0.0), (4, post, 2, "purchase", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = xpr.matched_lift(ev).collect()
+    cell = {(r["cell_sessions_lb"], r["pre_buyer"]): r for r in out}[(1, 0)]
+    assert cell["n_treated"] == 1 and cell["n_control"] == 1
+    assert cell["treated_cents"] == 300 and cell["control_cents"] == 100
+    # lift = (300*1 - 100*1)/1 = 200 cents
+    assert cell["lift_cents_q20"] == 200 * Q20
