@@ -5318,6 +5318,79 @@ def q_stream_cdc_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stream_sov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L258: STREAMING weekly share-of-voice — the streaming twin of
+    L246: event-time 7-day tumbling windows ALIGNED TO THE EPOCH
+    MONDAY (startTime='4 days' offsets Spark's epoch-Thursday default
+    so the buckets are exactly L246's integer weeks), complete-mode
+    run to completion, then the identical share/delta arithmetic
+    serving-side on the bounded week x channel grain.  Parity: the
+    SAME oracle text as maef_share_of_voice — the streaming path must
+    reproduce the batch operator bit for bit.  State is bounded by
+    weeks x channels."""
+    from pyspark.sql import Window
+
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+        weekly = (
+            ev.filter(F.col("event_type") != "purchase")
+            .groupBy(
+                F.window("ts", "7 days", "7 days", "4 days").alias("w"),
+                F.col("event_type").alias("channel"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_sessions"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+            )
+        )
+        name = "stream_sov_sink"
+        q = (
+            weekly.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        per = spark.table(name).select(
+            F.expr(
+                "cast(datediff(cast(w.start as date),"
+                " cast('1970-01-05' as date)) div 7 as long)"
+            ).alias("week"),
+            "channel",
+            "n_sessions",
+            F.col("cents").cast("long").alias("cents"),
+        )
+        per = per.withColumn("_tot", F.sum("cents").over(Window.partitionBy("week")))
+        per = per.withColumn(
+            "share_q20",
+            F.expr(
+                "cast(case when _tot = 0 then 0 else"
+                " (2 * cast(cents as decimal(38,0)) * 1048576 + _tot)"
+                " div (2 * cast(_tot as decimal(38,0))) end as bigint)"
+            ),
+        )
+        wch = Window.partitionBy("channel").orderBy("week")
+        out = per.select(
+            "week",
+            "channel",
+            "n_sessions",
+            "cents",
+            "share_q20",
+            (F.col("share_q20") - F.lag("share_q20").over(wch))
+            .cast("long")
+            .alias("delta_q20"),
+        ).localCheckpoint()
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def q_matched_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L257: exact-cell matched exposure lift — pre-period behavior
     cells (log-bucketed session count x pre-buyer flag), treated =
@@ -5698,6 +5771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_multimodal_waveform": q_multimodal_waveform,
         "llm_dedup_threshold_sweep": q_dedup_threshold_sweep,
         "maef_matched_lift": q_matched_lift,
+        "maef_stream_sov": q_stream_sov,
         # --- freshly-green r06 window (CORRECTNESS_r06, 50/50) rotates here ---
         "llm_ann_int8_rerank": q_ann_int8_rerank,
         "maef_stream_topk_channels": q_stream_topk_channels,

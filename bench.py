@@ -115,6 +115,7 @@ CHECKPOINT_HEAVY = {
     "maef_stream_funnel",
     "llm_embedding_pca",
     "llm_ann_recall_drift",
+    "maef_stream_sov",
     # label purity checkpoints the labeled quantized vectors
     "llm_label_purity",
     # streaming state materialization + serving-side checkpoint

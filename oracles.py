@@ -6929,6 +6929,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_dup_degree_hist": _ORACLE_DUP_DEGREE_HIST,
         "llm_dedup_threshold_sweep": _ORACLE_DEDUP_THRESHOLD_SWEEP,
         "maef_matched_lift": _ORACLE_MATCHED_LIFT,
+        "maef_stream_sov": _ORACLE_SHARE_OF_VOICE,
         "maef_seasonal_decomposition": _ORACLE_SEASONAL_DECOMPOSITION,
         "llm_multimodal_waveform": _ORACLE_MM_WAVEFORM,
         "maef_dow_index": _ORACLE_DOW_INDEX,
