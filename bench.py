@@ -183,6 +183,7 @@ def main() -> None:
     entrymod._JOURNEYS_CACHE.clear()  # warm-dir checkpoint blocks
     entrymod._NEARDUP_BANDS_CACHE.clear()
     entrymod._KMEANS_CACHE.clear()  # warm-dir Lloyd-loop checkpoints
+    entrymod._AUG_KMEANS_CACHE.clear()
     entrymod._MINHASH_PAIRS_CACHE.clear()
     entrymod._DUP_CLUSTERS_CACHE.clear()
     spark.catalog.clearCache()
@@ -204,6 +205,7 @@ def main() -> None:
     # kmeans/IVF/recall/outlier family; charging it to whichever family
     # query runs first made llm_ann_ivf_kmeans read 4.6x its plan cost
     entrymod._kmeans8(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    entrymod._aug_kmeans8(spark, sf_dir).write.format("noop").mode("overwrite").save()
     # pre-stage the corpus near-dup pair store (r07): six queries ride
     # the pair graph; the one-time shingle+signature+band build should
     # not be charged to whichever of them runs first

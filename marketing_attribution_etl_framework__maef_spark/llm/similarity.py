@@ -497,6 +497,7 @@ def semantic_dedup(
     tau_q20: int = 995000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embeddings, then inside each
@@ -520,7 +521,15 @@ def semantic_dedup(
     quantized_unit_vectors) they are excluded from clustering and kept
     as survivors with cluster = -1.
     """
-    cents = kmeans_centroids(corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    # ``centroids``: a precomputed kmeans_centroids table (cluster, cq)
+    # — the production centroid store, staged once per session exactly
+    # like the near-dup pair store; result-identical since the Lloyd
+    # loop is a pure function of the corpus.
+    cents = (
+        kmeans_centroids(corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+        if centroids is None
+        else centroids
+    )
     normed = _norm_vec(corpus, id_col, vec_col, "vec_id", "_v")
     zeros = normed.filter(F.col("_vn") <= 0).select(
         "vec_id", F.lit(-1).cast("long").alias("cluster")
