@@ -116,6 +116,9 @@ CHECKPOINT_HEAVY = {
     "llm_embedding_pca",
     "llm_ann_recall_drift",
     "maef_stream_sov",
+    # the simhash audit reruns the banded pipeline at the lifted
+    # threshold (same recompute profile as llm_dedup_simhash)
+    "llm_simhash_hamming",
     # label purity checkpoints the labeled quantized vectors
     "llm_label_purity",
     # streaming state materialization + serving-side checkpoint
