@@ -5341,6 +5341,28 @@ def q_stream_cdc_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L259: bounded-memory dedup audit — trailing-window (1000
+    arrivals) exact-dedup recall vs the full store, one LAG over the
+    (content hash, arrival) order (llm/dedup.py window_dedup_audit)
+    over the augmented corpus."""
+    return dd.window_dedup_audit(_aug_docs(spark, sf_dir), window=1000)
+
+
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L260: LSH band-bucket size histogram — the skew audit behind
+    the Σdf² candidate-cost argument, over the staged ingest-side
+    corpus band table (llm/dedup.py lsh_bucket_stats)."""
+    return dd.lsh_bucket_stats(_neardup_corpus_bands(spark, sf_dir))
+
+
+def q_code_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L261: code-vs-prose symbol-density screen — exact integer
+    class-deletion counts, half-up q20 ratios, cross-multiplied flag
+    (llm/text.py code_screen)."""
+    return txt.code_screen(_docs(spark, sf_dir))
+
+
 def q_stream_sov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L258: STREAMING weekly share-of-voice — the streaming twin of
     L246: event-time 7-day tumbling windows ALIGNED TO THE EPOCH
@@ -5795,6 +5817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dedup_threshold_sweep": q_dedup_threshold_sweep,
         "maef_matched_lift": q_matched_lift,
         "maef_stream_sov": q_stream_sov,
+        "llm_window_dedup": q_window_dedup,
+        "llm_lsh_bucket_stats": q_lsh_bucket_stats,
+        "llm_code_screen": q_code_screen,
         # --- freshly-green r06 window (CORRECTNESS_r06, 50/50) rotates here ---
         "llm_ann_int8_rerank": q_ann_int8_rerank,
         "maef_stream_topk_channels": q_stream_topk_channels,

@@ -1256,3 +1256,70 @@ def dedup_threshold_sweep(pairs: DataFrame) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def window_dedup_audit(
+    docs: DataFrame,
+    window: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bounded-memory dedup audit: what fraction of the full-store
+    exact duplicates would a TRAILING-WINDOW dedup (state = the last
+    ``window`` arrivals, the bounded-state shape a streaming engine
+    holds when the full corpus store is too big) still catch?
+
+    Because the NEAREST previous occurrence decides both policies —
+    any earlier occurrence implies a nearest one — one LAG over the
+    (content_hash, arrival-id) order answers both: dup under the full
+    store iff a previous occurrence exists; dup under the window iff
+    additionally id - prev_id <= window (arrival distance).  Exact
+    integers; the recall is the half-up q20 of caught/total with a
+    zero-dup guard.
+
+    Output: 1 row (n_docs, n_dups_full, n_dups_window,
+    window_recall_q20).  Scale: one exchange on the content hash.
+    """
+    h = docs.select(
+        F.col(id_col).alias("_id"), content_hash(F.col(text_col)).alias("_h")
+    )
+    w = Window.partitionBy("_h").orderBy("_id")
+    lagged = h.withColumn("_prev", F.lag("_id").over(w))
+    return lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("_prev").isNotNull().cast("long")).cast("long").alias("n_dups_full"),
+        F.sum(
+            (F.col("_prev").isNotNull() & (F.col("_id") - F.col("_prev") <= window)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("n_dups_window"),
+    ).select(
+        "n_docs",
+        "n_dups_full",
+        "n_dups_window",
+        F.expr(
+            "cast(case when n_dups_full = 0 then 0 else"
+            " (2 * n_dups_window * 1048576 + n_dups_full)"
+            " div (2 * n_dups_full) end as bigint)"
+        ).alias("window_recall_q20"),
+    )
+
+
+def lsh_bucket_stats(bands_df: DataFrame) -> DataFrame:
+    """LSH band-bucket size histogram — the skew audit behind the
+    Σdf² candidate-cost argument: candidate pairs per bucket grow as
+    size², so one boilerplate-heavy bucket dominates the self-join;
+    this is the readout that says whether the banding needs more rows
+    per band (or the corpus a boilerplate scrub) BEFORE the join blows
+    up.  One aggregate to (band, key) sizes, one to the histogram.
+
+    Output: (band, bucket_size, n_buckets).
+    """
+    sizes = bands_df.groupBy("band", "key").agg(
+        F.count(F.lit(1)).cast("long").alias("bucket_size")
+    )
+    return sizes.groupBy("band", "bucket_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets")
+    )

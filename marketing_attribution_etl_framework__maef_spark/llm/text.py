@@ -900,3 +900,40 @@ def oov_rate(
             ).alias("oov_q20"),
         )
     )
+
+
+def code_screen(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Code-vs-prose screen: the cheap symbol-density heuristic every
+    pre-training mix needs before routing documents to a code or prose
+    pipeline — prose has near-zero {}[]();=<> density, code rarely
+    dips below a few percent.
+
+    Exact integers: symbol/digit counts are length deltas after
+    deleting the class (regexp with explicit character classes both
+    engines parse identically); ratios are half-up q20; the flag is
+    integer cross-multiplication (symbols * 100 >= 3 * n_chars).
+
+    Output: (doc_id, n_chars, n_symbol, n_digit, symbol_q20,
+    digit_q20, is_codey) — one projection, no shuffle.
+    """
+    n = F.length(F.col(text_col)).cast("long")
+    sym = (
+        n - F.length(F.regexp_replace(F.col(text_col), r"[{}\[\]();=<>]", ""))
+    ).cast("long")
+    dig = (n - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))).cast("long")
+    d = docs.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        sym.alias("n_symbol"),
+        dig.alias("n_digit"),
+    ).filter(F.col("n_chars") > 0)
+    q = "cast((2 * {c} * 1048576 + n_chars) div (2 * n_chars) as bigint)"
+    return d.select(
+        id_col,
+        "n_chars",
+        "n_symbol",
+        "n_digit",
+        F.expr(q.format(c="n_symbol")).alias("symbol_q20"),
+        F.expr(q.format(c="n_digit")).alias("digit_q20"),
+        (F.col("n_symbol") * 100 >= F.col("n_chars") * 3).cast("long").alias("is_codey"),
+    )

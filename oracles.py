@@ -1145,6 +1145,63 @@ SELECT doc_a, doc_b, inter_size, union_size
 FROM scored WHERE inter_size * 2 >= union_size * 1
 """
 
+# llm/dedup.py window_dedup_audit over the augmented corpus
+_ORACLE_WINDOW_DEDUP = f"""
+WITH {_AUG},
+h AS (
+  SELECT doc_id AS id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS hsh
+  FROM aug
+),
+lagged AS (
+  SELECT id, LAG(id) OVER (PARTITION BY hsh ORDER BY id) AS prev FROM h
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dups_full,
+         CAST(SUM(CASE WHEN prev IS NOT NULL AND id - prev <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups_window
+  FROM lagged
+)
+SELECT n_docs, n_dups_full, n_dups_window,
+       CAST(CASE WHEN n_dups_full = 0 THEN 0
+            ELSE (2 * n_dups_window * 1048576 + n_dups_full) // (2 * n_dups_full)
+            END AS BIGINT) AS window_recall_q20
+FROM agg
+"""
+
+
+# llm/dedup.py lsh_bucket_stats over the ingest-side corpus band table
+# (doc_id < 100000, matching _neardup_corpus_bands)
+_ORACLE_LSH_BUCKET_STATS = f"""
+WITH {_AUG}, {_NORM_AUG}, {_SHINGLED}, {_MINHASH_CTES},
+cb AS (SELECT * FROM bands WHERE doc_id < 100000),
+sizes AS (
+  SELECT band, key, CAST(COUNT(*) AS BIGINT) AS bucket_size
+  FROM cb GROUP BY 1, 2
+)
+SELECT CAST(band AS BIGINT) AS band, bucket_size,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM sizes GROUP BY 1, 2
+"""
+
+
+# llm/text.py code_screen: class-deletion counts, half-up q20 ratios
+_ORACLE_CODE_SCREEN = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[{}\[\]();=<>]', '', 'g')) AS BIGINT) AS n_symbol,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, n_chars, n_symbol, n_digit,
+       CAST((2 * n_symbol * 1048576 + n_chars) // (2 * n_chars) AS BIGINT) AS symbol_q20,
+       CAST((2 * n_digit * 1048576 + n_chars) // (2 * n_chars) AS BIGINT) AS digit_q20,
+       CAST(CASE WHEN n_symbol * 100 >= n_chars * 3 THEN 1 ELSE 0 END AS BIGINT) AS is_codey
+FROM d
+"""
+
+
 # llm/dedup.py dedup_threshold_sweep over the verified pair table
 _ORACLE_DEDUP_THRESHOLD_SWEEP = f"""
 WITH {_AUG}, {_NORM_AUG}, {_SHINGLED}, {_MINHASH_CTES},
@@ -6928,6 +6985,9 @@ def oracle_sql() -> dict[str, str]:
         "llm_oov_rate": _ORACLE_OOV_RATE,
         "llm_dup_degree_hist": _ORACLE_DUP_DEGREE_HIST,
         "llm_dedup_threshold_sweep": _ORACLE_DEDUP_THRESHOLD_SWEEP,
+        "llm_window_dedup": _ORACLE_WINDOW_DEDUP,
+        "llm_lsh_bucket_stats": _ORACLE_LSH_BUCKET_STATS,
+        "llm_code_screen": _ORACLE_CODE_SCREEN,
         "maef_matched_lift": _ORACLE_MATCHED_LIFT,
         "maef_stream_sov": _ORACLE_SHARE_OF_VOICE,
         "maef_seasonal_decomposition": _ORACLE_SEASONAL_DECOMPOSITION,

@@ -431,3 +431,43 @@ def test_matched_lift_cells(spark):
     assert cell["treated_cents"] == 300 and cell["control_cents"] == 100
     # lift = (300*1 - 100*1)/1 = 200 cents
     assert cell["lift_cents_q20"] == 200 * Q20
+
+
+def test_window_dedup_audit_distance(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd2
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (3, "x"), (5000, "x"), (7, "y")],
+        "doc_id long, text string",
+    )
+    # dups of doc 1: doc 3 (distance 2, in window) and doc 5000
+    # (nearest prev = 3, distance 4997, outside window 1000)
+    r = dd2.window_dedup_audit(docs, window=1000).collect()[0]
+    assert r["n_docs"] == 4 and r["n_dups_full"] == 2 and r["n_dups_window"] == 1
+    assert r["window_recall_q20"] == (2 * 1 * Q20 + 2) // 4
+
+
+def test_lsh_bucket_stats_histogram(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd2
+
+    bands = spark.createDataFrame(
+        [(1, 0, "k1"), (2, 0, "k1"), (3, 0, "k2"), (1, 1, "k3")],
+        "doc_id long, band long, key string",
+    )
+    out = {(r["band"], r["bucket_size"]): r["n_buckets"] for r in dd2.lsh_bucket_stats(bands).collect()}
+    assert out == {(0, 2): 1, (0, 1): 1, (1, 1): 1}
+
+
+def test_code_screen_flags(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import text as txt
+
+    docs = spark.createDataFrame(
+        [(1, "plain prose without any symbols at all"), (2, "if (x==1) { y[2]=3; }")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in txt.code_screen(docs).collect()}
+    assert out[1]["n_symbol"] == 0 and out[1]["is_codey"] == 0
+    r2 = out[2]
+    # symbols: ( ) == ( appears... count: ( ) = = { [ ] = ; } -> verify
+    assert r2["n_symbol"] == 10 and r2["n_digit"] == 3
+    assert r2["is_codey"] == 1
