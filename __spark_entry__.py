@@ -5341,6 +5341,16 @@ def q_stream_cdc_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_budget_reallocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L262: attribution-to-budget bridge — Markov removal-effect
+    share vs spend share per channel with the over/under-funding gap
+    (operators/markov.py budget_reallocation; composes L60 with the
+    exact-cents spend aggregate)."""
+    return mkv.budget_reallocation(
+        _journeys(spark, sf_dir), domain.events(spark, sf_dir)
+    )
+
+
 def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L259: bounded-memory dedup audit — trailing-window (1000
     arrivals) exact-dedup recall vs the full store, one LAG over the
@@ -5820,6 +5830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_window_dedup": q_window_dedup,
         "llm_lsh_bucket_stats": q_lsh_bucket_stats,
         "llm_code_screen": q_code_screen,
+        "maef_budget_reallocation": q_budget_reallocation,
         # --- freshly-green r06 window (CORRECTNESS_r06, 50/50) rotates here ---
         "llm_ann_int8_rerank": q_ann_int8_rerank,
         "maef_stream_topk_channels": q_stream_topk_channels,

@@ -405,3 +405,59 @@ def expected_path_length(
     return journeys.sparkSession.createDataFrame(
         rows, "state string, exp_steps_q20 long"
     )
+
+
+def budget_reallocation(journeys: DataFrame, events: DataFrame, horizon: int = 25) -> DataFrame:
+    """Attribution-to-budget bridge: each channel's Markov
+    removal-effect SHARE vs its spend share, and the gap between them
+    — the one-table answer to "which channels are over/under-funded
+    relative to the conversion mass they actually carry" (positive gap
+    = carries more conversion mass than its spend share: fund it).
+
+    Composition of two oracle-gated kernels: L60 removal effects
+    (truncated-horizon q20 recurrence on the bounded transition
+    matrix) and the exact-cents session spend aggregate.  Channels
+    with spend but no removal row (never on a converting path) carry
+    removal 0.  Shares are sign-aware half-up q20 with zero-total
+    guards; the gap is a difference of exact longs.
+
+    Output: (channel, cents, removal_q20, spend_share_q20,
+    removal_share_q20, gap_q20) — bounded at |channels| rows.
+    """
+    rem = removal_effects(journeys, horizon=horizon).filter(
+        F.col("removed_channel") != "(none)"
+    ).select(F.col("removed_channel").alias("channel"), "removal_q20")
+    spend = (
+        events.filter(F.col("event_type") != "purchase")
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    )
+    j = spend.join(rem, "channel", "left").select(
+        "channel",
+        "cents",
+        F.coalesce("removal_q20", F.lit(0)).cast("long").alias("removal_q20"),
+    )
+    w = Window.partitionBy()
+    j = j.withColumn("_tc", F.sum("cents").over(w)).withColumn(
+        "_tr", F.sum("removal_q20").over(w)
+    )
+    dec = "decimal(38,0)"
+
+    def share(col, tot):
+        return (
+            f"case when {tot} <= 0 then 0 else"
+            f" case when {col} >= 0 then"
+            f" (2 * cast({col} as {dec}) * 1048576 + {tot}) div (2 * cast({tot} as {dec}))"
+            f" else -((2 * cast(-{col} as {dec}) * 1048576 + {tot}) div (2 * cast({tot} as {dec}))) end end"
+        )
+
+    return j.select(
+        "channel",
+        "cents",
+        "removal_q20",
+        F.expr(f"cast({share('cents', '_tc')} as bigint)").alias("spend_share_q20"),
+        F.expr(f"cast({share('removal_q20', '_tr')} as bigint)").alias("removal_share_q20"),
+        F.expr(
+            f"cast({share('removal_q20', '_tr')} - {share('cents', '_tc')} as bigint)"
+        ).alias("gap_q20"),
+    )

@@ -2513,6 +2513,43 @@ SELECT s AS state, e AS exp_steps_q20 FROM e{horizon} WHERE s <> '(conversion)'
 _ORACLE_MARKOV_PATH_LENGTH = _markov_path_length_oracle_sql(25)
 
 
+# operators/markov.py budget_reallocation: the removal-effect oracle
+# embedded as a subquery (WITH-in-subquery is legal DuckDB), joined to
+# the exact-cents spend aggregate; sign-aware half-up shares with
+# zero-total guards
+_SHARE_SQL = (
+    "CASE WHEN {tot} <= 0 THEN 0 ELSE"
+    " CASE WHEN {col} >= 0 THEN"
+    " (2 * CAST({col} AS HUGEINT) * 1048576 + {tot}) // (2 * CAST({tot} AS HUGEINT))"
+    " ELSE -((2 * CAST(-{col} AS HUGEINT) * 1048576 + {tot}) // (2 * CAST({tot} AS HUGEINT))) END END"
+)
+
+_ORACLE_BUDGET_REALLOCATION = f"""
+WITH rem AS (
+  SELECT removed_channel AS channel, removal_q20
+  FROM ({_ORACLE_MARKOV_REMOVAL}) WHERE removed_channel <> '(none)'
+),
+spend AS (
+  SELECT event_type AS channel,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1
+),
+j AS (
+  SELECT s.channel, s.cents, CAST(COALESCE(r.removal_q20, 0) AS BIGINT) AS removal_q20
+  FROM spend s LEFT JOIN rem r USING (channel)
+),
+t AS (
+  SELECT j.*, SUM(cents) OVER () AS tc, SUM(removal_q20) OVER () AS tr FROM j
+)
+SELECT channel, cents, removal_q20,
+       CAST({_SHARE_SQL.format(col="cents", tot="tc")} AS BIGINT) AS spend_share_q20,
+       CAST({_SHARE_SQL.format(col="removal_q20", tot="tr")} AS BIGINT) AS removal_share_q20,
+       CAST(({_SHARE_SQL.format(col="removal_q20", tot="tr")})
+            - ({_SHARE_SQL.format(col="cents", tot="tc")}) AS BIGINT) AS gap_q20
+FROM t
+"""
+
+
 # operators/timeseries.py seasonal_decomposition: dense spine window
 # sum (ROWS 3 PRECEDING..3 FOLLOWING), x7 residuals, full windows,
 # sign-aware half-up q20
@@ -6988,6 +7025,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_window_dedup": _ORACLE_WINDOW_DEDUP,
         "llm_lsh_bucket_stats": _ORACLE_LSH_BUCKET_STATS,
         "llm_code_screen": _ORACLE_CODE_SCREEN,
+        "maef_budget_reallocation": _ORACLE_BUDGET_REALLOCATION,
         "maef_matched_lift": _ORACLE_MATCHED_LIFT,
         "maef_stream_sov": _ORACLE_SHARE_OF_VOICE,
         "maef_seasonal_decomposition": _ORACLE_SEASONAL_DECOMPOSITION,

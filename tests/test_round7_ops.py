@@ -471,3 +471,32 @@ def test_code_screen_flags(spark):
     # symbols: ( ) == ( appears... count: ( ) = = { [ ] = ; } -> verify
     assert r2["n_symbol"] == 10 and r2["n_digit"] == 3
     assert r2["is_codey"] == 1
+
+
+def test_budget_reallocation_shares(spark):
+    import datetime as dt
+
+    from marketing_attribution_etl_framework__maef_spark.operators import markov as mkv
+
+    # journeys: every conversion through channel a only -> removal
+    # share all on a; spend: a=100, b=300 cents
+    j = spark.createDataFrame(
+        [("c1", "s1", "a", dt.datetime(2024, 1, 1, 9))],
+        "conversion_id string, session_id string, channel_label string, event_ts timestamp",
+    )
+    ev = spark.createDataFrame(
+        [
+            (0, dt.datetime(2024, 1, 1, 8), 1, "a", 1.0),
+            (1, dt.datetime(2024, 1, 1, 8), 2, "b", 3.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = {r["channel"]: r for r in mkv.budget_reallocation(j, ev).collect()}
+    Q = 1 << 20
+    q = lambda c, t: (2 * c * Q + t) // (2 * t)
+    assert out["a"]["spend_share_q20"] == q(100, 400)
+    assert out["b"]["spend_share_q20"] == q(300, 400)
+    assert out["b"]["removal_q20"] == 0 and out["b"]["removal_share_q20"] == 0
+    assert out["a"]["removal_share_q20"] == Q  # all removal mass on a
+    assert out["a"]["gap_q20"] == Q - q(100, 400)
+    assert out["b"]["gap_q20"] == -q(300, 400)
