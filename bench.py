@@ -119,6 +119,10 @@ CHECKPOINT_HEAVY = {
     # the simhash audit reruns the banded pipeline at the lifted
     # threshold (same recompute profile as llm_dedup_simhash)
     "llm_simhash_hamming",
+    # one-lineage window op with unchanged code that swung 1.7 -> 4.7 s
+    # between two same-session runs (one-sided victim profile, the
+    # maef_lookback_sensitivity precedent)
+    "llm_doc_novelty",
     # label purity checkpoints the labeled quantized vectors
     "llm_label_purity",
     # streaming state materialization + serving-side checkpoint
