@@ -5341,6 +5341,13 @@ def q_stream_cdc_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_surprisal_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L263: LM-quality drift — the frozen full-corpus whole-bit
+    unigram scorer applied per even/odd ingest half, mean bits/word
+    as half-up q20 (llm/text.py surprisal_drift)."""
+    return txt.surprisal_drift(_docs(spark, sf_dir))
+
+
 def q_budget_reallocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L262: attribution-to-budget bridge — Markov removal-effect
     share vs spend share per channel with the over/under-funding gap
@@ -5831,6 +5838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_lsh_bucket_stats": q_lsh_bucket_stats,
         "llm_code_screen": q_code_screen,
         "maef_budget_reallocation": q_budget_reallocation,
+        "llm_surprisal_drift": q_surprisal_drift,
         # --- freshly-green r06 window (CORRECTNESS_r06, 50/50) rotates here ---
         "llm_ann_int8_rerank": q_ann_int8_rerank,
         "maef_stream_topk_channels": q_stream_topk_channels,

@@ -937,3 +937,49 @@ def code_screen(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.expr(q.format(c="n_digit")).alias("digit_q20"),
         (F.col("n_symbol") * 100 >= F.col("n_chars") * 3).cast("long").alias("is_codey"),
     )
+
+
+def surprisal_drift(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """LM-quality drift screen: the FULL-corpus unigram whole-bit
+    surprisal model (the L6d scorer, frozen) applied to each even/odd
+    doc_id ingest half — the perplexity-proxy alarm that fires when a
+    new batch's text is systematically rarer (crawl rot, language
+    shift) or more boilerplate (mean bits/word drops) even while
+    lengths and vocabulary look stable (the L247/L181 blind spot).
+
+    The scorer is a pure function of the WHOLE corpus (floor-log2 bits
+    = length(bin(N div n_t)) - 1, exact integers), so both halves are
+    scored on the same model and comparable.  Per half: scored words,
+    total bits, mean bits/word as half-up q20; drift = mean(odd) -
+    mean(even), a difference of exact longs.
+
+    Output: (half, n_scored_words, total_bits, mean_bits_q20) — two
+    rows; drift is row arithmetic downstream.  Scale: the L6d plan
+    with one extra grouping column.
+    """
+    norm = normalize_text(F.col(text_col))
+    ex = docs.select(
+        (F.col(id_col) % 2).cast("long").alias("half"),
+        F.explode(words(norm)).alias("term"),
+    )
+    tf = ex.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    total = tf.agg(F.sum("n_term").alias("n_total"))
+    scored = ex.join(tf, "term").crossJoin(F.broadcast(total))
+    bits = F.length(F.bin(F.expr("n_total div n_term"))) - 1
+    return (
+        scored.groupBy("half")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored_words"),
+            F.sum(bits).cast("long").alias("total_bits"),
+        )
+        .select(
+            "half",
+            "n_scored_words",
+            "total_bits",
+            F.expr(
+                "cast(case when n_scored_words = 0 then 0 else"
+                " (2 * cast(total_bits as decimal(38,0)) * 1048576 + n_scored_words)"
+                " div (2 * cast(n_scored_words as decimal(38,0))) end as bigint)"
+            ).alias("mean_bits_q20"),
+        )
+    )

@@ -2601,6 +2601,35 @@ FROM per
 """
 
 
+# llm/text.py surprisal_drift: the L6d whole-bit scorer per ingest half
+_ORACLE_SURPRISAL_DRIFT = r"""
+WITH ex AS (
+  SELECT doc_id % 2 AS half,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT term, COUNT(*) AS n_term FROM ex GROUP BY 1),
+tot AS (SELECT SUM(n_term) AS n_total FROM tf),
+scored AS (
+  SELECT e.half,
+         length(printf('%b', CAST((SELECT n_total FROM tot) // t.n_term AS BIGINT))) - 1 AS bits
+  FROM ex e JOIN tf t USING (term)
+),
+per AS (
+  SELECT CAST(half AS BIGINT) AS half,
+         CAST(COUNT(*) AS BIGINT) AS n_scored_words,
+         CAST(SUM(bits) AS BIGINT) AS total_bits
+  FROM scored GROUP BY 1
+)
+SELECT half, n_scored_words, total_bits,
+       CAST(CASE WHEN n_scored_words = 0 THEN 0
+            ELSE (2 * CAST(total_bits AS HUGEINT) * 1048576 + n_scored_words)
+                 // (2 * CAST(n_scored_words AS HUGEINT))
+            END AS BIGINT) AS mean_bits_q20
+FROM per
+"""
+
+
 # llm/text.py oov_rate: top-1000 vocabulary under the (count DESC,
 # term ASC) total order, per-source OOV rollup, half-up q20
 _ORACLE_OOV_RATE = r"""
@@ -7020,6 +7049,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_holt_winters": _ORACLE_HOLT_WINTERS,
         "maef_markov_path_length": _ORACLE_MARKOV_PATH_LENGTH,
         "llm_oov_rate": _ORACLE_OOV_RATE,
+        "llm_surprisal_drift": _ORACLE_SURPRISAL_DRIFT,
         "llm_dup_degree_hist": _ORACLE_DUP_DEGREE_HIST,
         "llm_dedup_threshold_sweep": _ORACLE_DEDUP_THRESHOLD_SWEEP,
         "llm_window_dedup": _ORACLE_WINDOW_DEDUP,

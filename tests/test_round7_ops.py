@@ -500,3 +500,21 @@ def test_budget_reallocation_shares(spark):
     assert out["a"]["removal_share_q20"] == Q  # all removal mass on a
     assert out["a"]["gap_q20"] == Q - q(100, 400)
     assert out["b"]["gap_q20"] == -q(300, 400)
+
+
+def test_surprisal_drift_halves(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import text as txt
+
+    # corpus: 'a' x4, 'b' x2, 'c' x2 -> N=8; bits: a=1 (8//4=2),
+    # b=2 (8//2=4), c=2
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (2, "a"), (1, "a b c"), (3, "c")],
+        "doc_id long, text string",
+    )
+    out = {r["half"]: r for r in txt.surprisal_drift(docs).collect()}
+    # even half: a,a,b,a -> bits 1+1+2+1 = 5 over 4 words
+    assert out[0]["n_scored_words"] == 4 and out[0]["total_bits"] == 5
+    # odd half: a,b,c,c -> 1+2+2+2 = 7 over 4 words
+    assert out[1]["n_scored_words"] == 4 and out[1]["total_bits"] == 7
+    assert out[0]["mean_bits_q20"] == (2 * 5 * Q20 + 4) // 8
+    assert out[1]["mean_bits_q20"] == (2 * 7 * Q20 + 4) // 8
