@@ -5341,6 +5341,16 @@ def q_stream_cdc_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L264: channel spend-rank stability — exact Spearman rho
+    (deterministic total-order ranks, no ties) between the two
+    calendar halves' spend rankings, sign-aware half-up q20
+    (operators/planning.py rank_stability)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import planning as pln
+
+    return pln.rank_stability(domain.events(spark, sf_dir))
+
+
 def q_surprisal_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L263: LM-quality drift — the frozen full-corpus whole-bit
     unigram scorer applied per even/odd ingest half, mean bits/word
@@ -5839,6 +5849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_code_screen": q_code_screen,
         "maef_budget_reallocation": q_budget_reallocation,
         "llm_surprisal_drift": q_surprisal_drift,
+        "maef_rank_stability": q_rank_stability,
         # --- freshly-green r06 window (CORRECTNESS_r06, 50/50) rotates here ---
         "llm_ann_int8_rerank": q_ann_int8_rerank,
         "maef_stream_topk_channels": q_stream_topk_channels,

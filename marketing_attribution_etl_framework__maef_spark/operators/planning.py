@@ -678,3 +678,81 @@ def share_of_voice(ev: DataFrame) -> DataFrame:
         "share_q20",
         (F.col("share_q20") - F.lag("share_q20").over(w)).cast("long").alias("delta_q20"),
     )
+
+
+def rank_stability(ev: DataFrame) -> DataFrame:
+    """Channel spend-rank stability across the two calendar halves —
+    Spearman's rho on the half-period spend rankings, the one-number
+    answer to "is the channel pecking order stable or churning" that
+    feeds mix-review cadence decisions.
+
+    Ranks use the TOTAL order (cents DESC, channel ASC) — no ties, so
+    no tie-corrected variant is needed and both engines rank
+    identically (documented: this is the deterministic-total-order
+    Spearman, not the tie-averaged one).  Channels silent in a half
+    rank with 0 cents (dense channel set).  rho = 1 - 6*sum(d^2) /
+    (n(n^2-1)) stays an exact rational of integers and is emitted as a
+    sign-aware half-up q20, constant over the per-channel rows; n < 2
+    emits NULL rho (the statistic is undefined).
+
+    Output: (channel, cents_h1, cents_h2, rank_h1, rank_h2, d2,
+    rho_q20) — bounded at |channels| rows; two map-side-combining
+    aggregates + rank windows on the bounded grain.
+    """
+    span = ev.groupBy().agg(
+        F.min(F.col("ts").cast("date")).alias("_d0"),
+        F.max(F.col("ts").cast("date")).alias("_d1"),
+    )
+    sess = (
+        ev.filter(F.col("event_type") != "purchase")
+        .crossJoin(F.broadcast(span))
+        .withColumn(
+            "_h1",
+            F.datediff(F.col("ts").cast("date"), F.col("_d0")) * 2
+            <= F.datediff(F.col("_d1"), F.col("_d0")),
+        )
+    )
+    per = sess.groupBy(F.col("event_type").alias("channel")).agg(
+        F.sum(
+            F.when(F.col("_h1"), F.round(F.col("value") * 100, 0).cast("long")).otherwise(0)
+        )
+        .cast("long")
+        .alias("cents_h1"),
+        F.sum(
+            F.when(~F.col("_h1"), F.round(F.col("value") * 100, 0).cast("long")).otherwise(0)
+        )
+        .cast("long")
+        .alias("cents_h2"),
+    )
+    w1 = Window.orderBy(F.desc("cents_h1"), F.asc("channel"))
+    w2 = Window.orderBy(F.desc("cents_h2"), F.asc("channel"))
+    ranked = (
+        per.withColumn("rank_h1", F.row_number().over(w1).cast("long"))
+        .withColumn("rank_h2", F.row_number().over(w2).cast("long"))
+        .withColumn(
+            "d2",
+            (
+                (F.col("rank_h1") - F.col("rank_h2"))
+                * (F.col("rank_h1") - F.col("rank_h2"))
+            ).cast("long"),
+        )
+    )
+    wall = Window.partitionBy()
+    ranked = ranked.withColumn("_n", F.count(F.lit(1)).over(wall)).withColumn(
+        "_sd2", F.sum("d2").over(wall)
+    )
+    num = "(cast(_n as decimal(38,0)) * (_n * _n - 1) - 6 * cast(_sd2 as decimal(38,0)))"
+    den = "(cast(_n as decimal(38,0)) * (_n * _n - 1))"
+    return ranked.select(
+        "channel",
+        "cents_h1",
+        "cents_h2",
+        "rank_h1",
+        "rank_h2",
+        "d2",
+        F.expr(
+            f"case when _n < 2 then null else"
+            f" cast(case when {num} >= 0 then (2 * {num} * 1048576 + {den}) div (2 * {den})"
+            f" else -((2 * -{num} * 1048576 + {den}) div (2 * {den})) end as bigint) end"
+        ).alias("rho_q20"),
+    )

@@ -2601,6 +2601,48 @@ FROM per
 """
 
 
+# operators/planning.py rank_stability: midpoint split, total-order
+# ranks, exact-rational Spearman rho sign-aware half-up q20
+_ORACLE_RANK_STABILITY = """
+WITH span AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+),
+per AS (
+  SELECT event_type AS channel,
+         CAST(SUM(CASE WHEN datediff('day', (SELECT d0 FROM span), CAST(ts AS DATE)) * 2
+                        <= datediff('day', (SELECT d0 FROM span), (SELECT d1 FROM span))
+                       THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents_h1,
+         CAST(SUM(CASE WHEN datediff('day', (SELECT d0 FROM span), CAST(ts AS DATE)) * 2
+                        > datediff('day', (SELECT d0 FROM span), (SELECT d1 FROM span))
+                       THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents_h2
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1
+),
+ranked AS (
+  SELECT channel, cents_h1, cents_h2,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents_h1 DESC, channel ASC) AS BIGINT) AS rank_h1,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents_h2 DESC, channel ASC) AS BIGINT) AS rank_h2
+  FROM per
+),
+d AS (
+  SELECT *, CAST((rank_h1 - rank_h2) * (rank_h1 - rank_h2) AS BIGINT) AS d2 FROM ranked
+),
+t AS (
+  SELECT d.*, COUNT(*) OVER () AS n, SUM(d2) OVER () AS sd2 FROM d
+)
+SELECT channel, cents_h1, cents_h2, rank_h1, rank_h2, d2,
+       CASE WHEN n < 2 THEN NULL ELSE
+         CAST(CASE WHEN nm >= 0 THEN (2 * nm * 1048576 + dn) // (2 * dn)
+                   ELSE -((2 * -nm * 1048576 + dn) // (2 * dn)) END AS BIGINT)
+       END AS rho_q20
+FROM (
+  SELECT *,
+         CAST(n AS HUGEINT) * (n * n - 1) - 6 * CAST(sd2 AS HUGEINT) AS nm,
+         CAST(n AS HUGEINT) * (n * n - 1) AS dn
+  FROM t
+)
+"""
+
+
 # llm/text.py surprisal_drift: the L6d whole-bit scorer per ingest half
 _ORACLE_SURPRISAL_DRIFT = r"""
 WITH ex AS (
@@ -7050,6 +7092,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_markov_path_length": _ORACLE_MARKOV_PATH_LENGTH,
         "llm_oov_rate": _ORACLE_OOV_RATE,
         "llm_surprisal_drift": _ORACLE_SURPRISAL_DRIFT,
+        "maef_rank_stability": _ORACLE_RANK_STABILITY,
         "llm_dup_degree_hist": _ORACLE_DUP_DEGREE_HIST,
         "llm_dedup_threshold_sweep": _ORACLE_DEDUP_THRESHOLD_SWEEP,
         "llm_window_dedup": _ORACLE_WINDOW_DEDUP,

@@ -518,3 +518,26 @@ def test_surprisal_drift_halves(spark):
     assert out[1]["n_scored_words"] == 4 and out[1]["total_bits"] == 7
     assert out[0]["mean_bits_q20"] == (2 * 5 * Q20 + 4) // 8
     assert out[1]["mean_bits_q20"] == (2 * 7 * Q20 + 4) // 8
+
+
+def test_rank_stability_spearman(spark):
+    import datetime as dt
+
+    from marketing_attribution_etl_framework__maef_spark.operators import planning as pln
+
+    h1 = dt.datetime(2024, 1, 1, 9)
+    h2 = dt.datetime(2024, 1, 10, 9)
+    rows = [
+        # half1 ranks: a(300)=1, b(200)=2, c(100)=3
+        (0, h1, 1, "a", 3.0), (1, h1, 2, "b", 2.0), (2, h1, 3, "c", 1.0),
+        # half2 ranks: c(300)=1, b(200)=2, a(100)=3  -> full reversal
+        (3, h2, 4, "c", 3.0), (4, h2, 5, "b", 2.0), (5, h2, 6, "a", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["channel"]: r for r in pln.rank_stability(ev).collect()}
+    assert out["a"]["rank_h1"] == 1 and out["a"]["rank_h2"] == 3
+    assert out["c"]["d2"] == 4 and out["b"]["d2"] == 0
+    # full reversal: rho = 1 - 6*8/(3*8) = -1 -> -Q20 exactly
+    assert all(r["rho_q20"] == -Q20 for r in out.values())
