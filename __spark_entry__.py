@@ -1013,9 +1013,32 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dup_clusters(spark, sf_dir)
 
 
+_SIMHASH_CANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _simhash_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded-SimHash candidate pair table (doc_a, doc_b, hamming)
+    over the augmented corpus, localCheckpoint'd once per
+    (application, sf_dir): the L11 dedup cut and the L248
+    operating-point histogram both read it (VERDICT r07 #2 — the
+    _minhash_pairs staging pattern), so the signature build + band
+    self-join runs once instead of per consumer.  In production this
+    is the candidate store written beside the simhash index."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key not in _SIMHASH_CANDS_CACHE:
+        for stale in [k for k in _SIMHASH_CANDS_CACHE if k[0] != app_id]:
+            _SIMHASH_CANDS_CACHE.pop(stale, None)
+        _SIMHASH_CANDS_CACHE[key] = dd.simhash_candidates(
+            dd.simhash(_aug_docs(spark, sf_dir))
+        ).localCheckpoint()
+    return _SIMHASH_CANDS_CACHE[key]
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash, byte-banded candidate pairs, hamming <= 6."""
-    return dd.simhash_pairs(dd.simhash(_aug_docs(spark, sf_dir)))
+    """60-bit SimHash, 15-bit-banded candidate pairs, hamming <= 6 —
+    served from the staged candidate store (_simhash_cands)."""
+    return _simhash_cands(spark, sf_dir).filter(F.col("hamming") <= 6)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3614,7 +3637,9 @@ _sh_value = " + ".join(
     f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(dd.SIMHASH_BITS)
 )
 _sh_bands = "\n  UNION ALL ".join(
-    f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8*b}) & 255 AS key FROM sim"
+    f"SELECT doc_id, simhash, {b} AS band,"
+    f" (simhash >> {dd.SIMHASH_BAND_BITS * b}) & {(1 << dd.SIMHASH_BAND_BITS) - 1}"
+    " AS key FROM sim"
     for b in range(4)
 )
 
@@ -5553,9 +5578,12 @@ def q_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L248: SimHash operating-point audit — Hamming-distance
-    histogram of ALL byte-band candidate pairs over the augmented
-    corpus (llm/dedup.py simhash_hamming_histogram)."""
-    return dd.simhash_hamming_histogram(_aug_docs(spark, sf_dir))
+    histogram of ALL banded candidate pairs over the augmented
+    corpus, served from the staged candidate store shared with L11
+    (llm/dedup.py simhash_hamming_histogram)."""
+    return dd.simhash_hamming_histogram(
+        _aug_docs(spark, sf_dir), candidates=_simhash_cands(spark, sf_dir)
+    )
 
 
 FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
@@ -5761,19 +5789,74 @@ def q_stream_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
-    # registry entries per round.  r07 rotation (VERDICT r06 next-steps #1):
-    # positions 0-15 are the 16 r06 additions that have never received a
-    # driver row (maef_next_best_channel .. maef_stream_mix_drift, oldest
-    # first); positions 16-49 back-fill with the 34 STALEST greens — the
-    # r02-checked core suite (journey/attribution/report/loader/chunking),
-    # whose driver rows are four rounds old, re-verified under the current
-    # oracle text.  Any r07-session additions land after the r08-queue
-    # marker (they must NOT jump the window this round).  The freshly-green
-    # r06 window (CORRECTNESS_r06 50/50) rotates directly behind the marker,
-    # then the r05-green window, then the remaining long-green entries.
+    # registry entries per round.  r08 rotation (VERDICT r07 next-steps #1):
+    # positions 0-21 are the 22 r07 additions that have never received a
+    # driver row (llm_ann_recall_drift .. maef_rank_stability, oldest first);
+    # positions 22-49 back-fill with the 28 STALEST greens — the r04-checked
+    # long-green tail from maef_model_comparison onward, whose driver rows
+    # are four rounds old, re-verified under the current oracle text.  Any
+    # r08-session additions land after the r09-queue marker (they must NOT
+    # jump the window this round).  The freshly-green r07 window
+    # (CORRECTNESS_r07 50/50) rotates directly behind the marker, then the
+    # r06 window, the r05 window, and the remaining long-green entries.
     return {
-        # --- r07 gate window part 1 (positions 0-15): the 16 r06 additions,
-        # never driver-checked (VERDICT r06 next-steps #1), oldest first ---
+        # --- r08 gate window part 1 (positions 0-21): the 22 r07 additions,
+        # never driver-checked (VERDICT r07 next-steps #1), oldest first ---
+        "llm_ann_recall_drift": q_ann_recall_drift,
+        "llm_stream_cdc_store": q_stream_cdc_store,
+        "llm_embedding_pca": q_embedding_pca,
+        "maef_share_of_voice": q_share_of_voice,
+        "llm_length_drift": q_length_drift,
+        "llm_simhash_hamming": q_simhash_hamming,
+        "maef_stream_funnel": q_stream_funnel,
+        "maef_holt_winters": q_holt_winters,
+        "maef_markov_path_length": q_markov_path_length,
+        "llm_oov_rate": q_oov_rate,
+        "llm_dup_degree_hist": q_dup_degree_hist,
+        "maef_seasonal_decomposition": q_seasonal_decomposition,
+        "llm_multimodal_waveform": q_multimodal_waveform,
+        "llm_dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "maef_matched_lift": q_matched_lift,
+        "maef_stream_sov": q_stream_sov,
+        "llm_window_dedup": q_window_dedup,
+        "llm_lsh_bucket_stats": q_lsh_bucket_stats,
+        "llm_code_screen": q_code_screen,
+        "maef_budget_reallocation": q_budget_reallocation,
+        "llm_surprisal_drift": q_surprisal_drift,
+        "maef_rank_stability": q_rank_stability,
+        # --- r08 gate window part 2 (positions 22-49): the 28 stalest greens
+        # (r04-checked long-green tail, driver rows four rounds old)
+        # re-verified under the current oracle text ---
+        "maef_model_comparison": q_model_comparison,
+        "maef_channel_overlap": q_channel_overlap,
+        "llm_lang_confusion": q_lang_confusion,
+        "maef_revenue_histogram": q_revenue_histogram,
+        "maef_attribution_stats": q_attribution_stats,
+        "maef_report_summary": q_report_summary,
+        "rel_market_share": q_rel_market_share,
+        "llm_curate_sketch": q_curate_sketch,
+        "maef_sessionize_native": q_sessionize_native,
+        "maef_anomaly_mad": q_anomaly_mad,
+        "maef_channel_decay": q_channel_decay,
+        "rel_shipping_priority": q_rel_shipping_priority,
+        "rel_parts_supplier": q_rel_parts_supplier,
+        "rel_big_spenders": q_rel_big_spenders,
+        "maef_stream_dedup": q_stream_dedup,
+        "maef_channel_assists": q_channel_assists,
+        "maef_user_features": q_user_features,
+        "maef_latency_histogram": q_latency_histogram,
+        "maef_budget_allocation": q_budget_allocation,
+        "maef_window_funnel": q_window_funnel,
+        "maef_ab_lift": q_ab_lift,
+        "llm_hybrid_rrf": q_hybrid_rrf,
+        "maef_user_purge": q_user_purge,
+        "maef_bloom_pruned_join": q_bloom_pruned_join,
+        "rel_idle_customers": q_rel_idle_customers,
+        "rel_returned_items": q_rel_returned_items,
+        "maef_journey_dropoff": q_journey_dropoff,
+        "maef_sketch_merge_law": q_sketch_merge_law,
+        # --- r08 additions land BELOW (r09 queue; driver-unchecked) ---
+        # --- freshly-green r07 window (CORRECTNESS_r07, 50/50) rotates here ---
         "maef_next_best_channel": q_next_best_channel,
         "maef_interpurchase": q_interpurchase,
         "maef_holt_forecast": q_holt_forecast,
@@ -5790,9 +5873,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_dow_anomaly": q_dow_anomaly,
         "maef_cac_payback": q_cac_payback,
         "maef_stream_mix_drift": q_stream_mix_drift,
-        # --- r07 gate window part 2 (positions 16-49): the 34 stalest greens
-        # (r02-era core suite, driver rows four rounds old) re-verified under
-        # the current oracle text ---
         "maef_journey_entries": q_journey_entries,
         "maef_attribution_linear": q_attribution_linear,
         "maef_attribution_last_touch": q_attribution_last_touch,
@@ -5827,30 +5907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_fd_profile": q_fd_profile,
         "rel_monthly_growth": q_rel_monthly_growth,
         "llm_tfidf_pairs": q_tfidf_pairs,
-        # --- r07 additions land BELOW (r08 queue; driver-unchecked) ---
-        "llm_ann_recall_drift": q_ann_recall_drift,
-        "llm_stream_cdc_store": q_stream_cdc_store,
-        "llm_embedding_pca": q_embedding_pca,
-        "maef_share_of_voice": q_share_of_voice,
-        "llm_length_drift": q_length_drift,
-        "llm_simhash_hamming": q_simhash_hamming,
-        "maef_stream_funnel": q_stream_funnel,
-        "maef_holt_winters": q_holt_winters,
-        "maef_markov_path_length": q_markov_path_length,
-        "llm_oov_rate": q_oov_rate,
-        "llm_dup_degree_hist": q_dup_degree_hist,
-        "maef_seasonal_decomposition": q_seasonal_decomposition,
-        "llm_multimodal_waveform": q_multimodal_waveform,
-        "llm_dedup_threshold_sweep": q_dedup_threshold_sweep,
-        "maef_matched_lift": q_matched_lift,
-        "maef_stream_sov": q_stream_sov,
-        "llm_window_dedup": q_window_dedup,
-        "llm_lsh_bucket_stats": q_lsh_bucket_stats,
-        "llm_code_screen": q_code_screen,
-        "maef_budget_reallocation": q_budget_reallocation,
-        "llm_surprisal_drift": q_surprisal_drift,
-        "maef_rank_stability": q_rank_stability,
-        # --- freshly-green r06 window (CORRECTNESS_r06, 50/50) rotates here ---
+        # --- freshly-green r06 window (CORRECTNESS_r06, 50/50) ---
         "llm_ann_int8_rerank": q_ann_int8_rerank,
         "maef_stream_topk_channels": q_stream_topk_channels,
         "maef_user_export": q_user_export,
@@ -5952,35 +6009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rollup": q_rel_rollup,
         "maef_cohort_ltv": q_cohort_ltv,
         "llm_ct_langid": q_ct_langid,
-        # --- long-green below: rows in r01-r04 ---
-        "maef_model_comparison": q_model_comparison,
-        "maef_channel_overlap": q_channel_overlap,
-        "llm_lang_confusion": q_lang_confusion,
-        "maef_revenue_histogram": q_revenue_histogram,
-        "maef_attribution_stats": q_attribution_stats,
-        "maef_report_summary": q_report_summary,
-        "rel_market_share": q_rel_market_share,
-        "llm_curate_sketch": q_curate_sketch,
-        "maef_sessionize_native": q_sessionize_native,
-        "maef_anomaly_mad": q_anomaly_mad,
-        "maef_channel_decay": q_channel_decay,
-        "rel_shipping_priority": q_rel_shipping_priority,
-        "rel_parts_supplier": q_rel_parts_supplier,
-        "rel_big_spenders": q_rel_big_spenders,
-        "maef_stream_dedup": q_stream_dedup,
-        "maef_channel_assists": q_channel_assists,
-        "maef_user_features": q_user_features,
-        "maef_latency_histogram": q_latency_histogram,
-        "maef_budget_allocation": q_budget_allocation,
-        "maef_window_funnel": q_window_funnel,
-        "maef_ab_lift": q_ab_lift,
-        "llm_hybrid_rrf": q_hybrid_rrf,
-        "maef_user_purge": q_user_purge,
-        "maef_bloom_pruned_join": q_bloom_pruned_join,
-        "rel_idle_customers": q_rel_idle_customers,
-        "rel_returned_items": q_rel_returned_items,
-        "maef_journey_dropoff": q_journey_dropoff,
-        "maef_sketch_merge_law": q_sketch_merge_law,
+        # --- long-green below: rows in r01-r04 (28 stalest rotated into the
+        # r08 window above) ---
         "maef_user_gaps": q_user_gaps,
         "maef_orc_roundtrip": q_orc_roundtrip,
         "maef_stream_sessionize": q_stream_sessionize,

@@ -116,13 +116,20 @@ CHECKPOINT_HEAVY = {
     "llm_embedding_pca",
     "llm_ann_recall_drift",
     "maef_stream_sov",
-    # the simhash audit reruns the banded pipeline at the lifted
-    # threshold (same recompute profile as llm_dedup_simhash)
+    # the simhash audit rides the staged _simhash_cands checkpoint
+    # (shared with llm_dedup_simhash since r08)
     "llm_simhash_hamming",
     # one-lineage window op with unchanged code that swung 1.7 -> 4.7 s
     # between two same-session runs (one-sided victim profile, the
     # maef_lookback_sensitivity precedent)
     "llm_doc_novelty",
+    # VERDICT r07 #3: mapInPandas Arrow path with unchanged code that
+    # swung 1.41 -> 3.27 s across rounds (Python-worker warm-up is
+    # first-victim-in-suite shaped); and the minhash-accuracy audit is
+    # checkpoint-adjacent (rides the staged pair store but re-shingles
+    # the candidate docs)
+    "llm_multimodal_features",
+    "llm_minhash_accuracy",
     # label purity checkpoints the labeled quantized vectors
     "llm_label_purity",
     # streaming state materialization + serving-side checkpoint

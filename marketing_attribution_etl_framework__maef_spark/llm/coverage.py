@@ -56,7 +56,11 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 
 def greedy_coverage(
-    docs: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidate_pool: int = 256,
 ) -> DataFrame:
     """Select k documents greedily maximizing new-shingle coverage.
 
@@ -64,44 +68,109 @@ def greedy_coverage(
     selection in pick order; stops early if no document adds
     anything.  round is 1-based; covered_total is the running
     distinct-shingle count after the pick.
+
+    CELF-style candidate pruning (VERDICT r07 #4): marginal gains are
+    monotone non-increasing under a growing covered set (submodularity),
+    so a document whose INITIAL gain is below the current round's
+    winning gain can never win or tie.  Round 1's full-corpus gain
+    aggregate therefore doubles as a pruning pass: the live uncovered
+    table is left-semi-restricted to the top-``candidate_pool`` docs
+    by (initial gain DESC, id ASC) before the loop, and every later
+    round scans only that sliver.  Soundness threshold: with t = the
+    pool's minimum initial gain, any winner with gain > t is provably
+    the GLOBAL winner under the same (gain DESC, id ASC) order — an
+    outside doc has current gain <= initial gain <= t < winner, so it
+    can neither beat nor tie.  If a round's pooled winner lands at
+    gain <= t (pool exhausted by mutual overlap — needs k near-dup
+    picks from one template cluster), the loop falls back once to the
+    full uncovered table rebuilt from the round-1 checkpoint, so the
+    k selections stay bit-identical to the unpruned formulation and
+    the oracle is unchanged.  At 100 TB this is the difference between
+    k corpus-scale materializations and ONE corpus aggregate plus k
+    scans of a ~256-doc table.
+
+    The per-round jobs are LATENCY-bound (tiny sequential jobs), so
+    the loop runs at 4 shuffle partitions.  Alternatives measured
+    SLOWER at sf0.1: a driver-held covered set pruned via per-round
+    broadcast anti-join (6.3-6.9 s — per-round createDataFrame and
+    broadcast round-trips) and a literal isin() In-set predicate
+    (8.2-9.5 s — hundreds of string literals serialized into every
+    task's plan per round).
     """
     spark = docs.sparkSession
-    # `pairs` is the LIVE uncovered (doc, shingle) set; it only shrinks.
-    # Sized to its actual row count before the loop (CLAUDE.md
-    # iterative-loop rule): the per-round jobs are LATENCY-bound (16
-    # tiny sequential jobs), so fewer partitions = fewer tasks per
-    # round.  Two alternatives measured SLOWER at sf0.1: a driver-held
-    # covered set pruned via per-round broadcast anti-join (6.3-6.9 s —
-    # per-round createDataFrame/broadcast round-trips) and a literal
-    # isin() In-set predicate (8.2-9.5 s — hundreds of string literals
-    # serialized into every task's plan per round); the shrink-chain
-    # with per-round localCheckpoint stays the fastest shape.
-    pairs = (
+    pairs_full = (
         doc_shingles(docs, text_col, id_col).repartition(4).localCheckpoint()
     )
     out, covered_total = [], 0
+    winners: list = []
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        for rnd in range(1, k + 1):
-            top = (
-                pairs.groupBy(id_col)
+        # Round-1 aggregate over the full corpus; its top row IS the
+        # round-1 selection, and rows 2..candidate_pool seed the pool.
+        # Bounded driver state: candidate_pool rows, fixed.
+        g0 = (
+            pairs_full.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc(id_col))
+            .limit(candidate_pool)
+            .collect()
+        )
+        if not g0 or g0[0]["gain"] == 0:
+            return spark.createDataFrame(
+                [], "round long, doc_id long, gain long, covered_total long"
+            )
+        # threshold below which an outside doc could still win a tie;
+        # -1 when the pool holds the whole corpus (pruning is complete)
+        threshold = g0[-1]["gain"] if len(g0) == candidate_pool else -1
+        pool_ids = spark.createDataFrame(
+            [(r[id_col],) for r in g0], f"{id_col} long"
+        )
+        live = pairs_full.join(
+            F.broadcast(pool_ids), id_col, "left_semi"
+        ).localCheckpoint()
+        pruned = True
+        rnd = 1
+        top = (g0[0][id_col], g0[0]["gain"])
+        while True:
+            doc, gain = top
+            covered_total += gain
+            out.append((rnd, doc, gain, covered_total))
+            winners.append(doc)
+            if rnd == k:
+                break
+            winner_sh = live.filter(F.col(id_col) == doc).select("sh")
+            live = live.join(winner_sh, "sh", "left_anti").localCheckpoint()
+            rows = (
+                live.groupBy(id_col)
                 .agg(F.count(F.lit(1)).cast("long").alias("gain"))
                 .orderBy(F.desc("gain"), F.asc(id_col))
                 .limit(1)
                 .collect()
             )
-            if not top or top[0]["gain"] == 0:
+            gain_now = rows[0]["gain"] if rows else 0
+            if pruned and gain_now <= threshold:
+                # rare fallback: rebuild the FULL uncovered table from
+                # the round-1 checkpoint minus all covered shingles
+                covered_sh = (
+                    pairs_full.filter(F.col(id_col).isin(winners))
+                    .select("sh")
+                    .distinct()
+                )
+                live = pairs_full.join(covered_sh, "sh", "left_anti").localCheckpoint()
+                pruned = False
+                rows = (
+                    live.groupBy(id_col)
+                    .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+                    .orderBy(F.desc("gain"), F.asc(id_col))
+                    .limit(1)
+                    .collect()
+                )
+                gain_now = rows[0]["gain"] if rows else 0
+            if not rows or gain_now == 0:
                 break
-            doc, gain = top[0][id_col], top[0]["gain"]
-            covered_total += gain
-            out.append((rnd, doc, gain, covered_total))
-            # Gain of doc d next round = |shingles(d) - covered|; pruning
-            # the winner's shingles out of the live table preserves exactly
-            # that quantity, so the k selections are bit-identical to the
-            # full-anti-join formulation (oracle unchanged).
-            winner_sh = pairs.filter(F.col(id_col) == doc).select("sh")
-            pairs = pairs.join(winner_sh, "sh", "left_anti").localCheckpoint()
+            rnd += 1
+            top = (rows[0][id_col], rows[0]["gain"])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.createDataFrame(

@@ -228,22 +228,24 @@ def minhash_dedup_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = 15
 
 
 def simhash(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
 ) -> DataFrame:
     """Per-document SimHash over the word multiset: every word votes
-    +-1 on each of ``bits`` bit positions of its 32-bit hash (the
-    first 8 hex chars of md5, so the hash is engine-portable); the
-    fingerprint sets bit j iff the vote sum is positive.
+    +-1 on each of ``bits`` bit positions of its 60-bit hash (the
+    first 15 hex chars of md5 — the engine-portable integer-hash
+    device, and wide enough that 15-bit bands stay collision-sparse);
+    the fingerprint sets bit j iff the vote sum is positive.
 
     One explode + one grouped aggregate with ``bits`` SUM columns —
     map-side combinable, single shuffle on doc_id."""
     norm = normalize_text(F.col(text_col))
     ex = docs.select(F.col(id_col), F.explode(words(norm)).alias("w"))
-    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
     ex = ex.select(F.col(id_col), h.alias("h"))
     votes = [
         F.sum(
@@ -259,22 +261,37 @@ def simhash(
     return agg.select(F.col(id_col), value.cast("long").alias("simhash"))
 
 
-def simhash_pairs(
+def simhash_candidates(
     sim: DataFrame,
     id_col: str = "doc_id",
-    max_hamming: int = 6,
     bands: int = 4,
+    band_bits: int = SIMHASH_BAND_BITS,
 ) -> DataFrame:
-    """Near-dup pairs by byte-banded SimHash blocking: fingerprints are
-    split into ``bands`` bytes; docs sharing any byte value in the same
+    """ALL banded-SimHash candidate pairs with their exact Hamming
+    distance (no threshold): fingerprints are split into ``bands``
+    keys of ``band_bits`` bits; docs sharing any key value in the same
     position are candidates (a Hamming-distance pigeonhole: distance
     <= bands-1 guarantees at least one matching band); candidates are
-    verified with bit_count(xor). Never all-pairs."""
+    scored with bit_count(xor).  Never all-pairs.
+
+    Scale note (VERDICT r07): band keys are 15-bit (32,768 buckets per
+    band over the 60-bit fingerprint), not the earlier 8-bit bytes
+    whose FIXED 256 buckets made per-band candidate cost
+    Sigma(bucket^2) grow quadratically in corpus size.  Bucket count
+    now scales with signature entropy: on a shuffled corpus the
+    expected bucket holds N/32768 docs, so the self-join is ~16k x
+    cheaper per band at the same N and the quadratic blow-up point
+    moves out by the same factor.  Both the dedup cut (simhash_pairs)
+    and the operating-point audit (simhash_hamming_histogram) read
+    this one candidate table, so callers can stage it once per
+    session."""
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)).alias("key"),
+                F.shiftright("simhash", band_bits * b)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("key"),
             )
             for b in range(bands)
         ]
@@ -295,7 +312,20 @@ def simhash_pairs(
             F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("long").alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs(
+    sim: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    bands: int = 4,
+    band_bits: int = SIMHASH_BAND_BITS,
+) -> DataFrame:
+    """Near-dup pairs by banded SimHash blocking: the candidate table
+    (simhash_candidates) cut at ``hamming <= max_hamming``."""
+    return simhash_candidates(sim, id_col, bands, band_bits).filter(
+        F.col("hamming") <= max_hamming
     )
 
 
@@ -1176,28 +1206,29 @@ def simhash_hamming_histogram(
     id_col: str = "doc_id",
     bits: int = SIMHASH_BITS,
     bands: int = 4,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash operating-point audit — the L220 calibration twin for
-    L11: the Hamming-distance histogram of ALL byte-band candidate
-    pairs (threshold lifted to ``bits``), answering "at the chosen
-    banding, what distance mass does the verify stage actually see" —
-    the curve that says whether max_hamming=6 cuts signal or noise.
+    L11: the Hamming-distance histogram of ALL banded candidate
+    pairs (no threshold), answering "at the chosen banding, what
+    distance mass does the verify stage actually see" — the curve
+    that says whether max_hamming=6 cuts signal or noise.
 
     Candidates still come only from band-bucket collisions (never
     all-pairs; pairs beyond the pigeonhole reach of the banding are
     invisible by design and the histogram is explicitly the CANDIDATE
-    distance distribution).  Output: (hamming, n_pairs), bounded at
-    bits+1 rows; one bounded aggregate over the pair table.
+    distance distribution).  Pass ``candidates`` to ride a staged
+    simhash_candidates table shared with the L11 cut (the
+    _minhash_pairs session-store pattern).  Output: (hamming,
+    n_pairs), bounded at bits+1 rows; one bounded aggregate over the
+    pair table.
     """
-    return (
-        simhash_pairs(
-            simhash(docs, text_col, id_col, bits),
-            id_col,
-            max_hamming=bits,
-            bands=bands,
+    if candidates is None:
+        candidates = simhash_candidates(
+            simhash(docs, text_col, id_col, bits), id_col, bands
         )
-        .groupBy("hamming")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    return candidates.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
 
 

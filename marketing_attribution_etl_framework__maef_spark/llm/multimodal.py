@@ -336,6 +336,11 @@ def waveform_stats(media: DataFrame, center: int = 64) -> DataFrame:
     byte arithmetic with codepoints + a LAG window and hash-compare
     the whole mapInPandas path.
 
+    Empty payloads are filtered out BEFORE the Python stage (ADVICE
+    r07: the oracle's LENGTH(text) > 0 filter must be mirrored here or
+    the row sets diverge the day the corpus gains an empty document —
+    the same n_chars > 0 contract code_screen uses).
+
     Scale: one Arrow-batched pass, payload never returns to the JVM,
     output is one bounded row per clip.
     """
@@ -366,4 +371,8 @@ def waveform_stats(media: DataFrame, center: int = 64) -> DataFrame:
                 columns=["doc_id", "n_samples", "sum_abs", "peak_abs", "zero_crossings"],
             )
 
-    return media.select("doc_id", "payload").mapInPandas(batches, _WAVEFORM_SCHEMA)
+    return (
+        media.select("doc_id", "payload")
+        .filter(F.octet_length("payload") > 0)
+        .mapInPandas(batches, _WAVEFORM_SCHEMA)
+    )

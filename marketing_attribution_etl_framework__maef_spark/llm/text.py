@@ -863,7 +863,11 @@ def oov_rate(
     subword blow-up, OOV measures outright misses.
 
     Vocabulary selection is a TOTAL order (count DESC, term ASC), so
-    the top-V cut is deterministic in both engines.  The vocab is
+    the top-V cut is deterministic in both engines.  The cut is an
+    ``orderBy(...).limit(V)`` — Spark plans it as
+    TakeOrderedAndProject (per-partition heap + bounded driver merge),
+    NOT an unpartitioned row_number window that would drag every
+    distinct term through one partition (ADVICE r07).  The vocab is
     bounded (V rows) and broadcast; the per-source rollup is one
     map-side-combining aggregate over the exploded tokens.  oov_q20
     is the half-up device on exact integer counts.
@@ -874,12 +878,11 @@ def oov_rate(
         F.col(source_col).alias("source"),
         F.explode(words(normalize_text(F.col(text_col)))).alias("term"),
     ).filter(F.col("term") != "")
-    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
     vocab = (
         ex.groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= vocab_size)
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(vocab_size)
         .select("term", F.lit(1).alias("_in"))
     )
     return (

@@ -1146,7 +1146,7 @@ FROM scored WHERE inter_size * 2 >= union_size * 1
 """
 
 # llm/dedup.py window_dedup_audit over the augmented corpus
-_ORACLE_WINDOW_DEDUP = f"""
+_ORACLE_WINDOW_DEDUP = rf"""
 WITH {_AUG},
 h AS (
   SELECT doc_id AS id,
@@ -1257,7 +1257,7 @@ GROUP BY doc_id
 _ORACLE_DEDUP_SIMHASH = f"""
 WITH {_AUG}, {_NORM_AUG},
 exw AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM nd),
-hh AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM exw),
+hh AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM exw),
 votes AS (
   SELECT doc_id,
          {_sh_votes}
@@ -5623,12 +5623,12 @@ FROM per p, tot t
 """
 
 
-# llm/dedup.py simhash_hamming_histogram: the L11 pair pipeline with
-# the Hamming threshold lifted to the full 32 bits, then the histogram
+# llm/dedup.py simhash_hamming_histogram: the L11 candidate pipeline
+# with NO Hamming threshold, then the histogram
 _ORACLE_SIMHASH_HAMMING = f"""
 WITH {_AUG}, {_NORM_AUG},
 exw AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM nd),
-hh AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM exw),
+hh AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM exw),
 votes AS (
   SELECT doc_id,
          {_sh_votes}

@@ -152,8 +152,13 @@ def test_minhash_finds_near_dups(docs):
 def test_simhash_properties(docs):
     s = {r.doc_id: r.simhash for r in dd.simhash(docs).collect()}
     assert s[1] == s[2]  # identical after normalization
-    assert 0 <= s[1] < (1 << 32)
-    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dd.simhash_pairs(dd.simhash(docs), max_hamming=32).collect()}
+    assert 0 <= s[1] < (1 << dd.SIMHASH_BITS)
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dd.simhash_pairs(
+            dd.simhash(docs), max_hamming=dd.SIMHASH_BITS
+        ).collect()
+    }
     assert pairs.get((1, 2)) == 0
     # near dup has small distance; unrelated doc is farther
     if (1, 3) in pairs and (4, 5) in pairs:

@@ -769,3 +769,34 @@ def test_pseudonymize_roundtrip_and_separation(spark):
     }
     m = {r["token"]: r["user_id"] for r in mapping.collect()}
     assert len(m) == 2 and set(m.values()) == {10, 20}
+
+
+def test_greedy_coverage_candidate_pool_fallback_is_bit_identical(spark):
+    """With candidate_pool=2 the pool exhausts mid-run (docs 20/21
+    share doc 10's shingles, so their marginal gains collapse) and the
+    CELF fallback must rebuild the full uncovered table — selections
+    must equal the unpruned run exactly, including tie-breaks."""
+    from marketing_attribution_etl_framework__maef_spark.llm import coverage as cov
+
+    big = "a b c d e f g h i j"        # 8 shingles
+    docs = spark.createDataFrame(
+        [
+            (10, big),
+            (20, big + " k"),           # 9 shingles, superset of doc 10
+            (21, big),                  # duplicate of doc 10
+            (30, "x y z"),              # 1 disjoint shingle
+            (31, "p q r s"),            # 2 disjoint shingles
+        ],
+        "doc_id long, text string",
+    )
+    pruned = sorted(
+        (r["round"], r["doc_id"], r["gain"], r["covered_total"])
+        for r in cov.greedy_coverage(docs, k=4, candidate_pool=2).collect()
+    )
+    full = sorted(
+        (r["round"], r["doc_id"], r["gain"], r["covered_total"])
+        for r in cov.greedy_coverage(docs, k=4, candidate_pool=10_000).collect()
+    )
+    assert pruned == full
+    # sanity: picks escape the 2-doc pool (doc 31 then 30 follow 20)
+    assert [t[1] for t in full] == [20, 31, 30]

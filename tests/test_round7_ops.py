@@ -204,8 +204,8 @@ def test_simhash_hamming_histogram_counts(spark):
     hist = {r["hamming"]: r["n_pairs"] for r in dd2.simhash_hamming_histogram(docs).collect()}
     # identical docs -> at least the (1,2) pair at distance 0
     assert hist.get(0, 0) >= 1
-    # histogram mass equals the candidate pair count at threshold=bits
-    pairs = dd2.simhash_pairs(dd2.simhash(docs), max_hamming=32)
+    # histogram mass equals the unthresholded candidate pair count
+    pairs = dd2.simhash_candidates(dd2.simhash(docs))
     assert sum(hist.values()) == pairs.count()
 
 
