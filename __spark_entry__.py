@@ -5787,6 +5787,208 @@ def q_stream_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+# ---------------------------------------------------------------------------
+# round-8 session additions (r09 queue)
+# ---------------------------------------------------------------------------
+
+
+def q_lsh_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L265: LSH hot-bucket cause analysis — for every band bucket
+    with >= 3 member docs, the shingle its members share most and
+    that shingle's corpus df; boilerplate-driven skew vs genuine dup
+    clusters at one glance (llm/dedup.py lsh_hot_bucket_terms)."""
+    return dd.lsh_hot_bucket_terms(_aug_docs(spark, sf_dir)).withColumn(
+        "band", F.col("band").cast("long")
+    )
+
+
+def q_template_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L266: templated-document screen — docs whose distinct shingles
+    are >= 80% corpus-shared (df >= 2); the boilerplate pre-filter the
+    hot-bucket audit motivates (llm/dedup.py template_docs)."""
+    return dd.template_docs(_aug_docs(spark, sf_dir))
+
+
+def q_dedup_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L267: dedup ROI composition — normalized chars removed per
+    family (exact / marginal near-dup / CDC duplicate chunks) against
+    the corpus baseline; rides the staged cluster store
+    (llm/dedup.py dedup_roi)."""
+    return dd.dedup_roi(_aug_docs(spark, sf_dir), _dup_clusters(spark, sf_dir))
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L268: Heaps-law vocabulary growth by doc-id decile — token
+    volume, NEW distinct terms, and running totals (llm/text.py
+    vocab_growth)."""
+    return txt.vocab_growth(_docs(spark, sf_dir))
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L269: cross-half 8-gram novelty per source — share of each
+    source's second-half distinct 8-grams never seen in the first
+    half; the ingest-freshness screen (llm/text.py ngram_novelty)."""
+    return txt.ngram_novelty(_docs(spark, sf_dir))
+
+
+def q_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L270: per-label embedding-centroid L1 drift between vec_id
+    halves — exact q20 integers after quantization, one truncating
+    division (llm/embquality.py label_centroid_drift)."""
+    from marketing_attribution_etl_framework__maef_spark.llm import embquality as embq
+
+    return embq.label_centroid_drift(_embs(spark, sf_dir))
+
+
+def q_effective_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L271: effective-frequency curve — purchase rate by per-user
+    touch-count bucket, exact q20
+    (operators/planning.py effective_frequency)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import planning as pln
+
+    return pln.effective_frequency(domain.events(spark, sf_dir))
+
+
+def q_channel_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L272: channel-pair audience affinity lift matrix — observed
+    co-audience vs independence, integer cross-multiplied q20
+    (operators/planning.py channel_affinity)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import planning as pln
+
+    return pln.channel_affinity(domain.events(spark, sf_dir))
+
+
+def q_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L273: session-depth histogram per entry channel over 30-min gap
+    sessions, depth capped at 5+ (operators/sessions.py
+    session_depth)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import sessions as sess
+
+    return sess.session_depth(domain.events(spark, sf_dir))
+
+
+def q_ab_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L274: quantile treatment effects — per-buyer purchase cents at
+    exact PERCENTILE_DISC p25/p50/p75 per A/B variant
+    (operators/experiments.py ab_quantile_effects)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import experiments as xpr
+
+    return xpr.ab_quantile_effects(domain.events(spark, sf_dir))
+
+
+def q_stream_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L275: STREAMING bounce rate — the streaming twin of L209:
+    ``session_window`` (closed-interval gap, the pinned batch
+    semantics) with a struct-min first-event aggregate as the state,
+    complete-mode run to completion, then the identical
+    per-entry-channel roll-up serving-side.  Parity: the SAME oracle
+    text as maef_bounce_rate — the streaming path must reproduce the
+    batch operator bit for bit.  State is bounded per live (user,
+    session)."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    name = "stream_bounce_sink"
+    try:
+        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+        g = (
+            ev.filter(F.col("event_type") != "purchase")
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.min(F.struct("ts", "event_id", "event_type")).alias("_first"),
+            )
+        )
+        q = (
+            g.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(name)
+            .select(
+                F.col("_first.event_type").alias("entry_channel"),
+                "n_events",
+            )
+            .groupBy("entry_channel")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_sessions"),
+                F.sum((F.col("n_events") == 1).cast("long"))
+                .cast("long")
+                .alias("n_bounces"),
+            )
+            .withColumn(
+                "bounce_q20",
+                F.expr(
+                    "(2 * n_bounces * 1048576 + n_sessions) div (2 * n_sessions)"
+                ).cast("long"),
+            )
+            .localCheckpoint()
+        )
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def q_stream_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L276: STREAMING data-quality counters — per event-time day, the
+    violation tallies a live ingest monitor alarms on (null/negative
+    value, unknown event_type, missing props key), maintained as one
+    windowed streaming aggregate (bounded state: days x 1 row) and
+    checked against the batch SQL over the same input.  The streaming
+    twin of the batch constraint checker (L66)."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    known = ["click", "view", "signup", "error", "purchase"]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    name = "stream_dq_sink"
+    try:
+        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+        g = ev.groupBy(F.window("ts", "1 day").alias("w")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").isNull().cast("long")).cast("long").alias("n_null_value"),
+            F.sum(
+                F.when(F.col("value") < 0, 1).otherwise(0)
+            ).cast("long").alias("n_neg_value"),
+            F.sum(
+                (~F.col("event_type").isin(known)).cast("long")
+            ).cast("long").alias("n_unknown_type"),
+            F.sum(
+                F.get_json_object("props", "$.k").isNull().cast("long")
+            ).cast("long").alias("n_bad_props"),
+        )
+        q = (
+            g.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(name)
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+                "n_events",
+                "n_null_value",
+                "n_neg_value",
+                "n_unknown_type",
+                "n_bad_props",
+            )
+            .localCheckpoint()
+        )
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r08 rotation (VERDICT r07 next-steps #1):
@@ -5856,6 +6058,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_journey_dropoff": q_journey_dropoff,
         "maef_sketch_merge_law": q_sketch_merge_law,
         # --- r08 additions land BELOW (r09 queue; driver-unchecked) ---
+        "llm_lsh_hot_buckets": q_lsh_hot_buckets,
+        "llm_template_docs": q_template_docs,
+        "llm_dedup_roi": q_dedup_roi,
+        "llm_vocab_growth": q_vocab_growth,
+        "llm_ngram_novelty": q_ngram_novelty,
+        "llm_label_drift": q_label_drift,
+        "maef_effective_frequency": q_effective_frequency,
+        "maef_channel_affinity": q_channel_affinity,
+        "maef_session_depth": q_session_depth,
+        "maef_ab_quantiles": q_ab_quantiles,
+        "maef_stream_bounce": q_stream_bounce,
+        "maef_stream_dq": q_stream_dq,
         # --- freshly-green r07 window (CORRECTNESS_r07, 50/50) rotates here ---
         "maef_next_best_channel": q_next_best_channel,
         "maef_interpurchase": q_interpurchase,

@@ -1088,18 +1088,37 @@ def cdc_doc_chunks(
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("_bounds") - 1),
-                lambda j: F.md5(
-                    F.concat_ws(
-                        " ",
-                        F.slice(
-                            F.col("_ws"),
-                            F.get("_bounds", j - 1) + 1,
-                            F.get("_bounds", j) - F.get("_bounds", j - 1),
-                        ),
+                lambda j: F.struct(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.slice(
+                                F.col("_ws"),
+                                F.get("_bounds", j - 1) + 1,
+                                F.get("_bounds", j) - F.get("_bounds", j - 1),
+                            ),
+                        )
+                    ).alias("chunk_md5"),
+                    F.length(
+                        F.concat_ws(
+                            " ",
+                            F.slice(
+                                F.col("_ws"),
+                                F.get("_bounds", j - 1) + 1,
+                                F.get("_bounds", j) - F.get("_bounds", j - 1),
+                            ),
+                        )
                     )
+                    .cast("long")
+                    .alias("chunk_len"),
                 ),
             )
-        ).alias("chunk_md5"),
+        ).alias("_c"),
+    ).select(
+        F.col(id_col),
+        "source",
+        F.col("_c.chunk_md5").alias("chunk_md5"),
+        F.col("_c.chunk_len").alias("chunk_len"),
     )
 
 
@@ -1354,3 +1373,193 @@ def lsh_bucket_stats(bands_df: DataFrame) -> DataFrame:
     return sizes.groupBy("band", "bucket_size").agg(
         F.count(F.lit(1)).cast("long").alias("n_buckets")
     )
+
+
+def lsh_hot_bucket_terms(
+    docs: DataFrame,
+    min_size: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """LSH hot-bucket CAUSE analysis — the follow-up the L260 bucket
+    size histogram motivates: for every band bucket holding at least
+    ``min_size`` documents, WHICH shingle do its members share most
+    (and how common is that shingle corpus-wide)?  A hot bucket whose
+    top shingle has a huge corpus df is boilerplate-driven — the
+    actionable signal that a boilerplate scrub (L48) belongs BEFORE
+    the band self-join; a hot bucket whose top shingle is rare is a
+    genuine duplicate cluster.
+
+    Shape: bucket sizes are one aggregate over the band table; only
+    buckets >= min_size survive (the skew tail, vanishingly few at
+    scale), so the member join + per-bucket shingle df touch a bounded
+    sliver of the corpus.  The per-bucket argmax is a window
+    PARTITIONED by bucket key (never corpus-wide).  Output:
+    (band, key, bucket_size, top_shingle, member_df, corpus_df).
+    """
+    norm = normalize_text(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col), F.explode(word_shingles(words(norm), k)).alias("shingle")
+    )
+    sigs = minhash_signatures(exploded, id_col, "shingle", num_hashes)
+    bandsdf = lsh_bands(sigs, id_col, bands, rows_per_band)
+    sizes = (
+        bandsdf.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).cast("long").alias("bucket_size"))
+        .filter(F.col("bucket_size") >= min_size)
+    )
+    members = bandsdf.join(sizes, ["band", "key"])
+    pairs = exploded.distinct()
+    dfx = pairs.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("corpus_df")
+    )
+    bucket_sh = (
+        members.join(pairs, id_col)
+        .groupBy("band", "key", "bucket_size", "shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("member_df"))
+    )
+    w = Window.partitionBy("band", "key").orderBy(
+        F.desc("member_df"), F.asc("shingle")
+    )
+    return (
+        bucket_sh.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .join(dfx, "shingle")
+        .select(
+            "band",
+            "key",
+            "bucket_size",
+            F.col("shingle").alias("top_shingle"),
+            "member_df",
+            "corpus_df",
+        )
+    )
+
+
+def template_docs(
+    docs: DataFrame,
+    min_df: int = 2,
+    pct_num: int = 4,
+    pct_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Templated-document screen — the boilerplate PRE-FILTER the
+    hot-bucket audit (lsh_hot_bucket_terms) motivates: a document
+    whose shingles are at least pct_num/pct_den shared (corpus df >=
+    ``min_df``) is template/boilerplate-shaped, and removing or
+    scrubbing it BEFORE LSH banding is what deflates the hot buckets.
+
+    Exact integers end to end: per-doc distinct-shingle count, count
+    of those with df >= min_df, flag by integer cross-multiplication
+    (n_boilerplate * pct_den >= pct_num * n_shingles).  Shape: one
+    distinct (doc, shingle) table, one df aggregate, one join back —
+    the same inverted-index grain every dedup op pays, never
+    quadratic.  Output: (doc_id, n_shingles, n_boilerplate,
+    is_template).
+    """
+    norm = normalize_text(F.col(text_col))
+    pairs = docs.select(
+        F.col(id_col), F.explode(word_shingles(words(norm), k)).alias("shingle")
+    ).distinct()
+    dfx = pairs.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    return (
+        pairs.join(dfx, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("_df") >= min_df, 1).otherwise(0))
+            .cast("long")
+            .alias("n_boilerplate"),
+        )
+        .withColumn(
+            "is_template",
+            F.col("n_boilerplate") * pct_den >= F.lit(pct_num) * F.col("n_shingles"),
+        )
+    )
+
+
+def dedup_roi(
+    docs: DataFrame,
+    clusters: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    modulus: int = 8,
+) -> DataFrame:
+    """Dedup ROI composition — the curation-story closer (VERDICT r07
+    #6): how much of the corpus does each dedup family actually
+    remove, in comparable units, so a data buyer can see where the
+    bytes go.  Families are SEQUENTIAL where they overlap:
+
+    - ``corpus``:     baseline (n_docs, total normalized chars);
+    - ``exact``:      non-canonical docs of content-hash groups
+                      (window-min canonical, the curate device);
+    - ``near_dup``:   near-dup cluster non-survivors NOT already
+                      removed by exact — the marginal bytes LSH buys
+                      on top of hashing;
+    - ``cdc_chunks``: duplicate CDC chunk occurrences beyond each
+                      chunk's first (sub-document savings the
+                      doc-level families cannot see).
+
+    chars_removed counts NORMALIZED text characters (codepoints — the
+    one length both engines agree on), n_units is docs for the doc
+    families and chunk occurrences for cdc.  Each family is one
+    bounded aggregate; the near-dup family rides the staged cluster
+    table (pass `_dup_clusters`), so nothing here re-runs LSH.
+    Output: (family, n_units, chars_removed), 4 rows.
+    """
+    if "source" not in docs.columns:
+        # cdc_doc_chunks carries a source column; ROI does not use it
+        docs = docs.withColumn("source", F.lit(""))
+    norm = normalize_text(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        F.length(norm).cast("long").alias("n_chars"),
+        content_hash(F.col(text_col)).alias("_h"),
+    )
+    corpus = base.agg(
+        F.lit("corpus").alias("family"),
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("n_chars").cast("long").alias("chars_removed"),
+    )
+    wh = Window.partitionBy("_h")
+    exact_removed = base.withColumn("_keep", F.min(id_col).over(wh)).filter(
+        F.col(id_col) != F.col("_keep")
+    )
+    exact = exact_removed.agg(
+        F.lit("exact").alias("family"),
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("chars_removed"),
+    )
+    near = (
+        clusters.filter(F.col(id_col) != F.col("cluster_id"))
+        .join(exact_removed.select(id_col), id_col, "left_anti")
+        .join(base.select(id_col, "n_chars"), id_col)
+        .agg(
+            F.lit("near_dup").alias("family"),
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("chars_removed"),
+        )
+    )
+    chunks = cdc_doc_chunks(docs, text_col=text_col, w=w, modulus=modulus)
+    cdc = (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            (F.count(F.lit(1)) - 1).cast("long").alias("_extra"),
+            F.min("chunk_len").alias("_len"),
+        )
+        .agg(
+            F.lit("cdc_chunks").alias("family"),
+            F.coalesce(F.sum("_extra"), F.lit(0)).cast("long").alias("n_units"),
+            F.coalesce(F.sum(F.col("_extra") * F.col("_len")), F.lit(0))
+            .cast("long")
+            .alias("chars_removed"),
+        )
+    )
+    return corpus.unionByName(exact).unionByName(near).unionByName(cdc)

@@ -306,3 +306,65 @@ def principal_direction(embeddings: DataFrame, rounds: int = 6) -> DataFrame:
     return spark.createDataFrame(
         [(i + 1, v[i]) for i in range(d)], "pos long, comp_q20 long"
     )
+
+
+def label_centroid_drift(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding-centroid drift between vec_id ingest halves
+    — the encoder-regression alarm at the LABEL grain: if a class's
+    mean direction moves between two ingests (model swap, silent
+    preprocessing change, poisoned batch), nearest-centroid routing
+    (label_purity, L210) degrades before any retrieval metric does.
+    This is the labeled sibling of the corpus-level PCA screen (L245).
+
+    Device (exact integers after quantization): q20 unit vectors
+    (zero vectors dropped), halves by vec_id parity; per (label, dim)
+    the component sums s0/s1 are exact BIGINTs; the centroid L1 drift
+    Sigma_d |s0*n1 - s1*n0| / (n0*n1) is computed as one exact
+    DECIMAL(38,0) numerator sum and ONE truncating division (Spark
+    DECIMAL div == DuckDB HUGEINT //), so the q20 result is
+    bit-identical cross-engine.  Labels present in only one half are
+    dropped (no centroid to compare).
+
+    Shape: one posexplode + a map-side-combining (label, dim)
+    aggregate — d x |labels| reduce rows; the numerator stays exact up
+    to n0*n1*d*2^21 < 10^38 (DECIMAL38), far beyond any per-shard
+    corpus; at 100 TB shard the sum and merge (it is additive).
+    Output: (label, n_even, n_odd, drift_q20).
+    """
+    from marketing_attribution_etl_framework__maef_spark.llm.similarity import (
+        quantized_unit_vectors,
+    )
+
+    q = quantized_unit_vectors(embeddings).join(
+        embeddings.select("vec_id", F.col("label").cast("long").alias("label")),
+        "vec_id",
+    ).withColumn("half", (F.col("vec_id") % 2).cast("long"))
+    counts = q.groupBy("label").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("n_even"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n_odd"),
+    ).filter((F.col("n_even") > 0) & (F.col("n_odd") > 0))
+    ex = q.select("label", "half", F.posexplode("qv").alias("_d", "_x"))
+    sums = ex.groupBy("label", "_d").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("_x")).otherwise(0)).alias("s0"),
+        F.sum(F.when(F.col("half") == 1, F.col("_x")).otherwise(0)).alias("s1"),
+    )
+    num = (
+        sums.join(counts, "label")
+        .select(
+            "label",
+            "n_even",
+            "n_odd",
+            F.abs(
+                F.col("s0").cast("decimal(38,0)") * F.col("n_odd")
+                - F.col("s1").cast("decimal(38,0)") * F.col("n_even")
+            ).alias("_t"),
+        )
+        .groupBy("label", "n_even", "n_odd")
+        .agg(F.sum("_t").alias("_dn"))
+    )
+    return num.select(
+        "label",
+        "n_even",
+        "n_odd",
+        F.expr("cast((_dn div (n_even * n_odd)) as bigint)").alias("drift_q20"),
+    )

@@ -986,3 +986,114 @@ def surprisal_drift(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
             ).alias("mean_bits_q20"),
         )
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: token volume and NEW distinct
+    terms per doc-id decile, with running totals — "how fast does new
+    data stop adding new vocabulary", the lexical twin of the shingle
+    saturation curve (L217) and the capacity question every tokenizer
+    budget starts from (Heaps 1978: V ~ k·N^beta; the curve here is
+    the exact-integer raw material, slope fitting stays client-side).
+
+    A term is NEW in the decile of the smallest doc_id containing it
+    (deterministic: ids, not arrival order).  Exact integers end to
+    end.  Shape: one explode, one min-aggregate on the term grain (the
+    standard inverted-index shuffle), one 10-row window for the
+    cumulative sums — bounded driver-free arithmetic at any corpus
+    size.  Output: (bucket, n_tokens, new_terms, cum_tokens,
+    cum_vocab).
+    """
+    ex = docs.select(
+        F.col(id_col),
+        F.explode(words(normalize_text(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    mx = docs.agg(F.max(id_col).cast("long").alias("_mx"))
+    bucket_of = lambda c: F.expr(
+        f"least({n_buckets - 1}, {c} * {n_buckets} div (_mx + 1))"
+    ).cast("long")
+    tokens = (
+        ex.crossJoin(F.broadcast(mx))
+        .select(bucket_of(id_col).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    )
+    first = ex.groupBy("term").agg(F.min(id_col).cast("long").alias("_fd"))
+    fresh = (
+        first.crossJoin(F.broadcast(mx))
+        .select(bucket_of("_fd").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tokens.join(fresh, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce(F.col("new_terms"), F.lit(0)).cast("long").alias("new_terms"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .withColumn("cum_vocab", F.sum("new_terms").over(w).cast("long"))
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-half n-gram novelty — the contamination/staleness screen
+    between ingest halves: of each source's distinct word-8-grams in
+    the SECOND half (odd doc_id), what share never occurred in the
+    first (even) half?  Low novelty = the new ingest is re-crawling
+    known text (dedup will eat it); it is the n-gram-level sibling of
+    the unigram term-drift screen (L181) and the decontamination
+    overlap device (L22) pointed at ingest freshness.
+
+    Shingles are hashed to engine-portable 60-bit md5 longs; novelty
+    is an anti-join against the even-half distinct-gram set (the same
+    inverted-index grain as dedup, cost Sigma df, never quadratic);
+    the rate is half-up q20 on exact integer counts.  Output:
+    (source, n_grams, n_novel, novelty_q20).
+    """
+    hash60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    grams = docs.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.explode(word_shingles(words(normalize_text(F.col(text_col))), k)).alias("_s"),
+    ).select(
+        F.col(id_col), "source", hash60(F.col("_s")).alias("gram")
+    )
+    base = (
+        grams.filter(F.col(id_col) % 2 == 0).select("gram").distinct()
+    )
+    cur = (
+        grams.filter(F.col(id_col) % 2 == 1).select("source", "gram").distinct()
+    )
+    novel = cur.join(base, "gram", "left_anti")
+    n_all = cur.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    n_new = novel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    return (
+        n_all.join(n_new, "source", "left")
+        .select(
+            "source",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_q20",
+            F.expr("(2 * n_novel * 1048576 + n_grams) div (2 * n_grams)").cast("long"),
+        )
+    )

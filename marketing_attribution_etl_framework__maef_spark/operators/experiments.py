@@ -511,3 +511,71 @@ def matched_lift(events: DataFrame, channel: str = "click") -> DataFrame:
             f" end"
         ).alias("lift_cents_q20"),
     )
+
+
+def ab_quantile_effects(
+    events: DataFrame,
+    salt: str = "ab",
+    split_pct: int = 50,
+) -> DataFrame:
+    """Quantile treatment effects for the A/B split: per-buyer total
+    purchase cents compared at p25/p50/p75 between variants — the
+    distributional readout the mean-lift report (L109 ab_lift) hides:
+    a treatment that moves only the whale tail leaves the median flat,
+    and vice versa.
+
+    Assignment is the repo's canonical salted-md5 user bucket (the
+    EXACT expression in ab_lift_report, so the two readouts describe
+    the same experiment).  The population is BUYERS (users with >= 1
+    purchase); the outcome is their exact-cents purchase total; the
+    quantiles are exact PERCENTILE_DISC (L37 device — rank ==
+    ceil(p*n), an actual data value, no interpolation floats).
+
+    Output: (p, cents_a, cents_b, diff_cents), 3 rows.
+    Scale: one user-grain aggregate, then percentile_disc's per-variant
+    rank window — at 100 TB swap in the mergeable log-histogram sketch
+    (L87) for the same readout with bounded state.
+    """
+    from marketing_attribution_etl_framework__maef_spark.operators.quantiles import (
+        percentile_disc,
+    )
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|" + salt))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(is_purchase, F.round(F.col("value") * 100, 0).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("cents"),
+            F.max(is_purchase.cast("long")).alias("_buyer"),
+        )
+        .filter(F.col("_buyer") == 1)
+        .select(
+            F.when(bucket < split_pct, F.lit("A")).otherwise(F.lit("B")).alias("variant"),
+            "cents",
+        )
+    )
+    q = percentile_disc(per_user, ["variant"], "cents", [0.25, 0.5, 0.75])
+    return (
+        q.groupBy("p")
+        .agg(
+            F.max(F.when(F.col("variant") == "A", F.col("cents"))).cast("long").alias("cents_a"),
+            F.max(F.when(F.col("variant") == "B", F.col("cents"))).cast("long").alias("cents_b"),
+        )
+        .withColumn("diff_cents", (F.col("cents_b") - F.col("cents_a")).cast("long"))
+    )

@@ -756,3 +756,97 @@ def rank_stability(ev: DataFrame) -> DataFrame:
             f" else -((2 * -{num} * 1048576 + {den}) div (2 * {den})) end as bigint) end"
         ).alias("rho_q20"),
     )
+
+
+def effective_frequency(events: DataFrame) -> DataFrame:
+    """Effective-frequency curve: purchase rate by per-user touch
+    count — the media-planning question behind frequency capping
+    (L184): after how many touches does the marginal conversion
+    probability flatten?  Users are bucketed by the BINARY MAGNITUDE
+    of their total non-purchase touch count (bucket = bit length: 1,
+    2-3, 4-7, 8-15, ... — the integer-exact log grid the L87 histogram
+    sketch uses, portable because both engines ship bin()); a user
+    converts if they have any purchase.
+
+    Exact integers: per-bucket user and buyer counts, rate as half-up
+    q20 via (2a*2^20 + b) div (2b).  Scale: one user-grain aggregate
+    (map-side combining conditional counts) then a ~64-row roll-up.
+    Output: (touch_bucket, n_users, n_buyers, buy_rate_q20).
+    """
+    is_purchase = F.col("event_type") == "purchase"
+    per_user = events.groupBy("user_id").agg(
+        F.sum((~is_purchase).cast("long")).cast("long").alias("_touches"),
+        F.max(is_purchase.cast("long")).cast("long").alias("_buyer"),
+    )
+    bucket = F.when(F.col("_touches") == 0, F.lit(0)).otherwise(
+        F.length(F.expr("bin(_touches)"))
+    )
+    return (
+        per_user.select(bucket.cast("long").alias("touch_bucket"), "_buyer")
+        .groupBy("touch_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("_buyer").cast("long").alias("n_buyers"),
+        )
+        .withColumn(
+            "buy_rate_q20",
+            F.expr("(2 * n_buyers * 1048576 + n_users) div (2 * n_users)").cast("long"),
+        )
+    )
+
+
+def channel_affinity(events: DataFrame) -> DataFrame:
+    """Channel-pair audience affinity (lift matrix): for every
+    unordered channel pair, observed co-audience vs the independence
+    expectation — lift = P(a and b) / (P(a) * P(b)) — the portfolio
+    question channel_synergy (L195) answers at the JOURNEY grain asked
+    at the cheaper USER-INCIDENCE grain (reach planning, not
+    attribution).
+
+    Exact integers end to end: audiences and co-audiences are distinct
+    user counts; lift is half-up q20 of the rational
+    (n_ab * n_users) / (n_a * n_b) via integer cross-multiplication —
+    no float crosses engines.  Scale: the distinct (user, channel)
+    incidence is one aggregate; the pair self-join fans each user's
+    bounded channel set (<= |channels|) quadratically per user, never
+    across users.  Output: (channel_a, channel_b, n_a, n_b, n_pair,
+    lift_q20).
+    """
+    inc = (
+        events.filter(F.col("event_type") != "purchase")
+        .select("user_id", F.col("event_type").alias("channel"))
+        .distinct()
+    )
+    n_users = inc.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    per_ch = inc.groupBy("channel").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = inc.select("user_id", F.col("channel").alias("channel_a"))
+    b = inc.select("user_id", F.col("channel").alias("channel_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("channel_a") < F.col("channel_b"))
+        .groupBy("channel_a", "channel_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(per_ch.select(F.col("channel").alias("channel_a"), F.col("n").alias("n_a"))),
+            "channel_a",
+        )
+        .join(
+            F.broadcast(per_ch.select(F.col("channel").alias("channel_b"), F.col("n").alias("n_b"))),
+            "channel_b",
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "channel_a",
+            "channel_b",
+            "n_a",
+            "n_b",
+            "n_pair",
+            F.expr("(2 * n_pair * _n * 1048576 + n_a * n_b) div (2 * n_a * n_b)")
+            .cast("long")
+            .alias("lift_q20"),
+        )
+    )

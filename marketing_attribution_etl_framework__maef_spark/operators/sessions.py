@@ -238,3 +238,59 @@ def activity_streaks(events: DataFrame) -> DataFrame:
     return longest.groupBy("streak_days").agg(
         F.countDistinct("user_id").cast("long").alias("n_users")
     )
+
+
+def session_depth(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    max_bucket: int = 5,
+) -> DataFrame:
+    """Session-depth histogram per entry channel: how many events do
+    sessions that START on each channel contain — the engagement
+    distribution behind the single-number bounce rate (L209): two
+    channels with equal bounce rates can still differ wildly in the
+    depth tail this exposes.
+
+    Session construction is IDENTICAL to bounce_rate (purchases
+    filtered first, closed-interval gap <= 30 min, entry = first event
+    by (ts, event_id)); depth is capped at ``max_bucket`` ("N+" top
+    bucket).  Output: (entry_channel, depth_bucket, n_sessions).
+
+    Scale: one user-keyed window scan (the W2 sessionization shuffle),
+    one (user, session) aggregate, one bounded
+    |channels| x max_bucket roll-up.
+    """
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = (
+        events.filter(F.col("event_type") != "purchase")
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_prev", F.lag("ts").over(w))
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.expr("timestampdiff(MICROSECOND, _prev, ts)") <= F.lit(gap_us)),
+                0,
+            ).otherwise(1),
+        )
+        .withColumn("_g", F.sum("_brk").over(w))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "_g").orderBy("ts", "event_id")
+            ),
+        )
+    )
+    per_session = marked.groupBy("user_id", "_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_events"),
+        F.max(F.when(F.col("_rn") == 1, F.col("event_type"))).alias("entry_channel"),
+    )
+    return (
+        per_session.select(
+            "entry_channel",
+            F.least(F.col("_n_events"), F.lit(max_bucket)).cast("long").alias("depth_bucket"),
+        )
+        .groupBy("entry_channel", "depth_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )

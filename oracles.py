@@ -7077,8 +7077,366 @@ FROM scaled s, lft l
 """
 
 
+# ---------------------------------------------------------------------------
+# round-8 session oracles (r09 queue)
+# ---------------------------------------------------------------------------
+
+# llm/dedup.py lsh_hot_bucket_terms: minhash band buckets >= 3 docs,
+# per-bucket argmax shingle by member df (tie: shingle asc), corpus df
+_ORACLE_LSH_HOT_BUCKETS = f"""
+WITH {_AUG}, {_NORM_AUG}, {_SHINGLED}, {_MINHASH_CTES},
+sizes AS (
+  SELECT band, key, CAST(COUNT(*) AS BIGINT) AS bucket_size
+  FROM bands GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+mem AS (
+  SELECT b.doc_id, s.band, s.key, s.bucket_size
+  FROM bands b JOIN sizes s ON b.band = s.band AND b.key = s.key
+),
+p2 AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (SELECT doc_id, unnest(shingles) AS sh FROM shingled)
+),
+dfx AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS corpus_df FROM p2 GROUP BY 1),
+bs AS (
+  SELECT m.band, m.key, m.bucket_size, p.sh, CAST(COUNT(*) AS BIGINT) AS member_df
+  FROM mem m JOIN p2 p USING (doc_id) GROUP BY 1, 2, 3, 4
+),
+top AS (
+  SELECT band, key, bucket_size, sh, member_df FROM bs
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY band, key
+                             ORDER BY member_df DESC, sh ASC) = 1
+)
+SELECT CAST(t.band AS BIGINT) AS band, t.key, t.bucket_size,
+       t.sh AS top_shingle, t.member_df, d.corpus_df
+FROM top t JOIN dfx d USING (sh)
+"""
+
+# llm/dedup.py template_docs: distinct (doc, shingle) pairs, df >= 2
+# boilerplate share, 80% flag by integer cross-multiplication
+_ORACLE_TEMPLATE_DOCS = f"""
+WITH {_AUG}, {_NORM_AUG}, {_SHINGLED},
+p2 AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (SELECT doc_id, unnest(shingles) AS sh FROM shingled)
+),
+dfx AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM p2 GROUP BY 1)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 5 >= 4 * COUNT(*) AS is_template
+FROM p2 p JOIN dfx d USING (sh)
+GROUP BY 1
+"""
+
+# llm/dedup.py dedup_roi: exact removals (window-min canonical), the
+# minhash-cluster walk's marginal removals, CDC duplicate chunk
+# occurrences with chunk char lengths — all over the augmented corpus
+_ORACLE_DEDUP_ROI = f"""
+WITH RECURSIVE {_AUG}, {_NORM_AUG}, {_SHINGLED}, {_MINHASH_CTES},
+pairs AS (
+  SELECT doc_a, doc_b FROM scored WHERE inter_size * 2 >= union_size * 1
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, cluster_id) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.cluster_id FROM walk w JOIN edges e ON e.dst = w.doc_id
+),
+clus AS (SELECT doc_id, MIN(cluster_id) AS cluster_id FROM walk GROUP BY doc_id),
+base AS (
+  SELECT doc_id, CAST(LENGTH(norm) AS BIGINT) AS n_chars, md5(norm) AS h FROM nd
+),
+exr AS (
+  SELECT doc_id, n_chars FROM (
+    SELECT doc_id, n_chars, MIN(doc_id) OVER (PARTITION BY h) AS keep FROM base
+  ) WHERE doc_id <> keep
+),
+nearr AS (
+  SELECT c.doc_id, b.n_chars
+  FROM clus c JOIN base b USING (doc_id)
+  WHERE c.cluster_id <> c.doc_id
+    AND c.doc_id NOT IN (SELECT doc_id FROM exr)
+),
+cd2 AS (SELECT doc_id, ws, len(ws) AS n
+        FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM nd)),
+ccuts AS (
+  SELECT doc_id, ws, n,
+         list_filter(
+           list_transform(range(1, greatest(n - 1, 2)),
+             i -> CASE WHEN CAST('0x' || substr(md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2])), 1, 15) AS BIGINT) % 8 = 0
+                        AND i + 2 < n
+                       THEN i + 2 END),
+           x -> x IS NOT NULL) AS cuts
+  FROM cd2
+),
+cb AS (
+  SELECT doc_id, ws,
+         list_concat(list_concat([CAST(0 AS BIGINT)], cuts), [CAST(n AS BIGINT)]) AS bounds
+  FROM ccuts
+),
+cch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(bounds)),
+           j -> struct_pack(
+             chunk_md5 := md5(array_to_string(list_slice(ws, bounds[j] + 1, bounds[j + 1]), ' ')),
+             chunk_len := CAST(LENGTH(array_to_string(list_slice(ws, bounds[j] + 1, bounds[j + 1]), ' ')) AS BIGINT))),
+           recursive := true)
+  FROM cb
+),
+cagg AS (
+  SELECT chunk_md5, CAST(COUNT(*) - 1 AS BIGINT) AS extra, MIN(chunk_len) AS clen
+  FROM cch GROUP BY 1
+)
+SELECT 'corpus' AS family, CAST(COUNT(*) AS BIGINT) AS n_units,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_removed
+FROM base
+UNION ALL
+SELECT 'exact', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(n_chars), 0) AS BIGINT)
+FROM exr
+UNION ALL
+SELECT 'near_dup', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(n_chars), 0) AS BIGINT)
+FROM nearr
+UNION ALL
+SELECT 'cdc_chunks', CAST(COALESCE(SUM(extra), 0) AS BIGINT),
+       CAST(COALESCE(SUM(extra * clen), 0) AS BIGINT)
+FROM cagg
+"""
+
+# llm/text.py vocab_growth: Heaps curve by doc-id decile; a term is
+# NEW in the decile of its min doc_id; // truncates like Spark div
+_ORACLE_VOCAB_GROWTH = f"""
+WITH {_NORM_RAW},
+exf AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM nd)
+  WHERE term <> ''
+),
+mx AS (SELECT MAX(doc_id) AS m FROM documents),
+tok AS (
+  SELECT CAST(least(9, doc_id * 10 // (m + 1)) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM exf, mx GROUP BY 1
+),
+fst AS (SELECT term, MIN(doc_id) AS fd FROM exf GROUP BY 1),
+fresh AS (
+  SELECT CAST(least(9, fd * 10 // (m + 1)) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS new_terms
+  FROM fst, mx GROUP BY 1
+)
+SELECT t.bucket, t.n_tokens,
+       COALESCE(f.new_terms, 0) AS new_terms,
+       CAST(SUM(t.n_tokens) OVER (ORDER BY t.bucket) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(f.new_terms, 0)) OVER (ORDER BY t.bucket) AS BIGINT) AS cum_vocab
+FROM tok t LEFT JOIN fresh f USING (bucket)
+"""
+
+# llm/text.py ngram_novelty: second-half (odd doc_id) distinct 8-grams
+# per source anti-joined against the even-half gram set; half-up q20
+_ORACLE_NGRAM_NOVELTY = """
+WITH nd8 AS (
+  SELECT doc_id, source,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, greatest(len(ws) - 6, 2)),
+                i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+                                    ws[i+4], ws[i+5], ws[i+6], ws[i+7]))) AS s
+  FROM nd8
+),
+gh AS (SELECT doc_id, source, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS gram FROM g),
+base AS (SELECT DISTINCT gram FROM gh WHERE doc_id % 2 = 0),
+cur AS (SELECT DISTINCT source, gram FROM gh WHERE doc_id % 2 = 1),
+novel AS (SELECT c.* FROM cur c ANTI JOIN base b USING (gram)),
+na AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM cur GROUP BY 1),
+nn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_novel FROM novel GROUP BY 1)
+SELECT a.source, a.n_grams, COALESCE(n.n_novel, 0) AS n_novel,
+       CAST((2 * COALESCE(n.n_novel, 0) * 1048576 + a.n_grams)
+            // (2 * a.n_grams) AS BIGINT) AS novelty_q20
+FROM na a LEFT JOIN nn n USING (source)
+"""
+
+# llm/embquality.py label_centroid_drift: q20 unit vectors, vec_id
+# parity halves, exact HUGEINT numerator, one truncating division
+_ORACLE_LABEL_DRIFT = f"""
+WITH {_E_NORMED},
+kqv AS (
+  SELECT vec_id, list_transform(v, x -> CAST(floor(x / vn * 1048576.0 + 0.5) AS BIGINT)) AS qv
+  FROM e WHERE vn > 0
+),
+j AS (
+  SELECT k.vec_id, CAST(l.label AS BIGINT) AS label, k.qv, k.vec_id % 2 AS half
+  FROM kqv k JOIN embeddings l USING (vec_id)
+),
+counts AS (
+  SELECT label,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+  FROM j GROUP BY 1
+  HAVING SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) > 0
+     AND SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) > 0
+),
+ex AS (
+  SELECT label, half, generate_subscripts(qv, 1) AS d, unnest(qv) AS x FROM j
+),
+sums AS (
+  SELECT label, d,
+         SUM(CASE WHEN half = 0 THEN x ELSE 0 END) AS s0,
+         SUM(CASE WHEN half = 1 THEN x ELSE 0 END) AS s1
+  FROM ex GROUP BY 1, 2
+)
+SELECT s.label, c.n_even, c.n_odd,
+       CAST(SUM(abs(CAST(s.s0 AS HUGEINT) * c.n_odd - CAST(s.s1 AS HUGEINT) * c.n_even))
+            // (CAST(c.n_even AS HUGEINT) * c.n_odd) AS BIGINT) AS drift_q20
+FROM sums s JOIN counts c USING (label)
+GROUP BY 1, 2, 3
+"""
+
+# operators/planning.py effective_frequency: per-user touch count on
+# the binary-magnitude grid (bucket = bit length), buyer flag,
+# half-up q20 rate
+_ORACLE_EFFECTIVE_FREQUENCY = """
+WITH pu AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS t,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+  FROM events GROUP BY 1
+)
+SELECT CAST(CASE WHEN t = 0 THEN 0 ELSE LENGTH(bin(t)) END AS BIGINT) AS touch_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(b) AS BIGINT) AS n_buyers,
+       CAST((2 * SUM(b) * 1048576 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS buy_rate_q20
+FROM pu GROUP BY 1
+"""
+
+# operators/planning.py channel_affinity: distinct user-channel
+# incidence, pair co-audience vs independence, cross-multiplied q20
+_ORACLE_CHANNEL_AFFINITY = """
+WITH inc AS (
+  SELECT DISTINCT user_id, event_type AS channel
+  FROM events WHERE event_type <> 'purchase'
+),
+nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM inc),
+pc AS (SELECT channel, CAST(COUNT(*) AS BIGINT) AS n FROM inc GROUP BY 1),
+pr AS (
+  SELECT a.channel AS channel_a, b.channel AS channel_b,
+         CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM inc a JOIN inc b ON a.user_id = b.user_id AND a.channel < b.channel
+  GROUP BY 1, 2
+)
+SELECT p.channel_a, p.channel_b, ca.n AS n_a, cb.n AS n_b, p.n_pair,
+       CAST((2 * p.n_pair * u.n * 1048576 + ca.n * cb.n)
+            // (2 * ca.n * cb.n) AS BIGINT) AS lift_q20
+FROM pr p
+JOIN pc ca ON p.channel_a = ca.channel
+JOIN pc cb ON p.channel_b = cb.channel
+CROSS JOIN nu u
+"""
+
+# operators/sessions.py session_depth: the L209 session construction
+# verbatim, depth capped at 5+
+_ORACLE_SESSION_DEPTH = """
+WITH marked AS MATERIALIZED (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('microsecond', LAG(ts) OVER w, ts) <= 1800000000
+              THEN 0 ELSE 1 END AS brk,
+         ROW_NUMBER() OVER w AS ord
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+grouped AS MATERIALIZED (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, g, CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(CASE WHEN rn = 1 THEN event_type END) AS entry_channel
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, g
+                                     ORDER BY ts, event_id) AS rn
+        FROM grouped)
+  GROUP BY 1, 2
+)
+SELECT entry_channel,
+       CAST(least(n_events, 5) AS BIGINT) AS depth_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM per_session GROUP BY 1, 2
+"""
+
+# operators/experiments.py ab_quantile_effects: buyers' exact-cents
+# totals, canonical md5 split, exact PERCENTILE_DISC at p25/50/75
+_ORACLE_AB_QUANTILES = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS cents,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+  FROM events GROUP BY 1
+),
+buyers AS (
+  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|ab'), 1, 15) AS BIGINT) % 100 < 50
+              THEN 'A' ELSE 'B' END AS variant,
+         cents
+  FROM pu WHERE b = 1
+),
+ranked AS (
+  SELECT variant, cents,
+         ROW_NUMBER() OVER (PARTITION BY variant ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY variant) AS n
+  FROM buyers
+),
+q AS (
+  SELECT p, variant, cents
+  FROM ranked, (SELECT unnest([2.5e-1, 5e-1, 7.5e-1]) AS p) ps
+  WHERE rn = CAST(ceil(p * n) AS BIGINT)
+)
+SELECT p,
+       CAST(MAX(CASE WHEN variant = 'A' THEN cents END) AS BIGINT) AS cents_a,
+       CAST(MAX(CASE WHEN variant = 'B' THEN cents END) AS BIGINT) AS cents_b,
+       CAST(MAX(CASE WHEN variant = 'B' THEN cents END)
+            - MAX(CASE WHEN variant = 'A' THEN cents END) AS BIGINT) AS diff_cents
+FROM q GROUP BY 1
+"""
+
+# __spark_entry__.q_stream_dq: per event-time day violation counters —
+# the batch SQL the streaming aggregate must reproduce
+_ORACLE_STREAM_DQ = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+       CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_value,
+       CAST(SUM(CASE WHEN event_type NOT IN ('click','view','signup','error','purchase')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown_type,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_props
+FROM events GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "llm_lsh_hot_buckets": _ORACLE_LSH_HOT_BUCKETS,
+        "llm_template_docs": _ORACLE_TEMPLATE_DOCS,
+        "llm_dedup_roi": _ORACLE_DEDUP_ROI,
+        "llm_vocab_growth": _ORACLE_VOCAB_GROWTH,
+        "llm_ngram_novelty": _ORACLE_NGRAM_NOVELTY,
+        "llm_label_drift": _ORACLE_LABEL_DRIFT,
+        "maef_effective_frequency": _ORACLE_EFFECTIVE_FREQUENCY,
+        "maef_channel_affinity": _ORACLE_CHANNEL_AFFINITY,
+        "maef_session_depth": _ORACLE_SESSION_DEPTH,
+        "maef_ab_quantiles": _ORACLE_AB_QUANTILES,
+        # streaming twin gated by the batch L209 oracle text verbatim
+        "maef_stream_bounce": _ORACLE_BOUNCE_RATE,
+        "maef_stream_dq": _ORACLE_STREAM_DQ,
         "maef_next_best_channel": _ORACLE_NEXT_BEST_CHANNEL,
         "llm_ann_recall": _ORACLE_ANN_RECALL,
         "llm_ann_recall_drift": _ORACLE_ANN_RECALL_DRIFT,
