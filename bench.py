@@ -130,6 +130,10 @@ CHECKPOINT_HEAVY = {
     # the candidate docs)
     "llm_multimodal_features",
     "llm_minhash_accuracy",
+    # r08: five-stage chain with a localCheckpoint'd attribution and
+    # scratch-warehouse sinks; 7.1 s first run vs 3.8 s warm in the
+    # same session (sink + codegen warm-up dominates run 1)
+    "maef_pipeline_e2e",
     # label purity checkpoints the labeled quantized vectors
     "llm_label_purity",
     # streaming state materialization + serving-side checkpoint

@@ -98,37 +98,47 @@ def greedy_coverage(
     task's plan per round).
     """
     spark = docs.sparkSession
-    pairs_full = (
-        doc_shingles(docs, text_col, id_col).repartition(4).localCheckpoint()
-    )
+    # The full (doc, shingle) table is a LINEAGE, never materialized:
+    # post slice-shingling the explode is cheap to recompute (repo perf
+    # rule), so the two corpus passes (round-1 gain aggregate + the
+    # pool prune) beat one pass plus a corpus-scale localCheckpoint
+    # write (the r07 profile: the old per-round checkpoint chain spent
+    # its time writing the corpus to the block manager).  Only the
+    # pool-sized live sliver is checkpointed.
+    pairs_full = doc_shingles(docs, text_col, id_col)
     out, covered_total = [], 0
     winners: list = []
+    # Round-1 aggregate over the full corpus; its top row IS the
+    # round-1 selection, and rows 2..candidate_pool seed the pool.
+    # Bounded driver state: candidate_pool rows, fixed.
+    g0 = (
+        pairs_full.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+        .orderBy(F.desc("gain"), F.asc(id_col))
+        .limit(candidate_pool)
+        .collect()
+    )
+    if not g0 or g0[0]["gain"] == 0:
+        return spark.createDataFrame(
+            [], "round long, doc_id long, gain long, covered_total long"
+        )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        # Round-1 aggregate over the full corpus; its top row IS the
-        # round-1 selection, and rows 2..candidate_pool seed the pool.
-        # Bounded driver state: candidate_pool rows, fixed.
-        g0 = (
-            pairs_full.groupBy(id_col)
-            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
-            .orderBy(F.desc("gain"), F.asc(id_col))
-            .limit(candidate_pool)
-            .collect()
-        )
-        if not g0 or g0[0]["gain"] == 0:
-            return spark.createDataFrame(
-                [], "round long, doc_id long, gain long, covered_total long"
-            )
         # threshold below which an outside doc could still win a tie;
         # -1 when the pool holds the whole corpus (pruning is complete)
         threshold = g0[-1]["gain"] if len(g0) == candidate_pool else -1
         pool_ids = spark.createDataFrame(
             [(r[id_col],) for r in g0], f"{id_col} long"
         )
-        live = pairs_full.join(
-            F.broadcast(pool_ids), id_col, "left_semi"
-        ).localCheckpoint()
+        # the pool-sized live table is repartitioned DOWN to 4 so the
+        # latency-bound loop pays 4 tasks per job, not the corpus
+        # checkpoint's partition count
+        live = (
+            pairs_full.join(F.broadcast(pool_ids), id_col, "left_semi")
+            .repartition(4)
+            .localCheckpoint()
+        )
         pruned = True
         rnd = 1
         top = (g0[0][id_col], g0[0]["gain"])
@@ -157,7 +167,11 @@ def greedy_coverage(
                     .select("sh")
                     .distinct()
                 )
-                live = pairs_full.join(covered_sh, "sh", "left_anti").localCheckpoint()
+                live = (
+                    pairs_full.join(covered_sh, "sh", "left_anti")
+                    .repartition(4)
+                    .localCheckpoint()
+                )
                 pruned = False
                 rows = (
                     live.groupBy(id_col)
