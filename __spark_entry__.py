@@ -5989,6 +5989,205 @@ def q_stream_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L278: per-source sentence-length profile — [.!?]+ splits of the
+    normalized text, trimmed, empties dropped; exact counts + half-up
+    q20 mean (llm/text.py sentence_stats)."""
+    return txt.sentence_stats(_docs(spark, sf_dir))
+
+
+def q_lsh_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L279: LSH candidate-cost audit — per band the pair count
+    PREDICTED from bucket sizes alone, plus the 'all' row whose
+    actual_pairs is the real distinct cross-band candidate count; the
+    planner's re-band/scrub decision input (llm/dedup.py
+    lsh_cost_audit)."""
+    return dd.lsh_cost_audit(_aug_docs(spark, sf_dir))
+
+
+def q_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L280: error-exposure conversion screen — purchase rate for
+    users with vs without an 'error' event, exact q20
+    (operators/planning.py error_impact)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import planning as pln
+
+    return pln.error_impact(domain.events(spark, sf_dir))
+
+
+def q_rel_price_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L281: per-nation price waterfall over the TPC-H-ish star —
+    gross extended price, discount amount, net revenue (all exact e4
+    integer units: cents x cents-of-rate) and tax charge (e6), the
+    margin-bridge decomposition finance asks of the same lineitem scan
+    the rel_* kernels read.  One join chain (lineitem -> orders ->
+    customer -> nation, dims broadcast) + one bounded aggregate."""
+    li = domain.load_table(spark, sf_dir, "lineitem")
+    orders = domain.load_table(spark, sf_dir, "orders")
+    cust = domain.load_table(spark, sf_dir, "customer")
+    nation = domain.load_table(spark, sf_dir, "nation")
+    p_e2 = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    d_e2 = F.round(F.col("l_discount") * 100, 0).cast("long")
+    t_e2 = F.round(F.col("l_tax") * 100, 0).cast("long")
+    rows = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            (p_e2 * 100).alias("_gross_e4"),
+            (p_e2 * d_e2).alias("_disc_e4"),
+            (p_e2 * (F.lit(100) - d_e2) * t_e2).alias("_tax_e6"),
+        )
+    )
+    return rows.groupBy("nation").agg(
+        F.sum("_gross_e4").cast("long").alias("gross_e4"),
+        F.sum("_disc_e4").cast("long").alias("discount_e4"),
+        (F.sum("_gross_e4") - F.sum("_disc_e4")).cast("long").alias("net_e4"),
+        F.sum("_tax_e6").cast("long").alias("tax_e6"),
+    )
+
+
+def q_stream_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L277: STREAMING vocabulary-store maintenance — the ingest-time
+    twin of the Heaps growth curve (L268), completing it the way L244
+    completed L231: documents stream in, each micro-batch's terms are
+    reduced to per-term (first_doc, occurrences) parts via
+    foreachBatch, the live store re-aggregates under the
+    associative+commutative merge law (first = min, occurrences =
+    sum), so the final state is independent of micro-batch slicing —
+    which is what lets the availableNow run be oracle-gated against
+    the batch term table.  Serving output: per first-doc decile,
+    distinct terms owned and their corpus-wide occurrence mass
+    (streaming/incremental.py IncrementalVocabStore)."""
+    import shutil
+
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".stream_tmp",
+        "vocab_store_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    drv = inc.IncrementalVocabStore(spark, root)
+    docs = inc.stream_documents(spark, f"{sf_dir}/documents.parquet")
+    drv.start(docs).awaitTermination()
+    mx = _docs(spark, sf_dir).agg(F.max("doc_id").cast("long").alias("_mx"))
+    return (
+        drv.store()
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("cast(least(9, first_doc * 10 div (_mx + 1)) as long)").alias("bucket"),
+            "n_occurrences",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("n_occurrences").cast("long").alias("n_occurrences"),
+        )
+        .localCheckpoint()
+    )
+
+
+def q_stream_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L282: STREAMING session-depth histogram — the streaming twin of
+    L273 on the same session_window state as L275; gated by the SAME
+    oracle text as maef_session_depth."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    name = "stream_depth_sink"
+    try:
+        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+        g = (
+            ev.filter(F.col("event_type") != "purchase")
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.min(F.struct("ts", "event_id", "event_type")).alias("_first"),
+            )
+        )
+        q = (
+            g.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(name)
+            .select(
+                F.col("_first.event_type").alias("entry_channel"),
+                F.least(F.col("n_events"), F.lit(5)).cast("long").alias("depth_bucket"),
+            )
+            .groupBy("entry_channel", "depth_bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+            .localCheckpoint()
+        )
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def q_stream_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L283: STREAMING effective-frequency state — per-user touch/buyer
+    flags maintained as one streaming user-grain aggregate (state
+    bounded by users), bucketed serving-side on the binary-magnitude
+    grid; gated by the SAME oracle text as maef_effective_frequency."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    name = "stream_freq_sink"
+    try:
+        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+        g = ev.groupBy("user_id").agg(
+            F.sum((F.col("event_type") != "purchase").cast("long"))
+            .cast("long")
+            .alias("_touches"),
+            F.max((F.col("event_type") == "purchase").cast("long"))
+            .cast("long")
+            .alias("_buyer"),
+        )
+        q = (
+            g.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(name)
+            .select(
+                F.when(F.col("_touches") == 0, F.lit(0))
+                .otherwise(F.length(F.expr("bin(_touches)")))
+                .cast("long")
+                .alias("touch_bucket"),
+                "_buyer",
+            )
+            .groupBy("touch_bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+                F.sum("_buyer").cast("long").alias("n_buyers"),
+            )
+            .withColumn(
+                "buy_rate_q20",
+                F.expr("(2 * n_buyers * 1048576 + n_users) div (2 * n_users)").cast(
+                    "long"
+                ),
+            )
+            .localCheckpoint()
+        )
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r08 rotation (VERDICT r07 next-steps #1):
@@ -6070,6 +6269,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_ab_quantiles": q_ab_quantiles,
         "maef_stream_bounce": q_stream_bounce,
         "maef_stream_dq": q_stream_dq,
+        "llm_stream_vocab": q_stream_vocab,
+        "llm_sentence_stats": q_sentence_stats,
+        "llm_lsh_cost_audit": q_lsh_cost_audit,
+        "maef_error_impact": q_error_impact,
+        "rel_price_waterfall": q_rel_price_waterfall,
+        "maef_stream_depth": q_stream_depth,
+        "maef_stream_frequency": q_stream_frequency,
         # --- freshly-green r07 window (CORRECTNESS_r07, 50/50) rotates here ---
         "maef_next_best_channel": q_next_best_channel,
         "maef_interpurchase": q_interpurchase,

@@ -1563,3 +1563,64 @@ def dedup_roi(
         )
     )
     return corpus.unionByName(exact).unionByName(near).unionByName(cdc)
+
+
+def lsh_cost_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """LSH candidate-cost audit — the planner's cost model for the L9
+    self-join, checked against reality: per band, the candidate pair
+    count PREDICTED from bucket sizes (sum over buckets of
+    size*(size-1)/2 — computable from the cheap band aggregate alone,
+    BEFORE any join), plus an 'all' row whose actual_pairs is the
+    distinct cross-band candidate count the join really produces.
+    predicted('all') / actual('all') is the band-overlap redundancy —
+    how much work multiprobe-style band fusion would save; a predicted
+    figure far above budget says re-band or boilerplate-scrub (L266)
+    BEFORE running the join at all.
+
+    Exact integers throughout.  Shape: bucket sizes are one aggregate;
+    only the single 'all' row pays the self-join (and a production
+    planner would SKIP it when predicted already exceeds budget).
+    Output: (scope, n_buckets, predicted_pairs, actual_pairs) — per
+    band, actual == predicted by construction (within one band every
+    bucket pair is distinct); across bands dedup shrinks it.
+    """
+    norm = normalize_text(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col), F.explode(word_shingles(words(norm), k)).alias("shingle")
+    )
+    bandsdf = lsh_bands(
+        minhash_signatures(exploded, id_col, "shingle", num_hashes),
+        id_col,
+        bands,
+        rows_per_band,
+    )
+    sizes = bandsdf.groupBy("band", "key").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per_band = sizes.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("predicted_pairs"),
+    )
+    band_rows = per_band.select(
+        F.col("band").cast("string").alias("scope"),
+        "n_buckets",
+        "predicted_pairs",
+        F.col("predicted_pairs").alias("actual_pairs"),
+    )
+    actual = candidate_pairs(bandsdf, id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("actual_pairs")
+    )
+    all_row = per_band.agg(
+        F.lit("all").alias("scope"),
+        F.sum("n_buckets").cast("long").alias("n_buckets"),
+        F.sum("predicted_pairs").cast("long").alias("predicted_pairs"),
+    ).crossJoin(actual)
+    return band_rows.unionByName(all_row)

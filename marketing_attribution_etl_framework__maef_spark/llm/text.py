@@ -1097,3 +1097,51 @@ def ngram_novelty(
             F.expr("(2 * n_novel * 1048576 + n_grams) div (2 * n_grams)").cast("long"),
         )
     )
+
+
+def sentence_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source sentence-length profile: sentences are the [.!?]+
+    splits of the normalized text (trimmed, empties dropped — the
+    trim+filter normalizes the one edge the two engines' regex-split
+    semantics disagree on, trailing empties).  The quality-screen
+    companion to per-doc text_stats at the SOURCE grain: a source
+    whose mean sentence length collapses is lists/boilerplate, one
+    whose max explodes is unsegmented concatenation.
+
+    Exact integers: sentence counts and char totals; mean as half-up
+    q20.  Shape: one explode + one map-side-combining aggregate per
+    source — no cross-document state.  Output: (source, n_docs,
+    n_sentences, total_chars, mean_len_q20, max_len).
+    """
+    norm = normalize_text(F.col(text_col))
+    parts = docs.select(
+        F.col(source_col).alias("source"),
+        F.col("doc_id"),
+        F.explode(F.split(norm, r"[.!?]+")).alias("_s"),
+    ).select("source", "doc_id", F.trim(F.col("_s")).alias("s"))
+    sent = parts.filter(F.col("s") != "").select(
+        "source", "doc_id", F.length("s").cast("long").alias("slen")
+    )
+    return (
+        sent.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+            F.sum("slen").cast("long").alias("total_chars"),
+            F.max("slen").cast("long").alias("max_len"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_sentences",
+            "total_chars",
+            F.expr("(2 * total_chars * 1048576 + n_sentences) div (2 * n_sentences)")
+            .cast("long")
+            .alias("mean_len_q20"),
+            "max_len",
+        )
+    )

@@ -850,3 +850,32 @@ def channel_affinity(events: DataFrame) -> DataFrame:
             .alias("lift_q20"),
         )
     )
+
+
+def error_impact(events: DataFrame) -> DataFrame:
+    """Error-exposure conversion screen: purchase rate for users who
+    hit at least one 'error' event vs users who hit none — the
+    site-reliability question marketing dashboards bury (is the error
+    page costing conversions?), answered with the same exact-integer
+    contract as the A/B readout (L109): the significance test belongs
+    in the notebook, the warehouse emits exact counts.
+
+    Output: (has_error, n_users, n_buyers, buy_rate_q20).  Scale: one
+    user-grain aggregate (map-side combining flags), then a 2-row
+    roll-up.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "error").cast("long")).alias("_err"),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("_buyer"),
+    )
+    return (
+        per_user.groupBy(F.col("_err").cast("boolean").alias("has_error"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("_buyer").cast("long").alias("n_buyers"),
+        )
+        .withColumn(
+            "buy_rate_q20",
+            F.expr("(2 * n_buyers * 1048576 + n_users) div (2 * n_users)").cast("long"),
+        )
+    )

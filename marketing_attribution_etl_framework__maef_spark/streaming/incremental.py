@@ -536,3 +536,72 @@ def funnel_from_first_touch(state: DataFrame, n_steps: int) -> DataFrame:
         .groupBy("funnel_stage", "n_users")
         .agg(F.sum("_n2").cast("long").alias("n_reached"))
     )
+
+
+class IncrementalVocabStore:
+    """Streaming maintenance of the corpus VOCABULARY store — the
+    ingest-time face of the Heaps vocabulary-growth curve (llm/text.py
+    vocab_growth), the way IncrementalChunkStore is L231's: documents
+    arrive as a stream, each micro-batch's terms are reduced to
+    per-term (first_doc, occurrences) parts, and the live store is the
+    re-aggregate of the parts under the vocab-store MERGE LAW:
+
+        first_doc(term)   = MIN over batches of doc_id
+        occurrences(term) = SUM over batches
+
+    Both reducers are associative AND commutative, so the final store
+    is independent of micro-batch slicing — a static-input
+    availableNow run is oracle-gated against the batch term table.
+
+    Scale: no per-key streaming state and no watermark — parts are
+    parquet appends keyed by term, compactable to the distinct-term
+    count at any time; the serving aggregate shuffles once on the
+    term.  This is the store a tokenizer-budget monitor reads: novel
+    terms per ingest slice, occurrence mass per novelty decile.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        from marketing_attribution_etl_framework__maef_spark.llm.text import (
+            normalize_text,
+            words,
+        )
+
+        self.spark = spark
+        self.root = root
+        self._normalize_text = normalize_text
+        self._words = words
+        os.makedirs(root, exist_ok=True)
+
+    def _parts(self) -> str:
+        return os.path.join(self.root, "vocab_parts")
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        ex = batch_df.select(
+            "doc_id",
+            F.explode(self._words(self._normalize_text(F.col("text")))).alias("term"),
+        ).filter(F.col("term") != "")
+        part = ex.groupBy("term").agg(
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        part.write.mode("append").parquet(self._parts())
+
+    def start(self, docs: DataFrame, checkpoint: str | None = None):
+        writer = (
+            docs.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint or os.path.join(self.root, "_ckpt"))
+            .trigger(availableNow=True)
+        )
+        return writer.start()
+
+    def store(self) -> DataFrame:
+        """The live vocabulary store: one row per distinct term with
+        its first-seen doc and total occurrence count."""
+        return (
+            self.spark.read.parquet(self._parts())
+            .groupBy("term")
+            .agg(
+                F.min("first_doc").cast("long").alias("first_doc"),
+                F.sum("n_occurrences").cast("long").alias("n_occurrences"),
+            )
+        )

@@ -7422,8 +7422,133 @@ FROM events GROUP BY 1
 """
 
 
+# streaming/incremental.py IncrementalVocabStore +
+# __spark_entry__.q_stream_vocab: the vocab store's merge law is
+# order-independent (first = min doc_id, occurrences = sum), so the
+# batch term table aggregated the same way IS the final streaming
+# state — per first-doc decile, terms owned + occurrence mass
+_ORACLE_STREAM_VOCAB = f"""
+WITH {_NORM_RAW},
+exf AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM nd)
+  WHERE term <> ''
+),
+fst AS (
+  SELECT term, MIN(doc_id) AS fd, CAST(COUNT(*) AS BIGINT) AS occ
+  FROM exf GROUP BY 1
+),
+mx AS (SELECT MAX(doc_id) AS m FROM documents)
+SELECT CAST(least(9, fd * 10 // (m + 1)) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(occ) AS BIGINT) AS n_occurrences
+FROM fst, mx GROUP BY 1
+"""
+
+# llm/text.py sentence_stats: [.!?]+ regex splits of the normalized
+# text, trimmed, empties dropped (normalizes the engines' trailing-
+# empty split disagreement), per-source exact profile
+_ORACLE_SENTENCE_STATS = """
+WITH nd8 AS (
+  SELECT doc_id, source,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, source, trim(unnest(string_split_regex(norm, '[.!?]+'))) AS s
+  FROM nd8
+),
+sent AS (
+  SELECT source, doc_id, CAST(LENGTH(s) AS BIGINT) AS slen
+  FROM parts WHERE s <> ''
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_sentences,
+         CAST(SUM(slen) AS BIGINT) AS total_chars,
+         CAST(MAX(slen) AS BIGINT) AS max_len
+  FROM sent GROUP BY 1
+)
+SELECT source, n_docs, n_sentences, total_chars,
+       CAST((2 * total_chars * 1048576 + n_sentences)
+            // (2 * n_sentences) AS BIGINT) AS mean_len_q20,
+       max_len
+FROM agg
+"""
+
+# llm/dedup.py lsh_cost_audit: per-band predicted pair count from
+# bucket sizes (sum n*(n-1)/2); the 'all' row's actual is the real
+# distinct cross-band candidate count (the cand CTE)
+_ORACLE_LSH_COST_AUDIT = f"""
+WITH {_AUG}, {_NORM_AUG}, {_SHINGLED}, {_MINHASH_CTES},
+sizes AS (
+  SELECT band, key, CAST(COUNT(*) AS BIGINT) AS n FROM bands GROUP BY 1, 2
+),
+per_band AS (
+  SELECT band,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS predicted_pairs
+  FROM sizes GROUP BY 1
+)
+SELECT CAST(band AS VARCHAR) AS scope, n_buckets, predicted_pairs,
+       predicted_pairs AS actual_pairs
+FROM per_band
+UNION ALL
+SELECT 'all',
+       CAST((SELECT SUM(n_buckets) FROM per_band) AS BIGINT),
+       CAST((SELECT SUM(predicted_pairs) FROM per_band) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT)
+"""
+
+# operators/planning.py error_impact: per-user error/buyer flags,
+# 2-row roll-up, half-up q20 rate
+_ORACLE_ERROR_IMPACT = """
+WITH pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+  FROM events GROUP BY 1
+)
+SELECT CAST(e AS BOOLEAN) AS has_error,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(b) AS BIGINT) AS n_buyers,
+       CAST((2 * SUM(b) * 1048576 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS buy_rate_q20
+FROM pu GROUP BY 1
+"""
+
+# __spark_entry__.q_rel_price_waterfall: per-customer-nation exact
+# integer revenue decomposition (e4 = cents x cents-of-rate; tax e6)
+_ORACLE_REL_PRICE_WATERFALL = """
+WITH rows_ AS (
+  SELECT n.n_name AS nation,
+         CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) AS p_e2,
+         CAST(ROUND(l.l_discount * 100, 0) AS BIGINT) AS d_e2,
+         CAST(ROUND(l.l_tax * 100, 0) AS BIGINT) AS t_e2
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT nation,
+       CAST(SUM(p_e2 * 100) AS BIGINT) AS gross_e4,
+       CAST(SUM(p_e2 * d_e2) AS BIGINT) AS discount_e4,
+       CAST(SUM(p_e2 * 100) - SUM(p_e2 * d_e2) AS BIGINT) AS net_e4,
+       CAST(SUM(p_e2 * (100 - d_e2) * t_e2) AS BIGINT) AS tax_e6
+FROM rows_ GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "llm_stream_vocab": _ORACLE_STREAM_VOCAB,
+        "llm_sentence_stats": _ORACLE_SENTENCE_STATS,
+        "llm_lsh_cost_audit": _ORACLE_LSH_COST_AUDIT,
+        "maef_error_impact": _ORACLE_ERROR_IMPACT,
+        "rel_price_waterfall": _ORACLE_REL_PRICE_WATERFALL,
+        # streaming twins gated by their batch oracle texts verbatim
+        "maef_stream_depth": _ORACLE_SESSION_DEPTH,
+        "maef_stream_frequency": _ORACLE_EFFECTIVE_FREQUENCY,
         "llm_lsh_hot_buckets": _ORACLE_LSH_HOT_BUCKETS,
         "llm_template_docs": _ORACLE_TEMPLATE_DOCS,
         "llm_dedup_roi": _ORACLE_DEDUP_ROI,

@@ -266,3 +266,91 @@ def test_stream_dq_counters_match_batch(spark, sf_dir):
         )
     )
     assert got == want and got
+
+
+# ------------------------------------------------------------ wave 2
+
+
+def test_sentence_stats_profile(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello world. Bye!", "web"),
+            (2, "One two three?  Four.", "web"),
+            (3, "...", "forum"),  # only separators -> no sentences
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in txt.sentence_stats(docs).collect()}
+    w = got["web"]
+    # sentences: "hello world"(11), "bye"(3), "one two three"(13), "four"(4)
+    assert w["n_docs"] == 2 and w["n_sentences"] == 4
+    assert w["total_chars"] == 11 + 3 + 13 + 4
+    assert w["max_len"] == 13
+    assert w["mean_len_q20"] == (2 * 31 * 1048576 + 4) // (2 * 4)
+    assert "forum" not in got
+
+
+def test_lsh_cost_audit_accounting(spark):
+    body = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(1, body), (2, body), (3, body), (4, "other unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    rows = {r["scope"]: r for r in dd.lsh_cost_audit(docs).collect()}
+    # per band: docs 1-3 share every bucket -> predicted 3 per band
+    for b in ("0", "1", "2", "3"):
+        assert rows[b]["predicted_pairs"] == 3
+        assert rows[b]["actual_pairs"] == rows[b]["predicted_pairs"]
+    # all: 12 predicted across bands, 3 distinct actual pairs
+    assert rows["all"]["predicted_pairs"] == 12
+    assert rows["all"]["actual_pairs"] == 3
+
+
+def test_error_impact_split(spark):
+    rows = [
+        (_ts(1, 0), 1, "error", 1.0),
+        (_ts(1, 1), 1, "purchase", 5.0),
+        (_ts(1, 2), 2, "click", 1.0),
+        (_ts(1, 3), 3, "error", 1.0),
+    ]
+    got = {r["has_error"]: r for r in pln.error_impact(_events(spark, rows)).collect()}
+    assert got[True]["n_users"] == 2 and got[True]["n_buyers"] == 1
+    assert got[False]["n_users"] == 1 and got[False]["n_buyers"] == 0
+
+
+def test_stream_vocab_store_merge_law(spark, tmp_path):
+    """The streaming vocab store equals the batch term table regardless
+    of how the file source slices micro-batches."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "c c d")], "doc_id long, text string"
+    )
+    # two parquet files -> at least two micro-batches under maxFilesPerTrigger
+    docs.filter("doc_id <= 2").write.parquet(str(tmp_path / "in" / "p1"))
+    docs.filter("doc_id = 3").write.parquet(str(tmp_path / "in" / "p2"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    drv = inc.IncrementalVocabStore(spark, str(tmp_path / "store"))
+    drv.start(stream, checkpoint=str(tmp_path / "ckpt")).awaitTermination()
+    got = {r["term"]: (r["first_doc"], r["n_occurrences"]) for r in drv.store().collect()}
+    assert got == {"a": (1, 2), "b": (1, 2), "c": (2, 3), "d": (3, 1)}
+
+
+def test_stream_depth_and_frequency_equal_batch(spark, sf_dir):
+    import __spark_entry__ as entry
+    from marketing_attribution_etl_framework__maef_spark import domain
+
+    got_d = sorted(map(tuple, entry.q_stream_depth(spark, sf_dir).collect()))
+    want_d = sorted(
+        map(tuple, sess.session_depth(domain.events(spark, sf_dir)).collect())
+    )
+    assert got_d == want_d and got_d
+    got_f = sorted(map(tuple, entry.q_stream_frequency(spark, sf_dir).collect()))
+    want_f = sorted(
+        map(tuple, pln.effective_frequency(domain.events(spark, sf_dir)).collect())
+    )
+    assert got_f == want_f and got_f
