@@ -6188,6 +6188,61 @@ def q_stream_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def q_forecast_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L284: per-channel forecast model selection — EWMA vs
+    seasonal-naive backtest MAEs joined on the shared q20 contract,
+    champion picked deterministically
+    (operators/timeseries.py forecast_model_selection)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import timeseries as tsr
+
+    return tsr.forecast_model_selection(domain.events(spark, sf_dir))
+
+
+def q_ltv_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L285: LTV concentration per first-touch channel — exact Gini of
+    per-user lifetime purchase cents over each acquisition channel's
+    audience (operators/concentration.py ltv_concentration)."""
+    from marketing_attribution_etl_framework__maef_spark.operators import concentration as conc
+
+    return conc.ltv_concentration(domain.events(spark, sf_dir))
+
+
+def q_length_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L286: source x length-magnitude mix matrix — doc counts per
+    (source, binary-magnitude n_chars bucket) with the within-source
+    share as half-up q20; the one-look corpus-shape fingerprint per
+    source (reads the pre-computed n_chars column, so the scan prunes
+    text entirely)."""
+    docs = _docs(spark, sf_dir)
+    per = (
+        docs.select(
+            "source",
+            F.when(F.col("n_chars") <= 0, F.lit(0))
+            .otherwise(F.length(F.expr("bin(n_chars)")))
+            .cast("long")
+            .alias("len_bucket"),
+        )
+        .groupBy("source", "len_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return per.withColumn(
+        "share_q20",
+        F.expr(
+            "(2 * n_docs * 1048576 + sum(n_docs) over (partition by source))"
+            " div (2 * sum(n_docs) over (partition by source))"
+        ).cast("long"),
+    )
+
+
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L287: metadata-FILTERED exact cosine top-5 — candidates
+    restricted to the query's label before scoring (the tenant/
+    language-filter shape of production vector search); query subset
+    vec_id % 50 == 7 (llm/similarity.py filtered_topk)."""
+    e = _embs(spark, sf_dir)
+    return sim.filtered_topk(e, e.filter(F.col("vec_id") % 50 == 7), k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r08 rotation (VERDICT r07 next-steps #1):
@@ -6276,6 +6331,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_price_waterfall": q_rel_price_waterfall,
         "maef_stream_depth": q_stream_depth,
         "maef_stream_frequency": q_stream_frequency,
+        "maef_forecast_ensemble": q_forecast_ensemble,
+        "maef_ltv_concentration": q_ltv_concentration,
+        "llm_length_mix": q_length_mix,
+        "llm_ann_filtered": q_ann_filtered,
         # --- freshly-green r07 window (CORRECTNESS_r07, 50/50) rotates here ---
         "maef_next_best_channel": q_next_best_channel,
         "maef_interpurchase": q_interpurchase,

@@ -770,3 +770,44 @@ def ann_recall_drift(
             ).alias("recall_q20"),
         )
     )
+
+
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """FILTERED exact cosine top-k: candidates are restricted to
+    corpus vectors sharing the query's ``label`` BEFORE scoring — the
+    metadata-filtered vector search every retrieval stack ships
+    (tenant / language / split filters), exercised here with the
+    label column as the filter key.
+
+    The filter composes with the scan, not after ranking: predicate
+    pushdown prunes non-matching vectors before any dot product, so
+    cost is Sigma over labels of |corpus_label| x |queries_label| —
+    the partition-local shape an IVF-per-label layout gives at scale.
+    Output: (query_id, rnk, vec_id, cos_q20), ties by vec_id.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).cast("long").alias("_lbl"),
+        as_double(F.col(vec_col)).alias("_v"),
+    ).withColumn("_vn", F.sqrt(dot(F.col("_v"), F.col("_v"))))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).cast("long").alias("_lbl"),
+        as_double(F.col(vec_col)).alias("_q"),
+    ).withColumn("_qn", F.sqrt(dot(F.col("_q"), F.col("_q"))))
+    scored = c.join(F.broadcast(q), "_lbl").select(
+        "query_id", "vec_id", _pair_cos("_q", "_v").alias("_cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col("rnk").cast("long").alias("rnk"), "vec_id", q20(F.col("_cos")).alias("cos_q20"))
+    )

@@ -179,3 +179,37 @@ def top_decile_share(
             f" div (2 * cast(total_cents as {dec})) as bigint) end"
         ).alias("share_q20"),
     )
+
+
+def ltv_concentration(events: DataFrame) -> DataFrame:
+    """Lifetime-value concentration per FIRST-TOUCH channel: the exact
+    Gini of per-user purchase-cents totals across each acquisition
+    channel's audience — "does this channel acquire a broad base or a
+    whale lottery", the LTV-side complement of the spend Gini (L155).
+
+    Users are attributed to the channel of their first non-purchase
+    event (min (ts, event_id) — deterministic); their outcome is the
+    lifetime purchase total in exact cents (0 for never-buyers, which
+    correctly count in the denominator: concentration is over the
+    acquired AUDIENCE).  Gini via gini_by_group's factored
+    SUM(r*x)/SUM(x)/COUNT pass.
+
+    Output: (channel, n_units, total_cents, gini_q20).  Scale: one
+    user-grain min + one user-grain sum (both map-side combining,
+    same key), then the rank window per bounded channel.
+    """
+    first = (
+        events.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id", "event_type")).alias("_f"))
+        .select("user_id", F.col("_f.event_type").alias("channel"))
+    )
+    spend = events.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("cents")
+    )
+    facts = first.join(spend, "user_id", "left").select(
+        "channel",
+        "user_id",
+        F.coalesce(F.col("cents"), F.lit(0)).cast("long").alias("cents"),
+    )
+    return gini_by_group(facts, "channel", "user_id", "cents")

@@ -963,3 +963,37 @@ def seasonal_decomposition(ev: DataFrame) -> DataFrame:
             " div (2 * 7 * cast(n_days as decimal(38,0)))) end as bigint)"
         ).alias("seasonal_q20"),
     )
+
+
+def forecast_model_selection(ev: DataFrame) -> DataFrame:
+    """Per-channel forecast MODEL SELECTION over the backtest family:
+    join the truncated-EWMA (L158) and seasonal-naive (L159) one-step
+    backtests on their shared (channel, n_scored, MAE-q20) contract
+    and pick the lower-error model — the meta-table a forecasting
+    pipeline reads to route each series to its champion before
+    producing the plan-of-record (classic M-competition practice:
+    per-series selection beats any single global model).
+
+    best_model tie-breaks to 'ewma' (alphabetical) on equal q20 MAE so
+    the pick is deterministic.  Exact integers throughout — both MAEs
+    are the backtests' q20 integers, compared directly.
+
+    Output: (channel, ewma_n, ewma_mae_q20, snaive_n, snaive_mae_q20,
+    best_model).  Scale: both inputs collapse to the bounded
+    channel x day grain before any math; the join grain is |channels|.
+    """
+    e = ewma_forecast_backtest(ev).select(
+        "channel",
+        F.col("n_scored").alias("ewma_n"),
+        F.col("mae_cents_q20").alias("ewma_mae_q20"),
+    )
+    s = seasonal_naive_backtest(ev).select(
+        "channel",
+        F.col("n_scored").alias("snaive_n"),
+        F.col("mae_cents_q20").alias("snaive_mae_q20"),
+    )
+    return e.join(s, "channel").withColumn(
+        "best_model",
+        F.when(F.col("snaive_mae_q20") < F.col("ewma_mae_q20"), F.lit("seasonal_naive"))
+        .otherwise(F.lit("ewma")),
+    )

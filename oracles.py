@@ -7539,8 +7539,132 @@ FROM rows_ GROUP BY 1
 """
 
 
+# operators/timeseries.py forecast_model_selection: the EWMA (L158)
+# and seasonal-naive (L159) backtest bodies joined on channel, champion
+# by lower q20 MAE (tie -> ewma)
+_ORACLE_FORECAST_ENSEMBLE = f"""
+WITH {_DAILY_CENTS},
+dec AS MATERIALIZED (
+  SELECT t.channel, t.event_day,
+         SUM(i.cents * (CAST(1 AS BIGINT) <<
+             (7 - date_diff('day', CAST(i.event_day AS DATE), CAST(t.event_day AS DATE))))) AS num
+  FROM daily t JOIN daily i
+    ON t.channel = i.channel
+   AND CAST(i.event_day AS DATE) <= CAST(t.event_day AS DATE)
+   AND CAST(i.event_day AS DATE) >= CAST(t.event_day AS DATE) - 7
+  GROUP BY 1, 2
+),
+e_scored AS (
+  SELECT d.channel, abs(CAST(d.cents AS HUGEINT) * 255 - p.num) AS ae
+  FROM daily d JOIN dec p
+    ON p.channel = d.channel
+   AND CAST(p.event_day AS DATE) = CAST(d.event_day AS DATE) - 1
+),
+e AS (
+  SELECT channel, CAST(COUNT(*) AS BIGINT) AS ewma_n,
+         CAST(SUM(ae) * 1048576 // (CAST(COUNT(*) AS HUGEINT) * 255) AS BIGINT) AS ewma_mae_q20
+  FROM e_scored GROUP BY 1
+),
+s_scored AS (
+  SELECT d.channel, abs(d.cents - p.cents) AS ae
+  FROM daily d JOIN daily p
+    ON p.channel = d.channel
+   AND CAST(p.event_day AS DATE) = CAST(d.event_day AS DATE) - 7
+),
+s AS (
+  SELECT channel, CAST(COUNT(*) AS BIGINT) AS snaive_n,
+         CAST(CAST(SUM(ae) AS HUGEINT) * 1048576 // COUNT(*) AS BIGINT) AS snaive_mae_q20
+  FROM s_scored GROUP BY 1
+)
+SELECT e.channel, e.ewma_n, e.ewma_mae_q20, s.snaive_n, s.snaive_mae_q20,
+       CASE WHEN s.snaive_mae_q20 < e.ewma_mae_q20 THEN 'seasonal_naive'
+            ELSE 'ewma' END AS best_model
+FROM e JOIN s USING (channel)
+"""
+
+# operators/concentration.py ltv_concentration: first-touch channel
+# (min (ts, event_id) non-purchase event), per-user lifetime purchase
+# cents (0 for never-buyers), the L155 factored Gini pass
+_ORACLE_LTV_CONCENTRATION = """
+WITH first AS MATERIALIZED (
+  SELECT user_id, event_type AS channel FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type <> 'purchase'
+  ) WHERE rn = 1
+),
+spend AS (
+  SELECT user_id,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+per AS (
+  SELECT f.channel, f.user_id AS u, COALESCE(s.cents, 0) AS cents
+  FROM first f LEFT JOIN spend s USING (user_id)
+),
+rk AS (
+  SELECT channel, cents,
+         ROW_NUMBER() OVER (PARTITION BY channel ORDER BY cents, u) AS r
+  FROM per
+),
+ag AS (
+  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         SUM(CAST(r AS HUGEINT) * cents) AS s1
+  FROM rk GROUP BY 1
+)
+SELECT channel, n_units, total_cents,
+       CASE WHEN total_cents <= 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((2 * s1 - (CAST(n_units AS HUGEINT) + 1) * total_cents)
+                      * 1048576 // (CAST(n_units AS HUGEINT) * total_cents) AS BIGINT)
+       END AS gini_q20
+FROM ag
+"""
+
+# __spark_entry__.q_length_mix: (source, bit-length n_chars bucket)
+# doc counts + within-source share q20
+_ORACLE_LENGTH_MIX = """
+WITH per AS (
+  SELECT source,
+         CAST(CASE WHEN n_chars <= 0 THEN 0 ELSE LENGTH(bin(n_chars)) END AS BIGINT) AS len_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, len_bucket, n_docs,
+       CAST((2 * n_docs * 1048576 + SUM(n_docs) OVER (PARTITION BY source))
+            // (2 * SUM(n_docs) OVER (PARTITION BY source)) AS BIGINT) AS share_q20
+FROM per
+"""
+
+# llm/similarity.py filtered_topk: the ANN_TOPK scoring with the
+# label-equality predicate applied BEFORE ranking
+_ORACLE_ANN_FILTERED = f"""
+WITH {_E_NORMED},
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings),
+el AS (SELECT e.vec_id, e.v, e.vn, l.lbl FROM e JOIN lab l USING (vec_id)),
+q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn, lbl
+      FROM el WHERE vec_id % 50 = 7),
+scored AS (
+  SELECT q.query_id, el.vec_id,
+         list_dot_product(q.qv, el.v) / (q.qn * el.vn) AS cos
+  FROM el JOIN q ON el.lbl = q.lbl
+)
+SELECT query_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+       vec_id,
+       CAST(FLOOR(cos * 1048576.0 + 0.5) AS BIGINT) AS cos_q20
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, vec_id)
+QUALIFY ROW_NUMBER() OVER w <= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "maef_forecast_ensemble": _ORACLE_FORECAST_ENSEMBLE,
+        "maef_ltv_concentration": _ORACLE_LTV_CONCENTRATION,
+        "llm_length_mix": _ORACLE_LENGTH_MIX,
+        "llm_ann_filtered": _ORACLE_ANN_FILTERED,
         "llm_stream_vocab": _ORACLE_STREAM_VOCAB,
         "llm_sentence_stats": _ORACLE_SENTENCE_STATS,
         "llm_lsh_cost_audit": _ORACLE_LSH_COST_AUDIT,

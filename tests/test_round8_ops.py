@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd
 from marketing_attribution_etl_framework__maef_spark.llm import embquality as embq
+from marketing_attribution_etl_framework__maef_spark.llm import similarity as sim
 from marketing_attribution_etl_framework__maef_spark.llm import text as txt
 from marketing_attribution_etl_framework__maef_spark.operators import (
     experiments as xpr,
@@ -354,3 +355,76 @@ def test_stream_depth_and_frequency_equal_batch(spark, sf_dir):
         map(tuple, pln.effective_frequency(domain.events(spark, sf_dir)).collect())
     )
     assert got_f == want_f and got_f
+
+
+# ------------------------------------------------------------ wave 3
+
+
+def test_forecast_model_selection_picks_lower_mae(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import timeseries as tsr
+
+    # 15 days of perfectly weekly-seasonal spend -> seasonal-naive is
+    # exact (MAE 0) while EWMA is not
+    rows = []
+    for d in range(15):
+        rows.append(
+            (_dt.datetime(2024, 1, 1 + d, 12, 0, 0), 1, "click", float(10 + (d % 7)))
+        )
+    out = {r["channel"]: r for r in
+           tsr.forecast_model_selection(_events(spark, rows)).collect()}
+    c = out["click"]
+    assert c["snaive_mae_q20"] == 0
+    assert c["ewma_mae_q20"] > 0
+    assert c["best_model"] == "seasonal_naive"
+
+
+def test_ltv_concentration_gini(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import concentration as conc
+
+    rows = [
+        (_ts(1, 0), 1, "click", 1.0),
+        (_ts(1, 1), 1, "purchase", 10.0),   # u1: 1000 cents
+        (_ts(1, 2), 2, "click", 1.0),       # u2: 0 cents
+        (_ts(1, 3), 3, "view", 1.0),
+        (_ts(1, 4), 3, "purchase", 5.0),    # u3: 500 cents
+    ]
+    got = {r["channel"]: r for r in
+           conc.ltv_concentration(_events(spark, rows)).collect()}
+    # click audience: (0, 1000) -> gini = (2*(1*0+2*1000)-(3)*1000)/(2*1000)
+    click = got["click"]
+    assert click["n_units"] == 2 and click["total_cents"] == 1000
+    assert click["gini_q20"] == ((2 * 2000 - 3 * 1000) * 1048576) // (2 * 1000)
+    view = got["view"]
+    assert view["n_units"] == 1 and view["gini_q20"] == 0
+
+
+def test_filtered_topk_respects_label(spark):
+    embs = spark.createDataFrame(
+        [
+            (7, [1.0, 0.0], 1),       # query (7 % 50 == 7), label 1
+            (1, [1.0, 0.1], 1),       # same label, close
+            (2, [1.0, 0.0], 2),       # perfect match but WRONG label
+            (3, [0.0, 1.0], 1),       # same label, far
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = sim.filtered_topk(embs, embs.filter("vec_id = 7"), k=10)
+    ids = [r["vec_id"] for r in out.orderBy("rnk").collect()]
+    assert 2 not in ids            # filtered out despite cos=1
+    assert ids[0] == 7             # self first
+    assert set(ids) == {7, 1, 3}
+
+
+def test_length_mix_shares_sum(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.q_length_mix(spark, sf_dir).collect()
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for src, rs in by_source.items():
+        tot = sum(r["n_docs"] for r in rs)
+        assert tot > 0
+        # half-up q20 shares sum to ~1 within rounding slack
+        s = sum(r["share_q20"] for r in rs)
+        assert abs(s - 1048576) <= len(rs)
