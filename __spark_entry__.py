@@ -6243,6 +6243,99 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.filtered_topk(e, e.filter(F.col("vec_id") % 50 == 7), k=5)
 
 
+def q_rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L288 (upgrades L68 from pytest-only to oracle-gated): the
+    explicit skew-salted join (operators/skew.py salted_join) driven
+    end-to-end — lineitem (large, hot order keys) salted against the
+    orders priority projection, rolled up to revenue per priority.
+    Salting spreads each hot key over 16 buckets and replicates the
+    small side; it MUST be result-identical to the plain join, so the
+    oracle is the plain SQL join — any salt-induced row loss,
+    duplication, or key mismatch breaks the hash."""
+    from marketing_attribution_etl_framework__maef_spark.operators.skew import salted_join
+
+    li = domain.load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    orders = domain.load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    joined = salted_join(li, orders, on=["okey"], n_salts=16)
+    return joined.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+def q_rel_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L289 (upgrades L69 from pytest-only to oracle-gated): Z-order
+    curve values (operators/zorder.py zorder_value — bit b of column c
+    lands at b*n+c) over (l_partkey, l_suppkey), summarized per
+    high-order z-bucket (z >> 16, bounded buckets): row count and
+    distinct parts per bucket.  The locality claim z-ordering sells is
+    exactly this table — co-located key ranges land in few buckets —
+    and the oracle replays the bit interleave integer-for-integer."""
+    from marketing_attribution_etl_framework__maef_spark.operators.zorder import zorder_value
+
+    li = domain.load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    z = zorder_value([F.col("l_partkey"), F.col("l_suppkey")], bits=16)
+    return (
+        li.select(
+            F.shiftright(z, 16).cast("long").alias("zbucket"),
+            "l_partkey",
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        )
+    )
+
+
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L290 (upgrades L28's compaction path from pytest-only to
+    oracle-gated): session_costs written as a deliberately fragmented
+    parquet table (16 slivers — the small-file debris an incremental
+    sink accretes), compacted by sources/io.py compact_table, and
+    summarized from the FRAGMENTED and COMPACTED surfaces; the oracle
+    emits the same summary twice (the L118 ORC-roundtrip device), so
+    any row drop, duplication, or value corruption in either the
+    fragmented write or the compaction rewrite hash-mismatches.  The
+    file-count mechanics stay pytest-pinned (environment-dependent)."""
+    import shutil
+
+    from marketing_attribution_etl_framework__maef_spark.sources.io import (
+        Warehouse,
+        compact_table,
+    )
+
+    root = os.path.join(
+        os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/maef_spark_scratch"),
+        ".compact_tmp",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    wh = Warehouse(spark, root)
+    costs = domain.session_costs(spark, sf_dir)
+    costs.repartition(16).write.mode("overwrite").parquet(wh.path("session_costs"))
+
+    def summary(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("cost") * 1000, 0).cast("long")).alias("metric"),
+        ).select(F.lit(phase).alias("phase"), "n_rows", "metric")
+
+    pre = summary(spark.read.parquet(wh.path("session_costs")), "fragmented").localCheckpoint()
+    compact_table(wh, "session_costs")
+    post = summary(spark.read.parquet(wh.path("session_costs")), "compacted")
+    return pre.unionByName(post)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r08 rotation (VERDICT r07 next-steps #1):
@@ -6335,6 +6428,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_ltv_concentration": q_ltv_concentration,
         "llm_length_mix": q_length_mix,
         "llm_ann_filtered": q_ann_filtered,
+        "rel_salted_join": q_rel_salted_join,
+        "rel_zorder_layout": q_rel_zorder_layout,
+        "maef_compaction_roundtrip": q_compaction_roundtrip,
         # --- freshly-green r07 window (CORRECTNESS_r07, 50/50) rotates here ---
         "maef_next_best_channel": q_next_best_channel,
         "maef_interpurchase": q_interpurchase,

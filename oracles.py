@@ -7659,8 +7659,53 @@ QUALIFY ROW_NUMBER() OVER w <= 5
 """
 
 
+# operators/skew.py salted_join parity: salting is result-neutral, so
+# the oracle is the PLAIN join rolled up per priority
+_ORACLE_REL_SALTED_JOIN = """
+SELECT o.o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+# operators/zorder.py zorder_value replayed bit-for-bit: bit b of
+# column i lands at position b*2+i over (l_partkey, l_suppkey)
+_z_terms = " + ".join(
+    f"(((l_partkey >> {b}) & 1) << {2 * b}) + (((l_suppkey >> {b}) & 1) << {2 * b + 1})"
+    for b in range(16)
+)
+_ORACLE_REL_ZORDER_LAYOUT = f"""
+WITH z AS (
+  SELECT ({_z_terms}) AS zv, l_partkey FROM lineitem
+)
+SELECT CAST(zv >> 16 AS BIGINT) AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM z GROUP BY 1
+"""
+
+# sources/io.py compact_table roundtrip: both surfaces must carry the
+# same rows, so the oracle emits the session_costs summary twice (the
+# L118 ORC-roundtrip device)
+_ORACLE_COMPACTION_ROUNDTRIP = f"""
+WITH {_CONV}, {_SESS}, {_COSTS},
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(ROUND(cost * 1000, 0) AS BIGINT)) AS BIGINT) AS metric
+  FROM costs
+)
+SELECT 'fragmented' AS phase, n_rows, metric FROM s
+UNION ALL
+SELECT 'compacted', n_rows, metric FROM s
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "rel_salted_join": _ORACLE_REL_SALTED_JOIN,
+        "rel_zorder_layout": _ORACLE_REL_ZORDER_LAYOUT,
+        "maef_compaction_roundtrip": _ORACLE_COMPACTION_ROUNDTRIP,
         "maef_forecast_ensemble": _ORACLE_FORECAST_ENSEMBLE,
         "maef_ltv_concentration": _ORACLE_LTV_CONCENTRATION,
         "llm_length_mix": _ORACLE_LENGTH_MIX,

@@ -428,3 +428,18 @@ def test_length_mix_shares_sum(spark, sf_dir):
         # half-up q20 shares sum to ~1 within rounding slack
         s = sum(r["share_q20"] for r in rs)
         assert abs(s - 1048576) <= len(rs)
+
+
+def test_waveform_stats_drops_empty_payloads(spark):
+    """ADVICE r07: empty payloads must be filtered BEFORE the Python
+    stage so the Spark row set matches the oracle's LENGTH(text) > 0
+    population."""
+    from marketing_attribution_etl_framework__maef_spark.llm import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "")], "doc_id long, text string"
+    )
+    media = mm.attach_binary(docs)
+    got = {r["doc_id"]: r for r in mm.waveform_stats(media).collect()}
+    assert 1 in got and 2 not in got
+    assert got[1]["n_samples"] == 3
