@@ -5792,14 +5792,42 @@ def q_stream_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_AUG_BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _aug_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The minhash LSH band table over the augmented corpus,
+    localCheckpoint'd once per (application, sf_dir): the hot-bucket
+    cause analysis (L265) and the candidate-cost audit (L279) both
+    read it, and the cost audit alone reads it three times — in
+    production this is the banded index written once at ingest.  Same
+    cache contract as _MINHASH_PAIRS_CACHE."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key not in _AUG_BANDS_CACHE:
+        for stale in [k for k in _AUG_BANDS_CACHE if k[0] != app_id]:
+            _AUG_BANDS_CACHE.pop(stale, None)
+        docs = _aug_docs(spark, sf_dir)
+        norm = txt.normalize_text(F.col("text"))
+        exploded = docs.select(
+            F.col("doc_id"),
+            F.explode(txt.word_shingles(txt.words(norm), 3)).alias("shingle"),
+        )
+        _AUG_BANDS_CACHE[key] = dd.lsh_bands(
+            dd.minhash_signatures(exploded, "doc_id", "shingle")
+        ).localCheckpoint()
+    return _AUG_BANDS_CACHE[key]
+
+
 def q_lsh_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L265: LSH hot-bucket cause analysis — for every band bucket
     with >= 3 member docs, the shingle its members share most and
     that shingle's corpus df; boilerplate-driven skew vs genuine dup
-    clusters at one glance (llm/dedup.py lsh_hot_bucket_terms)."""
-    return dd.lsh_hot_bucket_terms(_aug_docs(spark, sf_dir)).withColumn(
-        "band", F.col("band").cast("long")
-    )
+    clusters at one glance; rides the staged band table
+    (llm/dedup.py lsh_hot_bucket_terms)."""
+    return dd.lsh_hot_bucket_terms(
+        _aug_docs(spark, sf_dir), bands_df=_aug_bands(spark, sf_dir)
+    ).withColumn("band", F.col("band").cast("long"))
 
 
 def q_template_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5876,20 +5904,30 @@ def q_ab_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xpr.ab_quantile_effects(domain.events(spark, sf_dir))
 
 
-def q_stream_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L275: STREAMING bounce rate — the streaming twin of L209:
-    ``session_window`` (closed-interval gap, the pinned batch
-    semantics) with a struct-min first-event aggregate as the state,
-    complete-mode run to completion, then the identical
-    per-entry-channel roll-up serving-side.  Parity: the SAME oracle
-    text as maef_bounce_rate — the streaming path must reproduce the
-    batch operator bit for bit.  State is bounded per live (user,
-    session)."""
+_STREAM_SESSIONS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING session table (entry_channel, n_events) from one
+    ``session_window`` run (closed-interval gap, the pinned batch
+    semantics; struct-min first-event aggregate as the state),
+    complete-mode run to completion and localCheckpoint'd once per
+    (application, sf_dir): the streaming bounce (L275) and depth
+    (L282) twins both read it — re-running the identical stateful
+    stream per consumer doubled the family cost.  In production this
+    is the sessions table the streaming job maintains; every consumer
+    reads the table, not the stream."""
     from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
 
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key in _STREAM_SESSIONS_CACHE:
+        return _STREAM_SESSIONS_CACHE[key]
+    for stale in [k for k in _STREAM_SESSIONS_CACHE if k[0] != app_id]:
+        _STREAM_SESSIONS_CACHE.pop(stale, None)
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    name = "stream_bounce_sink"
+    name = "stream_sessions_store"
     try:
         ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
         g = (
@@ -5914,25 +5952,38 @@ def q_stream_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("_first.event_type").alias("entry_channel"),
                 "n_events",
             )
-            .groupBy("entry_channel")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_sessions"),
-                F.sum((F.col("n_events") == 1).cast("long"))
-                .cast("long")
-                .alias("n_bounces"),
-            )
-            .withColumn(
-                "bounce_q20",
-                F.expr(
-                    "(2 * n_bounces * 1048576 + n_sessions) div (2 * n_sessions)"
-                ).cast("long"),
-            )
             .localCheckpoint()
         )
         spark.catalog.dropTempView(name)
+        _STREAM_SESSIONS_CACHE[key] = out
         return out
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def q_stream_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L275: STREAMING bounce rate — the streaming twin of L209 over
+    the staged streaming session table (_stream_sessions), then the
+    identical per-entry-channel roll-up serving-side.  Parity: the
+    SAME oracle text as maef_bounce_rate — the streaming path must
+    reproduce the batch operator bit for bit.  State is bounded per
+    live (user, session)."""
+    return (
+        _stream_sessions(spark, sf_dir)
+        .groupBy("entry_channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long"))
+            .cast("long")
+            .alias("n_bounces"),
+        )
+        .withColumn(
+            "bounce_q20",
+            F.expr(
+                "(2 * n_bounces * 1048576 + n_sessions) div (2 * n_sessions)"
+            ).cast("long"),
+        )
+    )
 
 
 def q_stream_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6000,9 +6051,11 @@ def q_lsh_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L279: LSH candidate-cost audit — per band the pair count
     PREDICTED from bucket sizes alone, plus the 'all' row whose
     actual_pairs is the real distinct cross-band candidate count; the
-    planner's re-band/scrub decision input (llm/dedup.py
-    lsh_cost_audit)."""
-    return dd.lsh_cost_audit(_aug_docs(spark, sf_dir))
+    planner's re-band/scrub decision input; rides the staged band
+    table (llm/dedup.py lsh_cost_audit)."""
+    return dd.lsh_cost_audit(
+        _aug_docs(spark, sf_dir), bands_df=_aug_bands(spark, sf_dir)
+    )
 
 
 def q_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6091,45 +6144,18 @@ def q_stream_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stream_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L282: STREAMING session-depth histogram — the streaming twin of
-    L273 on the same session_window state as L275; gated by the SAME
-    oracle text as maef_session_depth."""
-    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
-
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    name = "stream_depth_sink"
-    try:
-        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
-        g = (
-            ev.filter(F.col("event_type") != "purchase")
-            .groupBy("user_id", F.session_window("ts", "30 minutes"))
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_events"),
-                F.min(F.struct("ts", "event_id", "event_type")).alias("_first"),
-            )
+    L273 over the staged streaming session table (_stream_sessions,
+    shared with L275); gated by the SAME oracle text as
+    maef_session_depth."""
+    return (
+        _stream_sessions(spark, sf_dir)
+        .select(
+            "entry_channel",
+            F.least(F.col("n_events"), F.lit(5)).cast("long").alias("depth_bucket"),
         )
-        q = (
-            g.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = (
-            spark.table(name)
-            .select(
-                F.col("_first.event_type").alias("entry_channel"),
-                F.least(F.col("n_events"), F.lit(5)).cast("long").alias("depth_bucket"),
-            )
-            .groupBy("entry_channel", "depth_bucket")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
-            .localCheckpoint()
-        )
-        spark.catalog.dropTempView(name)
-        return out
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+        .groupBy("entry_channel", "depth_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
 
 
 def q_stream_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6248,7 +6274,7 @@ def q_rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit skew-salted join (operators/skew.py salted_join) driven
     end-to-end — lineitem (large, hot order keys) salted against the
     orders priority projection, rolled up to revenue per priority.
-    Salting spreads each hot key over 16 buckets and replicates the
+    Salting spreads each hot key over 8 buckets and replicates the
     small side; it MUST be result-identical to the plain join, so the
     oracle is the plain SQL join — any salt-induced row loss,
     duplication, or key mismatch breaks the hash."""
@@ -6262,7 +6288,7 @@ def q_rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("okey"),
         F.col("o_orderpriority").alias("priority"),
     )
-    joined = salted_join(li, orders, on=["okey"], n_salts=16)
+    joined = salted_join(li, orders, on=["okey"], n_salts=8)
     return joined.groupBy("priority").agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
         F.sum("cents").cast("long").alias("revenue_cents"),

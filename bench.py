@@ -134,6 +134,14 @@ CHECKPOINT_HEAVY = {
     # scratch-warehouse sinks; 7.1 s first run vs 3.8 s warm in the
     # same session (sink + codegen warm-up dominates run 1)
     "maef_pipeline_e2e",
+    # r08 staged session stores: the aug-corpus band table
+    # (_aug_bands: hot-bucket + cost audits) and the streaming session
+    # table (_stream_sessions: bounce + depth twins) — run 1 builds the
+    # checkpoint, run 2 measures the serving read
+    "llm_lsh_hot_buckets",
+    "llm_lsh_cost_audit",
+    "maef_stream_bounce",
+    "maef_stream_depth",
     # label purity checkpoints the labeled quantized vectors
     "llm_label_purity",
     # streaming state materialization + serving-side checkpoint

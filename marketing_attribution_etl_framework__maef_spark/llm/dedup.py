@@ -1384,6 +1384,7 @@ def lsh_hot_bucket_terms(
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
     rows_per_band: int = ROWS_PER_BAND,
+    bands_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH hot-bucket CAUSE analysis — the follow-up the L260 bucket
     size histogram motivates: for every band bucket holding at least
@@ -1398,45 +1399,63 @@ def lsh_hot_bucket_terms(
     buckets >= min_size survive (the skew tail, vanishingly few at
     scale), so the member join + per-bucket shingle df touch a bounded
     sliver of the corpus.  The per-bucket argmax is a window
-    PARTITIONED by bucket key (never corpus-wide).  Output:
+    PARTITIONED by bucket key (never corpus-wide).  Pass ``bands_df``
+    to ride a staged band table shared with the cost audit (the
+    _minhash_pairs session-store pattern).  Output:
     (band, key, bucket_size, top_shingle, member_df, corpus_df).
     """
     norm = normalize_text(F.col(text_col))
     exploded = docs.select(
         F.col(id_col), F.explode(word_shingles(words(norm), k)).alias("shingle")
     )
-    sigs = minhash_signatures(exploded, id_col, "shingle", num_hashes)
-    bandsdf = lsh_bands(sigs, id_col, bands, rows_per_band)
+    if bands_df is not None:
+        bandsdf = bands_df
+    else:
+        sigs = minhash_signatures(exploded, id_col, "shingle", num_hashes)
+        bandsdf = lsh_bands(sigs, id_col, bands, rows_per_band)
     sizes = (
         bandsdf.groupBy("band", "key")
         .agg(F.count(F.lit(1)).cast("long").alias("bucket_size"))
         .filter(F.col("bucket_size") >= min_size)
     )
     members = bandsdf.join(sizes, ["band", "key"])
-    pairs = exploded.distinct()
-    dfx = pairs.groupBy("shingle").agg(
-        F.count(F.lit(1)).cast("long").alias("corpus_df")
-    )
+    # prune BEFORE any corpus-wide distinct: only hot-bucket member
+    # docs feed the per-bucket shingle grain, so the corpus explode is
+    # scanned but never shuffled at the (doc, shingle) grain (the
+    # doc-novelty one-lineage rule; unpruned this was 2 corpus-wide
+    # distinct shuffles)
+    mem_pairs = exploded.join(
+        members.select(id_col).distinct(), id_col, "left_semi"
+    ).distinct()
     bucket_sh = (
-        members.join(pairs, id_col)
+        members.join(mem_pairs, id_col)
         .groupBy("band", "key", "bucket_size", "shingle")
         .agg(F.count(F.lit(1)).cast("long").alias("member_df"))
     )
     w = Window.partitionBy("band", "key").orderBy(
         F.desc("member_df"), F.asc("shingle")
     )
-    return (
+    top = (
         bucket_sh.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .join(dfx, "shingle")
-        .select(
-            "band",
-            "key",
-            "bucket_size",
-            F.col("shingle").alias("top_shingle"),
-            "member_df",
-            "corpus_df",
+        .localCheckpoint()  # <= |hot buckets| rows; read twice below
+    )
+    # corpus df only for the few winning shingles: broadcast-semi the
+    # explode down to them before the countDistinct aggregate
+    dfx = (
+        exploded.join(
+            F.broadcast(top.select("shingle").distinct()), "shingle", "left_semi"
         )
+        .groupBy("shingle")
+        .agg(F.countDistinct(id_col).cast("long").alias("corpus_df"))
+    )
+    return top.join(dfx, "shingle").select(
+        "band",
+        "key",
+        "bucket_size",
+        F.col("shingle").alias("top_shingle"),
+        "member_df",
+        "corpus_df",
     )
 
 
@@ -1573,6 +1592,7 @@ def lsh_cost_audit(
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
     rows_per_band: int = ROWS_PER_BAND,
+    bands_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate-cost audit — the planner's cost model for the L9
     self-join, checked against reality: per band, the candidate pair
@@ -1591,24 +1611,34 @@ def lsh_cost_audit(
     Output: (scope, n_buckets, predicted_pairs, actual_pairs) — per
     band, actual == predicted by construction (within one band every
     bucket pair is distinct); across bands dedup shrinks it.
+
+    Pass ``bands_df`` to ride a staged band table (shared with the
+    hot-bucket audit); otherwise the band table is localCheckpoint'd
+    here, because THREE consumers read it (per-band sizes twice via
+    per_band's two outputs, plus the candidate join) and recomputing
+    the signature aggregate per consumer tripled the query (15.5 s ->
+    ~5 s at sf0.1).  per_band itself is a bounded table (|bands|
+    rows), checkpointed so its two readers don't re-aggregate.
     """
-    norm = normalize_text(F.col(text_col))
-    exploded = docs.select(
-        F.col(id_col), F.explode(word_shingles(words(norm), k)).alias("shingle")
-    )
-    bandsdf = lsh_bands(
-        minhash_signatures(exploded, id_col, "shingle", num_hashes),
-        id_col,
-        bands,
-        rows_per_band,
-    )
+    if bands_df is None:
+        norm = normalize_text(F.col(text_col))
+        exploded = docs.select(
+            F.col(id_col), F.explode(word_shingles(words(norm), k)).alias("shingle")
+        )
+        bands_df = lsh_bands(
+            minhash_signatures(exploded, id_col, "shingle", num_hashes),
+            id_col,
+            bands,
+            rows_per_band,
+        ).localCheckpoint()
+    bandsdf = bands_df
     sizes = bandsdf.groupBy("band", "key").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
     per_band = sizes.groupBy("band").agg(
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
         F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("predicted_pairs"),
-    )
+    ).localCheckpoint()
     band_rows = per_band.select(
         F.col("band").cast("string").alias("scope"),
         "n_buckets",
