@@ -6362,6 +6362,218 @@ def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.unionByName(post)
 
 
+def q_attribution_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L291: attribution-credit concentration per model — the exact
+    Gini of channel credit under each of the four models (L92's fused
+    scan), answering the model-diagnostic question "which attribution
+    model concentrates credit, which spreads it" with the same
+    factored SUM(r*x) Gini pass as L155.  The grain is bounded
+    (models x channels), so the rank window is constant-size."""
+    from pyspark.sql import Window
+
+    per = q_model_comparison(spark, sf_dir)
+    w = Window.partitionBy("model").orderBy("credit_q20", "channel_label")
+    rk = per.withColumn("_r", F.row_number().over(w))
+    return (
+        rk.groupBy("model")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_channels"),
+            F.sum("credit_q20").cast("long").alias("total_credit_q20"),
+            F.sum(F.col("_r").cast("decimal(38,0)") * F.col("credit_q20")).alias("_s1"),
+        )
+        .select(
+            "model",
+            "n_channels",
+            "total_credit_q20",
+            F.expr(
+                "cast(case when total_credit_q20 <= 0 then 0 else"
+                " ((2 * _s1 - (cast(n_channels as decimal(38,0)) + 1) * total_credit_q20)"
+                " * 1048576) div (cast(n_channels as decimal(38,0)) * total_credit_q20)"
+                " end as bigint)"
+            ).alias("gini_q20"),
+        )
+    )
+
+
+def q_touch_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L292: first/last-touch agreement per entry channel — for every
+    conversion journey, does the last-touch channel equal the first?
+    High agreement means the cheap single-touch models coincide and
+    the multi-touch machinery buys little for that channel; low
+    agreement is where model choice actually moves budget.  One
+    windowed journeys scan (the staged _journeys lineage), bounded
+    channel-grain output: (entry_channel, n_conversions,
+    n_same_channel, agreement_q20)."""
+    from pyspark.sql import Window
+
+    j = _journeys(spark, sf_dir)
+    w = Window.partitionBy("conversion_id").orderBy("event_ts", "session_id")
+    wall = Window.partitionBy("conversion_id")
+    per_conv = (
+        j.select(
+            "conversion_id",
+            "channel_label",
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wall).alias("_n"),
+        )
+        .filter((F.col("_rn") == 1) | (F.col("_rn") == F.col("_n")))
+        .groupBy("conversion_id")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("channel_label"))).alias("_first"),
+            F.max(F.when(F.col("_rn") == F.col("_n"), F.col("channel_label"))).alias(
+                "_last"
+            ),
+        )
+    )
+    return (
+        per_conv.groupBy(F.col("_first").alias("entry_channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.sum((F.col("_first") == F.col("_last")).cast("long"))
+            .cast("long")
+            .alias("n_same_channel"),
+        )
+        .withColumn(
+            "agreement_q20",
+            F.expr(
+                "(2 * n_same_channel * 1048576 + n_conversions) div (2 * n_conversions)"
+            ).cast("long"),
+        )
+    )
+
+
+def q_journey_length_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L293: journey-length histogram — conversions by touchpoint
+    count (capped at 10+), the shape parameter behind every position
+    model: U-shaped vs linear only differ when this histogram has
+    mass past 2.  One aggregate over the staged journeys lineage."""
+    j = _journeys(spark, sf_dir)
+    per = j.groupBy("conversion_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    return (
+        per.select(F.least(F.col("_n"), F.lit(10)).cast("long").alias("n_touchpoints"))
+        .groupBy("n_touchpoints")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_journeys"))
+    )
+
+
+def q_template_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L294: templated-doc share per source — the L266 screen rolled
+    to the grain a data buyer negotiates at: which SOURCE ships
+    template-heavy content.  Rides template_docs over the raw corpus
+    joined back to the source column; share as half-up q20."""
+    docs = _docs(spark, sf_dir)
+    flags = dd.template_docs(docs)
+    return (
+        flags.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("is_template").cast("long")).cast("long").alias("n_templates"),
+        )
+        .withColumn(
+            "template_q20",
+            F.expr("(2 * n_templates * 1048576 + n_docs) div (2 * n_docs)").cast(
+                "long"
+            ),
+        )
+    )
+
+
+def q_stream_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L295: STREAMING error-impact state — per-user error/buyer flags
+    as one streaming user-grain aggregate (the L283 state shape),
+    rolled up serving-side; gated by the SAME oracle text as batch
+    L280."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    name = "stream_errimpact_sink"
+    try:
+        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+        g = ev.groupBy("user_id").agg(
+            F.max((F.col("event_type") == "error").cast("long")).alias("_err"),
+            F.max((F.col("event_type") == "purchase").cast("long")).alias("_buyer"),
+        )
+        q = (
+            g.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(name)
+            .groupBy(F.col("_err").cast("boolean").alias("has_error"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+                F.sum("_buyer").cast("long").alias("n_buyers"),
+            )
+            .withColumn(
+                "buy_rate_q20",
+                F.expr("(2 * n_buyers * 1048576 + n_users) div (2 * n_users)").cast(
+                    "long"
+                ),
+            )
+            .localCheckpoint()
+        )
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def q_stream_length_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L296: STREAMING corpus-shape fingerprint — the L286 source x
+    length-magnitude mix maintained as one streaming aggregate over
+    the document stream (state bounded by sources x ~64 buckets);
+    gated by the SAME oracle text as batch L286."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    name = "stream_lenmix_sink"
+    try:
+        docs = inc.stream_documents(spark, f"{sf_dir}/documents.parquet")
+        g = (
+            docs.select(
+                "source",
+                F.when(F.col("n_chars") <= 0, F.lit(0))
+                .otherwise(F.length(F.expr("bin(n_chars)")))
+                .cast("long")
+                .alias("len_bucket"),
+            )
+            .groupBy("source", "len_bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        )
+        q = (
+            g.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(name)
+            .withColumn(
+                "share_q20",
+                F.expr(
+                    "(2 * n_docs * 1048576 + sum(n_docs) over (partition by source))"
+                    " div (2 * sum(n_docs) over (partition by source))"
+                ).cast("long"),
+            )
+            .localCheckpoint()
+        )
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r08 rotation (VERDICT r07 next-steps #1):
@@ -6457,6 +6669,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_salted_join": q_rel_salted_join,
         "rel_zorder_layout": q_rel_zorder_layout,
         "maef_compaction_roundtrip": q_compaction_roundtrip,
+        "maef_attribution_gini": q_attribution_gini,
+        "maef_touch_agreement": q_touch_agreement,
+        "maef_journey_length_dist": q_journey_length_dist,
+        "llm_template_share": q_template_share,
+        "maef_stream_error_impact": q_stream_error_impact,
+        "llm_stream_length_mix": q_stream_length_mix,
         # --- freshly-green r07 window (CORRECTNESS_r07, 50/50) rotates here ---
         "maef_next_best_channel": q_next_best_channel,
         "maef_interpurchase": q_interpurchase,

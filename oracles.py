@@ -7701,8 +7701,109 @@ SELECT 'compacted', n_rows, metric FROM s
 """
 
 
+# __spark_entry__.q_attribution_gini: the L92 fused credit table as a
+# subquery, then the L155 factored Gini per model over channel credit
+_ORACLE_ATTRIBUTION_GINI = f"""
+WITH mc AS MATERIALIZED (
+  SELECT * FROM ({_ORACLE_MODEL_COMPARISON})
+),
+rk AS (
+  SELECT model, credit_q20,
+         ROW_NUMBER() OVER (PARTITION BY model
+                            ORDER BY credit_q20, channel_label) AS r
+  FROM mc
+),
+ag AS (
+  SELECT model, CAST(COUNT(*) AS BIGINT) AS n_channels,
+         CAST(SUM(credit_q20) AS BIGINT) AS total_credit_q20,
+         SUM(CAST(r AS HUGEINT) * credit_q20) AS s1
+  FROM rk GROUP BY 1
+)
+SELECT model, n_channels, total_credit_q20,
+       CASE WHEN total_credit_q20 <= 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((2 * s1 - (CAST(n_channels AS HUGEINT) + 1) * total_credit_q20)
+                      * 1048576 // (CAST(n_channels AS HUGEINT) * total_credit_q20) AS BIGINT)
+       END AS gini_q20
+FROM ag
+"""
+
+# __spark_entry__.q_touch_agreement: first vs last touch channel per
+# conversion journey, agreement share per entry channel
+_ORACLE_TOUCH_AGREEMENT = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+base AS (
+  SELECT conversion_id, channel_label,
+         ROW_NUMBER() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY conversion_id) AS n
+  FROM journeys
+  WINDOW w AS (PARTITION BY conversion_id ORDER BY event_ts, session_id)
+),
+per_conv AS (
+  SELECT conversion_id,
+         MAX(CASE WHEN rn = 1 THEN channel_label END) AS f,
+         MAX(CASE WHEN rn = n THEN channel_label END) AS l
+  FROM base WHERE rn = 1 OR rn = n GROUP BY 1
+)
+SELECT f AS entry_channel,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(CASE WHEN f = l THEN 1 ELSE 0 END) AS BIGINT) AS n_same_channel,
+       CAST((2 * SUM(CASE WHEN f = l THEN 1 ELSE 0 END) * 1048576 + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS agreement_q20
+FROM per_conv GROUP BY 1
+"""
+
+# __spark_entry__.q_journey_length_dist: conversions by touch count
+# (capped at 10+)
+_ORACLE_JOURNEY_LENGTH_DIST = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+per AS (
+  SELECT conversion_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM journeys GROUP BY 1
+)
+SELECT CAST(least(n, 10) AS BIGINT) AS n_touchpoints,
+       CAST(COUNT(*) AS BIGINT) AS n_journeys
+FROM per GROUP BY 1
+"""
+
+# __spark_entry__.q_template_share: L266 over the RAW corpus rolled to
+# the source grain
+_ORACLE_TEMPLATE_SHARE = f"""
+WITH {_NORM_RAW},
+sh3 AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(ws) - 1, 2)),
+                        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) AS shingles
+  FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM nd)
+),
+p2 AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (SELECT doc_id, unnest(shingles) AS sh FROM sh3)
+),
+dfx AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM p2 GROUP BY 1),
+flags AS (
+  SELECT p.doc_id,
+         SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 5 >= 4 * COUNT(*) AS is_template
+  FROM p2 p JOIN dfx d USING (sh) GROUP BY 1
+)
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN f.is_template THEN 1 ELSE 0 END) AS BIGINT) AS n_templates,
+       CAST((2 * SUM(CASE WHEN f.is_template THEN 1 ELSE 0 END) * 1048576 + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS template_q20
+FROM flags f JOIN documents s USING (doc_id)
+GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "maef_attribution_gini": _ORACLE_ATTRIBUTION_GINI,
+        "maef_touch_agreement": _ORACLE_TOUCH_AGREEMENT,
+        "maef_journey_length_dist": _ORACLE_JOURNEY_LENGTH_DIST,
+        "llm_template_share": _ORACLE_TEMPLATE_SHARE,
+        # streaming twins gated by their batch oracle texts verbatim
+        "maef_stream_error_impact": _ORACLE_ERROR_IMPACT,
+        "llm_stream_length_mix": _ORACLE_LENGTH_MIX,
         "rel_salted_join": _ORACLE_REL_SALTED_JOIN,
         "rel_zorder_layout": _ORACLE_REL_ZORDER_LAYOUT,
         "maef_compaction_roundtrip": _ORACLE_COMPACTION_ROUNDTRIP,

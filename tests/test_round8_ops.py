@@ -443,3 +443,61 @@ def test_waveform_stats_drops_empty_payloads(spark):
     got = {r["doc_id"]: r for r in mm.waveform_stats(media).collect()}
     assert 1 in got and 2 not in got
     assert got[1]["n_samples"] == 3
+
+
+# ------------------------------------------------------------ wave 5
+
+
+def test_touch_agreement_and_length_dist(spark, sf_dir):
+    """first==last for every single-touch journey, so agreement >= the
+    single-touch share; histogram mass equals the journey count."""
+    import __spark_entry__ as entry
+
+    agree = entry.q_touch_agreement(spark, sf_dir).collect()
+    dist = {r["n_touchpoints"]: r["n_journeys"] for r in
+            entry.q_journey_length_dist(spark, sf_dir).collect()}
+    n_conv = sum(dist.values())
+    assert sum(r["n_conversions"] for r in agree) == n_conv
+    n_same = sum(r["n_same_channel"] for r in agree)
+    assert n_same >= dist.get(1, 0)
+    for r in agree:
+        assert 0 <= r["agreement_q20"] <= 1048576
+
+
+def test_attribution_gini_bounds(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.q_attribution_gini(spark, sf_dir).collect()
+    assert {r["model"] for r in rows} == {
+        "linear", "first_touch", "last_touch", "u_shaped"
+    }
+    for r in rows:
+        assert 0 <= r["gini_q20"] < 1048576
+    # all four models distribute the SAME total credit (sum ihc = 1
+    # per conversion), modulo per-row q20 rounding
+    totals = [r["total_credit_q20"] for r in rows]
+    assert max(totals) - min(totals) <= sum(
+        r["n_channels"] for r in rows
+    ) * 4096
+
+
+def test_stream_error_impact_and_length_mix_equal_batch(spark, sf_dir):
+    import __spark_entry__ as entry
+    from marketing_attribution_etl_framework__maef_spark import domain
+
+    got = sorted(map(tuple, entry.q_stream_error_impact(spark, sf_dir).collect()))
+    want = sorted(map(tuple, pln.error_impact(domain.events(spark, sf_dir)).collect()))
+    assert got == want and got
+    got_m = sorted(map(tuple, entry.q_stream_length_mix(spark, sf_dir).collect()))
+    want_m = sorted(map(tuple, entry.q_length_mix(spark, sf_dir).collect()))
+    assert got_m == want_m and got_m
+
+
+def test_template_share_rollup_consistent(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.q_template_share(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_templates"] <= r["n_docs"]
+        assert 0 <= r["template_q20"] <= 1048576
