@@ -123,6 +123,10 @@ CHECKPOINT_HEAVY = {
     # between two same-session runs (one-sided victim profile, the
     # maef_lookback_sensitivity precedent)
     "llm_doc_novelty",
+    # r08 final sweep: same one-sided victim profile — 2.0 -> 20.1 s
+    # and 2.9 -> 12.2 s across same-session runs on unchanged code
+    "maef_next_best_channel",
+    "llm_label_drift",
     # VERDICT r07 #3: mapInPandas Arrow path with unchanged code that
     # swung 1.41 -> 3.27 s across rounds (Python-worker warm-up is
     # first-victim-in-suite shaped); and the minhash-accuracy audit is
