@@ -633,23 +633,15 @@ def q_stream_windowed_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
     vol = inc.windowed_channel_volume(ev.withWatermark("ts", "1 hour"), window="1 day")
-    name = "stream_windowed_volume"
-    q = (
-        vol.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.table(name).select(
+    # run_to_memory pins the frozen state partition count to 8 — this
+    # query previously started the stream at the session's 32, paying
+    # 4x the state-store commits per micro-batch (r08: 4.70 s).
+    return inc.run_to_memory(vol, "stream_windowed_volume").select(
         F.date_format("window_start", "yyyy-MM-dd").alias("day"),
         "channel_name",
         F.col("n_sessions").cast("long").alias("n_sessions"),
         F.col("total_value_cents").cast("long").alias("total_value_cents"),
-    ).localCheckpoint()
-    spark.catalog.dropTempView(name)
-    return out
+    )
 
 
 def q_stream_journey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,33 +658,14 @@ def q_stream_journey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet"),
         lookback_days=LOOKBACK_DAYS,
     )
-    name = "stream_journey_join"
-    # A streaming query's state partition count is frozen from
-    # spark.sql.shuffle.partitions at first start, and a stream-stream
-    # join commits FOUR state stores per partition per micro-batch —
-    # at 32 partitions that is 128 store commits of a few MB of state,
-    # pure fixed overhead at harness scale (A/B at sf0.1: ~10s at 32
-    # partitions, ~5s at 8; 4 is noisy). Production sizes this to
-    # state volume per partition, not to the session's relational
-    # shuffle width, which is exactly what this override expresses.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            j.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    # move the result out of the memory sink (which would otherwise
-    # pin the full pair set in driver memory for the session's life)
-    out = spark.table(name).localCheckpoint()
-    spark.catalog.dropTempView(name)
-    return out
+    # A stream-stream join commits FOUR state stores per partition per
+    # micro-batch — at 32 partitions that is 128 store commits of a few
+    # MB of state, pure fixed overhead at harness scale (A/B at sf0.1:
+    # ~10s at 32 partitions, ~5s at 8; 4 is noisy). run_to_memory pins
+    # the frozen state partition count to 8 and also moves the result
+    # out of the memory sink (which would otherwise pin the full pair
+    # set in driver memory for the session's life).
+    return inc.run_to_memory(j, "stream_journey_join", output_mode="append")
 
 
 def q_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3131,57 +3104,37 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions sized to state volume (CLAUDE.md streaming rule)."""
     from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    name = "stream_sessionize_sink"
-    try:
-        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet").withWatermark(
-            "ts", "0 seconds"
+    ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet").withWatermark(
+        "ts", "0 seconds"
+    )
+    sess = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("_tb"),
+        F.col("event_type").alias("channel_name"),
+    )
+    g = (
+        sess.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "_tb", "channel_name"))),
+                    lambda x: x["channel_name"],
+                ),
+                ",",
+            ).alias("channels"),
         )
-        sess = ev.filter(F.col("event_type") != "purchase").select(
-            "user_id",
-            "ts",
-            F.col("event_id").alias("_tb"),
-            F.col("event_type").alias("channel_name"),
-        )
-        g = (
-            sess.groupBy("user_id", F.session_window("ts", "30 minutes"))
-            .agg(
-                F.min("ts").alias("session_start"),
-                F.max("ts").alias("session_end"),
-                F.count(F.lit(1)).cast("long").alias("n_events"),
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("ts", "_tb", "channel_name"))),
-                        lambda x: x["channel_name"],
-                    ),
-                    ",",
-                ).alias("channels"),
-            )
-        )
-        q = (
-            g.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = (
-            spark.table(name)
-            .select(
-                "user_id",
-                F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-                F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-                "n_events",
-                "channels",
-            )
-            .localCheckpoint()
-        )
-        spark.catalog.dropTempView(name)
-        return out
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    )
+    return inc.run_to_memory(g, "stream_sessionize_sink").select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "channels",
+    )
 
 
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3446,35 +3399,18 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev2 = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
     doubled = ev1.unionByName(ev2).withWatermark("ts", "365 days")
     deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
-    name = "stream_dedup_sink"
     # dedup state partition count freezes from shuffle.partitions at
-    # first start; size it to state volume like stream_journey_join
-    # (A/B at sf0.1: 32 -> 3.3 s, 8 -> 2.0 s) and restore after.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = (
-        spark.table(name)
-        .groupBy(F.col("event_type").alias("channel_name"))
+    # first start; run_to_memory sizes it to state volume like
+    # stream_journey_join (A/B at sf0.1: 32 -> 3.3 s, 8 -> 2.0 s).
+    sunk = inc.run_to_memory(deduped, "stream_dedup_sink", output_mode="append")
+    return (
+        sunk.groupBy(F.col("event_type").alias("channel_name"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.countDistinct("event_id").cast("long").alias("n_distinct"),
             F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("cents"),
         )
-        .localCheckpoint()
     )
-    spark.catalog.dropTempView(name)
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -3829,23 +3765,12 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = domain.load_table(spark, sf_dir, "customer")
     enr = inc.enrich_stream(ev, dim, "user_id", "c_custkey", window="1 day")
-    name = "stream_enrich"
-    q = (
-        enr.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.table(name).select(
+    return inc.run_to_memory(enr, "stream_enrich").select(
         F.date_format("window_start", "yyyy-MM-dd").alias("day"),
         "segment",
         F.col("n_sessions").cast("long").alias("n_sessions"),
         F.col("total_value_cents").cast("long").alias("total_value_cents"),
-    ).localCheckpoint()
-    spark.catalog.dropTempView(name)
-    return out
+    )
 
 
 def q_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4540,23 +4465,14 @@ def q_stream_topk_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
     vol = inc.windowed_channel_volume(ev.withWatermark("ts", "1 hour"), window="6 hours")
-    name = "stream_topk_channels"
-    q = (
-        vol.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    sunk = inc.run_to_memory(vol, "stream_topk_channels", output_mode="append")
     from pyspark.sql import Window as _W
 
     w = _W.partitionBy("window_start").orderBy(
         F.desc("total_value_cents"), F.asc("channel_name")
     )
-    out = (
-        spark.table(name)
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
+    return (
+        sunk.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select(
             F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -4565,10 +4481,7 @@ def q_stream_topk_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_sessions").cast("long").alias("n_sessions"),
             F.col("total_value_cents").cast("long").alias("total_value_cents"),
         )
-        .localCheckpoint()
     )
-    spark.catalog.dropTempView(name)
-    return out
 
 
 def q_user_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5007,25 +4920,9 @@ def q_stream_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-jj rule (8, restored after)."""
     from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
 
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
-        first = inc.first_touch_state(ev)
-        name = "stream_reach_sink"
-        q = (
-            first.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = inc.reach_from_first_touch(spark.table(name)).localCheckpoint()
-        spark.catalog.dropTempView(name)
-        return out
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+    first = inc.first_touch_state(ev)
+    return inc.reach_from_first_touch(inc.run_to_memory(first, "stream_reach_sink"))
 
 
 def q_mde_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5127,32 +5024,16 @@ def q_stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
     from marketing_attribution_etl_framework__maef_spark.operators import experiments as xpr
 
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
-        users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("_n"))
-        name = "stream_srm_sink"
-        q = (
-            users.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        # serving-side: the batch SRM readout over the user state table
-        # (one synthetic event row per user feeds the same operator)
-        state = spark.table(name).select(
-            "user_id",
-            F.lit("state").alias("event_type"),
-            F.lit(0.0).alias("value"),
-        )
-        out = xpr.srm_check(state).localCheckpoint()
-        spark.catalog.dropTempView(name)
-        return out
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+    users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("_n"))
+    # serving-side: the batch SRM readout over the user state table
+    # (one synthetic event row per user feeds the same operator)
+    state = inc.run_to_memory(users, "stream_srm_sink").select(
+        "user_id",
+        F.lit("state").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    return xpr.srm_check(state)
 
 
 def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5429,63 +5310,47 @@ def q_stream_sov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
 
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
-        weekly = (
-            ev.filter(F.col("event_type") != "purchase")
-            .groupBy(
-                F.window("ts", "7 days", "7 days", "4 days").alias("w"),
-                F.col("event_type").alias("channel"),
-            )
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_sessions"),
-                F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
-            )
+    ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+    weekly = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy(
+            F.window("ts", "7 days", "7 days", "4 days").alias("w"),
+            F.col("event_type").alias("channel"),
         )
-        name = "stream_sov_sink"
-        q = (
-            weekly.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
         )
-        q.awaitTermination()
-        per = spark.table(name).select(
-            F.expr(
-                "cast(datediff(cast(w.start as date),"
-                " cast('1970-01-05' as date)) div 7 as long)"
-            ).alias("week"),
-            "channel",
-            "n_sessions",
-            F.col("cents").cast("long").alias("cents"),
-        )
-        per = per.withColumn("_tot", F.sum("cents").over(Window.partitionBy("week")))
-        per = per.withColumn(
-            "share_q20",
-            F.expr(
-                "cast(case when _tot = 0 then 0 else"
-                " (2 * cast(cents as decimal(38,0)) * 1048576 + _tot)"
-                " div (2 * cast(_tot as decimal(38,0))) end as bigint)"
-            ),
-        )
-        wch = Window.partitionBy("channel").orderBy("week")
-        out = per.select(
-            "week",
-            "channel",
-            "n_sessions",
-            "cents",
-            "share_q20",
-            (F.col("share_q20") - F.lag("share_q20").over(wch))
-            .cast("long")
-            .alias("delta_q20"),
-        ).localCheckpoint()
-        spark.catalog.dropTempView(name)
-        return out
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    )
+    per = inc.run_to_memory(weekly, "stream_sov_sink").select(
+        F.expr(
+            "cast(datediff(cast(w.start as date),"
+            " cast('1970-01-05' as date)) div 7 as long)"
+        ).alias("week"),
+        "channel",
+        "n_sessions",
+        F.col("cents").cast("long").alias("cents"),
+    )
+    per = per.withColumn("_tot", F.sum("cents").over(Window.partitionBy("week")))
+    per = per.withColumn(
+        "share_q20",
+        F.expr(
+            "cast(case when _tot = 0 then 0 else"
+            " (2 * cast(cents as decimal(38,0)) * 1048576 + _tot)"
+            " div (2 * cast(_tot as decimal(38,0))) end as bigint)"
+        ),
+    )
+    wch = Window.partitionBy("channel").orderBy("week")
+    return per.select(
+        "week",
+        "channel",
+        "n_sessions",
+        "cents",
+        "share_q20",
+        (F.col("share_q20") - F.lag("share_q20").over(wch))
+        .cast("long")
+        .alias("delta_q20"),
+    )
 
 
 def q_matched_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5602,27 +5467,11 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     State partitions sized by the stream-jj rule (8, restored)."""
     from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
 
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
-        state = inc.funnel_first_touch_state(ev, FUNNEL_STEPS)
-        name = "stream_funnel_sink"
-        q = (
-            state.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = inc.funnel_from_first_touch(
-            spark.table(name), len(FUNNEL_STEPS)
-        ).localCheckpoint()
-        spark.catalog.dropTempView(name)
-        return out
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+    state = inc.funnel_first_touch_state(ev, FUNNEL_STEPS)
+    return inc.funnel_from_first_touch(
+        inc.run_to_memory(state, "stream_funnel_sink"), len(FUNNEL_STEPS)
+    )
 
 
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5761,30 +5610,14 @@ def q_stream_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketing_attribution_etl_framework__maef_spark.operators import experiments as xpr
     from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
 
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
-        vol = inc.windowed_channel_volume(ev.withWatermark("ts", "1 hour"), window="1 day")
-        name = "stream_mix_drift_sink"
-        q = (
-            vol.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        daily = spark.table(name).select(
-            F.col("channel_name").alias("channel"),
-            F.col("window_start").cast("date").alias("d"),
-            F.col("n_sessions").cast("long").alias("n"),
-        )
-        out = xpr.mix_drift_chi2_from_daily(daily).localCheckpoint()
-        spark.catalog.dropTempView(name)
-        return out
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+    vol = inc.windowed_channel_volume(ev.withWatermark("ts", "1 hour"), window="1 day")
+    daily = inc.run_to_memory(vol, "stream_mix_drift_sink", output_mode="append").select(
+        F.col("channel_name").alias("channel"),
+        F.col("window_start").cast("date").alias("d"),
+        F.col("n_sessions").cast("long").alias("n"),
+    )
+    return xpr.mix_drift_chi2_from_daily(daily)
 
 
 # ---------------------------------------------------------------------------
@@ -5925,40 +5758,58 @@ def _stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _STREAM_SESSIONS_CACHE[key]
     for stale in [k for k in _STREAM_SESSIONS_CACHE if k[0] != app_id]:
         _STREAM_SESSIONS_CACHE.pop(stale, None)
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    name = "stream_sessions_store"
-    try:
-        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
-        g = (
-            ev.filter(F.col("event_type") != "purchase")
-            .groupBy("user_id", F.session_window("ts", "30 minutes"))
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_events"),
-                F.min(F.struct("ts", "event_id", "event_type")).alias("_first"),
-            )
+    ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+    g = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(F.struct("ts", "event_id", "event_type")).alias("_first"),
         )
-        q = (
-            g.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = (
-            spark.table(name)
-            .select(
-                F.col("_first.event_type").alias("entry_channel"),
-                "n_events",
-            )
-            .localCheckpoint()
-        )
-        spark.catalog.dropTempView(name)
-        _STREAM_SESSIONS_CACHE[key] = out
-        return out
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    )
+    out = inc.run_to_memory(g, "stream_sessions_store").select(
+        F.col("_first.event_type").alias("entry_channel"),
+        "n_events",
+    )
+    _STREAM_SESSIONS_CACHE[key] = out
+    return out
+
+
+_STREAM_USER_FLAGS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _stream_user_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING per-user flag table (n non-purchase touches,
+    ever-bought, ever-errored) from ONE streaming user-grain aggregate,
+    complete-mode run to completion and localCheckpoint'd once per
+    (application, sf_dir).  The effective-frequency (L283) and
+    error-impact (L295) streaming twins both read it — each previously
+    ran its own full streaming aggregate over the identical events
+    stream (VERDICT r08 #6: audit streaming fixed costs centrally).
+    State is user-grain bounded (3 longs/user) exactly as before; in
+    production this is the user-profile table the streaming job
+    maintains, read by every serving query."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key in _STREAM_USER_FLAGS_CACHE:
+        return _STREAM_USER_FLAGS_CACHE[key]
+    for stale in [k for k in _STREAM_USER_FLAGS_CACHE if k[0] != app_id]:
+        _STREAM_USER_FLAGS_CACHE.pop(stale, None)
+    ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+    g = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") != "purchase").cast("long"))
+        .cast("long")
+        .alias("_touches"),
+        F.max((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("_buyer"),
+        F.max((F.col("event_type") == "error").cast("long")).alias("_err"),
+    )
+    out = inc.run_to_memory(g, "stream_user_flags_store")
+    _STREAM_USER_FLAGS_CACHE[key] = out
+    return out
 
 
 def q_stream_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5996,48 +5847,28 @@ def q_stream_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
 
     known = ["click", "view", "signup", "error", "purchase"]
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    name = "stream_dq_sink"
-    try:
-        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
-        g = ev.groupBy(F.window("ts", "1 day").alias("w")).agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum(F.col("value").isNull().cast("long")).cast("long").alias("n_null_value"),
-            F.sum(
-                F.when(F.col("value") < 0, 1).otherwise(0)
-            ).cast("long").alias("n_neg_value"),
-            F.sum(
-                (~F.col("event_type").isin(known)).cast("long")
-            ).cast("long").alias("n_unknown_type"),
-            F.sum(
-                F.get_json_object("props", "$.k").isNull().cast("long")
-            ).cast("long").alias("n_bad_props"),
-        )
-        q = (
-            g.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = (
-            spark.table(name)
-            .select(
-                F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
-                "n_events",
-                "n_null_value",
-                "n_neg_value",
-                "n_unknown_type",
-                "n_bad_props",
-            )
-            .localCheckpoint()
-        )
-        spark.catalog.dropTempView(name)
-        return out
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+    g = ev.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").isNull().cast("long")).cast("long").alias("n_null_value"),
+        F.sum(
+            F.when(F.col("value") < 0, 1).otherwise(0)
+        ).cast("long").alias("n_neg_value"),
+        F.sum(
+            (~F.col("event_type").isin(known)).cast("long")
+        ).cast("long").alias("n_unknown_type"),
+        F.sum(
+            F.get_json_object("props", "$.k").isNull().cast("long")
+        ).cast("long").alias("n_bad_props"),
+    )
+    return inc.run_to_memory(g, "stream_dq_sink").select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "n_null_value",
+        "n_neg_value",
+        "n_unknown_type",
+        "n_bad_props",
+    )
 
 
 def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6161,57 +5992,30 @@ def q_stream_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L283: STREAMING effective-frequency state — per-user touch/buyer
     flags maintained as one streaming user-grain aggregate (state
-    bounded by users), bucketed serving-side on the binary-magnitude
-    grid; gated by the SAME oracle text as maef_effective_frequency."""
-    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
-
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    name = "stream_freq_sink"
-    try:
-        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
-        g = ev.groupBy("user_id").agg(
-            F.sum((F.col("event_type") != "purchase").cast("long"))
+    bounded by users; staged _stream_user_flags, shared with L295),
+    bucketed serving-side on the binary-magnitude grid; gated by the
+    SAME oracle text as maef_effective_frequency."""
+    return (
+        _stream_user_flags(spark, sf_dir)
+        .select(
+            F.when(F.col("_touches") == 0, F.lit(0))
+            .otherwise(F.length(F.expr("bin(_touches)")))
             .cast("long")
-            .alias("_touches"),
-            F.max((F.col("event_type") == "purchase").cast("long"))
-            .cast("long")
-            .alias("_buyer"),
+            .alias("touch_bucket"),
+            "_buyer",
         )
-        q = (
-            g.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
+        .groupBy("touch_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("_buyer").cast("long").alias("n_buyers"),
         )
-        q.awaitTermination()
-        out = (
-            spark.table(name)
-            .select(
-                F.when(F.col("_touches") == 0, F.lit(0))
-                .otherwise(F.length(F.expr("bin(_touches)")))
-                .cast("long")
-                .alias("touch_bucket"),
-                "_buyer",
-            )
-            .groupBy("touch_bucket")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_users"),
-                F.sum("_buyer").cast("long").alias("n_buyers"),
-            )
-            .withColumn(
-                "buy_rate_q20",
-                F.expr("(2 * n_buyers * 1048576 + n_users) div (2 * n_users)").cast(
-                    "long"
-                ),
-            )
-            .localCheckpoint()
+        .withColumn(
+            "buy_rate_q20",
+            F.expr("(2 * n_buyers * 1048576 + n_users) div (2 * n_users)").cast(
+                "long"
+            ),
         )
-        spark.catalog.dropTempView(name)
-        return out
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    )
 
 
 def q_forecast_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6483,47 +6287,23 @@ def q_template_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stream_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L295: STREAMING error-impact state — per-user error/buyer flags
-    as one streaming user-grain aggregate (the L283 state shape),
-    rolled up serving-side; gated by the SAME oracle text as batch
-    L280."""
-    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
-
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    name = "stream_errimpact_sink"
-    try:
-        ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
-        g = ev.groupBy("user_id").agg(
-            F.max((F.col("event_type") == "error").cast("long")).alias("_err"),
-            F.max((F.col("event_type") == "purchase").cast("long")).alias("_buyer"),
+    from the staged streaming user-flag table (_stream_user_flags,
+    shared with L283), rolled up serving-side; gated by the SAME
+    oracle text as batch L280."""
+    return (
+        _stream_user_flags(spark, sf_dir)
+        .groupBy(F.col("_err").cast("boolean").alias("has_error"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("_buyer").cast("long").alias("n_buyers"),
         )
-        q = (
-            g.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
+        .withColumn(
+            "buy_rate_q20",
+            F.expr("(2 * n_buyers * 1048576 + n_users) div (2 * n_users)").cast(
+                "long"
+            ),
         )
-        q.awaitTermination()
-        out = (
-            spark.table(name)
-            .groupBy(F.col("_err").cast("boolean").alias("has_error"))
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_users"),
-                F.sum("_buyer").cast("long").alias("n_buyers"),
-            )
-            .withColumn(
-                "buy_rate_q20",
-                F.expr("(2 * n_buyers * 1048576 + n_users) div (2 * n_users)").cast(
-                    "long"
-                ),
-            )
-            .localCheckpoint()
-        )
-        spark.catalog.dropTempView(name)
-        return out
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    )
 
 
 def q_stream_length_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6533,116 +6313,43 @@ def q_stream_length_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated by the SAME oracle text as batch L286."""
     from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
 
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    name = "stream_lenmix_sink"
-    try:
-        docs = inc.stream_documents(spark, f"{sf_dir}/documents.parquet")
-        g = (
-            docs.select(
-                "source",
-                F.when(F.col("n_chars") <= 0, F.lit(0))
-                .otherwise(F.length(F.expr("bin(n_chars)")))
-                .cast("long")
-                .alias("len_bucket"),
-            )
-            .groupBy("source", "len_bucket")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    docs = inc.stream_documents(spark, f"{sf_dir}/documents.parquet")
+    g = (
+        docs.select(
+            "source",
+            F.when(F.col("n_chars") <= 0, F.lit(0))
+            .otherwise(F.length(F.expr("bin(n_chars)")))
+            .cast("long")
+            .alias("len_bucket"),
         )
-        q = (
-            g.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = (
-            spark.table(name)
-            .withColumn(
-                "share_q20",
-                F.expr(
-                    "(2 * n_docs * 1048576 + sum(n_docs) over (partition by source))"
-                    " div (2 * sum(n_docs) over (partition by source))"
-                ).cast("long"),
-            )
-            .localCheckpoint()
-        )
-        spark.catalog.dropTempView(name)
-        return out
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+        .groupBy("source", "len_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return inc.run_to_memory(g, "stream_lenmix_sink").withColumn(
+        "share_q20",
+        F.expr(
+            "(2 * n_docs * 1048576 + sum(n_docs) over (partition by source))"
+            " div (2 * sum(n_docs) over (partition by source))"
+        ).cast("long"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
-    # registry entries per round.  r08 rotation (VERDICT r07 next-steps #1):
-    # positions 0-21 are the 22 r07 additions that have never received a
-    # driver row (llm_ann_recall_drift .. maef_rank_stability, oldest first);
-    # positions 22-49 back-fill with the 28 STALEST greens — the r04-checked
-    # long-green tail from maef_model_comparison onward, whose driver rows
-    # are four rounds old, re-verified under the current oracle text.  Any
-    # r08-session additions land after the r09-queue marker (they must NOT
-    # jump the window this round).  The freshly-green r07 window
-    # (CORRECTNESS_r07 50/50) rotates directly behind the marker, then the
-    # r06 window, the r05 window, and the remaining long-green entries.
+    # registry entries per round.  r09 rotation (VERDICT r08 next-steps #1):
+    # positions 0-31 are the 32 r08 additions that have never received a
+    # driver row (llm_lsh_hot_buckets .. llm_stream_length_mix, oldest
+    # first); positions 32-49 back-fill with the 18 stalest greens per the
+    # CLAUDE.md marker — the r04-era tail from maef_user_gaps onward (10),
+    # then the front of the r05-green window (8) — re-verified under the
+    # current oracle text.  Any r09-session additions land after the
+    # r10-queue marker (they must NOT jump the window this round).  The
+    # freshly-green r08 window (CORRECTNESS_r08 50/50) rotates directly
+    # behind the marker, then the r07/r06/r05 windows and the remaining
+    # long-green entries.
     return {
-        # --- r08 gate window part 1 (positions 0-21): the 22 r07 additions,
-        # never driver-checked (VERDICT r07 next-steps #1), oldest first ---
-        "llm_ann_recall_drift": q_ann_recall_drift,
-        "llm_stream_cdc_store": q_stream_cdc_store,
-        "llm_embedding_pca": q_embedding_pca,
-        "maef_share_of_voice": q_share_of_voice,
-        "llm_length_drift": q_length_drift,
-        "llm_simhash_hamming": q_simhash_hamming,
-        "maef_stream_funnel": q_stream_funnel,
-        "maef_holt_winters": q_holt_winters,
-        "maef_markov_path_length": q_markov_path_length,
-        "llm_oov_rate": q_oov_rate,
-        "llm_dup_degree_hist": q_dup_degree_hist,
-        "maef_seasonal_decomposition": q_seasonal_decomposition,
-        "llm_multimodal_waveform": q_multimodal_waveform,
-        "llm_dedup_threshold_sweep": q_dedup_threshold_sweep,
-        "maef_matched_lift": q_matched_lift,
-        "maef_stream_sov": q_stream_sov,
-        "llm_window_dedup": q_window_dedup,
-        "llm_lsh_bucket_stats": q_lsh_bucket_stats,
-        "llm_code_screen": q_code_screen,
-        "maef_budget_reallocation": q_budget_reallocation,
-        "llm_surprisal_drift": q_surprisal_drift,
-        "maef_rank_stability": q_rank_stability,
-        # --- r08 gate window part 2 (positions 22-49): the 28 stalest greens
-        # (r04-checked long-green tail, driver rows four rounds old)
-        # re-verified under the current oracle text ---
-        "maef_model_comparison": q_model_comparison,
-        "maef_channel_overlap": q_channel_overlap,
-        "llm_lang_confusion": q_lang_confusion,
-        "maef_revenue_histogram": q_revenue_histogram,
-        "maef_attribution_stats": q_attribution_stats,
-        "maef_report_summary": q_report_summary,
-        "rel_market_share": q_rel_market_share,
-        "llm_curate_sketch": q_curate_sketch,
-        "maef_sessionize_native": q_sessionize_native,
-        "maef_anomaly_mad": q_anomaly_mad,
-        "maef_channel_decay": q_channel_decay,
-        "rel_shipping_priority": q_rel_shipping_priority,
-        "rel_parts_supplier": q_rel_parts_supplier,
-        "rel_big_spenders": q_rel_big_spenders,
-        "maef_stream_dedup": q_stream_dedup,
-        "maef_channel_assists": q_channel_assists,
-        "maef_user_features": q_user_features,
-        "maef_latency_histogram": q_latency_histogram,
-        "maef_budget_allocation": q_budget_allocation,
-        "maef_window_funnel": q_window_funnel,
-        "maef_ab_lift": q_ab_lift,
-        "llm_hybrid_rrf": q_hybrid_rrf,
-        "maef_user_purge": q_user_purge,
-        "maef_bloom_pruned_join": q_bloom_pruned_join,
-        "rel_idle_customers": q_rel_idle_customers,
-        "rel_returned_items": q_rel_returned_items,
-        "maef_journey_dropoff": q_journey_dropoff,
-        "maef_sketch_merge_law": q_sketch_merge_law,
-        # --- r08 additions land BELOW (r09 queue; driver-unchecked) ---
+        # --- r09 gate window part 1 (positions 0-31): the 32 r08 additions,
+        # never driver-checked (VERDICT r08 next-steps #1), oldest first ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,
         "llm_dedup_roi": q_dedup_roi,
@@ -6675,6 +6382,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_template_share": q_template_share,
         "maef_stream_error_impact": q_stream_error_impact,
         "llm_stream_length_mix": q_stream_length_mix,
+        # --- r09 gate window part 2 (positions 32-49): the 18 stalest greens
+        # (r04-era tail from maef_user_gaps, then the r05-window front)
+        # re-verified under the current oracle text ---
+        "maef_user_gaps": q_user_gaps,
+        "maef_orc_roundtrip": q_orc_roundtrip,
+        "maef_stream_sessionize": q_stream_sessionize,
+        "rel_small_quantity": q_rel_small_quantity,
+        "rel_local_volume": q_rel_local_volume,
+        "rel_nation_trade": q_rel_nation_trade,
+        "rel_return_culprits": q_rel_return_culprits,
+        "maef_scd2_channels": q_scd2_channels,
+        "rel_promo_share": q_rel_promo_share,
+        "rel_disjunctive": q_rel_disjunctive,
+        "rel_min_cost_supplier": q_rel_min_cost_supplier,
+        "rel_important_parts": q_rel_important_parts,
+        "rel_part_promotion": q_rel_part_promotion,
+        "rel_forecast_revenue": q_rel_forecast_revenue,
+        "maef_scd2_lookup": q_scd2_lookup,
+        "rel_priority_lines": q_rel_priority_lines,
+        "maef_rfm_segments": q_rfm_segments,
+        "maef_survival_km": q_survival_km,
+        # --- r09 additions land BELOW (r10 queue; driver-unchecked) ---
+        # --- freshly-green r08 window (CORRECTNESS_r08, 50/50) rotates here:
+        # first the 22 r07 additions, then the 28 re-verified r04-era greens ---
+        "llm_ann_recall_drift": q_ann_recall_drift,
+        "llm_stream_cdc_store": q_stream_cdc_store,
+        "llm_embedding_pca": q_embedding_pca,
+        "maef_share_of_voice": q_share_of_voice,
+        "llm_length_drift": q_length_drift,
+        "llm_simhash_hamming": q_simhash_hamming,
+        "maef_stream_funnel": q_stream_funnel,
+        "maef_holt_winters": q_holt_winters,
+        "maef_markov_path_length": q_markov_path_length,
+        "llm_oov_rate": q_oov_rate,
+        "llm_dup_degree_hist": q_dup_degree_hist,
+        "maef_seasonal_decomposition": q_seasonal_decomposition,
+        "llm_multimodal_waveform": q_multimodal_waveform,
+        "llm_dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "maef_matched_lift": q_matched_lift,
+        "maef_stream_sov": q_stream_sov,
+        "llm_window_dedup": q_window_dedup,
+        "llm_lsh_bucket_stats": q_lsh_bucket_stats,
+        "llm_code_screen": q_code_screen,
+        "maef_budget_reallocation": q_budget_reallocation,
+        "llm_surprisal_drift": q_surprisal_drift,
+        "maef_rank_stability": q_rank_stability,
+        "maef_model_comparison": q_model_comparison,
+        "maef_channel_overlap": q_channel_overlap,
+        "llm_lang_confusion": q_lang_confusion,
+        "maef_revenue_histogram": q_revenue_histogram,
+        "maef_attribution_stats": q_attribution_stats,
+        "maef_report_summary": q_report_summary,
+        "rel_market_share": q_rel_market_share,
+        "llm_curate_sketch": q_curate_sketch,
+        "maef_sessionize_native": q_sessionize_native,
+        "maef_anomaly_mad": q_anomaly_mad,
+        "maef_channel_decay": q_channel_decay,
+        "rel_shipping_priority": q_rel_shipping_priority,
+        "rel_parts_supplier": q_rel_parts_supplier,
+        "rel_big_spenders": q_rel_big_spenders,
+        "maef_stream_dedup": q_stream_dedup,
+        "maef_channel_assists": q_channel_assists,
+        "maef_user_features": q_user_features,
+        "maef_latency_histogram": q_latency_histogram,
+        "maef_budget_allocation": q_budget_allocation,
+        "maef_window_funnel": q_window_funnel,
+        "maef_ab_lift": q_ab_lift,
+        "llm_hybrid_rrf": q_hybrid_rrf,
+        "maef_user_purge": q_user_purge,
+        "maef_bloom_pruned_join": q_bloom_pruned_join,
+        "rel_idle_customers": q_rel_idle_customers,
+        "rel_returned_items": q_rel_returned_items,
+        "maef_journey_dropoff": q_journey_dropoff,
+        "maef_sketch_merge_law": q_sketch_merge_law,
         # --- freshly-green r07 window (CORRECTNESS_r07, 50/50) rotates here ---
         "maef_next_best_channel": q_next_best_channel,
         "maef_interpurchase": q_interpurchase,
@@ -6777,15 +6558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_multimodal_frames": q_multimodal_frames,
         "maef_mde_components": q_mde_components,
         "maef_conversion_velocity": q_conversion_velocity,
-        # --- r05-green window (CORRECTNESS_r05, 50/50) ---
-        "rel_min_cost_supplier": q_rel_min_cost_supplier,
-        "rel_important_parts": q_rel_important_parts,
-        "rel_part_promotion": q_rel_part_promotion,
-        "rel_forecast_revenue": q_rel_forecast_revenue,
-        "maef_scd2_lookup": q_scd2_lookup,
-        "rel_priority_lines": q_rel_priority_lines,
-        "maef_rfm_segments": q_rfm_segments,
-        "maef_survival_km": q_survival_km,
+        # --- r05-green window (CORRECTNESS_r05; front 8 rotated into the
+        # r09 window above) ---
         "rel_basket_pairs": q_rel_basket_pairs,
         "maef_robust_stats": q_robust_channel_stats,
         "llm_pack_sequences": q_pack_sequences,
@@ -6828,18 +6602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rollup": q_rel_rollup,
         "maef_cohort_ltv": q_cohort_ltv,
         "llm_ct_langid": q_ct_langid,
-        # --- long-green below: rows in r01-r04 (28 stalest rotated into the
-        # r08 window above) ---
-        "maef_user_gaps": q_user_gaps,
-        "maef_orc_roundtrip": q_orc_roundtrip,
-        "maef_stream_sessionize": q_stream_sessionize,
-        "rel_small_quantity": q_rel_small_quantity,
-        "rel_local_volume": q_rel_local_volume,
-        "rel_nation_trade": q_rel_nation_trade,
-        "rel_return_culprits": q_rel_return_culprits,
-        "maef_scd2_channels": q_scd2_channels,
-        "rel_promo_share": q_rel_promo_share,
-        "rel_disjunctive": q_rel_disjunctive,
+        # --- long-green below: rows in r01-r04 (the r04-era tail from
+        # maef_user_gaps onward rotated into the r09 window above) ---
         "llm_ann_topk": q_ann_topk,
         "llm_ann_ivf": q_ann_ivf,
         "llm_ann_kmeans": q_ann_kmeans,

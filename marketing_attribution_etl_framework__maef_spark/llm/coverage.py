@@ -89,22 +89,24 @@ def greedy_coverage(
     k corpus-scale materializations and ONE corpus aggregate plus k
     scans of a ~256-doc table.
 
-    The per-round jobs are LATENCY-bound (tiny sequential jobs), so
-    the loop runs at 4 shuffle partitions.  Alternatives measured
-    SLOWER at sf0.1: a driver-held covered set pruned via per-round
-    broadcast anti-join (6.3-6.9 s — per-round createDataFrame and
-    broadcast round-trips) and a literal isin() In-set predicate
-    (8.2-9.5 s — hundreds of string literals serialized into every
-    task's plan per round).
+    After the two corpus passes the loop itself runs ENTIRELY on the
+    driver (r09, VERDICT r08 #4): the pool sliver — candidate_pool
+    docs' shingle sets, bounded by pool_size x max-doc-shingles
+    regardless of corpus scale, the repo bounded-driver-state rule —
+    is collected once and the k rounds are exact Python set
+    arithmetic, zero Spark jobs.  The r08 Spark-side loop (k rounds x
+    2 latency-bound jobs of 4 tasks each, ~0.3 s/round floor) was the
+    measured 4.3 s driver cost two rounds running; the alternatives
+    measured SLOWER still at sf0.1: per-round broadcast anti-join
+    6.3-6.9 s, literal isin() In-set 8.2-9.5 s.
     """
     spark = docs.sparkSession
     # The full (doc, shingle) table is a LINEAGE, never materialized:
     # post slice-shingling the explode is cheap to recompute (repo perf
     # rule), so the two corpus passes (round-1 gain aggregate + the
-    # pool prune) beat one pass plus a corpus-scale localCheckpoint
+    # pool collect) beat one pass plus a corpus-scale localCheckpoint
     # write (the r07 profile: the old per-round checkpoint chain spent
-    # its time writing the corpus to the block manager).  Only the
-    # pool-sized live sliver is checkpointed.
+    # its time writing the corpus to the block manager).
     pairs_full = doc_shingles(docs, text_col, id_col)
     out, covered_total = [], 0
     winners: list = []
@@ -122,35 +124,83 @@ def greedy_coverage(
         return spark.createDataFrame(
             [], "round long, doc_id long, gain long, covered_total long"
         )
+    # threshold below which an outside doc could still win a tie;
+    # -1 when the pool holds the whole corpus (pruning is complete)
+    threshold = g0[-1]["gain"] if len(g0) == candidate_pool else -1
+    pool_ids = spark.createDataFrame([(r[id_col],) for r in g0], f"{id_col} long")
+    # Pool collect (second corpus pass): the candidate docs' exact
+    # shingle sets.  doc_shingles is already distinct, so each (doc,
+    # shingle) arrives once.
+    pool_sets: dict = {}
+    for row in (
+        pairs_full.join(F.broadcast(pool_ids), id_col, "left_semi")
+        .select(id_col, "sh")
+        .collect()
+    ):
+        pool_sets.setdefault(row[id_col], set()).add(row["sh"])
+    covered: set = set()
+    rnd = 1
+    top = (g0[0][id_col], int(g0[0]["gain"]))
+    while True:
+        doc, gain = top
+        covered_total += gain
+        out.append((rnd, doc, gain, covered_total))
+        winners.append(doc)
+        covered |= pool_sets.pop(doc, set())
+        if rnd == k:
+            break
+        # next winner over the pool: exact marginal gains in Python,
+        # (gain DESC, id ASC) order identical to the Spark top-1
+        best = None
+        for d in sorted(pool_sets):
+            g = len(pool_sets[d] - covered)
+            if best is None or g > best[1]:
+                best = (d, g)
+        gain_now = best[1] if best else 0
+        if gain_now <= threshold:
+            # rare fallback (pool exhausted by mutual overlap): rebuild
+            # the FULL uncovered table and finish the remaining rounds
+            # Spark-side — bit-identical to the unpruned formulation.
+            return _greedy_coverage_spark_tail(
+                spark, pairs_full, id_col, winners, out, covered_total, rnd, k
+            )
+        if gain_now == 0:
+            break
+        rnd += 1
+        top = (best[0], gain_now)
+    return spark.createDataFrame(
+        out, "round long, doc_id long, gain long, covered_total long"
+    )
+
+
+def _greedy_coverage_spark_tail(
+    spark,
+    pairs_full: DataFrame,
+    id_col: str,
+    winners: list,
+    out: list,
+    covered_total: int,
+    rnd: int,
+    k: int,
+) -> DataFrame:
+    """Spark-side continuation of ``greedy_coverage`` for the rare
+    pool-exhausted case: rebuild the full uncovered (doc, shingle)
+    table minus everything the winners so far cover, then run the
+    remaining rounds as distributed top-1 scans (the r08 loop shape;
+    per-round live state localCheckpoint'd — twice-consumed loop-state
+    rule)."""
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        # threshold below which an outside doc could still win a tie;
-        # -1 when the pool holds the whole corpus (pruning is complete)
-        threshold = g0[-1]["gain"] if len(g0) == candidate_pool else -1
-        pool_ids = spark.createDataFrame(
-            [(r[id_col],) for r in g0], f"{id_col} long"
+        covered_sh = (
+            pairs_full.filter(F.col(id_col).isin(winners)).select("sh").distinct()
         )
-        # the pool-sized live table is repartitioned DOWN to 4 so the
-        # latency-bound loop pays 4 tasks per job, not the corpus
-        # checkpoint's partition count
         live = (
-            pairs_full.join(F.broadcast(pool_ids), id_col, "left_semi")
+            pairs_full.join(covered_sh, "sh", "left_anti")
             .repartition(4)
             .localCheckpoint()
         )
-        pruned = True
-        rnd = 1
-        top = (g0[0][id_col], g0[0]["gain"])
         while True:
-            doc, gain = top
-            covered_total += gain
-            out.append((rnd, doc, gain, covered_total))
-            winners.append(doc)
-            if rnd == k:
-                break
-            winner_sh = live.filter(F.col(id_col) == doc).select("sh")
-            live = live.join(winner_sh, "sh", "left_anti").localCheckpoint()
             rows = (
                 live.groupBy(id_col)
                 .agg(F.count(F.lit(1)).cast("long").alias("gain"))
@@ -158,33 +208,17 @@ def greedy_coverage(
                 .limit(1)
                 .collect()
             )
-            gain_now = rows[0]["gain"] if rows else 0
-            if pruned and gain_now <= threshold:
-                # rare fallback: rebuild the FULL uncovered table from
-                # the round-1 checkpoint minus all covered shingles
-                covered_sh = (
-                    pairs_full.filter(F.col(id_col).isin(winners))
-                    .select("sh")
-                    .distinct()
-                )
-                live = (
-                    pairs_full.join(covered_sh, "sh", "left_anti")
-                    .repartition(4)
-                    .localCheckpoint()
-                )
-                pruned = False
-                rows = (
-                    live.groupBy(id_col)
-                    .agg(F.count(F.lit(1)).cast("long").alias("gain"))
-                    .orderBy(F.desc("gain"), F.asc(id_col))
-                    .limit(1)
-                    .collect()
-                )
-                gain_now = rows[0]["gain"] if rows else 0
-            if not rows or gain_now == 0:
+            if not rows or rows[0]["gain"] == 0:
                 break
             rnd += 1
-            top = (rows[0][id_col], rows[0]["gain"])
+            doc, gain = rows[0][id_col], int(rows[0]["gain"])
+            covered_total += gain
+            out.append((rnd, doc, gain, covered_total))
+            winners.append(doc)
+            if rnd == k:
+                break
+            winner_sh = live.filter(F.col(id_col) == doc).select("sh")
+            live = live.join(winner_sh, "sh", "left_anti").localCheckpoint()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.createDataFrame(

@@ -126,6 +126,15 @@ def window_funnel(
     per-step joins key on user_id, so they reuse the single up-front
     exchange. Output: (funnel_stage, n_users, n_reached) like
     ``funnel_summary``.
+
+    The per-stage ``cur`` aggregate is consumed TWICE per round (the
+    next stage's join and the ``reached`` union branch), so it is
+    localCheckpoint'd each round — un-pinned, the union's k branches
+    re-derive 1+2+..+k stage lineages (O(k^2) plan growth, the raking/
+    cluster_duplicates law; this was the 6x bench variance in r08). The
+    checkpointed state is user-grain bounded (3 longs per user still in
+    the funnel, shrinking per stage); at 100 TB checkpoint to a table
+    instead of in-session blocks.
     """
     if not steps:
         raise ValueError("need at least one funnel step")
@@ -156,6 +165,7 @@ def window_funnel(
                 .groupBy("user_id")
                 .agg(F.min("_t0").alias("_t0"), F.min("_ts").alias("_prev"))
             )
+        cur = cur.localCheckpoint(eager=False)
         reached = cur.select("user_id", F.lit(i + 1).cast("long").alias("_stage"))
         stages = reached if stages is None else stages.unionByName(reached)
     everyone = base.select("user_id").distinct().withColumn("_stage", F.lit(0).cast("long"))
