@@ -6334,6 +6334,417 @@ def q_stream_length_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L27 oracle gate (VERDICT r08 #5): the custom
+    ``applyInPandasWithState`` gap+cap sessionizer
+    (streaming/sessionize.py) run under availableNow and checked
+    against the SAME oracle text as ``maef_sessionize_batch`` — the
+    last pytest-only extension row becomes hash-gated.
+
+    Append mode never emits a trailing open session, so the harness
+    appends one SENTINEL flush event per user, one gap past the
+    stream's max timestamp: its arrival closes every open real session
+    (the operator's own close-on-arrival path — no timeout machinery
+    needed at end of input), while the sentinel's 1-event session
+    stays in state, unemitted, and is filtered defensively.  In
+    production the stream never ends and event-time timeouts close
+    trailing sessions instead; the sentinel is purely the harness's
+    end-of-input flush device (the same role availableNow complete
+    mode plays for the session_window twins L119/L275).  State is
+    per-user O(1) (no event buffering), so state volume scales with
+    the live-user population, not event volume."""
+    import shutil
+
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+    from marketing_attribution_etl_framework__maef_spark.streaming.sessionize import sessionize
+
+    root = os.path.join(
+        os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/maef_spark_scratch"),
+        ".sessionize_state",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    ev = domain.events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    mx = ev.agg(F.max("ts").alias("_mx"))
+    sent = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.expr("_mx + interval 61 minutes").alias("ts"),
+            F.lit(10**15).cast("long").alias("event_id"),
+            F.lit("zz_flush").alias("event_type"),
+        )
+    )
+    src = os.path.join(root, "src")
+    # ONE file -> availableNow processes everything in one micro-batch,
+    # so every sentinel sorts after its user's real events inside the
+    # operator's per-group (ts, _tb) sort.
+    ev.unionByName(sent).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_id long, event_type string"
+    ).parquet(src)
+    out = sessionize(
+        stream,
+        gap_minutes=30,
+        max_events=20,
+        watermark="0 seconds",
+        tiebreak="event_id",
+    )
+    res = inc.run_to_memory(
+        out, "stream_sessionize_state_sink", output_mode="append"
+    )
+    return res.filter(F.col("channels") != "zz_flush").select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "channels",
+    )
+
+
+def q_ann_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe/recall frontier (VERDICT r08 #8a): the L233 recall
+    audit swept over probe = 1/2/4/8 in ONE lineage, with the
+    candidate volume each level scans — the operating-point table
+    that turns the single-point audit into an auto-tuning readout
+    (llm/similarity.py ivf_probe_frontier).  Same grid as L233:
+    corpus = embeddings, queries = vec_id%50==7, centroids =
+    vec_id<8, k=5."""
+    e = _embs(spark, sf_dir)
+    return sim.ivf_probe_frontier(
+        e,
+        e.filter(F.col("vec_id") % 50 == 7),
+        e.filter(F.col("vec_id") < 8),
+        k=5,
+        probes=(1, 2, 4, 8),
+    )
+
+
+def q_fertility_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility drift monitor: the FROZEN L57 tokenizer's
+    tokens-per-word, per even/odd doc_id ingest half — the alarm that
+    fires when new data stops matching the tokenizer's training
+    distribution (fertility climbs on out-of-domain text long before
+    loss curves show it).  Rides the staged L58 encode table — the
+    drift readout costs one bounded aggregate, no re-encode.  Exact:
+    sum(tokens) * 2^20 div sum(words) in DECIMAL(38,0), the L172
+    device at the half grain."""
+    enc = _bpe_encode(spark, sf_dir)
+    return (
+        enc.groupBy((F.col("doc_id") % 2).cast("long").alias("half"))
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "half",
+            "n_words",
+            "n_bpe_tokens",
+            F.expr(
+                "cast(cast(n_bpe_tokens as decimal(38,0)) * 1048576 div n_words as bigint)"
+            ).alias("fertility_q20"),
+        )
+    )
+
+
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quality-gate counters — the L6b fused per-doc gate
+    run at ingest time: documents stream in, the PII injection and
+    the full doc_profile are STATELESS projections (whole-stage-fused
+    with the scan, exactly as in batch), and the only state is the
+    bounded (reasons -> n_docs) counter table (<= 16 combos of the 4
+    failure flags).  Gated by the L6b oracle text aggregated to the
+    same grain — the streaming path must reproduce the batch gate
+    verdicts bit for bit.  In production these counters are the
+    ingest-health dashboard a crawl operator watches."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    docs = inc.stream_documents(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(PII_SUFFIX)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    f = txt.doc_profile(docs)
+    reasons = F.concat_ws(
+        ",",
+        F.when(~F.col("is_quality"), F.lit("low_quality")),
+        F.when(F.col("is_repetitive"), F.lit("repetitive")),
+        F.when(F.col("lang_guess") != "en", F.lit("lang")),
+        F.when(F.col("n_emails") + F.col("n_long_numbers") > 0, F.lit("pii")),
+    )
+    g = (
+        f.select(reasons.alias("reasons"))
+        .groupBy("reasons")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return inc.run_to_memory(g, "stream_quality_gate_sink")
+
+
+def q_template_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication lift by content class: near-dup non-survivor rate
+    per L266 template flag over the augmented corpus — "is
+    boilerplate/templated text MORE duplicated than fresh prose", the
+    signal that justifies the template pre-filter ahead of LSH
+    banding (and prices what it saves).  Composition: the per-doc
+    template flag (one inverted-index scan) joined to the STAGED
+    near-dup cluster store — no LSH recompute.  Output per flag:
+    (is_template, n_docs, n_dup_docs, dup_rate_q20)."""
+    flags = dd.template_docs(_aug_docs(spark, sf_dir)).select(
+        "doc_id", F.col("is_template").cast("long").alias("is_template")
+    )
+    dups = (
+        _dup_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id", F.lit(1).alias("_d"))
+    )
+    return (
+        flags.join(dups, "doc_id", "left")
+        .groupBy("is_template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_d"), F.lit(0))).cast("long").alias("n_dup_docs"),
+        )
+        .select(
+            "is_template",
+            "n_docs",
+            "n_dup_docs",
+            F.expr("(2 * n_dup_docs * 1048576 + n_docs) div (2 * n_docs)")
+            .cast("long")
+            .alias("dup_rate_q20"),
+        )
+    )
+
+
+def q_surprisal_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x surprisal-band quality-mix matrix — per-doc mean
+    whole-bit unigram surprisal band under the frozen corpus scorer,
+    crossed with source; the quality fingerprint next to the L286
+    length fingerprint (llm/text.py surprisal_mix)."""
+    return txt.surprisal_mix(_docs(spark, sf_dir))
+
+
+def q_pack_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing fragmentation readout over the L137 manifest: how many
+    documents straddle training-sequence boundaries (n_seqs > 1) and
+    how much char mass they carry — the attention-contamination /
+    truncated-context cost of concat-and-chunk packing, the number a
+    data engineer weighs against padding waste when picking the
+    sequence budget.  Per n_seqs value: (n_seqs, n_docs, total_chars,
+    doc_share_q20).  Pure derived aggregate over the manifest — one
+    groupBy on the packing output, no second corpus scan."""
+    m = pck.pack_sequences(_docs(spark, sf_dir))
+    tot = m.agg(F.count(F.lit(1)).cast("long").alias("_nt"))
+    return (
+        m.groupBy("n_seqs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_seqs").cast("long").alias("n_seqs"),
+            "n_docs",
+            "total_chars",
+            F.expr("(2 * n_docs * 1048576 + _nt) div (2 * _nt)")
+            .cast("long")
+            .alias("doc_share_q20"),
+        )
+    )
+
+
+def q_rel_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit — the diagnostic that DECIDES salting
+    (operators/skew.py) and AQE skew-join reliance before a 100-TB
+    run: per join spine (events.user_id — the J1 journey key;
+    lineitem.l_orderkey and orders.o_custkey — the TPC-H kernels'
+    spines), exact integers over the key-frequency table: row/key
+    counts, the hottest key's row count and q20 share, and exact
+    PERCENTILE_DISC p50/p99 key frequency (skew = p99/p50 spread +
+    top-share).  A top_share_q20 near 2^20/partitions is the
+    salt-now signal.
+
+    Scale: the frequency table is one map-side-combinable groupBy per
+    relation (the same shuffle the audited join itself pays), and all
+    percentiles run over the FREQUENCY grain (n_keys rows, not
+    n_rows); at production scale swap the exact disc rank for the L87
+    log-histogram sketch — the readout columns are unchanged."""
+    from marketing_attribution_etl_framework__maef_spark.operators.quantiles import percentile_disc
+
+    specs = [
+        ("events.user_id", domain.events(spark, sf_dir).select(F.col("user_id").alias("_k"))),
+        (
+            "lineitem.l_orderkey",
+            domain.load_table(spark, sf_dir, "lineitem").select(
+                F.col("l_orderkey").alias("_k")
+            ),
+        ),
+        (
+            "orders.o_custkey",
+            domain.load_table(spark, sf_dir, "orders").select(
+                F.col("o_custkey").alias("_k")
+            ),
+        ),
+    ]
+    freq = None
+    for rel, df in specs:
+        f = (
+            df.groupBy("_k")
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+            .select(F.lit(rel).alias("relation"), "_c")
+        )
+        freq = f if freq is None else freq.unionByName(f)
+    scal = freq.groupBy("relation").agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("_c").cast("long").alias("max_rows"),
+    )
+    pct = (
+        percentile_disc(freq, ["relation"], "_c", ps=[0.5, 0.99])
+        .groupBy("relation")
+        .agg(
+            F.max(F.when(F.col("p") == 0.5, F.col("_c"))).cast("long").alias("p50_rows"),
+            F.max(F.when(F.col("p") == 0.99, F.col("_c"))).cast("long").alias("p99_rows"),
+        )
+    )
+    return scal.join(pct, "relation").select(
+        "relation",
+        "n_rows",
+        "n_keys",
+        "max_rows",
+        F.expr("(2 * max_rows * 1048576 + n_rows) div (2 * n_rows)")
+        .cast("long")
+        .alias("top_share_q20"),
+        "p50_rows",
+        "p99_rows",
+    )
+
+
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline e2e chain gate (VERDICT r08 #8b): the four dedup
+    families composed SEQUENTIALLY — exact → near-dup → CDC chunks →
+    semantic — with per-stage removed-mass accounting reconciled
+    against the L267 ROI ledger (the maef_pipeline_e2e device for the
+    LLM side).  Per stage: (stage, unit, n_in, n_removed,
+    mass_removed, mass_standalone, n_out) where mass_removed is the
+    MARGINAL mass the stage removes inside the chain and
+    mass_standalone is what the same family removes on the full
+    corpus (the L267 ledger number).  exact/near_dup marginal ==
+    ledger by definition (the ledger is already sequenced that way);
+    for cdc_chunks the DELTA standalone-minus-chain is the duplicate-
+    chunk mass doc-level dedup already eliminated — the overlap
+    between doc-grain and chunk-grain dedup that neither family
+    reports alone.  The semantic stage runs on the (augmented)
+    embedding corpus — the harness publishes no doc↔vector mapping,
+    so its unit is vectors, marginal == standalone.
+
+    Scale: ONE labeled corpus scan (exact flag + cluster join) feeds
+    every doc-level aggregate, ONE chunk scan with a survivor flag
+    feeds both cdc columns, and the semantic counts ride the staged
+    centroid/cluster stores — no family is recomputed from scratch
+    (the chain costs ~the ROI ledger plus two 1-row aggregates)."""
+    from pyspark.sql import Window
+
+    docs = _aug_docs(spark, sf_dir)
+    clusters = _dup_clusters(spark, sf_dir)
+    norm = dd.normalize_text(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.length(norm).cast("long").alias("n_chars"),
+        dd.content_hash(F.col("text")).alias("_h"),
+    )
+    lab = (
+        base.withColumn(
+            "_ex", F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("_h"))
+        )
+        .join(
+            clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+            .select("doc_id", F.lit(True).alias("_ns")),
+            "doc_id",
+            "left",
+        )
+        .withColumn("_ns", F.coalesce(F.col("_ns"), F.lit(False)))
+    )
+    doc_scal = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("_ex"), 1).otherwise(0)).cast("long").alias("e_n"),
+        F.sum(F.when(F.col("_ex"), F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("e_c"),
+        F.sum(F.when(~F.col("_ex") & F.col("_ns"), 1).otherwise(0))
+        .cast("long")
+        .alias("nr_n"),
+        F.sum(F.when(~F.col("_ex") & F.col("_ns"), F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("nr_c"),
+        F.sum(F.when(F.col("_ns"), F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("nr_sa_c"),
+    )
+    surv2 = lab.filter(~F.col("_ex") & ~F.col("_ns")).select(
+        "doc_id", F.lit(1).alias("_s")
+    )
+    ch = dd.cdc_doc_chunks(docs.withColumn("source", F.lit(""))).join(
+        surv2, "doc_id", "left"
+    )
+    cdc_scal = (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min("chunk_len").alias("_len"),
+            F.sum(F.coalesce(F.col("_s"), F.lit(0))).alias("_scnt"),
+            F.min(F.when(F.col("_s") == 1, F.col("chunk_len"))).alias("_slen"),
+        )
+        .agg(
+            F.sum(F.col("_cnt") - 1).cast("long").alias("sa_occ"),
+            F.sum((F.col("_cnt") - 1) * F.col("_len")).cast("long").alias("sa_chars"),
+            F.sum(F.greatest(F.col("_scnt") - 1, F.lit(0)))
+            .cast("long")
+            .alias("ch_occ"),
+            F.sum(
+                F.greatest(F.col("_scnt") - 1, F.lit(0))
+                * F.coalesce(F.col("_slen"), F.lit(0))
+            )
+            .cast("long")
+            .alias("ch_chars"),
+        )
+    )
+    aug_e = _aug_embeddings(spark, sf_dir)
+    v_scal = aug_e.agg(F.count(F.lit(1)).cast("long").alias("v0")).crossJoin(
+        sim.semantic_dedup(
+            aug_e, k=8, n_iter=2, tau_q20=995000, centroids=_aug_kmeans8(spark, sf_dir)
+        ).agg(F.count(F.lit(1)).cast("long").alias("sv"))
+    )
+    return (
+        doc_scal.crossJoin(cdc_scal)
+        .crossJoin(v_scal)
+        .selectExpr(
+            """stack(4,
+              'exact', 'docs', n0, e_n, e_c, e_c, n0 - e_n,
+              'near_dup', 'docs', n0 - e_n, nr_n, nr_c, nr_sa_c, n0 - e_n - nr_n,
+              'cdc_chunks', 'chunk_occurrences', n0 - e_n - nr_n, ch_occ,
+                  ch_chars, sa_chars, n0 - e_n - nr_n,
+              'semantic', 'vectors', v0, v0 - sv, v0 - sv, v0 - sv, sv
+            ) as (stage, unit, n_in, n_removed, mass_removed,
+                  mass_standalone, n_out)"""
+        )
+        .select(
+            "stage",
+            "unit",
+            F.col("n_in").cast("long").alias("n_in"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+            F.col("mass_removed").cast("long").alias("mass_removed"),
+            F.col("mass_standalone").cast("long").alias("mass_standalone"),
+            F.col("n_out").cast("long").alias("n_out"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
     # registry entries per round.  r09 rotation (VERDICT r08 next-steps #1):
@@ -6404,6 +6815,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_rfm_segments": q_rfm_segments,
         "maef_survival_km": q_survival_km,
         # --- r09 additions land BELOW (r10 queue; driver-unchecked) ---
+        "maef_stream_sessionize_state": q_stream_sessionize_state,
+        "llm_dedup_pipeline": q_dedup_pipeline,
+        "llm_ann_tuning": q_ann_tuning,
+        "rel_skew_profile": q_rel_skew_profile,
+        "llm_pack_fragmentation": q_pack_fragmentation,
+        "llm_surprisal_mix": q_surprisal_mix,
+        "llm_template_dup": q_template_dup,
+        "llm_stream_quality_gate": q_stream_quality_gate,
+        "llm_fertility_drift": q_fertility_drift,
         # --- freshly-green r08 window (CORRECTNESS_r08, 50/50) rotates here:
         # first the 22 r07 additions, then the 28 re-verified r04-era greens ---
         "llm_ann_recall_drift": q_ann_recall_drift,

@@ -69,158 +69,115 @@ def greedy_coverage(
     anything.  round is 1-based; covered_total is the running
     distinct-shingle count after the pick.
 
-    CELF-style candidate pruning (VERDICT r07 #4): marginal gains are
-    monotone non-increasing under a growing covered set (submodularity),
-    so a document whose INITIAL gain is below the current round's
-    winning gain can never win or tie.  Round 1's full-corpus gain
-    aggregate therefore doubles as a pruning pass: the live uncovered
-    table is left-semi-restricted to the top-``candidate_pool`` docs
-    by (initial gain DESC, id ASC) before the loop, and every later
-    round scans only that sliver.  Soundness threshold: with t = the
-    pool's minimum initial gain, any winner with gain > t is provably
-    the GLOBAL winner under the same (gain DESC, id ASC) order — an
-    outside doc has current gain <= initial gain <= t < winner, so it
-    can neither beat nor tie.  If a round's pooled winner lands at
-    gain <= t (pool exhausted by mutual overlap — needs k near-dup
-    picks from one template cluster), the loop falls back once to the
-    full uncovered table rebuilt from the round-1 checkpoint, so the
-    k selections stay bit-identical to the unpruned formulation and
-    the oracle is unchanged.  At 100 TB this is the difference between
-    k corpus-scale materializations and ONE corpus aggregate plus k
-    scans of a ~256-doc table.
+    CELF-style candidate pruning with TIE-SAFE paginated refills
+    (r09, replacing the r08 Spark-tail fallback): marginal gains are
+    monotone non-increasing under a growing covered set
+    (submodularity), so only docs whose INITIAL gain reaches the
+    current winning gain can contend.  The driver holds a candidate
+    pool — pages of ``candidate_pool`` docs in (initial gain DESC,
+    id ASC) order, with their exact shingle sets — and runs the k
+    rounds as pure Python set arithmetic (bounded driver state:
+    pages x candidate_pool docs x max-doc-shingles, the repo
+    bounded-driver-state rule).
 
-    After the two corpus passes the loop itself runs ENTIRELY on the
-    driver (r09, VERDICT r08 #4): the pool sliver — candidate_pool
-    docs' shingle sets, bounded by pool_size x max-doc-shingles
-    regardless of corpus scale, the repo bounded-driver-state rule —
-    is collected once and the k rounds are exact Python set
-    arithmetic, zero Spark jobs.  The r08 Spark-side loop (k rounds x
-    2 latency-bound jobs of 4 tasks each, ~0.3 s/round floor) was the
-    measured 4.3 s driver cost two rounds running; the alternatives
-    measured SLOWER still at sf0.1: per-round broadcast anti-join
-    6.3-6.9 s, literal isin() In-set 8.2-9.5 s.
+    Soundness per round, with t = the initial gain of the LAST
+    fetched row (-1 once the whole corpus is pooled) and B = the
+    largest pooled id whose initial gain == t:  every un-pooled doc
+    has (initial < t) or (initial == t and id > B), and marginal <=
+    initial, so the pooled argmax (d*, g*) is the GLOBAL argmax under
+    (gain DESC, id ASC) whenever g* > t, or g* == t and d*.id <= B
+    (an outside contender would tie at t but lose the id tie-break
+    to d*, because every outside t-doc's id exceeds B >= d*.id).
+    Otherwise fetch the next page and retry the round — two cheap
+    corpus-lineage jobs per refill (the ranked-gain aggregate with
+    OFFSET, and a semi-join set collect), NEVER a per-round
+    corpus-scale anti-join/checkpoint chain.  The r08 "rare"
+    Spark-side fallback was in fact the COMMON path on real data —
+    near-uniform doc lengths put hundreds of docs in a 6-value gain
+    band (sf0.1: 288 docs with gain >= the pool-256 threshold 92), a
+    single tie at the cutoff triggered it, and its k corpus-scale
+    localCheckpoint rounds measured 18-50 s at sf0.1 vs ~2 s for
+    this formulation.  At 100 TB the pattern is the same: one corpus
+    aggregate + one bounded collect per page, with page count driven
+    only by tie mass at the cutoff, not corpus size.
     """
     spark = docs.sparkSession
     # The full (doc, shingle) table is a LINEAGE, never materialized:
     # post slice-shingling the explode is cheap to recompute (repo perf
-    # rule), so the two corpus passes (round-1 gain aggregate + the
-    # pool collect) beat one pass plus a corpus-scale localCheckpoint
-    # write (the r07 profile: the old per-round checkpoint chain spent
-    # its time writing the corpus to the block manager).
+    # rule), so each page fetch re-derives it rather than paying a
+    # corpus-scale localCheckpoint write (the r07 profile).
     pairs_full = doc_shingles(docs, text_col, id_col)
-    out, covered_total = [], 0
-    winners: list = []
-    # Round-1 aggregate over the full corpus; its top row IS the
-    # round-1 selection, and rows 2..candidate_pool seed the pool.
-    # Bounded driver state: candidate_pool rows, fixed.
-    g0 = (
+    ranked = (
         pairs_full.groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("gain"))
         .orderBy(F.desc("gain"), F.asc(id_col))
-        .limit(candidate_pool)
-        .collect()
     )
-    if not g0 or g0[0]["gain"] == 0:
+
+    pool_gain: dict = {}
+    pool_sets: dict = {}
+    state = {"page": 0, "threshold": None, "boundary_id": -1}
+
+    def _load_page() -> None:
+        rows = (
+            ranked.offset(state["page"] * candidate_pool)
+            .limit(candidate_pool)
+            .collect()
+        )
+        state["page"] += 1
+        if len(rows) < candidate_pool:
+            state["threshold"] = -1  # whole corpus pooled
+        else:
+            state["threshold"] = int(rows[-1]["gain"])
+        for r in rows:
+            pool_gain[r[id_col]] = int(r["gain"])
+        if state["threshold"] >= 0:
+            state["boundary_id"] = max(
+                (d for d, g in pool_gain.items() if g == state["threshold"]),
+                default=-1,
+            )
+        if rows:
+            ids = spark.createDataFrame(
+                [(r[id_col],) for r in rows], f"{id_col} long"
+            )
+            for row in (
+                pairs_full.join(F.broadcast(ids), id_col, "left_semi")
+                .groupBy(id_col)
+                .agg(F.collect_set("sh").alias("_shs"))
+                .collect()
+            ):
+                pool_sets[row[id_col]] = set(row["_shs"])
+
+    _load_page()
+    if not pool_gain:
         return spark.createDataFrame(
             [], "round long, doc_id long, gain long, covered_total long"
         )
-    # threshold below which an outside doc could still win a tie;
-    # -1 when the pool holds the whole corpus (pruning is complete)
-    threshold = g0[-1]["gain"] if len(g0) == candidate_pool else -1
-    pool_ids = spark.createDataFrame([(r[id_col],) for r in g0], f"{id_col} long")
-    # Pool collect (second corpus pass): the candidate docs' exact
-    # shingle sets.  doc_shingles is already distinct, so each (doc,
-    # shingle) arrives once.
-    pool_sets: dict = {}
-    for row in (
-        pairs_full.join(F.broadcast(pool_ids), id_col, "left_semi")
-        .select(id_col, "sh")
-        .collect()
-    ):
-        pool_sets.setdefault(row[id_col], set()).add(row["sh"])
+
+    out, covered_total = [], 0
     covered: set = set()
     rnd = 1
-    top = (g0[0][id_col], int(g0[0]["gain"]))
-    while True:
-        doc, gain = top
-        covered_total += gain
-        out.append((rnd, doc, gain, covered_total))
-        winners.append(doc)
-        covered |= pool_sets.pop(doc, set())
-        if rnd == k:
-            break
-        # next winner over the pool: exact marginal gains in Python,
-        # (gain DESC, id ASC) order identical to the Spark top-1
+    while rnd <= k:
         best = None
         for d in sorted(pool_sets):
             g = len(pool_sets[d] - covered)
             if best is None or g > best[1]:
                 best = (d, g)
-        gain_now = best[1] if best else 0
-        if gain_now <= threshold:
-            # rare fallback (pool exhausted by mutual overlap): rebuild
-            # the FULL uncovered table and finish the remaining rounds
-            # Spark-side — bit-identical to the unpruned formulation.
-            return _greedy_coverage_spark_tail(
-                spark, pairs_full, id_col, winners, out, covered_total, rnd, k
-            )
-        if gain_now == 0:
-            break
+        t = state["threshold"]
+        if best is None:
+            if t < 0:
+                break  # corpus exhausted
+            _load_page()
+            continue
+        d, g = best
+        if t >= 0 and not (g > t or (g == t and d <= state["boundary_id"])):
+            _load_page()  # un-pooled doc could win or tie-win this round
+            continue
+        if g == 0:
+            break  # nothing left adds coverage
+        covered_total += g
+        out.append((rnd, d, g, covered_total))
+        covered |= pool_sets.pop(d)
         rnd += 1
-        top = (best[0], gain_now)
-    return spark.createDataFrame(
-        out, "round long, doc_id long, gain long, covered_total long"
-    )
-
-
-def _greedy_coverage_spark_tail(
-    spark,
-    pairs_full: DataFrame,
-    id_col: str,
-    winners: list,
-    out: list,
-    covered_total: int,
-    rnd: int,
-    k: int,
-) -> DataFrame:
-    """Spark-side continuation of ``greedy_coverage`` for the rare
-    pool-exhausted case: rebuild the full uncovered (doc, shingle)
-    table minus everything the winners so far cover, then run the
-    remaining rounds as distributed top-1 scans (the r08 loop shape;
-    per-round live state localCheckpoint'd — twice-consumed loop-state
-    rule)."""
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        covered_sh = (
-            pairs_full.filter(F.col(id_col).isin(winners)).select("sh").distinct()
-        )
-        live = (
-            pairs_full.join(covered_sh, "sh", "left_anti")
-            .repartition(4)
-            .localCheckpoint()
-        )
-        while True:
-            rows = (
-                live.groupBy(id_col)
-                .agg(F.count(F.lit(1)).cast("long").alias("gain"))
-                .orderBy(F.desc("gain"), F.asc(id_col))
-                .limit(1)
-                .collect()
-            )
-            if not rows or rows[0]["gain"] == 0:
-                break
-            rnd += 1
-            doc, gain = rows[0][id_col], int(rows[0]["gain"])
-            covered_total += gain
-            out.append((rnd, doc, gain, covered_total))
-            winners.append(doc)
-            if rnd == k:
-                break
-            winner_sh = live.filter(F.col(id_col) == doc).select("sh")
-            live = live.join(winner_sh, "sh", "left_anti").localCheckpoint()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.createDataFrame(
         out, "round long, doc_id long, gain long, covered_total long"
     )

@@ -678,6 +678,103 @@ def ann_recall_audit(
     )
 
 
+def ivf_probe_frontier(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    probes: tuple = (1, 2, 4, 8),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF auto-tuning readout (VERDICT r08 #8a): the nprobe/recall
+    frontier — for each probe level, aggregate recall@k of the IVF
+    index against exact brute-force truth on the query sample, plus
+    the candidate volume the level actually scans.  This is the IVF
+    twin of the dedup threshold ladder (llm/dedup.py
+    dedup_threshold_sweep): the operating-point table a deployment
+    reads to pick nprobe, instead of trusting a single configured
+    value (the L233 audit measures ONE point; this sweeps the curve).
+
+    One lineage, no per-level recompute: the query->centroid ranking
+    is computed once and every corpus candidate carries its probed
+    centroid's rank, so level p's candidate set is just ``crank <=
+    p`` — the levels explode a bounded literal array (|probes| rows
+    per candidate), and one (probe, query) window ranks all levels
+    together.  Truth is the brute top-k on the query sample (the
+    audit's price, paid on q queries, not the corpus).
+
+    Output per probe level: (probe, sum_hits, recall_q20,
+    n_candidates, scan_share_q20) where recall = sum_hits /
+    (k * n_queries) and scan_share = n_candidates / (n_queries *
+    n_corpus) — both half-up q20.  Monotone by construction: larger
+    probe supersets candidates, so recall and scan share both rise;
+    the frontier's knee is the tuning answer.
+
+    Scale: candidate volume is sum_p (p / n_centroids) of the
+    query-sample x corpus cross product — the same pruning ivf_topk
+    ships, summed over the grid; everything else is bounded
+    (centroids broadcast, probe grid literal).
+    """
+    levels = sorted(set(int(p) for p in probes))
+    max_p = levels[-1]
+    assign = ivf_assign(corpus, centroids, id_col, vec_col)
+    q = _norm_vec(queries, id_col, vec_col, "query_id", "_q")
+    cents = _norm_vec(centroids, id_col, vec_col, "centroid_id", "_c")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_cs"), F.asc("centroid_id"))
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "_q", "_qn", "centroid_id", _pair_cos("_q", "_c").alias("_cs")
+        )
+        .withColumn("_crank", F.row_number().over(wq))
+        .filter(F.col("_crank") <= max_p)
+        .select(
+            "query_id", "_q", "_qn", F.col("centroid_id").alias("cluster"), "_crank"
+        )
+    )
+    cand = probed.join(assign, "cluster").select(
+        "query_id", "vec_id", "_crank", _pair_cos("_q", "_v").alias("_cos")
+    )
+    lv = F.explode(F.array(*[F.lit(p) for p in levels])).alias("probe")
+    cl = cand.select("*", lv).filter(F.col("_crank") <= F.col("probe"))
+    wpk = Window.partitionBy("probe", "query_id").orderBy(
+        F.desc("_cos"), F.asc("vec_id")
+    )
+    truth = brute_topk(corpus, queries, k, id_col, vec_col).select(
+        "query_id", "vec_id", F.lit(1).alias("_h")
+    )
+    scored = cl.withColumn("_rn", F.row_number().over(wpk)).join(
+        truth, ["query_id", "vec_id"], "left"
+    )
+    nq = queries.agg(F.count(F.lit(1)).cast("long").alias("_nq"))
+    nc = corpus.agg(F.count(F.lit(1)).cast("long").alias("_nc"))
+    return (
+        scored.groupBy("probe")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(
+                F.when((F.col("_rn") <= k) & F.col("_h").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("sum_hits"),
+        )
+        .crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            F.col("probe").cast("long").alias("probe"),
+            "sum_hits",
+            F.expr(f"(2 * sum_hits * 1048576 + {k} * _nq) div (2 * {k} * _nq)")
+            .cast("long")
+            .alias("recall_q20"),
+            "n_candidates",
+            F.expr("(2 * n_candidates * 1048576 + _nq * _nc) div (2 * _nq * _nc)")
+            .cast("long")
+            .alias("scan_share_q20"),
+        )
+    )
+
+
 def ann_recall_drift(
     corpus: DataFrame,
     queries: DataFrame,

@@ -942,6 +942,57 @@ def code_screen(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def surprisal_mix(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Source x surprisal-band quality-mix matrix — the L286
+    length-mix device applied to LM quality: each doc's mean
+    whole-bit unigram surprisal under the frozen full-corpus L6d
+    scorer, floored to an integer band (``total_bits div n_words``),
+    crossed with source.  Low bands = boilerplate/templated mass,
+    high bands = rare-token / noisy mass; the matrix is the
+    per-source quality fingerprint a mixing plan reads next to the
+    length fingerprint (L286) and the drift alarms (L263).
+
+    Output: (source, band_bits, n_docs, share_q20) — share within
+    source, half-up q20.  All exact integers (floor-log2 bits,
+    integer division).
+
+    Scale: the L6d plan (one explode + bounded vocab join) plus a
+    (source, doc) aggregate and a frameless share window over the
+    bounded (source x ~20 band) grain."""
+    norm = normalize_text(F.col(text_col))
+    ex = docs.select(
+        "source",
+        F.col(id_col).alias("_did"),
+        F.explode(words(norm)).alias("term"),
+    )
+    tf = ex.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    total = tf.agg(F.sum("n_term").alias("n_total"))
+    bits = F.length(F.bin(F.expr("n_total div n_term"))) - 1
+    per_doc = (
+        ex.join(tf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source", "_did")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_nw"),
+            F.sum(bits).cast("long").alias("_tb"),
+        )
+        .select("source", F.expr("_tb div _nw").cast("long").alias("band_bits"))
+    )
+    return (
+        per_doc.groupBy("source", "band_bits")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn(
+            "share_q20",
+            F.expr(
+                "(2 * n_docs * 1048576 + sum(n_docs) over (partition by source))"
+                " div (2 * sum(n_docs) over (partition by source))"
+            ).cast("long"),
+        )
+    )
+
+
 def surprisal_drift(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """LM-quality drift screen: the FULL-corpus unigram whole-bit
     surprisal model (the L6d scorer, frozen) applied to each even/odd

@@ -66,7 +66,14 @@ def make_sessionizer(gap_minutes: int, max_events: int):
             yield _emit(user_id, start_us, end_us, n, channels)
             return
 
-        batch = pd.concat(list(pdfs)).sort_values("ts")
+        frames = list(pdfs)
+        batch = pd.concat(frames)
+        # deterministic within-timestamp order when the caller supplies
+        # a tie-break column (the batch twin orders by (ts, event_id);
+        # without it equal timestamps sort arbitrarily)
+        batch = batch.sort_values(
+            ["ts", "_tb"] if "_tb" in batch.columns else "ts"
+        )
         cur = state.get if state.exists else None
         out: list[pd.DataFrame] = []
         for ts, channel in zip(batch["ts"], batch["channel_name"]):
@@ -92,15 +99,20 @@ def sessionize(
     gap_minutes: int = 30,
     max_events: int = 20,
     watermark: str | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """events-shaped stream -> completed session rows (append mode).
 
     ``watermark``: pass a delay string only if the input stream is not
     already watermarked (``stream_events`` watermarks at intake;
-    redefining it downstream is disallowed)."""
-    sess = events.filter(F.col("event_type") != "purchase").select(
-        "user_id", "ts", F.col("event_type").alias("channel_name")
-    )
+    redefining it downstream is disallowed).
+
+    ``tiebreak``: optional column name ordering events that share a
+    timestamp (the batch twin's (ts, event_id) order)."""
+    cols = ["user_id", "ts", F.col("event_type").alias("channel_name")]
+    if tiebreak is not None:
+        cols.append(F.col(tiebreak).alias("_tb"))
+    sess = events.filter(F.col("event_type") != "purchase").select(*cols)
     if watermark is not None:
         sess = sess.withWatermark("ts", watermark)
     return sess.groupBy("user_id").applyInPandasWithState(

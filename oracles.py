@@ -1442,6 +1442,14 @@ r AS (
 SELECT doc_id, reasons, reasons = '' AS passes FROM r
 """
 
+# __spark_entry__.q_stream_quality_gate: the L6b gate aggregated to
+# the bounded (reasons, n_docs) counter grain — SAME gate text, so
+# the streaming path is held to the batch verdicts
+_ORACLE_STREAM_QUALITY_GATE = f"""
+WITH g AS ({_ORACLE_QUALITY_GATE})
+SELECT reasons, CAST(COUNT(*) AS BIGINT) AS n_docs FROM g GROUP BY 1
+"""
+
 _ORACLE_SAMPLE = f"""
 SELECT doc_id, lang
 FROM documents
@@ -2672,6 +2680,76 @@ FROM per
 """
 
 
+# __spark_entry__.q_template_dup: the L266 template flag over the aug
+# corpus joined to the near-dup cluster non-survivors (the ROI
+# oracle's cluster CTEs + the template oracle's flag CTEs, verbatim)
+_ORACLE_TEMPLATE_DUP = f"""
+WITH RECURSIVE {_AUG}, {_NORM_AUG}, {_SHINGLED}, {_MINHASH_CTES},
+pairs AS (
+  SELECT doc_a, doc_b FROM scored WHERE inter_size * 2 >= union_size * 1
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, cluster_id) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.cluster_id FROM walk w JOIN edges e ON e.dst = w.doc_id
+),
+clus AS (SELECT doc_id, MIN(cluster_id) AS cluster_id FROM walk GROUP BY doc_id),
+dups AS (SELECT doc_id FROM clus WHERE cluster_id <> doc_id),
+p2 AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (SELECT doc_id, unnest(shingles) AS sh FROM shingled)
+),
+dfx AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM p2 GROUP BY 1),
+flags AS (
+  SELECT p.doc_id,
+         CASE WHEN SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 5 >= 4 * COUNT(*)
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_template
+  FROM p2 p JOIN dfx d USING (sh)
+  GROUP BY 1
+)
+SELECT f.is_template,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(d.doc_id) AS BIGINT) AS n_dup_docs,
+       CAST((2 * COUNT(d.doc_id) * 1048576 + COUNT(*)) // (2 * COUNT(*))
+            AS BIGINT) AS dup_rate_q20
+FROM flags f LEFT JOIN dups d ON f.doc_id = d.doc_id
+GROUP BY 1
+"""
+
+
+# llm/text.py surprisal_mix: per-doc mean whole-bit surprisal band
+# (total_bits // n_words) x source, share within source
+_ORACLE_SURPRISAL_MIX = r"""
+WITH ex AS (
+  SELECT source, doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT term, COUNT(*) AS n_term FROM ex GROUP BY 1),
+tot AS (SELECT SUM(n_term) AS n_total FROM tf),
+per_doc AS (
+  SELECT e.source,
+         CAST(SUM(length(printf('%b', CAST((SELECT n_total FROM tot) // t.n_term AS BIGINT))) - 1)
+              // COUNT(*) AS BIGINT) AS band_bits
+  FROM ex e JOIN tf t USING (term)
+  GROUP BY e.source, e.doc_id
+),
+g AS (
+  SELECT source, band_bits, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM per_doc GROUP BY 1, 2
+)
+SELECT source, band_bits, n_docs,
+       CAST((2 * n_docs * 1048576 + SUM(n_docs) OVER (PARTITION BY source))
+            // (2 * SUM(n_docs) OVER (PARTITION BY source)) AS BIGINT) AS share_q20
+FROM g
+"""
+
+
 # llm/text.py oov_rate: top-1000 vocabulary under the (count DESC,
 # term ASC) total order, per-source OOV rollup, half-up q20
 _ORACLE_OOV_RATE = r"""
@@ -3814,6 +3892,20 @@ SELECT doc_id, w AS n_chars, off AS "offset",
 FROM ordered
 """
 
+# __spark_entry__.q_pack_fragmentation: derived aggregate over the
+# L137 packing manifest (the full pack oracle as a derived table)
+_ORACLE_PACK_FRAGMENTATION = f"""
+WITH m AS ({_ORACLE_PACK_SEQUENCES}),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM m)
+SELECT n_seqs,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST((2 * COUNT(*) * 1048576 + tot.nt) // (2 * tot.nt) AS BIGINT)
+         AS doc_share_q20
+FROM m, tot
+GROUP BY n_seqs, tot.nt
+"""
+
 # L138 UCB1: integer evidence columns; the index is irrational
 # (sqrt/ln) so q20 per the float policy.
 _ORACLE_BANDIT_UCB = f"""
@@ -4663,6 +4755,18 @@ SELECT d.source,
             // SUM(CAST(e.n_words AS HUGEINT)) AS BIGINT) AS fertility_q20
 FROM ({_bpe_oracle_sql(8, encode=True)}) e
 JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+# __spark_entry__.q_fertility_drift: the L172 fertility device at
+# the even/odd ingest-half grain (frozen tokenizer, same encode CTE)
+_ORACLE_FERTILITY_DRIFT = f"""
+SELECT CAST(e.doc_id % 2 AS BIGINT) AS half,
+       CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(CAST(e.n_bpe_tokens AS HUGEINT)) * 1048576
+            // SUM(CAST(e.n_words AS HUGEINT)) AS BIGINT) AS fertility_q20
+FROM ({_bpe_oracle_sql(8, encode=True)}) e
 GROUP BY 1
 """
 
@@ -6707,6 +6811,124 @@ FROM truth t LEFT JOIN approx a ON t.query_id = a.query_id AND t.vec_id = a.vec_
 GROUP BY 1
 """
 
+# __spark_entry__.q_ann_tuning: the L233 audit swept over probe
+# levels 1/2/4/8 — centroid rank computed once, each level filters
+# crank <= p via a VALUES join, one (probe, query) rank window
+_ORACLE_ANN_TUNING = f"""
+WITH {_E_NORMED},
+q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM e WHERE vec_id % 50 = 7),
+cents AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cn FROM e WHERE vec_id < 8),
+truth AS (
+  SELECT q.query_id, e.vec_id
+  FROM q, e
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.query_id
+    ORDER BY list_dot_product(q.qv, e.v) / (q.qn * e.vn) DESC, e.vec_id) <= 5
+),
+ascored AS (
+  SELECT e.vec_id, e.v, e.vn, c.centroid_id,
+         list_dot_product(e.v, c.cv) / (e.vn * c.cn) AS cs
+  FROM e, cents c
+),
+assign AS (
+  SELECT vec_id, v, vn, centroid_id AS cluster FROM ascored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) = 1
+),
+qscored AS (
+  SELECT q.query_id, q.qv, q.qn, c.centroid_id,
+         list_dot_product(q.qv, c.cv) / (q.qn * c.cn) AS cs
+  FROM q, cents c
+),
+probes AS (
+  SELECT query_id, qv, qn, centroid_id AS cluster,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cs DESC, centroid_id) AS BIGINT) AS crank
+  FROM qscored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cs DESC, centroid_id) <= 8
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, p.crank,
+         list_dot_product(p.qv, a.v) / (p.qn * a.vn) AS cos
+  FROM probes p JOIN assign a ON p.cluster = a.cluster
+),
+levels AS (SELECT CAST(probe AS BIGINT) AS probe
+           FROM (VALUES (1), (2), (4), (8)) AS t(probe)),
+cl AS (
+  SELECT l.probe, c.query_id, c.vec_id, c.cos
+  FROM cand c JOIN levels l ON c.crank <= l.probe
+),
+ranked AS (
+  SELECT probe, query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY probe, query_id
+                            ORDER BY cos DESC, vec_id) AS rn
+  FROM cl
+),
+nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS nq FROM q),
+ncorp AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM embeddings),
+agg AS (
+  SELECT r.probe,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(COUNT(*) FILTER (WHERE r.rn <= 5 AND t.vec_id IS NOT NULL)
+              AS BIGINT) AS sum_hits
+  FROM ranked r
+  LEFT JOIN truth t ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+  GROUP BY 1
+)
+SELECT probe, sum_hits,
+       CAST((2 * sum_hits * 1048576 + 5 * nq.nq) // (2 * 5 * nq.nq)
+            AS BIGINT) AS recall_q20,
+       n_candidates,
+       CAST((2 * n_candidates * 1048576 + nq.nq * ncorp.nc)
+            // (2 * nq.nq * ncorp.nc) AS BIGINT) AS scan_share_q20
+FROM agg, nq, ncorp
+"""
+
+
+# __spark_entry__.q_rel_skew_profile: key-frequency tables per join
+# spine; percentiles mirror the Spark rank device (value at row_number
+# == ceil(p * n) ordered by frequency asc) — never the engines' own
+# quantile functions, whose index conventions differ
+_ORACLE_SKEW_PROFILE = """
+WITH f AS (
+  SELECT 'events.user_id' AS relation, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+  UNION ALL
+  SELECT 'lineitem.l_orderkey', CAST(COUNT(*) AS BIGINT)
+  FROM lineitem GROUP BY l_orderkey
+  UNION ALL
+  SELECT 'orders.o_custkey', CAST(COUNT(*) AS BIGINT)
+  FROM orders GROUP BY o_custkey
+),
+scal AS (
+  SELECT relation,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_rows
+  FROM f GROUP BY 1
+),
+ranked AS (
+  SELECT relation, c,
+         ROW_NUMBER() OVER (PARTITION BY relation ORDER BY c) AS rn,
+         COUNT(*) OVER (PARTITION BY relation) AS n
+  FROM f
+),
+pct AS (
+  SELECT relation,
+         CAST(MAX(CASE WHEN rn = CAST(CEIL(0.5e0 * n) AS BIGINT) THEN c END)
+              AS BIGINT) AS p50_rows,
+         CAST(MAX(CASE WHEN rn = CAST(CEIL(0.99e0 * n) AS BIGINT) THEN c END)
+              AS BIGINT) AS p99_rows
+  FROM ranked GROUP BY 1
+)
+SELECT s.relation, s.n_rows, s.n_keys, s.max_rows,
+       CAST((2 * s.max_rows * 1048576 + s.n_rows) // (2 * s.n_rows)
+            AS BIGINT) AS top_share_q20,
+       p.p50_rows, p.p99_rows
+FROM scal s JOIN pct p USING (relation)
+"""
+
+
 # llm_ann_recall_drift: the L233 recall audit per even/odd vec_id
 # ingest half — queries and centroids fixed from the FULL corpus, only
 # the searched side varies (truth spine and IVF both restricted to the
@@ -7208,6 +7430,115 @@ SELECT 'cdc_chunks', CAST(COALESCE(SUM(extra), 0) AS BIGINT),
        CAST(COALESCE(SUM(extra * clen), 0) AS BIGINT)
 FROM cagg
 """
+
+# __spark_entry__.q_dedup_pipeline: the four dedup families chained
+# exact -> near-dup -> CDC -> semantic with per-stage marginal vs
+# standalone removed mass.  The doc-level CTEs are the L267 ROI
+# oracle's verbatim (aug corpus, minhash clusters, chunking); the
+# chain adds the survivor-filtered chunk split and the SemDeDup
+# subquery (the full L31 oracle as a derived table).
+_ORACLE_DEDUP_PIPELINE = f"""
+WITH RECURSIVE {_AUG}, {_NORM_AUG}, {_SHINGLED}, {_MINHASH_CTES},
+pairs AS (
+  SELECT doc_a, doc_b FROM scored WHERE inter_size * 2 >= union_size * 1
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, cluster_id) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.cluster_id FROM walk w JOIN edges e ON e.dst = w.doc_id
+),
+clus AS (SELECT doc_id, MIN(cluster_id) AS cluster_id FROM walk GROUP BY doc_id),
+base AS (
+  SELECT doc_id, CAST(LENGTH(norm) AS BIGINT) AS n_chars, md5(norm) AS h FROM nd
+),
+ns AS (SELECT doc_id FROM clus WHERE cluster_id <> doc_id),
+labd AS (
+  SELECT b.doc_id, b.n_chars,
+         (b.doc_id <> MIN(b.doc_id) OVER (PARTITION BY b.h)) AS is_ex,
+         (ns.doc_id IS NOT NULL) AS is_ns
+  FROM base b LEFT JOIN ns ON b.doc_id = ns.doc_id
+),
+docscal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(COUNT(*) FILTER (WHERE is_ex) AS BIGINT) AS e_n,
+         CAST(COALESCE(SUM(n_chars) FILTER (WHERE is_ex), 0) AS BIGINT) AS e_c,
+         CAST(COUNT(*) FILTER (WHERE NOT is_ex AND is_ns) AS BIGINT) AS nr_n,
+         CAST(COALESCE(SUM(n_chars) FILTER (WHERE NOT is_ex AND is_ns), 0)
+              AS BIGINT) AS nr_c,
+         CAST(COALESCE(SUM(n_chars) FILTER (WHERE is_ns), 0) AS BIGINT) AS nr_sa_c
+  FROM labd
+),
+surv2 AS (SELECT doc_id FROM labd WHERE NOT is_ex AND NOT is_ns),
+cd2 AS (SELECT doc_id, ws, len(ws) AS n
+        FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM nd)),
+ccuts AS (
+  SELECT doc_id, ws, n,
+         list_filter(
+           list_transform(range(1, greatest(n - 1, 2)),
+             i -> CASE WHEN CAST('0x' || substr(md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2])), 1, 15) AS BIGINT) % 8 = 0
+                        AND i + 2 < n
+                       THEN i + 2 END),
+           x -> x IS NOT NULL) AS cuts
+  FROM cd2
+),
+cb AS (
+  SELECT doc_id, ws,
+         list_concat(list_concat([CAST(0 AS BIGINT)], cuts), [CAST(n AS BIGINT)]) AS bounds
+  FROM ccuts
+),
+cch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(bounds)),
+           j -> struct_pack(
+             chunk_md5 := md5(array_to_string(list_slice(ws, bounds[j] + 1, bounds[j + 1]), ' ')),
+             chunk_len := CAST(LENGTH(array_to_string(list_slice(ws, bounds[j] + 1, bounds[j + 1]), ' ')) AS BIGINT))),
+           recursive := true)
+  FROM cb
+),
+cagg2 AS (
+  SELECT c.chunk_md5,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         MIN(c.chunk_len) AS clen,
+         CAST(COUNT(s.doc_id) AS BIGINT) AS scnt,
+         MIN(CASE WHEN s.doc_id IS NOT NULL THEN c.chunk_len END) AS sclen
+  FROM cch c LEFT JOIN surv2 s ON c.doc_id = s.doc_id
+  GROUP BY 1
+),
+cdcscal AS (
+  SELECT CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS sa_occ,
+         CAST(COALESCE(SUM((cnt - 1) * clen), 0) AS BIGINT) AS sa_chars,
+         CAST(COALESCE(SUM(greatest(scnt - 1, 0)), 0) AS BIGINT) AS ch_occ,
+         CAST(COALESCE(SUM(greatest(scnt - 1, 0) * COALESCE(sclen, 0)), 0)
+              AS BIGINT) AS ch_chars
+  FROM cagg2
+),
+vexp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v0 FROM (
+    SELECT vec_id FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 FROM embeddings WHERE vec_id % 25 = 0)
+),
+sem AS (SELECT CAST(COUNT(*) AS BIGINT) AS sv FROM ({_ORACLE_SEMDEDUP}) z)
+SELECT 'exact' AS stage, 'docs' AS unit, n0 AS n_in, e_n AS n_removed,
+       e_c AS mass_removed, e_c AS mass_standalone, n0 - e_n AS n_out
+FROM docscal
+UNION ALL
+SELECT 'near_dup', 'docs', n0 - e_n, nr_n, nr_c, nr_sa_c, n0 - e_n - nr_n
+FROM docscal
+UNION ALL
+SELECT 'cdc_chunks', 'chunk_occurrences', d.n0 - d.e_n - d.nr_n, c.ch_occ,
+       c.ch_chars, c.sa_chars, d.n0 - d.e_n - d.nr_n
+FROM docscal d, cdcscal c
+UNION ALL
+SELECT 'semantic', 'vectors', v.v0, v.v0 - s.sv, v.v0 - s.sv, v.v0 - s.sv, s.sv
+FROM vexp v, sem s
+"""
+
 
 # llm/text.py vocab_growth: Heaps curve by doc-id decile; a term is
 # NEW in the decile of its min doc_id; // truncates like Spark div
@@ -7822,6 +8153,14 @@ def oracle_sql() -> dict[str, str]:
         "llm_lsh_hot_buckets": _ORACLE_LSH_HOT_BUCKETS,
         "llm_template_docs": _ORACLE_TEMPLATE_DOCS,
         "llm_dedup_roi": _ORACLE_DEDUP_ROI,
+        "llm_dedup_pipeline": _ORACLE_DEDUP_PIPELINE,
+        "llm_ann_tuning": _ORACLE_ANN_TUNING,
+        "rel_skew_profile": _ORACLE_SKEW_PROFILE,
+        "llm_pack_fragmentation": _ORACLE_PACK_FRAGMENTATION,
+        "llm_surprisal_mix": _ORACLE_SURPRISAL_MIX,
+        "llm_template_dup": _ORACLE_TEMPLATE_DUP,
+        "llm_stream_quality_gate": _ORACLE_STREAM_QUALITY_GATE,
+        "llm_fertility_drift": _ORACLE_FERTILITY_DRIFT,
         "llm_vocab_growth": _ORACLE_VOCAB_GROWTH,
         "llm_ngram_novelty": _ORACLE_NGRAM_NOVELTY,
         "llm_label_drift": _ORACLE_LABEL_DRIFT,
@@ -7981,6 +8320,9 @@ def oracle_sql() -> dict[str, str]:
         "maef_session_asof": _ORACLE_SESSION_ASOF,
         "maef_session_asof_forward": _ORACLE_SESSION_ASOF_FWD,
         "maef_sessionize_batch": _ORACLE_SESSIONIZE,
+        # L27 oracle gate: the applyInPandasWithState sessionizer must
+        # reproduce the batch gap+cap semantics bit for bit
+        "maef_stream_sessionize_state": _ORACLE_SESSIONIZE,
         "maef_sessionize_native": _ORACLE_SESSIONIZE_NATIVE,
         "maef_anomaly_mad": _ORACLE_ANOMALY_MAD,
         "maef_channel_decay": _ORACLE_CHANNEL_DECAY,
