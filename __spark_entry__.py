@@ -5799,6 +5799,7 @@ def _stream_user_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         _STREAM_USER_FLAGS_CACHE.pop(stale, None)
     ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
     g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_all"),
         F.sum((F.col("event_type") != "purchase").cast("long"))
         .cast("long")
         .alias("_touches"),
@@ -6452,6 +6453,48 @@ def q_fertility_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING hot-key monitor — the L300 skew audit's events.user_id
+    row maintained continuously: the staged streaming user-profile
+    table (_stream_user_flags, one more long per user) already holds
+    each key's event count, so the skew readout is a serving-side
+    aggregate over key-grain state — exactly how a production ingest
+    job watches for emerging hot keys BEFORE the nightly batch join
+    hits them.  Gated by the batch skew-audit SQL restricted to the
+    events.user_id spine: the streaming state must reproduce the batch
+    key-frequency distribution bit for bit.  Output: (relation,
+    n_rows, n_keys, max_rows, top_share_q20, p50_rows, p99_rows)."""
+    from marketing_attribution_etl_framework__maef_spark.operators.quantiles import percentile_disc
+
+    freq = _stream_user_flags(spark, sf_dir).select(
+        F.lit("events.user_id").alias("relation"), F.col("_n_all").alias("_c")
+    )
+    scal = freq.groupBy("relation").agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("_c").cast("long").alias("max_rows"),
+    )
+    pct = (
+        percentile_disc(freq, ["relation"], "_c", ps=[0.5, 0.99])
+        .groupBy("relation")
+        .agg(
+            F.max(F.when(F.col("p") == 0.5, F.col("_c"))).cast("long").alias("p50_rows"),
+            F.max(F.when(F.col("p") == 0.99, F.col("_c"))).cast("long").alias("p99_rows"),
+        )
+    )
+    return scal.join(pct, "relation").select(
+        "relation",
+        "n_rows",
+        "n_keys",
+        "max_rows",
+        F.expr("(2 * max_rows * 1048576 + n_rows) div (2 * n_rows)")
+        .cast("long")
+        .alias("top_share_q20"),
+        "p50_rows",
+        "p99_rows",
+    )
+
+
 def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING quality-gate counters — the L6b fused per-doc gate
     run at ingest time: documents stream in, the PII injection and
@@ -6824,6 +6867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_template_dup": q_template_dup,
         "llm_stream_quality_gate": q_stream_quality_gate,
         "llm_fertility_drift": q_fertility_drift,
+        "maef_stream_skew": q_stream_skew,
         # --- freshly-green r08 window (CORRECTNESS_r08, 50/50) rotates here:
         # first the 22 r07 additions, then the 28 re-verified r04-era greens ---
         "llm_ann_recall_drift": q_ann_recall_drift,

@@ -174,6 +174,17 @@ CHECKPOINT_HEAVY = {
     "maef_window_funnel",
     "maef_stream_windowed_volume",
     "llm_pack_sequences",
+    # r09 additions, criterion a (streaming state materialization /
+    # staged-checkpoint serving reads): the L27 oracle gate writes a
+    # scratch parquet then runs the stateful stream; the quality-gate
+    # and length-mix twins run availableNow state; the dedup chain and
+    # template-dup ride the checkpointed cluster store
+    "maef_stream_sessionize_state",
+    "llm_stream_quality_gate",
+    "llm_stream_length_mix",
+    "llm_dedup_pipeline",
+    "llm_template_dup",
+    "maef_stream_skew",
 }
 
 

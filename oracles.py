@@ -4770,6 +4770,42 @@ FROM ({_bpe_oracle_sql(8, encode=True)}) e
 GROUP BY 1
 """
 
+# __spark_entry__.q_stream_skew: the L300 audit's events.user_id row
+# — the streaming user-profile state must reproduce the batch
+# key-frequency distribution
+_ORACLE_STREAM_SKEW = """
+WITH f AS (
+  SELECT 'events.user_id' AS relation, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+scal AS (
+  SELECT relation,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_rows
+  FROM f GROUP BY 1
+),
+ranked AS (
+  SELECT relation, c,
+         ROW_NUMBER() OVER (PARTITION BY relation ORDER BY c) AS rn,
+         COUNT(*) OVER (PARTITION BY relation) AS n
+  FROM f
+),
+pct AS (
+  SELECT relation,
+         CAST(MAX(CASE WHEN rn = CAST(CEIL(0.5e0 * n) AS BIGINT) THEN c END)
+              AS BIGINT) AS p50_rows,
+         CAST(MAX(CASE WHEN rn = CAST(CEIL(0.99e0 * n) AS BIGINT) THEN c END)
+              AS BIGINT) AS p99_rows
+  FROM ranked GROUP BY 1
+)
+SELECT s.relation, s.n_rows, s.n_keys, s.max_rows,
+       CAST((2 * s.max_rows * 1048576 + s.n_rows) // (2 * s.n_rows)
+            AS BIGINT) AS top_share_q20,
+       p.p50_rows, p.p99_rows
+FROM scal s JOIN pct p USING (relation)
+"""
+
 _ORACLE_SOURCE_SIGNATURE_TERMS = """
 WITH ex AS MATERIALIZED (
   SELECT source, unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
@@ -8161,6 +8197,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_template_dup": _ORACLE_TEMPLATE_DUP,
         "llm_stream_quality_gate": _ORACLE_STREAM_QUALITY_GATE,
         "llm_fertility_drift": _ORACLE_FERTILITY_DRIFT,
+        "maef_stream_skew": _ORACLE_STREAM_SKEW,
         "llm_vocab_growth": _ORACLE_VOCAB_GROWTH,
         "llm_ngram_novelty": _ORACLE_NGRAM_NOVELTY,
         "llm_label_drift": _ORACLE_LABEL_DRIFT,

@@ -96,3 +96,30 @@ def test_percentile_disc_windows_are_partitioned(spark, sf_dir):
         assert "source#" in head, (
             f"window not partitioned by the group key:\n{ln}\n\nfull plan:\n{plan}"
         )
+
+
+def test_ann_tuning_broadcasts_centroids_and_partitions_windows(spark, sf_dir):
+    """r09 L299: the probe-frontier lineage must broadcast the bounded
+    sides (centroid table, probe-level literals, scalar counts) and
+    keep every rank window partitioned — an unpartitioned window here
+    would rank the whole candidate set in one task."""
+    df = entrymod.queries()["llm_ann_tuning"](spark, sf_dir)
+    plan = _plan_text(df)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "No Partition Defined" not in plan, plan
+
+
+def test_skew_profile_prunes_to_key_columns(spark, sf_dir):
+    """r09 L300: the skew audit reads ONLY the join-key column from
+    each relation — a scan that drags the full row width for a
+    key-frequency count is wrong at any scale."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        entrymod.queries()["rel_skew_profile"](spark, sf_dir).explain(mode="formatted")
+    plan = buf.getvalue()
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    # lineitem and orders scans must be single-key-column reads
+    assert any(s.strip() == "l_orderkey:bigint" for s in schemas), schemas
+    assert any(s.strip() == "o_custkey:bigint" for s in schemas), schemas

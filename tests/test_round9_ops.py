@@ -280,3 +280,26 @@ def test_dedup_pipeline_conservation(spark, sf_dir):
     assert ex["mass_removed"] == ex["mass_standalone"]
     # semantic conservation on the embedding side
     assert sem["n_in"] - sem["n_removed"] == sem["n_out"]
+
+
+# --------------------------------------------------- streaming skew
+
+
+def test_stream_skew_matches_batch_events_row(spark, sf_dir):
+    import __spark_entry__ as e
+
+    got = e.q_stream_skew(spark, sf_dir).collect()
+    assert len(got) == 1
+    batch = {
+        r["relation"]: r for r in e.q_rel_skew_profile(spark, sf_dir).collect()
+    }["events.user_id"]
+    s = got[0]
+    for c in (
+        "n_rows",
+        "n_keys",
+        "max_rows",
+        "top_share_q20",
+        "p50_rows",
+        "p99_rows",
+    ):
+        assert s[c] == batch[c], c
