@@ -6396,8 +6396,13 @@ def q_stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="0 seconds",
         tiebreak="event_id",
     )
+    # partitions=32, unlike the bounded-state twins' 8: wall here is
+    # the per-event Python loop inside applyInPandasWithState (the
+    # operator IS the Python path), so state partitions = Python
+    # workers; 8 left 24 cores idle (measured 8.6 s at 16, 6.7 s at 32
+    # for the stream alone at sf0.1).
     res = inc.run_to_memory(
-        out, "stream_sessionize_state_sink", output_mode="append"
+        out, "stream_sessionize_state_sink", partitions=32, output_mode="append"
     )
     return res.filter(F.col("channels") != "zz_flush").select(
         "user_id",

@@ -185,6 +185,14 @@ CHECKPOINT_HEAVY = {
     "llm_dedup_pipeline",
     "llm_template_dup",
     "maef_stream_skew",
+    # r09 solo-bench sweep, criterion b (>2x their r08 driver numbers
+    # on git-diff-unchanged code; all four re-measured fine solo:
+    # 3.3 / 1.8 / 1.0 / 2.7 s at sf0.1 vs 42.2 / 9.3 / 5.4 / 12.8
+    # in-suite — classic one-sided debris victims):
+    "llm_ngram_novelty",
+    "llm_train_val_split",
+    "maef_cac_payback",
+    "maef_stream_attribution",
 }
 
 
