@@ -6458,6 +6458,84 @@ def q_fertility_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-model attribution RANK AGREEMENT — the question the L92
+    side-by-side dashboard begs: do the models merely scale credit
+    differently, or do they actually re-order the channels?  Exact
+    Kendall pair counts between every model pair over the channel
+    ranking by credit: per (model_a, model_b): channel pairs ordered
+    the same way (concordant), opposite (discordant), or tied in
+    either model — plus agreement share as half-up q20.  A media
+    planner reads low agreement as "the budget decision depends on
+    the model choice" — the signal to run the incrementality test
+    (L257) before reallocating.  All integers: credits are the
+    hash-verified q20 sums, comparisons are sign tests on their
+    differences.  Scale: the credit table is (models x channels)
+    bounded; every join here is broadcast-tiny regardless of event
+    volume — the cost is the one staged-journeys scan L92 pays."""
+    c = q_model_comparison(spark, sf_dir).select(
+        "model", "channel_label", "credit_q20"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    sgn = (
+        a.join(
+            b,
+            (F.col("a.model") == F.col("b.model"))
+            & (F.col("a.channel_label") < F.col("b.channel_label")),
+        )
+        .select(
+            F.col("a.model").alias("model"),
+            F.col("a.channel_label").alias("ch_a"),
+            F.col("b.channel_label").alias("ch_b"),
+            F.signum(
+                (F.col("a.credit_q20") - F.col("b.credit_q20")).cast("double")
+            )
+            .cast("long")
+            .alias("sgn"),
+        )
+    )
+    p, q = sgn.alias("p"), sgn.alias("q")
+    return (
+        p.join(
+            q,
+            (F.col("p.ch_a") == F.col("q.ch_a"))
+            & (F.col("p.ch_b") == F.col("q.ch_b"))
+            & (F.col("p.model") < F.col("q.model")),
+        )
+        .groupBy(
+            F.col("p.model").alias("model_a"), F.col("q.model").alias("model_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                (
+                    (F.col("p.sgn") != 0)
+                    & (F.col("p.sgn") == F.col("q.sgn"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("concordant"),
+            F.sum((F.col("p.sgn") * F.col("q.sgn") == -1).cast("long"))
+            .cast("long")
+            .alias("discordant"),
+            F.sum(((F.col("p.sgn") == 0) | (F.col("q.sgn") == 0)).cast("long"))
+            .cast("long")
+            .alias("tied"),
+        )
+        .select(
+            "model_a",
+            "model_b",
+            "n_pairs",
+            "concordant",
+            "discordant",
+            "tied",
+            F.expr("(2 * concordant * 1048576 + n_pairs) div (2 * n_pairs)")
+            .cast("long")
+            .alias("agree_q20"),
+        )
+    )
+
+
 def q_stream_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING hot-key monitor — the L300 skew audit's events.user_id
     row maintained continuously: the staged streaming user-profile
@@ -6873,6 +6951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_stream_quality_gate": q_stream_quality_gate,
         "llm_fertility_drift": q_fertility_drift,
         "maef_stream_skew": q_stream_skew,
+        "maef_attribution_tau": q_attribution_tau,
         # --- freshly-green r08 window (CORRECTNESS_r08, 50/50) rotates here:
         # first the 22 r07 additions, then the 28 re-verified r04-era greens ---
         "llm_ann_recall_drift": q_ann_recall_drift,

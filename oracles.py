@@ -3298,6 +3298,32 @@ SELECT model, channel_label,
 FROM weights GROUP BY 1, 2
 """
 
+# __spark_entry__.q_attribution_tau: exact Kendall pair counts over
+# the L92 credit table (wrapped as a derived CTE); sign tests on q20
+# credit differences, agreement share half-up q20
+_ORACLE_ATTRIBUTION_TAU = f"""
+WITH mc AS ({_ORACLE_MODEL_COMPARISON}),
+sgn AS (
+  SELECT a.model, a.channel_label AS ch_a, b.channel_label AS ch_b,
+         CAST(CASE WHEN a.credit_q20 > b.credit_q20 THEN 1
+                   WHEN a.credit_q20 < b.credit_q20 THEN -1
+                   ELSE 0 END AS BIGINT) AS sgn
+  FROM mc a JOIN mc b
+    ON a.model = b.model AND a.channel_label < b.channel_label
+)
+SELECT p.model AS model_a, q.model AS model_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(*) FILTER (WHERE p.sgn <> 0 AND p.sgn = q.sgn) AS BIGINT)
+         AS concordant,
+       CAST(COUNT(*) FILTER (WHERE p.sgn * q.sgn = -1) AS BIGINT) AS discordant,
+       CAST(COUNT(*) FILTER (WHERE p.sgn = 0 OR q.sgn = 0) AS BIGINT) AS tied,
+       CAST((2 * COUNT(*) FILTER (WHERE p.sgn <> 0 AND p.sgn = q.sgn) * 1048576
+             + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS agree_q20
+FROM sgn p JOIN sgn q
+  ON p.ch_a = q.ch_a AND p.ch_b = q.ch_b AND p.model < q.model
+GROUP BY 1, 2
+"""
+
 # TF-IDF cosine pairs: whole-bit idf, stopword prune at df*10 > N,
 # threshold 25*dot^2 >= 9*na2*nb2 in HUGEINT (dot^2 exceeds BIGINT)
 _ORACLE_TFIDF_PAIRS = f"""
@@ -8198,6 +8224,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_stream_quality_gate": _ORACLE_STREAM_QUALITY_GATE,
         "llm_fertility_drift": _ORACLE_FERTILITY_DRIFT,
         "maef_stream_skew": _ORACLE_STREAM_SKEW,
+        "maef_attribution_tau": _ORACLE_ATTRIBUTION_TAU,
         "llm_vocab_growth": _ORACLE_VOCAB_GROWTH,
         "llm_ngram_novelty": _ORACLE_NGRAM_NOVELTY,
         "llm_label_drift": _ORACLE_LABEL_DRIFT,

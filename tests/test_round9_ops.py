@@ -303,3 +303,25 @@ def test_stream_skew_matches_batch_events_row(spark, sf_dir):
         "p99_rows",
     ):
         assert s[c] == batch[c], c
+
+
+# ------------------------------------------------ attribution tau
+
+
+def test_attribution_tau_partitions_pairs(spark, sf_dir):
+    import __spark_entry__ as e
+
+    rows = e.q_attribution_tau(spark, sf_dir).collect()
+    assert len(rows) == 6  # C(4 models, 2)
+    n_channels = (
+        e.q_model_comparison(spark, sf_dir)
+        .select("channel_label")
+        .distinct()
+        .count()
+    )
+    expect_pairs = n_channels * (n_channels - 1) // 2
+    for r in rows:
+        assert r["n_pairs"] == expect_pairs
+        # concordant / discordant / tied partition the pair set
+        assert r["concordant"] + r["discordant"] + r["tied"] == r["n_pairs"]
+        assert r["model_a"] < r["model_b"]
