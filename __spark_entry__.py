@@ -6458,6 +6458,42 @@ def q_fertility_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel-transition DWELL-TIME profile — the time axis the L59
+    Markov transition matrix throws away: per (from_channel,
+    to_channel), the log2-bucketed inter-touch gap histogram within
+    conversion journeys.  Long-dwell transitions are where journeys
+    stall (retargeting territory); near-zero dwell marks channel
+    pairs that fire together (dedup/synergy territory, cf. L195).
+    Exact integers: gap = whole seconds by integer microsecond
+    division (NTZ/LTZ-agnostic timestampdiff device), bucket =
+    floor(log2(gap_s + 1)) via the length(bin()) trick.  Rides the
+    staged journeys table; one window + one aggregate at the bounded
+    (channels^2 x ~25 bucket) output grain."""
+    from pyspark.sql import Window
+
+    j = _journeys(spark, sf_dir)
+    w = Window.partitionBy("conversion_id").orderBy("event_ts", "session_id")
+    x = (
+        j.select("conversion_id", "session_id", "channel_label", "event_ts")
+        .withColumn("_pch", F.lag("channel_label").over(w))
+        .withColumn("_pts", F.lag("event_ts").over(w))
+        .filter(F.col("_pch").isNotNull())
+        .select(
+            F.col("_pch").alias("from_channel"),
+            F.col("channel_label").alias("to_channel"),
+            F.expr("timestampdiff(MICROSECOND, _pts, event_ts) div 1000000")
+            .cast("long")
+            .alias("_gap_s"),
+        )
+    )
+    return x.groupBy(
+        "from_channel",
+        "to_channel",
+        (F.length(F.bin(F.col("_gap_s") + 1)) - 1).cast("long").alias("gap_bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+
+
 def q_attribution_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-model attribution RANK AGREEMENT — the question the L92
     side-by-side dashboard begs: do the models merely scale credit
@@ -6952,6 +6988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_fertility_drift": q_fertility_drift,
         "maef_stream_skew": q_stream_skew,
         "maef_attribution_tau": q_attribution_tau,
+        "maef_transition_dwell": q_transition_dwell,
         # --- freshly-green r08 window (CORRECTNESS_r08, 50/50) rotates here:
         # first the 22 r07 additions, then the 28 re-verified r04-era greens ---
         "llm_ann_recall_drift": q_ann_recall_drift,

@@ -3298,6 +3298,28 @@ SELECT model, channel_label,
 FROM weights GROUP BY 1, 2
 """
 
+# __spark_entry__.q_transition_dwell: LAG over the journeys CTE,
+# whole-second gaps by integer microsecond division, log2 buckets
+_ORACLE_TRANSITION_DWELL = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+lagged AS (
+  SELECT conversion_id,
+         LAG(channel_label) OVER w AS pch,
+         LAG(event_ts) OVER w AS pts,
+         channel_label, event_ts
+  FROM journeys
+  WINDOW w AS (PARTITION BY conversion_id ORDER BY event_ts, session_id)
+)
+SELECT pch AS from_channel,
+       channel_label AS to_channel,
+       CAST(length(printf('%b',
+            (epoch_us(event_ts) - epoch_us(pts)) // 1000000 + 1)) - 1
+            AS BIGINT) AS gap_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM lagged WHERE pch IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
 # __spark_entry__.q_attribution_tau: exact Kendall pair counts over
 # the L92 credit table (wrapped as a derived CTE); sign tests on q20
 # credit differences, agreement share half-up q20
@@ -8225,6 +8247,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_fertility_drift": _ORACLE_FERTILITY_DRIFT,
         "maef_stream_skew": _ORACLE_STREAM_SKEW,
         "maef_attribution_tau": _ORACLE_ATTRIBUTION_TAU,
+        "maef_transition_dwell": _ORACLE_TRANSITION_DWELL,
         "llm_vocab_growth": _ORACLE_VOCAB_GROWTH,
         "llm_ngram_novelty": _ORACLE_NGRAM_NOVELTY,
         "llm_label_drift": _ORACLE_LABEL_DRIFT,

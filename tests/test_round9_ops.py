@@ -325,3 +325,25 @@ def test_attribution_tau_partitions_pairs(spark, sf_dir):
         # concordant / discordant / tied partition the pair set
         assert r["concordant"] + r["discordant"] + r["tied"] == r["n_pairs"]
         assert r["model_a"] < r["model_b"]
+
+
+# ------------------------------------------------ transition dwell
+
+
+def test_transition_dwell_counts_journey_steps(spark, sf_dir):
+    import __spark_entry__ as e
+
+    rows = e.q_transition_dwell(spark, sf_dir).collect()
+    total = sum(r["n_transitions"] for r in rows)
+    # every journey of length n contributes exactly n-1 transitions
+    per_conv = (
+        e._journeys(spark, sf_dir)
+        .groupBy("conversion_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") - 1))
+        .collect()[0][0]
+    )
+    assert total == per_conv
+    for r in rows:
+        assert r["gap_bucket"] >= 0
+        assert r["n_transitions"] >= 1
