@@ -6458,6 +6458,68 @@ def q_fertility_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-shard balance audit — the WRITE-side twin of the L300
+    skew audit: L300 measures skew in the DATA's join keys; this
+    validates the ENGINEERED key (the L137 packing hash, md5-salted
+    doc_id mod 256) actually spreads char mass evenly across training
+    shards.  Per-shard char mass reduced to exact distribution stats:
+    (n_shards, total_chars, min/max/p50 shard chars, imbalance_q20 =
+    max*n/total as q20 — 2^20 means perfectly balanced, the salt-now
+    threshold reads directly against it).  One map-side-combinable
+    groupBy at the 256-shard grain; the percentile runs on 256 rows
+    regardless of corpus size."""
+    from pyspark.sql import Window
+
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|pack"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 256
+    )
+    m = (
+        _docs(spark, sf_dir)
+        .filter(F.col("n_chars") > 0)
+        .groupBy(shard.alias("_s"))
+        .agg(F.sum("n_chars").cast("long").alias("_c"))
+    )
+    w = Window.orderBy("_c")
+    ranked = m.select(
+        "_c",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_n"),
+    )
+    p50 = ranked.filter(
+        F.col("_rn") == F.ceil(F.lit(0.5) * F.col("_n"))
+    ).select(F.col("_c").alias("p50_chars"))
+    return (
+        m.agg(
+            F.count(F.lit(1)).cast("long").alias("n_shards"),
+            F.sum("_c").cast("long").alias("total_chars"),
+            F.min("_c").cast("long").alias("min_chars"),
+            F.max("_c").cast("long").alias("max_chars"),
+        )
+        .crossJoin(F.broadcast(p50))
+        .select(
+            "n_shards",
+            "total_chars",
+            "min_chars",
+            "max_chars",
+            F.col("p50_chars").cast("long").alias("p50_chars"),
+            F.expr(
+                "(2 * max_chars * n_shards * 1048576 + total_chars)"
+                " div (2 * total_chars)"
+            )
+            .cast("long")
+            .alias("imbalance_q20"),
+        )
+    )
+
+
 def q_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Channel-transition DWELL-TIME profile — the time axis the L59
     Markov transition matrix throws away: per (from_channel,
@@ -6989,6 +7051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_stream_skew": q_stream_skew,
         "maef_attribution_tau": q_attribution_tau,
         "maef_transition_dwell": q_transition_dwell,
+        "llm_shard_balance": q_shard_balance,
         # --- freshly-green r08 window (CORRECTNESS_r08, 50/50) rotates here:
         # first the 22 r07 additions, then the 28 re-verified r04-era greens ---
         "llm_ann_recall_drift": q_ann_recall_drift,

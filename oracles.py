@@ -3298,6 +3298,37 @@ SELECT model, channel_label,
 FROM weights GROUP BY 1, 2
 """
 
+# __spark_entry__.q_shard_balance: per-shard char mass under the
+# L137 packing hash, exact distribution stats; global window is on
+# the 256-shard grain (bounded by construction)
+_ORACLE_SHARD_BALANCE = """
+WITH m AS (
+  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|pack'), 1, 15)
+              AS BIGINT) % 256 AS s,
+         CAST(SUM(n_chars) AS BIGINT) AS c
+  FROM documents WHERE n_chars > 0
+  GROUP BY 1
+),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn, COUNT(*) OVER () AS n FROM m
+),
+p50 AS (
+  SELECT c AS p50_chars FROM ranked WHERE rn = CAST(CEIL(0.5e0 * n) AS BIGINT)
+),
+scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+         CAST(SUM(c) AS BIGINT) AS total_chars,
+         CAST(MIN(c) AS BIGINT) AS min_chars,
+         CAST(MAX(c) AS BIGINT) AS max_chars
+  FROM m
+)
+SELECT s.n_shards, s.total_chars, s.min_chars, s.max_chars,
+       CAST(p.p50_chars AS BIGINT) AS p50_chars,
+       CAST((2 * s.max_chars * s.n_shards * 1048576 + s.total_chars)
+            // (2 * s.total_chars) AS BIGINT) AS imbalance_q20
+FROM scal s, p50 p
+"""
+
 # __spark_entry__.q_transition_dwell: LAG over the journeys CTE,
 # whole-second gaps by integer microsecond division, log2 buckets
 _ORACLE_TRANSITION_DWELL = f"""
@@ -8248,6 +8279,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_stream_skew": _ORACLE_STREAM_SKEW,
         "maef_attribution_tau": _ORACLE_ATTRIBUTION_TAU,
         "maef_transition_dwell": _ORACLE_TRANSITION_DWELL,
+        "llm_shard_balance": _ORACLE_SHARD_BALANCE,
         "llm_vocab_growth": _ORACLE_VOCAB_GROWTH,
         "llm_ngram_novelty": _ORACLE_NGRAM_NOVELTY,
         "llm_label_drift": _ORACLE_LABEL_DRIFT,

@@ -347,3 +347,18 @@ def test_transition_dwell_counts_journey_steps(spark, sf_dir):
     for r in rows:
         assert r["gap_bucket"] >= 0
         assert r["n_transitions"] >= 1
+
+
+# ------------------------------------------------ shard balance
+
+
+def test_shard_balance_invariants(spark, sf_dir):
+    import __spark_entry__ as e
+
+    r = e.q_shard_balance(spark, sf_dir).collect()[0]
+    assert 1 <= r["n_shards"] <= 256
+    assert r["min_chars"] <= r["p50_chars"] <= r["max_chars"]
+    # imbalance = max * n / total >= 1 always (q20 >= 2^20)
+    assert r["imbalance_q20"] >= 1048576
+    docs = e._docs(spark, sf_dir).filter("n_chars > 0")
+    assert r["total_chars"] == docs.agg(F.sum("n_chars")).collect()[0][0]
