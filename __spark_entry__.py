@@ -6359,9 +6359,14 @@ def q_stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
     from marketing_attribution_etl_framework__maef_spark.streaming.sessionize import sessionize
 
+    # scratch keyed by applicationId + sf (ADVICE r09: a fixed shared
+    # path rmtree'd on entry would let two concurrent sessions on one
+    # host clobber each other's source parquet mid-stream — same key
+    # discipline as the journeys/kmeans caches)
     root = os.path.join(
         os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/maef_spark_scratch"),
         ".sessionize_state",
+        spark.sparkContext.applicationId,
         os.path.basename(os.path.normpath(sf_dir)),
     )
     shutil.rmtree(root, ignore_errors=True)
@@ -6970,21 +6975,79 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate: the driver's correctness gate covers the FIRST 50
-    # registry entries per round.  r09 rotation (VERDICT r08 next-steps #1):
-    # positions 0-31 are the 32 r08 additions that have never received a
-    # driver row (llm_lsh_hot_buckets .. llm_stream_length_mix, oldest
-    # first); positions 32-49 back-fill with the 18 stalest greens per the
-    # CLAUDE.md marker — the r04-era tail from maef_user_gaps onward (10),
-    # then the front of the r05-green window (8) — re-verified under the
-    # current oracle text.  Any r09-session additions land after the
-    # r10-queue marker (they must NOT jump the window this round).  The
-    # freshly-green r08 window (CORRECTNESS_r08 50/50) rotates directly
-    # behind the marker, then the r07/r06/r05 windows and the remaining
-    # long-green entries.
+    # Ordering is deliberate: the driver's correctness gate covers the FIRST
+    # 50 registry entries per round.  r10 rotation (VERDICT r09 next-steps
+    # #1): positions 0-12 are the 13 r09 additions that have never received
+    # a driver row (maef_stream_sessionize_state .. llm_shard_balance);
+    # positions 13-49 back-fill with the 37 stalest greens COMPUTED from the
+    # CORRECTNESS_r01-r09 history (last-checked round per entry): the 25
+    # r02-era core-suite entries (llm_text_stats .. maef_sessionize_batch)
+    # and the 12 oldest r03-era entries (llm_ann_topk .. llm_mix_sample).
+    # NOTE this diverges from the stale CLAUDE.md marker ("r05-green
+    # window, then r06-era") — the marker was a by-hand guess; the r02/r03
+    # rows are strictly staler and the verdict's instruction is "stalest
+    # greens".  Any r10-session additions land after the r11-queue marker
+    # (they must NOT jump the window this round).
     return {
-        # --- r09 gate window part 1 (positions 0-31): the 32 r08 additions,
-        # never driver-checked (VERDICT r08 next-steps #1), oldest first ---
+        # --- r10 gate window part 1 (positions 0-12): the 13 r09 additions,
+        # never driver-checked (VERDICT r09 next-steps #1), oldest first ---
+        "maef_stream_sessionize_state": q_stream_sessionize_state,
+        "llm_dedup_pipeline": q_dedup_pipeline,
+        "llm_ann_tuning": q_ann_tuning,
+        "rel_skew_profile": q_rel_skew_profile,
+        "llm_pack_fragmentation": q_pack_fragmentation,
+        "llm_surprisal_mix": q_surprisal_mix,
+        "llm_template_dup": q_template_dup,
+        "llm_stream_quality_gate": q_stream_quality_gate,
+        "llm_fertility_drift": q_fertility_drift,
+        "maef_stream_skew": q_stream_skew,
+        "maef_attribution_tau": q_attribution_tau,
+        "maef_transition_dwell": q_transition_dwell,
+        "llm_shard_balance": q_shard_balance,
+        # --- r10 gate window part 2 (positions 13-49): the 37 STALEST greens
+        # by actual CORRECTNESS_r* history (computed, not the CLAUDE.md
+        # marker guess: the r02-era core-suite tail last checked in r02,
+        # then the oldest r03-era ANN/sketch block) re-verified under the
+        # current oracle text ---
+        "llm_text_stats": q_text_stats,
+        "llm_lang_id": q_lang_id,
+        "llm_top_terms": q_top_terms,
+        "llm_unigram_surprisal": q_unigram_surprisal,
+        "llm_bm25_topk": q_bm25_topk,
+        "llm_fingerprint": q_fingerprint,
+        "llm_dedup_exact": q_dedup_exact,
+        "llm_dedup_minhash": q_dedup_minhash,
+        "llm_dedup_clusters": q_dedup_clusters,
+        "llm_dedup_simhash": q_dedup_simhash,
+        "llm_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "llm_curate": q_curate,
+        "llm_sample": q_sample,
+        "llm_scrub_pii": q_scrub_pii,
+        "llm_decontaminate": q_decontaminate,
+        "llm_pack": q_pack,
+        "llm_repetition": q_repetition,
+        "llm_quality_gate": q_quality_gate,
+        "maef_stream_attribution": q_stream_attribution,
+        "maef_stream_windowed_volume": q_stream_windowed_volume,
+        "maef_stream_journey_join": q_stream_journey_join,
+        "maef_warehouse_roundtrip": q_warehouse_roundtrip,
+        "maef_session_asof": q_session_asof,
+        "maef_session_asof_forward": q_session_asof_forward,
+        "maef_sessionize_batch": q_sessionize_batch,
+        "llm_ann_topk": q_ann_topk,
+        "llm_ann_ivf": q_ann_ivf,
+        "llm_ann_kmeans": q_ann_kmeans,
+        "llm_ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "llm_ann_lsh": q_ann_lsh,
+        "llm_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "llm_embedding_neardup": q_embedding_neardup,
+        "llm_semdedup": q_semdedup,
+        "llm_dup_ngram_coverage": q_dup_ngram_coverage,
+        "llm_kmv_users": q_kmv_users,
+        "llm_source_mix": q_source_mix,
+        "llm_mix_sample": q_mix_sample,
+        # --- r10 additions land BELOW (r11 queue; driver-unchecked) ---
+        # --- freshly-green r09 window (CORRECTNESS_r09, 50/50) rotates here ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,
         "llm_dedup_roi": q_dedup_roi,
@@ -7017,9 +7080,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_template_share": q_template_share,
         "maef_stream_error_impact": q_stream_error_impact,
         "llm_stream_length_mix": q_stream_length_mix,
-        # --- r09 gate window part 2 (positions 32-49): the 18 stalest greens
-        # (r04-era tail from maef_user_gaps, then the r05-window front)
-        # re-verified under the current oracle text ---
         "maef_user_gaps": q_user_gaps,
         "maef_orc_roundtrip": q_orc_roundtrip,
         "maef_stream_sessionize": q_stream_sessionize,
@@ -7038,22 +7098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_priority_lines": q_rel_priority_lines,
         "maef_rfm_segments": q_rfm_segments,
         "maef_survival_km": q_survival_km,
-        # --- r09 additions land BELOW (r10 queue; driver-unchecked) ---
-        "maef_stream_sessionize_state": q_stream_sessionize_state,
-        "llm_dedup_pipeline": q_dedup_pipeline,
-        "llm_ann_tuning": q_ann_tuning,
-        "rel_skew_profile": q_rel_skew_profile,
-        "llm_pack_fragmentation": q_pack_fragmentation,
-        "llm_surprisal_mix": q_surprisal_mix,
-        "llm_template_dup": q_template_dup,
-        "llm_stream_quality_gate": q_stream_quality_gate,
-        "llm_fertility_drift": q_fertility_drift,
-        "maef_stream_skew": q_stream_skew,
-        "maef_attribution_tau": q_attribution_tau,
-        "maef_transition_dwell": q_transition_dwell,
-        "llm_shard_balance": q_shard_balance,
-        # --- freshly-green r08 window (CORRECTNESS_r08, 50/50) rotates here:
-        # first the 22 r07 additions, then the 28 re-verified r04-era greens ---
+        # --- r08-green window (CORRECTNESS_r08, 50/50) ---
         "llm_ann_recall_drift": q_ann_recall_drift,
         "llm_stream_cdc_store": q_stream_cdc_store,
         "llm_embedding_pca": q_embedding_pca,
@@ -7104,7 +7149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_returned_items": q_rel_returned_items,
         "maef_journey_dropoff": q_journey_dropoff,
         "maef_sketch_merge_law": q_sketch_merge_law,
-        # --- freshly-green r07 window (CORRECTNESS_r07, 50/50) rotates here ---
+        # --- r07-green window (CORRECTNESS_r07, 50/50) ---
         "maef_next_best_channel": q_next_best_channel,
         "maef_interpurchase": q_interpurchase,
         "maef_holt_forecast": q_holt_forecast,
@@ -7155,7 +7200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_fd_profile": q_fd_profile,
         "rel_monthly_growth": q_rel_monthly_growth,
         "llm_tfidf_pairs": q_tfidf_pairs,
-        # --- freshly-green r06 window (CORRECTNESS_r06, 50/50) ---
+        # --- r06-green window (CORRECTNESS_r06, 50/50) ---
         "llm_ann_int8_rerank": q_ann_int8_rerank,
         "maef_stream_topk_channels": q_stream_topk_channels,
         "maef_user_export": q_user_export,
@@ -7206,8 +7251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_multimodal_frames": q_multimodal_frames,
         "maef_mde_components": q_mde_components,
         "maef_conversion_velocity": q_conversion_velocity,
-        # --- r05-green window (CORRECTNESS_r05; front 8 rotated into the
-        # r09 window above) ---
+        # --- r05-green remainder ---
         "rel_basket_pairs": q_rel_basket_pairs,
         "maef_robust_stats": q_robust_channel_stats,
         "llm_pack_sequences": q_pack_sequences,
@@ -7250,20 +7294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rollup": q_rel_rollup,
         "maef_cohort_ltv": q_cohort_ltv,
         "llm_ct_langid": q_ct_langid,
-        # --- long-green below: rows in r01-r04 (the r04-era tail from
-        # maef_user_gaps onward rotated into the r09 window above) ---
-        "llm_ann_topk": q_ann_topk,
-        "llm_ann_ivf": q_ann_ivf,
-        "llm_ann_kmeans": q_ann_kmeans,
-        "llm_ann_ivf_kmeans": q_ann_ivf_kmeans,
-        "llm_ann_lsh": q_ann_lsh,
-        "llm_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "llm_embedding_neardup": q_embedding_neardup,
-        "llm_semdedup": q_semdedup,
-        "llm_dup_ngram_coverage": q_dup_ngram_coverage,
-        "llm_kmv_users": q_kmv_users,
-        "llm_source_mix": q_source_mix,
-        "llm_mix_sample": q_mix_sample,
+        # --- r03-green remainder (the ANN front rotated into the window
+        # above; llm_multimodal_features is rows-only by design) ---
         "llm_length_percentiles": q_length_percentiles,
         "llm_chunk_documents": q_chunk_documents,
         "llm_vocabulary": q_vocabulary,
@@ -7301,31 +7333,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_weighted_sample": q_weighted_sample,
         "maef_dormant_users": q_dormant_users,
         "llm_containment": q_containment,
-        "llm_text_stats": q_text_stats,
-        "llm_lang_id": q_lang_id,
-        "llm_top_terms": q_top_terms,
-        "llm_unigram_surprisal": q_unigram_surprisal,
-        "llm_bm25_topk": q_bm25_topk,
-        "llm_fingerprint": q_fingerprint,
-        "llm_dedup_exact": q_dedup_exact,
-        "llm_dedup_minhash": q_dedup_minhash,
-        "llm_dedup_clusters": q_dedup_clusters,
-        "llm_dedup_simhash": q_dedup_simhash,
-        "llm_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "llm_curate": q_curate,
-        "llm_sample": q_sample,
-        "llm_scrub_pii": q_scrub_pii,
-        "llm_decontaminate": q_decontaminate,
-        "llm_pack": q_pack,
-        "llm_repetition": q_repetition,
-        "llm_quality_gate": q_quality_gate,
-        "maef_stream_attribution": q_stream_attribution,
-        "maef_stream_windowed_volume": q_stream_windowed_volume,
-        "maef_stream_journey_join": q_stream_journey_join,
-        "maef_warehouse_roundtrip": q_warehouse_roundtrip,
-        "maef_session_asof": q_session_asof,
-        "maef_session_asof_forward": q_session_asof_forward,
-        "maef_sessionize_batch": q_sessionize_batch,
     }
 
 
