@@ -88,24 +88,27 @@ def greedy_coverage(
     (gain DESC, id ASC) whenever g* > t, or g* == t and d*.id <= B
     (an outside contender would tie at t but lose the id tie-break
     to d*, because every outside t-doc's id exceeds B >= d*.id).
-    Otherwise fetch the next page and retry the round — two cheap
-    corpus-lineage jobs per refill (the ranked-gain aggregate with
-    OFFSET, and a semi-join set collect), NEVER a per-round
-    corpus-scale anti-join/checkpoint chain.  The r08 "rare"
-    Spark-side fallback was in fact the COMMON path on real data —
-    near-uniform doc lengths put hundreds of docs in a 6-value gain
-    band (sf0.1: 288 docs with gain >= the pool-256 threshold 92), a
-    single tie at the cutoff triggered it, and its k corpus-scale
-    localCheckpoint rounds measured 18-50 s at sf0.1 vs ~2 s for
-    this formulation.  At 100 TB the pattern is the same: one corpus
-    aggregate + one bounded collect per page, with page count driven
-    only by tie mass at the cutoff, not corpus size.
+    Otherwise admit the next page and retry the round.  Page refills
+    are CHEAP (r10, per ADVICE r09): the (id, initial gain) ranks for
+    the first ``rank_pages`` pages are collected in ONE top-N job up
+    front (TakeOrdered, never a full sort or an OFFSET re-sort — the
+    r09 shape re-ran the corpus aggregate + global sort per refill),
+    and a refill fetches only the page's shingle SETS by semi-joining
+    the page ids against the raw ``docs`` table BEFORE shingling, so
+    the explode touches pool-sized data, not the corpus.  The r08
+    "rare" Spark-side fallback was in fact the COMMON path on real
+    data — near-uniform doc lengths put hundreds of docs in a 6-value
+    gain band (sf0.1: 288 docs with gain >= the pool-256 threshold
+    92), a single tie at the cutoff triggered it, and its k
+    corpus-scale localCheckpoint rounds measured 18-50 s at sf0.1 vs
+    ~2 s for this formulation.  At 100 TB the pattern is the same:
+    ONE corpus-scale rank aggregate total, plus one bounded pool-only
+    set fetch per page, with page count driven only by tie mass at
+    the cutoff, not corpus size.
     """
     spark = docs.sparkSession
-    # The full (doc, shingle) table is a LINEAGE, never materialized:
-    # post slice-shingling the explode is cheap to recompute (repo perf
-    # rule), so each page fetch re-derives it rather than paying a
-    # corpus-scale localCheckpoint write (the r07 profile).
+    # The full (doc, shingle) lineage is scanned ONCE, for the initial
+    # rank top-N; set fetches shingle only the pooled docs.
     pairs_full = doc_shingles(docs, text_col, id_col)
     ranked = (
         pairs_full.groupBy(id_col)
@@ -113,19 +116,31 @@ def greedy_coverage(
         .orderBy(F.desc("gain"), F.asc(id_col))
     )
 
+    rank_pages = 4
+    rank_rows: list = []
     pool_gain: dict = {}
     pool_sets: dict = {}
-    state = {"page": 0, "threshold": None, "boundary_id": -1}
+    state = {"page": 0, "rank_limit": 0, "threshold": None, "boundary_id": -1}
+
+    def _fetch_ranks(n: int) -> None:
+        # one TakeOrdered job; (gain DESC, id ASC) is a total order so
+        # the collected prefix is exactly the global rank prefix
+        rank_rows[:] = ranked.limit(n).collect()
+        state["rank_limit"] = n
 
     def _load_page() -> None:
-        rows = (
-            ranked.offset(state["page"] * candidate_pool)
-            .limit(candidate_pool)
-            .collect()
-        )
+        lo = state["page"] * candidate_pool
+        hi = lo + candidate_pool
+        # refetch only if the page needs rows beyond the in-hand prefix
+        # AND the prefix might not already be the whole corpus (a prefix
+        # shorter than its limit IS the whole corpus); grow geometrically
+        # on the rare deep-refill (tie mass outran the prefetch)
+        while hi > len(rank_rows) and len(rank_rows) >= state["rank_limit"]:
+            _fetch_ranks(max(hi, candidate_pool * rank_pages) * 2)
+        rows = rank_rows[lo:hi]
         state["page"] += 1
-        if len(rows) < candidate_pool:
-            state["threshold"] = -1  # whole corpus pooled
+        if hi >= len(rank_rows) and len(rank_rows) < state["rank_limit"]:
+            state["threshold"] = -1  # whole corpus pooled after this page
         else:
             state["threshold"] = int(rows[-1]["gain"])
         for r in rows:
@@ -139,14 +154,21 @@ def greedy_coverage(
             ids = spark.createDataFrame(
                 [(r[id_col],) for r in rows], f"{id_col} long"
             )
+            # filter the RAW docs first so shingling touches only the
+            # page's docs (the corpus-wide explode was the refill cost)
+            page_pairs = doc_shingles(
+                docs.join(F.broadcast(ids), id_col, "left_semi"),
+                text_col,
+                id_col,
+            )
             for row in (
-                pairs_full.join(F.broadcast(ids), id_col, "left_semi")
-                .groupBy(id_col)
+                page_pairs.groupBy(id_col)
                 .agg(F.collect_set("sh").alias("_shs"))
                 .collect()
             ):
                 pool_sets[row[id_col]] = set(row["_shs"])
 
+    _fetch_ranks(candidate_pool * rank_pages)
     _load_page()
     if not pool_gain:
         return spark.createDataFrame(
