@@ -6974,6 +6974,334 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L310 (VERDICT r09 #5a): the LLM WRITE-PATH e2e gate — curate
+    (L20/L96) → train-split → token-budget pack (L137) → hash-shard
+    (L309) composed as ONE conservation ledger, the llm_dedup_pipeline
+    device for the export side.  Per stage: (stage, n_in, n_out,
+    mass_in, mass_out) in docs/sequences/shards and exact token
+    units; mass must CARRY between stages (pack mass_out == split
+    train mass filtered to w>0; shard mass_out == pack mass_out), and
+    n_out for 'pack' is MAX(seq_last)+1 off the real manifest — equal
+    to ceil(total/budget) only if the distributed prefix-sum layout
+    is gapless, which is exactly the invariant worth gating.
+
+    Scale: curate is the one corpus-heavy stage (its own staged pair
+    store); pack/shard are one groupBy + bounded window each; the
+    ledger is 4 rows.  The curated table is localCheckpoint'd once
+    (4 consumers — the multi-consumer-lineage rule)."""
+    aug = _aug_docs(spark, sf_dir)
+    norm = txt.normalize_text(F.col("text"))
+    tot = aug.select(
+        F.size(F.regexp_extract_all(norm, F.lit(txt.TOKEN_REGEX), 0))
+        .cast("long")
+        .alias("_t")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_all"),
+        F.sum("_t").cast("long").alias("tokens_all"),
+    )
+    curated = cur.curate_corpus(
+        aug, corpus_pairs=_minhash_pairs(spark, sf_dir)
+    ).localCheckpoint()
+    cur_agg = curated.agg(
+        F.count(F.lit(1)).cast("long").alias("n_surv"),
+        F.sum("n_tokens").cast("long").alias("surv_tokens"),
+    )
+    train = curated.filter(F.col("split") == "train")
+    train_agg = train.agg(
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+        F.sum("n_tokens").cast("long").alias("train_tokens"),
+        F.sum(F.when(F.col("n_tokens") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_packable"),
+        F.sum(F.when(F.col("n_tokens") > 0, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("packable_tokens"),
+    )
+    manifest = pck.pack_sequences(
+        train, budget=4096, weight_col="n_tokens"
+    )
+    pack_agg = manifest.agg(
+        F.count(F.lit(1)).cast("long").alias("n_manifest"),
+        F.sum("n_chars").cast("long").alias("packed_mass"),
+        (F.max("seq_last") + 1).cast("long").alias("n_seqs"),
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|pack"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 256
+    )
+    shard_agg = (
+        manifest.groupBy(shard.alias("_s"))
+        .agg(F.sum("n_chars").cast("long").alias("_c"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shards"),
+            F.sum("_c").cast("long").alias("shard_mass"),
+        )
+    )
+    return (
+        tot.crossJoin(cur_agg)
+        .crossJoin(train_agg)
+        .crossJoin(pack_agg)
+        .crossJoin(shard_agg)
+        .selectExpr(
+            """stack(4,
+              'curate', n_docs_all, n_surv, tokens_all, surv_tokens,
+              'split_train', n_surv, n_train, surv_tokens, train_tokens,
+              'pack', n_packable, n_seqs, packable_tokens, packed_mass,
+              'shard', n_manifest, n_shards, packed_mass, shard_mass
+            ) as (stage, n_in, n_out, mass_in, mass_out)"""
+        )
+        .select(
+            "stage",
+            F.col("n_in").cast("long").alias("n_in"),
+            F.col("n_out").cast("long").alias("n_out"),
+            F.col("mass_in").cast("long").alias("mass_in"),
+            F.col("mass_out").cast("long").alias("mass_out"),
+        )
+    )
+
+
+def q_stream_ann_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L311 (VERDICT r09 #5b): STREAMING ANN ingest-store maintenance —
+    vectors stream in, each micro-batch is assigned to its nearest
+    centroid (the L14 ivf_assign rule: max cosine, centroid-id
+    tie-break, 8 deterministic vec_id<8 centroids) and reduced to
+    per-cluster ledger parts via foreachBatch; the live ledger
+    re-aggregates under the merge law (n=SUM, min=MIN, max=MAX,
+    sum_cos_q20=SUM — all associative+commutative, so state is
+    independent of micro-batch slicing) and is gated by the SAME
+    batch-assignment aggregate the IVF index implies
+    (streaming/incremental.py IncrementalANNStore)."""
+    import shutil
+
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".stream_tmp",
+        "ann_store_"
+        + spark.sparkContext.applicationId
+        + "_"
+        + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = _embs(spark, sf_dir)
+    drv = inc.IncrementalANNStore(spark, root, e.filter(F.col("vec_id") < 8))
+    vecs = inc.stream_embeddings(spark, f"{sf_dir}/embeddings.parquet")
+    drv.start(vecs).awaitTermination()
+    return (
+        drv.store()
+        .select("centroid_id", "n_vectors", "min_vec_id", "max_vec_id", "sum_cos_q20")
+        .localCheckpoint()
+    )
+
+
+def q_pii_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L312: per-source PII incidence audit — the corpus-procurement
+    readout over the L7 scrub devices (same EMAIL_RE / LONG_NUMBER_RE,
+    same injected true positives as llm_scrub_pii): per source,
+    (n_docs, docs_with_pii, n_emails, n_long_numbers, pii_rate_q20
+    half-up).  The per-doc regex work fuses with the scan (no shuffle
+    before the source-grain aggregate) — a pure map pass at 100 TB,
+    and the decision table a data buyer reads before licensing a
+    source."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(PII_SUFFIX))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    norm = txt.normalize_text(F.col("text"))
+    x = d.select(
+        "source",
+        norm.alias("_norm"),
+        F.regexp_replace(norm, txt.EMAIL_RE, "<email>").alias("_nomail"),
+    ).select(
+        "source",
+        F.size(F.regexp_extract_all("_norm", F.lit(txt.EMAIL_RE), 0))
+        .cast("long")
+        .alias("_ne"),
+        F.size(F.regexp_extract_all("_nomail", F.lit(txt.LONG_NUMBER_RE), 0))
+        .cast("long")
+        .alias("_nn"),
+    )
+    return x.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when((F.col("_ne") > 0) | (F.col("_nn") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_pii"),
+        F.sum("_ne").cast("long").alias("n_emails"),
+        F.sum("_nn").cast("long").alias("n_long_numbers"),
+        F.expr(
+            "(2 * sum(case when _ne > 0 or _nn > 0 then 1 else 0 end) * 1048576"
+            " + count(1)) div (2 * count(1))"
+        )
+        .cast("long")
+        .alias("pii_rate_q20"),
+    )
+
+
+def q_chunk_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L313: chunking conservation ledger — the e2e gate over the L39
+    segmenter: per source, (n_docs, n_chunks, doc_tokens,
+    chunk_tokens, overlap_tokens, n_full_cover).  overlap_tokens =
+    chunk_tokens - doc_tokens is exactly the duplicated overlap mass
+    the 16-token stride re-emits (the context-window tax a training
+    budget must price in), and n_full_cover counts docs whose
+    max(start_tok + n_seg_tokens) == doc token count — full coverage,
+    an invariant that must equal n_docs, computed independently by
+    both engines.  One chunk scan + one doc scan, joined at the doc
+    grain and aggregated at the source grain."""
+    docs = _docs(spark, sf_dir)
+    ch = cur.chunk_documents(docs)
+    per_doc = ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_nc"),
+        F.sum("n_seg_tokens").cast("long").alias("_ct"),
+        F.max(F.col("start_tok") + F.col("n_seg_tokens")).cast("long").alias("_cov"),
+    )
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(txt.words(txt.normalize_text(F.col("text")))).cast("long").alias("_nt"),
+    )
+    return (
+        d.join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nc").cast("long").alias("n_chunks"),
+            F.sum("_nt").cast("long").alias("doc_tokens"),
+            F.sum("_ct").cast("long").alias("chunk_tokens"),
+            (F.sum("_ct") - F.sum("_nt")).cast("long").alias("overlap_tokens"),
+            F.sum(F.when(F.col("_cov") == F.col("_nt"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_full_cover"),
+        )
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L314: token-mass vocabulary-coverage cutoffs — for each target
+    coverage (50/90/95/99% of corpus occurrence mass), the smallest
+    vocabulary prefix in (tf DESC, term ASC) order that reaches it:
+    (pct, vocab_size, covered_occurrences, total_occurrences).  The
+    table a tokenizer-budget decision reads (how many merges/types
+    buy how much of the corpus — the integral the Zipf slope L183
+    differentiates).  Exact integers; the threshold is integer
+    cross-multiplication (cum*100 >= total*pct).
+
+    Scale: per-(doc,term) counts map-side combine, the cumsum runs at
+    the VOCAB grain (heavy-tailed: millions of rows at web scale, not
+    corpus-scale — the zipf_slope single-sort precedent; past that,
+    cut on a tf-histogram prefix instead)."""
+    from pyspark.sql import Window
+
+    terms = _docs(spark, sf_dir).select(
+        F.explode(txt.words(txt.normalize_text(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+    w = Window.orderBy(F.desc("_tf"), F.asc("term"))
+    ranked = tf.select(
+        F.row_number().over(w).cast("long").alias("_rnk"),
+        F.sum("_tf").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("_cum"),
+        F.sum("_tf").over(Window.partitionBy()).cast("long").alias("_tot"),
+    )
+    pcts = spark.createDataFrame([(50,), (90,), (95,), (99,)], "pct long")
+    return (
+        ranked.crossJoin(F.broadcast(pcts))
+        .filter(F.col("_cum") * 100 >= F.col("_tot") * F.col("pct"))
+        .groupBy("pct")
+        .agg(
+            F.min("_rnk").cast("long").alias("vocab_size"),
+            F.min("_cum").cast("long").alias("covered_occurrences"),
+            F.max("_tot").cast("long").alias("total_occurrences"),
+        )
+    )
+
+
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L315: channel-transition ENTROPY — how predictable the next
+    touch is from the current one, per from-channel: (from_channel,
+    n_transitions, n_next_channels, entropy_q20) with Shannon entropy
+    in q20 bits over the next-channel distribution (the L169
+    user-mix-entropy device — identical term expression text in both
+    engines, q20 absorbing summation-order ulp).  Zero entropy =
+    deterministic hand-off (collapse the two channels in planning);
+    max entropy = the channel is a hub.  Rides the staged journeys
+    lag window (same scan as L308); the aggregate is
+    channels²-bounded."""
+    from pyspark.sql import Window
+
+    j = _journeys(spark, sf_dir)
+    w = Window.partitionBy("conversion_id").orderBy("event_ts", "session_id")
+    t = (
+        j.select("conversion_id", "session_id", "channel_label", "event_ts")
+        .withColumn("_pch", F.lag("channel_label").over(w))
+        .filter(F.col("_pch").isNotNull())
+        .groupBy(
+            F.col("_pch").alias("from_channel"),
+            F.col("channel_label").alias("to_channel"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = t.groupBy("from_channel").agg(F.sum("c").cast("long").alias("n"))
+    return (
+        t.join(tot, "from_channel")
+        .groupBy("from_channel")
+        .agg(
+            F.max("n").cast("long").alias("n_transitions"),
+            F.count(F.lit(1)).cast("long").alias("n_next_channels"),
+            F.expr(
+                "cast(floor(sum((c / cast(n as double)) * log2(cast(n as double) / c))"
+                " * 1048576 + 0.5e0) as bigint)"
+            ).alias("entropy_q20"),
+        )
+    )
+
+
+def q_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L316: per-source benchmark-contamination RATE — the decision
+    readout over the L22 collision test: train = doc_id%10!=0, eval =
+    doc_id%10==0, a train doc is contaminated if it shares ANY word
+    5-shingle with the eval set.  Per source: (n_train,
+    n_contaminated, shared_shingles, contamination_q20 half-up) — the
+    number a curation gate thresholds before a source ships.  Scale:
+    the L22 inverted-index join (eval side broadcast-sized) plus one
+    source-grain aggregate."""
+    d = _docs(spark, sf_dir)
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    tr = d.filter(F.col("doc_id") % 10 != 0)
+    hits = cur.decontaminate(tr, ev)
+    return (
+        tr.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+            F.sum(F.when(F.col("n_shared_shingles").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.sum(F.coalesce(F.col("n_shared_shingles"), F.lit(0)))
+            .cast("long")
+            .alias("shared_shingles"),
+            F.expr(
+                "(2 * sum(case when n_shared_shingles is not null then 1 else 0 end)"
+                " * 1048576 + count(1)) div (2 * count(1))"
+            )
+            .cast("long")
+            .alias("contamination_q20"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
     # 50 registry entries per round.  r10 rotation (VERDICT r09 next-steps
@@ -7047,6 +7375,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_source_mix": q_source_mix,
         "llm_mix_sample": q_mix_sample,
         # --- r10 additions land BELOW (r11 queue; driver-unchecked) ---
+        "llm_export_pipeline": q_export_pipeline,
+        "llm_stream_ann_store": q_stream_ann_store,
+        "llm_pii_rate": q_pii_rate,
+        "llm_chunk_conservation": q_chunk_conservation,
+        "llm_vocab_coverage": q_vocab_coverage,
+        "maef_transition_entropy": q_transition_entropy,
+        "llm_contamination_rate": q_contamination_rate,
         # --- freshly-green r09 window (CORRECTNESS_r09, 50/50) rotates here ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,

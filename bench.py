@@ -181,6 +181,11 @@ CHECKPOINT_HEAVY = {
     # criterion a: foreachBatch incremental-attribution streaming state
     # (was mislabeled criterion b in r09 — the plan runs a stream)
     "maef_stream_attribution",
+    # r10 additions, criterion a: the export gate runs curate (its
+    # survivor table localCheckpoints) + its own curated checkpoint;
+    # the ANN store is a foreachBatch streaming run
+    "llm_export_pipeline",
+    "llm_stream_ann_store",
     # (llm_ngram_novelty, llm_train_val_split, maef_cac_payback exited
     # r10: stateless plans, victim-profile admissions — covered by the
     # slow-tail re-measure)

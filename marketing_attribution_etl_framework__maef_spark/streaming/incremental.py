@@ -126,6 +126,122 @@ def stream_documents(
     return reader.parquet(path)
 
 
+def stream_embeddings(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Streaming read of embeddings-shaped parquet files — the intake
+    side of the ANN ingest-store twin (IncrementalANNStore).  Vectors
+    have no event time, so no watermark; the downstream store's merge
+    law is order-independent by construction."""
+    if path.endswith(".parquet") and not os.path.isdir(path):
+        path = os.path.join(
+            os.path.dirname(path),
+            os.path.basename(path).replace(".parquet", "*.parquet"),
+        )
+    reader = spark.readStream.schema(schemas.EMBEDDINGS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+class IncrementalANNStore:
+    """Streaming maintenance of the ANN ingest-side CLUSTER LEDGER —
+    the per-cluster statistics an IVF index needs kept live while
+    vectors stream in (VERDICT r09 #5b; the L244/L277 foreachBatch
+    store pattern applied to the ANN side of the house).
+
+    Each micro-batch assigns its vectors to their nearest centroid
+    (broadcast centroid table — the SAME max-cosine, centroid-id
+    tie-break rule as llm/similarity.py ivf_assign, so the streaming
+    store is gated by the batch IVF assignment), reduces them to
+    per-cluster parts, and appends the parts.  The live ledger is the
+    re-aggregate of the parts under the merge law
+
+        n_vectors    = SUM     min_vec_id = MIN
+        max_vec_id   = MAX     sum_cos_q20 = SUM
+
+    — all four reducers associative AND commutative, so the final
+    ledger is independent of micro-batch slicing, which is what lets
+    an availableNow run be oracle-gated against the batch assignment
+    aggregate.  sum_cos_q20 sums the per-vector q20-quantized cosine
+    to its own centroid: each term is cross-engine IEEE-stable (the
+    cos_q20 device) and the sum is exact integer arithmetic, so the
+    ledger doubles as a live cluster-coherence monitor (mean own-
+    centroid cosine = sum/n per cluster — falling coherence says
+    "retrain the centroids").
+
+    Scale: no per-key streaming state, no watermark; parts are
+    parquet appends at the n_centroids grain (compactable any time),
+    the serving aggregate shuffles n_centroids rows per part.  Zero-
+    norm vectors are dropped (no direction to assign — the
+    quantized_unit_vectors convention)."""
+
+    def __init__(self, spark: SparkSession, root: str, centroids: DataFrame):
+        from marketing_attribution_etl_framework__maef_spark.llm import similarity as sim
+
+        self.spark = spark
+        self.root = root
+        self._sim = sim
+        # centroids are bounded (n_centroids rows) — collect once and
+        # rebuild per batch so the foreachBatch closure never captures
+        # a DataFrame tied to the outer query's lineage
+        self._cent_rows = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in centroids.select("vec_id", "embedding").collect()
+        ]
+        os.makedirs(root, exist_ok=True)
+
+    def _parts(self) -> str:
+        return os.path.join(self.root, "ann_parts")
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        sim = self._sim
+        cents = self.spark.createDataFrame(
+            self._cent_rows, "vec_id long, embedding array<double>"
+        )
+        c = sim._norm_vec(batch_df, "vec_id", "embedding", "vec_id", "_v").filter(
+            F.col("_vn") > 0
+        )
+        ct = sim._norm_vec(cents, "vec_id", "embedding", "centroid_id", "_c")
+        scored = c.crossJoin(F.broadcast(ct)).select(
+            "vec_id", "centroid_id", sim._pair_cos("_v", "_c").alias("_cs")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("centroid_id"))
+        best = scored.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1
+        )
+        part = best.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.min("vec_id").cast("long").alias("min_vec_id"),
+            F.max("vec_id").cast("long").alias("max_vec_id"),
+            F.sum(sim.q20(F.col("_cs"))).cast("long").alias("sum_cos_q20"),
+        )
+        part.write.mode("append").parquet(self._parts())
+
+    def start(self, vectors: DataFrame, checkpoint: str | None = None):
+        writer = (
+            vectors.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint or os.path.join(self.root, "_ckpt"))
+            .trigger(availableNow=True)
+        )
+        return writer.start()
+
+    def store(self) -> DataFrame:
+        """The live cluster ledger: one row per centroid."""
+        return (
+            self.spark.read.parquet(self._parts())
+            .groupBy("centroid_id")
+            .agg(
+                F.sum("n_vectors").cast("long").alias("n_vectors"),
+                F.min("min_vec_id").cast("long").alias("min_vec_id"),
+                F.max("max_vec_id").cast("long").alias("max_vec_id"),
+                F.sum("sum_cos_q20").cast("long").alias("sum_cos_q20"),
+            )
+        )
+
+
 def stream_events_nanos(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

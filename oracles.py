@@ -8241,8 +8241,279 @@ GROUP BY 1
 """
 
 
+# L310 export-pipeline conservation ledger: the curate CTE chain
+# (verbatim from _ORACLE_CURATE) extended with the pack/shard stage
+# aggregates.  n_seqs is ceil(total/4096) — the value Spark derives
+# from the REAL manifest's MAX(seq_last)+1, so equality gates the
+# distributed prefix-sum layout being gapless.
+_ORACLE_EXPORT_PIPELINE = f"""
+WITH RECURSIVE {_AUG}, {_NORM_AUG},
+stq AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM nd)
+  WHERE len(ws) >= 5 AND len(list_distinct(ws)) * 10 >= len(ws) * 3
+),
+scores AS (
+  SELECT doc_id,
+       {_lang_score_cols}
+  FROM (SELECT doc_id, list_distinct(string_split(norm, ' ')) AS dws FROM nd)
+),
+best AS (
+  SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM scores
+),
+langg AS (
+  SELECT doc_id, CASE {_lang_case} ELSE 'zh' END AS lang_guess FROM best
+),
+elig AS (
+  SELECT nd.doc_id, nd.norm, l.lang_guess, s.n_tokens
+  FROM nd JOIN stq s USING (doc_id) JOIN langg l USING (doc_id)
+  WHERE l.lang_guess = 'en'
+),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM elig GROUP BY md5(norm)),
+surv1 AS (SELECT e.* FROM elig e JOIN keep USING (doc_id)),
+shingled AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(ws) - 1, 2)),
+                        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) AS shingles
+  FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM surv1)
+),
+{_MINHASH_CTES},
+pairs AS (SELECT doc_a, doc_b FROM scored WHERE inter_size * 2 >= union_size * 1),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, cluster_id) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.cluster_id
+  FROM walk w JOIN edges e ON e.dst = w.doc_id
+),
+losers AS (
+  SELECT doc_id FROM (SELECT doc_id, MIN(cluster_id) AS c FROM walk GROUP BY doc_id)
+  WHERE doc_id <> c
+),
+curated AS MATERIALIZED (
+  SELECT s.doc_id, s.n_tokens,
+         CASE WHEN CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT) % 100 < 90 THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT) % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM surv1 s LEFT JOIN losers l USING (doc_id)
+  WHERE l.doc_id IS NULL
+),
+alltok AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_all,
+         CAST(SUM(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS tokens_all
+  FROM nd
+),
+curagg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_surv,
+         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS surv_tokens
+  FROM curated
+),
+tragg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS train_tokens,
+         CAST(COUNT(*) FILTER (WHERE n_tokens > 0) AS BIGINT) AS n_packable,
+         CAST(COALESCE(SUM(n_tokens) FILTER (WHERE n_tokens > 0), 0) AS BIGINT)
+           AS packable_tokens
+  FROM curated WHERE split = 'train'
+),
+packagg AS (
+  SELECT n_packable AS n_manifest, packable_tokens AS packed_mass,
+         CAST((packable_tokens + 4095) // 4096 AS BIGINT) AS n_seqs
+  FROM tragg
+),
+shardm AS (
+  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|pack'), 1, 15) AS BIGINT) % 256 AS s,
+         CAST(SUM(n_tokens) AS BIGINT) AS c
+  FROM curated WHERE split = 'train' AND n_tokens > 0 GROUP BY 1
+),
+shardagg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_shards, CAST(SUM(c) AS BIGINT) AS shard_mass
+  FROM shardm
+)
+SELECT 'curate' AS stage, n_docs_all AS n_in, n_surv AS n_out,
+       tokens_all AS mass_in, surv_tokens AS mass_out FROM alltok, curagg
+UNION ALL
+SELECT 'split_train', n_surv, n_train, surv_tokens, train_tokens FROM curagg, tragg
+UNION ALL
+SELECT 'pack', n_packable, n_seqs, packable_tokens, packed_mass FROM tragg, packagg
+UNION ALL
+SELECT 'shard', n_manifest, n_shards, packed_mass, shard_mass FROM packagg, shardagg
+"""
+
+# L311 streaming ANN ingest store: gated by the batch nearest-centroid
+# assignment aggregate (the cand/assign CTEs are _ORACLE_ANN_IVF's
+# assignment verbatim, plus the zero-norm drop the store documents)
+_ORACLE_STREAM_ANN_STORE = f"""
+WITH {_E_NORMED},
+cents AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cn FROM e WHERE vec_id < 8),
+ascored AS (
+  SELECT e.vec_id, c.centroid_id,
+         list_dot_product(e.v, c.cv) / (e.vn * c.cn) AS cs
+  FROM e, cents c WHERE e.vn > 0
+),
+assign AS (
+  SELECT vec_id, centroid_id, cs FROM ascored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) = 1
+)
+SELECT centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+       CAST(MAX(vec_id) AS BIGINT) AS max_vec_id,
+       CAST(SUM(CAST(FLOOR(cs * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cos_q20
+FROM assign GROUP BY 1
+"""
+
+# L312 per-source PII incidence (the L7 scrub devices at source grain)
+_ORACLE_PII_RATE = f"""
+WITH pii AS (
+  SELECT source,
+         CASE WHEN doc_id % 7 = 0 THEN text || '{PII_SUFFIX}' ELSE text END AS text
+  FROM documents
+),
+nm AS (
+  SELECT source, norm,
+         regexp_replace(norm, '{txt.EMAIL_RE}', '<email>', 'g') AS nomail
+  FROM (SELECT source, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM pii)
+),
+x AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(norm, '{txt.EMAIL_RE}')) AS BIGINT) AS ne,
+         CAST(len(regexp_extract_all(nomail, '{txt.LONG_NUMBER_RE}')) AS BIGINT) AS nn
+  FROM nm
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE ne > 0 OR nn > 0) AS BIGINT) AS docs_with_pii,
+       CAST(SUM(ne) AS BIGINT) AS n_emails,
+       CAST(SUM(nn) AS BIGINT) AS n_long_numbers,
+       CAST((2 * COUNT(*) FILTER (WHERE ne > 0 OR nn > 0) * 1048576 + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS pii_rate_q20
+FROM x GROUP BY 1
+"""
+
+# L313 chunking conservation ledger (window=64, overlap=16, stride=48 —
+# chunk_documents' defaults; the L39 oracle's arithmetic at those knobs)
+_ORACLE_CHUNK_CONSERVATION = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, ws,
+         unnest(range(0, GREATEST(1, CAST(CEIL((len(ws) - 16) / 48.0) AS BIGINT)))) AS seg_idx
+  FROM w
+),
+per_seg AS (
+  SELECT doc_id, seg_idx * 48 AS start_tok,
+         len(ws[seg_idx*48+1 : seg_idx*48+64]) AS n_seg
+  FROM segs
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nc, CAST(SUM(n_seg) AS BIGINT) AS ct,
+         CAST(MAX(start_tok + n_seg) AS BIGINT) AS cov
+  FROM per_seg GROUP BY 1
+),
+d AS (SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS nt FROM w)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nc) AS BIGINT) AS n_chunks,
+       CAST(SUM(nt) AS BIGINT) AS doc_tokens,
+       CAST(SUM(ct) AS BIGINT) AS chunk_tokens,
+       CAST(SUM(ct) - SUM(nt) AS BIGINT) AS overlap_tokens,
+       CAST(COUNT(*) FILTER (WHERE cov = nt) AS BIGINT) AS n_full_cover
+FROM d JOIN per_doc USING (doc_id)
+GROUP BY 1
+"""
+
+# L314 vocabulary-coverage cutoffs over the corpus term-frequency rank
+_ORACLE_VOCAB_COVERAGE = f"""
+WITH {_NORM_RAW},
+tfv AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT unnest(string_split(norm, ' ')) AS term FROM nd)
+  GROUP BY term
+),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+         CAST(SUM(tf) OVER (ORDER BY tf DESC, term
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(tf) OVER () AS BIGINT) AS tot
+  FROM tfv
+  WINDOW w AS (ORDER BY tf DESC, term)
+)
+SELECT CAST(pct AS BIGINT) AS pct,
+       CAST(MIN(rnk) AS BIGINT) AS vocab_size,
+       CAST(MIN(cum) AS BIGINT) AS covered_occurrences,
+       CAST(MAX(tot) AS BIGINT) AS total_occurrences
+FROM ranked CROSS JOIN (SELECT unnest([50, 90, 95, 99]) AS pct)
+WHERE cum * 100 >= tot * pct
+GROUP BY 1
+"""
+
+# L316 per-source contamination rate (the L22 collision test as a
+# source-grain decision readout; train = doc_id%10!=0, eval = %10==0)
+_ORACLE_CONTAMINATION_RATE = f"""
+WITH sht AS ({_SHINGLE5.format(src="documents WHERE doc_id % 10 <> 0")}),
+she AS ({_SHINGLE5.format(src="documents WHERE doc_id % 10 = 0")}),
+ev AS (SELECT DISTINCT unnest(ds) AS h FROM she),
+tr AS (SELECT doc_id, unnest(ds) AS h FROM sht),
+hits AS (
+  SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM tr JOIN ev ON tr.h = ev.h GROUP BY 1
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(COUNT(h.doc_id) AS BIGINT) AS n_contaminated,
+       CAST(COALESCE(SUM(h.n_shared), 0) AS BIGINT) AS shared_shingles,
+       CAST((2 * COUNT(h.doc_id) * 1048576 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+         AS contamination_q20
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 10 <> 0
+GROUP BY 1
+"""
+
+# L315 channel-transition entropy (the L169 entropy device over the
+# L308 lag window; identical term expression text on both engines)
+_ORACLE_TRANSITION_ENTROPY = f"""
+WITH {_CONV}, {_SESS}, {_JOURNEYS},
+lagged AS (
+  SELECT conversion_id,
+         LAG(channel_label) OVER w AS pch,
+         channel_label
+  FROM journeys
+  WINDOW w AS (PARTITION BY conversion_id ORDER BY event_ts, session_id)
+),
+t AS (
+  SELECT pch AS from_channel, channel_label AS to_channel,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lagged WHERE pch IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_channel, CAST(SUM(c) AS BIGINT) AS n FROM t GROUP BY 1)
+SELECT t.from_channel,
+       CAST(MAX(n) AS BIGINT) AS n_transitions,
+       CAST(COUNT(*) AS BIGINT) AS n_next_channels,
+       CAST(floor(sum((c / CAST(n AS DOUBLE)) * log2(CAST(n AS DOUBLE) / c))
+            * 1048576 + 0.5e0) AS BIGINT) AS entropy_q20
+FROM t JOIN tot USING (from_channel)
+GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "llm_export_pipeline": _ORACLE_EXPORT_PIPELINE,
+        "llm_stream_ann_store": _ORACLE_STREAM_ANN_STORE,
+        "llm_pii_rate": _ORACLE_PII_RATE,
+        "llm_chunk_conservation": _ORACLE_CHUNK_CONSERVATION,
+        "llm_vocab_coverage": _ORACLE_VOCAB_COVERAGE,
+        "maef_transition_entropy": _ORACLE_TRANSITION_ENTROPY,
+        "llm_contamination_rate": _ORACLE_CONTAMINATION_RATE,
         "maef_attribution_gini": _ORACLE_ATTRIBUTION_GINI,
         "maef_touch_agreement": _ORACLE_TOUCH_AGREEMENT,
         "maef_journey_length_dist": _ORACLE_JOURNEY_LENGTH_DIST,

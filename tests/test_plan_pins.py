@@ -123,3 +123,39 @@ def test_skew_profile_prunes_to_key_columns(spark, sf_dir):
     # lineitem and orders scans must be single-key-column reads
     assert any(s.strip() == "l_orderkey:bigint" for s in schemas), schemas
     assert any(s.strip() == "o_custkey:bigint" for s in schemas), schemas
+
+
+def test_pii_rate_is_shuffle_minimal_and_pruned(spark, sf_dir):
+    """r10 L312: the PII audit is per-row regex algebra + ONE
+    source-grain aggregate — its plan must read only (doc_id, source,
+    text) and contain no join at all."""
+    df = entrymod.queries()["llm_pii_rate"](spark, sf_dir)
+    plan = _plan_text(df)
+    assert "Join" not in plan, plan
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all(
+        set(s.strip().split(",")) <= {"doc_id:bigint", "source:string", "text:string"}
+        for s in schemas
+    ), schemas
+
+
+def test_vocab_coverage_cumsum_runs_at_vocab_grain(spark, sf_dir):
+    """r10 L314: the coverage cutoffs aggregate per-term counts BEFORE
+    the global rank window — the single-partition sort must sit above
+    a vocab-grain HashAggregate, never above the raw token explode."""
+    df = entrymod.queries()["llm_vocab_coverage"](spark, sf_dir)
+    plan = _plan_text(df)
+    assert "HashAggregate" in plan, plan
+    # the broadcast of the 4-row pct table must be a broadcast join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_contamination_rate_broadcasts_eval_side(spark, sf_dir):
+    """r10 L316: the eval shingle set is benchmark-sized and must
+    arrive at the collision join as a broadcast, keeping the pass
+    over the training corpus shuffle-free on the train side."""
+    df = entrymod.queries()["llm_contamination_rate"](spark, sf_dir)
+    plan = _plan_text(df)
+    assert "BroadcastExchange" in plan, plan
