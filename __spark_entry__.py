@@ -7302,6 +7302,120 @@ def q_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L317: near-dup RECALL against planted ground truth — the
+    evaluation the whole LSH stack exists to pass: the harness plants
+    a known near-duplicate (doc_id+100000, 4 appended words) for
+    every doc_id%10==0, so recall of the staged L9 pair store against
+    those pairs is measurable exactly: (n_planted, n_recovered,
+    recall_q20 half-up, n_organic) where n_organic counts recovered
+    pairs between ORIGINAL docs (both ids < 100000) — the true
+    cross-doc near-dups the corpus happens to contain.  Recall < 1 is
+    the real operating point of 16-hash/8-band LSH + J>=1/2 verify on
+    short docs, reported deterministically (both engines re-derive the
+    same store).  Scale: two broadcast-tiny joins over the staged pair
+    store — the eval costs nothing beyond the store itself."""
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    planted = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 100000).alias("doc_b"),
+        )
+    )
+    n_planted = planted.agg(F.count(F.lit(1)).cast("long").alias("n_planted"))
+    n_rec = planted.join(pairs, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_recovered")
+    )
+    n_org = pairs.filter(
+        (F.col("doc_a") < 100000) & (F.col("doc_b") < 100000)
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_organic"))
+    return (
+        n_planted.crossJoin(n_rec)
+        .crossJoin(n_org)
+        .select(
+            "n_planted",
+            "n_recovered",
+            F.expr("(2 * n_recovered * 1048576 + n_planted) div (2 * n_planted)")
+            .cast("long")
+            .alias("recall_q20"),
+            "n_organic",
+        )
+    )
+
+
+def q_multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L318: multimodal SHARD PLANNING — the L137 packing manifest
+    over binary payload BYTES (the webdataset-style layout step: blobs
+    laid end to end into ~64 KiB shards): (n_payloads, total_bytes,
+    n_shards, spanning_payloads, spanned_bytes) where n_shards =
+    MAX(seq_last)+1 off the real manifest (gapless-layout gate, the
+    L310 device) and spanning counts payloads a shard cut crosses —
+    the blobs a loader must read from two shards.  Rides
+    attach_binary's n_bytes (exact octet length) + pack_sequences
+    unchanged: packing is weight-agnostic, tokens or bytes."""
+    m = mm.attach_binary(_docs(spark, sf_dir))
+    manifest = pck.pack_sequences(m, budget=65536, weight_col="n_bytes")
+    return manifest.agg(
+        F.count(F.lit(1)).cast("long").alias("n_payloads"),
+        F.sum("n_chars").cast("long").alias("total_bytes"),
+        (F.max("seq_last") + 1).cast("long").alias("n_shards"),
+        F.sum(F.when(F.col("n_seqs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("spanning_payloads"),
+        F.sum(F.when(F.col("n_seqs") > 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("spanned_bytes"),
+    )
+
+
+def q_length_diversity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L319: length × lexical-diversity correlation per source — the
+    confound audit behind any length-based quality gate: long docs
+    trend lower type-token ratio, so gating on TTR alone silently
+    gates on length.  Per source: (n_docs, r_q20) — exact-integer
+    Pearson (the L171 DECIMAL(38,0) device) between n_chars and
+    ttr_q20 = half-up q20 of distinct-words/words.  One scan, one
+    source-grain aggregate; the r assembly is one identical double
+    expression on exact integers in both engines."""
+    ws = txt.words(txt.normalize_text(F.col("text")))
+    d = (
+        _docs(spark, sf_dir)
+        .select("source", F.col("n_chars").cast("long").alias("xc"), ws.alias("_ws"))
+        .select(
+            "source",
+            "xc",
+            F.expr(
+                "cast((2 * size(array_distinct(_ws)) * 1048576 + size(_ws))"
+                " div (2 * cast(size(_ws) as long)) as long)"
+            ).alias("yc"),
+        )
+    )
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.expr("cast(xc as decimal(38,0))")).alias("sx"),
+        F.sum(F.expr("cast(yc as decimal(38,0))")).alias("sy"),
+        F.sum(F.expr("cast(xc as decimal(38,0)) * yc")).alias("sxy"),
+        F.sum(F.expr("cast(xc as decimal(38,0)) * xc")).alias("sxx"),
+        F.sum(F.expr("cast(yc as decimal(38,0)) * yc")).alias("syy"),
+    )
+    return (
+        agg.withColumn("num", F.expr("cast(n_docs as decimal(38,0)) * sxy - sx * sy"))
+        .withColumn("d1", F.expr("cast(n_docs as decimal(38,0)) * sxx - sx * sx"))
+        .withColumn("d2", F.expr("cast(n_docs as decimal(38,0)) * syy - sy * sy"))
+        .filter("d1 > 0 and d2 > 0")
+        .select(
+            "source",
+            "n_docs",
+            F.expr(
+                "cast(floor(cast(num as double) / sqrt(cast(d1 as double) * cast(d2 as double))"
+                " * 1048576 + 0.5e0) as bigint)"
+            ).alias("r_q20"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
     # 50 registry entries per round.  r10 rotation (VERDICT r09 next-steps
@@ -7382,6 +7496,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_vocab_coverage": q_vocab_coverage,
         "maef_transition_entropy": q_transition_entropy,
         "llm_contamination_rate": q_contamination_rate,
+        "llm_dedup_planted_recall": q_dedup_planted_recall,
+        "llm_multimodal_pack": q_multimodal_pack,
+        "llm_length_diversity_corr": q_length_diversity_corr,
         # --- freshly-green r09 window (CORRECTNESS_r09, 50/50) rotates here ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,

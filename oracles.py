@@ -8478,6 +8478,91 @@ WHERE d.doc_id % 10 <> 0
 GROUP BY 1
 """
 
+# L317 planted-truth near-dup recall: the L9 pair store (verbatim
+# CTEs) evaluated against the harness's planted +100000 near copies
+_ORACLE_DEDUP_PLANTED_RECALL = f"""
+WITH {_AUG}, {_NORM_AUG}, {_SHINGLED}, {_MINHASH_CTES},
+pairs AS (
+  SELECT doc_a, doc_b FROM scored WHERE inter_size * 2 >= union_size * 1
+),
+planted AS (
+  SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b
+  FROM documents WHERE doc_id % 10 = 0
+),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_planted FROM planted),
+nr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_recovered
+  FROM planted p SEMI JOIN pairs q ON p.doc_a = q.doc_a AND p.doc_b = q.doc_b
+),
+norg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_organic
+  FROM pairs WHERE doc_a < 100000 AND doc_b < 100000
+)
+SELECT n_planted, n_recovered,
+       CAST((2 * n_recovered * 1048576 + n_planted) // (2 * n_planted) AS BIGINT)
+         AS recall_q20,
+       n_organic
+FROM np, nr, norg
+"""
+
+# L318 multimodal shard planning: the L137 prefix-sum layout over
+# payload byte weights (octet_length of the UTF-8 payload), 64 KiB
+# shards, reduced to the spanning/conservation readout
+_ORACLE_MULTIMODAL_PACK = """
+WITH base AS MATERIALIZED (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS w,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|pack'), 1, 15) AS BIGINT) AS h
+  FROM documents WHERE octet_length(encode(text)) > 0
+),
+ordered AS (
+  SELECT doc_id, w,
+         CAST(COALESCE(SUM(w) OVER (
+             ORDER BY h % 256, h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM base
+),
+m AS (
+  SELECT w, off // 65536 AS sf, (off + w - 1) // 65536 AS sl FROM ordered
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_payloads,
+       CAST(SUM(w) AS BIGINT) AS total_bytes,
+       CAST(MAX(sl) + 1 AS BIGINT) AS n_shards,
+       CAST(COUNT(*) FILTER (WHERE sl > sf) AS BIGINT) AS spanning_payloads,
+       CAST(COALESCE(SUM(w) FILTER (WHERE sl > sf), 0) AS BIGINT) AS spanned_bytes
+FROM m
+"""
+
+# L319 length x TTR Pearson per source (the L171 HUGEINT device over
+# (n_chars, half-up q20 type-token ratio))
+_ORACLE_LENGTH_DIVERSITY_CORR = r"""
+WITH d AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS xc,
+         CAST((2 * len(list_distinct(ws)) * 1048576 + len(ws)) // (2 * len(ws)) AS BIGINT) AS yc
+  FROM (SELECT source, n_chars,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        FROM documents)
+),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(CAST(xc AS HUGEINT)) AS sx, SUM(CAST(yc AS HUGEINT)) AS sy,
+         SUM(CAST(xc AS HUGEINT) * yc) AS sxy,
+         SUM(CAST(xc AS HUGEINT) * xc) AS sxx,
+         SUM(CAST(yc AS HUGEINT) * yc) AS syy
+  FROM d GROUP BY 1
+),
+m AS (
+  SELECT source, n_docs,
+         CAST(n_docs AS HUGEINT) * sxy - sx * sy AS num,
+         CAST(n_docs AS HUGEINT) * sxx - sx * sx AS d1,
+         CAST(n_docs AS HUGEINT) * syy - sy * sy AS d2
+  FROM agg
+)
+SELECT source, n_docs,
+       CAST(floor(CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))
+            * 1048576 + 0.5e0) AS BIGINT) AS r_q20
+FROM m WHERE d1 > 0 AND d2 > 0
+"""
+
 # L315 channel-transition entropy (the L169 entropy device over the
 # L308 lag window; identical term expression text on both engines)
 _ORACLE_TRANSITION_ENTROPY = f"""
@@ -8514,6 +8599,9 @@ def oracle_sql() -> dict[str, str]:
         "llm_vocab_coverage": _ORACLE_VOCAB_COVERAGE,
         "maef_transition_entropy": _ORACLE_TRANSITION_ENTROPY,
         "llm_contamination_rate": _ORACLE_CONTAMINATION_RATE,
+        "llm_dedup_planted_recall": _ORACLE_DEDUP_PLANTED_RECALL,
+        "llm_multimodal_pack": _ORACLE_MULTIMODAL_PACK,
+        "llm_length_diversity_corr": _ORACLE_LENGTH_DIVERSITY_CORR,
         "maef_attribution_gini": _ORACLE_ATTRIBUTION_GINI,
         "maef_touch_agreement": _ORACLE_TOUCH_AGREEMENT,
         "maef_journey_length_dist": _ORACLE_JOURNEY_LENGTH_DIST,

@@ -250,3 +250,70 @@ def test_transition_entropy_bounds(spark, sf_dir):
         # 0 <= H <= log2(n_next), in q20 with half-up slack of 1
         hi = math.log2(r["n_next_channels"]) * 1048576 + 1
         assert 0 <= r["entropy_q20"] <= hi
+
+
+# ------------------------------------------- planted recall / packing
+
+
+def test_planted_recall_invariants(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    r = entry.q_dedup_planted_recall(spark, sf_dir).collect()[0]
+    assert 0 <= r["n_recovered"] <= r["n_planted"]
+    assert 0 <= r["recall_q20"] <= 1048576
+    assert r["n_organic"] >= 0
+    # the planted copies differ by 4 appended words — the LSH stack
+    # must recover a meaningful share even on the smallest corpus
+    assert r["n_recovered"] > 0
+
+
+def test_multimodal_pack_conserves_bytes(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    r = entry.q_multimodal_pack(spark, sf_dir).collect()[0]
+    d = entry._docs(spark, sf_dir).select(
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("b")
+    )
+    exp = d.filter(F.col("b") > 0).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("b").alias("t")
+    ).collect()[0]
+    assert r["n_payloads"] == exp["n"]
+    assert r["total_bytes"] == exp["t"]
+    assert r["n_shards"] == (exp["t"] + 65535) // 65536
+    assert 0 <= r["spanning_payloads"] <= r["n_payloads"]
+    assert r["spanned_bytes"] >= r["spanning_payloads"]  # each spans >=1 byte
+
+
+def test_length_diversity_corr_handmade(spark, tmp_path):
+    import __spark_entry__ as entry
+
+    # source s1: length up, diversity down -> r = -1 on 3 colinear pts?
+    # Use exactly anti-monotone integer pairs and verify against the
+    # same integer formula computed in Python.
+    texts = [
+        (1, "a b c d", "s1"),               # 4 words, 4 distinct: ttr 1
+        (2, "a a b b c c d d", "s1"),        # 8 words, 4 distinct: ttr .5
+        (3, "a a a a b b b b c c c c", "s1"),  # 12 words, 3 distinct
+    ]
+    docs = spark.createDataFrame(
+        texts, "doc_id long, text string, source string"
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    docs.coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    r = entry.q_length_diversity_corr(spark, sf).collect()
+    assert len(r) == 1 and r[0]["source"] == "s1" and r[0]["n_docs"] == 3
+    xs = [len(t[1]) for t in texts]
+    q = 1048576
+    ys = [(2 * 4 * q + 4) // 8, (2 * 4 * q + 8) // 16, (2 * 3 * q + 12) // 24]
+    n = 3
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    num = n * sxy - sx * sy
+    d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+    exp = math.floor(num / math.sqrt(d1 * d2) * q + 0.5)
+    assert r[0]["r_q20"] == exp
+    assert r[0]["r_q20"] < 0  # longer => less diverse in this fixture
