@@ -7416,6 +7416,148 @@ def q_length_diversity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L320: STREAMING per-source PII gate — the L312 audit run at
+    ingest: documents stream in, the regex columns are STATELESS
+    projections fused with the scan, and the only state is the
+    bounded per-source counter table in complete mode.  Gated by the
+    SAME oracle text as llm_pii_rate — the streaming path must
+    reproduce the batch audit bit for bit (the L296/L297 twin
+    device)."""
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    docs = inc.stream_documents(spark, f"{sf_dir}/documents.parquet").select(
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(PII_SUFFIX))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    norm = txt.normalize_text(F.col("text"))
+    x = docs.select(
+        "source",
+        norm.alias("_norm"),
+        F.regexp_replace(norm, txt.EMAIL_RE, "<email>").alias("_nomail"),
+    ).select(
+        "source",
+        F.size(F.regexp_extract_all("_norm", F.lit(txt.EMAIL_RE), 0))
+        .cast("long")
+        .alias("_ne"),
+        F.size(F.regexp_extract_all("_nomail", F.lit(txt.LONG_NUMBER_RE), 0))
+        .cast("long")
+        .alias("_nn"),
+    )
+    g = x.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when((F.col("_ne") > 0) | (F.col("_nn") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_pii"),
+        F.sum("_ne").cast("long").alias("n_emails"),
+        F.sum("_nn").cast("long").alias("n_long_numbers"),
+        F.expr(
+            "(2 * sum(case when _ne > 0 or _nn > 0 then 1 else 0 end) * 1048576"
+            " + count(1)) div (2 * count(1))"
+        )
+        .cast("long")
+        .alias("pii_rate_q20"),
+    )
+    return inc.run_to_memory(g, "stream_pii_gate_sink")
+
+
+def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L321: incremental JOIN-view maintenance — the delta-join rule
+    ΔV = ΔL⋈R_old + L_old⋈ΔR + ΔL⋈ΔR (signed) that L83 left open for
+    join views: the simulated history is orders%10!=3 joined to
+    customers%20!=5; the batch applies order inserts (%10==3), order
+    RETRACTIONS (%10==7) and new customers (%20==5) through
+    operators/ivm.py join_view_delta, and the maintained
+    (segment × priority) aggregate must equal a direct recompute of
+    the FINAL state — any double-counted or missed delta term breaks
+    the hash.  Cost ∝ |change| ⋈ snapshot, never a history rescan."""
+    from marketing_attribution_etl_framework__maef_spark.operators import ivm
+
+    orders = domain.load_table(spark, sf_dir, "orders")
+    cust = domain.load_table(spark, sf_dir, "customer")
+    l_all = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    r_all = cust.select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    l_old = l_all.filter(F.col("o_orderkey") % 10 != 3)
+    dl = (
+        l_all.filter(F.col("o_orderkey") % 10 == 3)
+        .withColumn("op", F.lit(1).cast("long"))
+        .unionByName(
+            l_all.filter(F.col("o_orderkey") % 10 == 7).withColumn(
+                "op", F.lit(-1).cast("long")
+            )
+        )
+    )
+    r_old = r_all.filter(F.col("custkey") % 20 != 5)
+    dr = r_all.filter(F.col("custkey") % 20 == 5).withColumn(
+        "op", F.lit(1).cast("long")
+    )
+    view_old = l_old.join(r_old, "custkey").withColumn("op", F.lit(1).cast("long"))
+    dv = ivm.join_view_delta(l_old, r_old, dl, dr, "custkey")
+    return (
+        view_old.unionByName(dv.select(*view_old.columns))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.sum("op").cast("long").alias("n_orders"),
+            F.sum(F.col("op") * F.col("cents")).cast("long").alias("total_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+
+
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L322: PQ recall@5 audit — the L233 ground-truth device applied
+    to the L191 compression family: exact cosine top-5 (self
+    excluded, matching the PQ search's self-exclusion) vs the PQ
+    ADC+rerank top-5, reduced to (n_queries, k, sum_hits, recall_q20
+    half-up).  Completes the audit matrix: IVF has L233/L243, PQ now
+    has its own measured operating point.  Scale: the truth side is
+    the one brute query-batch scan every recall audit pays; the PQ
+    side rides the staged subvector/codebook lineage."""
+    from marketing_attribution_etl_framework__maef_spark.llm import pq
+    from pyspark.sql import Window
+
+    e = _embs(spark, sf_dir)
+    pqr = pq.ann_pq_rerank(e).select("query_id", "vec_id")
+    c = sim._norm_vec(e, "vec_id", "embedding", "vec_id", "_v")
+    q = sim._norm_vec(
+        e.filter(F.col("vec_id") % 50 == 7), "vec_id", "embedding", "query_id", "_q"
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim._pair_cos("_q", "_v").alias("_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    truth = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select("query_id", "vec_id")
+    )
+    hits = truth.join(pqr, ["query_id", "vec_id"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("sum_hits")
+    )
+    nq = q.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    return nq.crossJoin(hits).select(
+        "n_queries",
+        F.lit(5).cast("long").alias("k"),
+        "sum_hits",
+        F.expr("(2 * sum_hits * 1048576 + 5 * n_queries) div (2 * 5 * n_queries)")
+        .cast("long")
+        .alias("recall_q20"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
     # 50 registry entries per round.  r10 rotation (VERDICT r09 next-steps
@@ -7499,6 +7641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dedup_planted_recall": q_dedup_planted_recall,
         "llm_multimodal_pack": q_multimodal_pack,
         "llm_length_diversity_corr": q_length_diversity_corr,
+        "llm_stream_pii_gate": q_stream_pii_gate,
+        "maef_ivm_join": q_ivm_join,
+        "llm_ann_pq_recall": q_ann_pq_recall,
         # --- freshly-green r09 window (CORRECTNESS_r09, 50/50) rotates here ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,

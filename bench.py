@@ -183,9 +183,12 @@ CHECKPOINT_HEAVY = {
     "maef_stream_attribution",
     # r10 additions, criterion a: the export gate runs curate (its
     # survivor table localCheckpoints) + its own curated checkpoint;
-    # the ANN store is a foreachBatch streaming run
+    # the ANN store / PII gate are streaming runs; the PQ recall audit
+    # rides the localCheckpoint'd subvector+codebook lineage
     "llm_export_pipeline",
     "llm_stream_ann_store",
+    "llm_stream_pii_gate",
+    "llm_ann_pq_recall",
     # (llm_ngram_novelty, llm_train_val_split, maef_cac_payback exited
     # r10: stateless plans, victim-profile admissions — covered by the
     # slow-tail re-measure)

@@ -101,3 +101,59 @@ def apply_aggregate_delta(
     return out.filter(F.col("n") != 0) if on_negative == "error" else out.filter(
         F.col("n") > 0
     )
+
+
+def join_view_delta(
+    l_old: DataFrame,
+    r_old: DataFrame,
+    dl: DataFrame | None,
+    dr: DataFrame | None,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Signed delta of the JOIN view V = L ⋈ R under signed input
+    deltas (the textbook incremental-view-maintenance join rule):
+
+        ΔV = ΔL ⋈ R_old  +  L_old ⋈ ΔR  +  ΔL ⋈ ΔR
+
+    with the view-row sign op_l, op_r, and op_l*op_r respectively
+    (the cross term corrects the double count the first two terms
+    introduce for rows matching on BOTH sides' changes; signs make
+    retract/insert/update one algebra).  Output: the view's columns
+    plus ``op_col`` (long) — feed it with the old view (op=+1) into
+    any distributive aggregate, or MERGE it into a materialized join
+    table.
+
+    100-TB shape: each term's cost is |change| ⋈ snapshot on the join
+    key — proportional to the delta, never a history rescan; the
+    snapshot sides prune to the delta's key set under DPP/broadcast
+    when the delta is small.  MIN/MAX-style non-distributive reads
+    still need per-group recompute, exactly as apply_aggregate_delta
+    documents."""
+    parts = []
+    if dl is not None:
+        parts.append(
+            dl.withColumnRenamed(op_col, "_opl")
+            .join(r_old, key)
+            .withColumn(op_col, F.col("_opl").cast("long"))
+            .drop("_opl")
+        )
+    if dr is not None:
+        parts.append(
+            l_old.join(dr.withColumnRenamed(op_col, "_opr"), key)
+            .withColumn(op_col, F.col("_opr").cast("long"))
+            .drop("_opr")
+        )
+    if dl is not None and dr is not None:
+        parts.append(
+            dl.withColumnRenamed(op_col, "_opl")
+            .join(dr.withColumnRenamed(op_col, "_opr"), key)
+            .withColumn(op_col, (F.col("_opl") * F.col("_opr")).cast("long"))
+            .drop("_opl", "_opr")
+        )
+    if not parts:
+        raise ValueError("at least one of dl/dr must be provided")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

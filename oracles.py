@@ -8563,6 +8563,43 @@ SELECT source, n_docs,
 FROM m WHERE d1 > 0 AND d2 > 0
 """
 
+# L321 incremental join-view maintenance: the oracle is the DIRECT
+# recompute of the final state — the gate the delta algebra must hit
+_ORACLE_IVM_JOIN = """
+SELECT c.c_mktsegment, o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey % 10 <> 7
+GROUP BY 1, 2
+"""
+
+# L322 PQ recall@5: the L191 PQ oracle as a derived table (the
+# fertility-oracle WITH-in-subquery device) vs self-excluded exact
+# cosine truth
+_ORACLE_ANN_PQ_RECALL = f"""
+WITH pqr AS ({_ORACLE_ANN_PQ}),
+{_E_NORMED},
+q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM e WHERE vec_id % 50 = 7),
+truth AS (
+  SELECT q.query_id, e.vec_id
+  FROM q, e WHERE e.vec_id <> q.query_id
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.query_id
+    ORDER BY list_dot_product(q.qv, e.v) / (q.qn * e.vn) DESC, e.vec_id) <= 5
+),
+hits AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS sum_hits
+  FROM truth t SEMI JOIN pqr p ON p.query_id = t.query_id AND p.vec_id = t.vec_id
+),
+nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q)
+SELECT n_queries, CAST(5 AS BIGINT) AS k, sum_hits,
+       CAST((2 * sum_hits * 1048576 + 5 * n_queries) // (2 * 5 * n_queries) AS BIGINT)
+         AS recall_q20
+FROM nq, hits
+"""
+
 # L315 channel-transition entropy (the L169 entropy device over the
 # L308 lag window; identical term expression text on both engines)
 _ORACLE_TRANSITION_ENTROPY = f"""
@@ -8602,6 +8639,10 @@ def oracle_sql() -> dict[str, str]:
         "llm_dedup_planted_recall": _ORACLE_DEDUP_PLANTED_RECALL,
         "llm_multimodal_pack": _ORACLE_MULTIMODAL_PACK,
         "llm_length_diversity_corr": _ORACLE_LENGTH_DIVERSITY_CORR,
+        # streaming twin gated by the batch L312 oracle text verbatim
+        "llm_stream_pii_gate": _ORACLE_PII_RATE,
+        "maef_ivm_join": _ORACLE_IVM_JOIN,
+        "llm_ann_pq_recall": _ORACLE_ANN_PQ_RECALL,
         "maef_attribution_gini": _ORACLE_ATTRIBUTION_GINI,
         "maef_touch_agreement": _ORACLE_TOUCH_AGREEMENT,
         "maef_journey_length_dist": _ORACLE_JOURNEY_LENGTH_DIST,

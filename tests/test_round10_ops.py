@@ -317,3 +317,82 @@ def test_length_diversity_corr_handmade(spark, tmp_path):
     exp = math.floor(num / math.sqrt(d1 * d2) * q + 0.5)
     assert r[0]["r_q20"] == exp
     assert r[0]["r_q20"] < 0  # longer => less diverse in this fixture
+
+
+# --------------------------------------------- join-view maintenance
+
+
+def test_join_view_delta_matches_recompute(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import ivm
+
+    l_old = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (3, 30)], "k long, lv long"
+    )
+    r_old = spark.createDataFrame([(1, "a"), (2, "b")], "k long, rv string")
+    # insert (3,31); retract (1,11); new dim row (3,"c")
+    dl = spark.createDataFrame(
+        [(3, 31, 1), (1, 11, -1)], "k long, lv long, op long"
+    )
+    dr = spark.createDataFrame([(3, "c", 1)], "k long, rv string, op long")
+    view_old = l_old.join(r_old, "k").withColumn("op", F.lit(1).cast("long"))
+    dv = ivm.join_view_delta(l_old, r_old, dl, dr, "k")
+    got = sorted(
+        (r["k"], r["lv"], r["rv"], r["n"])
+        for r in view_old.unionByName(dv.select(*view_old.columns))
+        .groupBy("k", "lv", "rv")
+        .agg(F.sum("op").alias("n"))
+        .filter(F.col("n") != 0)
+        .collect()
+    )
+    # final state: L = {(1,10),(2,20),(3,30),(3,31)}, R = {1a,2b,3c}
+    exp = sorted([(1, 10, "a", 1), (2, 20, "b", 1), (3, 30, "c", 1), (3, 31, "c", 1)])
+    assert got == exp
+
+
+def test_ivm_join_query_matches_direct(spark, sf_dir):
+    import __spark_entry__ as entry
+    from marketing_attribution_etl_framework__maef_spark import domain
+
+    got = {
+        (r["c_mktsegment"], r["o_orderpriority"]): (r["n_orders"], r["total_cents"])
+        for r in entry.q_ivm_join(spark, sf_dir).collect()
+    }
+    o = domain.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 != 7
+    )
+    c = domain.load_table(spark, sf_dir, "customer")
+    direct = {
+        (r["c_mktsegment"], r["o_orderpriority"]): (r["n"], r["t"])
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("t"),
+        )
+        .collect()
+    }
+    assert got == direct
+
+
+# --------------------------------------------- streaming PII / PQ recall
+
+
+def test_stream_pii_gate_equals_batch(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    batch = sorted(map(tuple, entry.q_pii_rate(spark, sf_dir).collect()))
+    stream = sorted(map(tuple, entry.q_stream_pii_gate(spark, sf_dir).collect()))
+    assert batch == stream
+
+
+def test_ann_pq_recall_invariants(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    r = entry.q_ann_pq_recall(spark, sf_dir).collect()[0]
+    assert r["k"] == 5
+    assert 0 <= r["sum_hits"] <= 5 * r["n_queries"]
+    assert 0 <= r["recall_q20"] <= 1048576
+    # ADC + rerank over 12 candidates should find a solid share
+    assert r["sum_hits"] > 0
