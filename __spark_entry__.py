@@ -19,7 +19,15 @@ hash is stable.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+# self-bootstrap: the driver may import this module by FILE PATH from
+# any cwd; the sibling package must resolve regardless (oracle_sql()
+# already did this lazily — imports below need it at module load)
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

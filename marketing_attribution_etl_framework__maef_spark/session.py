@@ -24,6 +24,14 @@ def get_spark(app_name: str = "maef_spark", shuffle_partitions: int | None = Non
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    # Python workers unpickle package functions (applyInPandasWithState
+    # sessionizer, mapInPandas decoders) BY REFERENCE — they must be able
+    # to import this package no matter what cwd the driver process uses.
+    # PYTHONPATH must be set before the JVM launches (workers inherit it).
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_dir not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = repo_dir + (os.pathsep + pp if pp else "")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
