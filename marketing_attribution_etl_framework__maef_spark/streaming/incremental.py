@@ -218,7 +218,14 @@ class IncrementalANNStore:
             F.max("vec_id").cast("long").alias("max_vec_id"),
             F.sum(sim.q20(F.col("_cs"))).cast("long").alias("sum_cos_q20"),
         )
-        part.write.mode("append").parquet(self._parts())
+        # foreachBatch is at-least-once: a micro-batch replayed after a
+        # mid-run failure (resume from checkpoint) re-enters here with the
+        # SAME batch_id.  Writing each part to a batch_id-keyed subdir in
+        # overwrite mode makes the replay idempotent — the re-run replaces
+        # its own part instead of double-counting n_vectors/sum_cos_q20.
+        part.write.mode("overwrite").parquet(
+            os.path.join(self._parts(), f"batch_id={int(batch_id)}")
+        )
 
     def start(self, vectors: DataFrame, checkpoint: str | None = None):
         writer = (
@@ -381,10 +388,17 @@ class IncrementalAttribution:
         upsert results (idempotent on (conv_id, session_id) — a batch
         replay after failure converges to the same table)."""
         sess = domain.sessions_from_events(batch_df)
-        sess.write.mode("append").parquet(self._path(self.SESSIONS))
+        # batch_id-keyed overwrite: foreachBatch is at-least-once, and a
+        # replayed batch must not duplicate session rows (duplicated
+        # touchpoints would change attribution weights before the upsert).
+        sess.write.mode("overwrite").parquet(
+            os.path.join(self._path(self.SESSIONS), f"batch_id={int(batch_id)}")
+        )
 
         conv = domain.conversions_from_events(batch_df)
-        all_sessions = self.spark.read.parquet(self._path(self.SESSIONS))
+        all_sessions = self.spark.read.parquet(self._path(self.SESSIONS)).drop(
+            "batch_id"
+        )
         journeys = jny.build_journeys(
             conv,
             all_sessions,
@@ -509,7 +523,11 @@ class IncrementalCMS:
             d=self.d,
             w=self.w,
         )
-        cells.write.mode("append").parquet(self._parts())
+        # batch_id-keyed overwrite: idempotent under at-least-once replay
+        # (cnt is a SUM — an appended replay would double-count).
+        cells.write.mode("overwrite").parquet(
+            os.path.join(self._parts(), f"batch_id={int(batch_id)}")
+        )
 
     def start(self, events: DataFrame, checkpoint: str | None = None):
         writer = (
@@ -575,7 +593,11 @@ class IncrementalChunkStore:
             F.col("_o.doc_id").alias("owner_doc"),
             F.col("_o.source").alias("owner_source"),
             "n_occurrences",
-        ).write.mode("append").parquet(self._parts())
+        ).write.mode("overwrite").parquet(
+            # batch_id-keyed overwrite: idempotent under at-least-once
+            # replay (n_occurrences is a SUM).
+            os.path.join(self._parts(), f"batch_id={int(batch_id)}")
+        )
 
     def start(self, docs: DataFrame, checkpoint: str | None = None):
         writer = (
@@ -743,7 +765,11 @@ class IncrementalVocabStore:
             F.min("doc_id").cast("long").alias("first_doc"),
             F.count(F.lit(1)).cast("long").alias("n_occurrences"),
         )
-        part.write.mode("append").parquet(self._parts())
+        # batch_id-keyed overwrite: idempotent under at-least-once replay
+        # (n_occurrences is a SUM).
+        part.write.mode("overwrite").parquet(
+            os.path.join(self._parts(), f"batch_id={int(batch_id)}")
+        )
 
     def start(self, docs: DataFrame, checkpoint: str | None = None):
         writer = (
