@@ -7568,77 +7568,18 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
-    # 50 registry entries per round.  r10 rotation (VERDICT r09 next-steps
-    # #1): positions 0-12 are the 13 r09 additions that have never received
-    # a driver row (maef_stream_sessionize_state .. llm_shard_balance);
-    # positions 13-49 back-fill with the 37 stalest greens COMPUTED from the
-    # CORRECTNESS_r01-r09 history (last-checked round per entry): the 25
-    # r02-era core-suite entries (llm_text_stats .. maef_sessionize_batch)
-    # and the 12 oldest r03-era entries (llm_ann_topk .. llm_mix_sample).
-    # NOTE this diverges from the stale CLAUDE.md marker ("r05-green
-    # window, then r06-era") — the marker was a by-hand guess; the r02/r03
-    # rows are strictly staler and the verdict's instruction is "stalest
-    # greens".  Any r10-session additions land after the r11-queue marker
-    # (they must NOT jump the window this round).
+    # 50 registry entries per round.  r11 rotation (VERDICT r10 next-steps
+    # #1): positions 0-12 are the 13 r10 additions that have never received
+    # a driver row (llm_export_pipeline .. llm_ann_pq_recall); positions
+    # 13-49 back-fill with the 37 stalest greens COMPUTED from the
+    # CORRECTNESS_r01-r10 history (last green driver row per entry): the
+    # r03-era tail from llm_length_percentiles onward (36 entries) plus
+    # rel_basket_pairs (r05).  Any r11-session additions land after the
+    # r12-queue marker (they must NOT jump the window this round).
     return {
-        # --- r10 gate window part 1 (positions 0-12): the 13 r09 additions,
-        # never driver-checked (VERDICT r09 next-steps #1), oldest first ---
-        "maef_stream_sessionize_state": q_stream_sessionize_state,
-        "llm_dedup_pipeline": q_dedup_pipeline,
-        "llm_ann_tuning": q_ann_tuning,
-        "rel_skew_profile": q_rel_skew_profile,
-        "llm_pack_fragmentation": q_pack_fragmentation,
-        "llm_surprisal_mix": q_surprisal_mix,
-        "llm_template_dup": q_template_dup,
-        "llm_stream_quality_gate": q_stream_quality_gate,
-        "llm_fertility_drift": q_fertility_drift,
-        "maef_stream_skew": q_stream_skew,
-        "maef_attribution_tau": q_attribution_tau,
-        "maef_transition_dwell": q_transition_dwell,
-        "llm_shard_balance": q_shard_balance,
-        # --- r10 gate window part 2 (positions 13-49): the 37 STALEST greens
-        # by actual CORRECTNESS_r* history (computed, not the CLAUDE.md
-        # marker guess: the r02-era core-suite tail last checked in r02,
-        # then the oldest r03-era ANN/sketch block) re-verified under the
-        # current oracle text ---
-        "llm_text_stats": q_text_stats,
-        "llm_lang_id": q_lang_id,
-        "llm_top_terms": q_top_terms,
-        "llm_unigram_surprisal": q_unigram_surprisal,
-        "llm_bm25_topk": q_bm25_topk,
-        "llm_fingerprint": q_fingerprint,
-        "llm_dedup_exact": q_dedup_exact,
-        "llm_dedup_minhash": q_dedup_minhash,
-        "llm_dedup_clusters": q_dedup_clusters,
-        "llm_dedup_simhash": q_dedup_simhash,
-        "llm_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "llm_curate": q_curate,
-        "llm_sample": q_sample,
-        "llm_scrub_pii": q_scrub_pii,
-        "llm_decontaminate": q_decontaminate,
-        "llm_pack": q_pack,
-        "llm_repetition": q_repetition,
-        "llm_quality_gate": q_quality_gate,
-        "maef_stream_attribution": q_stream_attribution,
-        "maef_stream_windowed_volume": q_stream_windowed_volume,
-        "maef_stream_journey_join": q_stream_journey_join,
-        "maef_warehouse_roundtrip": q_warehouse_roundtrip,
-        "maef_session_asof": q_session_asof,
-        "maef_session_asof_forward": q_session_asof_forward,
-        "maef_sessionize_batch": q_sessionize_batch,
-        "llm_ann_topk": q_ann_topk,
-        "llm_ann_ivf": q_ann_ivf,
-        "llm_ann_kmeans": q_ann_kmeans,
-        "llm_ann_ivf_kmeans": q_ann_ivf_kmeans,
-        "llm_ann_lsh": q_ann_lsh,
-        "llm_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "llm_embedding_neardup": q_embedding_neardup,
-        "llm_semdedup": q_semdedup,
-        "llm_dup_ngram_coverage": q_dup_ngram_coverage,
-        "llm_kmv_users": q_kmv_users,
-        "llm_source_mix": q_source_mix,
-        "llm_mix_sample": q_mix_sample,
-        # --- r10 additions land BELOW (r11 queue; driver-unchecked) ---
+        # --- r11 gate window part 1 (positions 0-12): the 13 r10
+        # additions, never driver-checked (VERDICT r10 next-steps #1),
+        # oldest first ---
         "llm_export_pipeline": q_export_pipeline,
         "llm_stream_ann_store": q_stream_ann_store,
         "llm_pii_rate": q_pii_rate,
@@ -7652,7 +7593,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_stream_pii_gate": q_stream_pii_gate,
         "maef_ivm_join": q_ivm_join,
         "llm_ann_pq_recall": q_ann_pq_recall,
-        # --- freshly-green r09 window (CORRECTNESS_r09, 50/50) rotates here ---
+        # --- r11 gate window part 2 (positions 13-49): the 37 STALEST
+        # greens COMPUTED from CORRECTNESS_r01-r10 (last green driver
+        # row per entry): 36 r03-era entries last checked in r03
+        # (llm_length_percentiles .. llm_containment) plus
+        # rel_basket_pairs (r05) — re-verified under the current
+        # oracle text ---
+        "llm_length_percentiles": q_length_percentiles,
+        "llm_chunk_documents": q_chunk_documents,
+        "llm_vocabulary": q_vocabulary,
+        "llm_bigram_pmi": q_bigram_pmi,
+        "llm_multimodal_meta": q_multimodal_meta,
+        "llm_multimodal_stripes": q_multimodal_stripes,
+        "llm_corpus_stats": q_corpus_stats,
+        "llm_boilerplate_scrub": q_boilerplate_scrub,
+        "llm_dedup_incremental": q_dedup_incremental,
+        "maef_flash_windows": q_flash_windows,
+        "maef_snapshot_diff": q_snapshot_diff,
+        "llm_curriculum": q_curriculum,
+        "maef_funnel": q_funnel,
+        "maef_cohort_retention": q_cohort_retention,
+        "llm_source_topk": q_source_topk,
+        "llm_neardup_incremental": q_neardup_incremental,
+        "llm_bpe_merges": q_bpe_merges,
+        "llm_bpe_encode": q_bpe_encode,
+        "maef_channel_transitions": q_channel_transitions,
+        "maef_markov_removal": q_markov_removal,
+        "rel_pricing_summary": q_rel_pricing_summary,
+        "rel_segment_priority": q_rel_segment_priority,
+        "maef_bucketed_join": q_bucketed_join,
+        "llm_cms_heavy_hitters": q_cms_heavy_hitters,
+        "maef_stream_cms": q_stream_cms,
+        "maef_data_quality": q_data_quality,
+        "maef_shapley": q_shapley,
+        "rel_customer_distribution": q_rel_customer_distribution,
+        "rel_top_supplier": q_rel_top_supplier,
+        "rel_order_priority": q_rel_order_priority,
+        "rel_nation_margin": q_rel_nation_margin,
+        "llm_hll_users": q_hll_users,
+        "maef_anomaly_days": q_anomaly_days,
+        "llm_weighted_sample": q_weighted_sample,
+        "maef_dormant_users": q_dormant_users,
+        "llm_containment": q_containment,
+        "rel_basket_pairs": q_rel_basket_pairs,
+        # --- r11 additions land BELOW (r12 queue; driver-unchecked) ---
+        # --- remaining registry (unchanged relative order) ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,
         "llm_dedup_roi": q_dedup_roi,
@@ -7703,7 +7688,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_priority_lines": q_rel_priority_lines,
         "maef_rfm_segments": q_rfm_segments,
         "maef_survival_km": q_survival_km,
-        # --- r08-green window (CORRECTNESS_r08, 50/50) ---
         "llm_ann_recall_drift": q_ann_recall_drift,
         "llm_stream_cdc_store": q_stream_cdc_store,
         "llm_embedding_pca": q_embedding_pca,
@@ -7754,7 +7738,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_returned_items": q_rel_returned_items,
         "maef_journey_dropoff": q_journey_dropoff,
         "maef_sketch_merge_law": q_sketch_merge_law,
-        # --- r07-green window (CORRECTNESS_r07, 50/50) ---
         "maef_next_best_channel": q_next_best_channel,
         "maef_interpurchase": q_interpurchase,
         "maef_holt_forecast": q_holt_forecast,
@@ -7805,7 +7788,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_fd_profile": q_fd_profile,
         "rel_monthly_growth": q_rel_monthly_growth,
         "llm_tfidf_pairs": q_tfidf_pairs,
-        # --- r06-green window (CORRECTNESS_r06, 50/50) ---
         "llm_ann_int8_rerank": q_ann_int8_rerank,
         "maef_stream_topk_channels": q_stream_topk_channels,
         "maef_user_export": q_user_export,
@@ -7856,8 +7838,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_multimodal_frames": q_multimodal_frames,
         "maef_mde_components": q_mde_components,
         "maef_conversion_velocity": q_conversion_velocity,
-        # --- r05-green remainder ---
-        "rel_basket_pairs": q_rel_basket_pairs,
         "maef_robust_stats": q_robust_channel_stats,
         "llm_pack_sequences": q_pack_sequences,
         "maef_bandit_ucb": q_bandit_ucb,
@@ -7899,45 +7879,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rollup": q_rel_rollup,
         "maef_cohort_ltv": q_cohort_ltv,
         "llm_ct_langid": q_ct_langid,
-        # --- r03-green remainder (the ANN front rotated into the window
-        # above; llm_multimodal_features is rows-only by design) ---
-        "llm_length_percentiles": q_length_percentiles,
-        "llm_chunk_documents": q_chunk_documents,
-        "llm_vocabulary": q_vocabulary,
-        "llm_bigram_pmi": q_bigram_pmi,
-        "llm_multimodal_meta": q_multimodal_meta,
         "llm_multimodal_features": q_multimodal_features,
-        "llm_multimodal_stripes": q_multimodal_stripes,
-        "llm_corpus_stats": q_corpus_stats,
-        "llm_boilerplate_scrub": q_boilerplate_scrub,
-        "llm_dedup_incremental": q_dedup_incremental,
-        "maef_flash_windows": q_flash_windows,
-        "maef_snapshot_diff": q_snapshot_diff,
-        "llm_curriculum": q_curriculum,
-        "maef_funnel": q_funnel,
-        "maef_cohort_retention": q_cohort_retention,
-        "llm_source_topk": q_source_topk,
-        "llm_neardup_incremental": q_neardup_incremental,
-        "llm_bpe_merges": q_bpe_merges,
-        "llm_bpe_encode": q_bpe_encode,
-        "maef_channel_transitions": q_channel_transitions,
-        "maef_markov_removal": q_markov_removal,
-        "rel_pricing_summary": q_rel_pricing_summary,
-        "rel_segment_priority": q_rel_segment_priority,
-        "maef_bucketed_join": q_bucketed_join,
-        "llm_cms_heavy_hitters": q_cms_heavy_hitters,
-        "maef_stream_cms": q_stream_cms,
-        "maef_data_quality": q_data_quality,
-        "maef_shapley": q_shapley,
-        "rel_customer_distribution": q_rel_customer_distribution,
-        "rel_top_supplier": q_rel_top_supplier,
-        "rel_order_priority": q_rel_order_priority,
-        "rel_nation_margin": q_rel_nation_margin,
-        "llm_hll_users": q_hll_users,
-        "maef_anomaly_days": q_anomaly_days,
-        "llm_weighted_sample": q_weighted_sample,
-        "maef_dormant_users": q_dormant_users,
-        "llm_containment": q_containment,
+        # --- freshly-green r10 window (CORRECTNESS_r10, 50/50)
+        # rotates here: the 13 r09 additions + the 37 r02/r03-era
+        # re-greens are now the NEWEST driver rows ---
+        "maef_stream_sessionize_state": q_stream_sessionize_state,
+        "llm_dedup_pipeline": q_dedup_pipeline,
+        "llm_ann_tuning": q_ann_tuning,
+        "rel_skew_profile": q_rel_skew_profile,
+        "llm_pack_fragmentation": q_pack_fragmentation,
+        "llm_surprisal_mix": q_surprisal_mix,
+        "llm_template_dup": q_template_dup,
+        "llm_stream_quality_gate": q_stream_quality_gate,
+        "llm_fertility_drift": q_fertility_drift,
+        "maef_stream_skew": q_stream_skew,
+        "maef_attribution_tau": q_attribution_tau,
+        "maef_transition_dwell": q_transition_dwell,
+        "llm_shard_balance": q_shard_balance,
+        "llm_text_stats": q_text_stats,
+        "llm_lang_id": q_lang_id,
+        "llm_top_terms": q_top_terms,
+        "llm_unigram_surprisal": q_unigram_surprisal,
+        "llm_bm25_topk": q_bm25_topk,
+        "llm_fingerprint": q_fingerprint,
+        "llm_dedup_exact": q_dedup_exact,
+        "llm_dedup_minhash": q_dedup_minhash,
+        "llm_dedup_clusters": q_dedup_clusters,
+        "llm_dedup_simhash": q_dedup_simhash,
+        "llm_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "llm_curate": q_curate,
+        "llm_sample": q_sample,
+        "llm_scrub_pii": q_scrub_pii,
+        "llm_decontaminate": q_decontaminate,
+        "llm_pack": q_pack,
+        "llm_repetition": q_repetition,
+        "llm_quality_gate": q_quality_gate,
+        "maef_stream_attribution": q_stream_attribution,
+        "maef_stream_windowed_volume": q_stream_windowed_volume,
+        "maef_stream_journey_join": q_stream_journey_join,
+        "maef_warehouse_roundtrip": q_warehouse_roundtrip,
+        "maef_session_asof": q_session_asof,
+        "maef_session_asof_forward": q_session_asof_forward,
+        "maef_sessionize_batch": q_sessionize_batch,
+        "llm_ann_topk": q_ann_topk,
+        "llm_ann_ivf": q_ann_ivf,
+        "llm_ann_kmeans": q_ann_kmeans,
+        "llm_ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "llm_ann_lsh": q_ann_lsh,
+        "llm_ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "llm_embedding_neardup": q_embedding_neardup,
+        "llm_semdedup": q_semdedup,
+        "llm_dup_ngram_coverage": q_dup_ngram_coverage,
+        "llm_kmv_users": q_kmv_users,
+        "llm_source_mix": q_source_mix,
+        "llm_mix_sample": q_mix_sample,
     }
 
 
