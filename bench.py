@@ -202,6 +202,17 @@ CHECKPOINT_HEAVY = {
 # instead of growing the min-of-2 list reactively per incident.
 RETIME_THRESHOLD_S = 2.5
 
+# Relative criterion (VERDICT r10 #4): the absolute threshold left a
+# blind spot — sub-2.5 s queries that ran >2x their historical time on
+# unchanged code (r10: llm_pack 0.47->1.89 s etc.) were never re-timed.
+# Also re-measure any query slower than RETIME_RELATIVE_X times its
+# previous run's time (read from the BENCH_DETAIL.json this run will
+# overwrite, same-SF only).  3x sits above the documented ~1.4x
+# cross-session host drift; the small absolute floor keeps 50 ms
+# micro-query jitter from triggering pointless re-runs.
+RETIME_RELATIVE_X = 3.0
+RETIME_RELATIVE_FLOOR_S = 0.3
+
 
 def _drain(spark) -> None:
     """Force a driver GC so ContextCleaner reclaims dead checkpoint/
@@ -319,8 +330,31 @@ def main() -> None:
     # queries (Python-path sessionizer, five-stage e2e chains) simply
     # re-confirm their floor; genuine debris victims collapse to their
     # plan cost.  Worst case cost: |tail| x (drain + true cost).
+    # The relative criterion (VERDICT r10 #4) additionally re-times any
+    # query >RETIME_RELATIVE_X its previous same-SF run, whatever its
+    # absolute value.
+    prev: dict[str, float] = {}
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path) as fh:
+            _d = json.load(fh)
+        if abs(float(_d.get("sf", -1.0)) - float(sf)) < 1e-12:
+            prev = {k: float(v) for k, v in _d.get("queries", {}).items()}
+    except (OSError, ValueError):
+        pass
     tail = sorted(
-        (n for n, t in timings.items() if t > RETIME_THRESHOLD_S),
+        (
+            n
+            for n, t in timings.items()
+            if t > RETIME_THRESHOLD_S
+            or (
+                t > RETIME_RELATIVE_FLOOR_S
+                and n in prev
+                and t > RETIME_RELATIVE_X * prev[n]
+            )
+        ),
         key=lambda n: -timings[n],
     )
     for name in tail:
@@ -339,7 +373,7 @@ def main() -> None:
         "min_of_2": sorted(CHECKPOINT_HEAVY & set(timings)),
         "retimed": tail,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as fh:
+    with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     print(json.dumps(detail))
     # FINAL line: compact, tail-capture-safe summary (driver parses this).
