@@ -3511,6 +3511,70 @@ shingled AS (
   FROM (SELECT doc_id, lang, string_split(norm, ' ') AS ws FROM nd)
 )"""
 
+# Planted-span corpus + duplicated-span extraction (L323/L324): a fixed
+# 12-word boilerplate is spliced into the MIDDLE of every doc_id%7==3
+# document with >= 16 words, and the span pipeline mirrors
+# llm/dedup.py duplicated_spans (k=8) position for position: positional
+# shingle hashes -> first-(sh,doc)-occurrence markers -> frameless
+# doc-frequency SUM over sh -> islands merge of consecutive duplicated
+# positions.  1-based inclusive token positions throughout.
+_SPAN_BOILER = (
+    "span plant alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+)
+_SPAN_BOILER_LEN = 12
+
+_SPAN_CTES = f"""
+sdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3 AND len(ws) >= 16 THEN
+           concat_ws(' ',
+             array_to_string(ws[1:len(ws)//2], ' '),
+             '{_SPAN_BOILER}',
+             array_to_string(ws[len(ws)//2+1:len(ws)], ' '))
+         ELSE text END AS text
+  FROM (SELECT doc_id, text,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+        FROM documents)
+),
+ssh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(ws) - 6, 2)),
+                        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+                                            ws[i+4], ws[i+5], ws[i+6], ws[i+7])) AS shingles
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+        FROM sdocs)
+),
+sinst AS (
+  SELECT doc_id, pos, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS sh
+  FROM (SELECT doc_id, unnest(shingles) AS s,
+               generate_subscripts(shingles, 1) AS pos
+        FROM ssh)
+),
+sflag AS (
+  SELECT doc_id, pos, sh,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY sh, doc_id ORDER BY pos) = 1
+              THEN 1 ELSE 0 END AS f
+  FROM sinst
+),
+sdup AS (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos, SUM(f) OVER (PARTITION BY sh) AS n_docs FROM sflag)
+  WHERE n_docs >= 2
+),
+sisl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM sdup
+),
+spans AS (
+  SELECT doc_id,
+         CAST(MIN(pos) AS BIGINT) AS span_start,
+         CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+         CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_tokens
+  FROM sisl GROUP BY doc_id, g
+)"""
+
 
 _LANG_LISTS = {
     "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
@@ -7566,6 +7630,120 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a KNOWN repeated span planted mid-document: every
+    doc_id%7==3 doc with >= 16 words gets the fixed 12-word
+    ``_SPAN_BOILER`` spliced between its two halves — the
+    boilerplate-span-inside-unique-documents failure mode the span
+    dedup family (L323) exists to catch, with exact positional ground
+    truth (the span occupies tokens [n//2+1, n//2+12] of the rebuilt
+    sequence).  Mirrored verbatim in the oracle's ``sdocs`` CTE."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    w = txt.words(txt.normalize_text(F.col("text")))
+    n = F.size(w)
+    mid = F.floor(n / F.lit(2)).cast("int")
+    planted_text = F.concat_ws(
+        " ",
+        F.concat_ws(" ", F.slice(w, F.lit(1), mid)),
+        F.lit(_SPAN_BOILER),
+        F.concat_ws(" ", F.slice(w, mid + 1, n - mid)),
+    )
+    keep = (F.col("doc_id") % 7 == 3) & (n >= 16)
+    return d.select(
+        "doc_id", F.when(keep, planted_text).otherwise(F.col("text")).alias("text")
+    )
+
+
+_DUP_SPANS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maximal duplicated-span table (llm/dedup.py
+    duplicated_spans, k=8) over the planted corpus, localCheckpoint'd
+    once per (application, sf_dir): the coverage roll-up (L323) and
+    the recall gate's semi+anti pair (L324) all read it — in
+    production this is the span store ExactSubstr-style pipelines
+    write once at ingest and every removal policy reads.  Same cache
+    contract as _MINHASH_PAIRS_CACHE."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key not in _DUP_SPANS_CACHE:
+        for stale in [k for k in _DUP_SPANS_CACHE if k[0] != app_id]:
+            _DUP_SPANS_CACHE.pop(stale, None)
+        _DUP_SPANS_CACHE[key] = dd.duplicated_spans(
+            _span_docs(spark, sf_dir), k=8, min_docs=2
+        ).localCheckpoint()
+    return _DUP_SPANS_CACHE[key]
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L323 (VERDICT r10 #2): exact-substring SPAN dedup — the last
+    missing dedup family.  Per document of the planted corpus, the
+    maximal >= 8-token spans whose every word 8-gram recurs in >= 2
+    docs, rolled up to the remove-or-flag grain (doc_id, n_spans,
+    dup_tokens, max_span).  Catches the planted mid-doc boilerplate
+    (and the whole-doc overlap of organic near-dups) that
+    document-grain MinHash/SimHash and line-grain L48 both miss.
+    Scale: the L32 inverted-index cost envelope (Sigma df, never
+    pairs^2) plus one narrow window over duplicated positions; see
+    duplicated_spans' docstring for the shuffle-key argument."""
+    return dd.span_coverage(_dup_spans(spark, sf_dir))
+
+
+def q_dedup_span_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L324 (VERDICT r10 #2): planted-SPAN recall gate — the span-grain
+    completion of L317's document-grain planted recall: every
+    doc_id%7==3 doc with >= 16 words carries the 12-word boilerplate
+    at a KNOWN position ([n//2+1, n//2+12]), so the span extractor's
+    recall is exactly measurable: (n_planted, n_detected, recall_q20
+    half-up, n_organic) where n_detected counts planted docs with an
+    extracted span CONTAINING the planted coordinates (maximal spans
+    legitimately extend past the plant when a boundary shingle — one
+    corpus word plus seven boiler words — recurs in another planted
+    doc sharing that boundary word, so exact-coordinate equality would
+    under-count by construction) and n_organic counts extracted spans
+    that do not contain a plant.  Scale: two broadcast-tiny joins over
+    the staged span store — the gate costs nothing beyond the store."""
+    spans = _dup_spans(spark, sf_dir)
+    w = txt.words(txt.normalize_text(F.col("text")))
+    mid = F.floor(F.size(w) / F.lit(2)).cast("long")
+    planted = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 7 == 3)
+        .select("doc_id", mid.alias("_mid"), F.size(w).alias("_n"))
+        .filter(F.col("_n") >= 16)
+        .select(
+            "doc_id",
+            (F.col("_mid") + 1).alias("_ps"),
+            (F.col("_mid") + _SPAN_BOILER_LEN).alias("_pe"),
+        )
+    )
+    contains = (
+        (planted["doc_id"] == spans["doc_id"])
+        & (spans["span_start"] <= planted["_ps"])
+        & (spans["span_end"] >= planted["_pe"])
+    )
+    n_planted = planted.agg(F.count(F.lit(1)).cast("long").alias("n_planted"))
+    n_det = planted.join(spans, contains, "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_detected")
+    )
+    n_org = spans.join(planted, contains, "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_organic")
+    )
+    return (
+        n_planted.crossJoin(n_det)
+        .crossJoin(n_org)
+        .select(
+            "n_planted",
+            "n_detected",
+            F.expr("(2 * n_detected * 1048576 + n_planted) div (2 * n_planted)")
+            .cast("long")
+            .alias("recall_q20"),
+            "n_organic",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
     # 50 registry entries per round.  r11 rotation (VERDICT r10 next-steps
@@ -7637,6 +7815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_containment": q_containment,
         "rel_basket_pairs": q_rel_basket_pairs,
         # --- r11 additions land BELOW (r12 queue; driver-unchecked) ---
+        "llm_dedup_spans": q_dedup_spans,
+        "llm_dedup_span_recall": q_dedup_span_recall,
         # --- remaining registry (unchanged relative order) ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,

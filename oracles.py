@@ -31,6 +31,7 @@ from __spark_entry__ import (  # noqa: E402  (lazy, post-load import)
     _SESS,
     _SHINGLE5,
     _SHINGLED,
+    _SPAN_CTES,
     _WF_US,
     _greedy_coverage_oracle,
     _kcore_oracle,
@@ -8627,8 +8628,56 @@ GROUP BY 1
 """
 
 
+# L323 duplicated-span coverage over the planted-span corpus: the
+# llm/dedup.py duplicated_spans pipeline (k=8, min_docs=2) mirrored in
+# _SPAN_CTES, rolled up to the per-doc remove-or-flag grain.
+_ORACLE_DEDUP_SPANS = f"""
+WITH {_SPAN_CTES}
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+       CAST(MAX(span_tokens) AS BIGINT) AS max_span
+FROM spans GROUP BY doc_id
+"""
+
+# L324 planted-span recall: the planted boilerplate occupies tokens
+# [n//2+1, n//2+12] of every doc_id%7==3 doc with >= 16 words; a span
+# CONTAINING the plant counts as detected (boundary shingles shared
+# between planted docs legitimately widen the maximal span).
+_ORACLE_DEDUP_SPAN_RECALL = f"""
+WITH {_SPAN_CTES},
+pl AS (
+  SELECT doc_id,
+         CAST(len(ws)//2 + 1 AS BIGINT) AS span_start,
+         CAST(len(ws)//2 + 12 AS BIGINT) AS span_end
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+        FROM documents WHERE doc_id % 7 = 3)
+  WHERE len(ws) >= 16
+),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_planted FROM pl),
+ndet AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_detected
+  FROM pl p SEMI JOIN spans s
+    ON p.doc_id = s.doc_id AND s.span_start <= p.span_start AND s.span_end >= p.span_end
+),
+norg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_organic
+  FROM spans s ANTI JOIN pl p
+    ON p.doc_id = s.doc_id AND s.span_start <= p.span_start AND s.span_end >= p.span_end
+)
+SELECT n_planted, n_detected,
+       CAST((2 * n_detected * 1048576 + n_planted) // (2 * n_planted) AS BIGINT)
+         AS recall_q20,
+       n_organic
+FROM np, ndet, norg
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "llm_dedup_spans": _ORACLE_DEDUP_SPANS,
+        "llm_dedup_span_recall": _ORACLE_DEDUP_SPAN_RECALL,
         "llm_export_pipeline": _ORACLE_EXPORT_PIPELINE,
         "llm_stream_ann_store": _ORACLE_STREAM_ANN_STORE,
         "llm_pii_rate": _ORACLE_PII_RATE,

@@ -1,0 +1,87 @@
+"""Round-11 session additions: exact-substring duplicated-span dedup
+(the span family) and its planted-recall devices."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd
+
+# ------------------------------------------------- duplicated spans
+
+
+def _span_fixture(spark):
+    # docs 1 and 2 share the 10-token boilerplate run b1..b10 embedded
+    # mid-document between unique halves; doc 3 is all-unique; doc 4
+    # repeats doc 1's boilerplate at its very start.
+    boiler = " ".join(f"b{i}" for i in range(1, 11))
+    rows = [
+        (1, f"u1a u1b u1c u1d {boiler} u1e u1f u1g u1h"),
+        (2, f"v2a v2b v2c v2d v2e {boiler} v2f v2g v2h"),
+        (3, "w3a w3b w3c w3d w3e w3f w3g w3h w3i w3j w3k w3l"),
+        (4, f"{boiler} x4a x4b x4c x4d x4e x4f x4g x4h"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicated_spans_finds_planted_boilerplate(spark):
+    spans = dd.duplicated_spans(_span_fixture(spark), k=8, min_docs=2)
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in spans.collect()
+    }
+    # doc 1: boiler occupies tokens 5..14 -> 8-gram positions 5..7
+    # duplicated -> span [5, 14], 10 tokens; similarly doc 2 at 6..15,
+    # doc 4 at 1..10.  doc 3 has no duplicated 8-gram.
+    assert got == {1: (5, 14, 10), 2: (6, 15, 10), 4: (1, 10, 10)}
+
+
+def test_duplicated_spans_islands_split_on_gap(spark):
+    # two disjoint shared runs inside one doc must come out as TWO
+    # maximal spans, never merged across the unique gap.
+    run_a = " ".join(f"a{i}" for i in range(1, 10))  # 9 tokens
+    run_b = " ".join(f"c{i}" for i in range(1, 10))  # 9 tokens
+    rows = [
+        (1, f"{run_a} gap1x gap2x gap3x {run_b}"),
+        (2, f"{run_a} other1 other2 other3 other4 {run_b}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dd.duplicated_spans(docs, k=8, min_docs=2)
+    d1 = sorted(
+        (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in spans.filter(F.col("doc_id") == 1).collect()
+    )
+    # doc 1: run_a = tokens 1..9 (8-gram positions 1..2), run_b =
+    # tokens 13..21 (positions 13..14)
+    assert d1 == [(1, 9, 9), (13, 21, 9)]
+
+
+def test_duplicated_spans_short_doc_whole_text_semantics(spark):
+    # docs shorter than k words collapse to one whole-text shingle
+    # (word_shingles' short-doc rule): exact short duplicates are
+    # still caught, span = the whole doc.
+    rows = [
+        (1, "tiny short doc"),
+        (2, "tiny short doc"),
+        (3, "another tiny one"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dd.duplicated_spans(docs, k=8, min_docs=2)
+    got = {r["doc_id"]: (r["span_start"], r["span_tokens"]) for r in spans.collect()}
+    # position 1 only; span_tokens reports k (=8) because the islands
+    # arithmetic is k-based — acceptable for the <k-word edge, and
+    # deterministic in both engines.
+    assert set(got) == {1, 2}
+
+
+def test_span_coverage_rollup_disjoint_sum(spark):
+    run_a = " ".join(f"a{i}" for i in range(1, 10))
+    run_b = " ".join(f"c{i}" for i in range(1, 10))
+    rows = [
+        (1, f"{run_a} gap1x gap2x gap3x {run_b}"),
+        (2, f"{run_a} other1 other2 other3 other4 {run_b}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cov = dd.span_coverage(dd.duplicated_spans(docs, k=8, min_docs=2))
+    r1 = cov.filter(F.col("doc_id") == 1).collect()[0]
+    assert (r1["n_spans"], r1["dup_tokens"], r1["max_span"]) == (2, 18, 9)
