@@ -7744,6 +7744,84 @@ def q_dedup_span_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L325 (VERDICT r10 #6a): planted-truth CONTAMINATION recall —
+    L316 measures the detector's RATE; this measures its OPERATING
+    POINT the way L317 did for dedup: the "benchmark" eval set is
+    built from KNOWN excerpts (the 10-word slice at tokens [3, 12] of
+    every doc_id%31==1 doc with >= 12 words), so the L22 5-gram
+    collision detector has exact ground truth — every excerpt's source
+    doc MUST be flagged (recall), and any other flagged doc is an
+    organic 5-gram collision (the precision surface a decontamination
+    threshold is tuned against).  Output 1 row: (n_planted,
+    n_flagged_planted, recall_q20 half-up, n_flagged, precision_q20
+    half-up).  Scale: the L22 inverted-index join itself (eval side
+    broadcast-sized) plus three broadcast-tiny count joins."""
+    d = _docs(spark, sf_dir)
+    w = txt.words(txt.normalize_text(F.col("text")))
+    ev = (
+        d.filter(F.col("doc_id") % 31 == 1)
+        .select("doc_id", w.alias("_w"))
+        .filter(F.size("_w") >= 12)
+        .select("doc_id", F.concat_ws(" ", F.slice("_w", 3, 10)).alias("text"))
+    )
+    flagged = cur.decontaminate(d, ev, k=5).select("doc_id")
+    planted = ev.select("doc_id")
+    n_p = planted.agg(F.count(F.lit(1)).cast("long").alias("n_planted"))
+    n_fp = planted.join(flagged, "doc_id", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_flagged_planted")
+    )
+    n_f = flagged.agg(F.count(F.lit(1)).cast("long").alias("n_flagged"))
+    return (
+        n_p.crossJoin(n_fp)
+        .crossJoin(n_f)
+        .select(
+            "n_planted",
+            "n_flagged_planted",
+            F.expr("(2 * n_flagged_planted * 1048576 + n_planted) div (2 * n_planted)")
+            .cast("long")
+            .alias("recall_q20"),
+            "n_flagged",
+            F.expr("(2 * n_flagged_planted * 1048576 + n_flagged) div (2 * n_flagged)")
+            .cast("long")
+            .alias("precision_q20"),
+        )
+    )
+
+
+def q_stream_export_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L326 (VERDICT r10 #6b): STREAMING export write-path ledger —
+    documents stream in and the stateless export gate (curate's
+    quality + en-lang head, the deterministic split hash, the
+    TOKEN_REGEX count) is reduced per micro-batch to per-split
+    (n_docs, n_tokens) parts via foreachBatch (batch_id-keyed
+    overwrite parts — idempotent under at-least-once replay); the
+    live ledger re-aggregates under SUM/SUM, so state is independent
+    of micro-batch slicing, and gate-rejected docs are ledgered under
+    'rejected' so document and token mass are CONSERVED across
+    splits.  Gated by a batch recompute of the identical stateless
+    expressions — the streaming ledger must match bit for bit.  The
+    corpus-global dedup stages stay with the staged pair store (L310
+    gates them); see IncrementalExportLedger's docstring."""
+    import shutil
+
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".stream_tmp",
+        "export_ledger_"
+        + spark.sparkContext.applicationId
+        + "_"
+        + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    drv = inc.IncrementalExportLedger(spark, root)
+    docs = inc.stream_documents(spark, f"{sf_dir}/documents.parquet")
+    drv.start(docs).awaitTermination()
+    return drv.ledger().select("split", "n_docs", "n_tokens").localCheckpoint()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
     # 50 registry entries per round.  r11 rotation (VERDICT r10 next-steps
@@ -7817,6 +7895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r11 additions land BELOW (r12 queue; driver-unchecked) ---
         "llm_dedup_spans": q_dedup_spans,
         "llm_dedup_span_recall": q_dedup_span_recall,
+        "llm_contamination_recall": q_contamination_recall,
+        "llm_stream_export_ledger": q_stream_export_ledger,
         # --- remaining registry (unchanged relative order) ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,

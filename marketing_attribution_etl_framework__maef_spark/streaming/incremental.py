@@ -790,3 +790,115 @@ class IncrementalVocabStore:
                 F.sum("n_occurrences").cast("long").alias("n_occurrences"),
             )
         )
+
+
+class IncrementalExportLedger:
+    """Streaming maintenance of the export WRITE-PATH ingest ledger
+    (VERDICT r10 #6b — the streaming twin of the L310 conservation
+    chain's front half): documents arrive as a stream, each
+    micro-batch runs the STATELESS export gate — the exact
+    quality + English-language head of ``curate_corpus`` plus the
+    deterministic ``split_assign`` hash — and is reduced to per-split
+    ``(n_docs, n_tokens)`` parts; gate-rejected docs are counted under
+    the 'rejected' split so document AND token mass are conserved
+    across the ledger (SUM over splits == corpus totals).  The live
+    ledger is the re-aggregate of the parts under the merge law
+    (n_docs = SUM, n_tokens = SUM — associative + commutative, so the
+    ledger is independent of micro-batch slicing).
+
+    Scope is deliberate: the gate, split and token count are per-row
+    functions, so the streaming ledger equals the batch recompute bit
+    for bit; the corpus-GLOBAL dedup stages (exact hash groups,
+    near-dup pair graph) are owned by the staged pair store written at
+    ingest (see ``curate_corpus``'s corpus_pairs note) and are gated
+    separately by L310 — a streaming operator that claimed them would
+    either hold unbounded per-content state or silently change
+    survivor semantics with arrival order.
+
+    Scale: no per-key streaming state, no watermark; parts are
+    4-row parquet appends keyed by batch_id (overwrite mode —
+    idempotent under foreachBatch's at-least-once replay); the serving
+    aggregate reads |batches| x 4 tiny rows.  In production these
+    counters are the live "what mass is heading to each split"
+    dashboard the packing stage sizes itself against.
+    """
+
+    SPLITS = ("train", "val", "test", "rejected")
+
+    def __init__(self, spark: SparkSession, root: str):
+        from marketing_attribution_etl_framework__maef_spark.llm.curation import split_assign
+        from marketing_attribution_etl_framework__maef_spark.llm.text import (
+            TOKEN_REGEX,
+            lang_cols,
+            normalize_text,
+            words,
+        )
+
+        self.spark = spark
+        self.root = root
+        self._split_assign = split_assign
+        self._token_regex = TOKEN_REGEX
+        self._lang_cols = lang_cols
+        self._normalize_text = normalize_text
+        self._words = words
+        os.makedirs(root, exist_ok=True)
+
+    def _parts(self) -> str:
+        return os.path.join(self.root, "ledger_parts")
+
+    def _gated(self, docs: DataFrame) -> DataFrame:
+        """Per-doc stateless export columns: (split, n_tokens) with
+        split='rejected' for docs failing the quality+lang gate —
+        verbatim the curate_corpus head expressions."""
+        prof = docs.select(
+            "doc_id", self._normalize_text(F.col("text")).alias("_norm")
+        ).select(
+            "doc_id",
+            self._words(F.col("_norm")).alias("_ws"),
+            F.size(F.regexp_extract_all("_norm", F.lit(self._token_regex), 0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        n_words = F.size("_ws").cast("long")
+        n_distinct = F.size(F.array_distinct("_ws")).cast("long")
+        base = prof.select(
+            "doc_id",
+            "n_tokens",
+            ((n_words >= 5) & (n_distinct * 10 >= n_words * 3)).alias("_q"),
+            *self._lang_cols(F.array_distinct(F.col("_ws"))),
+        )
+        gate = F.col("_q") & (F.col("lang_guess") == "en")
+        return base.select(
+            F.when(gate, self._split_assign(F.col("doc_id")))
+            .otherwise(F.lit("rejected"))
+            .alias("split"),
+            "n_tokens",
+        )
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        part = self._gated(batch_df).groupBy("split").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        part.write.mode("overwrite").parquet(
+            os.path.join(self._parts(), f"batch_id={int(batch_id)}")
+        )
+
+    def start(self, docs: DataFrame, checkpoint: str | None = None):
+        writer = (
+            docs.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint or os.path.join(self.root, "_ckpt"))
+            .trigger(availableNow=True)
+        )
+        return writer.start()
+
+    def ledger(self) -> DataFrame:
+        """The live ledger: one row per split with total docs/tokens."""
+        return (
+            self.spark.read.parquet(self._parts())
+            .groupBy("split")
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+            )
+        )

@@ -8674,9 +8674,80 @@ FROM np, ndet, norg
 """
 
 
+# L325 planted-truth contamination recall: eval = the 10-word excerpt
+# at tokens [3,12] of every doc_id%31==1 doc with >= 12 words; the L22
+# 5-gram collision detector (verbatim _SHINGLE5 devices) must flag
+# every excerpt's source doc.
+_ORACLE_CONTAMINATION_RECALL = f"""
+WITH exc AS (
+  SELECT doc_id, array_to_string(ws[3:12], ' ') AS text
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+        FROM documents WHERE doc_id % 31 = 1)
+  WHERE len(ws) >= 12
+),
+sha AS ({_SHINGLE5.format(src="documents")}),
+she AS ({_SHINGLE5.format(src="exc")}),
+ev AS (SELECT DISTINCT unnest(ds) AS h FROM she),
+tr AS (SELECT doc_id, unnest(ds) AS h FROM sha),
+flagged AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.h = ev.h),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_planted FROM exc),
+nfp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_flagged_planted
+  FROM exc p SEMI JOIN flagged f ON p.doc_id = f.doc_id
+),
+nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_flagged FROM flagged)
+SELECT n_planted, n_flagged_planted,
+       CAST((2 * n_flagged_planted * 1048576 + n_planted) // (2 * n_planted) AS BIGINT)
+         AS recall_q20,
+       n_flagged,
+       CAST((2 * n_flagged_planted * 1048576 + n_flagged) // (2 * n_flagged) AS BIGINT)
+         AS precision_q20
+FROM np, nfp, nf
+"""
+
+
+# L326 streaming export ledger: batch recompute of the stateless
+# export gate (curate quality + en-lang head verbatim), the split
+# hash, and TOKEN_REGEX token mass, per split with 'rejected'
+# conservation.
+_ORACLE_STREAM_EXPORT_LEDGER = f"""
+WITH {_NORM_RAW},
+stats AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
+         (len(ws) >= 5 AND len(list_distinct(ws)) * 10 >= len(ws) * 3) AS is_q,
+         list_distinct(ws) AS dws
+  FROM (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM nd)
+),
+scores AS (
+  SELECT doc_id, n_tokens, is_q,
+       {_lang_score_cols}
+  FROM stats
+),
+best AS (
+  SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM scores
+),
+gated AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN is_q AND (CASE {_lang_case} ELSE 'zh' END) = 'en' THEN
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT) % 100 < 90 THEN 'train'
+                WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT) % 100 < 95 THEN 'val'
+                ELSE 'test' END
+         ELSE 'rejected' END AS split
+  FROM best
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM gated GROUP BY split
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "llm_dedup_spans": _ORACLE_DEDUP_SPANS,
+        "llm_stream_export_ledger": _ORACLE_STREAM_EXPORT_LEDGER,
+        "llm_contamination_recall": _ORACLE_CONTAMINATION_RECALL,
         "llm_dedup_span_recall": _ORACLE_DEDUP_SPAN_RECALL,
         "llm_export_pipeline": _ORACLE_EXPORT_PIPELINE,
         "llm_stream_ann_store": _ORACLE_STREAM_ANN_STORE,

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd
+from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
 
 # ------------------------------------------------- duplicated spans
 
@@ -85,3 +86,91 @@ def test_span_coverage_rollup_disjoint_sum(spark):
     cov = dd.span_coverage(dd.duplicated_spans(docs, k=8, min_docs=2))
     r1 = cov.filter(F.col("doc_id") == 1).collect()[0]
     assert (r1["n_spans"], r1["dup_tokens"], r1["max_span"]) == (2, 18, 9)
+
+
+# ------------------------------------------------- streaming export ledger
+
+
+def _ledger_docs(spark):
+    rows = [
+        # quality english docs (enough words, diverse, stopwords)
+        (1, "the quick brown fox jumps over the lazy dog today", "en"),
+        (2, "a stitch in time saves nine and more besides that", "en"),
+        (3, "it is a truth universally acknowledged that a man thinks", "en"),
+        # rejected: too short
+        (4, "tiny doc", "en"),
+        # rejected: repetitive (low distinct ratio)
+        (5, "spam spam spam spam spam spam spam spam spam spam", "en"),
+        # rejected: non-english
+        (6, "der die das und ist nicht mit ein der die", "de"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).select(
+        "doc_id", "text", "lang",
+        F.lit("s").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def test_export_ledger_matches_batch_and_conserves(spark, tmp_path):
+    docs = _ledger_docs(spark)
+    src = str(tmp_path / "docs")
+    # two files -> two micro-batches under maxFilesPerTrigger=1,
+    # exercising the SUM/SUM merge law across batches
+    docs.repartition(2).write.parquet(src)
+    root = str(tmp_path / "ledger")
+    drv = inc.IncrementalExportLedger(spark, root)
+    drv.start(inc.stream_documents(spark, src)).awaitTermination()
+    got = {r["split"]: (r["n_docs"], r["n_tokens"]) for r in drv.ledger().collect()}
+
+    batch = {
+        r["split"]: (r["n_docs"], r["n_tokens"])
+        for r in drv._gated(docs)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .collect()
+    }
+    assert got == batch
+    # conservation: docs and token mass sum to the corpus totals
+    assert sum(v[0] for v in got.values()) == docs.count()
+    total_tokens = drv._gated(docs).agg(F.sum("n_tokens")).collect()[0][0]
+    assert sum(v[1] for v in got.values()) == total_tokens
+    # the three rejection shapes all land in 'rejected'
+    assert got["rejected"][0] == 3
+
+
+def test_export_ledger_replay_idempotent(spark, tmp_path):
+    docs = _ledger_docs(spark)
+    root = str(tmp_path / "ledger2")
+    drv = inc.IncrementalExportLedger(spark, root)
+    drv.process_batch(docs, 0)
+    before = {r["split"]: (r["n_docs"], r["n_tokens"]) for r in drv.ledger().collect()}
+    # at-least-once replay of the same batch_id must not double-count
+    drv.process_batch(docs, 0)
+    after = {r["split"]: (r["n_docs"], r["n_tokens"]) for r in drv.ledger().collect()}
+    assert before == after
+
+
+# ------------------------------------------------- contamination recall
+
+
+def test_decontaminate_planted_excerpt_recall(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import curation as cur
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn"),
+            (2, "zz yy xx wv uu tt ss rr qq pp oo nn2 mm2 ll2"),
+        ],
+        "doc_id long, text string",
+    )
+    # eval = tokens [3, 12] of doc 1 (the L325 excerpt rule)
+    ev = spark.createDataFrame(
+        [(1, "cc dd ee ff gg hh ii jj kk ll")], "doc_id long, text string"
+    )
+    flagged = {r["doc_id"] for r in cur.decontaminate(docs, ev, k=5).collect()}
+    assert flagged == {1}
