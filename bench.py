@@ -189,6 +189,13 @@ CHECKPOINT_HEAVY = {
     "llm_stream_ann_store",
     "llm_stream_pii_gate",
     "llm_ann_pq_recall",
+    # r11 additions, criterion a: the span queries ride the staged
+    # _dup_spans localCheckpoint (run 1 builds the store, run 2
+    # measures the serving read); the export ledger is a foreachBatch
+    # streaming run with parquet parts
+    "llm_dedup_spans",
+    "llm_dedup_span_recall",
+    "llm_stream_export_ledger",
     # (llm_ngram_novelty, llm_train_val_split, maef_cac_payback exited
     # r10: stateless plans, victim-profile admissions — covered by the
     # slow-tail re-measure)

@@ -1678,23 +1678,26 @@ def duplicated_spans(
     equivalent for fixed k.  Shape (ONE lineage, no join-back):
 
     1. posexplode the positional k-shingle hashes -> (doc, pos, sh).
-    2. document frequency per shingle WITHOUT a groupBy+join: mark the
-       first (sh, doc) occurrence with a row_number window, then count
-       the markers with a frameless SUM over (partition by sh) — the
-       doc_novelty owner-assignment pattern, which keeps the exploded
-       lineage single-scan (a dfx self-join would shuffle it twice).
+    2. the cross-doc test as ONE frameless window over (partition by
+       sh): for the standard ``min_docs=2`` operating point, "occurs
+       in >= 2 distinct docs" is exactly ``MIN(doc_id) != MAX(doc_id)``
+       — no distinct-count, no per-(sh, doc) sort, no groupBy+join
+       back (a dfx self-join would shuffle the exploded lineage
+       twice); for ``min_docs > 2`` fall back to first-occurrence
+       markers (row_number over (sh, doc)) summed over (sh) — the
+       doc_novelty owner-assignment pattern.
     3. keep positions whose shingle clears ``min_docs``, then merge
        consecutive positions into maximal spans with the islands trick
        (pos - row_number() over (doc order by pos) is constant within
        a run); a run [p1..p2] covers tokens [p1, p2+k-1].
 
-    100-TB: shuffles key on (sh, doc) then sh then doc — all
-    high-cardinality (k-word shingles do not skew the way unigrams
-    would); only 60-bit longs cross the wire; per-doc state in the
-    island merge is bounded by the doc's own span count.  This is the
-    same Sigma(df) inverted-index cost envelope as
-    duplicate_ngram_coverage (L32), plus one narrow window over the
-    surviving duplicated positions.
+    100-TB: the heavy instance grain is shuffled ONCE on sh (high
+    cardinality, unskewed — k-word shingles do not concentrate the
+    way unigrams would); only 60-bit longs cross the wire; the island
+    window sees only duplicated positions (foreground-sized), and
+    per-doc state is bounded by the doc's own span count.  This is
+    the same Sigma(df) inverted-index cost envelope as
+    duplicate_ngram_coverage (L32), minus L32's pre-aggregate.
     """
     norm = normalize_text(F.col(text_col))
     sh = word_shingles(words(norm), k)
@@ -1702,14 +1705,24 @@ def duplicated_spans(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.transform(sh, shingle_hash)).alias("_p0", "sh"),
     ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "sh")
-    w_first = Window.partitionBy("sh", "doc_id").orderBy("pos")
     w_sh = Window.partitionBy("sh")
-    flagged = inst.withColumn(
-        "_first", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
-    ).withColumn("_n_docs", F.sum("_first").over(w_sh))
-    dup = flagged.filter(F.col("_n_docs") >= F.lit(int(min_docs))).select(
-        "doc_id", "pos"
-    )
+    if int(min_docs) == 2:
+        dup = (
+            inst.withColumn("_lo", F.min("doc_id").over(w_sh))
+            .withColumn("_hi", F.max("doc_id").over(w_sh))
+            .filter(F.col("_lo") != F.col("_hi"))
+            .select("doc_id", "pos")
+        )
+    else:
+        w_first = Window.partitionBy("sh", "doc_id").orderBy("pos")
+        dup = (
+            inst.withColumn(
+                "_first", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+            )
+            .withColumn("_n_docs", F.sum("_first").over(w_sh))
+            .filter(F.col("_n_docs") >= F.lit(int(min_docs)))
+            .select("doc_id", "pos")
+        )
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     isl = dup.withColumn("_g", F.col("pos") - F.row_number().over(w_doc))
     return (
