@@ -7822,6 +7822,57 @@ def q_stream_export_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drv.ledger().select("split", "n_docs", "n_tokens").localCheckpoint()
 
 
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L327: sign-LSH recall@5 audit vs self-excluded exact truth —
+    completes the ANN audit matrix row the verdicts have been tracking
+    (IVF: L233/L243, PQ: L322, LSH: now measured).  The L18 multiprobe
+    operating point (6 planes, t=2 — a (t+1)/64 corpus-scan fraction)
+    evaluated with the L322 device: exact cosine top-5 (self excluded)
+    as truth, (n_queries, k, sum_hits, recall_q20 half-up) as the one
+    number a capacity plan quotes next to the scan fraction.  Scale:
+    the truth side is the one brute query-batch scan every recall
+    audit pays (1/50-sampled broadcast queries); the LSH side is the
+    bucket equi-join."""
+    from pyspark.sql import Window
+
+    e = _embs(spark, sf_dir)
+    lshr = sim.lsh_multiprobe_topk(
+        e,
+        e.filter(F.col("vec_id") % 50 == 7),
+        sim.random_hyperplanes(spark, n_planes=6, dim=64),
+        k=5,
+        t=2,
+        exclude_self=True,
+    ).select("query_id", "vec_id")
+    c = sim._norm_vec(e, "vec_id", "embedding", "vec_id", "_v")
+    q = sim._norm_vec(
+        e.filter(F.col("vec_id") % 50 == 7), "vec_id", "embedding", "query_id", "_q"
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim._pair_cos("_q", "_v").alias("_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    truth = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select("query_id", "vec_id")
+    )
+    hits = truth.join(lshr, ["query_id", "vec_id"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("sum_hits")
+    )
+    nq = q.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    return nq.crossJoin(hits).select(
+        "n_queries",
+        F.lit(5).cast("long").alias("k"),
+        "sum_hits",
+        F.expr("(2 * sum_hits * 1048576 + 5 * n_queries) div (2 * 5 * n_queries)")
+        .cast("long")
+        .alias("recall_q20"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
     # 50 registry entries per round.  r11 rotation (VERDICT r10 next-steps
@@ -7897,6 +7948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dedup_span_recall": q_dedup_span_recall,
         "llm_contamination_recall": q_contamination_recall,
         "llm_stream_export_ledger": q_stream_export_ledger,
+        "llm_ann_lsh_recall": q_ann_lsh_recall,
         # --- remaining registry (unchanged relative order) ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,

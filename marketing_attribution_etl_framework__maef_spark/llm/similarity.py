@@ -406,6 +406,7 @@ def lsh_multiprobe_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Multiprobe sign-LSH top-k: each query probes its own bucket PLUS
     the ``t`` buckets reached by flipping the sign bit whose projection
@@ -447,6 +448,11 @@ def lsh_multiprobe_topk(
     cand = ex.join(c_sk, on="bucket", how="inner").select(
         "query_id", "vec_id", _pair_cos("_q", "_v").alias("_cos")
     )
+    if exclude_self:
+        # recall audits compare against self-excluded exact truth (the
+        # L322 convention): drop the query's own corpus row before
+        # ranking so rank 1 is not a guaranteed free hit
+        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))

@@ -8743,9 +8743,77 @@ FROM gated GROUP BY split
 """
 
 
+# L327 sign-LSH recall@5 vs self-excluded exact truth: the
+# _ORACLE_ANN_LSH_MULTIPROBE bucket chain with the self row dropped
+# before ranking, evaluated with the L322 audit device.
+_ORACLE_ANN_LSH_RECALL = f"""
+WITH {_E_NORMED},
+hp AS (
+  SELECT CAST(j AS INTEGER) AS plane,
+         list_transform(range(1, 65),
+           d -> CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT)
+                / CAST(576460752303423488 AS DOUBLE) - 1.0) AS h
+  FROM range(0, 6) t(j)
+),
+sk AS (
+  SELECT e.vec_id,
+         SUM(CASE WHEN list_dot_product(e.v, hp.h) >= 0
+                  THEN CAST(power(2.0, hp.plane) AS BIGINT) ELSE 0 END) AS bucket
+  FROM e, hp
+  GROUP BY e.vec_id
+),
+esk AS (SELECT e.vec_id, e.v, e.vn, sk.bucket FROM e JOIN sk ON e.vec_id = sk.vec_id),
+q AS (SELECT vec_id AS query_id, v AS qv0, vn AS qn FROM e WHERE vec_id % 50 = 7),
+qd AS (
+  SELECT q.query_id, hp.plane, list_dot_product(q.qv0, hp.h) AS d
+  FROM q, hp
+),
+qb AS (
+  SELECT query_id,
+         SUM(CASE WHEN d >= 0 THEN CAST(power(2.0, plane) AS BIGINT) ELSE 0 END) AS bucket
+  FROM qd GROUP BY 1
+),
+fl AS (
+  SELECT query_id, plane FROM qd
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY abs(d), plane) <= 2
+),
+pr AS (
+  SELECT query_id, bucket FROM qb
+  UNION
+  SELECT f.query_id, xor(b.bucket, CAST(power(2.0, f.plane) AS BIGINT))
+  FROM fl f JOIN qb b USING (query_id)
+),
+lshr AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(q.qv0, c.v) / (q.qn * c.vn) AS cos
+  FROM q JOIN pr ON q.query_id = pr.query_id
+         JOIN esk c ON pr.bucket = c.bucket
+  WHERE c.vec_id <> q.query_id
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY cos DESC, c.vec_id) <= 5
+),
+truth AS (
+  SELECT q.query_id, e.vec_id
+  FROM q, e WHERE e.vec_id <> q.query_id
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.query_id
+    ORDER BY list_dot_product(q.qv0, e.v) / (q.qn * e.vn) DESC, e.vec_id) <= 5
+),
+hits AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS sum_hits
+  FROM truth t SEMI JOIN lshr p ON p.query_id = t.query_id AND p.vec_id = t.vec_id
+),
+nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q)
+SELECT n_queries, CAST(5 AS BIGINT) AS k, sum_hits,
+       CAST((2 * sum_hits * 1048576 + 5 * n_queries) // (2 * 5 * n_queries) AS BIGINT)
+         AS recall_q20
+FROM nq, hits
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "llm_dedup_spans": _ORACLE_DEDUP_SPANS,
+        "llm_ann_lsh_recall": _ORACLE_ANN_LSH_RECALL,
         "llm_stream_export_ledger": _ORACLE_STREAM_EXPORT_LEDGER,
         "llm_contamination_recall": _ORACLE_CONTAMINATION_RECALL,
         "llm_dedup_span_recall": _ORACLE_DEDUP_SPAN_RECALL,

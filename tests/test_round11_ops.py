@@ -174,3 +174,22 @@ def test_decontaminate_planted_excerpt_recall(spark):
     )
     flagged = {r["doc_id"] for r in cur.decontaminate(docs, ev, k=5).collect()}
     assert flagged == {1}
+
+
+# ------------------------------------------------- LSH recall audit
+
+
+def test_lsh_multiprobe_exclude_self(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import similarity as sim
+
+    rows = [(i, [1.0 if j == i % 4 else 0.1 * i for j in range(4)]) for i in range(8)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = sim.random_hyperplanes(spark, n_planes=2, dim=4)
+    with_self = sim.lsh_multiprobe_topk(e, e.filter(F.col("vec_id") == 0), planes, k=3, t=1)
+    without = sim.lsh_multiprobe_topk(
+        e, e.filter(F.col("vec_id") == 0), planes, k=3, t=1, exclude_self=True
+    )
+    ws = [r["vec_id"] for r in with_self.orderBy("rank").collect()]
+    wo = [r["vec_id"] for r in without.orderBy("rank").collect()]
+    assert ws[0] == 0          # self is the trivial rank-1 hit
+    assert 0 not in wo         # audit mode drops it before ranking
