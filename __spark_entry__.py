@@ -7873,6 +7873,19 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L328: span-dedup REMOVAL executed (llm/dedup.py scrub_spans) —
+    the write side of L323: every duplicated span occurrence is
+    excised from every affected doc of the planted corpus and the
+    per-doc conservation ledger comes back with the rebuilt text
+    pinned by md5 (n_tokens_out == n_tokens_in - covered_tokens by
+    construction; the CONTENT equality is the real cross-engine gate
+    — both engines must rebuild the identical scrubbed token
+    sequence).  Rides the staged _dup_spans store; the token explode
+    touches only affected docs (left-semi first)."""
+    return dd.scrub_spans(_span_docs(spark, sf_dir), _dup_spans(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
     # 50 registry entries per round.  r11 rotation (VERDICT r10 next-steps
@@ -7949,6 +7962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_contamination_recall": q_contamination_recall,
         "llm_stream_export_ledger": q_stream_export_ledger,
         "llm_ann_lsh_recall": q_ann_lsh_recall,
+        "llm_dedup_span_scrub": q_dedup_span_scrub,
         # --- remaining registry (unchanged relative order) ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,

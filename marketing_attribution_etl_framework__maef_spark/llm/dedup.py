@@ -1750,3 +1750,62 @@ def span_coverage(
         F.sum("span_tokens").cast("long").alias("dup_tokens"),
         F.max("span_tokens").cast("long").alias("max_span"),
     )
+
+
+def scrub_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Execute the span-dedup REMOVAL policy over a ``duplicated_spans``
+    table: excise every duplicated span occurrence from every affected
+    document (the ExactSubstr remove-all policy — the span table is
+    cross-doc by construction, so removing all occurrences leaves no
+    repeated >= k-token span in the corpus) and emit the per-doc
+    conservation ledger: ``(doc_id, n_tokens_in, covered_tokens,
+    n_tokens_out, scrub_md5)`` where ``covered_tokens`` counts token
+    positions actually covered (span_end is clipped to the doc for the
+    short-doc whole-text edge, so n_tokens_out == n_tokens_in -
+    covered_tokens holds exactly) and ``scrub_md5`` pins the rebuilt
+    scrubbed text bit for bit — the cross-engine content gate.
+
+    Shape: only affected docs (left-semi against the span store) are
+    tokenized; the token grain LEFT-joins the broadcast span table on
+    (doc = doc, pos BETWEEN start AND end) — maximal spans are
+    disjoint per doc, so the join multiplicity is exactly 1 and no
+    pre-dedup is needed; one hash aggregate rebuilds the kept text in
+    position order.  100-TB: the span store is foreground-sized
+    (duplicated docs only) and broadcasts; the token explode touches
+    only affected docs; the single shuffle keys on doc_id."""
+    span_docs = spans.select(id_col).distinct()
+    norm = normalize_text(F.col(text_col))
+    toks = (
+        docs.join(F.broadcast(span_docs), id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(words(norm)).alias("_p0", "w"),
+        )
+        .select("doc_id", (F.col("_p0") + 1).alias("pos"), "w")
+    )
+    sp = spans.select(
+        F.col(id_col).alias("_sd"), "span_start", "span_end"
+    )
+    cov = toks.join(
+        F.broadcast(sp),
+        (F.col("doc_id") == F.col("_sd"))
+        & (F.col("pos") >= F.col("span_start"))
+        & (F.col("pos") <= F.col("span_end")),
+        "left",
+    ).select("doc_id", "pos", "w", F.col("_sd").isNotNull().alias("_cov"))
+    kept_sorted = F.array_sort(
+        F.collect_list(F.when(~F.col("_cov"), F.struct("pos", "w")))
+    )
+    return cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens_in"),
+        F.sum(F.when(F.col("_cov"), 1).otherwise(0)).cast("long").alias("covered_tokens"),
+        F.sum(F.when(~F.col("_cov"), 1).otherwise(0)).cast("long").alias("n_tokens_out"),
+        F.md5(
+            F.concat_ws(" ", F.transform(kept_sorted, lambda s: s["w"]))
+        ).alias("scrub_md5"),
+    )

@@ -8810,9 +8810,38 @@ FROM nq, hits
 """
 
 
+# L328 span scrub: excise covered positions (spans are disjoint per
+# doc, so the range LEFT JOIN has multiplicity 1), rebuild the kept
+# text in position order; COALESCE('') matches Spark's concat_ws('')
+# when every token is covered.
+_ORACLE_DEDUP_SPAN_SCRUB = f"""
+WITH {_SPAN_CTES},
+toks AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+        FROM sdocs
+        WHERE doc_id IN (SELECT doc_id FROM spans))
+),
+cov AS (
+  SELECT t.doc_id, t.pos, t.w, (s.doc_id IS NOT NULL) AS covered
+  FROM toks t LEFT JOIN spans s
+    ON t.doc_id = s.doc_id AND t.pos BETWEEN s.span_start AND s.span_end
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens_in,
+       CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS covered_tokens,
+       CAST(SUM(CASE WHEN covered THEN 0 ELSE 1 END) AS BIGINT) AS n_tokens_out,
+       md5(COALESCE(string_agg(CASE WHEN NOT covered THEN w END, ' ' ORDER BY pos), ''))
+         AS scrub_md5
+FROM cov GROUP BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "llm_dedup_spans": _ORACLE_DEDUP_SPANS,
+        "llm_dedup_span_scrub": _ORACLE_DEDUP_SPAN_SCRUB,
         "llm_ann_lsh_recall": _ORACLE_ANN_LSH_RECALL,
         "llm_stream_export_ledger": _ORACLE_STREAM_EXPORT_LEDGER,
         "llm_contamination_recall": _ORACLE_CONTAMINATION_RECALL,

@@ -193,3 +193,38 @@ def test_lsh_multiprobe_exclude_self(spark):
     wo = [r["vec_id"] for r in without.orderBy("rank").collect()]
     assert ws[0] == 0          # self is the trivial rank-1 hit
     assert 0 not in wo         # audit mode drops it before ranking
+
+
+# ------------------------------------------------- span scrub
+
+
+def test_scrub_spans_excises_planted_run(spark):
+    docs = _span_fixture(spark)
+    spans = dd.duplicated_spans(docs, k=8, min_docs=2)
+    got = {r["doc_id"]: r for r in dd.scrub_spans(docs, spans).collect()}
+    # doc 3 has no spans -> not in the ledger at all
+    assert set(got) == {1, 2, 4}
+    r1 = got[1]
+    assert (r1["n_tokens_in"], r1["covered_tokens"], r1["n_tokens_out"]) == (18, 10, 8)
+    # the kept text is exactly the unique halves, in order
+    import hashlib
+
+    expect = hashlib.md5(b"u1a u1b u1c u1d u1e u1f u1g u1h").hexdigest()
+    assert r1["scrub_md5"] == expect
+
+
+def test_scrub_spans_fully_covered_doc(spark):
+    # exact short duplicates: whole-text shingle, span covers (clipped)
+    # everything -> n_tokens_out 0, md5 of the empty string
+    docs = spark.createDataFrame(
+        [(1, "tiny short doc"), (2, "tiny short doc")],
+        "doc_id long, text string",
+    )
+    spans = dd.duplicated_spans(docs, k=8, min_docs=2)
+    got = {r["doc_id"]: r for r in dd.scrub_spans(docs, spans).collect()}
+    import hashlib
+
+    for r in got.values():
+        assert r["n_tokens_out"] == 0
+        assert r["covered_tokens"] == r["n_tokens_in"] == 3
+        assert r["scrub_md5"] == hashlib.md5(b"").hexdigest()
