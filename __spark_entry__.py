@@ -7886,6 +7886,44 @@ def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.scrub_spans(_span_docs(spark, sf_dir), _dup_spans(spark, sf_dir))
 
 
+def q_span_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L329: span-dedup ROI by source — the L267 composition device
+    applied to the span family: per source, how much token mass the
+    span scrub would remove ((n_docs, n_span_docs, total_tokens,
+    dup_tokens, dup_rate_q20 half-up)) — the number that decides
+    whether a source's boilerplate problem is worth the span pass at
+    ingest.  total_tokens is the word-grain count (size of the
+    normalized split — the same grain span positions index, so the
+    rate is a true fraction).  Rides the staged _dup_spans store; one
+    broadcast join + one source-grain aggregate."""
+    d = _span_docs(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
+    )
+    w = txt.words(txt.normalize_text(F.col("text")))
+    per_doc = d.select("doc_id", "source", F.size(w).cast("long").alias("_nw"))
+    cov = dd.span_coverage(_dup_spans(spark, sf_dir)).select("doc_id", "dup_tokens")
+    return (
+        per_doc.join(F.broadcast(cov), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("dup_tokens").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_span_docs"),
+            F.sum("_nw").cast("long").alias("total_tokens"),
+            F.sum(F.coalesce(F.col("dup_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.expr(
+                "(2 * sum(coalesce(dup_tokens, 0)) * 1048576 + sum(_nw))"
+                " div (2 * sum(_nw))"
+            )
+            .cast("long")
+            .alias("dup_rate_q20"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
     # 50 registry entries per round.  r11 rotation (VERDICT r10 next-steps
@@ -7963,6 +8001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_stream_export_ledger": q_stream_export_ledger,
         "llm_ann_lsh_recall": q_ann_lsh_recall,
         "llm_dedup_span_scrub": q_dedup_span_scrub,
+        "llm_span_roi": q_span_roi,
         # --- remaining registry (unchanged relative order) ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,

@@ -8838,9 +8838,35 @@ FROM cov GROUP BY doc_id
 """
 
 
+# L329 span ROI by source: span coverage rolled up to the source grain
+# (word-grain token mass; NULL-preserving left join mirrored).
+_ORACLE_SPAN_ROI = f"""
+WITH {_SPAN_CTES},
+covd AS (
+  SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+),
+per_doc AS (
+  SELECT s.doc_id, d.source,
+         CAST(len(string_split(regexp_replace(lower(trim(s.text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS nw
+  FROM sdocs s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT p.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c.dup_tokens IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_span_docs,
+       CAST(SUM(p.nw) AS BIGINT) AS total_tokens,
+       CAST(SUM(COALESCE(c.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+       CAST((2 * SUM(COALESCE(c.dup_tokens, 0)) * 1048576 + SUM(p.nw)) // (2 * SUM(p.nw)) AS BIGINT)
+         AS dup_rate_q20
+FROM per_doc p LEFT JOIN covd c ON p.doc_id = c.doc_id
+GROUP BY p.source
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "llm_dedup_spans": _ORACLE_DEDUP_SPANS,
+        "llm_span_roi": _ORACLE_SPAN_ROI,
         "llm_dedup_span_scrub": _ORACLE_DEDUP_SPAN_SCRUB,
         "llm_ann_lsh_recall": _ORACLE_ANN_LSH_RECALL,
         "llm_stream_export_ledger": _ORACLE_STREAM_EXPORT_LEDGER,
