@@ -7924,6 +7924,42 @@ def q_span_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivm_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L330: incremental DISTINCT-COUNT view maintenance — the family
+    member L83 (distributive aggregates) and L321 (join views) left
+    open: COUNT(DISTINCT user) per channel is not maintainable on the
+    view grain, so the support multiset (channel, user, m) is
+    maintained with the ordinary signed algebra (operators/ivm.py
+    distinct_view_snapshot + apply_aggregate_delta) and the view is
+    served as the surviving-support count.  Same simulated history as
+    L83 (ts before 2024-01-20 materialized; later events as inserts,
+    event_id%97==0 olds as retractions); the maintained view must
+    EQUAL the from-scratch recompute over the final fact set — a
+    support row leaked past m==0 or double-counted shows up as an
+    off-by-one distinct count.  Cost ∝ changed (channel, user) pairs
+    ⋈ support snapshot, never a history rescan."""
+    from marketing_attribution_etl_framework__maef_spark.operators import ivm
+
+    ev = domain.events(spark, sf_dir)
+    cutoff = F.lit("2024-01-20").cast("date")
+
+    def shape(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("event_type").alias("channel"), "user_id", "event_id"
+        )
+
+    old = shape(ev.filter(F.col("ts").cast("date") < cutoff))
+    fresh = shape(ev.filter(F.col("ts").cast("date") >= cutoff))
+    support = ivm.distinct_view_snapshot(old, ["channel"], "user_id")
+    delta = fresh.withColumn("op", F.lit(1)).unionByName(
+        old.filter(F.col("event_id") % 97 == 0).withColumn("op", F.lit(-1))
+    )
+    maintained = ivm.apply_aggregate_delta(
+        support, delta, ["channel", "user_id"], {}
+    )
+    return ivm.distinct_view(maintained, ["channel"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
     # 50 registry entries per round.  r11 rotation (VERDICT r10 next-steps
@@ -8002,6 +8038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ann_lsh_recall": q_ann_lsh_recall,
         "llm_dedup_span_scrub": q_dedup_span_scrub,
         "llm_span_roi": q_span_roi,
+        "maef_ivm_distinct": q_ivm_distinct,
         # --- remaining registry (unchanged relative order) ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,

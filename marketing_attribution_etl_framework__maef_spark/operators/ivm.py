@@ -157,3 +157,32 @@ def join_view_delta(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def distinct_view_snapshot(
+    facts: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Support multiset for a COUNT(DISTINCT ``value_col``) view.
+    COUNT DISTINCT is not distributive, so it is NOT maintainable on
+    the view grain — but it becomes exactly maintainable one grain
+    down: keep the SUPPORT table (group, value, m = fact multiplicity)
+    and the distinct count is the number of surviving support rows per
+    group.  The support table is maintained with the ordinary signed
+    algebra (``apply_aggregate_delta`` over [group_cols, value_col],
+    no sum columns): inserts bump m, retractions decrement, rows drop
+    at m == 0, and negative m fails loudly — the standard multiset
+    device every IVM system uses for DISTINCT/semijoin views.
+
+    100-TB: the support table is |distinct (group, value)| rows — the
+    same cardinality a COUNT(DISTINCT) recompute shuffles anyway —
+    and maintenance touches only changed (group, value) pairs ⋈ the
+    support snapshot, never the fact history."""
+    return aggregate_snapshot(facts, [*group_cols, value_col], {})
+
+
+def distinct_view(support: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Serve the COUNT(DISTINCT) view off the maintained support
+    table: one count per group of surviving support rows."""
+    return support.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    )

@@ -8863,9 +8863,21 @@ GROUP BY p.source
 """
 
 
+# L330 distinct-count view maintenance: recompute of the FINAL fact
+# set (the L83 oracle philosophy — parity with recompute IS the gate).
+_ORACLE_IVM_DISTINCT = """
+SELECT event_type AS channel,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events
+WHERE CAST(ts AS DATE) >= DATE '2024-01-20' OR event_id % 97 <> 0
+GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "llm_dedup_spans": _ORACLE_DEDUP_SPANS,
+        "maef_ivm_distinct": _ORACLE_IVM_DISTINCT,
         "llm_span_roi": _ORACLE_SPAN_ROI,
         "llm_dedup_span_scrub": _ORACLE_DEDUP_SPAN_SCRUB,
         "llm_ann_lsh_recall": _ORACLE_ANN_LSH_RECALL,

@@ -228,3 +228,41 @@ def test_scrub_spans_fully_covered_doc(spark):
         assert r["n_tokens_out"] == 0
         assert r["covered_tokens"] == r["n_tokens_in"] == 3
         assert r["scrub_md5"] == hashlib.md5(b"").hexdigest()
+
+
+# ------------------------------------------------- distinct-count IVM
+
+
+def test_distinct_view_maintenance(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import ivm
+
+    facts = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 3)], "g string, v long"
+    )
+    support = ivm.distinct_view_snapshot(facts, ["g"], "v")
+    # retract ONE of the two (a,1) facts -> v=1 still supported;
+    # retract the only (a,2) -> a loses a distinct value;
+    # insert (b,4) -> b gains one
+    delta = spark.createDataFrame(
+        [("a", 1, -1), ("a", 2, -1), ("b", 4, 1)], "g string, v long, op long"
+    )
+    maintained = ivm.apply_aggregate_delta(support, delta, ["g", "v"], {})
+    got = {
+        r["g"]: r["n_distinct"]
+        for r in ivm.distinct_view(maintained, ["g"]).collect()
+    }
+    assert got == {"a": 1, "b": 2}
+
+
+def test_distinct_view_negative_support_errors(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    from marketing_attribution_etl_framework__maef_spark.operators import ivm
+
+    facts = spark.createDataFrame([("a", 1)], "g string, v long")
+    support = ivm.distinct_view_snapshot(facts, ["g"], "v")
+    bad = spark.createDataFrame([("a", 9, -1)], "g string, v long, op long")
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, PySparkRuntimeError, Exception)):
+        ivm.apply_aggregate_delta(support, bad, ["g", "v"], {}).collect()
