@@ -7960,6 +7960,66 @@ def q_ivm_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivm.distinct_view(maintained, ["channel"])
 
 
+def q_stream_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L331: STREAMING month-to-date budget pacing — the streaming
+    twin of L202: paid spend streams in, the only state is the
+    per-(1-day event-time window, channel) spend aggregate (bounded
+    by days x channels), and the pacing arithmetic (month cumsum,
+    month total, exact integer cross-multiplied pace flag) runs
+    serving-side on the bounded daily grain.  Parity: the SAME oracle
+    text as maef_budget_pacing — the live pacing dashboard must
+    reproduce the batch operator bit for bit.  In production this is
+    the intraday spend-pacing monitor: the stream keeps the daily
+    ledger current and the serve-side windows are a bounded-table
+    re-read away."""
+    from pyspark.sql import Window
+
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "signup"))
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.col("event_type").alias("channel"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("spend_milli")
+        )
+    )
+    per = inc.run_to_memory(daily, "stream_pacing_sink").select(
+        "channel",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("event_day"),
+        "spend_milli",
+    )
+    wcum = (
+        Window.partitionBy("channel", "month")
+        .orderBy("event_day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("channel", "month")
+    d = per.withColumn("month", F.substring("event_day", 1, 7))
+    out = d.select(
+        "channel",
+        "month",
+        "event_day",
+        "spend_milli",
+        F.sum("spend_milli").over(wcum).cast("long").alias("cum_milli"),
+        F.sum("spend_milli").over(wtot).cast("long").alias("month_milli"),
+        F.dayofmonth(F.to_date("event_day")).cast("long").alias("day_of_month"),
+        F.dayofmonth(F.last_day(F.to_date("event_day"))).cast("long").alias("days_in_month"),
+    )
+    return out.withColumn(
+        "pace_flag",
+        F.signum(
+            F.col("cum_milli") * F.col("days_in_month")
+            - F.col("month_milli") * F.col("day_of_month")
+        ).cast("long"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
     # 50 registry entries per round.  r11 rotation (VERDICT r10 next-steps
@@ -8039,6 +8099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dedup_span_scrub": q_dedup_span_scrub,
         "llm_span_roi": q_span_roi,
         "maef_ivm_distinct": q_ivm_distinct,
+        "maef_stream_pacing": q_stream_pacing,
         # --- remaining registry (unchanged relative order) ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,

@@ -9044,6 +9044,8 @@ def oracle_sql() -> dict[str, str]:
         "maef_mann_kendall": _ORACLE_MANN_KENDALL,
         "maef_leadlag_response": _ORACLE_LEADLAG,
         "maef_budget_pacing": _ORACLE_BUDGET_PACING,
+        # streaming twin gated by the batch L202 oracle text verbatim
+        "maef_stream_pacing": _ORACLE_BUDGET_PACING,
         "llm_word_simpson": _ORACLE_WORD_SIMPSON,
         "llm_mmr_diverse": _ORACLE_MMR_DIVERSE,
         "maef_theil_sen": _ORACLE_THEIL_SEN,
