@@ -8020,6 +8020,40 @@ def q_stream_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _repeat_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a KNOWN within-doc repeat planted: every
+    doc_id%13==4 doc with >= 10 words gets its LAST 10 words appended
+    again — a period-10 tail whose fully-interior 8-grams each occur
+    twice, so the L332 screen must find exactly the two copies as
+    spans [n-9, n] and [n+1, n+10] (the straddling shingles are
+    period-breaking and occur once).  Mirrored verbatim in the
+    oracle's ``rdocs`` CTE."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    w = txt.words(txt.normalize_text(F.col("text")))
+    n = F.size(w)
+    tail = F.concat_ws(" ", F.slice(w, n - 9, F.lit(10)))
+    keep = (F.col("doc_id") % 13 == 4) & (n >= 10)
+    return d.select(
+        "doc_id",
+        F.when(keep, F.concat_ws(" ", F.concat_ws(" ", w), tail))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_repeat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L332: within-doc repeated-span screen (llm/dedup.py
+    repeated_spans) — long-period internal repeats rolled up to the
+    per-doc flag grain (doc_id, n_spans, rep_tokens, max_span) over
+    the planted corpus (every doc_id%13==4 doc carries a period-10
+    tail, so the screen has exact positional ground truth in every
+    band of the corpus).  Doc-local by construction: the only shuffle
+    keys on (doc, sh) then doc — no cross-doc state at any scale."""
+    return dd.span_coverage(
+        dd.repeated_spans(_repeat_docs(spark, sf_dir), k=8, min_repeats=2)
+    ).withColumnRenamed("dup_tokens", "rep_tokens")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
     # 50 registry entries per round.  r11 rotation (VERDICT r10 next-steps
@@ -8100,6 +8134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_span_roi": q_span_roi,
         "maef_ivm_distinct": q_ivm_distinct,
         "maef_stream_pacing": q_stream_pacing,
+        "llm_repeat_spans": q_repeat_spans,
         # --- remaining registry (unchanged relative order) ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,

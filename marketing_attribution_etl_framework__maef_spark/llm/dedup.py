@@ -1809,3 +1809,45 @@ def scrub_spans(
             F.concat_ws(" ", F.transform(kept_sorted, lambda s: s["w"]))
         ).alias("scrub_md5"),
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_repeats: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WITHIN-document repeated-span screen — the self-repetition
+    complement of ``duplicated_spans``: maximal token spans whose every
+    word ``k``-gram occurs >= ``min_repeats`` times in the SAME
+    document (the long-internal-loop shape degenerate generation and
+    scraped pagination both produce; bigram repetition_stats catches
+    dense local stutter, this catches long-period repeats).  Same
+    positional-shingle + islands machinery; the repeat test is one
+    frameless COUNT over (partition by doc, sh) — doc-local, so at
+    scale the shuffle keys on (doc, sh) and no cross-doc state exists
+    at all.  Output: (doc_id, span_start, span_end, span_tokens)."""
+    norm = normalize_text(F.col(text_col))
+    sh = word_shingles(words(norm), k)
+    inst = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.transform(sh, shingle_hash)).alias("_p0", "sh"),
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "sh")
+    w_ds = Window.partitionBy("doc_id", "sh")
+    dup = (
+        inst.withColumn("_m", F.count(F.lit(1)).over(w_ds))
+        .filter(F.col("_m") >= F.lit(int(min_repeats)))
+        .select("doc_id", "pos")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn("_g", F.col("pos") - F.row_number().over(w_doc))
+    return (
+        isl.groupBy("doc_id", "_g")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            (F.max("pos") - F.min("pos") + F.lit(k)).cast("long").alias("span_tokens"),
+        )
+        .drop("_g")
+    )

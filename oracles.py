@@ -8874,9 +8874,63 @@ GROUP BY 1
 """
 
 
+# L332 within-doc repeated spans over the period-10-tail plant: the
+# repeat test is a doc-local COUNT over (doc, sh); islands as in L323.
+_ORACLE_REPEAT_SPANS = f"""
+WITH rdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 4 AND len(ws) >= 10 THEN
+           concat_ws(' ', array_to_string(ws, ' '),
+                          array_to_string(ws[len(ws)-9:len(ws)], ' '))
+         ELSE text END AS text
+  FROM (SELECT doc_id, text,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+        FROM documents)
+),
+rsh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(ws) - 6, 2)),
+                        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+                                            ws[i+4], ws[i+5], ws[i+6], ws[i+7])) AS shingles
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+        FROM rdocs)
+),
+rinst AS (
+  SELECT doc_id, pos, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS sh
+  FROM (SELECT doc_id, unnest(shingles) AS s,
+               generate_subscripts(shingles, 1) AS pos
+        FROM rsh)
+),
+rdup AS (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY doc_id, sh) AS m FROM rinst)
+  WHERE m >= 2
+),
+risl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM rdup
+),
+rspans AS (
+  SELECT doc_id,
+         CAST(MIN(pos) AS BIGINT) AS span_start,
+         CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+         CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_tokens
+  FROM risl GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(span_tokens) AS BIGINT) AS rep_tokens,
+       CAST(MAX(span_tokens) AS BIGINT) AS max_span
+FROM rspans GROUP BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "llm_dedup_spans": _ORACLE_DEDUP_SPANS,
+        "llm_repeat_spans": _ORACLE_REPEAT_SPANS,
         "maef_ivm_distinct": _ORACLE_IVM_DISTINCT,
         "llm_span_roi": _ORACLE_SPAN_ROI,
         "llm_dedup_span_scrub": _ORACLE_DEDUP_SPAN_SCRUB,

@@ -266,3 +266,22 @@ def test_distinct_view_negative_support_errors(spark):
     bad = spark.createDataFrame([("a", 9, -1)], "g string, v long, op long")
     with pytest.raises((Py4JJavaError, SparkRuntimeException, PySparkRuntimeError, Exception)):
         ivm.apply_aggregate_delta(support, bad, ["g", "v"], {}).collect()
+
+
+# ------------------------------------------------- within-doc repeats
+
+
+def test_repeated_spans_period_tail(spark):
+    # doc 1: 12 unique tokens + its last 10 repeated -> two 10-token
+    # spans (the straddling shingles break the period and occur once)
+    base = [f"t{i}" for i in range(1, 13)]
+    text = " ".join(base + base[-10:])
+    docs = spark.createDataFrame(
+        [(1, text), (2, " ".join(f"u{i}" for i in range(1, 15)))],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dd.repeated_spans(docs, k=8, min_repeats=2).collect()
+    )
+    assert spans == [(3, 12, 10), (13, 22, 10)]
