@@ -201,3 +201,65 @@ def test_ivm_join_delta_is_three_key_joins_no_rescan(spark, sf_dir):
     assert all("custkey" in ln for ln in join_lines), plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_duplicated_spans_single_lineage_no_join(spark, sf_dir):
+    """r11 L323: the span extractor's cross-doc test is a frameless
+    window, NOT a df-table self-join — the exploded instance grain
+    must be scanned once (a join-back would shuffle it twice)."""
+    from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd
+
+    df = dd.duplicated_spans(entrymod._span_docs(spark, sf_dir), k=8, min_docs=2)
+    plan = _plan_text(df)
+    assert "Join" not in plan, plan
+
+
+def test_repeated_spans_doc_local_no_join(spark, sf_dir):
+    """r11 L332: the within-doc repeat screen is doc-local — no join
+    anywhere; the only shuffles key on (doc, sh) and doc."""
+    from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd
+
+    df = dd.repeated_spans(entrymod._repeat_docs(spark, sf_dir), k=8, min_repeats=2)
+    plan = _plan_text(df)
+    assert "Join" not in plan, plan
+
+
+def test_scrub_spans_joins_are_broadcast(spark, sf_dir):
+    """r11 L328: the scrub touches the token grain only through
+    BROADCAST joins against the foreground-sized span store (the
+    left-semi doc filter and the multiplicity-1 range join) — a
+    shuffled join here would re-shuffle the token explode at corpus
+    scale."""
+    import re
+
+    from marketing_attribution_etl_framework__maef_spark.llm import dedup as dd
+
+    spans = dd.duplicated_spans(entrymod._span_docs(spark, sf_dir), k=8, min_docs=2)
+    df = dd.scrub_spans(entrymod._span_docs(spark, sf_dir), spans)
+    plan = _plan_text(df)
+    joins = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"(SortMergeJoin|ShuffledHashJoin|CartesianProduct)", ln)
+    ]
+    assert not joins, plan
+    assert "Broadcast" in plan, plan
+
+
+def test_ivm_distinct_maintenance_is_one_merge_join(spark, sf_dir):
+    """r11 L330: distinct-view maintenance must be ONE outer-merge
+    equi-join of (delta support aggregate) against the support
+    snapshot on the full (channel, user) key — never a nested-loop
+    and never a second pass over the facts."""
+    import re
+
+    df = entrymod.queries()["maef_ivm_distinct"](spark, sf_dir)
+    plan = _plan_text(df)
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", ln)
+    ]
+    assert len(join_lines) == 1, plan
+    assert "FullOuter" in join_lines[0], join_lines
+    assert "CartesianProduct" not in plan, plan
