@@ -8054,6 +8054,51 @@ def q_repeat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("dup_tokens", "rep_tokens")
 
 
+def q_stream_repeat_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L333: STREAMING within-doc repeat gate — the L332 screen run at
+    ingest.  Because the repeat test is DOC-LOCAL (unlike the
+    cross-doc span family, which needs corpus state and stays with
+    the staged store), it streams legitimately with NO keyed
+    streaming state: each micro-batch flags its own documents (the
+    period-10 plants included) via a per-doc shingle-multiplicity
+    aggregate whose (doc, sh) shuffle lives entirely inside the
+    batch, reduced to per-source counter parts via foreachBatch
+    (batch_id-keyed overwrite — idempotent under at-least-once
+    replay); the live gate re-aggregates under SUM/SUM/SUM.  Gated by
+    a batch recompute of the identical expressions
+    (streaming/incremental.py IncrementalRepeatGate)."""
+    import shutil
+
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".stream_tmp",
+        "repeat_gate_"
+        + spark.sparkContext.applicationId
+        + "_"
+        + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    drv = inc.IncrementalRepeatGate(spark, root)
+    raw = inc.stream_documents(spark, f"{sf_dir}/documents.parquet")
+    w = txt.words(txt.normalize_text(F.col("text")))
+    n = F.size(w)
+    tail = F.concat_ws(" ", F.slice(w, n - 9, F.lit(10)))
+    keep = (F.col("doc_id") % 13 == 4) & (n >= 10)
+    docs = raw.select(
+        "doc_id",
+        "source",
+        F.when(keep, F.concat_ws(" ", F.concat_ws(" ", w), tail))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    drv.start(docs).awaitTermination()
+    return drv.gate().select(
+        "source", "n_docs", "n_flagged", "rep_instances"
+    ).localCheckpoint()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
     # 50 registry entries per round.  r11 rotation (VERDICT r10 next-steps
@@ -8135,6 +8180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_ivm_distinct": q_ivm_distinct,
         "maef_stream_pacing": q_stream_pacing,
         "llm_repeat_spans": q_repeat_spans,
+        "llm_stream_repeat_gate": q_stream_repeat_gate,
         # --- remaining registry (unchanged relative order) ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,

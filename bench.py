@@ -199,6 +199,7 @@ CHECKPOINT_HEAVY = {
     "llm_span_roi",
     "llm_stream_export_ledger",
     "maef_stream_pacing",
+    "llm_stream_repeat_gate",
     # (llm_ngram_novelty, llm_train_val_split, maef_cac_payback exited
     # r10: stateless plans, victim-profile admissions — covered by the
     # slow-tail re-measure)

@@ -902,3 +902,90 @@ class IncrementalExportLedger:
                 F.sum("n_tokens").cast("long").alias("n_tokens"),
             )
         )
+
+
+class IncrementalRepeatGate:
+    """Streaming within-doc repeat gate (the L332 screen at ingest) —
+    the one span-family member that streams legitimately: the repeat
+    test is DOC-LOCAL, so each micro-batch flags its own documents
+    with a per-doc shingle-multiplicity aggregate (no keyed streaming
+    state, no watermark — the (doc, sh) shuffle lives entirely inside
+    the batch) and reduces to per-source counter parts; the live gate
+    re-aggregates under SUM/SUM/SUM — associative + commutative, so
+    the counters are independent of micro-batch slicing.  Parts are
+    batch_id-keyed overwrites (idempotent under at-least-once
+    replay).  The cross-doc span family, by contrast, needs corpus
+    state and stays with the staged store — this class documents the
+    boundary by construction."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        from marketing_attribution_etl_framework__maef_spark.llm.dedup import shingle_hash
+        from marketing_attribution_etl_framework__maef_spark.llm.text import (
+            normalize_text,
+            word_shingles,
+            words,
+        )
+
+        self.spark = spark
+        self.root = root
+        self._shingle_hash = shingle_hash
+        self._word_shingles = word_shingles
+        self._normalize_text = normalize_text
+        self._words = words
+        os.makedirs(root, exist_ok=True)
+
+    def _parts(self) -> str:
+        return os.path.join(self.root, "repeat_parts")
+
+    def _gate(self, docs: DataFrame, k: int = 8) -> DataFrame:
+        """Per-source (n_docs, n_flagged, rep_instances) over one
+        batch of documents — the batch-recompute twin reads this too,
+        so streaming and batch share one expression set."""
+        sh = self._word_shingles(
+            self._words(self._normalize_text(F.col("text"))), k
+        )
+        inst = docs.select(
+            "doc_id", "source", F.explode(F.transform(sh, self._shingle_hash)).alias("sh")
+        )
+        per_doc = (
+            inst.groupBy("doc_id", "source", "sh")
+            .agg(F.count(F.lit(1)).cast("long").alias("_m"))
+            .groupBy("doc_id", "source")
+            .agg(
+                F.sum(F.when(F.col("_m") >= 2, F.col("_m")).otherwise(0))
+                .cast("long")
+                .alias("_rep_inst")
+            )
+        )
+        return per_doc.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("_rep_inst") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+            F.sum("_rep_inst").cast("long").alias("rep_instances"),
+        )
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._gate(batch_df).write.mode("overwrite").parquet(
+            os.path.join(self._parts(), f"batch_id={int(batch_id)}")
+        )
+
+    def start(self, docs: DataFrame, checkpoint: str | None = None):
+        writer = (
+            docs.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint or os.path.join(self.root, "_ckpt"))
+            .trigger(availableNow=True)
+        )
+        return writer.start()
+
+    def gate(self) -> DataFrame:
+        """The live gate counters: one row per source."""
+        return (
+            self.spark.read.parquet(self._parts())
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("n_flagged").cast("long").alias("n_flagged"),
+                F.sum("rep_instances").cast("long").alias("rep_instances"),
+            )
+        )

@@ -8927,10 +8927,53 @@ FROM rspans GROUP BY doc_id
 """
 
 
+# L333 streaming within-doc repeat gate: batch recompute of the
+# doc-local multiplicity screen over the period-10-tail plant, per
+# source with flagged-doc and repeated-instance counters.
+_ORACLE_STREAM_REPEAT_GATE = f"""
+WITH rdocs AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 13 = 4 AND len(ws) >= 10 THEN
+           concat_ws(' ', array_to_string(ws, ' '),
+                          array_to_string(ws[len(ws)-9:len(ws)], ' '))
+         ELSE text END AS text
+  FROM (SELECT doc_id, source, text,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+        FROM documents)
+),
+rsh AS (
+  SELECT doc_id, source,
+         list_transform(range(1, greatest(len(ws) - 6, 2)),
+                        i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+                                            ws[i+4], ws[i+5], ws[i+6], ws[i+7])) AS shingles
+  FROM (SELECT doc_id, source,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+        FROM rdocs)
+),
+rinst AS (
+  SELECT doc_id, source, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS sh,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM (SELECT doc_id, source, unnest(shingles) AS s FROM rsh)
+  GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST(SUM(CASE WHEN m >= 2 THEN m ELSE 0 END) AS BIGINT) AS rep_inst
+  FROM rinst GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rep_inst > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(rep_inst) AS BIGINT) AS rep_instances
+FROM per_doc GROUP BY source
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "llm_dedup_spans": _ORACLE_DEDUP_SPANS,
         "llm_repeat_spans": _ORACLE_REPEAT_SPANS,
+        "llm_stream_repeat_gate": _ORACLE_STREAM_REPEAT_GATE,
         "maef_ivm_distinct": _ORACLE_IVM_DISTINCT,
         "llm_span_roi": _ORACLE_SPAN_ROI,
         "llm_dedup_span_scrub": _ORACLE_DEDUP_SPAN_SCRUB,

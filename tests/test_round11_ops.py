@@ -285,3 +285,29 @@ def test_repeated_spans_period_tail(spark):
         for r in dd.repeated_spans(docs, k=8, min_repeats=2).collect()
     )
     assert spans == [(3, 12, 10), (13, 22, 10)]
+
+
+# ------------------------------------------------- streaming repeat gate
+
+
+def test_repeat_gate_matches_batch_across_slicing(spark, tmp_path):
+    base = [f"t{i}" for i in range(1, 13)]
+    rows = [
+        (1, " ".join(base + base[-10:]), "a"),   # flagged: period-10 tail
+        (2, " ".join(f"u{i}" for i in range(1, 15)), "a"),
+        (3, " ".join(f"v{i}" for i in range(1, 15)), "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string").select(
+        "doc_id", "text", F.lit("en").alias("lang"), "source",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    src = str(tmp_path / "docs")
+    docs.repartition(2).write.parquet(src)
+    root = str(tmp_path / "gate")
+    drv = inc.IncrementalRepeatGate(spark, root)
+    drv.start(inc.stream_documents(spark, src)).awaitTermination()
+    got = {r["source"]: (r["n_docs"], r["n_flagged"], r["rep_instances"]) for r in drv.gate().collect()}
+    batch = {r["source"]: (r["n_docs"], r["n_flagged"], r["rep_instances"]) for r in drv._gate(docs).collect()}
+    assert got == batch
+    assert got["a"] == (2, 1, 6)  # 3 interior 8-grams x 2 occurrences
+    assert got["b"] == (1, 0, 0)
