@@ -8099,6 +8099,42 @@ def q_stream_repeat_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def q_stream_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L334: STREAMING benchmark-contamination gate — the L316 audit
+    run at ingest, completing the safety-gate streaming matrix next
+    to the PII twin (L312/L320): training documents stream in, the
+    eval set is STATIC (the benchmark is fixed while data flows), so
+    each micro-batch is a stream-static broadcast join of its own
+    5-shingles against the pinned eval shingle index — no keyed
+    streaming state at all; per-source counters land as
+    batch_id-keyed idempotent foreachBatch parts and the live gate
+    re-aggregates under SUM/SUM/SUM (slicing-independent), deriving
+    the q20 rate on the summed counters.  Parity: the SAME oracle
+    text as llm_contamination_rate — the live contamination dashboard
+    must reproduce the batch audit bit for bit
+    (streaming/incremental.py IncrementalContaminationGate)."""
+    import shutil
+
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".stream_tmp",
+        "contamination_gate_"
+        + spark.sparkContext.applicationId
+        + "_"
+        + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    ev = domain.load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    drv = inc.IncrementalContaminationGate(spark, root, ev)
+    raw = inc.stream_documents(spark, f"{sf_dir}/documents.parquet")
+    drv.start(raw.filter(F.col("doc_id") % 10 != 0)).awaitTermination()
+    return drv.gate().localCheckpoint()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
     # 50 registry entries per round.  r11 rotation (VERDICT r10 next-steps
@@ -8181,6 +8217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_stream_pacing": q_stream_pacing,
         "llm_repeat_spans": q_repeat_spans,
         "llm_stream_repeat_gate": q_stream_repeat_gate,
+        "llm_stream_contamination_gate": q_stream_contamination_gate,
         # --- remaining registry (unchanged relative order) ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,

@@ -989,3 +989,97 @@ class IncrementalRepeatGate:
                 F.sum("rep_instances").cast("long").alias("rep_instances"),
             )
         )
+
+
+class IncrementalContaminationGate:
+    """Streaming benchmark-contamination gate — the L316 audit run at
+    ingest.  The contamination test is a join of each arriving train
+    document's word 5-shingles against a STATIC eval-set shingle
+    index (the benchmark is fixed while training data streams), so
+    every micro-batch is a stream-static broadcast join with no keyed
+    streaming state: per-doc shared-shingle counts reduce to
+    per-source counter parts (n_train, n_contaminated,
+    shared_shingles), written as batch_id-keyed overwrites (idempotent
+    under at-least-once replay).  The live gate re-aggregates under
+    SUM/SUM/SUM — associative + commutative, so the counters are
+    independent of micro-batch slicing — and derives the q20 rate on
+    the aggregated sums, the identical algebra the batch L316 query
+    computes inside its aggregate.  Gated by the SAME oracle text as
+    ``llm_contamination_rate``.
+
+    100-TB shape: the eval side is benchmark-sized (broadcast once,
+    localCheckpoint'd at construction so the stream never re-derives
+    it), and each micro-batch's cost is its own shingle explode — the
+    pass over a streaming training corpus stays shuffle-free."""
+
+    def __init__(self, spark: SparkSession, root: str, eval_docs: DataFrame):
+        from marketing_attribution_etl_framework__maef_spark.llm import curation as cur
+
+        self.spark = spark
+        self.root = root
+        self._decontaminate = cur.decontaminate
+        # benchmark-sized: pin it once so every micro-batch reuses the
+        # same eval rows without replaying their lineage
+        self.eval_docs = eval_docs.localCheckpoint(eager=True)
+        os.makedirs(root, exist_ok=True)
+
+    def _parts(self) -> str:
+        return os.path.join(self.root, "contamination_parts")
+
+    def _gate(self, train_docs: DataFrame) -> DataFrame:
+        """Per-source (n_train, n_contaminated, shared_shingles) over
+        one batch of train documents — the batch-recompute twin reads
+        this too, so streaming and batch share one expression set."""
+        hits = self._decontaminate(train_docs, self.eval_docs)
+        return (
+            train_docs.select("doc_id", "source")
+            .join(hits, "doc_id", "left")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_train"),
+                F.sum(
+                    F.when(F.col("n_shared_shingles").isNotNull(), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_contaminated"),
+                F.sum(F.coalesce(F.col("n_shared_shingles"), F.lit(0)))
+                .cast("long")
+                .alias("shared_shingles"),
+            )
+        )
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._gate(batch_df).write.mode("overwrite").parquet(
+            os.path.join(self._parts(), f"batch_id={int(batch_id)}")
+        )
+
+    def start(self, train_docs: DataFrame, checkpoint: str | None = None):
+        writer = (
+            train_docs.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint or os.path.join(self.root, "_ckpt"))
+            .trigger(availableNow=True)
+        )
+        return writer.start()
+
+    def gate(self) -> DataFrame:
+        """The live gate counters: one row per source, with the q20
+        contamination rate derived on the aggregated sums (identical
+        algebra to the batch aggregate — (2*c*2^20 + n) div (2*n))."""
+        agg = (
+            self.spark.read.parquet(self._parts())
+            .groupBy("source")
+            .agg(
+                F.sum("n_train").cast("long").alias("n_train"),
+                F.sum("n_contaminated").cast("long").alias("n_contaminated"),
+                F.sum("shared_shingles").cast("long").alias("shared_shingles"),
+            )
+        )
+        return agg.select(
+            "source",
+            "n_train",
+            "n_contaminated",
+            "shared_shingles",
+            F.expr("(2 * n_contaminated * 1048576 + n_train) div (2 * n_train)")
+            .cast("long")
+            .alias("contamination_q20"),
+        )

@@ -8971,6 +8971,8 @@ FROM per_doc GROUP BY source
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # streaming twin gated by the batch L316 oracle text verbatim
+        "llm_stream_contamination_gate": _ORACLE_CONTAMINATION_RATE,
         "llm_dedup_spans": _ORACLE_DEDUP_SPANS,
         "llm_repeat_spans": _ORACLE_REPEAT_SPANS,
         "llm_stream_repeat_gate": _ORACLE_STREAM_REPEAT_GATE,

@@ -311,3 +311,47 @@ def test_repeat_gate_matches_batch_across_slicing(spark, tmp_path):
     assert got == batch
     assert got["a"] == (2, 1, 6)  # 3 interior 8-grams x 2 occurrences
     assert got["b"] == (1, 0, 0)
+
+
+def test_contamination_gate_matches_batch_across_slicing(spark, tmp_path):
+    # eval doc shares the 5-gram e1..e5 with train doc 1 (source a)
+    # twice-shingled? no: one distinct shared shingle; doc 2 clean.
+    rows = [
+        (1, "e1 e2 e3 e4 e5 x1 x2 x3 x4", "a"),
+        (2, "y1 y2 y3 y4 y5 y6 y7", "a"),
+        (3, "z1 z2 z3 z4 z5 z6 z7", "b"),
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string, source string").select(
+        "doc_id", "text", F.lit("en").alias("lang"), "source",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    ev = spark.createDataFrame(
+        [(100, "q1 e1 e2 e3 e4 e5 q2", "bench")],
+        "doc_id long, text string, source string",
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"), "source",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    src = str(tmp_path / "docs")
+    train.repartition(2).write.parquet(src)
+    from marketing_attribution_etl_framework__maef_spark.streaming import incremental as inc
+
+    drv = inc.IncrementalContaminationGate(spark, str(tmp_path / "gate"), ev)
+    drv.start(inc.stream_documents(spark, src)).awaitTermination()
+    got = {
+        r["source"]: (
+            r["n_train"], r["n_contaminated"], r["shared_shingles"], r["contamination_q20"]
+        )
+        for r in drv.gate().collect()
+    }
+    # streamed counters == batch recompute of the same expressions
+    batch = {
+        r["source"]: (r["n_train"], r["n_contaminated"], r["shared_shingles"])
+        for r in drv._gate(train).collect()
+    }
+    assert {s: v[:3] for s, v in got.items()} == batch
+    # doc 1 shares exactly the two 5-shingles covering e1..e5 with the
+    # eval doc?  e1..e5 is one 5-gram in train doc 1 (positions 1-5)
+    # and appears in eval at positions 2-6 -> 1 distinct shared shingle
+    assert got["a"] == (2, 1, 1, (2 * 1 * 1048576 + 2) // (2 * 2))
+    assert got["b"] == (1, 0, 0, 0)
