@@ -8135,6 +8135,24 @@ def q_stream_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drv.gate().localCheckpoint()
 
 
+def q_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L335: quality-gate ABLATION — per-rule marginal rejection audit
+    over the L6b fused gate: for each of the four gate rules
+    (low_quality, repetitive, lang, pii), how many docs fail it at
+    all (n_failing), how many are rejected by it ALONE (n_sole — the
+    docs a one-rule relaxation would recover), and the word mass of
+    those sole rejections (words_sole).  This is the attribution idea
+    turned on the curation gate itself: total rejection is easy to
+    read off, but threshold tuning needs the MARGINAL column — a rule
+    with large n_failing and zero n_sole is redundant with the rest
+    of the gate and can be dropped without changing the corpus.
+    Scale: the same one fused scan as the gate (flags are chained
+    projections inside whole-stage codegen), a 4-way stack to the
+    rule grain, one exchange on a 4-key aggregate
+    (llm/text.py gate_ablation)."""
+    return txt.gate_ablation(_pii_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
     # 50 registry entries per round.  r11 rotation (VERDICT r10 next-steps
@@ -8218,6 +8236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_repeat_spans": q_repeat_spans,
         "llm_stream_repeat_gate": q_stream_repeat_gate,
         "llm_stream_contamination_gate": q_stream_contamination_gate,
+        "llm_gate_ablation": q_gate_ablation,
         # --- remaining registry (unchanged relative order) ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,

@@ -1196,3 +1196,54 @@ def sentence_stats(
             "max_len",
         )
     )
+
+
+def gate_ablation(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality-gate ABLATION: the marginal rejection audit over the
+    fused gate (doc_profile's four rules).  Per rule: (n_failing,
+    n_sole, words_sole) where n_sole counts docs rejected by that rule
+    ALONE — the docs a one-rule relaxation would recover.  A rule with
+    large n_failing but zero n_sole is redundant with the rest of the
+    gate; the sole column is what threshold tuning actually needs.
+
+    100-TB shape: identical cost to the gate itself — the flags are
+    chained projections inside the one fused scan (whole-stage
+    codegen), then a 4-way ``stack`` to the rule grain and one
+    exchange on a 4-key aggregate."""
+    f = doc_profile(docs, text_col, id_col)
+    fq = (~F.col("is_quality")).cast("int")
+    fr = F.col("is_repetitive").cast("int")
+    fl = (F.col("lang_guess") != "en").cast("int")
+    fp = ((F.col("n_emails") + F.col("n_long_numbers")) > 0).cast("int")
+    base = f.select(
+        F.col(id_col),
+        "n_words",
+        fq.alias("_fq"),
+        fr.alias("_fr"),
+        fl.alias("_fl"),
+        fp.alias("_fp"),
+        (fq + fr + fl + fp).alias("_nfail"),
+    )
+    long = base.select(
+        "n_words",
+        "_nfail",
+        F.expr(
+            "stack(4, 'low_quality', _fq, 'repetitive', _fr, 'lang', _fl, 'pii', _fp)"
+            " as (rule, flag)"
+        ),
+    )
+    return long.groupBy("rule").agg(
+        F.sum("flag").cast("long").alias("n_failing"),
+        F.sum(F.when((F.col("flag") == 1) & (F.col("_nfail") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sole"),
+        F.sum(
+            F.when((F.col("flag") == 1) & (F.col("_nfail") == 1), F.col("n_words")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("words_sole"),
+    )

@@ -1451,6 +1451,55 @@ WITH g AS ({_ORACLE_QUALITY_GATE})
 SELECT reasons, CAST(COUNT(*) AS BIGINT) AS n_docs FROM g GROUP BY 1
 """
 
+# L335 gate ablation: flags re-derived FROM the gate's own reasons
+# string (textual parity with the L6b verdicts by construction) plus
+# the per-doc word count on the same PII-augmented text; 4 rule rows
+# via UNION ALL of the marginal aggregates
+_ORACLE_GATE_ABLATION = f"""
+WITH g AS ({_ORACLE_QUALITY_GATE}),
+wds AS (
+  SELECT doc_id,
+         CAST(len(string_split(regexp_replace(lower(trim(
+           CASE WHEN doc_id % 7 = 0 THEN text || '{PII_SUFFIX}' ELSE text END
+         )), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_words
+  FROM documents
+),
+fl AS (
+  SELECT g.doc_id,
+         list_contains(string_split(g.reasons, ','), 'low_quality') AS f_q,
+         list_contains(string_split(g.reasons, ','), 'repetitive') AS f_r,
+         list_contains(string_split(g.reasons, ','), 'lang') AS f_l,
+         list_contains(string_split(g.reasons, ','), 'pii') AS f_p,
+         CASE WHEN g.reasons = '' THEN 0
+              ELSE len(string_split(g.reasons, ',')) END AS nfail,
+         w.n_words
+  FROM g JOIN wds w USING (doc_id)
+)
+SELECT 'low_quality' AS rule,
+       CAST(SUM(CASE WHEN f_q THEN 1 ELSE 0 END) AS BIGINT) AS n_failing,
+       CAST(SUM(CASE WHEN f_q AND nfail = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sole,
+       CAST(SUM(CASE WHEN f_q AND nfail = 1 THEN n_words ELSE 0 END) AS BIGINT) AS words_sole
+FROM fl
+UNION ALL
+SELECT 'repetitive',
+       CAST(SUM(CASE WHEN f_r THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN f_r AND nfail = 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN f_r AND nfail = 1 THEN n_words ELSE 0 END) AS BIGINT)
+FROM fl
+UNION ALL
+SELECT 'lang',
+       CAST(SUM(CASE WHEN f_l THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN f_l AND nfail = 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN f_l AND nfail = 1 THEN n_words ELSE 0 END) AS BIGINT)
+FROM fl
+UNION ALL
+SELECT 'pii',
+       CAST(SUM(CASE WHEN f_p THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN f_p AND nfail = 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN f_p AND nfail = 1 THEN n_words ELSE 0 END) AS BIGINT)
+FROM fl
+"""
+
 _ORACLE_SAMPLE = f"""
 SELECT doc_id, lang
 FROM documents
@@ -8973,6 +9022,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # streaming twin gated by the batch L316 oracle text verbatim
         "llm_stream_contamination_gate": _ORACLE_CONTAMINATION_RATE,
+        "llm_gate_ablation": _ORACLE_GATE_ABLATION,
         "llm_dedup_spans": _ORACLE_DEDUP_SPANS,
         "llm_repeat_spans": _ORACLE_REPEAT_SPANS,
         "llm_stream_repeat_gate": _ORACLE_STREAM_REPEAT_GATE,

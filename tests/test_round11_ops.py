@@ -355,3 +355,33 @@ def test_contamination_gate_matches_batch_across_slicing(spark, tmp_path):
     # and appears in eval at positions 2-6 -> 1 distinct shared shingle
     assert got["a"] == (2, 1, 1, (2 * 1 * 1048576 + 2) // (2 * 2))
     assert got["b"] == (1, 0, 0, 0)
+
+
+def test_gate_ablation_marginal_counts(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import text as txt
+
+    rows = [
+        # passes all four rules
+        (1, "the cat and dog run to market in town today"),
+        # sole pii (email)
+        (2, "the big and small dog is happy contact bob@example.com now"),
+        # sole lang (German stopwords, quality ok)
+        (3, "der hund und die katze ist nicht mit haus baum"),
+        # sole low_quality (<5 words, still English)
+        (4, "the and is"),
+        # sole repetitive (duplicate bigrams, distinct ratio ok, en)
+        (5, "the of a the of a the of a and is but"),
+        # lang + low_quality together -> counts in n_failing, never sole
+        (6, "der und"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["rule"]: (r["n_failing"], r["n_sole"], r["words_sole"])
+        for r in txt.gate_ablation(docs).collect()
+    }
+    assert got == {
+        "low_quality": (2, 1, 3),
+        "repetitive": (1, 1, 12),
+        "lang": (2, 1, 10),
+        "pii": (1, 1, 10),
+    }
