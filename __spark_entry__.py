@@ -8153,6 +8153,81 @@ def q_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.gate_ablation(_pii_docs(spark, sf_dir))
 
 
+def q_rel_zone_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L336: ZONE-MAP data-skipping audit — the quantified version of
+    the layout story L289 (z-order) tells qualitatively: simulate 32
+    files under two layouts (scattered = md5(row-key)%32, the
+    unclustered-ingest shape; date_ranged = equal-width l_shipdate
+    range buckets, the partitioned-sink shape), compute each file's
+    zone map (min/max shipdate, rows), and replay every monthly probe
+    predicate against the maps: buckets_scanned, rows_scanned and the
+    q20 skip rate per (layout, month).  This is exactly the min/max
+    row-group pruning parquet readers do — the readout shows the
+    scattered layout scans ~every file for any month while the ranged
+    layout touches ~1/32nd, the measured argument for partitioning
+    100 TB by date before anyone queries it.  Scale: one lineitem
+    scan (both bucket ids are chained projections, stacked in-scan),
+    zone maps are metadata-sized (2 layouts x 32), and the probe
+    replay is a bounded cross join (64 x ~83 months)."""
+    li = domain.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_shipdate").cast("date").alias("d")
+    )
+    bounds = li.agg(F.min("d").alias("_mn"), F.max("d").alias("_mx"))
+    keyed = li.crossJoin(F.broadcast(bounds)).select(
+        "d",
+        (
+            dd.shingle_hash(
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            )
+            % 32
+        ).alias("_bs"),
+        F.expr("(datediff(d, _mn) * 32) div (datediff(_mx, _mn) + 1)").alias("_bc"),
+    )
+    long = keyed.select(
+        "d",
+        F.expr("stack(2, 'scattered', _bs, 'date_ranged', _bc) as (layout, bucket)"),
+    )
+    zone = long.groupBy("layout", "bucket").agg(
+        F.min("d").alias("_zmn"),
+        F.max("d").alias("_zmx"),
+        F.count(F.lit(1)).cast("long").alias("_zrows"),
+    )
+    mrows = li.groupBy(F.trunc("d", "MM").alias("probe_month")).agg(
+        F.count(F.lit(1)).cast("long").alias("rows_matching")
+    )
+    survive = (F.col("_zmn") <= F.last_day(F.col("probe_month"))) & (
+        F.col("_zmx") >= F.col("probe_month")
+    )
+    pr = (
+        zone.crossJoin(F.broadcast(mrows))
+        .groupBy("layout", "probe_month", "rows_matching")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(F.when(survive, 1).otherwise(0)).cast("long").alias("buckets_scanned"),
+            F.sum(F.when(survive, F.col("_zrows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+        )
+    )
+    return pr.select(
+        "layout",
+        F.date_format("probe_month", "yyyy-MM-dd").alias("probe_month"),
+        "n_buckets",
+        "buckets_scanned",
+        "rows_scanned",
+        "rows_matching",
+        F.expr(
+            "(2 * (n_buckets - buckets_scanned) * 1048576 + n_buckets) div (2 * n_buckets)"
+        )
+        .cast("long")
+        .alias("skip_q20"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
     # 50 registry entries per round.  r11 rotation (VERDICT r10 next-steps
@@ -8237,6 +8312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_stream_repeat_gate": q_stream_repeat_gate,
         "llm_stream_contamination_gate": q_stream_contamination_gate,
         "llm_gate_ablation": q_gate_ablation,
+        "rel_zone_map_skipping": q_rel_zone_skipping,
         # --- remaining registry (unchanged relative order) ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,

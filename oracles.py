@@ -1451,6 +1451,55 @@ WITH g AS ({_ORACLE_QUALITY_GATE})
 SELECT reasons, CAST(COUNT(*) AS BIGINT) AS n_docs FROM g GROUP BY 1
 """
 
+# L336 zone-map skipping audit: 32-file min/max pruning replay under
+# the scattered (md5%32) and date-ranged (equal-width shipdate)
+# layouts, probed by every month in the data
+_ORACLE_ZONE_MAP_SKIPPING = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS d FROM lineitem
+),
+b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM li),
+keyed AS (
+  SELECT d,
+         CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+              || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) % 32 AS bs,
+         (date_diff('day', b.mn, d) * 32) // (date_diff('day', b.mn, b.mx) + 1) AS bc
+  FROM li, b
+),
+lng AS (
+  SELECT d, 'scattered' AS layout, bs AS bucket FROM keyed
+  UNION ALL
+  SELECT d, 'date_ranged', bc FROM keyed
+),
+zone AS (
+  SELECT layout, bucket, MIN(d) AS zmn, MAX(d) AS zmx,
+         CAST(COUNT(*) AS BIGINT) AS zrows
+  FROM lng GROUP BY 1, 2
+),
+mrows AS (
+  SELECT CAST(date_trunc('month', d) AS DATE) AS probe_month,
+         CAST(COUNT(*) AS BIGINT) AS rows_matching
+  FROM li GROUP BY 1
+),
+pr AS (
+  SELECT z.layout, m.probe_month, m.rows_matching,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(CASE WHEN z.zmn <= last_day(m.probe_month)
+                        AND z.zmx >= m.probe_month THEN 1 ELSE 0 END) AS BIGINT)
+           AS buckets_scanned,
+         CAST(SUM(CASE WHEN z.zmn <= last_day(m.probe_month)
+                        AND z.zmx >= m.probe_month THEN z.zrows ELSE 0 END) AS BIGINT)
+           AS rows_scanned
+  FROM zone z CROSS JOIN mrows m
+  GROUP BY 1, 2, 3
+)
+SELECT layout, strftime(probe_month, '%Y-%m-%d') AS probe_month,
+       n_buckets, buckets_scanned, rows_scanned, rows_matching,
+       CAST((2 * (n_buckets - buckets_scanned) * 1048576 + n_buckets)
+            // (2 * n_buckets) AS BIGINT) AS skip_q20
+FROM pr
+"""
+
 # L335 gate ablation: flags re-derived FROM the gate's own reasons
 # string (textual parity with the L6b verdicts by construction) plus
 # the per-doc word count on the same PII-augmented text; 4 rule rows
@@ -9023,6 +9072,7 @@ def oracle_sql() -> dict[str, str]:
         # streaming twin gated by the batch L316 oracle text verbatim
         "llm_stream_contamination_gate": _ORACLE_CONTAMINATION_RATE,
         "llm_gate_ablation": _ORACLE_GATE_ABLATION,
+        "rel_zone_map_skipping": _ORACLE_ZONE_MAP_SKIPPING,
         "llm_dedup_spans": _ORACLE_DEDUP_SPANS,
         "llm_repeat_spans": _ORACLE_REPEAT_SPANS,
         "llm_stream_repeat_gate": _ORACLE_STREAM_REPEAT_GATE,

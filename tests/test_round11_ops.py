@@ -385,3 +385,23 @@ def test_gate_ablation_marginal_counts(spark):
         "lang": (2, 1, 10),
         "pii": (1, 1, 10),
     }
+
+
+def test_zone_map_skipping_sound_and_clustering_wins(spark, sf_dir):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["rel_zone_map_skipping"](spark, sf_dir).collect()
+    assert rows
+    by_layout = {"scattered": 0, "date_ranged": 0}
+    for r in rows:
+        # pruning must be SOUND: a surviving-bucket scan covers every
+        # matching row
+        assert r["buckets_scanned"] <= r["n_buckets"]
+        assert r["rows_scanned"] >= r["rows_matching"]
+        by_layout[r["layout"]] += r["buckets_scanned"]
+    # the date-ranged layout must skip strictly more than the
+    # scattered one in aggregate — the point of the audit
+    assert by_layout["date_ranged"] < by_layout["scattered"]
