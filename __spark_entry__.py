@@ -8228,6 +8228,50 @@ def q_rel_zone_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L337: incremental TOP-K view maintenance — completes the IVM
+    family's non-distributive wing next to L330 (distinct): top-3
+    spend days per channel is not maintainable on the view grain (a
+    retraction can promote a day the 3-row view no longer holds), so
+    the FULL (channel, day) spend aggregate is kept as the support
+    table, maintained with the ordinary signed algebra
+    (operators/ivm.py aggregate_snapshot + apply_aggregate_delta),
+    and the view is served by ranking the support at read
+    (ivm.topk_view).  Same simulated history as L83/L330 (ts before
+    2024-01-20 materialized; later events as inserts, event_id%97==0
+    olds as retractions); the served view must EQUAL the final-state
+    recompute.  Cost ∝ changed (channel, day) pairs ⋈ support
+    snapshot plus one window over the support grain — never a
+    fact-history rescan."""
+    from marketing_attribution_etl_framework__maef_spark.operators import ivm
+
+    ev = domain.events(spark, sf_dir)
+    cutoff = F.lit("2024-01-20").cast("date")
+
+    def shape(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("event_type").alias("channel"),
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("_cents"),
+            "event_id",
+        )
+
+    old = shape(ev.filter(F.col("ts").cast("date") < cutoff))
+    fresh = shape(ev.filter(F.col("ts").cast("date") >= cutoff))
+    support = ivm.aggregate_snapshot(
+        old, ["channel", "day"], {"revenue_cents": F.col("_cents")}
+    )
+    delta = fresh.withColumn("op", F.lit(1)).unionByName(
+        old.filter(F.col("event_id") % 97 == 0).withColumn("op", F.lit(-1))
+    )
+    maintained = ivm.apply_aggregate_delta(
+        support, delta, ["channel", "day"], {"revenue_cents": F.col("_cents")}
+    )
+    return ivm.topk_view(maintained, ["channel"], "revenue_cents", 3).select(
+        "channel", "rnk", "day", "revenue_cents"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
     # 50 registry entries per round.  r11 rotation (VERDICT r10 next-steps
@@ -8313,6 +8357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_stream_contamination_gate": q_stream_contamination_gate,
         "llm_gate_ablation": q_gate_ablation,
         "rel_zone_map_skipping": q_rel_zone_skipping,
+        "maef_ivm_topk": q_ivm_topk,
         # --- remaining registry (unchanged relative order) ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,

@@ -186,3 +186,32 @@ def distinct_view(support: DataFrame, group_cols: list[str]) -> DataFrame:
     return support.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_distinct")
     )
+
+
+def topk_view(
+    support: DataFrame, group_cols: list[str], order_col: str, k: int
+) -> DataFrame:
+    """Serve a TOP-K view off a maintained support aggregate.  Like
+    COUNT(DISTINCT) (``distinct_view_snapshot``), top-k is NOT
+    maintainable on the view grain — a retraction can promote a row
+    that the k-row view no longer holds — but it is exactly
+    maintainable ONE GRAIN DOWN: keep the full (group, key) aggregate
+    as the support table (maintained with the ordinary signed
+    ``apply_aggregate_delta`` algebra) and rank at read.  Ties break
+    deterministically on the remaining group-key columns ascending.
+
+    100-TB: the support table is the same cardinality the top-k
+    recompute would aggregate to anyway; serving is one window over
+    the support grain, partitioned by the group key — no fact-history
+    rescan ever."""
+    key_cols = [c for c in support.columns if c not in group_cols]
+    from pyspark.sql import Window
+
+    order = [F.desc(order_col)] + [
+        F.asc(c) for c in key_cols if c != order_col and c != "n"
+    ]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        support.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -8963,6 +8963,23 @@ GROUP BY p.source
 
 # L330 distinct-count view maintenance: recompute of the FINAL fact
 # set (the L83 oracle philosophy — parity with recompute IS the gate).
+# L337 incremental top-k view: the oracle is the final-state direct
+# recompute — the maintained support + rank-at-read must equal it
+_ORACLE_IVM_TOPK = """
+WITH daily AS (
+  SELECT event_type AS channel,
+         strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM events
+  WHERE CAST(ts AS DATE) >= DATE '2024-01-20' OR event_id % 97 <> 0
+  GROUP BY 1, 2
+)
+SELECT channel, CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk, day, revenue_cents
+FROM daily
+WINDOW w AS (PARTITION BY channel ORDER BY revenue_cents DESC, day ASC)
+QUALIFY ROW_NUMBER() OVER w <= 3
+"""
+
 _ORACLE_IVM_DISTINCT = """
 SELECT event_type AS channel,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
@@ -9073,6 +9090,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_stream_contamination_gate": _ORACLE_CONTAMINATION_RATE,
         "llm_gate_ablation": _ORACLE_GATE_ABLATION,
         "rel_zone_map_skipping": _ORACLE_ZONE_MAP_SKIPPING,
+        "maef_ivm_topk": _ORACLE_IVM_TOPK,
         "llm_dedup_spans": _ORACLE_DEDUP_SPANS,
         "llm_repeat_spans": _ORACLE_REPEAT_SPANS,
         "llm_stream_repeat_gate": _ORACLE_STREAM_REPEAT_GATE,

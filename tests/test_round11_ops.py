@@ -405,3 +405,31 @@ def test_zone_map_skipping_sound_and_clustering_wins(spark, sf_dir):
     # the date-ranged layout must skip strictly more than the
     # scattered one in aggregate — the point of the audit
     assert by_layout["date_ranged"] < by_layout["scattered"]
+
+
+def test_ivm_topk_retraction_promotes_from_support(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import ivm
+
+    # history: channel x has days d1=30, d2=20, d3=10, d4=5 cents
+    facts = spark.createDataFrame(
+        [("x", "d1", 30), ("x", "d2", 20), ("x", "d3", 10), ("x", "d4", 5)],
+        "channel string, day string, _cents long",
+    )
+    support = ivm.aggregate_snapshot(
+        facts, ["channel", "day"], {"cents": F.col("_cents")}
+    )
+    # retract d1 entirely: d4 must be PROMOTED into the top-3 — the
+    # case that proves the view grain alone cannot be maintained
+    delta = spark.createDataFrame(
+        [("x", "d1", 30, -1)], "channel string, day string, _cents long, op int"
+    )
+    maintained = ivm.apply_aggregate_delta(
+        support, delta, ["channel", "day"], {"cents": F.col("_cents")}
+    )
+    got = [
+        (r["rnk"], r["day"], r["cents"])
+        for r in ivm.topk_view(maintained, ["channel"], "cents", 3)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert got == [(1, "d2", 20), (2, "d3", 10), (3, "d4", 5)]
