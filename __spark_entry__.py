@@ -8272,6 +8272,57 @@ def q_ivm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L338: matched-market GEO-HOLDOUT lift — the incrementality
+    device the experiment family (DiD L157, CUPED L222, matched
+    exposure L257, SRM L216) still lacked: treated markets
+    (n_nationkey%5==0 — the geos where the channel switch happened)
+    vs the pooled control markets, counterfactual = control pre→post
+    trend scaled by each treated market's own pre-period revenue,
+    exact half-up integer cents (operators/experiments.py
+    geo_holdout_lift).  Pre/post split at 2024-01-16 (mid-window).
+    Scale: one purchase-event scan joined to broadcast customer→
+    nation dims, aggregated straight down to the 25-market grain;
+    the lift algebra runs on that bounded grain."""
+    from marketing_attribution_etl_framework__maef_spark.operators import experiments as xp
+
+    ev = domain.events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cust = domain.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = domain.load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cutover = F.lit("2024-01-16").cast("date")
+    grain = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.col("n_nationkey") % 5 == 0).alias("is_treated"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts").cast("date") < cutover,
+                    F.round(F.col("value") * 100, 0).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("pre_cents"),
+            F.sum(
+                F.when(
+                    F.col("ts").cast("date") >= cutover,
+                    F.round(F.col("value") * 100, 0).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("post_cents"),
+        )
+    )
+    return xp.geo_holdout_lift(grain)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
     # 50 registry entries per round.  r11 rotation (VERDICT r10 next-steps
@@ -8358,6 +8409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_gate_ablation": q_gate_ablation,
         "rel_zone_map_skipping": q_rel_zone_skipping,
         "maef_ivm_topk": q_ivm_topk,
+        "maef_geo_lift": q_geo_lift,
         # --- remaining registry (unchanged relative order) ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,

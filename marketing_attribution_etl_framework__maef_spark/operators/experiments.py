@@ -579,3 +579,53 @@ def ab_quantile_effects(
         )
         .withColumn("diff_cents", (F.col("cents_b") - F.col("cents_a")).cast("long"))
     )
+
+
+def geo_holdout_lift(nation_period: DataFrame) -> DataFrame:
+    """Matched-market (geo-holdout) incrementality readout — the
+    family member DiD (``did_lift``), CUPED and ``matched_lift`` leave
+    open: each TREATED market's post-period revenue is compared to a
+    share-scaled counterfactual built from the pooled CONTROL markets,
+
+        counterfactual_t = post_ctrl * pre_t / pre_ctrl   (half-up cents)
+        lift_t           = post_t - counterfactual_t
+
+    i.e. the control pool supplies the pre→post trend and each
+    treated market supplies its own pre-period scale — the standard
+    holdout-market analysis run when a channel is switched on in some
+    geos only.  Exact integer cents end to end: the division is one
+    half-up integer cross-multiplication per treated market.
+
+    Input grain: one row per market with (nation, is_treated,
+    pre_cents, post_cents) — the caller aggregates facts down to this
+    bounded grain first, so this function only ever sees
+    |markets| rows.
+
+    100-TB shape: the heavy work is the caller's one fact-scan
+    aggregate to the market grain; here the control pool is a 1-row
+    aggregate broadcast across the treated rows."""
+    ctrl = nation_period.filter(~F.col("is_treated")).agg(
+        F.sum("pre_cents").cast("long").alias("ctrl_pre_cents"),
+        F.sum("post_cents").cast("long").alias("ctrl_post_cents"),
+    )
+    treated = nation_period.filter(F.col("is_treated"))
+    return (
+        treated.crossJoin(F.broadcast(ctrl))
+        .select(
+            "nation",
+            F.col("pre_cents").cast("long").alias("pre_cents"),
+            F.col("post_cents").cast("long").alias("post_cents"),
+            "ctrl_pre_cents",
+            "ctrl_post_cents",
+            F.expr(
+                "(2 * ctrl_post_cents * pre_cents + ctrl_pre_cents)"
+                " div (2 * ctrl_pre_cents)"
+            )
+            .cast("long")
+            .alias("counterfactual_cents"),
+        )
+        .withColumn(
+            "lift_cents",
+            (F.col("post_cents") - F.col("counterfactual_cents")).cast("long"),
+        )
+    )

@@ -8963,6 +8963,37 @@ GROUP BY p.source
 
 # L330 distinct-count view maintenance: recompute of the FINAL fact
 # set (the L83 oracle philosophy — parity with recompute IS the gate).
+# L338 geo-holdout lift: treated markets vs the pooled-control
+# share-scaled counterfactual, exact half-up integer cents
+_ORACLE_GEO_LIFT = """
+WITH grain AS (
+  SELECT n.n_name AS nation, n.n_nationkey % 5 = 0 AS is_treated,
+         CAST(SUM(CASE WHEN CAST(e.ts AS DATE) < DATE '2024-01-16'
+                       THEN CAST(ROUND(e.value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS pre_cents,
+         CAST(SUM(CASE WHEN CAST(e.ts AS DATE) >= DATE '2024-01-16'
+                       THEN CAST(ROUND(e.value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS post_cents
+  FROM events e
+  JOIN customer c ON e.user_id = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+ctrl AS (
+  SELECT CAST(SUM(pre_cents) AS BIGINT) AS ctrl_pre_cents,
+         CAST(SUM(post_cents) AS BIGINT) AS ctrl_post_cents
+  FROM grain WHERE NOT is_treated
+)
+SELECT g.nation, g.pre_cents, g.post_cents, c.ctrl_pre_cents, c.ctrl_post_cents,
+       CAST((2 * c.ctrl_post_cents * g.pre_cents + c.ctrl_pre_cents)
+            // (2 * c.ctrl_pre_cents) AS BIGINT) AS counterfactual_cents,
+       CAST(g.post_cents - (2 * c.ctrl_post_cents * g.pre_cents + c.ctrl_pre_cents)
+            // (2 * c.ctrl_pre_cents) AS BIGINT) AS lift_cents
+FROM grain g CROSS JOIN ctrl c
+WHERE g.is_treated
+"""
+
 # L337 incremental top-k view: the oracle is the final-state direct
 # recompute — the maintained support + rank-at-read must equal it
 _ORACLE_IVM_TOPK = """
@@ -9091,6 +9122,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_gate_ablation": _ORACLE_GATE_ABLATION,
         "rel_zone_map_skipping": _ORACLE_ZONE_MAP_SKIPPING,
         "maef_ivm_topk": _ORACLE_IVM_TOPK,
+        "maef_geo_lift": _ORACLE_GEO_LIFT,
         "llm_dedup_spans": _ORACLE_DEDUP_SPANS,
         "llm_repeat_spans": _ORACLE_REPEAT_SPANS,
         "llm_stream_repeat_gate": _ORACLE_STREAM_REPEAT_GATE,

@@ -433,3 +433,25 @@ def test_ivm_topk_retraction_promotes_from_support(spark):
         .collect()
     ]
     assert got == [(1, "d2", 20), (2, "d3", 10), (3, "d4", 5)]
+
+
+def test_geo_holdout_lift_share_scaled_counterfactual(spark):
+    from marketing_attribution_etl_framework__maef_spark.operators import experiments as xp
+
+    grain = spark.createDataFrame(
+        [
+            # control pool: pre 100+300, post 150+250 -> trend 400/400
+            ("c1", False, 100, 150),
+            ("c2", False, 300, 250),
+            # treated: pre 200 -> counterfactual = 400 * 200/400 = 200
+            ("t1", True, 200, 260),
+            # treated with rounding: pre 150 -> 400*150/400 = 150
+            ("t2", True, 150, 100),
+        ],
+        "nation string, is_treated boolean, pre_cents long, post_cents long",
+    )
+    got = {
+        r["nation"]: (r["counterfactual_cents"], r["lift_cents"])
+        for r in xp.geo_holdout_lift(grain).collect()
+    }
+    assert got == {"t1": (200, 60), "t2": (150, -50)}
