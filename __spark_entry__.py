@@ -8323,6 +8323,84 @@ def q_geo_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xp.geo_holdout_lift(grain)
 
 
+def q_ann_ensemble_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L339: ANN index-ENSEMBLE recall@5 — the complementarity row the
+    completed audit matrix (IVF L233/L243, PQ L322, LSH L327) sets
+    up: union the self-excluded IVF top-5 (8 id-centroids, probe=2)
+    and multiprobe sign-LSH top-5 (6 planes, t=2) candidate results,
+    re-rank the union on the shared q20 cosine, and measure
+    recall@5 of each index alone vs the ensemble against the same
+    exact truth.  The gap (sum_hits_ens vs max of the parts) is the
+    measured answer to 'do the two index families miss DIFFERENT
+    neighbors?' — the number that justifies (or kills) running both
+    at ingest.  Scale: both sides are the already-audited bucketed
+    scans; the union/rerank grain is 10 rows per query; the truth
+    side is the one 1/50-sampled broadcast brute scan every recall
+    audit pays."""
+    from pyspark.sql import Window
+
+    e = _embs(spark, sf_dir)
+    q_set = e.filter(F.col("vec_id") % 50 == 7)
+    ivfr = sim.ivf_topk(
+        e, q_set, e.filter(F.col("vec_id") < 8), k=5, probe=2, exclude_self=True
+    ).select("query_id", "vec_id", "cos_q20")
+    lshr = sim.lsh_multiprobe_topk(
+        e,
+        q_set,
+        sim.random_hyperplanes(spark, n_planes=6, dim=64),
+        k=5,
+        t=2,
+        exclude_self=True,
+    ).select("query_id", "vec_id", "cos_q20")
+    union = ivfr.unionByName(lshr).distinct()
+    we = Window.partitionBy("query_id").orderBy(F.desc("cos_q20"), F.asc("vec_id"))
+    ens = (
+        union.withColumn("_rn", F.row_number().over(we))
+        .filter(F.col("_rn") <= 5)
+        .select("query_id", "vec_id")
+    )
+    c = sim._norm_vec(e, "vec_id", "embedding", "vec_id", "_v")
+    q = sim._norm_vec(q_set, "vec_id", "embedding", "query_id", "_q")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim._pair_cos("_q", "_v").alias("_cos"))
+    )
+    wt = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    truth = (
+        scored.withColumn("_rn", F.row_number().over(wt))
+        .filter(F.col("_rn") <= 5)
+        .select("query_id", "vec_id")
+    )
+    h_ivf = truth.join(ivfr, ["query_id", "vec_id"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("sum_hits_ivf")
+    )
+    h_lsh = truth.join(lshr, ["query_id", "vec_id"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("sum_hits_lsh")
+    )
+    h_ens = truth.join(ens, ["query_id", "vec_id"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("sum_hits_ens")
+    )
+    nq = q.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    return (
+        nq.crossJoin(h_ivf)
+        .crossJoin(h_lsh)
+        .crossJoin(h_ens)
+        .select(
+            "n_queries",
+            F.lit(5).cast("long").alias("k"),
+            "sum_hits_ivf",
+            "sum_hits_lsh",
+            "sum_hits_ens",
+            F.expr(
+                "(2 * sum_hits_ens * 1048576 + 5 * n_queries) div (2 * 5 * n_queries)"
+            )
+            .cast("long")
+            .alias("recall_ens_q20"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
     # 50 registry entries per round.  r11 rotation (VERDICT r10 next-steps
@@ -8410,6 +8488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_zone_map_skipping": q_rel_zone_skipping,
         "maef_ivm_topk": q_ivm_topk,
         "maef_geo_lift": q_geo_lift,
+        "llm_ann_ensemble_recall": q_ann_ensemble_recall,
         # --- remaining registry (unchanged relative order) ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,

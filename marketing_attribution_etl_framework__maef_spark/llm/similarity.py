@@ -175,6 +175,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """IVF-flat approximate top-k: assign corpus to clusters, probe the
     ``probe`` nearest clusters per query, brute-force only inside them.
@@ -195,6 +196,9 @@ def ivf_topk(
     cand = probes.join(assign, on="cluster", how="inner").select(
         "query_id", "vec_id", _pair_cos("_q", "_v").alias("_cos")
     )
+    if exclude_self:
+        # recall-audit mode: a corpus query must not retrieve itself
+        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))

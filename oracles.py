@@ -8908,6 +8908,122 @@ FROM nq, hits
 """
 
 
+# L339 ANN ensemble recall: the self-excluded IVF and multiprobe-LSH
+# top-5 chains (verbatim devices from _ORACLE_ANN_IVF /
+# _ORACLE_ANN_LSH_RECALL, CTE-renamed to coexist), unioned and
+# re-ranked on the shared q20 cosine, each side and the ensemble
+# measured against the same exact truth
+_ORACLE_ANN_ENSEMBLE_RECALL = f"""
+WITH {_E_NORMED},
+eq AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM e WHERE vec_id % 50 = 7),
+icents AS (SELECT vec_id AS centroid_id, v AS cv, vn AS cn FROM e WHERE vec_id < 8),
+iascored AS (
+  SELECT e.vec_id, e.v, e.vn, c.centroid_id,
+         list_dot_product(e.v, c.cv) / (e.vn * c.cn) AS cs
+  FROM e, icents c
+),
+iassign AS (
+  SELECT vec_id, v, vn, centroid_id AS cluster FROM iascored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) = 1
+),
+iqscored AS (
+  SELECT q.query_id, q.qv, q.qn, c.centroid_id,
+         list_dot_product(q.qv, c.cv) / (q.qn * c.cn) AS cs
+  FROM eq q, icents c
+),
+iprobes AS (
+  SELECT query_id, qv, qn, centroid_id AS cluster FROM iqscored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, centroid_id) <= 2
+),
+ivfr AS (
+  SELECT query_id, vec_id, CAST(FLOOR(cos * 1048576.0 + 0.5) AS BIGINT) AS cq20
+  FROM (
+    SELECT p.query_id, a.vec_id,
+           list_dot_product(p.qv, a.v) / (p.qn * a.vn) AS cos
+    FROM iprobes p JOIN iassign a ON p.cluster = a.cluster
+    WHERE a.vec_id <> p.query_id
+  )
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 5
+),
+hp AS (
+  SELECT CAST(j AS INTEGER) AS plane,
+         list_transform(range(1, 65),
+           d -> CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT)
+                / CAST(576460752303423488 AS DOUBLE) - 1.0) AS h
+  FROM range(0, 6) t(j)
+),
+sk AS (
+  SELECT e.vec_id,
+         SUM(CASE WHEN list_dot_product(e.v, hp.h) >= 0
+                  THEN CAST(power(2.0, hp.plane) AS BIGINT) ELSE 0 END) AS bucket
+  FROM e, hp
+  GROUP BY e.vec_id
+),
+esk AS (SELECT e.vec_id, e.v, e.vn, sk.bucket FROM e JOIN sk ON e.vec_id = sk.vec_id),
+lqd AS (
+  SELECT q.query_id, hp.plane, list_dot_product(q.qv, hp.h) AS d
+  FROM eq q, hp
+),
+lqb AS (
+  SELECT query_id,
+         SUM(CASE WHEN d >= 0 THEN CAST(power(2.0, plane) AS BIGINT) ELSE 0 END) AS bucket
+  FROM lqd GROUP BY 1
+),
+lfl AS (
+  SELECT query_id, plane FROM lqd
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY abs(d), plane) <= 2
+),
+lpr AS (
+  SELECT query_id, bucket FROM lqb
+  UNION
+  SELECT f.query_id, xor(b.bucket, CAST(power(2.0, f.plane) AS BIGINT))
+  FROM lfl f JOIN lqb b USING (query_id)
+),
+lshr AS (
+  SELECT query_id, vec_id, CAST(FLOOR(cos * 1048576.0 + 0.5) AS BIGINT) AS cq20
+  FROM (
+    SELECT q.query_id, c.vec_id,
+           list_dot_product(q.qv, c.v) / (q.qn * c.vn) AS cos
+    FROM eq q JOIN lpr ON q.query_id = lpr.query_id
+              JOIN esk c ON lpr.bucket = c.bucket
+    WHERE c.vec_id <> q.query_id
+  )
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 5
+),
+uni AS (
+  SELECT DISTINCT query_id, vec_id, cq20
+  FROM (SELECT * FROM ivfr UNION ALL SELECT * FROM lshr)
+),
+ens AS (
+  SELECT query_id, vec_id FROM uni
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cq20 DESC, vec_id) <= 5
+),
+truth AS (
+  SELECT q.query_id, e.vec_id
+  FROM eq q, e WHERE e.vec_id <> q.query_id
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.query_id
+    ORDER BY list_dot_product(q.qv, e.v) / (q.qn * e.vn) DESC, e.vec_id) <= 5
+),
+hiv AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS sum_hits_ivf
+  FROM truth t SEMI JOIN ivfr p ON p.query_id = t.query_id AND p.vec_id = t.vec_id
+),
+hls AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS sum_hits_lsh
+  FROM truth t SEMI JOIN lshr p ON p.query_id = t.query_id AND p.vec_id = t.vec_id
+),
+hen AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS sum_hits_ens
+  FROM truth t SEMI JOIN ens p ON p.query_id = t.query_id AND p.vec_id = t.vec_id
+),
+nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM eq)
+SELECT n_queries, CAST(5 AS BIGINT) AS k, sum_hits_ivf, sum_hits_lsh, sum_hits_ens,
+       CAST((2 * sum_hits_ens * 1048576 + 5 * n_queries) // (2 * 5 * n_queries) AS BIGINT)
+         AS recall_ens_q20
+FROM nq, hiv, hls, hen
+"""
+
 # L328 span scrub: excise covered positions (spans are disjoint per
 # doc, so the range LEFT JOIN has multiplicity 1), rebuild the kept
 # text in position order; COALESCE('') matches Spark's concat_ws('')
@@ -9123,6 +9239,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_zone_map_skipping": _ORACLE_ZONE_MAP_SKIPPING,
         "maef_ivm_topk": _ORACLE_IVM_TOPK,
         "maef_geo_lift": _ORACLE_GEO_LIFT,
+        "llm_ann_ensemble_recall": _ORACLE_ANN_ENSEMBLE_RECALL,
         "llm_dedup_spans": _ORACLE_DEDUP_SPANS,
         "llm_repeat_spans": _ORACLE_REPEAT_SPANS,
         "llm_stream_repeat_gate": _ORACLE_STREAM_REPEAT_GATE,

@@ -455,3 +455,34 @@ def test_geo_holdout_lift_share_scaled_counterfactual(spark):
         for r in xp.geo_holdout_lift(grain).collect()
     }
     assert got == {"t1": (200, 60), "t2": (150, -50)}
+
+
+def test_ann_ensemble_recall_dominates_parts(spark, sf_dir):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    r = entrymod.queries()["llm_ann_ensemble_recall"](spark, sf_dir).collect()[0]
+    # the ensemble can never recall FEWER truth neighbors than either
+    # part alone: every part hit whose pair survives the union rerank
+    # is an ensemble hit, and a pair only drops out of the top-5 when
+    # displaced by a higher-cosine pair from the other index
+    assert r["sum_hits_ens"] >= max(r["sum_hits_ivf"], r["sum_hits_lsh"]) - 5
+    assert 0 <= r["sum_hits_ens"] <= 5 * r["n_queries"]
+    assert r["k"] == 5
+
+
+def test_ivf_topk_exclude_self_drops_query_row(spark, sf_dir):
+    from marketing_attribution_etl_framework__maef_spark import domain
+    from marketing_attribution_etl_framework__maef_spark.llm import similarity as sim
+
+    e = domain.load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 7)
+    cents = e.filter(F.col("vec_id") < 8)
+    with_self = sim.ivf_topk(e, q, cents, k=1, probe=2)
+    without = sim.ivf_topk(e, q, cents, k=1, probe=2, exclude_self=True)
+    # rank-1 with self included is the query itself (cos=1); without,
+    # it never is
+    assert with_self.filter(F.col("vec_id") == F.col("query_id")).count() > 0
+    assert without.filter(F.col("vec_id") == F.col("query_id")).count() == 0
