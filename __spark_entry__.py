@@ -8401,6 +8401,19 @@ def q_ann_ensemble_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L340: per-source DATASET CARD — the datasheet artifact a
+    training corpus ships with: volumes, mean length, quality share,
+    English share, PII incidence, exact-dup count per source in one
+    table (llm/text.py dataset_card).  The card is the composition
+    readout of the audit family: each column is gated elsewhere at
+    full grain (L1 stats, L2 lang, L7/L312 PII, L8 dedup) and this
+    query pins the one-scan fused rollup a data consumer actually
+    reads first.  Scale: one fused scan + one md5-hash exchange for
+    dup membership + one source-grain aggregate."""
+    return txt.dataset_card(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
     # 50 registry entries per round.  r11 rotation (VERDICT r10 next-steps
@@ -8489,6 +8502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_ivm_topk": q_ivm_topk,
         "maef_geo_lift": q_geo_lift,
         "llm_ann_ensemble_recall": q_ann_ensemble_recall,
+        "llm_dataset_card": q_dataset_card,
         # --- remaining registry (unchanged relative order) ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,

@@ -1247,3 +1247,74 @@ def gate_ablation(
         .cast("long")
         .alias("words_sole"),
     )
+
+
+def dataset_card(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source DATASET CARD — the one-table datasheet a training
+    run ships with its corpus: document and word volumes, mean doc
+    length (q20 half-up), quality-gate pass count, English share, PII
+    incidence, and exact-duplicate count (docs whose normalized text
+    recurs anywhere in the corpus), one row per source.
+
+    100-TB shape: every per-doc field is chained projection inside
+    ONE fused scan (the doc_profile device); the only corpus-wide
+    fact — exact-dup membership — is a frameless COUNT OVER
+    (PARTITION BY md5(norm)) on the same lineage (one exchange on the
+    hash, the L8 grouping), then one source-grain aggregate."""
+    norm = normalize_text(F.col(text_col))
+    d = docs.select(
+        F.col(id_col), F.col(source_col).alias("source"), norm.alias("_norm")
+    )
+    d = d.select(
+        F.col(id_col),
+        "source",
+        "_norm",
+        words(F.col("_norm")).alias("_ws"),
+        F.regexp_replace("_norm", EMAIL_RE, "<email>").alias("_nomail"),
+    )
+    n_words = F.size("_ws").cast("long")
+    n_distinct = F.size(F.array_distinct(F.col("_ws"))).cast("long")
+    flagged = d.select(
+        "source",
+        n_words.alias("_nw"),
+        ((n_words >= 5) & (n_distinct * 10 >= n_words * 3)).alias("_is_q"),
+        *lang_cols(F.array_distinct(F.col("_ws"))),
+        (
+            F.size(F.regexp_extract_all(F.col("_norm"), F.lit(EMAIL_RE), 0))
+            + F.size(F.regexp_extract_all(F.col("_nomail"), F.lit(LONG_NUMBER_RE), 0))
+            > 0
+        ).alias("_has_pii"),
+        F.md5("_norm").alias("_h"),
+    )
+    from pyspark.sql import Window
+
+    dup = F.count(F.lit(1)).over(Window.partitionBy("_h"))
+    per_doc = flagged.withColumn("_dup", (dup >= 2).cast("int"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nw").cast("long").alias("total_words"),
+            F.sum(F.col("_is_q").cast("int")).cast("long").alias("n_quality"),
+            F.sum((F.col("lang_guess") == "en").cast("int")).cast("long").alias("n_en"),
+            F.sum(F.col("_has_pii").cast("int")).cast("long").alias("n_pii_docs"),
+            F.sum("_dup").cast("long").alias("n_exact_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_words",
+            F.expr("(2 * total_words * 1048576 + n_docs) div (2 * n_docs)")
+            .cast("long")
+            .alias("mean_words_q20"),
+            "n_quality",
+            "n_en",
+            "n_pii_docs",
+            "n_exact_dup",
+        )
+    )

@@ -1451,6 +1451,57 @@ WITH g AS ({_ORACLE_QUALITY_GATE})
 SELECT reasons, CAST(COUNT(*) AS BIGINT) AS n_docs FROM g GROUP BY 1
 """
 
+# L340 dataset card: per-source datasheet — one fused scan's fields
+# (stats/lang/pii) + the corpus-wide exact-dup window on md5(norm)
+_ORACLE_DATASET_CARD = f"""
+WITH nd AS (
+  SELECT doc_id, source,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+),
+st AS (
+  SELECT doc_id, source, norm, string_split(norm, ' ') AS ws,
+         regexp_replace(norm, '{txt.EMAIL_RE}', '<email>', 'g') AS nomail
+  FROM nd
+),
+base AS (
+  SELECT doc_id, source,
+         CAST(len(ws) AS BIGINT) AS nw,
+         (len(ws) >= 5 AND len(list_distinct(ws)) * 10 >= len(ws) * 3) AS is_q,
+         list_distinct(ws) AS dws,
+         (len(regexp_extract_all(norm, '{txt.EMAIL_RE}'))
+          + len(regexp_extract_all(nomail, '{txt.LONG_NUMBER_RE}'))) > 0 AS has_pii,
+         md5(norm) AS h
+  FROM st
+),
+scores AS (
+  SELECT doc_id,
+       {_lang_score_cols}
+  FROM base
+),
+best AS (SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM scores),
+langg AS (SELECT doc_id, CASE {_lang_case} ELSE 'zh' END AS lang_guess FROM best),
+dupd AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY h) >= 2 AS is_dup FROM base
+),
+agg AS (
+  SELECT b.source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(b.nw) AS BIGINT) AS total_words,
+         CAST(SUM(CASE WHEN b.is_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         CAST(SUM(CASE WHEN l.lang_guess = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         CAST(SUM(CASE WHEN b.has_pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+         CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup
+  FROM base b JOIN langg l USING (doc_id) JOIN dupd d USING (doc_id)
+  GROUP BY 1
+)
+SELECT source, n_docs, total_words,
+       CAST((2 * total_words * 1048576 + n_docs) // (2 * n_docs) AS BIGINT)
+         AS mean_words_q20,
+       n_quality, n_en, n_pii_docs, n_exact_dup
+FROM agg
+"""
+
 # L336 zone-map skipping audit: 32-file min/max pruning replay under
 # the scattered (md5%32) and date-ranged (equal-width shipdate)
 # layouts, probed by every month in the data
@@ -9240,6 +9291,7 @@ def oracle_sql() -> dict[str, str]:
         "maef_ivm_topk": _ORACLE_IVM_TOPK,
         "maef_geo_lift": _ORACLE_GEO_LIFT,
         "llm_ann_ensemble_recall": _ORACLE_ANN_ENSEMBLE_RECALL,
+        "llm_dataset_card": _ORACLE_DATASET_CARD,
         "llm_dedup_spans": _ORACLE_DEDUP_SPANS,
         "llm_repeat_spans": _ORACLE_REPEAT_SPANS,
         "llm_stream_repeat_gate": _ORACLE_STREAM_REPEAT_GATE,

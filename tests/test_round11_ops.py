@@ -486,3 +486,29 @@ def test_ivf_topk_exclude_self_drops_query_row(spark, sf_dir):
     # it never is
     assert with_self.filter(F.col("vec_id") == F.col("query_id")).count() > 0
     assert without.filter(F.col("vec_id") == F.col("query_id")).count() == 0
+
+
+def test_dataset_card_fields(spark):
+    from marketing_attribution_etl_framework__maef_spark.llm import text as txt
+
+    rows = [
+        # source a: one quality en doc, duplicated normalized text
+        (1, "The cat and dog run to market in town", "a"),
+        (2, "the cat and dog run to  market in town", "a"),  # same after norm
+        # source a: short (fails quality), no dup
+        (3, "the and is", "a"),
+        # source b: German + email pii
+        (4, "der hund und die katze ist nicht mit a@b.com haus", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: (
+            r["n_docs"], r["total_words"], r["n_quality"], r["n_en"],
+            r["n_pii_docs"], r["n_exact_dup"],
+        )
+        for r in txt.dataset_card(docs).collect()
+    }
+    # a: 3 docs, words 9+9+3=21; 2 quality; 3 en; 0 pii; docs 1,2 dup
+    assert got["a"] == (3, 21, 2, 3, 0, 2)
+    # b: 1 doc, 10 words, quality, de, pii, no dup
+    assert got["b"] == (1, 10, 1, 0, 1, 0)
