@@ -200,6 +200,9 @@ CHECKPOINT_HEAVY = {
     "llm_stream_export_ledger",
     "maef_stream_pacing",
     "llm_stream_repeat_gate",
+    # r11 session: the contamination gate is a foreachBatch streaming
+    # run with parquet parts (same profile as the repeat gate)
+    "llm_stream_contamination_gate",
     # (llm_ngram_novelty, llm_train_val_split, maef_cac_payback exited
     # r10: stateless plans, victim-profile admissions — covered by the
     # slow-tail re-measure)

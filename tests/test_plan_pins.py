@@ -263,3 +263,42 @@ def test_ivm_distinct_maintenance_is_one_merge_join(spark, sf_dir):
     assert len(join_lines) == 1, plan
     assert "FullOuter" in join_lines[0], join_lines
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dataset_card_is_single_fused_scan(spark, sf_dir):
+    """r11 L340: the card's whole point is ONE fused scan — stats,
+    lang, pii flags are chained projections and the only corpus-wide
+    fact (exact-dup membership) is a frameless window on md5(norm)
+    over the SAME lineage.  Pinned: exactly one parquet scan of
+    documents in the plan (the unfused 4-scan join shape the
+    doc_profile docstring forbids would show here first)."""
+    df = entrymod.queries()["llm_dataset_card"](spark, sf_dir)
+    plan = _plan_text(df)
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "Scan parquet" in ln or "FileScan parquet" in ln
+    ]
+    assert len(scans) == 1, plan
+
+
+def test_zone_map_skipping_joins_never_shuffle(spark, sf_dir):
+    """r11 L336: the probe replay must stay metadata-sized — the
+    bounds row and the month table join the zone maps via BROADCAST
+    only.  Pinned: no shuffle join anywhere in the plan (a
+    SortMergeJoin here would mean the bounded cross join regressed
+    into a fact-grain shuffle)."""
+    df = entrymod.queries()["rel_zone_map_skipping"](spark, sf_dir)
+    plan = _plan_text(df)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_geo_lift_dims_broadcast(spark, sf_dir):
+    """r11 L338: the customer→nation enrich must broadcast — the fact
+    scan aggregates straight to the 25-market grain with no
+    fact-grain shuffle join."""
+    df = entrymod.queries()["maef_geo_lift"](spark, sf_dir)
+    plan = _plan_text(df)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
