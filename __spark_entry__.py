@@ -1024,8 +1024,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked (per-language) exact 3-shingle Jaccard at J >= 3/10 —
-    the quadratic-within-block baseline for MinHash-LSH."""
-    return dd.ngram_jaccard_pairs(_aug_docs(spark, sf_dir))
+    the quadratic-within-block baseline for MinHash-LSH; rides the
+    staged _ngram_sets shingle-set store (r11 optimization)."""
+    return dd.ngram_jaccard_pairs(
+        _aug_docs(spark, sf_dir), sets=_ngram_sets(spark, sf_dir)
+    )
 
 
 def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2412,8 +2415,14 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L79: asymmetric shingle-containment near-dup pairs
     (llm/dedup.py containment_pairs) over the augmented corpus — the
     subset-copy detector Jaccard misses. Inverted-index join, integer
-    cross-multiplied 4/5 threshold."""
-    return dd.containment_pairs(_aug_docs(spark, sf_dir), cont_num=4, cont_den=5)
+    cross-multiplied 4/5 threshold; rides the staged _ngram_sets
+    shingle-set store (r11 optimization)."""
+    return dd.containment_pairs(
+        _aug_docs(spark, sf_dir),
+        cont_num=4,
+        cont_den=5,
+        sets=_ngram_sets(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5695,6 +5704,34 @@ def q_stream_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # round-8 session additions (r09 queue)
 # ---------------------------------------------------------------------------
+
+
+_NGRAM_SETS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ngram_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc distinct 3-shingle hash sets over the augmented corpus
+    (llm/dedup.py blocked_shingle_sets), localCheckpoint'd once per
+    (application, sf_dir) — the shared input of the exact-Jaccard
+    (L12) and containment (L79) pair queries; in production this is
+    the shingle-set table written once at ingest.
+
+    Staging this is an r11 OPTIMIZATION (guide §2.3/§3.1): unstaged,
+    each query shingled the corpus twice (both self-join branches),
+    Catalyst cloned the full regex+md5 shingle expression into pushed
+    IsNotNull/size scan predicates, and the un-sized exploded build
+    side was picked for BroadcastHashJoin (measured 6-16 s swings at
+    sf0.1). Checkpointing pins real sizes: the pair join reverts to a
+    shuffled join on (_blk, _h) and the shingling runs once."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key not in _NGRAM_SETS_CACHE:
+        for stale in [k for k in _NGRAM_SETS_CACHE if k[0] != app_id]:
+            _NGRAM_SETS_CACHE.pop(stale, None)
+        _NGRAM_SETS_CACHE[key] = dd.blocked_shingle_sets(
+            _aug_docs(spark, sf_dir)
+        ).localCheckpoint()
+    return _NGRAM_SETS_CACHE[key]
 
 
 _AUG_BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}

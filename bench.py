@@ -203,6 +203,11 @@ CHECKPOINT_HEAVY = {
     # r11 session: the contamination gate is a foreachBatch streaming
     # run with parquet parts (same profile as the repeat gate)
     "llm_stream_contamination_gate",
+    # r11 optimization round: the Jaccard/containment pair queries now
+    # ride the staged _ngram_sets localCheckpoint (criterion a — same
+    # serving-read profile as the _aug_bands family members)
+    "llm_dedup_ngram_jaccard",
+    "llm_containment",
     # (llm_ngram_novelty, llm_train_val_split, maef_cac_payback exited
     # r10: stateless plans, victim-profile admissions — covered by the
     # slow-tail re-measure)
@@ -287,6 +292,7 @@ def main() -> None:
     entrymod._DUP_CLUSTERS_CACHE.clear()
     entrymod._STREAM_SESSIONS_CACHE.clear()  # warm-dir streaming state blocks
     entrymod._STREAM_USER_FLAGS_CACHE.clear()
+    entrymod._NGRAM_SETS_CACHE.clear()  # warm-dir shingle-set checkpoints
     spark.catalog.clearCache()
     _drain(spark)
     domain.events(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -318,6 +324,9 @@ def main() -> None:
     # charged to whichever serving twin runs first
     entrymod._stream_sessions(spark, sf_dir).write.format("noop").mode("overwrite").save()
     entrymod._stream_user_flags(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # r11: the staged shingle-set store serving the exact-Jaccard and
+    # containment pair queries (same ingest-side-table rationale)
+    entrymod._ngram_sets(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for i, (name, fn) in enumerate(queries.items()):

@@ -441,6 +441,32 @@ def survivors_from_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_i
 # ---------------------------------------------------------------------------
 
 
+def blocked_shingle_sets(
+    docs: DataFrame,
+    block_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-doc distinct k-shingle hash sets with the block key —
+    the shared input of ``ngram_jaccard_pairs`` / ``containment_pairs``.
+
+    Factored out so callers can build it ONCE and localCheckpoint it
+    (the production shape: a shingle-set table written at ingest).
+    Without that, each pair query computes the regex+md5 shingling
+    twice (both self-join branches), and — worse — Catalyst's filter
+    pushdown clones the whole shingle expression into per-scan
+    IsNotNull/size predicates, and the un-sized exploded build side can
+    be picked for a BroadcastHashJoin (measured r11: 6-16 s swings at
+    sf0.1 from exactly that)."""
+    norm = normalize_text(F.col(text_col))
+    return docs.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col),
+        F.array_distinct(F.transform(word_shingles(words(norm), k), shingle_hash)).alias("_set"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     block_col: str = "lang",
@@ -449,19 +475,19 @@ def ngram_jaccard_pairs(
     k: int = 3,
     jaccard_num: int = 3,
     jaccard_den: int = 10,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact all-pairs Jaccard *within a block* (default: language).
     Quadratic in block size by construction — this is the correctness
     baseline for MinHash-LSH, usable when blocks are bounded (e.g.
-    per-source batches); at open-corpus scale use minhash_dedup_pairs."""
+    per-source batches); at open-corpus scale use minhash_dedup_pairs.
+
+    ``sets``: optionally a precomputed (ideally checkpointed)
+    ``shingle_sets`` table — result-identical, shingles once."""
     if jaccard_num <= 0:
         raise ValueError("threshold must be positive: zero-overlap pairs are never emitted")
-    norm = normalize_text(F.col(text_col))
-    sets = docs.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col),
-        F.array_distinct(F.transform(word_shingles(words(norm), k), shingle_hash)).alias("_set"),
-    )
+    if sets is None:
+        sets = blocked_shingle_sets(docs, block_col, text_col, id_col, k)
     # inverted-index formulation: explode distinct shingle hashes and
     # count co-occurrences per pair — cost is sum over shingles of
     # df(shingle)^2 within a block, not |block|^2 array intersections,
@@ -496,6 +522,7 @@ def containment_pairs(
     k: int = 3,
     cont_num: int = 4,
     cont_den: int = 5,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric shingle-containment near-dup pairs (within a block).
 
@@ -516,12 +543,8 @@ def containment_pairs(
     """
     if cont_num <= 0:
         raise ValueError("threshold must be positive: zero-overlap pairs are never emitted")
-    norm = normalize_text(F.col(text_col))
-    sets = docs.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col),
-        F.array_distinct(F.transform(word_shingles(words(norm), k), shingle_hash)).alias("_set"),
-    )
+    if sets is None:
+        sets = blocked_shingle_sets(docs, block_col, text_col, id_col, k)
     ex = sets.select(
         "_blk",
         F.col(id_col).alias("_id"),

@@ -130,22 +130,46 @@ def rfm_scores(
     base = per_cust.join(F.broadcast(anchor)).withColumn(
         "recency_days", F.datediff(F.col("_a"), F.col("_last")).cast("long")
     )
+    # ONE two-phase rank instead of three (r11 optimization, guide
+    # §2.4): stack the three axes into (custkey, _axis, _val, metrics)
+    # and range-rank by (_axis, _val, custkey).  Axes sort disjointly
+    # and each holds exactly n rows, so the within-axis rank is the
+    # global rank minus _axis * n — bit-identical to ranking each axis
+    # separately (the rank depends only on the per-axis total order),
+    # for a third of the range shuffles / checkpoints / offset
+    # collects.  base is localCheckpoint'd first: it feeds the count,
+    # the stack, and would otherwise be recomputed by each.
+    base = base.select(
+        "custkey", "recency_days", "frequency", "monetary_cents"
+    ).localCheckpoint()
     n = base.count()  # scalar, reused by all three quintile exprs
-    # rank each axis with a custkey tiebreak => total order
-    r = global_row_number(base, ["recency_days", "custkey"], "_rr")
-    # recency rank ascending = most recent first; score must reward
-    # recent customers, so invert: score = quintile of (n + 1 - rank)
-    r = r.withColumn("_rr_inv", (F.lit(n) + 1 - F.col("_rr")))
-    f = global_row_number(r, ["frequency", "custkey"], "_rf")
-    m = global_row_number(f, ["monetary_cents", "custkey"], "_rm")
-    return m.select(
+    stacked = base.selectExpr(
         "custkey",
         "recency_days",
         "frequency",
         "monetary_cents",
-        _quintile("_rr_inv", n).alias("r_score"),
-        _quintile("_rf", n).alias("f_score"),
-        _quintile("_rm", n).alias("m_score"),
+        "stack(3, 0, recency_days, 1, frequency, 2, monetary_cents) as (_axis, _val)",
+    )
+    ranked = global_row_number(stacked, ["_axis", "_val", "custkey"], "_grn")
+    ranked = ranked.withColumn(
+        "_rk", F.col("_grn") - F.col("_axis").cast("long") * F.lit(n)
+    )
+    # recency rank ascending = most recent first; score must reward
+    # recent customers, so invert: score = quintile of (n + 1 - rank)
+    ranked = ranked.withColumn(
+        "_score",
+        F.when(
+            F.col("_axis") == 0,
+            _quintile(f"({n} + 1 - _rk)", n),
+        ).otherwise(_quintile("_rk", n)),
+    )
+    return ranked.groupBy("custkey").agg(
+        F.max("recency_days").alias("recency_days"),
+        F.max("frequency").alias("frequency"),
+        F.max("monetary_cents").alias("monetary_cents"),
+        F.max(F.when(F.col("_axis") == 0, F.col("_score"))).alias("r_score"),
+        F.max(F.when(F.col("_axis") == 1, F.col("_score"))).alias("f_score"),
+        F.max(F.when(F.col("_axis") == 2, F.col("_score"))).alias("m_score"),
     )
 
 

@@ -940,23 +940,40 @@ class IncrementalRepeatGate:
     def _gate(self, docs: DataFrame, k: int = 8) -> DataFrame:
         """Per-source (n_docs, n_flagged, rep_instances) over one
         batch of documents — the batch-recompute twin reads this too,
-        so streaming and batch share one expression set."""
+        so streaming and batch share one expression set.
+
+        r11 optimization (guide §2.4, remove shuffles outright): the
+        repeat test is DOC-LOCAL, so the shingle-multiplicity count
+        never needs the (doc, sh) explode+shuffle the first version
+        paid twice per micro-batch.  Sort the doc's hashed-shingle
+        array and count the positions that are NOT singleton runs
+        (a_i equal to a neighbour in sorted order) — Σ_{m(sh)>=2} m(sh)
+        exactly, inside the projection; the only remaining exchange is
+        the map-side-combinable per-source counter aggregate.
+        Shifted-slice + zip_with keeps per-element lambda work tiny
+        (the CLAUDE.md HOF rule); measured 5.4 -> 2.8 s solo at sf0.1."""
         sh = self._word_shingles(
             self._words(self._normalize_text(F.col("text"))), k
         )
-        inst = docs.select(
-            "doc_id", "source", F.explode(F.transform(sh, self._shingle_hash)).alias("sh")
-        )
-        per_doc = (
-            inst.groupBy("doc_id", "source", "sh")
-            .agg(F.count(F.lit(1)).cast("long").alias("_m"))
-            .groupBy("doc_id", "source")
-            .agg(
-                F.sum(F.when(F.col("_m") >= 2, F.col("_m")).otherwise(0))
-                .cast("long")
-                .alias("_rep_inst")
+        srt = F.array_sort(F.transform(sh, self._shingle_hash))
+        rep_inst = (
+            F.size("_s")
+            - F.size(
+                F.expr(
+                    "filter(zip_with("
+                    "  zip_with(_s, concat(array(cast(null as bigint)),"
+                    "                      slice(_s, 1, greatest(size(_s) - 1, 0))),"
+                    "           (a, p) -> a is distinct from p),"
+                    "  zip_with(_s, concat(slice(_s, 2, greatest(size(_s) - 1, 0)),"
+                    "                      array(cast(null as bigint))),"
+                    "           (a, nx) -> a is distinct from nx),"
+                    "  (x, y) -> x and y), b -> b)"
+                )
             )
-        )
+        ).cast("long")
+        per_doc = docs.select(
+            "doc_id", "source", srt.alias("_s")
+        ).select("doc_id", "source", rep_inst.alias("_rep_inst"))
         return per_doc.groupBy("source").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(F.when(F.col("_rep_inst") > 0, 1).otherwise(0))
@@ -1013,14 +1030,33 @@ class IncrementalContaminationGate:
     pass over a streaming training corpus stays shuffle-free."""
 
     def __init__(self, spark: SparkSession, root: str, eval_docs: DataFrame):
-        from marketing_attribution_etl_framework__maef_spark.llm import curation as cur
+        from marketing_attribution_etl_framework__maef_spark.llm.dedup import shingle_hash
+        from marketing_attribution_etl_framework__maef_spark.llm.text import (
+            normalize_text,
+            word_shingles,
+            words,
+        )
 
         self.spark = spark
         self.root = root
-        self._decontaminate = cur.decontaminate
-        # benchmark-sized: pin it once so every micro-batch reuses the
-        # same eval rows without replaying their lineage
-        self.eval_docs = eval_docs.localCheckpoint(eager=True)
+        self._shingle_hash = shingle_hash
+        self._word_shingles = word_shingles
+        self._normalize_text = normalize_text
+        self._words = words
+        # benchmark-sized: pin the distinct eval SHINGLE INDEX once —
+        # the r11 optimization: pinning only the raw eval rows (as the
+        # first version did) re-ran the eval-side shingle explode +
+        # distinct on EVERY micro-batch; the index is what the join
+        # actually needs, and it is what a production deployment would
+        # broadcast once per benchmark release.
+        sh = F.array_distinct(
+            F.transform(word_shingles(words(normalize_text(F.col("text"))), 5), shingle_hash)
+        )
+        self.eval_index = (
+            eval_docs.select(F.explode(sh).alias("_h"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         os.makedirs(root, exist_ok=True)
 
     def _parts(self) -> str:
@@ -1029,23 +1065,41 @@ class IncrementalContaminationGate:
     def _gate(self, train_docs: DataFrame) -> DataFrame:
         """Per-source (n_train, n_contaminated, shared_shingles) over
         one batch of train documents — the batch-recompute twin reads
-        this too, so streaming and batch share one expression set."""
-        hits = self._decontaminate(train_docs, self.eval_docs)
-        return (
-            train_docs.select("doc_id", "source")
-            .join(hits, "doc_id", "left")
-            .groupBy("source")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_train"),
-                F.sum(
-                    F.when(F.col("n_shared_shingles").isNotNull(), 1).otherwise(0)
-                )
-                .cast("long")
-                .alias("n_contaminated"),
-                F.sum(F.coalesce(F.col("n_shared_shingles"), F.lit(0)))
-                .cast("long")
-                .alias("shared_shingles"),
-            )
+        this too, so streaming and batch share one expression set.
+
+        r11 optimization (guide §2.3/§2.4): carry ``source`` through
+        the train-side shingle explode so the hit counts aggregate
+        straight to the per-source grain — the first version joined
+        the per-doc hits BACK to the batch on doc_id (an extra
+        micro-batch shuffle) just to recover ``source``; the
+        uncontaminated-doc count now comes from a separate
+        map-side-combinable per-source aggregate joined on the
+        bounded source dimension (broadcast)."""
+        norm = self._normalize_text(F.col("text"))
+        sh = F.array_distinct(
+            F.transform(self._word_shingles(self._words(norm), 5), self._shingle_hash)
+        )
+        tr = train_docs.select(
+            "doc_id", "source", F.explode(sh).alias("_h")
+        )
+        # both sides pre-distinct => COUNT == distinct shared shingles
+        hits = (
+            tr.join(F.broadcast(self.eval_index), "_h")
+            .groupBy("doc_id", "source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
+        )
+        per_source_hits = hits.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_contaminated"),
+            F.sum("n_shared_shingles").cast("long").alias("shared_shingles"),
+        )
+        n_train = train_docs.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_train")
+        )
+        return n_train.join(F.broadcast(per_source_hits), "source", "left").select(
+            "source",
+            "n_train",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias("n_contaminated"),
+            F.coalesce(F.col("shared_shingles"), F.lit(0)).cast("long").alias("shared_shingles"),
         )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
