@@ -847,12 +847,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one small parquet file (1-3 input splits), which would serialize
     the explode-heavy text operators onto 3 of 32 cores. At real scale
     the input already has thousands of splits and this repartition
-    would be dropped (or replaced by maxPartitionBytes tuning)."""
-    return domain.load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    would be dropped (or replaced by maxPartitionBytes tuning).
+    Partition count = the local core count (not a literal 32) so the
+    driver's lower-core scaling runs are not over-split (r11)."""
+    return domain.load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return domain.load_table(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    return domain.load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
 
 
 def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6510,13 +6516,19 @@ def q_stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="0 seconds",
         tiebreak="event_id",
     )
-    # partitions=32, unlike the bounded-state twins' 8: wall here is
-    # the per-event Python loop inside applyInPandasWithState (the
-    # operator IS the Python path), so state partitions = Python
-    # workers; 8 left 24 cores idle (measured 8.6 s at 16, 6.7 s at 32
-    # for the stream alone at sf0.1).
+    # partitions = the local core count, unlike the bounded-state
+    # twins' 8: wall here is the per-event Python loop inside
+    # applyInPandasWithState (the operator IS the Python path), so
+    # state partitions = Python workers; fewer left cores idle
+    # (measured 8.6 s at 16, 6.7 s at 32 for the stream alone at
+    # sf0.1 on local[32]).  Derived from defaultParallelism rather
+    # than a literal 32 so the driver's lower-core scaling runs keep
+    # the same workers-per-core ratio (r11).
     res = inc.run_to_memory(
-        out, "stream_sessionize_state_sink", partitions=32, output_mode="append"
+        out,
+        "stream_sessionize_state_sink",
+        partitions=spark.sparkContext.defaultParallelism,
+        output_mode="append",
     )
     return res.filter(F.col("channels") != "zz_flush").select(
         "user_id",
@@ -8378,6 +8390,11 @@ def q_ann_ensemble_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _embs(spark, sf_dir)
     q_set = e.filter(F.col("vec_id") % 50 == 7)
+    # r11 optimization note: A/B-measured pinning ivfr/lshr/truth with
+    # localCheckpoint (bounded outputs, 2-3 consumers each) — LOST,
+    # 5.24 vs 3.98 s at sf0.1: the materialization barriers serialize
+    # branch scans AQE otherwise overlaps (the llm/dedup.py persist
+    # law).  Left lazy on that measurement.
     ivfr = sim.ivf_topk(
         e, q_set, e.filter(F.col("vec_id") < 8), k=5, probe=2, exclude_self=True
     ).select("query_id", "vec_id", "cos_q20")
