@@ -62,6 +62,7 @@ def _prestage(spark, sf_dir: str) -> None:
         entrymod._dup_clusters,
         entrymod._stream_sessions,
         entrymod._stream_user_flags,
+        entrymod._ngram_sets,
     ):
         builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
