@@ -114,6 +114,19 @@ journeys AS (
 )"""
 
 
+def _evict_stale(cache: dict, app_id: str) -> None:
+    """Drop cache entries left by dead Spark applications, best-effort
+    unpersisting any checkpointed DataFrame they hold (ADVICE r11: the
+    old pop-only eviction leaked checkpoint blocks if one process ever
+    hosts multiple Spark applications in sequence)."""
+    for stale in [k for k in cache if k[0] != app_id]:
+        v = cache.pop(stale, None)
+        try:
+            v.unpersist()
+        except Exception:
+            pass  # stopped context or non-DataFrame value: nothing to free
+
+
 _JOURNEYS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -131,8 +144,7 @@ def _journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir)
     if key not in _JOURNEYS_CACHE:
-        for stale in [k for k in _JOURNEYS_CACHE if k[0] != app_id]:
-            _JOURNEYS_CACHE.pop(stale, None)
+        _evict_stale(_JOURNEYS_CACHE, app_id)
         _JOURNEYS_CACHE[key] = jny.build_journeys(
             domain.conversions(spark, sf_dir),
             domain.session_sources(spark, sf_dir),
@@ -160,8 +172,7 @@ def _basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir)
     if key not in _BASKET_CACHE:
-        for stale in [k for k in _BASKET_CACHE if k[0] != app_id]:
-            _BASKET_CACHE.pop(stale, None)
+        _evict_stale(_BASKET_CACHE, app_id)
         _BASKET_CACHE[key] = bsk.basket_pairs(
             domain.load_table(spark, sf_dir, "lineitem"), min_support=2
         ).localCheckpoint()
@@ -953,8 +964,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir)
     if key not in _MINHASH_PAIRS_CACHE:
-        for stale in [k for k in _MINHASH_PAIRS_CACHE if k[0] != app_id]:
-            _MINHASH_PAIRS_CACHE.pop(stale, None)
+        _evict_stale(_MINHASH_PAIRS_CACHE, app_id)
         _MINHASH_PAIRS_CACHE[key] = dd.minhash_dedup_pairs(
             _aug_docs(spark, sf_dir)
         ).localCheckpoint()
@@ -975,8 +985,7 @@ def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir)
     if key not in _DUP_CLUSTERS_CACHE:
-        for stale in [k for k in _DUP_CLUSTERS_CACHE if k[0] != app_id]:
-            _DUP_CLUSTERS_CACHE.pop(stale, None)
+        _evict_stale(_DUP_CLUSTERS_CACHE, app_id)
         _DUP_CLUSTERS_CACHE[key] = dd.cluster_duplicates(
             _minhash_pairs(spark, sf_dir)
         ).localCheckpoint()
@@ -1014,8 +1023,7 @@ def _simhash_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir)
     if key not in _SIMHASH_CANDS_CACHE:
-        for stale in [k for k in _SIMHASH_CANDS_CACHE if k[0] != app_id]:
-            _SIMHASH_CANDS_CACHE.pop(stale, None)
+        _evict_stale(_SIMHASH_CANDS_CACHE, app_id)
         _SIMHASH_CANDS_CACHE[key] = dd.simhash_candidates(
             dd.simhash(_aug_docs(spark, sf_dir))
         ).localCheckpoint()
@@ -1184,8 +1192,7 @@ def _kmeans8(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _KMEANS_CACHE:
         # evict dead-application entries on miss (ADVICE r03: unbounded
         # growth in long-lived multi-session processes)
-        for stale in [k for k in _KMEANS_CACHE if k[0] != app_id]:
-            _KMEANS_CACHE.pop(stale, None)
+        _evict_stale(_KMEANS_CACHE, app_id)
         _KMEANS_CACHE[key] = sim.kmeans_centroids(_embs(spark, sf_dir), k=8, n_iter=2)
     return _KMEANS_CACHE[key]
 
@@ -1201,12 +1208,107 @@ def _aug_kmeans8(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir)
     if key not in _AUG_KMEANS_CACHE:
-        for stale in [k for k in _AUG_KMEANS_CACHE if k[0] != app_id]:
-            _AUG_KMEANS_CACHE.pop(stale, None)
+        _evict_stale(_AUG_KMEANS_CACHE, app_id)
         _AUG_KMEANS_CACHE[key] = sim.kmeans_centroids(
             _aug_embeddings(spark, sf_dir), k=8, n_iter=2
         )
     return _AUG_KMEANS_CACHE[key]
+
+
+_ANN_TRUTH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ann_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared brute-force ANN ground-truth table for the recall
+    audit family (VERDICT r11 #2), localCheckpoint'd once per
+    (application, sf_dir): every recall audit uses the SAME query
+    sample (vec_id % 50 == 7), the SAME corpus (embeddings), the SAME
+    k=5 and the SAME deterministic total order (cosine DESC, vec_id
+    ASC), so the exact-truth top-5 each of them recomputed with its
+    own corpus x queries brute scan is ONE table:
+
+      (query_id, vec_id, half, rank_all, rank_half, rank_excl)
+
+    - ``rank_all``  — rank over the full corpus INCLUDING the query
+      vector itself: exactly ``brute_topk``'s rank (consumers:
+      llm_ann_recall, llm_ann_tuning);
+    - ``rank_half`` — rank within the corpus ingest half
+      (vec_id % 2): exactly the per-half truth spine of
+      ``ann_recall_drift`` (one lineage, same window);
+    - ``rank_excl`` — rank among non-self rows (NULL on the self
+      row): exactly the self-excluded truth of llm_ann_pq_recall /
+      llm_ann_lsh_recall / llm_ann_ensemble_recall.  Derived from
+      rank_all in the same pass: for a non-self row,
+      rank_excl = rank_all - 1 iff the self row ranks strictly above
+      it (ranks are distinct integers, so no tie case exists).
+
+    CORRECTNESS ARGUMENT (the one-shared-sample coupling): every
+    per-row cosine is a deterministic function of the two input
+    vectors (a fixed-order array dot product — no aggregation-order
+    sensitivity), and each rank column's window is identical to the
+    window the consumer previously ran inline, so each filtered
+    projection of this table is bit-identical to the truth relation
+    that consumer computed for itself; equivalence is additionally
+    pinned per-consumer by tests/test_r12_opt_ann.py on a handmade
+    corpus.  In production this is the ground-truth evaluation table
+    an ANN deployment refreshes per index release — the brute scan is
+    paid ONCE per release, not once per audit readout."""
+    from pyspark.sql import Window
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key not in _ANN_TRUTH_CACHE:
+        _evict_stale(_ANN_TRUTH_CACHE, app_id)
+        e = _embs(spark, sf_dir)
+        c = sim._norm_vec(e, "vec_id", "embedding", "vec_id", "_v").withColumn(
+            "half", (F.col("vec_id") % 2).cast("long")
+        )
+        q = sim._norm_vec(
+            e.filter(F.col("vec_id") % 50 == 7), "vec_id", "embedding", "query_id", "_q"
+        )
+        scored = c.crossJoin(F.broadcast(q)).select(
+            "half", "query_id", "vec_id", sim._pair_cos("_q", "_v").alias("_cos")
+        )
+        w_all = Window.partitionBy("query_id").orderBy(
+            F.desc("_cos"), F.asc("vec_id")
+        )
+        w_half = Window.partitionBy("half", "query_id").orderBy(
+            F.desc("_cos"), F.asc("vec_id")
+        )
+        w_q = Window.partitionBy("query_id")
+        ranked = scored.select(
+            "query_id",
+            "vec_id",
+            "half",
+            F.row_number().over(w_all).alias("rank_all"),
+            F.row_number().over(w_half).alias("rank_half"),
+        ).withColumn(
+            "_self_rank",
+            F.max(
+                F.when(F.col("vec_id") == F.col("query_id"), F.col("rank_all"))
+            ).over(w_q),
+        )
+        k = 5
+        _ANN_TRUTH_CACHE[key] = (
+            ranked.withColumn(
+                "rank_excl",
+                F.when(F.col("vec_id") == F.col("query_id"), F.lit(None)).otherwise(
+                    F.col("rank_all")
+                    - F.when(
+                        F.col("rank_all") > F.coalesce("_self_rank", F.lit(1 << 31)),
+                        1,
+                    ).otherwise(0)
+                ),
+            )
+            .filter(
+                (F.col("rank_all") <= k)
+                | (F.col("rank_half") <= k)
+                | (F.col("rank_excl") <= k)
+            )
+            .select("query_id", "vec_id", "half", "rank_all", "rank_half", "rank_excl")
+            .localCheckpoint()
+        )
+    return _ANN_TRUTH_CACHE[key]
 
 
 def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1523,8 +1625,7 @@ def _neardup_corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir)
     if key not in _NEARDUP_BANDS_CACHE:
-        for stale in [k for k in _NEARDUP_BANDS_CACHE if k[0] != app_id]:
-            _NEARDUP_BANDS_CACHE.pop(stale, None)
+        _evict_stale(_NEARDUP_BANDS_CACHE, app_id)
         corpus = _aug_docs(spark, sf_dir).filter(F.col("doc_id") < 100000).select(
             "doc_id", "text"
         )
@@ -1559,8 +1660,7 @@ def _bpe_rules(spark: SparkSession, sf_dir: str) -> list[tuple]:
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir)
     if key not in _BPE_CACHE:
-        for stale in [k for k in _BPE_CACHE if k[0] != app_id]:
-            _BPE_CACHE.pop(stale, None)
+        _evict_stale(_BPE_CACHE, app_id)
         _BPE_CACHE[key] = [
             tuple(r)
             for r in tok.bpe_merges(_docs(spark, sf_dir), n_merges=8)
@@ -1592,8 +1692,7 @@ def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir)
     if key not in _BPE_ENCODE_CACHE:
-        for stale in [k for k in _BPE_ENCODE_CACHE if k[0] != app_id]:
-            _BPE_ENCODE_CACHE.pop(stale, None)
+        _evict_stale(_BPE_ENCODE_CACHE, app_id)
         rules = [(r[1], r[2]) for r in _bpe_rules(spark, sf_dir)]
         _BPE_ENCODE_CACHE[key] = tok.bpe_encode_counts(
             _docs(spark, sf_dir), rules
@@ -3992,39 +4091,53 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
 
+    from concurrent.futures import ThreadPoolExecutor
+
     pipe = AttributionPipeline(
         spark, sf_dir, PipelineConfig(model="linear", report_mode="corrected")
     )
-    # stage 1: setup_database
-    wh = Warehouse(spark, root)
-    wh.create_initial_schema()
-    # stage 2: transform (non-empty check, transform.py:264-265).
-    # The transform output comes from the staged journeys table
-    # (_journeys cache) — identical lineage to pipe.journeys(); a
-    # production DAG likewise stages the transform ONCE and every
-    # downstream stage reads the staging table (pipeline.py sequencing
-    # is pinned separately by tests/test_functions_and_io.py
-    # run_with_checks tests + the goldens).
+    # stage 2 precondition: transform (non-empty check,
+    # transform.py:264-265).  The transform output comes from the staged
+    # journeys table (_journeys cache) — identical lineage to
+    # pipe.journeys(); a production DAG likewise stages the transform
+    # ONCE and every downstream stage reads the staging table
+    # (pipeline.py sequencing is pinned separately by
+    # tests/test_functions_and_io.py run_with_checks tests + the
+    # goldens).
     journeys = _journeys(spark, sf_dir)
-    if journeys.limit(1).count() == 0:
-        raise ValueError("transform produced no journey entries")
-    # stage 3: attribute (native §2.6 linear)
-    # localCheckpoint: the attribution feeds three consumers (the
-    # dup-guard inside merge_upsert, the merge itself, and the count
-    # parity check) — recomputing the window per consumer tripled the
-    # stage (the expensive-multi-consumer checkpoint rule).
-    att = (
-        attr.attribute(journeys, "linear")
-        .select("conv_id", "session_id", "ihc")
-        .localCheckpoint()
-    )
-    # stage 4: load + verify (db_utils.py:86-102, load.py:120-123)
-    merge_upsert(wh, "attribution_customer_journey", att, ["conv_id", "session_id"])
-    loaded = wh.read("attribution_customer_journey")
-    checks = loaded.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("ihc").alias("total_ihc")
-    ).first()
-    if checks["n"] != att.count():
+    wh = Warehouse(spark, root)
+    # r12 (VERDICT r11 #1, guide §2.6): stage 1 (schema DDL — empty-table
+    # sink writes) is independent of stages 2-3, so it runs on a driver
+    # thread while the main thread checks the transform and materializes
+    # the attribution; an Airflow DAG would likewise run setup_database
+    # in parallel with transform's staging read.
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _f_schema = _pool.submit(wh.create_initial_schema)
+        if journeys.limit(1).count() == 0:
+            raise ValueError("transform produced no journey entries")
+        # stage 3: attribute (native §2.6 linear)
+        # localCheckpoint: the attribution feeds three consumers (the
+        # dup-guard inside merge_upsert, the merge itself, and the count
+        # parity check) — recomputing the window per consumer tripled the
+        # stage (the expensive-multi-consumer checkpoint rule).
+        att = (
+            attr.attribute(journeys, "linear")
+            .select("conv_id", "session_id", "ihc")
+            .localCheckpoint()
+        )
+        _f_schema.result()
+    # stage 4: load + verify (db_utils.py:86-102, load.py:120-123); the
+    # parity count over the checkpointed attribution overlaps the merge
+    # sink write (independent jobs — guide §2.6)
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _f_n = _pool.submit(att.count)
+        merge_upsert(wh, "attribution_customer_journey", att, ["conv_id", "session_id"])
+        loaded = wh.read("attribution_customer_journey")
+        checks = loaded.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("ihc").alias("total_ihc")
+        ).first()
+        att_n = _f_n.result()
+    if checks["n"] != att_n:
         raise ValueError(f"load verification failed: {checks['n']} loaded")
     if (checks["total_ihc"] or 0.0) <= 0:
         raise ValueError("total ihc <= 0 after load")
@@ -5083,8 +5196,21 @@ def q_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L220: MinHash estimator calibration — signature-position
     agreement vs exact Jaccard per LSH candidate pair, bucketed by the
-    estimate (llm/dedup.py minhash_accuracy)."""
-    return dd.minhash_accuracy(_aug_docs(spark, sf_dir))
+    estimate (llm/dedup.py minhash_accuracy).
+
+    r12 (VERDICT r11 #5): rides the staged stores instead of
+    rebuilding the corpus lineages — candidates come from the
+    _aug_bands band table (bit-identical: _aug_bands IS
+    lsh_bands(minhash_signatures(...)) over the same corpus at the
+    same operating point) and the exact-verify shingle sets come from
+    _ngram_sets (the same k=3 distinct hashed-shingle arrays); only
+    the signature re-join for est_matches is recomputed, left-semi
+    pruned to candidate docs."""
+    return dd.minhash_accuracy(
+        _aug_docs(spark, sf_dir),
+        bands_df=_aug_bands(spark, sf_dir),
+        sets=_ngram_sets(spark, sf_dir),
+    )
 
 
 def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5267,7 +5393,10 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L233: recall@5 audit of the IVF index vs exact brute-force
     ground truth on the query sample — the ANN calibration twin of
-    llm_minhash_accuracy (llm/similarity.py ann_recall_audit)."""
+    llm_minhash_accuracy (llm/similarity.py ann_recall_audit).  The
+    truth side rides the staged _ann_truth store (r12: one brute scan
+    per application, not one per audit; rank_all is exactly
+    brute_topk's rank — see _ann_truth's correctness argument)."""
     e = _embs(spark, sf_dir)
     return sim.ann_recall_audit(
         e,
@@ -5275,6 +5404,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < 8),
         k=5,
         probe=2,
+        truth=_ann_truth(spark, sf_dir)
+        .filter(F.col("rank_all") <= 5)
+        .select("query_id", "vec_id"),
     )
 
 
@@ -5597,6 +5729,9 @@ def q_ann_recall_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < 8),
         k=5,
         probe=2,
+        truth=_ann_truth(spark, sf_dir)
+        .filter(F.col("rank_half") <= 5)
+        .select("half", "query_id", "vec_id"),
     )
 
 
@@ -5732,8 +5867,7 @@ def _ngram_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir)
     if key not in _NGRAM_SETS_CACHE:
-        for stale in [k for k in _NGRAM_SETS_CACHE if k[0] != app_id]:
-            _NGRAM_SETS_CACHE.pop(stale, None)
+        _evict_stale(_NGRAM_SETS_CACHE, app_id)
         _NGRAM_SETS_CACHE[key] = dd.blocked_shingle_sets(
             _aug_docs(spark, sf_dir)
         ).localCheckpoint()
@@ -5753,8 +5887,7 @@ def _aug_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir)
     if key not in _AUG_BANDS_CACHE:
-        for stale in [k for k in _AUG_BANDS_CACHE if k[0] != app_id]:
-            _AUG_BANDS_CACHE.pop(stale, None)
+        _evict_stale(_AUG_BANDS_CACHE, app_id)
         docs = _aug_docs(spark, sf_dir)
         norm = txt.normalize_text(F.col("text"))
         exploded = docs.select(
@@ -5871,8 +6004,7 @@ def _stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (app_id, sf_dir)
     if key in _STREAM_SESSIONS_CACHE:
         return _STREAM_SESSIONS_CACHE[key]
-    for stale in [k for k in _STREAM_SESSIONS_CACHE if k[0] != app_id]:
-        _STREAM_SESSIONS_CACHE.pop(stale, None)
+    _evict_stale(_STREAM_SESSIONS_CACHE, app_id)
     ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
     g = (
         ev.filter(F.col("event_type") != "purchase")
@@ -5910,8 +6042,7 @@ def _stream_user_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (app_id, sf_dir)
     if key in _STREAM_USER_FLAGS_CACHE:
         return _STREAM_USER_FLAGS_CACHE[key]
-    for stale in [k for k in _STREAM_USER_FLAGS_CACHE if k[0] != app_id]:
-        _STREAM_USER_FLAGS_CACHE.pop(stale, None)
+    _evict_stale(_STREAM_USER_FLAGS_CACHE, app_id)
     ev = inc.stream_events_nanos(spark, f"{sf_dir}/events.parquet")
     g = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("_n_all"),
@@ -6546,7 +6677,8 @@ def q_ann_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     that turns the single-point audit into an auto-tuning readout
     (llm/similarity.py ivf_probe_frontier).  Same grid as L233:
     corpus = embeddings, queries = vec_id%50==7, centroids =
-    vec_id<8, k=5."""
+    vec_id<8, k=5.  The truth side rides the staged _ann_truth store
+    (r12: rank_all == brute_topk's rank, one brute scan per app)."""
     e = _embs(spark, sf_dir)
     return sim.ivf_probe_frontier(
         e,
@@ -6554,6 +6686,9 @@ def q_ann_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < 8),
         k=5,
         probes=(1, 2, 4, 8),
+        truth=_ann_truth(spark, sf_dir)
+        .filter(F.col("rank_all") <= 5)
+        .select("query_id", "vec_id"),
     )
 
 
@@ -7111,9 +7246,11 @@ def q_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     store); pack/shard are one groupBy + bounded window each; the
     ledger is 4 rows.  The curated table is localCheckpoint'd once
     (4 consumers — the multi-consumer-lineage rule)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     aug = _aug_docs(spark, sf_dir)
     norm = txt.normalize_text(F.col("text"))
-    tot = aug.select(
+    tot_q = aug.select(
         F.size(F.regexp_extract_all(norm, F.lit(txt.TOKEN_REGEX), 0))
         .cast("long")
         .alias("_t")
@@ -7121,9 +7258,19 @@ def q_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs_all"),
         F.sum("_t").cast("long").alias("tokens_all"),
     )
-    curated = cur.curate_corpus(
-        aug, corpus_pairs=_minhash_pairs(spark, sf_dir)
-    ).localCheckpoint()
+    pairs = _minhash_pairs(spark, sf_dir)  # staged store (built on the main thread)
+    # r12 (VERDICT r11 #1, guide §2.6): the corpus-total tokenize scan is
+    # independent of the curate chain — submit both from a driver pool so
+    # the tot scan back-fills executors during curate's checkpoint
+    # barriers instead of running serially after them.  Values are
+    # unchanged (both jobs are the same deterministic aggregations).
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_tot = _pool.submit(lambda: tot_q.localCheckpoint())
+        _f_cur = _pool.submit(
+            lambda: cur.curate_corpus(aug, corpus_pairs=pairs).localCheckpoint()
+        )
+        tot = _f_tot.result()
+        curated = _f_cur.result()
     cur_agg = curated.agg(
         F.count(F.lit(1)).cast("long").alias("n_surv"),
         F.sum("n_tokens").cast("long").alias("surv_tokens"),
@@ -7142,11 +7289,6 @@ def q_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = pck.pack_sequences(
         train, budget=4096, weight_col="n_tokens"
     )
-    pack_agg = manifest.agg(
-        F.count(F.lit(1)).cast("long").alias("n_manifest"),
-        F.sum("n_chars").cast("long").alias("packed_mass"),
-        (F.max("seq_last") + 1).cast("long").alias("n_seqs"),
-    )
     shard = (
         F.conv(
             F.substring(
@@ -7157,10 +7299,22 @@ def q_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 256
     )
-    shard_agg = (
+    # r12 (guide §2.4 — don't compute the lineage twice): the pack and
+    # shard ledger rows both reduce the SAME manifest; one shard-grain
+    # pass feeds both (n_manifest = Σ shard counts, packed_mass =
+    # Σ shard sums, n_seqs = max of shard maxes + 1 — exact-integer
+    # identical to the two separate aggregates by associativity).
+    pack_shard_agg = (
         manifest.groupBy(shard.alias("_s"))
-        .agg(F.sum("n_chars").cast("long").alias("_c"))
         .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("n_chars").cast("long").alias("_c"),
+            F.max("seq_last").alias("_ml"),
+        )
+        .agg(
+            F.sum("_n").cast("long").alias("n_manifest"),
+            F.sum("_c").cast("long").alias("packed_mass"),
+            (F.max("_ml") + 1).cast("long").alias("n_seqs"),
             F.count(F.lit(1)).cast("long").alias("n_shards"),
             F.sum("_c").cast("long").alias("shard_mass"),
         )
@@ -7168,8 +7322,7 @@ def q_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tot.crossJoin(cur_agg)
         .crossJoin(train_agg)
-        .crossJoin(pack_agg)
-        .crossJoin(shard_agg)
+        .crossJoin(pack_shard_agg)
         .selectExpr(
             """stack(4,
               'curate', n_docs_all, n_surv, tokens_all, surv_tokens,
@@ -7642,27 +7795,21 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded, matching the PQ search's self-exclusion) vs the PQ
     ADC+rerank top-5, reduced to (n_queries, k, sum_hits, recall_q20
     half-up).  Completes the audit matrix: IVF has L233/L243, PQ now
-    has its own measured operating point.  Scale: the truth side is
-    the one brute query-batch scan every recall audit pays; the PQ
-    side rides the staged subvector/codebook lineage."""
+    has its own measured operating point.  Scale: the truth side
+    rides the staged _ann_truth store (r12: rank_excl is exactly the
+    self-excluded brute rank this query computed inline — one brute
+    scan per application, not one per audit); the PQ side rides the
+    staged subvector/codebook lineage."""
     from marketing_attribution_etl_framework__maef_spark.llm import pq
-    from pyspark.sql import Window
 
     e = _embs(spark, sf_dir)
     pqr = pq.ann_pq_rerank(e).select("query_id", "vec_id")
-    c = sim._norm_vec(e, "vec_id", "embedding", "vec_id", "_v")
     q = sim._norm_vec(
         e.filter(F.col("vec_id") % 50 == 7), "vec_id", "embedding", "query_id", "_q"
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", sim._pair_cos("_q", "_v").alias("_cos"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
     truth = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 5)
+        _ann_truth(spark, sf_dir)
+        .filter(F.col("rank_excl") <= 5)
         .select("query_id", "vec_id")
     )
     hits = truth.join(pqr, ["query_id", "vec_id"], "left_semi").agg(
@@ -7717,8 +7864,7 @@ def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir)
     if key not in _DUP_SPANS_CACHE:
-        for stale in [k for k in _DUP_SPANS_CACHE if k[0] != app_id]:
-            _DUP_SPANS_CACHE.pop(stale, None)
+        _evict_stale(_DUP_SPANS_CACHE, app_id)
         _DUP_SPANS_CACHE[key] = dd.duplicated_spans(
             _span_docs(spark, sf_dir), k=8, min_docs=2
         ).localCheckpoint()
@@ -7880,10 +8026,10 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     as truth, (n_queries, k, sum_hits, recall_q20 half-up) as the one
     number a capacity plan quotes next to the scan fraction.  Scale:
     the truth side is the one brute query-batch scan every recall
-    audit pays (1/50-sampled broadcast queries); the LSH side is the
-    bucket equi-join."""
-    from pyspark.sql import Window
-
+    audit pays (1/50-sampled broadcast queries — r12: staged once in
+    _ann_truth, whose rank_excl is exactly the self-excluded brute
+    rank this query computed inline); the LSH side is the bucket
+    equi-join."""
     e = _embs(spark, sf_dir)
     lshr = sim.lsh_multiprobe_topk(
         e,
@@ -7893,19 +8039,12 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         t=2,
         exclude_self=True,
     ).select("query_id", "vec_id")
-    c = sim._norm_vec(e, "vec_id", "embedding", "vec_id", "_v")
     q = sim._norm_vec(
         e.filter(F.col("vec_id") % 50 == 7), "vec_id", "embedding", "query_id", "_q"
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", sim._pair_cos("_q", "_v").alias("_cos"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
     truth = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 5)
+        _ann_truth(spark, sf_dir)
+        .filter(F.col("rank_excl") <= 5)
         .select("query_id", "vec_id")
     )
     hits = truth.join(lshr, ["query_id", "vec_id"], "left_semi").agg(
@@ -8413,17 +8552,12 @@ def q_ann_ensemble_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 5)
         .select("query_id", "vec_id")
     )
-    c = sim._norm_vec(e, "vec_id", "embedding", "vec_id", "_v")
     q = sim._norm_vec(q_set, "vec_id", "embedding", "query_id", "_q")
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", sim._pair_cos("_q", "_v").alias("_cos"))
-    )
-    wt = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    # r12: truth rides the staged _ann_truth store (rank_excl is
+    # exactly the self-excluded brute rank computed inline before)
     truth = (
-        scored.withColumn("_rn", F.row_number().over(wt))
-        .filter(F.col("_rn") <= 5)
+        _ann_truth(spark, sf_dir)
+        .filter(F.col("rank_excl") <= 5)
         .select("query_id", "vec_id")
     )
     h_ivf = truth.join(ivfr, ["query_id", "vec_id"], "left_semi").agg(
@@ -8468,20 +8602,117 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.dataset_card(_docs(spark, sf_dir))
 
 
+def q_ngram_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L341 (VERDICT r11 #6): shingle-set STORE build-cost audit — the
+    lsh_cost_audit device applied to the _ngram_sets store: this query
+    RUNS the blocked_shingle_sets build fresh (never the checkpoint),
+    so the ingest cost the staged store amortizes for the
+    jaccard/containment pair queries stays driver-visible, and reduces
+    it to the capacity numbers a deployment sizes the store with: per
+    block (language), (n_docs, sum_set_sizes = index entries,
+    n_distinct_shingles, sum_df_sq = the Σ df(h)^2 pair-join cost
+    bound the pair queries ship, max_df = the hottest shingle).
+    Scale: one shingle build + one (block, hash) aggregate — exactly
+    the store's ingest write plus a bounded rollup."""
+    sets = dd.blocked_shingle_sets(_aug_docs(spark, sf_dir))
+    per_doc = sets.groupBy("_blk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("_set").cast("long")).cast("long").alias("sum_set_sizes"),
+    )
+    dfreq = sets.select("_blk", F.explode("_set").alias("_h")).groupBy(
+        "_blk", "_h"
+    ).agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    cost = dfreq.groupBy("_blk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_shingles"),
+        F.sum(F.col("_df") * F.col("_df")).cast("long").alias("sum_df_sq"),
+        F.max("_df").cast("long").alias("max_df"),
+    )
+    return per_doc.join(cost, "_blk", "left").select(
+        F.col("_blk").alias("block"),
+        "n_docs",
+        "sum_set_sizes",
+        F.coalesce("n_distinct_shingles", F.lit(0)).cast("long").alias(
+            "n_distinct_shingles"
+        ),
+        F.coalesce("sum_df_sq", F.lit(0)).cast("long").alias("sum_df_sq"),
+        F.coalesce("max_df", F.lit(0)).cast("long").alias("max_df"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
-    # 50 registry entries per round.  r11 rotation (VERDICT r10 next-steps
-    # #1): positions 0-12 are the 13 r10 additions that have never received
-    # a driver row (llm_export_pipeline .. llm_ann_pq_recall); positions
-    # 13-49 back-fill with the 37 stalest greens COMPUTED from the
-    # CORRECTNESS_r01-r10 history (last green driver row per entry): the
-    # r03-era tail from llm_length_percentiles onward (36 entries) plus
-    # rel_basket_pairs (r05).  Any r11-session additions land after the
-    # r12-queue marker (they must NOT jump the window this round).
+    # 50 registry entries per round.  r12 rotation (VERDICT r11 next-steps
+    # #7): positions 0-17 are the 18 r11 build-session additions that have
+    # never received a driver row (llm_dedup_spans .. llm_dataset_card);
+    # position 18 is this round's single addition (the _ngram_sets
+    # build-cost audit, VERDICT r11 #6 — a new entry leads the window);
+    # positions 19-49 back-fill with the 31 stalest greens COMPUTED from
+    # the CORRECTNESS_r01-r11 history (all last-green in r05).
     return {
-        # --- r11 gate window part 1 (positions 0-12): the 13 r10
-        # additions, never driver-checked (VERDICT r10 next-steps #1),
+        # --- r12 gate window part 1 (positions 0-17): the 18 r11 build-
+        # session additions, never driver-checked (VERDICT r11 #7),
         # oldest first ---
+        "llm_dedup_spans": q_dedup_spans,
+        "llm_dedup_span_recall": q_dedup_span_recall,
+        "llm_contamination_recall": q_contamination_recall,
+        "llm_stream_export_ledger": q_stream_export_ledger,
+        "llm_ann_lsh_recall": q_ann_lsh_recall,
+        "llm_dedup_span_scrub": q_dedup_span_scrub,
+        "llm_span_roi": q_span_roi,
+        "maef_ivm_distinct": q_ivm_distinct,
+        "maef_stream_pacing": q_stream_pacing,
+        "llm_repeat_spans": q_repeat_spans,
+        "llm_stream_repeat_gate": q_stream_repeat_gate,
+        "llm_stream_contamination_gate": q_stream_contamination_gate,
+        "llm_gate_ablation": q_gate_ablation,
+        "rel_zone_map_skipping": q_rel_zone_skipping,
+        "maef_ivm_topk": q_ivm_topk,
+        "maef_geo_lift": q_geo_lift,
+        "llm_ann_ensemble_recall": q_ann_ensemble_recall,
+        "llm_dataset_card": q_dataset_card,
+        # --- r12 gate window position 18: this round's one addition —
+        # the _ngram_sets build-cost audit (VERDICT r11 #6) ---
+        "llm_ngram_store_audit": q_ngram_store_audit,
+        # --- r12 gate window part 2 (positions 19-49): the 31 STALEST
+        # greens COMPUTED from CORRECTNESS_r01-r11 (last green driver
+        # row per entry): all r05-green, maef_robust_stats ..
+        # llm_random_projection (maef_raking_ipf, the 32nd-stalest, did
+        # not fit once the r12 audit addition took its window slot) ---
+        "maef_robust_stats": q_robust_channel_stats,
+        "llm_pack_sequences": q_pack_sequences,
+        "maef_bandit_ucb": q_bandit_ucb,
+        "rel_triangle_count": q_rel_triangle_count,
+        "maef_stratified_sample": q_stratified_sample,
+        "llm_embed_quantize": q_embed_quantize,
+        "maef_path_motifs": q_path_motifs,
+        "rel_item_recs": q_rel_item_recs,
+        "llm_nb_langid": q_nb_langid,
+        "maef_benford_screen": q_benford_screen,
+        "maef_stream_enrich": q_stream_enrich,
+        "llm_greedy_coverage": q_greedy_coverage,
+        "maef_isotonic_calibration": q_isotonic_calibration,
+        "maef_cusum_changepoint": q_cusum_changepoint,
+        "llm_hashed_features": q_hashed_features,
+        "rel_kcore": q_rel_kcore,
+        "maef_weighted_median": q_weighted_median,
+        "maef_sequence_patterns": q_sequence_patterns,
+        "maef_pseudonymize": q_pseudonymize,
+        "maef_pipeline_e2e": q_pipeline_e2e,
+        "maef_gini_channel": q_gini_channel,
+        "maef_wilson_rates": q_wilson_rates,
+        "maef_did_lift": q_did_lift,
+        "maef_ewma_forecast": q_ewma_forecast,
+        "maef_seasonal_naive": q_seasonal_naive,
+        "rel_grouping_sets": q_rel_grouping_sets,
+        "maef_skyline_days": q_skyline_days,
+        "rel_label_propagation": q_label_propagation,
+        "llm_bigram_surprisal": q_bigram_surprisal,
+        "llm_temperature_mix": q_temperature_mix,
+        "llm_random_projection": q_random_projection,
+        # --- r12 additions land BELOW (r13 queue; driver-unchecked) ---
+        # (none this round beyond the in-window audit above)
+        # --- remaining registry (unchanged relative order; the old r11
+        # window entries are now the freshest greens and sit here) ---
         "llm_export_pipeline": q_export_pipeline,
         "llm_stream_ann_store": q_stream_ann_store,
         "llm_pii_rate": q_pii_rate,
@@ -8495,12 +8726,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_stream_pii_gate": q_stream_pii_gate,
         "maef_ivm_join": q_ivm_join,
         "llm_ann_pq_recall": q_ann_pq_recall,
-        # --- r11 gate window part 2 (positions 13-49): the 37 STALEST
-        # greens COMPUTED from CORRECTNESS_r01-r10 (last green driver
-        # row per entry): 36 r03-era entries last checked in r03
-        # (llm_length_percentiles .. llm_containment) plus
-        # rel_basket_pairs (r05) — re-verified under the current
-        # oracle text ---
         "llm_length_percentiles": q_length_percentiles,
         "llm_chunk_documents": q_chunk_documents,
         "llm_vocabulary": q_vocabulary,
@@ -8538,26 +8763,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_dormant_users": q_dormant_users,
         "llm_containment": q_containment,
         "rel_basket_pairs": q_rel_basket_pairs,
-        # --- r11 additions land BELOW (r12 queue; driver-unchecked) ---
-        "llm_dedup_spans": q_dedup_spans,
-        "llm_dedup_span_recall": q_dedup_span_recall,
-        "llm_contamination_recall": q_contamination_recall,
-        "llm_stream_export_ledger": q_stream_export_ledger,
-        "llm_ann_lsh_recall": q_ann_lsh_recall,
-        "llm_dedup_span_scrub": q_dedup_span_scrub,
-        "llm_span_roi": q_span_roi,
-        "maef_ivm_distinct": q_ivm_distinct,
-        "maef_stream_pacing": q_stream_pacing,
-        "llm_repeat_spans": q_repeat_spans,
-        "llm_stream_repeat_gate": q_stream_repeat_gate,
-        "llm_stream_contamination_gate": q_stream_contamination_gate,
-        "llm_gate_ablation": q_gate_ablation,
-        "rel_zone_map_skipping": q_rel_zone_skipping,
-        "maef_ivm_topk": q_ivm_topk,
-        "maef_geo_lift": q_geo_lift,
-        "llm_ann_ensemble_recall": q_ann_ensemble_recall,
-        "llm_dataset_card": q_dataset_card,
-        # --- remaining registry (unchanged relative order) ---
         "llm_lsh_hot_buckets": q_lsh_hot_buckets,
         "llm_template_docs": q_template_docs,
         "llm_dedup_roi": q_dedup_roi,
@@ -8758,37 +8963,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_multimodal_frames": q_multimodal_frames,
         "maef_mde_components": q_mde_components,
         "maef_conversion_velocity": q_conversion_velocity,
-        "maef_robust_stats": q_robust_channel_stats,
-        "llm_pack_sequences": q_pack_sequences,
-        "maef_bandit_ucb": q_bandit_ucb,
-        "rel_triangle_count": q_rel_triangle_count,
-        "maef_stratified_sample": q_stratified_sample,
-        "llm_embed_quantize": q_embed_quantize,
-        "maef_path_motifs": q_path_motifs,
-        "rel_item_recs": q_rel_item_recs,
-        "llm_nb_langid": q_nb_langid,
-        "maef_benford_screen": q_benford_screen,
-        "maef_stream_enrich": q_stream_enrich,
-        "llm_greedy_coverage": q_greedy_coverage,
-        "maef_isotonic_calibration": q_isotonic_calibration,
-        "maef_cusum_changepoint": q_cusum_changepoint,
-        "llm_hashed_features": q_hashed_features,
-        "rel_kcore": q_rel_kcore,
-        "maef_weighted_median": q_weighted_median,
-        "maef_sequence_patterns": q_sequence_patterns,
-        "maef_pseudonymize": q_pseudonymize,
-        "maef_pipeline_e2e": q_pipeline_e2e,
-        "maef_gini_channel": q_gini_channel,
-        "maef_wilson_rates": q_wilson_rates,
-        "maef_did_lift": q_did_lift,
-        "maef_ewma_forecast": q_ewma_forecast,
-        "maef_seasonal_naive": q_seasonal_naive,
-        "rel_grouping_sets": q_rel_grouping_sets,
-        "maef_skyline_days": q_skyline_days,
-        "rel_label_propagation": q_label_propagation,
-        "llm_bigram_surprisal": q_bigram_surprisal,
-        "llm_temperature_mix": q_temperature_mix,
-        "llm_random_projection": q_random_projection,
         "maef_raking_ipf": q_raking_ipf,
         "maef_top_paths": q_top_paths,
         "maef_user_mix_entropy": q_user_mix_entropy,
@@ -8800,9 +8974,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maef_cohort_ltv": q_cohort_ltv,
         "llm_ct_langid": q_ct_langid,
         "llm_multimodal_features": q_multimodal_features,
-        # --- freshly-green r10 window (CORRECTNESS_r10, 50/50)
-        # rotates here: the 13 r09 additions + the 37 r02/r03-era
-        # re-greens are now the NEWEST driver rows ---
         "maef_stream_sessionize_state": q_stream_sessionize_state,
         "llm_dedup_pipeline": q_dedup_pipeline,
         "llm_ann_tuning": q_ann_tuning,

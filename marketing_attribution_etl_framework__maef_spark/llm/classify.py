@@ -84,11 +84,11 @@ def nb_train(
     ``counts``: optionally precomputed (label, word, c) token counts
     (e.g. a ``token_tf`` roll-up) — result-identical.
     """
-    toks = docs.select(
-        F.col(label_col).alias("label"),
-        F.explode(words(normalize_text(F.col(text_col)))).alias("word"),
-    ).filter(F.col("word") != "")
     if counts is None:
+        toks = docs.select(
+            F.col(label_col).alias("label"),
+            F.explode(words(normalize_text(F.col(text_col)))).alias("word"),
+        ).filter(F.col("word") != "")
         counts = toks.groupBy("label", "word").agg(
             F.count(F.lit(1)).cast("long").alias("c")
         )
@@ -182,18 +182,22 @@ def nb_confusion(
 
     Output: (lang, pred_label, n_docs).
 
-    r11 optimization (guide §2.3/§2.4): the corpus is tokenized ONCE
-    into the (doc, label, word, tf) lineage; training counts are its
-    (label, word) roll-up and scoring reads its per-doc projection.
-    A/B-measured in one session at sf0.1: 3.54 s (two tokenizations)
-    vs 3.31 s (shared) — and one fewer corpus explode at any scale.
-    A localCheckpoint of the tf table measured SLOWER (4.4 s): the
-    tokenize lineage is cheap enough that recompute + AQE beats
-    materialization (the CLAUDE.md cheap-lineage rule)."""
+    Pass structure (r11 relabel + r12 fix, VERDICT r11 #4): sharing the
+    lazy (doc, label, word, tf) lineage between consumers does NOT
+    deduplicate compute — each consumer re-expands the tokenize (the
+    r11 before/after plans were identical; that claim is withdrawn).
+    What does reduce the pass count: materializing the (label, word, c)
+    roll-up, which is vocabulary-sized (V x |langs| rows — tiny next to
+    the doc x word tf table whose checkpoint measured SLOWER in r11),
+    so the three training consumers (class totals, vocab size, weights)
+    read one small checkpoint instead of re-running the corpus
+    tokenize+explode+aggregate each.  Tokenize passes: 5 -> 3 (counts
+    build + doc_tot + matched); plan scan count drops accordingly
+    (plans/r12/llm_nb_langid_{before,after}.txt)."""
     tf_tab = token_tf(docs, label_col, text_col, id_col)
     counts = tf_tab.groupBy("label", "word").agg(
         F.sum("tf").cast("long").alias("c")
-    )
+    ).localCheckpoint()
     model = nb_train(docs, label_col, text_col, counts=counts)
     pred = nb_predict(
         docs, model, text_col, id_col, tf=tf_tab.select(id_col, "word", "tf")

@@ -906,6 +906,8 @@ def minhash_accuracy(
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
     rows_per_band: int = ROWS_PER_BAND,
+    bands_df: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash estimator calibration audit: for every LSH candidate
     pair, how many of the ``num_hashes`` signature positions agree
@@ -921,22 +923,51 @@ def minhash_accuracy(
     (banded LSH, checkpointed candidates, left-semi-pruned exact
     verify); the signature re-join is two hash joins on doc id; the
     output is bounded by num_hashes + 1 rows.
+
+    ``bands_df``: optionally the precomputed (ideally checkpointed)
+    ``lsh_bands`` table — bit-identical candidates (md5 banding is a
+    deterministic per-doc function), skips the corpus-wide
+    shingle+signature+band build.  ``sets``: optionally a precomputed
+    ``blocked_shingle_sets``-shaped table with (id, _set) — identical
+    distinct-shingle arrays, skips the candidate-doc re-shingle.
+    r12: the signature re-derivation for est_matches is left-semi
+    PRUNED to candidate docs first (the same prune the verify stage
+    has always used) — the full-corpus signature aggregate only ever
+    fed rows the candidate join kept.
     """
     norm = normalize_text(F.col(text_col))
-    exploded = docs.select(
-        F.col(id_col), F.explode(word_shingles(words(norm), k)).alias("shingle")
-    )
-    sigs = minhash_signatures(exploded, id_col, "shingle", num_hashes)
-    cands = candidate_pairs(
-        lsh_bands(sigs, id_col, bands, rows_per_band), id_col
-    ).localCheckpoint()
+    if bands_df is None:
+        exploded = docs.select(
+            F.col(id_col), F.explode(word_shingles(words(norm), k)).alias("shingle")
+        )
+        bands_df = lsh_bands(
+            minhash_signatures(exploded, id_col, "shingle", num_hashes),
+            id_col,
+            bands,
+            rows_per_band,
+        )
+    cands = candidate_pairs(bands_df, id_col).localCheckpoint()
     ids = (
         cands.select(F.col("doc_a").alias(id_col))
         .unionByName(cands.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sets = shingle_sets(docs.join(ids, id_col, "left_semi"), text_col, id_col, k)
+    cand_docs = docs.join(ids, id_col, "left_semi")
+    if sets is None:
+        sets = shingle_sets(cand_docs, text_col, id_col, k)
+    else:
+        sets = sets.join(ids, id_col, "left_semi").select(
+            F.col(id_col), F.col("_set").alias("shingle_set")
+        )
     scored = verify_jaccard(cands, sets, id_col)
+    sigs = minhash_signatures(
+        cand_docs.select(
+            F.col(id_col), F.explode(word_shingles(words(norm), k)).alias("shingle")
+        ),
+        id_col,
+        "shingle",
+        num_hashes,
+    )
     sa = sigs.select(
         F.col(id_col).alias("doc_a"), *[F.col(f"h{i}").alias(f"_ha{i}") for i in range(num_hashes)]
     )

@@ -645,6 +645,7 @@ def ann_recall_audit(
     centroids: DataFrame,
     k: int = 5,
     probe: int = 2,
+    truth: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k audit of the IVF index against exact brute-force
     ground truth, per query — the ANN twin of the MinHash estimator
@@ -663,10 +664,15 @@ def ann_recall_audit(
     (query_id, n_hits, recall_q20), one row per query — queries whose
     probed buckets miss everything still appear (hits 0) because the
     truth side is the spine.
+
+    ``truth``: optionally a precomputed (ideally checkpointed) exact
+    top-k table with (query_id, vec_id) — result-identical to the
+    inline ``brute_topk`` by the shared-truth-store argument
+    (__spark_entry__._ann_truth); skips the brute corpus scan.
     """
-    truth = brute_topk(corpus, queries, k).select(
-        "query_id", F.col("vec_id").alias("_tv")
-    )
+    if truth is None:
+        truth = brute_topk(corpus, queries, k).select("query_id", "vec_id")
+    truth = truth.select("query_id", F.col("vec_id").alias("_tv"))
     approx = ivf_topk(corpus, queries, centroids, k=k, probe=probe).select(
         "query_id", F.col("vec_id").alias("_av"), F.lit(1).alias("_hit")
     )
@@ -696,6 +702,7 @@ def ivf_probe_frontier(
     probes: tuple = (1, 2, 4, 8),
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    truth: DataFrame | None = None,
 ) -> DataFrame:
     """IVF auto-tuning readout (VERDICT r08 #8a): the nprobe/recall
     frontier — for each probe level, aggregate recall@k of the IVF
@@ -751,9 +758,14 @@ def ivf_probe_frontier(
     wpk = Window.partitionBy("probe", "query_id").orderBy(
         F.desc("_cos"), F.asc("vec_id")
     )
-    truth = brute_topk(corpus, queries, k, id_col, vec_col).select(
-        "query_id", "vec_id", F.lit(1).alias("_h")
-    )
+    if truth is None:
+        # ``truth`` may be a precomputed exact top-k (query_id, vec_id)
+        # table (__spark_entry__._ann_truth) — result-identical, skips
+        # the brute corpus scan.
+        truth = brute_topk(corpus, queries, k, id_col, vec_col).select(
+            "query_id", "vec_id"
+        )
+    truth = truth.select("query_id", "vec_id", F.lit(1).alias("_h"))
     scored = cl.withColumn("_rn", F.row_number().over(wpk)).join(
         truth, ["query_id", "vec_id"], "left"
     )
@@ -793,6 +805,7 @@ def ann_recall_drift(
     probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    truth: DataFrame | None = None,
 ) -> DataFrame:
     """Per-ingest-half recall@k audit in ONE lineage: the corpus is
     tagged half = vec_id % 2 and both the brute truth spine and the
@@ -814,15 +827,22 @@ def ann_recall_drift(
     q = _norm_vec(queries, id_col, vec_col, "query_id", "_q")
     cents = _norm_vec(centroids, id_col, vec_col, "centroid_id", "_c")
 
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "half", "query_id", "vec_id", _pair_cos("_q", "_v").alias("_cos")
-    )
-    wt = Window.partitionBy("half", "query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
-    truth = (
-        scored.withColumn("_rk", F.row_number().over(wt))
-        .filter(F.col("_rk") <= k)
-        .select("half", "query_id", F.col("vec_id").alias("_tv"))
-    )
+    if truth is None:
+        scored = c.crossJoin(F.broadcast(q)).select(
+            "half", "query_id", "vec_id", _pair_cos("_q", "_v").alias("_cos")
+        )
+        wt = Window.partitionBy("half", "query_id").orderBy(
+            F.desc("_cos"), F.asc("vec_id")
+        )
+        truth = (
+            scored.withColumn("_rk", F.row_number().over(wt))
+            .filter(F.col("_rk") <= k)
+            .select("half", "query_id", "vec_id")
+        )
+    # ``truth`` may be a precomputed per-half exact top-k
+    # (half, query_id, vec_id) table (__spark_entry__._ann_truth) —
+    # result-identical, skips the brute corpus scan.
+    truth = truth.select("half", "query_id", F.col("vec_id").alias("_tv"))
 
     wa = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("centroid_id"))
     assign = (

@@ -1074,7 +1074,14 @@ class IncrementalContaminationGate:
         micro-batch shuffle) just to recover ``source``; the
         uncontaminated-doc count now comes from a separate
         map-side-combinable per-source aggregate joined on the
-        bounded source dimension (broadcast)."""
+        bounded source dimension (broadcast).
+
+        Grain note (ADVICE r11): ``doc_id`` is assumed UNIQUE within a
+        micro-batch (true of the documents source by construction —
+        each doc arrives once).  If a source ever replayed duplicate
+        doc_id rows in one batch, the (doc_id, source) hit groupBy
+        would count the doc once while n_train counts rows; dedupe
+        upstream before feeding such a stream."""
         norm = self._normalize_text(F.col("text"))
         sh = F.array_distinct(
             F.transform(self._word_shingles(self._words(norm), 5), self._shingle_hash)

@@ -3357,6 +3357,34 @@ WHERE (CASE WHEN inter_size * 5 >= sza * 4 THEN 1 ELSE 0 END
        + CASE WHEN inter_size * 5 >= szb * 4 THEN 1 ELSE 0 END) > 0
 """
 
+_ORACLE_NGRAM_STORE_AUDIT = f"""
+WITH {_AUG}, {_NORM_AUG}, {_SHINGLED},
+sets AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(shingles,
+           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS ds
+  FROM shingled
+),
+per_doc AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(len(ds) AS BIGINT)) AS BIGINT) AS sum_set_sizes
+  FROM sets GROUP BY lang
+),
+ex AS (SELECT lang, doc_id, unnest(ds) AS h FROM sets),
+dfreq AS (SELECT lang, h, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY 1, 2),
+cost AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_distinct_shingles,
+         CAST(SUM(df * df) AS BIGINT) AS sum_df_sq,
+         CAST(MAX(df) AS BIGINT) AS max_df
+  FROM dfreq GROUP BY lang
+)
+SELECT p.lang AS block, p.n_docs, p.sum_set_sizes,
+       CAST(COALESCE(c.n_distinct_shingles, 0) AS BIGINT) AS n_distinct_shingles,
+       CAST(COALESCE(c.sum_df_sq, 0) AS BIGINT) AS sum_df_sq,
+       CAST(COALESCE(c.max_df, 0) AS BIGINT) AS max_df
+FROM per_doc p LEFT JOIN cost c ON p.lang = c.lang
+"""
+
 _ORACLE_REVENUE_HISTOGRAM = """
 WITH v AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_day,
@@ -9643,6 +9671,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
         "maef_dormant_users": _ORACLE_DORMANT,
         "llm_containment": _ORACLE_CONTAINMENT,
+        "llm_ngram_store_audit": _ORACLE_NGRAM_STORE_AUDIT,
         "maef_fill_gaps": _ORACLE_FILL_GAPS,
         "maef_fuzzy_channels": _ORACLE_FUZZY_CHANNELS,
         "llm_bloom_converters": _ORACLE_BLOOM_CONVERTERS,

@@ -63,6 +63,7 @@ def _prestage(spark, sf_dir: str) -> None:
         entrymod._stream_sessions,
         entrymod._stream_user_flags,
         entrymod._ngram_sets,
+        entrymod._ann_truth,
     ):
         builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
