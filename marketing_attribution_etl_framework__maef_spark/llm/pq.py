@@ -134,12 +134,31 @@ def pq_encode(sub: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def pq_index(
+    embs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The PQ INDEX artifacts (sub, cents, codes) — the tables a
+    production deployment trains and writes once at ingest (codes ARE
+    the 4-byte/vector index; codebooks are the trained model).
+    Factored out (r12) so the two registry consumers (the PQ search
+    and its recall audit) can share one staged build instead of each
+    re-running the Lloyd round + encode; passing these back into
+    ``ann_pq_rerank`` is result-identical by construction (the same
+    three tables it built inline)."""
+    qv = quantized_unit_vectors(embs, id_col, vec_col)
+    sub = _subvectors(qv).localCheckpoint()  # feeds train + encode + dtab
+    cents = pq_codebooks(sub)
+    codes = pq_encode(sub, cents).localCheckpoint()
+    return sub, cents, codes
+
+
 def ann_pq_rerank(
     embs: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_mod: int = 50,
     query_rem: int = 7,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Two-stage PQ search: integer ADC candidate scan over the codes,
     exact q20-cosine rerank of the top ``TOP_C``.
@@ -147,11 +166,14 @@ def ann_pq_rerank(
     Output: (query_id, rnk, vec_id, cos_q20) — the same contract as
     the int8 two-stage search (llm/quantize.py ann_int8_rerank) so the
     two compression families are directly comparable.
+
+    ``index``: optionally a precomputed ``pq_index`` triple — skips
+    the train+encode build; the ADC scan and exact rerank (the serving
+    work) still run here.
     """
-    qv = quantized_unit_vectors(embs, id_col, vec_col)
-    sub = _subvectors(qv).localCheckpoint()  # feeds train + encode + dtab
-    cents = pq_codebooks(sub)
-    codes = pq_encode(sub, cents)
+    if index is None:
+        index = pq_index(embs, id_col, vec_col)
+    sub, cents, codes = index
     qsub = sub.filter(F.col("vec_id") % query_mod == query_rem).select(
         F.col("vec_id").alias("query_id"), "s", "sv"
     )

@@ -214,6 +214,17 @@ def dup_docs(spark):
     )
 
 
+def test_ann_pq_rerank_with_staged_index_identical(spark, embs):
+    from marketing_attribution_etl_framework__maef_spark.llm import pq
+
+    base = sorted(pq.ann_pq_rerank(embs, query_mod=10, query_rem=2).collect())
+    idx = pq.pq_index(embs)
+    staged = sorted(
+        pq.ann_pq_rerank(embs, query_mod=10, query_rem=2, index=idx).collect()
+    )
+    assert staged == base
+
+
 def test_minhash_accuracy_with_staged_stores_identical(spark, dup_docs):
     from marketing_attribution_etl_framework__maef_spark.llm import text as txt
 

@@ -182,6 +182,12 @@ def old_minhash_accuracy(spark, sf):
     return dd.minhash_accuracy(em._aug_docs(spark, sf))
 
 
+def old_ann_pq(spark, sf):
+    from marketing_attribution_etl_framework__maef_spark.llm import pq
+
+    return pq.ann_pq_rerank(em._embs(spark, sf))
+
+
 def old_nb_langid(spark, sf):
     docs = em._docs(spark, sf)
     tf_tab = cls.token_tf(docs, "lang", "text", "doc_id")
@@ -448,6 +454,7 @@ PAIRS = {
     "llm_ann_ensemble_recall": (old_ann_ensemble_recall, None),
     "llm_ann_recall_drift": (old_ann_recall_drift, None),
     "llm_minhash_accuracy": (old_minhash_accuracy, None),
+    "llm_ann_pq": (old_ann_pq, None),
     "llm_nb_langid": (old_nb_langid, None),
     "maef_pipeline_e2e": (old_pipeline_e2e, None),
     "llm_export_pipeline": (old_export_pipeline, None),
@@ -472,6 +479,8 @@ def main() -> None:
         em._aug_kmeans8, em._ngram_sets, em._aug_bands, em._ann_truth,
     ):
         _noop(builder(spark, args.sf))
+    for _t in em._pq_index(spark, args.sf):
+        _noop(_t)
 
     for name in names:
         old_fn, new_fn = PAIRS[name]

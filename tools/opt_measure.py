@@ -66,6 +66,8 @@ def _prestage(spark, sf_dir: str) -> None:
         entrymod._ann_truth,
     ):
         builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    for t in entrymod._pq_index(spark, sf_dir):
+        t.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
